@@ -1,0 +1,415 @@
+"""Expression and condition AST for the conjunctive-SQL subset.
+
+Covers the reference's expression surface (SURVEY §2.1 C7-C19):
+column refs, typed literals (incl. DATE / INTERVAL DAY), arithmetic with
+numeric promotion, CASE WHEN, EXTRACT(YEAR ...), LIKE / IN / BETWEEN /
+IS NULL / OR, and the six comparison operators
+(reference: sqlplus-core/.../expression/Expression.scala,
+convert/Condition.scala, expression/Operator.scala).
+
+Each node can render itself to a Spark ``Column`` given a mapping from
+``(alias, column)`` to the physical (variable) column name — the engine
+renames every relation's columns to planner variables, so equi-joins
+become natural joins on shared names.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColMap = dict[tuple[str, str], str]
+
+# ---------------------------------------------------------------------------
+# scalar expressions
+# ---------------------------------------------------------------------------
+
+
+class Expr:
+    def refs(self) -> set[tuple[str, str]]:
+        """All (alias, column) references in this expression."""
+        raise NotImplementedError
+
+    def to_spark(self, colmap: ColMap) -> Column:
+        raise NotImplementedError
+
+    def key(self) -> str:
+        """Canonical string for dedup/grouping."""
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class Col(Expr):
+    alias: str  # relation alias ('' when unresolved single-table)
+    name: str
+
+    def refs(self):
+        return {(self.alias, self.name)}
+
+    def to_spark(self, colmap):
+        return F.col(colmap[(self.alias, self.name)])
+
+    def key(self):
+        return f"{self.alias}.{self.name}"
+
+
+@dataclass(frozen=True)
+class Lit(Expr):
+    value: object
+    kind: str  # int | long | double | str | date | timestamp | interval_day
+
+    def refs(self):
+        return set()
+
+    def to_spark(self, colmap):
+        if self.kind == "date":
+            return F.to_date(F.lit(self.value))
+        if self.kind == "timestamp":
+            return F.to_timestamp(F.lit(self.value))
+        if self.kind == "interval_day":
+            # value = number of days; used in date arithmetic
+            return F.expr(f"INTERVAL {int(self.value)} DAY")
+        return F.lit(self.value)
+
+    def key(self):
+        return f"{self.kind}:{self.value!r}"
+
+
+@dataclass(frozen=True)
+class Arith(Expr):
+    op: str  # + - * /
+    left: Expr
+    right: Expr
+
+    def refs(self):
+        return self.left.refs() | self.right.refs()
+
+    def to_spark(self, colmap):
+        l, r = self.left.to_spark(colmap), self.right.to_spark(colmap)
+        if self.op == "+":
+            return l + r
+        if self.op == "-":
+            return l - r
+        if self.op == "*":
+            return l * r
+        if self.op == "/":
+            return l / r
+        raise ValueError(self.op)
+
+    def key(self):
+        return f"({self.left.key()}{self.op}{self.right.key()})"
+
+
+@dataclass(frozen=True)
+class Neg(Expr):
+    child: Expr
+
+    def refs(self):
+        return self.child.refs()
+
+    def to_spark(self, colmap):
+        return -self.child.to_spark(colmap)
+
+    def key(self):
+        return f"(-{self.child.key()})"
+
+
+@dataclass(frozen=True)
+class ExtractYear(Expr):
+    """EXTRACT(YEAR FROM e) — the only EXTRACT flag the reference supports
+    (LogicalPlanConverter.scala:705-713)."""
+
+    child: Expr
+
+    def refs(self):
+        return self.child.refs()
+
+    def to_spark(self, colmap):
+        return F.year(self.child.to_spark(colmap))
+
+    def key(self):
+        return f"year({self.child.key()})"
+
+
+@dataclass(frozen=True)
+class CaseWhen(Expr):
+    """CASE WHEN c THEN e ... ELSE e END (LogicalPlanConverter.scala:684-703)."""
+
+    branches: tuple[tuple["Cond", Expr], ...]
+    otherwise: Expr
+
+    def refs(self):
+        out = self.otherwise.refs()
+        for c, e in self.branches:
+            out |= c.refs() | e.refs()
+        return out
+
+    def to_spark(self, colmap):
+        col = None
+        for c, e in self.branches:
+            if col is None:
+                col = F.when(c.to_spark(colmap), e.to_spark(colmap))
+            else:
+                col = col.when(c.to_spark(colmap), e.to_spark(colmap))
+        return col.otherwise(self.otherwise.to_spark(colmap))
+
+    def key(self):
+        b = ";".join(f"{c.key()}->{e.key()}" for c, e in self.branches)
+        return f"case({b};else {self.otherwise.key()})"
+
+
+@dataclass(frozen=True)
+class Func(Expr):
+    """Scalar function call (kept generic; validated at planning time)."""
+
+    name: str
+    args: tuple[Expr, ...]
+
+    def refs(self):
+        out: set[tuple[str, str]] = set()
+        for a in self.args:
+            out |= a.refs()
+        return out
+
+    def to_spark(self, colmap):
+        fn = getattr(F, self.name.lower(), None)
+        if fn is None:
+            raise ValueError(f"unsupported function {self.name}")
+        return fn(*[a.to_spark(colmap) for a in self.args])
+
+    def key(self):
+        return f"{self.name.lower()}({','.join(a.key() for a in self.args)})"
+
+
+@dataclass(frozen=True)
+class Star(Expr):
+    """COUNT(*) argument."""
+
+    def refs(self):
+        return set()
+
+    def to_spark(self, colmap):
+        raise ValueError("* is only valid inside COUNT(*)")
+
+    def key(self):
+        return "*"
+
+
+AGG_FUNCS = {"sum", "count", "avg", "min", "max"}
+
+
+@dataclass(frozen=True)
+class AggCall(Expr):
+    """Aggregate call in the SELECT list (SURVEY C20)."""
+
+    func: str  # sum|count|avg|min|max
+    arg: Expr  # Star() for COUNT(*)
+    distinct: bool = False
+
+    def refs(self):
+        return self.arg.refs()
+
+    def to_spark(self, colmap):
+        if self.func == "count" and isinstance(self.arg, Star):
+            return F.count(F.lit(1))
+        inner = self.arg.to_spark(colmap)
+        if self.distinct:
+            if self.func == "count":
+                return F.count_distinct(inner)
+            raise ValueError(f"DISTINCT unsupported for {self.func}")
+        return getattr(F, self.func)(inner)
+
+    def key(self):
+        d = "distinct " if self.distinct else ""
+        return f"{self.func}({d}{self.arg.key()})"
+
+
+# ---------------------------------------------------------------------------
+# conditions (boolean)
+# ---------------------------------------------------------------------------
+
+
+class Cond:
+    def refs(self) -> set[tuple[str, str]]:
+        raise NotImplementedError
+
+    def to_spark(self, colmap: ColMap) -> Column:
+        raise NotImplementedError
+
+    def key(self) -> str:
+        raise NotImplementedError
+
+
+CMP_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "<>": "<>"}
+
+
+@dataclass(frozen=True)
+class Cmp(Cond):
+    op: str  # = | <> | < | <= | > | >=
+    left: Expr
+    right: Expr
+
+    def refs(self):
+        return self.left.refs() | self.right.refs()
+
+    def to_spark(self, colmap):
+        l, r = self.left.to_spark(colmap), self.right.to_spark(colmap)
+        return {
+            "=": l == r,
+            "<>": l != r,
+            "<": l < r,
+            "<=": l <= r,
+            ">": l > r,
+            ">=": l >= r,
+        }[self.op]
+
+    def flipped(self) -> "Cmp":
+        return Cmp(CMP_FLIP[self.op], self.right, self.left)
+
+    def key(self):
+        return f"({self.left.key()}{self.op}{self.right.key()})"
+
+
+@dataclass(frozen=True)
+class Like(Cond):
+    """[NOT] LIKE with % patterns (SURVEY C9; Operator.scala:191-217)."""
+
+    expr: Expr
+    pattern: str
+    negated: bool = False
+
+    def refs(self):
+        return self.expr.refs()
+
+    def to_spark(self, colmap):
+        c = self.expr.to_spark(colmap).like(self.pattern)
+        return ~c if self.negated else c
+
+    def key(self):
+        n = "not " if self.negated else ""
+        return f"({self.expr.key()} {n}like {self.pattern!r})"
+
+
+@dataclass(frozen=True)
+class InList(Cond):
+    """[NOT] IN (literals) (SURVEY C10)."""
+
+    expr: Expr
+    values: tuple[object, ...]
+    negated: bool = False
+
+    def refs(self):
+        return self.expr.refs()
+
+    def to_spark(self, colmap):
+        c = self.expr.to_spark(colmap).isin(list(self.values))
+        return ~c if self.negated else c
+
+    def key(self):
+        n = "not " if self.negated else ""
+        return f"({self.expr.key()} {n}in {self.values!r})"
+
+
+@dataclass(frozen=True)
+class IsNull(Cond):
+    """IS [NOT] NULL — parse-only in the reference (codegen throws,
+    Operator.scala:305-327); fully executable here (SURVEY C14)."""
+
+    expr: Expr
+    negated: bool = False
+
+    def refs(self):
+        return self.expr.refs()
+
+    def to_spark(self, colmap):
+        c = self.expr.to_spark(colmap)
+        return c.isNotNull() if self.negated else c.isNull()
+
+    def key(self):
+        n = "not " if self.negated else ""
+        return f"({self.expr.key()} is {n}null)"
+
+
+@dataclass(frozen=True)
+class OrCond(Cond):
+    """OR of conditions (SURVEY C12) — pushed into one relation when all
+    columns co-locate, else kept as a post-join residual."""
+
+    children: tuple[Cond, ...]
+
+    def refs(self):
+        out: set[tuple[str, str]] = set()
+        for c in self.children:
+            out |= c.refs()
+        return out
+
+    def to_spark(self, colmap):
+        col = self.children[0].to_spark(colmap)
+        for c in self.children[1:]:
+            col = col | c.to_spark(colmap)
+        return col
+
+    def key(self):
+        return "(" + " or ".join(c.key() for c in self.children) + ")"
+
+
+@dataclass(frozen=True)
+class AndCond(Cond):
+    """AND inside an OR branch (top-level ANDs are flattened by the parser)."""
+
+    children: tuple[Cond, ...]
+
+    def refs(self):
+        out: set[tuple[str, str]] = set()
+        for c in self.children:
+            out |= c.refs()
+        return out
+
+    def to_spark(self, colmap):
+        col = self.children[0].to_spark(colmap)
+        for c in self.children[1:]:
+            col = col & c.to_spark(colmap)
+        return col
+
+    def key(self):
+        return "(" + " and ".join(c.key() for c in self.children) + ")"
+
+
+def rewrite_refs(node, mapping: dict[tuple[str, str], tuple[str, str]]):
+    """Rebuild an Expr/Cond with (alias,col) refs replaced per mapping."""
+    if isinstance(node, Col):
+        a = mapping.get((node.alias, node.name))
+        return Col(*a) if a else node
+    if isinstance(node, (Lit, Star)):
+        return node
+    if isinstance(node, Arith):
+        return Arith(node.op, rewrite_refs(node.left, mapping), rewrite_refs(node.right, mapping))
+    if isinstance(node, Neg):
+        return Neg(rewrite_refs(node.child, mapping))
+    if isinstance(node, ExtractYear):
+        return ExtractYear(rewrite_refs(node.child, mapping))
+    if isinstance(node, CaseWhen):
+        return CaseWhen(
+            tuple((rewrite_refs(c, mapping), rewrite_refs(e, mapping)) for c, e in node.branches),
+            rewrite_refs(node.otherwise, mapping),
+        )
+    if isinstance(node, Func):
+        return Func(node.name, tuple(rewrite_refs(a, mapping) for a in node.args))
+    if isinstance(node, AggCall):
+        return AggCall(node.func, rewrite_refs(node.arg, mapping), node.distinct)
+    if isinstance(node, Cmp):
+        return Cmp(node.op, rewrite_refs(node.left, mapping), rewrite_refs(node.right, mapping))
+    if isinstance(node, Like):
+        return Like(rewrite_refs(node.expr, mapping), node.pattern, node.negated)
+    if isinstance(node, InList):
+        return InList(rewrite_refs(node.expr, mapping), node.values, node.negated)
+    if isinstance(node, IsNull):
+        return IsNull(rewrite_refs(node.expr, mapping), node.negated)
+    if isinstance(node, OrCond):
+        return OrCond(tuple(rewrite_refs(c, mapping) for c in node.children))
+    if isinstance(node, AndCond):
+        return AndCond(tuple(rewrite_refs(c, mapping) for c in node.children))
+    raise TypeError(f"unknown node {type(node)}")

@@ -1,0 +1,488 @@
+"""Minimal SQL front-end for the conjunctive-query-with-comparisons subset.
+
+The reference parses with Calcite (sqlplus-core/.../parser/SqlPlusParser.java)
+and accepts exactly one SELECT with: FROM list (tables and one shape of
+aggregated subquery), a conjunctive WHERE (=, <>, <, <=, >, >=, [NOT] LIKE,
+[NOT] IN, BETWEEN, IS [NOT] NULL, parenthesized OR), arithmetic / CASE /
+EXTRACT(YEAR) expressions, GROUP BY + aggregates, and ORDER BY ... LIMIT
+(SURVEY §2.1, §3.1 step 4). We parse the same surface (plus explicit
+INNER JOIN ... ON sugar) into a :class:`QuerySpec`.
+
+Anything outside the subset raises :class:`UnsupportedSqlError`; the API
+layer then falls back to ``spark.sql`` verbatim.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from sparksqlplus_spark.expressions import (
+    AGG_FUNCS,
+    AggCall,
+    AndCond,
+    Arith,
+    CaseWhen,
+    Cmp,
+    Col,
+    Cond,
+    Expr,
+    ExtractYear,
+    Func,
+    InList,
+    IsNull,
+    Like,
+    Lit,
+    Neg,
+    OrCond,
+    Star,
+)
+
+
+class UnsupportedSqlError(Exception):
+    """Query is outside the planner subset — caller should fall back."""
+
+
+# ---------------------------------------------------------------------------
+# AST containers
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SelectItem:
+    expr: Expr
+    alias: str | None = None
+
+
+@dataclass
+class FromItem:
+    alias: str
+    table: str | None = None
+    subquery: "QuerySpec | None" = None
+
+
+@dataclass
+class OrderItem:
+    expr: Expr
+    desc: bool = False
+
+
+@dataclass
+class QuerySpec:
+    select: list[SelectItem]
+    distinct: bool
+    from_items: list[FromItem]
+    where: list[Cond]  # top-level conjunction
+    group_by: list[Expr] = field(default_factory=list)
+    order_by: list[OrderItem] = field(default_factory=list)
+    limit: int | None = None
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<str>'(?:[^']|'')*')
+  | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,|\.|\*|\+|-|/|\|\|)
+    """,
+    re.VERBOSE,
+)
+
+KEYWORDS = {
+    "select", "distinct", "from", "where", "group", "by", "order", "limit",
+    "and", "or", "not", "like", "in", "between", "is", "null", "as",
+    "case", "when", "then", "else", "end", "extract", "year", "date",
+    "interval", "timestamp", "day", "join", "inner", "on", "asc", "desc",
+    "having", "union", "exists",
+}
+
+
+@dataclass
+class Tok:
+    kind: str  # kw | id | num | str | op
+    text: str  # lowercase for kw, verbatim otherwise
+
+
+def tokenize(sql: str) -> list[Tok]:
+    toks: list[Tok] = []
+    pos = 0
+    sql = re.sub(r"--[^\n]*", " ", sql)
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            raise UnsupportedSqlError(f"cannot tokenize at: {sql[pos:pos+30]!r}")
+        pos = m.end()
+        if m.lastgroup == "ws":
+            continue
+        text = m.group()
+        if m.lastgroup == "id":
+            low = text.lower()
+            if low in KEYWORDS:
+                toks.append(Tok("kw", low))
+            else:
+                toks.append(Tok("id", text))
+        elif m.lastgroup == "str":
+            toks.append(Tok("str", text[1:-1].replace("''", "'")))
+        elif m.lastgroup == "num":
+            toks.append(Tok("num", text))
+        else:
+            toks.append(Tok("op", text))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# recursive-descent parser
+# ---------------------------------------------------------------------------
+
+
+class _Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    # -- cursor helpers ----------------------------------------------------
+    def peek(self, k: int = 0) -> Tok | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def at(self, kind: str, text: str | None = None, k: int = 0) -> bool:
+        t = self.peek(k)
+        return t is not None and t.kind == kind and (text is None or t.text == text)
+
+    def take(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise UnsupportedSqlError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: str | None = None) -> Tok:
+        if not self.at(kind, text):
+            got = self.peek()
+            raise UnsupportedSqlError(f"expected {text or kind}, got {got}")
+        return self.take()
+
+    def accept(self, kind: str, text: str | None = None) -> bool:
+        if self.at(kind, text):
+            self.take()
+            return True
+        return False
+
+    # -- grammar -----------------------------------------------------------
+    def parse_query(self) -> QuerySpec:
+        q = self._select_stmt()
+        if self.peek() is not None:
+            raise UnsupportedSqlError(f"trailing tokens at {self.peek()}")
+        return q
+
+    def _select_stmt(self) -> QuerySpec:
+        self.expect("kw", "select")
+        distinct = self.accept("kw", "distinct")
+        items = [self._select_item()]
+        while self.accept("op", ","):
+            items.append(self._select_item())
+        self.expect("kw", "from")
+        from_items = [self._from_item()]
+        where: list[Cond] = []
+        while True:
+            if self.accept("op", ","):
+                from_items.append(self._from_item())
+            elif self.at("kw", "inner") or self.at("kw", "join"):
+                # INNER JOIN t AS a ON cond — desugar to comma + condition
+                self.accept("kw", "inner")
+                self.expect("kw", "join")
+                from_items.append(self._from_item())
+                self.expect("kw", "on")
+                where.extend(self._conjunction())
+            else:
+                break
+        if self.accept("kw", "where"):
+            where.extend(self._conjunction())
+        group_by: list[Expr] = []
+        if self.accept("kw", "group"):
+            self.expect("kw", "by")
+            group_by.append(self._expr())
+            while self.accept("op", ","):
+                group_by.append(self._expr())
+        if self.at("kw", "having"):
+            raise UnsupportedSqlError("HAVING not in subset")
+        order_by: list[OrderItem] = []
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            while True:
+                e = self._expr()
+                desc = False
+                if self.accept("kw", "desc"):
+                    desc = True
+                else:
+                    self.accept("kw", "asc")
+                order_by.append(OrderItem(e, desc))
+                if not self.accept("op", ","):
+                    break
+        limit = None
+        if self.accept("kw", "limit"):
+            limit = int(self.expect("num").text)
+        return QuerySpec(items, distinct, from_items, where, group_by, order_by, limit)
+
+    def _select_item(self) -> SelectItem:
+        e = self._expr()
+        alias = None
+        if self.accept("kw", "as"):
+            alias = self.take().text
+        elif self.at("id") :
+            alias = self.take().text
+        return SelectItem(e, alias)
+
+    def _from_item(self) -> FromItem:
+        if self.accept("op", "("):
+            sub = self._select_stmt()
+            self.expect("op", ")")
+            self.accept("kw", "as")
+            alias = self.expect("id").text
+            return FromItem(alias=alias, subquery=sub)
+        name = self.expect("id").text
+        alias = name
+        if self.accept("kw", "as"):
+            alias = self.take().text
+        elif self.at("id"):
+            alias = self.take().text
+        return FromItem(alias=alias, table=name)
+
+    # -- boolean grammar ----------------------------------------------------
+    def _conjunction(self) -> list[Cond]:
+        out: list[Cond] = []
+
+        def add(c: Cond) -> None:
+            if isinstance(c, AndCond):
+                for ch in c.children:
+                    add(ch)
+            else:
+                out.append(c)
+
+        add(self._or_cond())
+        while self.accept("kw", "and"):
+            add(self._or_cond())
+        return out
+
+    def _or_cond(self) -> Cond:
+        c = self._and_cond()
+        if self.at("kw", "or"):
+            children = [c]
+            while self.accept("kw", "or"):
+                children.append(self._and_cond())
+            return OrCond(tuple(children))
+        return c
+
+    def _and_cond(self) -> Cond:
+        c = self._cond_primary()
+        if self.at("kw", "and"):
+            children = [c]
+            while self.accept("kw", "and"):
+                children.append(self._cond_primary())
+            return AndCond(tuple(children))
+        return c
+
+    def _cond_primary(self) -> Cond:
+        # try parenthesized boolean first (backtrack to expression on failure)
+        if self.at("op", "("):
+            save = self.i
+            try:
+                self.take()
+                inner = self._or_cond()
+                self.expect("op", ")")
+                # guard: if followed by a comparison, '(' opened an expression
+                if not self._at_cmp_or_predicate():
+                    return inner
+            except UnsupportedSqlError:
+                pass
+            self.i = save
+        if self.accept("kw", "not"):
+            inner = self._cond_primary()
+            if isinstance(inner, Like):
+                return Like(inner.expr, inner.pattern, not inner.negated)
+            if isinstance(inner, InList):
+                return InList(inner.expr, inner.values, not inner.negated)
+            if isinstance(inner, IsNull):
+                return IsNull(inner.expr, not inner.negated)
+            if isinstance(inner, Cmp) and inner.op == "=":
+                return Cmp("<>", inner.left, inner.right)
+            raise UnsupportedSqlError("NOT only supported on LIKE/IN/IS NULL/=")
+        left = self._expr()
+        return self._predicate_tail(left)
+
+    def _at_cmp_or_predicate(self) -> bool:
+        t = self.peek()
+        if t is None:
+            return False
+        if t.kind == "op" and t.text in ("=", "<>", "!=", "<", "<=", ">", ">=", "+", "-", "*", "/"):
+            return True
+        if t.kind == "kw" and t.text in ("like", "in", "between", "is", "not"):
+            return True
+        return False
+
+    def _predicate_tail(self, left: Expr) -> Cond:
+        t = self.peek()
+        if t is None:
+            raise UnsupportedSqlError("expected predicate")
+        if t.kind == "op" and t.text in ("=", "<>", "!=", "<", "<=", ">", ">="):
+            op = self.take().text
+            if op == "!=":
+                op = "<>"
+            right = self._expr()
+            return Cmp(op, left, right)
+        negated = False
+        if self.at("kw", "not"):
+            self.take()
+            negated = True
+        if self.accept("kw", "like"):
+            pat = self.expect("str").text
+            return Like(left, pat, negated)
+        if self.accept("kw", "in"):
+            self.expect("op", "(")
+            vals: list[object] = []
+            while True:
+                lit = self._literal()
+                vals.append(lit.value)
+                if not self.accept("op", ","):
+                    break
+            self.expect("op", ")")
+            return InList(left, tuple(vals), negated)
+        if self.accept("kw", "between"):
+            lo = self._expr()
+            self.expect("kw", "and")
+            hi = self._expr()
+            # Calcite desugars BETWEEN to two <= (SURVEY C11)
+            c = AndCond((Cmp(">=", left, lo), Cmp("<=", left, hi)))
+            if negated:
+                raise UnsupportedSqlError("NOT BETWEEN not in subset")
+            return c
+        if self.accept("kw", "is"):
+            neg2 = self.accept("kw", "not")
+            self.expect("kw", "null")
+            return IsNull(left, neg2)
+        raise UnsupportedSqlError(f"expected predicate after expression, got {t}")
+
+    # -- scalar expression grammar -------------------------------------------
+    def _expr(self) -> Expr:
+        return self._additive()
+
+    def _additive(self) -> Expr:
+        e = self._multiplicative()
+        while self.at("op", "+") or self.at("op", "-"):
+            op = self.take().text
+            e = Arith(op, e, self._multiplicative())
+        return e
+
+    def _multiplicative(self) -> Expr:
+        e = self._unary()
+        while self.at("op", "*") or self.at("op", "/"):
+            op = self.take().text
+            e = Arith(op, e, self._unary())
+        return e
+
+    def _unary(self) -> Expr:
+        if self.accept("op", "-"):
+            return Neg(self._unary())
+        if self.accept("op", "+"):
+            return self._unary()
+        return self._primary()
+
+    def _literal(self) -> Lit:
+        if self.at("str"):
+            return Lit(self.take().text, "str")
+        if self.at("num"):
+            txt = self.take().text
+            if "." in txt or "e" in txt or "E" in txt:
+                return Lit(float(txt), "double")
+            v = int(txt)
+            return Lit(v, "int" if -(2**31) <= v < 2**31 else "long")
+        if self.accept("op", "-"):
+            inner = self._literal()
+            return Lit(-inner.value, inner.kind)  # type: ignore[operator]
+        if self.accept("kw", "date"):
+            return Lit(self.expect("str").text, "date")
+        if self.accept("kw", "timestamp"):
+            return Lit(self.expect("str").text, "timestamp")
+        if self.accept("kw", "interval"):
+            v = self.expect("str").text
+            self.expect("kw", "day")
+            return Lit(int(v), "interval_day")
+        raise UnsupportedSqlError(f"expected literal, got {self.peek()}")
+
+    def _primary(self) -> Expr:
+        t = self.peek()
+        if t is None:
+            raise UnsupportedSqlError("unexpected end in expression")
+        if t.kind in ("str", "num") or (
+            t.kind == "kw" and t.text in ("date", "timestamp", "interval")
+        ):
+            return self._literal()
+        if t.kind == "kw" and t.text == "null":
+            self.take()
+            return Lit(None, "null")
+        if t.kind == "kw" and t.text == "case":
+            return self._case_when()
+        if t.kind == "kw" and t.text == "extract":
+            self.take()
+            self.expect("op", "(")
+            self.expect("kw", "year")
+            self.expect("kw", "from")
+            inner = self._expr()
+            self.expect("op", ")")
+            return ExtractYear(inner)
+        if self.accept("op", "("):
+            e = self._expr()
+            self.expect("op", ")")
+            return e
+        if self.at("op", "*"):
+            self.take()
+            return Star()
+        if t.kind == "id":
+            name = self.take().text
+            # function call?
+            if self.at("op", "("):
+                self.take()
+                low = name.lower()
+                distinct = self.accept("kw", "distinct")
+                args: list[Expr] = []
+                if not self.at("op", ")"):
+                    args.append(self._expr())
+                    while self.accept("op", ","):
+                        args.append(self._expr())
+                self.expect("op", ")")
+                if low in AGG_FUNCS:
+                    if len(args) != 1:
+                        raise UnsupportedSqlError(f"{low} needs 1 arg")
+                    return AggCall(low, args[0], distinct)
+                return Func(low, tuple(args))
+            # dotted column ref
+            if self.accept("op", "."):
+                col = self.take().text
+                return Col(name, col)
+            return Col("", name)
+        raise UnsupportedSqlError(f"unexpected token {t} in expression")
+
+    def _case_when(self) -> Expr:
+        self.expect("kw", "case")
+        branches: list[tuple[Cond, Expr]] = []
+        while self.accept("kw", "when"):
+            conds = self._conjunction()
+            cond = conds[0] if len(conds) == 1 else AndCond(tuple(conds))
+            self.expect("kw", "then")
+            branches.append((cond, self._expr()))
+        otherwise: Expr = Lit(None, "null")
+        if self.accept("kw", "else"):
+            otherwise = self._expr()
+        self.expect("kw", "end")
+        return CaseWhen(tuple(branches), otherwise)
+
+
+def parse_query(sql: str) -> QuerySpec:
+    """Parse the supported SQL subset into a QuerySpec (raises
+    UnsupportedSqlError outside the subset)."""
+    return _Parser(tokenize(sql.strip().rstrip(";"))).parse_query()
