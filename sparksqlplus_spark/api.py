@@ -1,0 +1,171 @@
+"""Top-level engine API.
+
+Usage::
+
+    engine = SparkSQLPlus(spark)
+    engine.ddl("CREATE TABLE R (a INT, b INT) WITH ('path'='/data/r.csv')")
+    engine.register("s", some_dataframe, primary_key=("b",))
+    df = engine.sql("SELECT r.a, s.b FROM R r, S s WHERE r.b = s.b AND r.a < s.c")
+
+``sql`` plans the query with the CQC pipeline (GYO join tree → semi-join
+reduce with min/max propagation → enumerate). Queries outside the planner
+subset fall back to ``spark.sql`` verbatim (the reference web UI signals
+"FALLBACK" the same way, RestApiController.java:117-129).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparksqlplus_spark.catalog import Catalog, TableMeta, parse_ddl
+from sparksqlplus_spark.compiler.cqc import CqcExecutor, naive_execute
+from sparksqlplus_spark.parser.sql import UnsupportedSqlError, parse_query
+from sparksqlplus_spark.plans.context import Context, build_context
+from sparksqlplus_spark.plans.gyo import gyo_join_tree
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (footer inspection)."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        f = path if os.path.isfile(path) else sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+        schema = pq.ParquetFile(f).schema_arrow
+        return [
+            fld.name
+            for fld in schema
+            if pa.types.is_timestamp(fld.type) and fld.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def _parquet_rows(path: str) -> int | None:
+    """Row count from parquet footers (metadata only, no scan)."""
+    try:
+        import pyarrow.parquet as pq
+
+        files = [path] if os.path.isfile(path) else glob.glob(os.path.join(path, "*.parquet"))
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files) or None
+    except Exception:
+        return None
+
+
+class SparkSQLPlus:
+    def __init__(self, spark: SparkSession, catalog: Catalog | None = None):
+        self.spark = spark
+        self.catalog = catalog or Catalog()
+        self._executor = CqcExecutor(spark, self.catalog)
+
+    # -- registration --------------------------------------------------------
+    def ddl(self, ddl_str: str) -> None:
+        """Register tables from CREATE TABLE ... WITH('path'=...) DDL;
+        views for the spark.sql fallback are created lazily."""
+        parse_ddl(ddl_str, self.catalog)
+
+    def register(
+        self,
+        name: str,
+        df: DataFrame,
+        primary_key: tuple[str, ...] = (),
+        cardinality: int | None = None,
+    ) -> None:
+        self.catalog.register_df(name, df, primary_key, cardinality)
+        df.createOrReplaceTempView(name)
+
+    def register_parquet(
+        self,
+        name: str,
+        path: str,
+        primary_key: tuple[str, ...] = (),
+        cardinality: int | None = None,
+    ) -> None:
+        df = self.spark.read.parquet(path)
+        # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong); convert
+        # to microsecond timestamps
+        for col in _nanos_timestamp_cols(path):
+            if col in df.columns:
+                from pyspark.sql import functions as F
+
+                df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+        if cardinality is None:
+            cardinality = _parquet_rows(path)
+        self.register(name, df, primary_key, cardinality)
+
+    def register_testdata(self, sf_dir: str) -> None:
+        """Register every parquet table in a testdata sf directory, with the
+        TPC-H primary keys the reference declares (FIXTURES.md §C)."""
+        pks = {
+            "region": ("r_regionkey",),
+            "nation": ("n_nationkey",),
+            "customer": ("c_custkey",),
+            "supplier": ("s_suppkey",),
+            "part": ("p_partkey",),
+            "orders": ("o_orderkey",),
+            "lineitem": ("l_orderkey", "l_linenumber"),
+            "events": ("event_id",),
+            "documents": ("doc_id",),
+            "embeddings": ("vec_id",),
+        }
+        for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+            name = os.path.splitext(os.path.basename(p))[0]
+            self.register_parquet(name, p, primary_key=pks.get(name, ()))
+
+    # -- planning / execution -------------------------------------------------
+    def context(self, query: str) -> Context:
+        return build_context(parse_query(query), self.catalog)
+
+    def sql(self, query: str, mode: str = "auto") -> DataFrame:
+        """Plan and execute a query.
+
+        mode: 'auto' (CQC, cyclic handler, then spark.sql fallback),
+        'cqc' (fail if outside subset), 'naive' (greedy joins — the
+        baseline comparator), 'spark' (verbatim spark.sql).
+        """
+        if mode == "spark":
+            self._ensure_views()
+            return self.spark.sql(query)
+        try:
+            ctx = self.context(query)
+        except UnsupportedSqlError:
+            if mode == "auto":
+                self._ensure_views()
+                return self.spark.sql(query)
+            raise
+        if mode == "naive":
+            return naive_execute(self.spark, self.catalog, ctx)
+        tree = gyo_join_tree(ctx.relations)
+        if tree is not None:
+            return self._executor.execute_tree(ctx, tree)
+        # cyclic: break / GHD planner; until then the greedy-join baseline
+        # is the correct executor for cyclic shapes
+        from sparksqlplus_spark.plans.cyclic import execute_cyclic
+
+        return execute_cyclic(self.spark, self.catalog, ctx, mode)
+
+    def explain_tree(self, query: str) -> str:
+        """Debug: render the join tree chosen for a query."""
+        ctx = self.context(query)
+        tree = gyo_join_tree(ctx.relations)
+        if tree is None:
+            return "cyclic"
+        lines: list[str] = []
+
+        def walk(rid: int, depth: int) -> None:
+            rel = tree.relations[rid]
+            key = tree.join_key(rid) if rid in tree.parent else ()
+            lines.append("  " * depth + f"{rel.alias}[{rel.kind}] vars={sorted(rel.variables)} key={list(key)}")
+            for c in tree.children[rid]:
+                walk(c, depth + 1)
+
+        walk(tree.root, 0)
+        return "\n".join(lines)
+
+    def _ensure_views(self) -> None:
+        for meta in self.catalog.tables():
+            if meta.df is None and meta.path:
+                meta.load(self.spark).createOrReplaceTempView(meta.name)

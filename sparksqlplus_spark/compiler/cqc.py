@@ -1,0 +1,492 @@
+"""CQC execution on DataFrames: Yannakakis-style reduce + enumerate.
+
+This is the Spark-first re-expression of the reference's generated RDD
+program (SURVEY §2.3, §4.2; sqlplus-core/.../compile/SqlPlusCompiler.scala,
+sqlplus-lib/.../helper/ImplicitConversions.scala):
+
+*Reduce* (leaves → root, reference reduceRelation SqlPlusCompiler.scala:228-515):
+each child is semi-joined into its parent (`left_semi`, R10), and every
+cross-relation inequality incident to the child either resolves against
+the parent (conditional semi-join / min-max filter) or propagates upward
+as a per-join-key min/max "extra column" (R5+R6+R7: sortValuesWith +
+extractFieldInHeadElement + appendExtraColumn ≡ ``groupBy(key).agg(min)``
++ equi-join here).
+
+*Enumerate* (root → leaves over the connex subtree, SqlPlusCompiler.scala:126-131,
+654-812): plain equi-joins re-applying the original comparisons as
+filters (R13-R16 — the reference's sorted-takeWhile early termination is
+an output-sensitivity optimization; Catalyst's joins + AQE take its
+place here).
+
+Semantics guarantees kept from the reference:
+- full queries → bag semantics (enumerate joins every relation);
+- non-full queries → set semantics: project + DISTINCT over the connex
+  subtree only (SURVEY C23 — the #1 correctness trap);
+- aggregation (C20) and top-k (C22) are executed (the reference planned
+  but never generated code for them).
+
+Scale notes: reduction never collects to the driver; extra columns are
+per-key aggregates (map-side partial agg + one shuffle per tree edge);
+semi-joins broadcast automatically when the reduced side is small (AQE).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparksqlplus_spark.catalog import Catalog
+from sparksqlplus_spark.expressions import Col, Cond, Expr
+from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+from sparksqlplus_spark.plans.context import Comparison, Context, Relation
+from sparksqlplus_spark.plans.gyo import JoinTree, choose_root, connex_subtree, gyo_join_tree
+
+
+@dataclass
+class _Side:
+    """One endpoint of a migrating comparison."""
+
+    host: int  # current host rid
+    phys: str | None = None  # physical mf column name once propagated
+    orig_expr: Expr | None = None  # original expression (pre-migration)
+
+    def column(self, var_map) -> Column:
+        if self.phys is not None:
+            return F.col(self.phys)
+        return self.orig_expr.to_spark(var_map)
+
+
+@dataclass
+class _CompState:
+    cid: int
+    op: str  # < <= > >=
+    left: _Side
+    right: _Side
+    resolved: bool = False
+
+
+def build_relation_df(
+    spark: SparkSession, catalog: Catalog, rel: Relation, local_filters: list[Cond], var_map
+) -> DataFrame:
+    """Materialize one relation with columns renamed to planner variables.
+
+    scan → typed source scan (R1); agg → groupBy().agg() of the base
+    table (R2/C21); local filters applied at the source so Catalyst
+    pushes them into the scan (predicate pushdown).
+    """
+    if rel.kind == "scan":
+        df = catalog.get(rel.table).load(spark)
+    elif rel.kind == "agg":
+        base = catalog.get(rel.table).load(spark)
+        gcols = [F.col(b).alias(out) for b, out in rel.agg_group_cols]
+        if rel.agg_func == "count" and rel.agg_arg_col is None:
+            agg = F.count(F.lit(1))
+        else:
+            arg = F.col(rel.agg_arg_col) if rel.agg_arg_col else F.lit(1)
+            agg = getattr(F, rel.agg_func)(arg)
+        df = base.groupBy(*gcols).agg(agg.alias(rel.agg_out_col))
+    else:
+        raise UnsupportedSqlError(f"cannot materialize relation kind {rel.kind}")
+
+    # rename columns -> variables; duplicate variables within one relation
+    # become an equality filter + single column
+    seen: dict[str, str] = {}
+    cols: list[Column] = []
+    extra_filters: list[Column] = []
+    for c, v in rel.col_to_var.items():
+        if v in seen:
+            extra_filters.append(F.col(c) == F.col(seen[v]))
+        else:
+            seen[v] = c
+            cols.append(F.col(c).alias(v))
+    for flt in extra_filters:
+        df = df.filter(flt)
+    df = df.select(*cols)
+    # local predicate pushdown (reference applySelfComparison R11 /
+    # selection pushdown SURVEY §4.1)
+    for cond in local_filters:
+        df = df.filter(cond.to_spark(var_map))
+    return df
+
+
+class CqcExecutor:
+    """Compile a Context into a DataFrame via the CQC two-phase plan."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+
+    # -- public -------------------------------------------------------------
+    def execute(self, ctx: Context) -> DataFrame:
+        tree = gyo_join_tree(ctx.relations)
+        if tree is None:
+            raise UnsupportedSqlError("cyclic query — handled by the cyclic planner")
+        return self.execute_tree(ctx, tree)
+
+    def execute_tree(self, ctx: Context, tree: JoinTree) -> DataFrame:
+        var_map = ctx.var_map
+        dfs: dict[int, DataFrame] = {
+            r.rid: build_relation_df(
+                self.spark, self.catalog, r, ctx.local_filters.get(r.rid, []), var_map
+            )
+            for r in ctx.relations
+        }
+
+        # ---- enumeration scope --------------------------------------------
+        needed_vars = self._needed_vars(ctx)
+        if ctx.is_full or ctx.aggregations or ctx.group_by:
+            scope = set(tree.relations)
+        else:
+            scope = connex_subtree(tree, needed_vars)
+        root = choose_root(tree, ctx, scope)
+        tree = tree.rerooted(root)
+        # connexity: scope must be connected containing root; with our
+        # needed-vars rule it is (Steiner subtree), re-rooting keeps it
+        scope = self._close_scope(tree, scope)
+
+        comps = [
+            _CompState(
+                cid=c.cid,
+                op=c.op,
+                left=_Side(host=c.left_rid, orig_expr=c.left),
+                right=_Side(host=c.right_rid, orig_expr=c.right),
+            )
+            for c in ctx.comparisons
+        ]
+
+        # ---- reduce phase (children before parents) ------------------------
+        mf_cols: dict[int, list[str]] = {rid: [] for rid in tree.relations}
+        for rid in tree.post_order():
+            if rid == tree.root:
+                continue
+            dfs, comps = self._reduce_one(ctx, tree, dfs, comps, mf_cols, rid)
+
+        # root-level self-resolution: comparisons whose both endpoints
+        # migrated to the root were already filtered in _migrate; nothing
+        # else to do here.
+
+        # ---- enumerate phase ------------------------------------------------
+        result = self._enumerate(ctx, tree, dfs, mf_cols, scope)
+        return finalize(result, ctx)
+
+    # -- helpers -----------------------------------------------------------
+    def _needed_vars(self, ctx: Context) -> set[str]:
+        vm = ctx.var_map
+        needed: set[str] = set()
+        for _, e in ctx.output:
+            for a, c in e.refs():
+                needed.add(vm[(a, c)])
+        for e in ctx.group_by:
+            for a, c in e.refs():
+                needed.add(vm[(a, c)])
+        for e, _ in ctx.order_by:
+            for a, c in e.refs():
+                if (a, c) in vm:
+                    needed.add(vm[(a, c)])
+        for cond in ctx.residuals:
+            for a, c in cond.refs():
+                needed.add(vm[(a, c)])
+        # round-1 safety rule: keep every comparison-referenced relation in
+        # the enumeration scope so all comparisons can be re-applied exactly
+        # (exact single-comparison branch dropping is a later optimization)
+        for comp in ctx.comparisons:
+            for a, c in comp.left.refs() | comp.right.refs():
+                needed.add(vm[(a, c)])
+        return needed
+
+    def _close_scope(self, tree: JoinTree, scope: set[int]) -> set[int]:
+        """Ensure scope is connected and contains the root (add path nodes)."""
+        out = set(scope)
+        out.add(tree.root)
+        for rid in list(scope):
+            cur = rid
+            while cur in tree.parent and cur != tree.root:
+                cur = tree.parent[cur]
+                out.add(cur)
+        return out
+
+    def _reduce_one(
+        self,
+        ctx: Context,
+        tree: JoinTree,
+        dfs: dict[int, DataFrame],
+        comps: list[_CompState],
+        mf_cols: dict[int, list[str]],
+        rid: int,
+    ):
+        """Reduce relation `rid` into its parent (one tree edge)."""
+        parent = tree.parent[rid]
+        key = list(tree.join_key(rid))
+        child_df = dfs[rid]
+        parent_df = dfs[parent]
+        var_map = ctx.var_map
+
+        incident = [c for c in comps if not c.resolved and rid in (c.left.host, c.right.host)]
+
+        if not key:
+            # cross-product edge: no key to semi-join on; the child stays in
+            # the enumeration scope (caller guarantees), nothing to prune
+            return dfs, comps
+
+        if not incident:
+            # plain Yannakakis semi-join (R10)
+            dfs[parent] = parent_df.join(child_df.select(*key), key, "left_semi")
+            return dfs, comps
+
+        # comparisons incident to this child: build per-comparison min/max
+        # extra columns over the reduced child, keyed by the join key
+        # (R5+R6: sort + head ≡ groupBy().agg(min/max))
+        aggs: list[Column] = []
+        updates: list[tuple[_CompState, str, str]] = []  # (comp, side, mf_name)
+        for comp in incident:
+            side_name = "l" if comp.left.host == rid else "r"
+            side = comp.left if side_name == "l" else comp.right
+            # direction: does the parent need the child's min or max?
+            # l OP r with OP in {<,<=}: exists l < r  <=>  min(l) < r
+            #                           exists r > l  <=>  max(r) > l
+            want_min = (side_name == "l") == (comp.op in ("<", "<="))
+            mf_name = f"__mf_{comp.cid}_{side_name}"
+            agg_fn = F.min if want_min else F.max
+            aggs.append(agg_fn(side.column(var_map)).alias(mf_name))
+            updates.append((comp, side_name, mf_name))
+
+        extras = child_df.groupBy(*key).agg(*aggs)
+        # inner join appends mf columns AND semi-joins the parent on the key
+        # (R7 appendExtraColumn: cogroup + append)
+        parent_df = parent_df.join(extras, key, "inner")
+        mf_cols[parent].extend(m for _, _, m in updates)
+
+        # migrate endpoints; resolve when both endpoints now share a host
+        for comp, side_name, mf_name in updates:
+            side = comp.left if side_name == "l" else comp.right
+            side.host = parent
+            side.phys = mf_name
+            if comp.left.host == comp.right.host:
+                # both endpoints co-located -> exact ∃-pruning filter
+                parent_df = parent_df.filter(
+                    _cmp(comp.op, comp.left.column(var_map), comp.right.column(var_map))
+                )
+                comp.resolved = True
+
+        dfs[parent] = parent_df
+        return dfs, comps
+
+    def _enumerate(
+        self,
+        ctx: Context,
+        tree: JoinTree,
+        dfs: dict[int, DataFrame],
+        mf_cols: dict[int, list[str]],
+        scope: set[int],
+    ) -> DataFrame:
+        var_map = ctx.var_map
+
+        def clean(rid: int) -> DataFrame:
+            df = dfs[rid]
+            drop = [c for c in mf_cols[rid] if c in df.columns]
+            return df.drop(*drop) if drop else df
+
+        applied: set[int] = set()
+        joined: set[int] = {tree.root}
+        result = clean(tree.root)
+
+        def apply_ready_conditions(result: DataFrame) -> DataFrame:
+            for comp in ctx.comparisons:
+                if comp.cid in applied:
+                    continue
+                hosts = {comp.left_rid, comp.right_rid}
+                if hosts <= joined:
+                    result = result.filter(
+                        _cmp(comp.op, comp.left.to_spark(var_map), comp.right.to_spark(var_map))
+                    )
+                    applied.add(comp.cid)
+            return result
+
+        result = apply_ready_conditions(result)
+
+        # walk the tree top-down (children of already-joined nodes first)
+        pending = [c for c in tree.children[tree.root] if c in scope]
+        while pending:
+            rid = pending.pop(0)
+            key = list(tree.join_key(rid))
+            child = clean(rid)
+            if key:
+                result = result.join(child, key, "inner")
+            else:
+                result = result.crossJoin(child)
+            joined.add(rid)
+            result = apply_ready_conditions(result)
+            pending.extend(c for c in tree.children[rid] if c in scope)
+
+        # residual conditions (ORs spanning relations, complex predicates)
+        for cond in ctx.residuals:
+            result = result.filter(cond.to_spark(var_map))
+        return result
+
+
+def _cmp(op: str, l: Column, r: Column) -> Column:
+    return {"<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r}[op]
+
+
+def _agg_subcalls_of(expr) -> list:
+    from sparksqlplus_spark.plans.context import _agg_subcalls
+
+    return _agg_subcalls(expr)
+
+
+def _replace_known(expr, phys: dict[str, str]):
+    """Replace any subexpression whose key() is computed (group expr or
+    aggregate) with a reference to its physical post-agg column."""
+    from sparksqlplus_spark.expressions import map_expr
+
+    def fn(node):
+        k = getattr(node, "key", None)
+        if k is not None and node.key() in phys:
+            return Col("#", phys[node.key()])
+        return None
+
+    return map_expr(expr, fn)
+
+
+def finalize(result: DataFrame, ctx: Context) -> DataFrame:
+    """Shared tail: computations, aggregation, distinct, order, limit.
+
+    Executes what the reference left planner-only: top-level aggregation
+    (C20) and top-k (C22); applies the non-full ⇒ DISTINCT semantics (C23).
+    """
+    var_map = ctx.var_map
+
+    if ctx.aggregations or ctx.group_by:
+        # physical name for every distinct expression computed by the
+        # groupBy: group expressions + each unique AggCall subexpression
+        phys: dict[str, str] = {}  # expr.key() -> physical column
+        group_cols: list[Column] = []
+        for i, e in enumerate(ctx.group_by):
+            if e.key() in phys:
+                continue
+            name = next((n for n, oe in ctx.output if oe.key() == e.key()), f"__gb_{i}")
+            phys[e.key()] = name
+            group_cols.append(e.to_spark(var_map).alias(name))
+        agg_cols: list[Column] = []
+        for n, oe in ctx.output:
+            for sub in _agg_subcalls_of(oe):
+                if sub.key() in phys:
+                    continue
+                name = n if oe.key() == sub.key() else f"__agg_{len(agg_cols)}"
+                phys[sub.key()] = name
+                agg_cols.append(sub.to_spark(var_map).alias(name))
+        for e, _ in ctx.order_by:
+            for sub in _agg_subcalls_of(e):
+                if sub.key() not in phys:
+                    name = f"__agg_{len(agg_cols)}"
+                    phys[sub.key()] = name
+                    agg_cols.append(sub.to_spark(var_map).alias(name))
+        if not agg_cols:
+            # GROUP BY without aggregates ≡ DISTINCT over the group exprs
+            result = result.select(*group_cols).distinct()
+        elif group_cols:
+            result = result.groupBy(*group_cols).agg(*agg_cols)
+        else:
+            result = result.agg(*agg_cols)
+        # rebuild each output over the aggregated frame
+        post_map = {("#", p): p for p in phys.values()}
+        out_cols = []
+        for n, oe in ctx.output:
+            reb = _replace_known(oe, phys)
+            out_cols.append(reb.to_spark(post_map).alias(n))
+        keep_sorts = []
+        for i, (e, desc) in enumerate(ctx.order_by):
+            if isinstance(e, Col) and e.alias == "":
+                continue  # resolved by output alias below
+            reb = _replace_known(e, phys)
+            keep_sorts.append(reb.to_spark(post_map).alias(f"__sort_{i}"))
+        result = result.select(*out_cols, *keep_sorts)
+        result = _order_limit(result, ctx, post_agg=True)
+        result = result.select(*[F.col(n) for n, _ in ctx.output])
+    else:
+        sort_cols: list[Column] = []
+        out_names = {n for n, _ in ctx.output}
+        for i, (e, desc) in enumerate(ctx.order_by):
+            if isinstance(e, Col) and e.alias == "" and e.name in out_names:
+                continue  # sorts on an output alias; handled post-projection
+            sort_cols.append(e.to_spark(var_map).alias(f"__sort_{i}"))
+        proj = [e.to_spark(var_map).alias(n) for n, e in ctx.output]
+        result = result.select(*proj, *sort_cols)
+        if not ctx.is_full or ctx.distinct:
+            # non-full ⇒ set semantics (reference rewrites SELECT -> SELECT
+            # DISTINCT for the baseline, CompileController.java:98-101)
+            result = result.dropDuplicates()
+        result = _order_limit(result, ctx, post_agg=False)
+        result = result.select(*[F.col(n) for n, _ in ctx.output])
+    return result
+
+
+def _order_limit(result: DataFrame, ctx: Context, post_agg: bool) -> DataFrame:
+    if ctx.order_by:
+        sort_exprs: list[Column] = []
+        for i, (e, desc) in enumerate(ctx.order_by):
+            col = None
+            if isinstance(e, Col) and e.alias == "":
+                if e.name in result.columns:
+                    col = F.col(e.name)
+            if col is None:
+                # match by expression key against outputs
+                for n, oe in ctx.output:
+                    if oe.key() == e.key() and n in result.columns:
+                        col = F.col(n)
+                        break
+            if col is None and f"__sort_{i}" in result.columns:
+                col = F.col(f"__sort_{i}")
+            if col is None:
+                if post_agg:
+                    col = e.to_spark(ctx.var_map)
+                else:
+                    raise UnsupportedSqlError(f"cannot resolve ORDER BY expr {e.key()}")
+            sort_exprs.append(col.desc() if desc else col.asc())
+        result = result.orderBy(*sort_exprs)
+    if ctx.limit is not None:
+        result = result.limit(ctx.limit)
+    return result
+
+
+def naive_execute(spark: SparkSession, catalog: Catalog, ctx: Context) -> DataFrame:
+    """Baseline executor: greedy connected equi-joins + filters.
+
+    Works for any Context shape (including cyclic queries, where it is
+    the stand-in until the break/GHD planner lands) and doubles as the
+    correctness cross-check in tests — analogous to the reference's
+    paired `QueryNSparkSQL` baseline programs.
+    """
+    var_map = ctx.var_map
+    dfs = {
+        r.rid: build_relation_df(spark, catalog, r, ctx.local_filters.get(r.rid, []), var_map)
+        for r in ctx.relations
+    }
+    remaining = sorted(dfs)
+    first = remaining.pop(0)
+    result = dfs[first]
+    result_vars = set(ctx.relations[first].variables)
+    while remaining:
+        pick = None
+        for rid in remaining:
+            if ctx.relations[rid].variables & result_vars:
+                pick = rid
+                break
+        if pick is None:
+            pick = remaining[0]  # cross product
+        remaining.remove(pick)
+        shared = sorted(ctx.relations[pick].variables & result_vars)
+        if shared:
+            result = result.join(dfs[pick], shared, "inner")
+        else:
+            result = result.crossJoin(dfs[pick])
+        result_vars |= set(ctx.relations[pick].variables)
+    for comp in ctx.comparisons:
+        result = result.filter(
+            _cmp(comp.op, comp.left.to_spark(var_map), comp.right.to_spark(var_map))
+        )
+    for cond in ctx.residuals:
+        result = result.filter(cond.to_spark(var_map))
+    return finalize(result, ctx)

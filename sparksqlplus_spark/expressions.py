@@ -378,6 +378,44 @@ class AndCond(Cond):
         return "(" + " and ".join(c.key() for c in self.children) + ")"
 
 
+def map_expr(node, fn):
+    """Top-down transform: if fn(node) returns non-None, substitute it;
+    otherwise rebuild the node with transformed children."""
+    hit = fn(node)
+    if hit is not None:
+        return hit
+    if isinstance(node, (Col, Lit, Star)):
+        return node
+    if isinstance(node, Arith):
+        return Arith(node.op, map_expr(node.left, fn), map_expr(node.right, fn))
+    if isinstance(node, Neg):
+        return Neg(map_expr(node.child, fn))
+    if isinstance(node, ExtractYear):
+        return ExtractYear(map_expr(node.child, fn))
+    if isinstance(node, CaseWhen):
+        return CaseWhen(
+            tuple((map_expr(c, fn), map_expr(e, fn)) for c, e in node.branches),
+            map_expr(node.otherwise, fn),
+        )
+    if isinstance(node, Func):
+        return Func(node.name, tuple(map_expr(a, fn) for a in node.args))
+    if isinstance(node, AggCall):
+        return AggCall(node.func, map_expr(node.arg, fn), node.distinct)
+    if isinstance(node, Cmp):
+        return Cmp(node.op, map_expr(node.left, fn), map_expr(node.right, fn))
+    if isinstance(node, Like):
+        return Like(map_expr(node.expr, fn), node.pattern, node.negated)
+    if isinstance(node, InList):
+        return InList(map_expr(node.expr, fn), node.values, node.negated)
+    if isinstance(node, IsNull):
+        return IsNull(map_expr(node.expr, fn), node.negated)
+    if isinstance(node, OrCond):
+        return OrCond(tuple(map_expr(c, fn) for c in node.children))
+    if isinstance(node, AndCond):
+        return AndCond(tuple(map_expr(c, fn) for c in node.children))
+    raise TypeError(f"unknown node {type(node)}")
+
+
 def rewrite_refs(node, mapping: dict[tuple[str, str], tuple[str, str]]):
     """Rebuild an Expr/Cond with (alias,col) refs replaced per mapping."""
     if isinstance(node, Col):

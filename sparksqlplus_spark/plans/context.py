@@ -1,0 +1,404 @@
+"""Query normalization: QuerySpec → Context.
+
+Mirrors the reference's LogicalPlanConverter semantics (SURVEY §3.1 step 4,
+sqlplus-core/.../convert/LogicalPlanConverter.scala): natural-join
+normalization via union-find over equi-join columns (DisjointSet.scala:12-49),
+a flat relation list (scans + aggregated subqueries), a classified
+condition list, output variables, aggregations, and optional top-k —
+with ``is_full`` deciding DISTINCT semantics (SURVEY C23).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from sparksqlplus_spark.catalog import Catalog
+from sparksqlplus_spark.expressions import (
+    AggCall,
+    Cmp,
+    Col,
+    Cond,
+    Expr,
+    Star,
+    rewrite_refs,
+)
+from sparksqlplus_spark.parser.sql import FromItem, QuerySpec, UnsupportedSqlError
+
+
+class DisjointSet:
+    """Union-find over (alias, column) pairs (reference utils/DisjointSet.scala)."""
+
+    def __init__(self) -> None:
+        self.parent: dict[tuple[str, str], tuple[str, str]] = {}
+
+    def find(self, x: tuple[str, str]) -> tuple[str, str]:
+        self.parent.setdefault(x, x)
+        root = x
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[x] != root:  # path compression
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, a: tuple[str, str], b: tuple[str, str]) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[ra] = rb
+
+
+@dataclass
+class Relation:
+    """A hyperedge over variables (reference graph/Relation.scala).
+
+    kind: 'scan' (TableScanRelation) | 'agg' (AggregatedRelation) |
+    'aux' (AuxiliaryRelation, minted during GYO) | 'bag' (GHD bag).
+    """
+
+    rid: int
+    alias: str
+    kind: str
+    table: str | None = None
+    # column name in the relation's output -> planner variable
+    col_to_var: dict[str, str] = field(default_factory=dict)
+    # agg-subquery payload (kind == 'agg'): SELECT group..., FUNC(arg) FROM table GROUP BY group...
+    # each entry is (base column, output column name)
+    agg_group_cols: tuple[tuple[str, str], ...] = ()
+    agg_func: str | None = None
+    agg_arg_col: str | None = None  # None => COUNT(*)
+    agg_out_col: str | None = None
+    cardinality: int | None = None
+    primary_key_vars: tuple[str, ...] = ()
+    # aux payload (kind == 'aux'): projection of another relation
+    source_rid: int | None = None
+
+    @property
+    def variables(self) -> frozenset[str]:
+        return frozenset(self.col_to_var.values())
+
+    def var_list(self) -> list[str]:
+        return list(dict.fromkeys(self.col_to_var.values()))
+
+    def __repr__(self) -> str:
+        return f"Relation({self.rid}:{self.alias}:{self.kind}:{sorted(self.variables)})"
+
+
+@dataclass
+class Comparison:
+    """A cross-relation inequality (reference graph/Comparison.scala).
+
+    ``left``/``right`` are expressions each confined to one relation;
+    ``op`` in < <= > >=. The compiler migrates endpoints up the join
+    tree during reduction (min/max extra-column propagation).
+    """
+
+    cid: int
+    op: str
+    left: Expr
+    right: Expr
+    left_rid: int
+    right_rid: int
+
+
+@dataclass
+class Context:
+    """Normalized query (reference convert/Context.scala)."""
+
+    relations: list[Relation]
+    var_map: dict[tuple[str, str], str]  # (alias, col) -> variable
+    local_filters: dict[int, list[Cond]]  # rid -> pushed-down predicates
+    comparisons: list[Comparison]
+    residuals: list[Cond]  # applied after the full join
+    output: list[tuple[str, Expr]]  # (out name, expression over refs)
+    group_by: list[Expr]
+    aggregations: list[tuple[str, AggCall]]
+    order_by: list[tuple[Expr, bool]]  # (expr, desc)
+    limit: int | None
+    distinct: bool
+    is_full: bool
+
+    def relation_by_alias(self, alias: str) -> Relation:
+        for r in self.relations:
+            if r.alias == alias:
+                return r
+        raise KeyError(alias)
+
+    def all_variables(self) -> frozenset[str]:
+        out: set[str] = set()
+        for r in self.relations:
+            out |= r.variables
+        return frozenset(out)
+
+
+_CMP_OPS = {"<", "<=", ">", ">="}
+
+
+def _refs_aliases(node) -> set[str]:
+    return {a for a, _ in node.refs()}
+
+
+def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
+    """Normalize a parsed query against the catalog.
+
+    Follows LogicalPlanConverter.visitJoins semantics: every equi-join
+    between plain column refs merges variables; conditions are pushed to
+    a single relation when co-located, classified as cross-relation
+    comparisons when they are binary inequalities between two relations,
+    and kept as residual otherwise.
+    """
+    # ---- relations -------------------------------------------------------
+    relations: list[Relation] = []
+    alias_cols: dict[str, list[str]] = {}
+    for i, fi in enumerate(spec.from_items):
+        rel = _make_relation(i, fi, catalog)
+        relations.append(rel)
+        alias_cols[fi.alias] = list(rel.col_to_var.keys())
+    if len({r.alias for r in relations}) != len(relations):
+        raise UnsupportedSqlError("duplicate FROM alias")
+
+    # ---- resolve unqualified column refs ---------------------------------
+    def owner_of(col: str) -> str:
+        owners = [a for a, cols in alias_cols.items() if col in cols]
+        if len(owners) != 1:
+            raise UnsupportedSqlError(f"ambiguous or unknown column {col!r}")
+        return owners[0]
+
+    def qualify(node):
+        refs = node.refs()
+        mapping = {}
+        for a, c in refs:
+            if a == "":
+                mapping[(a, c)] = (owner_of(c), c)
+            elif a not in alias_cols:
+                raise UnsupportedSqlError(f"unknown alias {a!r}")
+            elif c not in alias_cols[a]:
+                raise UnsupportedSqlError(f"unknown column {a}.{c}")
+        return rewrite_refs(node, mapping) if mapping else node
+
+    where = [qualify(c) for c in spec.where]
+    select = [(si.alias, qualify(si.expr)) for si in spec.select]
+    group_by = [qualify(e) for e in spec.group_by]
+    # ORDER BY may reference an output alias — keep those unqualified
+    out_aliases = {si.alias for si in spec.select if si.alias}
+
+    def qualify_order(e: Expr) -> Expr:
+        if isinstance(e, Col) and e.alias == "" and e.name in out_aliases:
+            return e
+        return qualify(e)
+
+    order_by = [(qualify_order(oi.expr), oi.desc) for oi in spec.order_by]
+
+    # ---- natural-join normalization (union-find) --------------------------
+    ds = DisjointSet()
+    for a, cols in alias_cols.items():
+        for c in cols:
+            ds.find((a, c))
+    join_conds: list[Cond] = []
+    rest: list[Cond] = []
+    for cond in where:
+        if (
+            isinstance(cond, Cmp)
+            and cond.op == "="
+            and isinstance(cond.left, Col)
+            and isinstance(cond.right, Col)
+            and cond.left.alias != cond.right.alias
+        ):
+            ds.union((cond.left.alias, cond.left.name), (cond.right.alias, cond.right.name))
+            join_conds.append(cond)
+        else:
+            rest.append(cond)
+
+    # mint variables per equivalence class, in deterministic order
+    var_map: dict[tuple[str, str], str] = {}
+    class_var: dict[tuple[str, str], str] = {}
+    counter = 0
+    for a, cols in alias_cols.items():
+        for c in cols:
+            root = ds.find((a, c))
+            if root not in class_var:
+                counter += 1
+                class_var[root] = f"v{counter}"
+            var_map[(a, c)] = class_var[root]
+    for rel in relations:
+        rel.col_to_var = {c: var_map[(rel.alias, c)] for c in rel.col_to_var}
+        meta_pk = rel.primary_key_vars  # temporarily holds column names
+        rel.primary_key_vars = tuple(
+            var_map[(rel.alias, c)] for c in meta_pk if (rel.alias, c) in var_map
+        )
+
+    # ---- classify remaining conditions ------------------------------------
+    alias_rid = {r.alias: r.rid for r in relations}
+    local_filters: dict[int, list[Cond]] = {r.rid: [] for r in relations}
+    comparisons: list[Comparison] = []
+    residuals: list[Cond] = []
+    cid = 0
+    for cond in rest:
+        aliases = _refs_aliases(cond)
+        if len(aliases) <= 1:
+            if aliases:
+                local_filters[alias_rid[next(iter(aliases))]].append(cond)
+            else:
+                residuals.append(cond)  # constant predicate
+            continue
+        if isinstance(cond, Cmp) and cond.op in _CMP_OPS:
+            la, ra = _refs_aliases(cond.left), _refs_aliases(cond.right)
+            if len(la) == 1 and len(ra) == 1 and la != ra:
+                cid += 1
+                comparisons.append(
+                    Comparison(
+                        cid=cid,
+                        op=cond.op,
+                        left=cond.left,
+                        right=cond.right,
+                        left_rid=alias_rid[next(iter(la))],
+                        right_rid=alias_rid[next(iter(ra))],
+                    )
+                )
+                continue
+        residuals.append(cond)
+
+    # ---- output / aggregation ---------------------------------------------
+    aggregations: list[tuple[str, AggCall]] = []
+    output: list[tuple[str, Expr]] = []
+    used_names: set[str] = set()
+    for idx, (alias, expr) in enumerate(select):
+        name = alias or _default_name(expr, idx)
+        if name in used_names:
+            name = f"{name}_{idx}"
+        used_names.add(name)
+        if isinstance(expr, AggCall):
+            aggregations.append((name, expr))
+        elif group_by or contains_agg(expr):
+            # nested aggregates (e.g. SUM(a)/SUM(b)) are decomposed at
+            # finalize time; plain group columns pass through
+            for sub in _agg_subcalls(expr):
+                aggregations.append((f"__agg_{len(aggregations)}", sub))
+        output.append((name, expr))
+
+    # ---- is_full: every variable appears as a plain output column ---------
+    out_vars: set[str] = set()
+    for _, expr in output:
+        if isinstance(expr, Col):
+            out_vars.add(var_map[(expr.alias, expr.name)])
+    is_full = out_vars >= set().union(*[set(r.variables) for r in relations])
+
+    return Context(
+        relations=relations,
+        var_map=var_map,
+        local_filters=local_filters,
+        comparisons=comparisons,
+        residuals=residuals,
+        output=output,
+        group_by=group_by,
+        aggregations=aggregations,
+        order_by=order_by,
+        limit=spec.limit,
+        distinct=spec.distinct,
+        is_full=is_full,
+    )
+
+
+def _default_name(expr: Expr, idx: int) -> str:
+    if isinstance(expr, Col):
+        return expr.name
+    return f"col{idx}"
+
+
+def contains_agg(expr) -> bool:
+    return bool(_agg_subcalls(expr))
+
+
+def _agg_subcalls(node) -> list[AggCall]:
+    """All AggCall subexpressions (for decomposing computed aggregates)."""
+    if isinstance(node, AggCall):
+        return [node]
+    out: list[AggCall] = []
+    for attr in ("left", "right", "child", "expr", "otherwise", "arg"):
+        sub = getattr(node, attr, None)
+        if sub is not None and hasattr(sub, "refs"):
+            out.extend(_agg_subcalls(sub))
+    for attr in ("args", "children"):
+        subs = getattr(node, attr, None)
+        if subs:
+            for s in subs:
+                if hasattr(s, "refs"):
+                    out.extend(_agg_subcalls(s))
+    branches = getattr(node, "branches", None)
+    if branches:
+        for c, e in branches:
+            out.extend(_agg_subcalls(c))
+            out.extend(_agg_subcalls(e))
+    return out
+
+
+def _make_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation:
+    if fi.table is not None:
+        meta = catalog.get(fi.table)
+        rel = Relation(
+            rid=rid,
+            alias=fi.alias,
+            kind="scan",
+            table=meta.name,
+            col_to_var={c: "" for c in meta.column_names},
+            cardinality=meta.cardinality,
+        )
+        rel.primary_key_vars = tuple(meta.primary_key)  # cols; mapped later
+        return rel
+    # aggregated subquery (SURVEY C21): SELECT g..., FUNC(arg) FROM t GROUP BY g...
+    sub = fi.subquery
+    assert sub is not None
+    if (
+        len(sub.from_items) != 1
+        or sub.from_items[0].table is None
+        or sub.where
+        or sub.order_by
+        or sub.limit is not None
+        or sub.distinct
+    ):
+        raise UnsupportedSqlError("subquery must be a simple GROUP BY aggregate over one table")
+    base = catalog.get(sub.from_items[0].table)
+    group_cols: list[tuple[str, str]] = []
+    agg_func = agg_arg = agg_out = None
+    col_names: list[str] = []
+    gb_names = set()
+    for e in sub.group_by:
+        if not isinstance(e, Col):
+            raise UnsupportedSqlError("subquery GROUP BY must be plain columns")
+        gb_names.add(e.name)
+    for i, si in enumerate(sub.select):
+        e = si.expr
+        if isinstance(e, Col):
+            if e.name not in gb_names:
+                raise UnsupportedSqlError("subquery selects a non-grouped column")
+            name = si.alias or e.name
+            group_cols.append((e.name, name))
+            col_names.append(name)
+        elif isinstance(e, AggCall):
+            if agg_func is not None:
+                raise UnsupportedSqlError("subquery supports one aggregate")
+            agg_func = e.func
+            if isinstance(e.arg, Star):
+                agg_arg = None
+            elif isinstance(e.arg, Col):
+                agg_arg = e.arg.name
+            else:
+                raise UnsupportedSqlError("subquery aggregate arg must be a column or *")
+            agg_out = si.alias or f"{e.func}_{i}"
+            col_names.append(agg_out)
+        else:
+            raise UnsupportedSqlError("subquery select must be group columns + one aggregate")
+    if agg_func is None:
+        raise UnsupportedSqlError("subquery must contain an aggregate")
+    # PK of an AggregatedRelation = its group columns (reference
+    # graph/AggregatedRelation.scala: group col is the key)
+    return Relation(
+        rid=rid,
+        alias=fi.alias,
+        kind="agg",
+        table=base.name,
+        col_to_var={c: "" for c in col_names},
+        agg_group_cols=tuple(group_cols),
+        agg_func=agg_func,
+        agg_arg_col=agg_arg,
+        agg_out_col=agg_out,
+        primary_key_vars=tuple(c for c in col_names if c != agg_out),
+    )

@@ -1,0 +1,205 @@
+"""GYO reduction: acyclicity test + join-tree construction + connex subtree.
+
+Reference: sqlplus-core/.../gyo/GyoAlgorithm.scala (exhaustive candidate
+enumeration :58-228, single-path dryRun :230-345). Round-1 scope here is
+the single-path algorithm: one join tree via ear elimination, free
+re-rooting (a join tree is unrooted), and the connex-subtree computation
+that lets non-full queries enumerate only the relations needed for
+output — the rest are dropped after semi-join reduction (Yannakakis).
+
+Candidate *enumeration* + comparison-degree ranking (reference
+GyoAlgorithm.scala:210-224, LogicalPlanConverter.scala:58-62) is a plan-
+quality feature, not a correctness one, because our executor re-applies
+every comparison at enumeration time; it is tracked for a later round.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from sparksqlplus_spark.plans.context import Context, Relation
+
+
+@dataclass
+class JoinTree:
+    root: int
+    parent: dict[int, int]  # rid -> parent rid (root has no entry)
+    relations: dict[int, Relation]
+
+    @property
+    def children(self) -> dict[int, list[int]]:
+        ch: dict[int, list[int]] = {rid: [] for rid in self.relations}
+        for c, p in self.parent.items():
+            ch[p].append(c)
+        return ch
+
+    def join_key(self, child: int) -> tuple[str, ...]:
+        """Shared variables between child and its parent (the equi-join key)."""
+        p = self.parent[child]
+        shared = self.relations[child].variables & self.relations[p].variables
+        return tuple(sorted(shared))
+
+    def post_order(self) -> list[int]:
+        """Children before parents (the reduce order)."""
+        out: list[int] = []
+        visited: set[int] = set()
+
+        def walk(rid: int) -> None:
+            visited.add(rid)
+            for c in sorted(self.children[rid]):
+                if c not in visited:
+                    walk(c)
+            out.append(rid)
+
+        walk(self.root)
+        return out
+
+    def path(self, a: int, b: int) -> list[int]:
+        """Node path a..b through the tree."""
+        anc_a: list[int] = [a]
+        cur = a
+        while cur in self.parent:
+            cur = self.parent[cur]
+            anc_a.append(cur)
+        pos = {rid: i for i, rid in enumerate(anc_a)}
+        path_b: list[int] = [b]
+        cur = b
+        while cur not in pos:
+            cur = self.parent[cur]
+            path_b.append(cur)
+        return anc_a[: pos[cur]] + path_b[::-1]
+
+    def rerooted(self, new_root: int) -> "JoinTree":
+        if new_root == self.root:
+            return self
+        parent = dict(self.parent)
+        # flip edges along the path new_root -> old root
+        chain: list[int] = [new_root]
+        cur = new_root
+        while cur in self.parent:
+            cur = self.parent[cur]
+            chain.append(cur)
+        del parent[new_root]
+        for a, b in zip(chain, chain[1:]):
+            parent[b] = a
+        return JoinTree(root=new_root, parent=parent, relations=self.relations)
+
+    def subtree_nodes(self, rid: int) -> set[int]:
+        out = {rid}
+        stack = [rid]
+        ch = self.children
+        while stack:
+            cur = stack.pop()
+            for c in ch[cur]:
+                out.add(c)
+                stack.append(c)
+        return out
+
+
+def gyo_join_tree(relations: list[Relation]) -> JoinTree | None:
+    """Ear-elimination GYO. Returns a join tree, or None if cyclic.
+
+    An ear E is a relation whose variables shared with the *rest* of the
+    hypergraph are all contained in a single witness relation W; E hangs
+    below W in the tree (reference GyoAlgorithm dryRun semantics).
+    """
+    if not relations:
+        return None
+    alive: dict[int, frozenset[str]] = {r.rid: r.variables for r in relations}
+    parent: dict[int, int] = {}
+    rel_by_id = {r.rid: r for r in relations}
+
+    while len(alive) > 1:
+        ear = witness = None
+        for e, evars in sorted(alive.items()):
+            shared: set[str] = set()
+            for o, ovars in alive.items():
+                if o != e:
+                    shared |= evars & ovars
+            # best witness: maximal overlap (tighter join key)
+            best, best_olap = None, -1
+            for w, wvars in sorted(alive.items()):
+                if w == e:
+                    continue
+                if shared <= wvars:
+                    olap = len(evars & wvars)
+                    if olap > best_olap:
+                        best, best_olap = w, olap
+            if best is not None:
+                ear, witness = e, best
+                break
+        if ear is None:
+            return None  # cyclic
+        parent[ear] = witness
+        del alive[ear]
+
+    root = next(iter(alive))
+    return JoinTree(root=root, parent=parent, relations=rel_by_id)
+
+
+def is_acyclic(relations: list[Relation]) -> bool:
+    return gyo_join_tree(relations) is not None
+
+
+def connex_subtree(tree: JoinTree, needed_vars: set[str]) -> set[int]:
+    """Minimal-ish connected subtree whose relations cover needed_vars.
+
+    Used for non-full queries: enumeration joins only this subtree; all
+    other relations were semi-join-reduced away (reference restricts
+    enumeration to the connex subset, SqlPlusCompiler.scala:126-131).
+    """
+    owners = {
+        rid for rid, rel in tree.relations.items() if rel.variables & needed_vars
+    }
+    if not owners:
+        return {tree.root}
+    # Steiner tree on a tree: union of paths between owner nodes
+    base = next(iter(sorted(owners)))
+    nodes: set[int] = {base}
+    for o in owners:
+        nodes |= set(tree.path(base, o))
+    # prune leaves whose vars are redundant
+    changed = True
+    while changed:
+        changed = False
+        for rid in sorted(nodes):
+            if rid == base:
+                continue
+            neighbors = [n for n in nodes if tree.parent.get(n) == rid or tree.parent.get(rid) == n]
+            if len(neighbors) != 1:
+                continue  # not a leaf of the subtree
+            covered = set()
+            for other in nodes - {rid}:
+                covered |= tree.relations[other].variables
+            if (tree.relations[rid].variables & needed_vars) <= covered:
+                nodes.discard(rid)
+                changed = True
+    return nodes
+
+
+def choose_root(tree: JoinTree, ctx: Context, subtree: set[int]) -> int:
+    """Pick an enumeration root inside the connex subtree.
+
+    Aggregation fix-root heuristic (reference AcyclicHandler.scala:26-75):
+    prefer the largest relation that owns group-by variables, so the
+    final groupBy shuffles the least data.
+    """
+    if ctx.aggregations and ctx.group_by:
+        gb_vars: set[str] = set()
+        for e in ctx.group_by:
+            for a, c in e.refs():
+                gb_vars.add(ctx.var_map[(a, c)])
+        best, best_card = None, -1
+        for rid in subtree:
+            rel = tree.relations[rid]
+            if rel.variables & gb_vars:
+                card = rel.cardinality or 0
+                if card > best_card:
+                    best, best_card = rid, card
+        if best is not None:
+            return best
+    # otherwise: the subtree node with the largest cardinality (root drives
+    # the first enumeration join; biggest relation at the root avoids
+    # re-shuffling it)
+    best = max(sorted(subtree), key=lambda rid: tree.relations[rid].cardinality or 0)
+    return best

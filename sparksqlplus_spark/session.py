@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- deterministic sessions for the oracle comparisons -----------
         .config("spark.sql.session.timeZone", "UTC")
+        # read TIMESTAMP(NANOS) parquet as long (converted to timestamp at
+        # registration — Spark has no native nanos type)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # quieter driver logs
         .config("spark.ui.enabled", "false")
     )

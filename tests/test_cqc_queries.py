@@ -1,0 +1,297 @@
+"""Executed-query oracle suite: engine vs DuckDB on the same parquet.
+
+The reference has no executed-query tests (SURVEY §5) — this suite is
+the gap-filler: every operator class from SURVEY §2.1 appears in at
+least one case. Non-full queries (reference DISTINCT semantics, C23)
+get a DISTINCT oracle.
+"""
+
+import duckdb
+import pytest
+
+from tests.helpers import assert_matches
+
+GRAPH_SQL = (
+    "SELECT DISTINCT l_orderkey % 300 AS src, l_partkey % 300 AS dst FROM lineitem"
+)
+
+
+@pytest.fixture(scope="session")
+def graph_engine(engine, oracle):
+    df = engine.sql(GRAPH_SQL, mode="spark")
+    engine.register("graph", df)
+    oracle.execute(f"CREATE OR REPLACE VIEW graph AS {GRAPH_SQL}")
+    return engine
+
+
+# (name, engine_sql, oracle_sql or None when identical)
+CASES = [
+    # --- SURVEY C5/C8: chain equi-joins + cross-relation inequality (q11) ---
+    (
+        "chain_theta_nonfull",
+        """SELECT l.l_orderkey, l.l_suppkey, s.s_nationkey, n.n_name
+           FROM lineitem AS l, supplier AS s, nation AS n
+           WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+             AND l.l_quantity < s.s_acctbal""",
+        """SELECT DISTINCT l.l_orderkey, l.l_suppkey, s.s_nationkey, n.n_name
+           FROM lineitem l, supplier s, nation n
+           WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+             AND l.l_quantity < s.s_acctbal""",
+    ),
+    # --- full query => bag semantics (C23) ---
+    (
+        "chain_theta_full",
+        """SELECT s.s_suppkey, s.s_name, s.s_nationkey, s.s_acctbal,
+                  n.n_nationkey, n.n_name, n.n_regionkey
+           FROM supplier AS s, nation AS n
+           WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 100.0""",
+        None,
+    ),
+    # --- comparison spanning >2 relations (multi-hop min/max propagation) ---
+    (
+        "multihop_theta",
+        """SELECT c.c_custkey, o.o_orderkey, l.l_linenumber
+           FROM customer AS c, orders AS o, lineitem AS l
+           WHERE c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+             AND l.l_extendedprice < c.c_acctbal""",
+        """SELECT DISTINCT c.c_custkey, o.o_orderkey, l.l_linenumber
+           FROM customer c, orders o, lineitem l
+           WHERE c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+             AND l.l_extendedprice < c.c_acctbal""",
+    ),
+    # --- two comparisons, opposite directions ---
+    (
+        "two_comparisons",
+        """SELECT o.o_orderkey, l.l_linenumber
+           FROM orders AS o, lineitem AS l
+           WHERE o.o_orderkey = l.l_orderkey
+             AND l.l_extendedprice < o.o_totalprice
+             AND l.l_quantity > o.o_shippriority""",
+        None,  # replaced below (needs DISTINCT + no shippriority col)
+    ),
+    # --- filters: literal =, <>, IN, BETWEEN, LIKE, OR (C7,C9,C10,C11,C12) ---
+    (
+        "filters_single_table",
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+           FROM lineitem
+           WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A', 'R')
+             AND l_linestatus = 'F' AND l_orderkey <> 7""",
+        """SELECT DISTINCT l_orderkey, l_linenumber, l_quantity, l_returnflag
+           FROM lineitem
+           WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A', 'R')
+             AND l_linestatus = 'F' AND l_orderkey <> 7""",
+    ),
+    (
+        "like_filter",
+        """SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%ol%' AND p_type NOT LIKE 'PROMO%'""",
+        """SELECT DISTINCT p_partkey, p_name FROM part WHERE p_name LIKE '%ol%' AND p_type NOT LIKE 'PROMO%'""",
+    ),
+    # --- OR residual across two relations (C12) ---
+    (
+        "or_across_relations",
+        """SELECT o.o_orderkey, l.l_linenumber
+           FROM orders AS o, lineitem AS l
+           WHERE o.o_orderkey = l.l_orderkey
+             AND (o.o_orderpriority = '1-URGENT' OR l.l_quantity > 45)""",
+        """SELECT DISTINCT o.o_orderkey, l.l_linenumber
+           FROM orders o, lineitem l
+           WHERE o.o_orderkey = l.l_orderkey
+             AND (o.o_orderpriority = '1-URGENT' OR l.l_quantity > 45)""",
+    ),
+    # --- aggregation (C20): TPC-H Q1 adapted to available columns ---
+    (
+        "tpch_q1",
+        """SELECT l_returnflag, l_linestatus,
+                  SUM(l_quantity) AS sum_qty,
+                  SUM(l_extendedprice) AS sum_base_price,
+                  SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                  SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+                  AVG(l_quantity) AS avg_qty,
+                  AVG(l_extendedprice) AS avg_price,
+                  AVG(l_discount) AS avg_disc,
+                  COUNT(*) AS count_order
+           FROM lineitem
+           WHERE l_shipdate <= DATE '1998-09-02'
+           GROUP BY l_returnflag, l_linestatus
+           ORDER BY l_returnflag, l_linestatus""",
+        None,
+    ),
+    # --- TPC-H Q6 adapted ---
+    (
+        "tpch_q6",
+        """SELECT SUM(l_extendedprice * l_discount) AS revenue
+           FROM lineitem
+           WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+             AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+        None,
+    ),
+    # --- TPC-H Q3 adapted: join + group + topk (C20 + C22) ---
+    (
+        "tpch_q3",
+        """SELECT l.l_orderkey, SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+                  o.o_orderdate, o.o_orderstatus
+           FROM customer AS c, orders AS o, lineitem AS l
+           WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey
+             AND l.l_orderkey = o.o_orderkey AND o.o_orderdate < DATE '1995-03-15'
+             AND l.l_shipdate > DATE '1995-03-15'
+           GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderstatus
+           ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        None,
+    ),
+    # --- CASE WHEN + LIKE + nested agg arithmetic (C16 + Q14 shape) ---
+    (
+        "tpch_q14",
+        """SELECT 100.00 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                                    THEN l.l_extendedprice * (1 - l.l_discount)
+                                    ELSE 0.0 END)
+                  / SUM(l.l_extendedprice * (1 - l.l_discount)) AS promo_revenue
+           FROM lineitem AS l, part AS p
+           WHERE l.l_partkey = p.p_partkey
+             AND l.l_shipdate >= DATE '1995-09-01' AND l.l_shipdate < DATE '1995-10-01'""",
+        None,
+    ),
+    # --- EXTRACT(YEAR) + group (C17) ---
+    (
+        "extract_year_agg",
+        """SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year, COUNT(*) AS n_orders,
+                  SUM(o_totalprice) AS total
+           FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate) ORDER BY o_year""",
+        None,
+    ),
+    # --- IS NULL / IS NOT NULL (C14 — executable here, not in reference) ---
+    (
+        "is_not_null",
+        """SELECT o_orderkey, o_orderstatus FROM orders
+           WHERE o_orderstatus IS NOT NULL AND o_totalprice > 100000.0""",
+        """SELECT DISTINCT o_orderkey, o_orderstatus FROM orders
+           WHERE o_orderstatus IS NOT NULL AND o_totalprice > 100000.0""",
+    ),
+    # --- arithmetic + date interval (C15, C19) ---
+    (
+        "date_interval",
+        """SELECT o_orderkey, o_orderdate FROM orders
+           WHERE o_orderdate >= DATE '1995-01-01' + INTERVAL '90' DAY""",
+        """SELECT DISTINCT o_orderkey, o_orderdate FROM orders
+           WHERE o_orderdate >= DATE '1995-01-01' + INTERVAL 90 DAY""",
+    ),
+]
+
+
+@pytest.mark.parametrize("name,engine_sql,oracle_sql", CASES, ids=[c[0] for c in CASES])
+def test_oracle_case(engine, oracle, name, engine_sql, oracle_sql):
+    if name == "two_comparisons":
+        pytest.skip("shape replaced by two_comparisons_real below")
+    df = engine.sql(engine_sql)
+    assert_matches(df, oracle, oracle_sql or engine_sql)
+
+
+def test_two_comparisons_same_edge(engine, oracle):
+    """Two inequalities on one tree edge (reference TreeLikeArray, R12)."""
+    q = """SELECT o.o_orderkey, l.l_linenumber
+           FROM orders AS o, lineitem AS l
+           WHERE o.o_orderkey = l.l_orderkey
+             AND l.l_extendedprice < o.o_totalprice
+             AND l.l_quantity * 1000.0 > o.o_totalprice"""
+    df = engine.sql(q)
+    assert_matches(
+        df,
+        oracle,
+        """SELECT DISTINCT o.o_orderkey, l.l_linenumber
+           FROM orders o, lineitem l
+           WHERE o.o_orderkey = l.l_orderkey
+             AND l.l_extendedprice < o.o_totalprice
+             AND l.l_quantity * 1000.0 > o.o_totalprice""",
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph queries (reference examples q1-q11 shapes, SURVEY §5)
+# ---------------------------------------------------------------------------
+
+
+def test_graph_q1_path_counts(graph_engine, oracle):
+    """q1 shape: 3-hop path + two COUNT(*) views + cnt comparison (C21 + C8)."""
+    q = """SELECT g1.src AS src, g1.dst AS via1, g3.src AS via2, g3.dst AS dst,
+                  c1.cnt AS cnt1, c2.cnt AS cnt2
+           FROM graph AS g1, graph AS g2, graph AS g3,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) AS c1,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) AS c2
+           WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = g3.src
+             AND g3.dst = c2.src AND c1.cnt < c2.cnt"""
+    df = graph_engine.sql(q)
+    oracle_q = """SELECT g1.src AS src, g1.dst AS via1, g3.src AS via2, g3.dst AS dst,
+                  c1.cnt AS cnt1, c2.cnt AS cnt2
+           FROM graph g1, graph g2, graph g3,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) c1,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) c2
+           WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = g3.src
+             AND g3.dst = c2.src AND c1.cnt < c2.cnt"""
+    assert_matches(df, oracle, oracle_q)
+
+
+def test_graph_q4_nonfull(graph_engine, oracle):
+    """q4 shape: non-full projection of the q1 join => DISTINCT."""
+    q = """SELECT g1.src AS src, g3.dst AS dst
+           FROM graph AS g1, graph AS g2, graph AS g3,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) AS c1,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) AS c2
+           WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = g3.src
+             AND g3.dst = c2.src AND c1.cnt < c2.cnt"""
+    df = graph_engine.sql(q)
+    oracle_q = """SELECT DISTINCT g1.src AS src, g3.dst AS dst
+           FROM graph g1, graph g2, graph g3,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) c1,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) c2
+           WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = g3.src
+             AND g3.dst = c2.src AND c1.cnt < c2.cnt"""
+    assert_matches(df, oracle, oracle_q)
+
+
+def test_graph_triangle_cyclic(graph_engine, oracle):
+    """Triangle (cyclic core, reference q2/q10 family)."""
+    q = """SELECT g1.src, g1.dst, g2.dst
+           FROM graph AS g1, graph AS g2, graph AS g3
+           WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src"""
+    df = graph_engine.sql(q)
+    oracle_q = """SELECT g1.src, g1.dst, g2.dst
+           FROM graph g1, graph g2, graph g3
+           WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src"""
+    assert_matches(df, oracle, oracle_q)
+
+
+def test_graph_4hop_self_comparisons(graph_engine, oracle):
+    """q8 shape: 4-hop path with an inequality between hop endpoints.
+
+    Output aggregated (the raw path bag is tens of millions of rows even
+    at this scale — the reference's experiment metric is a count too)."""
+    q = """SELECT g1.src AS src, COUNT(*) AS n_paths
+           FROM graph AS g1, graph AS g2, graph AS g3, graph AS g4
+           WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+             AND g1.src < g4.dst
+           GROUP BY g1.src"""
+    df = graph_engine.sql(q)
+    oracle_q = """SELECT g1.src AS src, CAST(COUNT(*) AS BIGINT) AS n_paths
+           FROM graph g1, graph g2, graph g3, graph g4
+           WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+             AND g1.src < g4.dst
+           GROUP BY g1.src"""
+    assert_matches(df, oracle, oracle_q)
+
+
+# ---------------------------------------------------------------------------
+# cyclic TPC-H Q5 shape (breakable in the reference)
+# ---------------------------------------------------------------------------
+
+
+def test_tpch_q5_cyclic(engine, oracle):
+    q = """SELECT n.n_name, SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+           FROM customer AS c, orders AS o, lineitem AS l, supplier AS s,
+                nation AS n, region AS r
+           WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+             AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+             AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+             AND r.r_name = 'ASIA'
+           GROUP BY n.n_name ORDER BY revenue DESC"""
+    df = engine.sql(q)
+    oracle_q = q.replace(" AS ", " ")
+    assert_matches(df, oracle, oracle_q)
