@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round; BENCH_r{N}.json).
+
+Metric mirrors the reference's experiment programs (BASELINE.md):
+wall seconds of the final count() per query, with inputs cached and
+warmed up first (the reference persists sources and runs a warm-up
+count, AbstractSparkSQLPlusCodeGenerator.scala:98-99,381-393).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "chain_theta_nonfull",
+    "multihop_theta",
+    "two_comparisons_edge",
+    "graph_q1_path_counts",
+    "graph_q4_nonfull",
+    "graph_q8_4hop",
+    "graph_triangle_cyclic",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5_cyclic",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q14",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from sparksqlplus_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    eng = entry_mod._engine(spark, sf_dir)
+
+    # warm-up: cache + count every registered source (reference parity —
+    # timing excludes load)
+    for meta in eng.catalog.tables():
+        if meta.df is not None:
+            meta.df = meta.df.cache()
+            meta.df.count()
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s (rows={n})", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

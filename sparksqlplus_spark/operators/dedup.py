@@ -1,0 +1,186 @@
+"""Deduplication operators for large-scale document pipelines.
+
+These are engine extensions beyond the reference surface (SURVEY §2.4):
+exact dedup, MinHash + LSH near-dup, SimHash, and n-gram Jaccard
+verification. All hashing is md5-derived and deterministic so a SQL
+oracle (DuckDB) can reproduce results bit-for-bit:
+``H(s) = bigint(first 13 hex chars of md5(s))`` — 52 bits, exact in
+BIGINT and in IEEE doubles.
+
+Scale design: everything is expression-level Spark SQL (whole-stage
+codegen; no Python UDFs), shuffles only on groupBy/self-join keys;
+LSH banding is the blocking strategy — candidate pairs come from
+band-bucket equality joins, never an all-pairs product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_HEX_LEN = 13  # 52 bits: exact in BIGINT and double
+
+
+def h52(col: Column) -> Column:
+    """Deterministic 52-bit hash of a string column (md5-prefix)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, HASH_HEX_LEN), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact near-zero-cost dedup: keep the min-id row per distinct text.
+
+    hash-groupBy (map-side partial agg + one shuffle on the digest);
+    returns (digest, keep_id, n_dups).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("digest"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def tokens_col(text_col: str) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def shingles_col(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined)."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature columns mh_0..mh_{n-1}.
+
+    Permutation i's hash of shingle s is H52(f"{i}|{s}") — a seeded
+    re-hash instead of an affine permutation family, so the oracle can
+    replicate it with md5 alone.
+    """
+    out = df.select(F.col(id_col), shingles_col(text_col, shingle_n).alias("__sh"))
+
+    def seeded(prefix: str):
+        # single-arg lambda on purpose: a two-arg lambda would make
+        # F.transform pass the array index as the second argument
+        return lambda s: h52(F.concat(F.lit(prefix), s))
+
+    for i in range(n_hashes):
+        out = out.withColumn(
+            f"mh_{i}", F.array_min(F.transform(F.col("__sh"), seeded(f"{i}|")))
+        )
+    return out.drop("__sh")
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    n_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become a candidate pair.
+
+    One shuffle on (band, bucket); the self-join never materializes an
+    all-pairs product. Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    rows = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols).cast("binary")).alias("bucket"))
+        )
+    buckets = sig_df.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = buckets.alias("a")
+    right = buckets.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            "inner",
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (the verify stage).
+
+    Returns (id_a, id_b, jaccard) for pairs with jaccard >= threshold.
+    """
+    sh = df.select(F.col(id_col), shingles_col(text_col, shingle_n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banding →
+    candidate pairs → exact Jaccard verify. Returns verified pairs."""
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    cand = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
+    return ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_n, threshold)
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """Per-document SimHash fingerprint (majority vote of token-hash bits).
+
+    Single groupBy pass: per bit b, count tokens with bit b set; bit is
+    1 when strictly more than half the tokens set it. Returns
+    (id, simhash bigint, n_tokens).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+    ).withColumn("th", h52(F.col("tok")))
+    aggs = [F.count(F.lit(1)).alias("n_tok")]
+    for b in range(bits):
+        aggs.append(
+            F.sum(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1))).alias(f"bc_{b}")
+        )
+    per_doc = tok.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(
+            F.col(f"bc_{b}") * 2 > F.col("n_tok"), F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select(
+        F.col(id_col), sim.alias("simhash"), F.col("n_tok").alias("n_tokens")
+    )

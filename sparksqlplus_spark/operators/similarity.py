@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+Engine extension (not in the reference). Two paths:
+
+- :func:`cosine_topk` — brute-force exact top-k: fine when the query
+  side is small (broadcast) — the O(N·Q) baseline.
+- :func:`lsh_cosine_topk` — random-hyperplane LSH bucketing: at scale,
+  candidates come from one shuffle on the bucket key instead of the
+  full cross product; recall < 1 by construction.
+
+All expression-level Spark SQL (``zip_with``/``aggregate`` fold the
+dot products JVM-side; no Python UDFs in the hot path). Hyperplanes
+are md5-derived so an SQL oracle can reproduce them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    The query side is broadcast (small by contract); candidates rank
+    per query with a deterministic tie-break on neighbor id.
+    Self-matches (same id) are excluded.
+    """
+    q = F.broadcast(query_df)
+    joined = emb_df.crossJoin(q).filter(F.col(id_col) != F.col(query_id_col))
+    sim = cosine_similarity(
+        F.col(vec_col).cast("array<double>"), F.col(query_vec_col).cast("array<double>")
+    )
+    scored = joined.select(
+        F.col(query_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component values in [-1, 1].
+
+    Component d of plane j = (bigint(md5("{j}:{d}")[:13]) % 2001 - 1000) / 1000
+    — reproducible in any engine with md5.
+    """
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"{plane_idx}:{d}".encode()).hexdigest()[:13], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
+def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-of-projection bit bucket (random-hyperplane LSH)."""
+    bucket = F.lit(0).cast("long")
+    v = vec_col.cast("array<double>")
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in hyperplane(dim, j)])
+        bit = F.when(_dot(v, plane) >= 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_cosine_topk(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: rank only candidates in the query's LSH bucket.
+
+    One equi-join on the bucket key (shuffle/broadcast decided by AQE);
+    at 100 TB this is the difference between a bucket-local probe and an
+    N×Q cross product.
+    """
+    e = emb_df.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, n_planes))
+    q = query_df.withColumn("__bucket", lsh_bucket(F.col(query_vec_col), dim, n_planes))
+    joined = e.join(F.broadcast(q), "__bucket").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    sim = cosine_similarity(
+        F.col(vec_col).cast("array<double>"), F.col(query_vec_col).cast("array<double>")
+    )
+    scored = joined.select(
+        F.col(query_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,110 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+Engine extensions beyond the reference surface. Everything is
+expression-level Spark SQL (regexp/length/md5 — whole-stage codegen,
+no Python in the hot path) and deterministic, so DuckDB oracles can
+reproduce values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# token pattern: words or single non-space punctuation (BPE-ish split)
+TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "du", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "del", "para"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Number of word/punct tokens (regex-based, BPE-ish granularity)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), 0))
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit("")))
+
+
+def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Quality-signal columns: lengths, token counts, char-class ratios.
+
+    The classic pre-training quality filters (length, punctuation
+    density, alpha ratio, mean word length) as one narrow projection.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+    digit = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double")
+    space = F.length(F.regexp_replace(t, r"[^ \t\n]", "")).cast("double")
+    punct = n_chars - alpha - digit - space
+    ws_tokens = whitespace_token_count(t).cast("double")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        token_count(t).cast("long").alias("n_tokens"),
+        ws_tokens.cast("long").alias("n_words"),
+        (alpha / n_chars).alias("alpha_ratio"),
+        (digit / n_chars).alias("digit_ratio"),
+        (punct / n_chars).alias("punct_ratio"),
+        ((n_chars - space) / F.greatest(ws_tokens, F.lit(1.0))).alias("avg_word_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Scalar quality score in [0,1]: penalize too-short docs, high
+    punctuation density, low alpha ratio. Deterministic arithmetic."""
+    stats = text_stats(df, text_col, id_col)
+    length_term = F.least(F.col("n_words") / 50.0, F.lit(1.0))
+    alpha_term = F.col("alpha_ratio")
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 5.0)
+    return stats.select(
+        F.col(id_col),
+        ((length_term + alpha_term + punct_term) / 3.0).alias("quality"),
+    )
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """How many tokens of the text are in the given stopword list."""
+    toks = F.split(F.lower(text), r"\s+")
+    wordarr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordarr, t)))
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits
+    (deterministic tie-break by language code; 'und' when no hits)."""
+    t = F.col(text_col)
+    hit_cols = {lang: stopword_hits(t, ws) for lang, ws in sorted(STOPWORDS.items())}
+    scored = df.select(
+        F.col(id_col), *[c.alias(f"hits_{lang}") for lang, c in hit_cols.items()]
+    )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in sorted(STOPWORDS)])
+    pred = F.lit("und")
+    # reverse order so earlier codes win ties via later overwrite
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Normalized-content fingerprint: md5 prefix of
+    lower(collapse-whitespace(strip-punct(text))). 16 hex chars."""
+    t = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.substring(F.md5(norm.cast("binary")), 1, 16).alias("fingerprint"),
+    )

@@ -11,16 +11,14 @@ import pytest
 
 from tests.helpers import assert_matches
 
-GRAPH_SQL = (
-    "SELECT DISTINCT l_orderkey % 300 AS src, l_partkey % 300 AS dst FROM lineitem"
-)
+from __spark_entry__ import GRAPH_SQL, GRAPH_SQL_DUCK
 
 
 @pytest.fixture(scope="session")
 def graph_engine(engine, oracle):
     df = engine.sql(GRAPH_SQL, mode="spark")
     engine.register("graph", df)
-    oracle.execute(f"CREATE OR REPLACE VIEW graph AS {GRAPH_SQL}")
+    oracle.execute(f"CREATE OR REPLACE VIEW graph AS {GRAPH_SQL_DUCK}")
     return engine
 
 
@@ -121,7 +119,7 @@ CASES = [
         "tpch_q6",
         """SELECT SUM(l_extendedprice * l_discount) AS revenue
            FROM lineitem
-           WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+           WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
         None,
     ),
