@@ -542,7 +542,88 @@ def _media_features_q(spark, sf_dir):
     return extract_features(media, fake=True)
 
 
+# ---------------------------------------------------------------------------
+# event-time windowing entries (batch forms of the streaming operators;
+# batch/stream agreement is covered in tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+
+def _tumbling_q(spark, sf_dir):
+    from sparksqlplus_spark.streaming.windows import tumbling_agg
+
+    eng = _engine(spark, sf_dir)
+    return tumbling_agg(eng.catalog.get("events").df, minutes=5)
+
+
+_TUMBLING_ORACLE = """
+SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS window_start,
+       event_type, COUNT(*) AS n_events, SUM(value) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _sliding_q(spark, sf_dir):
+    from sparksqlplus_spark.streaming.windows import sliding_agg
+
+    eng = _engine(spark, sf_dir)
+    return sliding_agg(eng.catalog.get("events").df, length_minutes=10, slide_minutes=5)
+
+
+_SLIDING_ORACLE = """
+WITH hops AS (
+  SELECT e.*, CAST(to_timestamp(floor(epoch(ts) / 300) * 300 - o) AS TIMESTAMP) AS window_start
+  FROM events e, UNNEST([0, 300]) AS t(o)
+  WHERE epoch(ts) < floor(epoch(ts) / 300) * 300 - o + 600)
+SELECT window_start, event_type, COUNT(*) AS n_events, SUM(value) AS sum_value
+FROM hops GROUP BY 1, 2
+"""
+
+
+def _session_q(spark, sf_dir):
+    from sparksqlplus_spark.streaming.windows import session_agg_batch
+
+    eng = _engine(spark, sf_dir)
+    return session_agg_batch(eng.catalog.get("events").df, gap_minutes=30)
+
+
+_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, SUM(value) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def _dedup_first_q(spark, sf_dir):
+    from sparksqlplus_spark.streaming.windows import dedup_first_per_key
+
+    eng = _engine(spark, sf_dir)
+    return dedup_first_per_key(eng.catalog.get("events").df, ["user_id", "event_type"]).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+
+
+_DEDUP_FIRST_ORACLE = """
+SELECT event_id, user_id, event_type, ts FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
 _OP_CASES: dict[str, tuple[Callable, str | None]] = {
+    "events_tumbling_window": (_tumbling_q, _TUMBLING_ORACLE),
+    "events_sliding_window": (_sliding_q, _SLIDING_ORACLE),
+    "events_session_window": (_session_q, _SESSION_ORACLE),
+    "events_dedup_first": (_dedup_first_q, _DEDUP_FIRST_ORACLE),
     "dedup_exact": (_dedup_exact_q, _DEDUP_EXACT_ORACLE),
     "dedup_minhash_lsh": (_minhash_pairs_q, _MINHASH_ORACLE),
     "dedup_simhash": (_simhash_q, _simhash_oracle()),

@@ -91,7 +91,11 @@ class SparkSQLPlus:
             if col in df.columns:
                 from pyspark.sql import functions as F
 
-                df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+                # integer division — a double detour would round the
+                # ~1e18 nanos value and shift timestamps by ±1µs
+                df = df.withColumn(
+                    col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+                )
         if cardinality is None:
             cardinality = _parquet_rows(path)
         self.register(name, df, primary_key, cardinality)

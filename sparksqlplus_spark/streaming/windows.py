@@ -1,0 +1,231 @@
+"""Event-time windowing operators — batch and Structured Streaming.
+
+Engine extension: the reference has no streaming surface at all
+(SURVEY §2.4 — zero watermarks/windows/stateful ops). Every operator
+here comes in two flavors with identical semantics:
+
+- a *batch* form (DataFrame in, DataFrame out) that a SQL oracle can
+  replicate — the correctness gate;
+- a *streaming* form (``readStream`` → watermark → windowed state) —
+  the scale path: incremental state, late-data handling, no
+  full-table reprocessing.
+
+Batch/stream agreement is asserted in tests via the availableNow
+trigger (process the whole table as a bounded stream, compare with the
+batch result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# ---------------------------------------------------------------------------
+# batch forms (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    minutes: int = 5,
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling event-time window aggregate (count + sum per window/key)."""
+    w = F.window(F.col(ts_col), f"{minutes} minutes")
+    return (
+        df.groupBy(w.alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(value_col).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    length_minutes: int = 10,
+    slide_minutes: int = 5,
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding (hopping) event-time windows; each event lands in
+    length/slide windows."""
+    w = F.window(F.col(ts_col), f"{length_minutes} minutes", f"{slide_minutes} minutes")
+    return (
+        df.groupBy(w.alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(value_col).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_agg_batch(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_minutes: int = 30,
+    value_col: str = "value",
+) -> DataFrame:
+    """Session windows, batch form: classic gaps-and-islands.
+
+    A new session starts when the gap to the previous event of the same
+    key exceeds gap_minutes; sessions aggregate count/sum/bounds.
+    Matches Spark's ``session_window`` semantics for batch data.
+    """
+    order = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    gap = F.lit(gap_minutes * 60)
+    prev_ts = F.lag(F.col(ts_col)).over(order)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    marked = df.withColumn("__new", new_session)
+    sess = F.sum("__new").over(
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_id = marked.withColumn("__sess", sess)
+    return (
+        with_id.groupBy(key_col, "__sess")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(key_col, "session_start", "session_end", "n_events", "sum_value")
+    )
+
+
+def dedup_first_per_key(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Keep the earliest event per key (deterministic tie-break).
+
+    Batch equivalent of streaming dropDuplicates-within-watermark when
+    the watermark spans the whole table.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), F.col(tie_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming forms
+# ---------------------------------------------------------------------------
+
+
+def events_stream(
+    spark: SparkSession, events_path: str, ts_col: str = "ts"
+) -> DataFrame:
+    """Bounded file stream over an events parquet file/dir.
+
+    Handles TIMESTAMP(NANOS) parquet (read as long, converted).
+    """
+    import os
+
+    static = spark.read.parquet(events_path)
+    if os.path.isfile(events_path):
+        # file-source streams need a directory (or glob) — turn the exact
+        # file path into a glob so the parent directory becomes basePath
+        root, ext = os.path.splitext(events_path)
+        events_path = f"{root}*{ext}"
+    stream = spark.readStream.schema(static.schema).parquet(events_path)
+    for f in static.schema.fields:
+        if f.name == ts_col and f.dataType.simpleString() == "bigint":
+            stream = stream.withColumn(
+                ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
+            )
+    return stream
+
+
+def tumbling_agg_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    minutes: int = 5,
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming tumbling window aggregate with a watermark: state is
+    dropped once event time passes window end + watermark — bounded
+    memory at any input scale."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), f"{minutes} minutes").alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(value_col).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n_events", "sum_value")
+    )
+
+
+def session_agg_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_minutes: int = 30,
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming session windows via ``session_window`` (state merges
+    adjacent events until the gap exceeds gap_minutes)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes").alias("sw"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(value_col).alias("sum_value"))
+        .select(
+            F.col(key_col),
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming dedup: first event per key within the watermark horizon
+    (dropDuplicatesWithinWatermark — state expires with the watermark)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a bounded stream (availableNow) into an in-memory table and
+    return it as a DataFrame. Test/demo helper."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

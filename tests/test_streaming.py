@@ -1,0 +1,126 @@
+"""Streaming operators: batch/stream agreement + batch-vs-DuckDB oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksqlplus_spark.streaming.windows import (
+    dedup_first_per_key,
+    dedup_stream,
+    events_stream,
+    run_stream_to_memory,
+    session_agg_batch,
+    session_agg_stream,
+    tumbling_agg,
+    tumbling_agg_stream,
+)
+from tests.conftest import SF_DIR
+from tests.helpers import assert_matches
+
+EVENTS = f"{SF_DIR}/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events(engine):
+    return engine.catalog.get("events").df
+
+
+def test_tumbling_batch_oracle(events, oracle):
+    df = tumbling_agg(events, minutes=5)
+    assert_matches(
+        df,
+        oracle,
+        """SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS window_start,
+                  event_type, COUNT(*) AS n_events, SUM(value) AS sum_value
+           FROM events GROUP BY 1, 2""",
+    )
+
+
+def test_sliding_batch_oracle(events, oracle):
+    from sparksqlplus_spark.streaming.windows import sliding_agg
+
+    df = sliding_agg(events, length_minutes=10, slide_minutes=5)
+    assert_matches(
+        df,
+        oracle,
+        """WITH hops AS (
+             SELECT e.*, CAST(to_timestamp(floor(epoch(ts) / 300) * 300 - o) AS TIMESTAMP) AS window_start
+             FROM events e, UNNEST([0, 300]) AS t(o)
+             WHERE epoch(ts) < floor(epoch(ts) / 300) * 300 - o + 600)
+           SELECT window_start, event_type, COUNT(*) AS n_events, SUM(value) AS sum_value
+           FROM hops GROUP BY 1, 2""",
+    )
+
+
+def test_session_batch_oracle(events, oracle):
+    df = session_agg_batch(events, gap_minutes=30)
+    assert_matches(
+        df,
+        oracle,
+        """WITH marked AS (
+             SELECT user_id, ts, value, event_id,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           sess AS (
+             SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+             FROM marked)
+           SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                  COUNT(*) AS n_events, SUM(value) AS sum_value
+           FROM sess GROUP BY user_id, sid""",
+    )
+
+
+def test_dedup_first_oracle(events, oracle):
+    df = dedup_first_per_key(events, ["user_id", "event_type"]).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    assert_matches(
+        df,
+        oracle,
+        """SELECT event_id, user_id, event_type, ts FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) AS rn
+             FROM events) WHERE rn = 1""",
+    )
+
+
+def test_tumbling_stream_matches_batch(spark, events):
+    stream = events_stream(spark, EVENTS)
+    got = run_stream_to_memory(
+        tumbling_agg_stream(stream, minutes=5, watermark="10 minutes"),
+        "t_tumbling",
+        output_mode="complete",
+    )
+    want = tumbling_agg(events, minutes=5)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_session_stream_matches_batch(spark, events):
+    stream = events_stream(spark, EVENTS)
+    got = run_stream_to_memory(
+        session_agg_stream(stream, gap_minutes=30, watermark="2 hours"),
+        "t_session",
+        output_mode="complete",
+    )
+    want = session_agg_batch(events, gap_minutes=30).select(
+        "user_id", "session_start", "n_events", "sum_value"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_dedup_stream_bounded_state(spark, events):
+    """dropDuplicatesWithinWatermark keeps one row per key among rows
+    whose event times fall within the watermark horizon — with a
+    horizon wider than the data, that's exactly one row per key."""
+    stream = events_stream(spark, EVENTS)
+    got = run_stream_to_memory(
+        dedup_stream(stream, ["user_id", "event_type"], watermark="60 days"),
+        "t_dedup",
+    )
+    want_keys = events.select("user_id", "event_type").distinct()
+    assert got.select("user_id", "event_type").distinct().count() == want_keys.count()
+    assert got.count() == want_keys.count()
