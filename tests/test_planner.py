@@ -1,0 +1,76 @@
+"""Planner unit tests (pure Python — no Spark jobs): GYO, connex
+subtree, break rewrite. Ports the reference's planner test intent
+(GyoAlgorithmTest, LogicalPlanConverterTest, TpchQueriesTest §5)."""
+
+from sparksqlplus_spark.plans.context import Relation
+from sparksqlplus_spark.plans.gyo import connex_subtree, gyo_join_tree
+
+
+def rel(rid, alias, vars_):
+    r = Relation(rid=rid, alias=alias, kind="scan", table=alias)
+    r.col_to_var = {f"c{i}": v for i, v in enumerate(vars_)}
+    return r
+
+
+def test_gyo_line3_acyclic():
+    t = gyo_join_tree([rel(0, "r", ["a", "b"]), rel(1, "s", ["b", "c"]), rel(2, "t", ["c", "d"])])
+    assert t is not None
+    assert set(t.parent) | {t.root} == {0, 1, 2}
+
+
+def test_gyo_triangle_cyclic():
+    assert gyo_join_tree(
+        [rel(0, "r", ["a", "b"]), rel(1, "s", ["b", "c"]), rel(2, "t", ["c", "a"])]
+    ) is None
+
+
+def test_gyo_star_acyclic():
+    t = gyo_join_tree(
+        [
+            rel(0, "hub", ["a", "b", "c"]),
+            rel(1, "x", ["a", "p"]),
+            rel(2, "y", ["b", "q"]),
+            rel(3, "z", ["c", "r"]),
+        ]
+    )
+    assert t is not None
+    assert t.root == 0 or all(t.parent.get(i) == 0 for i in (1, 2, 3) if i != t.root)
+
+
+def test_connex_subtree_minimal():
+    t = gyo_join_tree([rel(0, "r", ["a", "b"]), rel(1, "s", ["b", "c"]), rel(2, "t", ["c", "d"])])
+    t = t.rerooted(0)
+    assert connex_subtree(t, {"a"}) == {0}
+    assert connex_subtree(t, {"a", "d"}) == {0, 1, 2}
+
+
+def test_rerooted_preserves_edges():
+    t = gyo_join_tree(
+        [rel(0, "r", ["a", "b"]), rel(1, "s", ["b", "c"]), rel(2, "t", ["c", "d"]), rel(3, "u", ["d", "e"])]
+    )
+    edges = {frozenset((c, p)) for c, p in t.parent.items()}
+    for new_root in range(4):
+        t2 = t.rerooted(new_root)
+        assert t2.root == new_root
+        assert {frozenset((c, p)) for c, p in t2.parent.items()} == edges
+
+
+def test_break_triangle():
+    from sparksqlplus_spark.plans.context import Context
+    from sparksqlplus_spark.plans.cyclic import try_break
+
+    rels = [rel(0, "r", ["a", "b"]), rel(1, "s", ["b", "c"]), rel(2, "t", ["c", "a"])]
+    var_map = {}
+    for r in rels:
+        for c, v in r.col_to_var.items():
+            var_map[(r.alias, c)] = v
+    ctx = Context(
+        relations=rels, var_map=var_map, local_filters={r.rid: [] for r in rels},
+        comparisons=[], residuals=[], output=[], group_by=[], aggregations=[],
+        order_by=[], limit=None, distinct=False, is_full=True,
+    )
+    got = try_break(ctx)
+    assert got is not None
+    nctx, tree = got
+    assert len(nctx.residuals) == 1
+    assert gyo_join_tree(nctx.relations) is not None
