@@ -119,13 +119,26 @@ class CqcExecutor:
         self.catalog = catalog
 
     # -- public -------------------------------------------------------------
-    def execute(self, ctx: Context) -> DataFrame:
+    def execute(self, ctx: Context, reduce_mode: str = "selective") -> DataFrame:
         tree = gyo_join_tree(ctx.relations)
         if tree is None:
             raise UnsupportedSqlError("cyclic query — handled by the cyclic planner")
-        return self.execute_tree(ctx, tree)
+        return self.execute_tree(ctx, tree, reduce_mode)
 
-    def execute_tree(self, ctx: Context, tree: JoinTree) -> DataFrame:
+    def execute_tree(
+        self, ctx: Context, tree: JoinTree, reduce_mode: str = "selective"
+    ) -> DataFrame:
+        """reduce_mode:
+        - 'full': classic Yannakakis — semi-join every edge, propagate
+          every comparison (maximal pruning; pays one groupBy+join per
+          edge — wins on dangling-heavy / highly selective data);
+        - 'selective' (default): prune only where pruning can exist —
+          edges whose child subtree carries a filter (or feeds a broken
+          residual), plus every edge leading OUT of the enumeration
+          scope (those semi-joins are load-bearing for non-full
+          semantics, not an optimization);
+        - 'off': no reduction (debug).
+        """
         var_map = ctx.var_map
         dfs: dict[int, DataFrame] = {
             r.rid: build_relation_df(
@@ -156,10 +169,18 @@ class CqcExecutor:
             for c in ctx.comparisons
         ]
 
+        # which subtrees can actually prune something?
+        selective = self._selective_subtrees(ctx, tree)
+
         # ---- reduce phase (children before parents) ------------------------
         mf_cols: dict[int, list[str]] = {rid: [] for rid in tree.relations}
         for rid in tree.post_order():
             if rid == tree.root:
+                continue
+            mandatory = rid not in scope  # dropped subtree: semi-join IS the semantics
+            if reduce_mode == "off" and not mandatory:
+                continue
+            if reduce_mode == "selective" and not mandatory and not selective[rid]:
                 continue
             dfs, comps = self._reduce_one(ctx, tree, dfs, comps, mf_cols, rid)
 
@@ -195,6 +216,28 @@ class CqcExecutor:
             for a, c in comp.left.refs() | comp.right.refs():
                 needed.add(vm[(a, c)])
         return needed
+
+    def _selective_subtrees(self, ctx: Context, tree: JoinTree) -> dict[int, bool]:
+        """rid -> does the subtree rooted at rid carry any pruning power
+        (a pushed-down filter)? Semi-joining an unfiltered complete
+        subtree into its parent cannot remove parent rows on
+        FK-complete data — it only costs a shuffle — so 'selective'
+        mode skips those edges. (A residual equality from a break does
+        not filter either side alone, so it does not count.)"""
+        own: dict[int, bool] = {}
+        for rel in ctx.relations:
+            own[rel.rid] = bool(ctx.local_filters.get(rel.rid))
+        out: dict[int, bool] = {}
+
+        def walk(rid: int) -> bool:
+            res = own[rid]
+            for c in tree.children[rid]:
+                res = walk(c) or res
+            out[rid] = res
+            return res
+
+        walk(tree.root)
+        return out
 
     def _close_scope(self, tree: JoinTree, scope: set[int]) -> set[int]:
         """Ensure scope is connected and contains the root (add path nodes)."""
@@ -282,34 +325,68 @@ class CqcExecutor:
         scope: set[int],
     ) -> DataFrame:
         var_map = ctx.var_map
+        alias_rid = {r.alias: r.rid for r in ctx.relations}
 
         def clean(rid: int) -> DataFrame:
             df = dfs[rid]
             drop = [c for c in mf_cols[rid] if c in df.columns]
             return df.drop(*drop) if drop else df
 
+        # pending cross-relation conditions: (hosts, spark-condition-builder)
+        pending_conds: list[tuple[int, set[int], object]] = []
+        for comp in ctx.comparisons:
+            pending_conds.append(
+                (
+                    id(comp),
+                    {comp.left_rid, comp.right_rid},
+                    lambda c=comp: _cmp(
+                        c.op, c.left.to_spark(var_map), c.right.to_spark(var_map)
+                    ),
+                )
+            )
+        for cond in ctx.residuals:
+            hosts = {alias_rid[a] for a, _ in cond.refs() if a in alias_rid}
+            pending_conds.append((id(cond), hosts, lambda c=cond: c.to_spark(var_map)))
+
         applied: set[int] = set()
         joined: set[int] = {tree.root}
         result = clean(tree.root)
 
-        def apply_ready_conditions(result: DataFrame) -> DataFrame:
-            for comp in ctx.comparisons:
-                if comp.cid in applied:
+        def apply_ready(result: DataFrame) -> DataFrame:
+            # filters right after the enabling join — Catalyst folds them
+            # into the join condition, so constrained growth never
+            # materializes the unconstrained intermediate
+            for key_, hosts, build in pending_conds:
+                if key_ in applied or not hosts:
                     continue
-                hosts = {comp.left_rid, comp.right_rid}
                 if hosts <= joined:
-                    result = result.filter(
-                        _cmp(comp.op, comp.left.to_spark(var_map), comp.right.to_spark(var_map))
-                    )
-                    applied.add(comp.cid)
+                    result = result.filter(build())
+                    applied.add(key_)
             return result
 
-        result = apply_ready_conditions(result)
+        result = apply_ready(result)
 
-        # walk the tree top-down (children of already-joined nodes first)
-        pending = [c for c in tree.children[tree.root] if c in scope]
-        while pending:
-            rid = pending.pop(0)
+        def join_score(rid: int) -> tuple[int, int]:
+            """Order frontier joins: PK-covered lookups first (no row
+            growth), then growth joins whose pending conditions become
+            applicable (constrained), then unconstrained growth whose
+            conditions still wait on other relations (worst: defer).
+            Tie-break by cardinality."""
+            rel = tree.relations[rid]
+            key = set(tree.join_key(rid))
+            pk = set(rel.primary_key_vars)
+            score = 0 if pk and pk <= key else 1
+            for key_, hosts, _ in pending_conds:
+                if key_ in applied or rid not in hosts:
+                    continue
+                if not (hosts - {rid} <= joined):
+                    score += 2  # joining now creates growth a later filter would bound
+            return (score, rel.cardinality or 1 << 40)
+
+        frontier = [c for c in tree.children[tree.root] if c in scope]
+        while frontier:
+            frontier.sort(key=join_score)
+            rid = frontier.pop(0)
             key = list(tree.join_key(rid))
             child = clean(rid)
             if key:
@@ -317,12 +394,14 @@ class CqcExecutor:
             else:
                 result = result.crossJoin(child)
             joined.add(rid)
-            result = apply_ready_conditions(result)
-            pending.extend(c for c in tree.children[rid] if c in scope)
+            result = apply_ready(result)
+            frontier.extend(c for c in tree.children[rid] if c in scope)
 
-        # residual conditions (ORs spanning relations, complex predicates)
-        for cond in ctx.residuals:
-            result = result.filter(cond.to_spark(var_map))
+        # safety net: anything whose hosts never fully joined (shouldn't
+        # happen — scope covers all condition refs)
+        for key_, hosts, build in pending_conds:
+            if key_ not in applied:
+                result = result.filter(build())
         return result
 
 
