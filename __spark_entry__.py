@@ -227,6 +227,158 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
            ORDER BY revenue DESC, c_custkey LIMIT 20""",
         None,
     ),
+    # --- TPC-H Q4 shape: existence via COUNT view (reference pre-flattens
+    # EXISTS the same way, TpchQueriesTest.scala:269-309) ---
+    "tpch_q4": (
+        """SELECT o.o_orderpriority, COUNT(*) AS order_count
+           FROM orders AS o,
+                (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey) AS v
+           WHERE o.o_orderkey = v.l_orderkey
+             AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-04-01'
+           GROUP BY o.o_orderpriority ORDER BY o_orderpriority""",
+        """SELECT o.o_orderpriority, COUNT(*) AS order_count
+           FROM orders o, (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey) v
+           WHERE o.o_orderkey = v.l_orderkey
+             AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-04-01'
+           GROUP BY o.o_orderpriority ORDER BY o_orderpriority""",
+    ),
+    # --- TPC-H Q7 shape: nation self-alias pair + OR residual + year group ---
+    "tpch_q7": (
+        """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                  EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+                  SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+           FROM supplier AS s, lineitem AS l, orders AS o, customer AS c,
+                nation AS n1, nation AS n2
+           WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+             AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey
+             AND c.c_nationkey = n2.n_nationkey
+             AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+               OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+           GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l.l_shipdate)
+           ORDER BY supp_nation, cust_nation, l_year""",
+        """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                  CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+                  SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+           FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
+           WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+             AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey
+             AND c.c_nationkey = n2.n_nationkey
+             AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+               OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+           GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""",
+    ),
+    # --- TPC-H Q9 shape: profit by nation/year with LIKE part filter ---
+    "tpch_q9": (
+        """SELECT n.n_name AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+                  SUM(l.l_extendedprice * (1 - l.l_discount)) AS profit
+           FROM part AS p, supplier AS s, lineitem AS l, orders AS o, nation AS n
+           WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+             AND o.o_orderkey = l.l_orderkey AND s.s_nationkey = n.n_nationkey
+             AND p.p_name LIKE '%ol%'
+           GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+           ORDER BY nation, o_year DESC""",
+        """SELECT n.n_name AS nation, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+                  SUM(l.l_extendedprice * (1 - l.l_discount)) AS profit
+           FROM part p, supplier s, lineitem l, orders o, nation n
+           WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+             AND o.o_orderkey = l.l_orderkey AND s.s_nationkey = n.n_nationkey
+             AND p.p_name LIKE '%ol%'
+           GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    ),
+    # --- TPC-H Q12 shape: CASE inside aggregation ---
+    "tpch_q12": (
+        """SELECT o.o_orderpriority,
+                  SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned,
+                  COUNT(*) AS total
+           FROM orders AS o, lineitem AS l
+           WHERE o.o_orderkey = l.l_orderkey
+             AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+           GROUP BY o.o_orderpriority ORDER BY o_orderpriority""",
+        """SELECT o.o_orderpriority,
+                  CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned,
+                  COUNT(*) AS total
+           FROM orders o, lineitem l
+           WHERE o.o_orderkey = l.l_orderkey
+             AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+           GROUP BY o.o_orderpriority ORDER BY o_orderpriority""",
+    ),
+    # --- TPC-H Q15 shape: expression-arg aggregated view + threshold ---
+    "tpch_q15": (
+        """SELECT s.s_suppkey, s.s_name, r.total_revenue
+           FROM supplier AS s,
+                (SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+                 FROM lineitem GROUP BY l_suppkey) AS r
+           WHERE s.s_suppkey = r.l_suppkey AND r.total_revenue > 100000.0
+           ORDER BY s_suppkey""",
+        """SELECT DISTINCT s.s_suppkey, s.s_name, r.total_revenue
+           FROM supplier s,
+                (SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+                 FROM lineitem GROUP BY l_suppkey) r
+           WHERE s.s_suppkey = r.l_suppkey AND r.total_revenue > 100000.0
+           ORDER BY s_suppkey""",
+    ),
+    # --- TPC-H Q17 shape: AVG view + cross-relation comparison with
+    # arithmetic (the CQC specialty: comparison against an aggregate) ---
+    "tpch_q17": (
+        """SELECT SUM(l.l_extendedprice) / 7.0 AS avg_yearly
+           FROM lineitem AS l, part AS p,
+                (SELECT l_partkey, AVG(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey) AS a
+           WHERE p.p_partkey = l.l_partkey AND a.l_partkey = l.l_partkey
+             AND p.p_brand = 'Brand#23' AND l.l_quantity < 0.2 * a.avg_qty""",
+        """SELECT SUM(l.l_extendedprice) / 7.0 AS avg_yearly
+           FROM lineitem l, part p,
+                (SELECT l_partkey, AVG(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey) a
+           WHERE p.p_partkey = l.l_partkey AND a.l_partkey = l.l_partkey
+             AND p.p_brand = 'Brand#23' AND l.l_quantity < 0.2 * a.avg_qty""",
+    ),
+    # --- TPC-H Q18 shape: SUM view + literal filter + top-k ---
+    "tpch_q18": (
+        """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice, t.sum_qty
+           FROM customer AS c, orders AS o,
+                (SELECT l_orderkey, SUM(l_quantity) AS sum_qty FROM lineitem GROUP BY l_orderkey) AS t
+           WHERE o.o_orderkey = t.l_orderkey AND c.c_custkey = o.o_custkey
+             AND t.sum_qty > 150
+           ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""",
+        """SELECT DISTINCT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice, t.sum_qty
+           FROM customer c, orders o,
+                (SELECT l_orderkey, SUM(l_quantity) AS sum_qty FROM lineitem GROUP BY l_orderkey) t
+           WHERE o.o_orderkey = t.l_orderkey AND c.c_custkey = o.o_custkey
+             AND t.sum_qty > 150
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    ),
+    # --- TPC-H Q19 shape: OR of AND blocks across two relations ---
+    "tpch_q19": (
+        """SELECT SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+           FROM lineitem AS l, part AS p
+           WHERE p.p_partkey = l.l_partkey
+             AND ((p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+               OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+               OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15))""",
+        """SELECT SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+           FROM lineitem l, part p
+           WHERE p.p_partkey = l.l_partkey
+             AND ((p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+               OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+               OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15))""",
+    ),
+    # --- reference example q9 analog: self-join + LIKE + interval + price θ
+    # (examples/query/q9/query.sql — TPC-E trade shape on orders) ---
+    "trade_selfjoin_q9": (
+        """SELECT o1.o_orderkey, o2.o_orderkey AS o_orderkey2
+           FROM orders AS o1, orders AS o2
+           WHERE o1.o_custkey = o2.o_custkey
+             AND o1.o_orderpriority LIKE '%URGENT%' AND o2.o_orderpriority NOT LIKE '%URGENT%'
+             AND o1.o_orderdate < o2.o_orderdate
+             AND o2.o_orderdate < o1.o_orderdate + INTERVAL '90' DAY
+             AND o1.o_totalprice * 1.2 < o2.o_totalprice""",
+        """SELECT DISTINCT o1.o_orderkey, o2.o_orderkey AS o_orderkey2
+           FROM orders o1, orders o2
+           WHERE o1.o_custkey = o2.o_custkey
+             AND o1.o_orderpriority LIKE '%URGENT%' AND o2.o_orderpriority NOT LIKE '%URGENT%'
+             AND o1.o_orderdate < o2.o_orderdate
+             AND o2.o_orderdate < o1.o_orderdate + INTERVAL 90 DAY
+             AND o1.o_totalprice * 1.2 < o2.o_totalprice""",
+    ),
     # --- C17: EXTRACT(YEAR) + aggregation ---
     "extract_year_agg": (
         """SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year, COUNT(*) AS n_orders,
@@ -516,6 +668,48 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
+def _ann_lsh_q(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.operators.similarity import lsh_cosine_topk
+
+    eng = _engine(spark, sf_dir)
+    emb = eng.catalog.get("embeddings").df
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = lsh_cosine_topk(emb, queries_df, dim=64, k=5, n_planes=8)
+    return df.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _ann_lsh_oracle() -> str:
+    from sparksqlplus_spark.operators.similarity import hyperplane
+
+    planes = [hyperplane(64, j) for j in range(8)]
+
+    def lit(p):
+        return "[" + ",".join(repr(x) for x in p) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(ev, {lit(planes[j])}) >= 0 THEN {2**j} ELSE 0 END)"
+        for j in range(8)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+b AS (SELECT vec_id, ev, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, ev AS qv, bucket FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(b.ev, q.qv)
+               / (sqrt(list_dot_product(b.ev, b.ev)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+  FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.query_id),
+ranked AS (SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def _media_stats_q(spark, sf_dir):
     from sparksqlplus_spark.operators.multimodal import media_stats, text_to_media
 
@@ -632,6 +826,7 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "text_lang_id": (_lang_id_q, _lang_id_oracle()),
     "text_fingerprint": (_fingerprint_q, _FINGERPRINT_ORACLE),
     "ann_cosine_topk": (_ann_topk_q, _ANN_TOPK_ORACLE),
+    "ann_lsh_topk": (_ann_lsh_q, _ann_lsh_oracle()),
     "media_stats": (_media_stats_q, _MEDIA_STATS_ORACLE),
     "media_features_pandas": (_media_features_q, None),  # pandas path: rows-only
 }

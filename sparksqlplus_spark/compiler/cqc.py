@@ -81,7 +81,11 @@ def build_relation_df(
     elif rel.kind == "agg":
         base = catalog.get(rel.table).load(spark)
         gcols = [F.col(b).alias(out) for b, out in rel.agg_group_cols]
-        if rel.agg_func == "count" and rel.agg_arg_col is None:
+        if rel.agg_arg_expr is not None:
+            # expression argument (e.g. SUM(price * (1 - discount)))
+            base_map = {("", c): c for c in base.columns}
+            agg = getattr(F, rel.agg_func)(rel.agg_arg_expr.to_spark(base_map))
+        elif rel.agg_func == "count" and rel.agg_arg_col is None:
             agg = F.count(F.lit(1))
         else:
             arg = F.col(rel.agg_arg_col) if rel.agg_arg_col else F.lit(1)

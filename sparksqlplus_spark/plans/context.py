@@ -65,6 +65,7 @@ class Relation:
     agg_group_cols: tuple[tuple[str, str], ...] = ()
     agg_func: str | None = None
     agg_arg_col: str | None = None  # None => COUNT(*)
+    agg_arg_expr: object | None = None  # Expr over base columns (beats agg_arg_col)
     agg_out_col: str | None = None
     cardinality: int | None = None
     primary_key_vars: tuple[str, ...] = ()
@@ -357,7 +358,7 @@ def _make_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation:
         raise UnsupportedSqlError("subquery must be a simple GROUP BY aggregate over one table")
     base = catalog.get(sub.from_items[0].table)
     group_cols: list[tuple[str, str]] = []
-    agg_func = agg_arg = agg_out = None
+    agg_func = agg_arg = agg_out = agg_arg_expr = None
     col_names: list[str] = []
     gb_names = set()
     for e in sub.group_by:
@@ -381,7 +382,10 @@ def _make_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation:
             elif isinstance(e.arg, Col):
                 agg_arg = e.arg.name
             else:
-                raise UnsupportedSqlError("subquery aggregate arg must be a column or *")
+                # arbitrary expression over base columns, e.g.
+                # SUM(l_extendedprice * (1 - l_discount)) — TPC-H Q15 view
+                agg_arg = None
+                agg_arg_expr = e.arg
             agg_out = si.alias or f"{e.func}_{i}"
             col_names.append(agg_out)
         else:
@@ -399,6 +403,7 @@ def _make_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation:
         agg_group_cols=tuple(group_cols),
         agg_func=agg_func,
         agg_arg_col=agg_arg,
+        agg_arg_expr=agg_arg_expr,
         agg_out_col=agg_out,
         primary_key_vars=tuple(c for c in col_names if c != agg_out),
     )
