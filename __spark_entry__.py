@@ -813,6 +813,20 @@ SELECT event_id, user_id, event_type, ts FROM (
 """
 
 
+def _wcoj_triangles_q(spark, sf_dir):
+    from sparksqlplus_spark.operators.wcoj import triangles_wcoj
+
+    eng = _engine(spark, sf_dir)
+    return triangles_wcoj(eng.catalog.get("graph").df, "src", "dst", cube_side=2)
+
+
+_WCOJ_ORACLE_BODY = """
+SELECT g1.src AS a, g1.dst AS b, g2.dst AS c
+FROM graph g1, graph g2, graph g3
+WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src
+"""
+
+
 _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "events_tumbling_window": (_tumbling_q, _TUMBLING_ORACLE),
     "events_sliding_window": (_sliding_q, _SLIDING_ORACLE),
@@ -829,6 +843,7 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "ann_lsh_topk": (_ann_lsh_q, _ann_lsh_oracle()),
     "media_stats": (_media_stats_q, _MEDIA_STATS_ORACLE),
     "media_features_pandas": (_media_features_q, None),  # pandas path: rows-only
+    "graph_triangle_wcoj": (_wcoj_triangles_q, None),  # oracle attached below
 }
 
 
@@ -864,4 +879,5 @@ def oracle_sql() -> dict[str, str]:
     for name, (_, osql) in _OP_CASES.items():
         if osql is not None:
             out[name] = osql
+    out["graph_triangle_wcoj"] = _ora_graph(_WCOJ_ORACLE_BODY)
     return out

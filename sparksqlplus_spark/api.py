@@ -123,12 +123,14 @@ class SparkSQLPlus:
     def context(self, query: str) -> Context:
         return build_context(parse_query(query), self.catalog)
 
-    def sql(self, query: str, mode: str = "auto") -> DataFrame:
+    def sql(self, query: str, mode: str = "auto", root_hint: str | None = None) -> DataFrame:
         """Plan and execute a query.
 
         mode: 'auto' (CQC, cyclic handler, then spark.sql fallback),
         'cqc' (fail if outside subset), 'naive' (greedy joins — the
         baseline comparator), 'spark' (verbatim spark.sql).
+        root_hint: alias to use as the enumeration root (reference C24
+        join-order hint; overrides the planner's root choice).
         """
         if mode == "spark":
             self._ensure_views()
@@ -144,7 +146,7 @@ class SparkSQLPlus:
             return naive_execute(self.spark, self.catalog, ctx)
         tree = gyo_join_tree(ctx.relations)
         if tree is not None:
-            return self._executor.execute_tree(ctx, tree)
+            return self._executor.execute_tree(ctx, tree, root_hint=root_hint)
         # cyclic: break / GHD planner; until then the greedy-join baseline
         # is the correct executor for cyclic shapes
         from sparksqlplus_spark.plans.cyclic import execute_cyclic

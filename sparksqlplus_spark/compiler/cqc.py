@@ -130,7 +130,11 @@ class CqcExecutor:
         return self.execute_tree(ctx, tree, reduce_mode)
 
     def execute_tree(
-        self, ctx: Context, tree: JoinTree, reduce_mode: str = "selective"
+        self,
+        ctx: Context,
+        tree: JoinTree,
+        reduce_mode: str = "selective",
+        root_hint: str | None = None,
     ) -> DataFrame:
         """reduce_mode:
         - 'full': classic Yannakakis — semi-join every edge, propagate
@@ -157,7 +161,19 @@ class CqcExecutor:
             scope = set(tree.relations)
         else:
             scope = connex_subtree(tree, needed_vars)
-        root = choose_root(tree, ctx, scope)
+            # free-connex branch dropping (reference restricts enumeration
+            # to the connex subset, SqlPlusCompiler.scala:126-131): a
+            # dropped component is exact only while ≤1 comparison touches
+            # it — ≥2 independent min/max constraints can't guarantee a
+            # single witness tuple, so such components rejoin the scope
+            scope = self._extend_scope_for_comparisons(ctx, tree, scope)
+        if root_hint is not None:
+            # user-supplied enumeration root (reference C24 hint,
+            # convert/HintHandler.scala — validated against the tree)
+            root = ctx.relation_by_alias(root_hint).rid
+            scope.add(root)
+        else:
+            root = choose_root(tree, ctx, scope)
         tree = tree.rerooted(root)
         # connexity: scope must be connected containing root; with our
         # needed-vars rule it is (Steiner subtree), re-rooting keeps it
@@ -176,15 +192,32 @@ class CqcExecutor:
         # which subtrees can actually prune something?
         selective = self._selective_subtrees(ctx, tree)
 
+        # comparisons touching a dropped relation MUST fully resolve
+        # during reduction (their filters can't re-run at enumeration)
+        must_resolve = {
+            c.cid
+            for c in comps
+            if c.left.host not in scope or c.right.host not in scope
+        }
+
         # ---- reduce phase (children before parents) ------------------------
         mf_cols: dict[int, list[str]] = {rid: [] for rid in tree.relations}
         for rid in tree.post_order():
             if rid == tree.root:
                 continue
             mandatory = rid not in scope  # dropped subtree: semi-join IS the semantics
-            if reduce_mode == "off" and not mandatory:
+            hosts_pending = any(
+                not c.resolved and c.cid in must_resolve and rid in (c.left.host, c.right.host)
+                for c in comps
+            )
+            if reduce_mode == "off" and not (mandatory or hosts_pending):
                 continue
-            if reduce_mode == "selective" and not mandatory and not selective[rid]:
+            if (
+                reduce_mode == "selective"
+                and not mandatory
+                and not hosts_pending
+                and not selective[rid]
+            ):
                 continue
             dfs, comps = self._reduce_one(ctx, tree, dfs, comps, mf_cols, rid)
 
@@ -213,13 +246,76 @@ class CqcExecutor:
         for cond in ctx.residuals:
             for a, c in cond.refs():
                 needed.add(vm[(a, c)])
-        # round-1 safety rule: keep every comparison-referenced relation in
-        # the enumeration scope so all comparisons can be re-applied exactly
-        # (exact single-comparison branch dropping is a later optimization)
-        for comp in ctx.comparisons:
-            for a, c in comp.left.refs() | comp.right.refs():
-                needed.add(vm[(a, c)])
         return needed
+
+    def _extend_scope_for_comparisons(
+        self, ctx: Context, tree: JoinTree, scope: set[int]
+    ) -> set[int]:
+        """Pull back into scope any dropped component touched by ≥2
+        comparisons (single-comparison drops are ∃-exact via min/max
+        propagation; multiple independent constraints are not)."""
+        while True:
+            dropped = set(tree.relations) - scope
+            if not dropped:
+                return scope
+            # connected components of dropped nodes (tree edges only)
+            comp_id: dict[int, int] = {}
+            for rid in sorted(dropped):
+                comp_id[rid] = rid
+            changed = True
+            while changed:
+                changed = False
+                for rid in dropped:
+                    p = tree.parent.get(rid)
+                    if p in dropped and comp_id[p] != comp_id[rid]:
+                        tgt = min(comp_id[p], comp_id[rid])
+                        src = max(comp_id[p], comp_id[rid])
+                        for k, v in comp_id.items():
+                            if v == src:
+                                comp_id[k] = tgt
+                        changed = True
+            def boundary(rid: int) -> int | None:
+                """First scope relation on the walk from rid toward the
+                tree root (the point where a dropped subtree's min/max
+                column enters the enumeration scope)."""
+                cur = rid
+                while cur not in scope:
+                    if cur not in tree.parent:
+                        return None
+                    cur = tree.parent[cur]
+                return cur
+
+            touch: dict[int, set[int]] = {}
+            unresolvable: set[int] = set()
+            for comp in ctx.comparisons:
+                in_dropped = [r for r in (comp.left_rid, comp.right_rid) if r in dropped]
+                if not in_dropped:
+                    continue
+                for rid in in_dropped:
+                    touch.setdefault(comp_id[rid], set()).add(comp.cid)
+                # exactness: min/max propagation is per-tuple exact only
+                # while it travels inside dropped subtrees; both sides
+                # must surface at the SAME scope relation, where the
+                # ∃-filter applies per boundary tuple
+                sides = {boundary(comp.left_rid), boundary(comp.right_rid)}
+                if len(sides) != 1 or None in sides:
+                    unresolvable.add(comp.cid)
+            # any component touched by ≥2 comparisons, or by an
+            # unresolvable one, rejoins the scope
+            bad_cids: set[int] = set(unresolvable)
+            for comps_ in touch.values():
+                if len(comps_) >= 2:
+                    bad_cids |= comps_
+            grew = False
+            base = next(iter(sorted(scope)))
+            for comp in ctx.comparisons:
+                if comp.cid in bad_cids:
+                    for rid in (comp.left_rid, comp.right_rid):
+                        if rid not in scope:
+                            scope |= set(tree.path(base, rid))
+                            grew = True
+            if not grew:
+                return scope
 
     def _selective_subtrees(self, ctx: Context, tree: JoinTree) -> dict[int, bool]:
         """rid -> does the subtree rooted at rid carry any pruning power
@@ -336,9 +432,14 @@ class CqcExecutor:
             drop = [c for c in mf_cols[rid] if c in df.columns]
             return df.drop(*drop) if drop else df
 
-        # pending cross-relation conditions: (hosts, spark-condition-builder)
+        # pending cross-relation conditions: (hosts, spark-condition-builder);
+        # comparisons touching a dropped relation were fully resolved by
+        # forced min/max propagation during reduce — their columns no
+        # longer exist here
         pending_conds: list[tuple[int, set[int], object]] = []
         for comp in ctx.comparisons:
+            if not {comp.left_rid, comp.right_rid} <= scope:
+                continue
             pending_conds.append(
                 (
                     id(comp),

@@ -74,3 +74,43 @@ def test_break_triangle():
     nctx, tree = got
     assert len(nctx.residuals) == 1
     assert gyo_join_tree(nctx.relations) is not None
+
+
+def test_root_hint(engine, oracle):
+    """C24 join-order hint: same result from any enumeration root."""
+    from tests.helpers import assert_matches
+
+    q = """SELECT l.l_orderkey, s.s_name FROM lineitem AS l, supplier AS s
+           WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity < s.s_acctbal"""
+    o = """SELECT DISTINCT l.l_orderkey, s.s_name FROM lineitem l, supplier s
+           WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity < s.s_acctbal"""
+    for hint in ("l", "s"):
+        assert_matches(engine.sql(q, root_hint=hint), oracle, o)
+
+
+def test_freeconnex_exact_drop(engine, oracle):
+    """Non-full query whose comparison partner subtree is dropped from
+    enumeration (reference reduce-only execution): the ∃-semantics must
+    survive via boundary min/max semi-joins."""
+    from tests.helpers import assert_matches
+
+    q = """SELECT l.l_orderkey, l.l_linenumber FROM lineitem AS l, supplier AS s, nation AS n
+           WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+             AND l.l_quantity < s.s_acctbal"""
+    o = """SELECT DISTINCT l.l_orderkey, l.l_linenumber FROM lineitem l, supplier s, nation n
+           WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+             AND l.l_quantity < s.s_acctbal"""
+    assert_matches(engine.sql(q), oracle, o)
+    # and with both sides dropped onto one boundary: comparison between
+    # two agg views over the same join key
+    q2 = """SELECT o.o_orderkey FROM orders AS o,
+                (SELECT l_orderkey, MIN(l_quantity) AS mn FROM lineitem GROUP BY l_orderkey) AS a,
+                (SELECT l_orderkey, MAX(l_quantity) AS mx FROM lineitem GROUP BY l_orderkey) AS b
+            WHERE o.o_orderkey = a.l_orderkey AND o.o_orderkey = b.l_orderkey
+              AND a.mn * 2.0 < b.mx"""
+    o2 = """SELECT DISTINCT o.o_orderkey FROM orders o,
+                (SELECT l_orderkey, MIN(l_quantity) AS mn FROM lineitem GROUP BY l_orderkey) a,
+                (SELECT l_orderkey, MAX(l_quantity) AS mx FROM lineitem GROUP BY l_orderkey) b
+            WHERE o.o_orderkey = a.l_orderkey AND o.o_orderkey = b.l_orderkey
+              AND a.mn * 2.0 < b.mx"""
+    assert_matches(engine.sql(q2), oracle, o2)
