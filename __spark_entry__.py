@@ -813,6 +813,16 @@ SELECT event_id, user_id, event_type, ts FROM (
 """
 
 
+def _ewma_q(spark, sf_dir):
+    # batch form of the custom stateful operator (applyInPandasWithState
+    # stream form asserted equal in tests/test_streaming.py); recursive
+    # EWMA has no numerically-stable SQL form => rows-only check
+    from sparksqlplus_spark.streaming.stateful import ewma_batch
+
+    eng = _engine(spark, sf_dir)
+    return ewma_batch(eng.catalog.get("events").df, alpha=0.3)
+
+
 def _wcoj_triangles_q(spark, sf_dir):
     from sparksqlplus_spark.operators.wcoj import triangles_wcoj
 
@@ -844,6 +854,7 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "media_stats": (_media_stats_q, _MEDIA_STATS_ORACLE),
     "media_features_pandas": (_media_features_q, None),  # pandas path: rows-only
     "graph_triangle_wcoj": (_wcoj_triangles_q, None),  # oracle attached below
+    "events_ewma_stateful": (_ewma_q, None),  # custom stateful op: rows-only
 }
 
 

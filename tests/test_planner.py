@@ -114,3 +114,15 @@ def test_freeconnex_exact_drop(engine, oracle):
             WHERE o.o_orderkey = a.l_orderkey AND o.o_orderkey = b.l_orderkey
               AND a.mn * 2.0 < b.mx"""
     assert_matches(engine.sql(q2), oracle, o2)
+
+
+def test_salted_join_equivalence(engine):
+    """Salting must not change join semantics."""
+    from sparksqlplus_spark.functions import salted_join
+
+    li = engine.catalog.get("lineitem").df
+    su = engine.catalog.get("supplier").df.withColumnRenamed("s_suppkey", "l_suppkey")
+    plain = li.join(su, ["l_suppkey"], "inner")
+    salted = salted_join(li, su, ["l_suppkey"], salt=8)
+    assert plain.count() == salted.count()
+    assert salted.select(*plain.columns).exceptAll(plain).count() == 0

@@ -124,3 +124,16 @@ def test_dedup_stream_bounded_state(spark, events):
     want_keys = events.select("user_id", "event_type").distinct()
     assert got.select("user_id", "event_type").distinct().count() == want_keys.count()
     assert got.count() == want_keys.count()
+
+
+def test_ewma_stream_matches_batch(spark, events):
+    """Custom stateful op (applyInPandasWithState): bounded stream must
+    reproduce the batch per-key EWMA exactly."""
+    from sparksqlplus_spark.streaming.stateful import ewma_batch, ewma_stream
+
+    stream = events_stream(spark, EVENTS)
+    got = run_stream_to_memory(ewma_stream(stream, alpha=0.3), "t_ewma")
+    want = ewma_batch(events, alpha=0.3)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
