@@ -24,7 +24,7 @@ from sparksqlplus_spark.catalog import Catalog, TableMeta, parse_ddl
 from sparksqlplus_spark.compiler.cqc import CqcExecutor, naive_execute
 from sparksqlplus_spark.parser.sql import UnsupportedSqlError, parse_query
 from sparksqlplus_spark.plans.context import Context, build_context
-from sparksqlplus_spark.plans.gyo import gyo_join_tree
+from sparksqlplus_spark.plans.gyo import best_join_tree, gyo_join_tree
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
@@ -144,7 +144,7 @@ class SparkSQLPlus:
             raise
         if mode == "naive":
             return naive_execute(self.spark, self.catalog, ctx)
-        tree = gyo_join_tree(ctx.relations)
+        tree = best_join_tree(ctx.relations, ctx.comparisons)
         if tree is not None:
             return self._executor.execute_tree(ctx, tree, root_hint=root_hint)
         # cyclic: break / GHD planner; until then the greedy-join baseline
@@ -156,7 +156,7 @@ class SparkSQLPlus:
     def explain_tree(self, query: str) -> str:
         """Debug: render the join tree chosen for a query."""
         ctx = self.context(query)
-        tree = gyo_join_tree(ctx.relations)
+        tree = best_join_tree(ctx.relations, ctx.comparisons)
         if tree is None:
             return "cyclic"
         lines: list[str] = []

@@ -141,6 +141,130 @@ def is_acyclic(relations: list[Relation]) -> bool:
     return gyo_join_tree(relations) is not None
 
 
+def enumerate_join_trees(
+    relations: list[Relation], limit: int = 24
+) -> list[JoinTree]:
+    """All distinct join trees via exhaustive ear elimination
+    (reference GyoAlgorithm.scala:58-228 enumerates the same space;
+    its web UI caps candidates via candidatesWithLimit).
+
+    Trees are deduplicated by their unordered edge set — rooting is
+    free (`rerooted`), so two eliminations yielding the same edges are
+    the same plan. Search is capped at `limit` distinct trees.
+    """
+    if not relations:
+        return []
+    rel_by_id = {r.rid: r for r in relations}
+    out: list[JoinTree] = []
+    seen_edges: set[frozenset] = set()
+    seen_states: set[tuple] = set()
+
+    def walk(alive: dict[int, frozenset[str]], edges: frozenset) -> None:
+        if len(out) >= limit:
+            return
+        if len(alive) == 1:
+            if edges not in seen_edges:
+                seen_edges.add(edges)
+                parent: dict[int, int] = {}
+                # orient edges away from an arbitrary root by BFS
+                adj: dict[int, list[int]] = {}
+                for e in edges:
+                    a, b = tuple(e)
+                    adj.setdefault(a, []).append(b)
+                    adj.setdefault(b, []).append(a)
+                root = next(iter(alive))
+                seen = {root}
+                stack = [root]
+                while stack:
+                    cur = stack.pop()
+                    for nb in adj.get(cur, []):
+                        if nb not in seen:
+                            seen.add(nb)
+                            parent[nb] = cur
+                            stack.append(nb)
+                out.append(JoinTree(root=root, parent=parent, relations=rel_by_id))
+            return
+        state = (frozenset(alive), edges)
+        if state in seen_states:
+            return
+        seen_states.add(state)
+        for e, evars in sorted(alive.items()):
+            shared: set[str] = set()
+            for o, ovars in alive.items():
+                if o != e:
+                    shared |= evars & ovars
+            for w, wvars in sorted(alive.items()):
+                if w == e or not (shared <= wvars):
+                    continue
+                nxt = dict(alive)
+                del nxt[e]
+                walk(nxt, edges | {frozenset((e, w))})
+                if len(out) >= limit:
+                    return
+
+    walk({r.rid: r.variables for r in relations}, frozenset())
+    return out
+
+
+def comparison_paths(tree: JoinTree, comparisons) -> dict[int, frozenset]:
+    """cid -> set of tree edges (frozenset pairs) on the path between
+    the comparison's two host relations (reference
+    getShortestInRelationalHyperGraph, LogicalPlanConverter.scala:450-534)."""
+    out: dict[int, frozenset] = {}
+    for comp in comparisons:
+        nodes = tree.path(comp.left_rid, comp.right_rid)
+        out[comp.cid] = frozenset(
+            frozenset((a, b)) for a, b in zip(nodes, nodes[1:])
+        )
+    return out
+
+
+def is_berge_acyclic(paths: dict[int, frozenset]) -> bool:
+    """Berge-acyclicity of the comparison hypergraph: the bipartite
+    incidence graph (comparisons x tree edges) must be a forest
+    (reference ComparisonHyperGraph.isBergeAcyclic :25-67)."""
+    # union-find over nodes: ('c', cid) and ('e', edge)
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for cid, edges in paths.items():
+        for e in edges:
+            a, b = find(("c", cid)), find(("e", e))
+            if a == b:
+                return False  # incidence edge closes a cycle
+            parent[a] = b
+    return True
+
+
+def rank_tree(tree: JoinTree, comparisons) -> tuple:
+    """Rank candidates: Berge-acyclic first, then min max-edge-degree,
+    then min total path length (reference ranks by degree,
+    LogicalPlanConverter.scala:58-62, 128-130)."""
+    paths = comparison_paths(tree, comparisons)
+    degree: dict[frozenset, int] = {}
+    total = 0
+    for edges in paths.values():
+        total += len(edges)
+        for e in edges:
+            degree[e] = degree.get(e, 0) + 1
+    max_deg = max(degree.values(), default=0)
+    return (0 if is_berge_acyclic(paths) else 1, max_deg, total)
+
+
+def best_join_tree(relations: list[Relation], comparisons) -> JoinTree | None:
+    """Enumerate candidates and pick the best-ranked one."""
+    candidates = enumerate_join_trees(relations)
+    if not candidates:
+        return None
+    return min(candidates, key=lambda t: rank_tree(t, comparisons))
+
+
 def connex_subtree(tree: JoinTree, needed_vars: set[str]) -> set[int]:
     """Minimal-ish connected subtree whose relations cover needed_vars.
 

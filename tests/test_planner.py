@@ -126,3 +126,43 @@ def test_salted_join_equivalence(engine):
     salted = salted_join(li, su, ["l_suppkey"], salt=8)
     assert plain.count() == salted.count()
     assert salted.select(*plain.columns).exceptAll(plain).count() == 0
+
+
+def test_enumerate_join_trees_counts():
+    """Candidate enumeration (reference GyoAlgorithmTest intent)."""
+    from sparksqlplus_spark.plans.gyo import enumerate_join_trees
+
+    chain = [rel(0, "r", ["a", "b"]), rel(1, "s", ["b", "c"]), rel(2, "t", ["c", "d"])]
+    assert len(enumerate_join_trees(chain)) == 1
+    # two interchangeable relations over the same variables -> 2 trees
+    twin = [rel(0, "r", ["a", "b"]), rel(1, "s1", ["b", "c"]), rel(2, "s2", ["b", "c"])]
+    trees = enumerate_join_trees(twin)
+    assert len(trees) >= 2
+    tri = [rel(0, "r", ["a", "b"]), rel(1, "s", ["b", "c"]), rel(2, "t", ["c", "a"])]
+    assert enumerate_join_trees(tri) == []
+
+
+def test_berge_acyclicity_and_ranking():
+    from sparksqlplus_spark.plans.context import Comparison
+    from sparksqlplus_spark.plans.gyo import (
+        best_join_tree,
+        comparison_paths,
+        is_berge_acyclic,
+        rank_tree,
+    )
+    from sparksqlplus_spark.expressions import Col
+
+    rels = [rel(0, "r", ["a", "b"]), rel(1, "s", ["b", "c"]), rel(2, "t", ["c", "d"])]
+    comps = [
+        Comparison(1, "<", Col("r", "c0"), Col("t", "c0"), 0, 2),
+    ]
+    t = best_join_tree(rels, comps)
+    assert t is not None
+    paths = comparison_paths(t, comps)
+    assert len(paths[1]) == 2  # r..t spans both chain edges
+    assert is_berge_acyclic(paths)
+    # two comparisons sharing both edges of the chain -> still a forest?
+    comps2 = comps + [Comparison(2, "<", Col("r", "c1"), Col("t", "c1"), 0, 2)]
+    paths2 = comparison_paths(t, comps2)
+    assert not is_berge_acyclic(paths2)  # c1-e1-c2-e2-c1 cycle
+    assert rank_tree(t, comps2)[0] == 1
