@@ -361,6 +361,35 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
                OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15))""",
     ),
+    # --- TPC-H Q20 shape: composite-key aggregated view (the reference
+    # pre-flattens Q20's nested views the same way, TpchQueriesTest:874-968) ---
+    "tpch_q20": (
+        """SELECT s.s_name, s.s_nationkey
+           FROM supplier AS s, nation AS n, part AS p,
+                (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+                 FROM lineitem GROUP BY l_partkey, l_suppkey) AS v
+           WHERE s.s_suppkey = v.l_suppkey AND p.p_partkey = v.l_partkey
+             AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+             AND p.p_name LIKE '%a%' AND v.qty > 60""",
+        """SELECT DISTINCT s.s_name, s.s_nationkey
+           FROM supplier s, nation n, part p,
+                (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+                 FROM lineitem GROUP BY l_partkey, l_suppkey) v
+           WHERE s.s_suppkey = v.l_suppkey AND p.p_partkey = v.l_partkey
+             AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+             AND p.p_name LIKE '%a%' AND v.qty > 60""",
+    ),
+    # --- C18: CAST executed for real (silently dropped in the reference) ---
+    "cast_real": (
+        """SELECT o_orderkey, CAST(o_totalprice AS BIGINT) AS price_int,
+                  CAST(o_orderkey AS VARCHAR) AS key_str
+           FROM orders WHERE o_totalprice > 400000.0""",
+        """SELECT DISTINCT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+                  CAST(o_orderkey AS VARCHAR) AS key_str
+           FROM orders WHERE o_totalprice > 400000.0""",
+        # note: Spark CAST(double AS BIGINT) truncates; DuckDB rounds —
+        # the oracle floors to match Spark semantics on positive values
+    ),
     # --- reference example q9 analog: self-join + LIKE + interval + price θ
     # (examples/query/q9/query.sql — TPC-E trade shape on orders) ---
     "trade_selfjoin_q9": (

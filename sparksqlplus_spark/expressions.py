@@ -185,6 +185,24 @@ class Func(Expr):
 
 
 @dataclass(frozen=True)
+class Cast(Expr):
+    """CAST(e AS TYPE) — executed for real (the reference silently drops
+    casts, LogicalPlanConverter.scala:540-541)."""
+
+    child: Expr
+    type_name: str  # spark type name: int, bigint, double, string, date, timestamp
+
+    def refs(self):
+        return self.child.refs()
+
+    def to_spark(self, colmap):
+        return self.child.to_spark(colmap).cast(self.type_name)
+
+    def key(self):
+        return f"cast({self.child.key()} as {self.type_name})"
+
+
+@dataclass(frozen=True)
 class Star(Expr):
     """COUNT(*) argument."""
 
@@ -390,6 +408,8 @@ def map_expr(node, fn):
         return Arith(node.op, map_expr(node.left, fn), map_expr(node.right, fn))
     if isinstance(node, Neg):
         return Neg(map_expr(node.child, fn))
+    if isinstance(node, Cast):
+        return Cast(map_expr(node.child, fn), node.type_name)
     if isinstance(node, ExtractYear):
         return ExtractYear(map_expr(node.child, fn))
     if isinstance(node, CaseWhen):
@@ -427,6 +447,8 @@ def rewrite_refs(node, mapping: dict[tuple[str, str], tuple[str, str]]):
         return Arith(node.op, rewrite_refs(node.left, mapping), rewrite_refs(node.right, mapping))
     if isinstance(node, Neg):
         return Neg(rewrite_refs(node.child, mapping))
+    if isinstance(node, Cast):
+        return Cast(rewrite_refs(node.child, mapping), node.type_name)
     if isinstance(node, ExtractYear):
         return ExtractYear(rewrite_refs(node.child, mapping))
     if isinstance(node, CaseWhen):

@@ -23,6 +23,7 @@ from sparksqlplus_spark.expressions import (
     AndCond,
     Arith,
     CaseWhen,
+    Cast,
     Cmp,
     Col,
     Cond,
@@ -444,6 +445,22 @@ class _Parser:
             return Star()
         if t.kind == "id":
             name = self.take().text
+            # CAST(expr AS TYPE)
+            if name.lower() == "cast" and self.at("op", "("):
+                self.take()
+                inner = self._expr()
+                self.expect("kw", "as")
+                type_tok = self.take().text.lower()
+                type_map = {
+                    "int": "int", "integer": "int", "bigint": "bigint",
+                    "varchar": "string", "string": "string", "double": "double",
+                    "decimal": "double", "float": "float", "date": "date",
+                    "timestamp": "timestamp", "boolean": "boolean",
+                }
+                if type_tok not in type_map:
+                    raise UnsupportedSqlError(f"unsupported CAST type {type_tok}")
+                self.expect("op", ")")
+                return Cast(inner, type_map[type_tok])
             # function call?
             if self.at("op", "("):
                 self.take()

@@ -1,0 +1,106 @@
+"""Parser unit tests (reference SqlPlusParserTest intent, SURVEY §5):
+DDL shapes, tokenizer edge cases, precedence, literals, CAST."""
+
+import pytest
+
+from sparksqlplus_spark.catalog import parse_ddl
+from sparksqlplus_spark.expressions import (
+    AndCond,
+    Arith,
+    Cast,
+    CaseWhen,
+    Cmp,
+    Col,
+    InList,
+    Like,
+    Lit,
+    OrCond,
+)
+from sparksqlplus_spark.parser.sql import UnsupportedSqlError, parse_query
+
+
+def test_ddl_single_and_composite_pk():
+    cat = parse_ddl(
+        """CREATE TABLE a (x INT, y VARCHAR, PRIMARY KEY (x));
+           CREATE TABLE b (p INT, q INT, r DECIMAL, PRIMARY KEY (p, q))
+           WITH ('path' = '/tmp/b.csv', 'cardinality' = '42');"""
+    )
+    assert cat.get("a").primary_key == ("x",)
+    assert cat.get("B").primary_key == ("p", "q")  # case-insensitive lookup
+    assert cat.get("b").cardinality == 42
+    assert cat.get("b").fmt == "csv"
+
+
+def test_ddl_invalid_type():
+    with pytest.raises(ValueError):
+        parse_ddl("CREATE TABLE t (x BLOB)")
+
+
+def test_string_escapes_and_literals():
+    q = parse_query("SELECT a FROM t WHERE s = 'it''s' AND d = DATE '1995-01-01'")
+    assert q.where[0].right.value == "it's"
+    assert q.where[1].right.kind == "date"
+
+
+def test_precedence_or_and():
+    q = parse_query("SELECT a FROM t WHERE p = 1 AND q = 2 OR r = 3")
+    # AND binds tighter: (p=1 AND q=2) OR r=3 — one top-level OR
+    assert len(q.where) == 1
+    assert isinstance(q.where[0], OrCond)
+    assert isinstance(q.where[0].children[0], AndCond)
+
+
+def test_arith_precedence():
+    q = parse_query("SELECT a + b * c FROM t")
+    e = q.select[0].expr
+    assert isinstance(e, Arith) and e.op == "+"
+    assert isinstance(e.right, Arith) and e.right.op == "*"
+
+
+def test_between_desugars():
+    # BETWEEN becomes two comparisons, flattened into the conjunction
+    q = parse_query("SELECT a FROM t WHERE a BETWEEN 1 AND 5")
+    assert len(q.where) == 2
+    assert q.where[0].op == ">=" and q.where[1].op == "<="
+
+
+def test_not_like_and_not_in():
+    q = parse_query("SELECT a FROM t WHERE a NOT LIKE 'x%' AND b NOT IN (1, 2)")
+    assert isinstance(q.where[0], Like) and q.where[0].negated
+    assert isinstance(q.where[1], InList) and q.where[1].negated
+
+
+def test_cast_parses():
+    q = parse_query("SELECT CAST(a AS BIGINT) AS b, CAST(x AS VARCHAR) FROM t")
+    assert isinstance(q.select[0].expr, Cast)
+    assert q.select[0].expr.type_name == "bigint"
+    assert q.select[1].expr.type_name == "string"
+
+
+def test_case_when_nested():
+    q = parse_query(
+        "SELECT CASE WHEN a = 1 AND b = 2 THEN 'x' ELSE 'y' END FROM t"
+    )
+    assert isinstance(q.select[0].expr, CaseWhen)
+
+
+def test_unsupported_raises():
+    with pytest.raises(UnsupportedSqlError):
+        parse_query("SELECT a FROM t HAVING a > 1")
+    with pytest.raises(UnsupportedSqlError):
+        parse_query("SELECT a FROM t WHERE a > ALL (SELECT b FROM s)")
+
+
+def test_interval_literal():
+    q = parse_query("SELECT a FROM t WHERE d < DATE '2000-01-01' + INTERVAL '30' DAY")
+    add = q.where[0].right
+    assert isinstance(add, Arith) and add.right.kind == "interval_day"
+    assert add.right.value == 30
+
+
+def test_join_on_desugar():
+    q = parse_query(
+        "SELECT a.x FROM a INNER JOIN b ON a.k = b.k JOIN c ON b.j = c.j WHERE a.x > 1"
+    )
+    assert len(q.from_items) == 3
+    assert len(q.where) == 3
