@@ -58,7 +58,9 @@ def _engine(spark: SparkSession, sf_dir: str):
 
 
 def _ora_graph(body: str) -> str:
-    return f"WITH graph AS ({GRAPH_SQL_DUCK}) {body}"
+    # MATERIALIZED: without it DuckDB re-inlines the CTE (whose scalar
+    # subquery defeats dedup) per reference — 116s and ~85GB at sf0.01
+    return f"WITH graph AS MATERIALIZED ({GRAPH_SQL_DUCK}) {body}"
 
 
 # name -> (engine_sql, oracle_sql | None)
@@ -757,6 +759,31 @@ FROM documents
 """
 
 
+def _media_frames_q(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.operators.multimodal import frame_sample, text_to_media
+
+    eng = _engine(spark, sf_dir)
+    media = text_to_media(eng.catalog.get("documents").df, "text", "doc_id")
+    df = frame_sample(media, every_n_bytes=64, frame_len=16)
+    # documents are ASCII → byte windows == char windows; cast for the oracle
+    return df.select(
+        "media_id", "frame_no", F.col("frame_bytes").cast("string").alias("frame_str")
+    )
+
+
+_MEDIA_FRAMES_ORACLE = """
+WITH f AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+         CAST(floor(octet_length(encode(text)) / 64) AS INT) AS nf
+  FROM documents)
+SELECT media_id, CAST(i AS INT) AS frame_no,
+       substr(text, CAST(i AS INT) * 64 + 1, 16) AS frame_str
+FROM f, UNNEST(range(0, greatest(nf, 1))) AS t(i)
+"""
+
+
 def _media_features_q(spark, sf_dir):
     from sparksqlplus_spark.operators.multimodal import extract_features, text_to_media
 
@@ -882,6 +909,7 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "ann_lsh_topk": (_ann_lsh_q, _ann_lsh_oracle()),
     "media_stats": (_media_stats_q, _MEDIA_STATS_ORACLE),
     "media_features_pandas": (_media_features_q, None),  # pandas path: rows-only
+    "media_frame_sample": (_media_frames_q, _MEDIA_FRAMES_ORACLE),
     "graph_triangle_wcoj": (_wcoj_triangles_q, None),  # oracle attached below
     "events_ewma_stateful": (_ewma_q, None),  # custom stateful op: rows-only
 }

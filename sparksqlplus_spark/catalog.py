@@ -83,6 +83,13 @@ class TableMeta:
         raise ValueError(f"unsupported format {self.fmt}")
 
 
+class UnknownTableError(KeyError):
+    """Lookup of a table the catalog has never seen."""
+
+    def __str__(self) -> str:  # KeyError quotes its message; keep it readable
+        return self.args[0] if self.args else "unknown table"
+
+
 class Catalog:
     """Flat, case-insensitive namespace of tables.
 
@@ -116,7 +123,8 @@ class Catalog:
     def get(self, name: str) -> TableMeta:
         key = name.lower()
         if key not in self._tables:
-            raise KeyError(f"unknown table: {name}")
+            known = ", ".join(sorted(self._tables)) or "<empty catalog>"
+            raise UnknownTableError(f"unknown table: {name} (registered: {known})")
         return self._tables[key]
 
     def __contains__(self, name: str) -> bool:

@@ -88,6 +88,49 @@ def _fake_features(payload: bytes) -> list[float]:
     return out
 
 
+def resize(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Resize stage: metadata is updated for real; pixel resampling is
+    STUBBED (no imaging library here) behind a deterministic fake that
+    keeps the Spark plumbing — batch shape, schema, partitioning —
+    identical to a real PIL/torchvision stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real resample needs an imaging library")
+            # fake: proportionally truncate the payload to the new pixel count
+            out = pdf.copy()
+            out["payload"] = [
+                p[: max(1, int(len(p) * min(1.0, (width * height) / max(len(p), 1))))]
+                if p is not None
+                else None
+                for p in pdf["payload"]
+            ]
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return df.mapInPandas(run, df.schema)
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 64, frame_len: int = 16) -> DataFrame:
+    """Frame sampling for video-like payloads: emit one row per sampled
+    byte-window. Pure expression-level (codegen) — the common pattern of
+    exploding a large binary into bounded chunks before a decode UDF."""
+    n_frames = (F.octet_length("payload") / every_n_bytes).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))))
+    return (
+        df.select("media_id", "payload", idx.alias("frame_no"))
+        .select(
+            "media_id",
+            "frame_no",
+            F.substring(
+                F.col("payload"), F.col("frame_no") * every_n_bytes + 1, frame_len
+            ).alias("frame_bytes"),
+        )
+    )
+
+
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

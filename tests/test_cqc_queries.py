@@ -18,7 +18,9 @@ from __spark_entry__ import GRAPH_SQL, GRAPH_SQL_DUCK
 def graph_engine(engine, oracle):
     df = engine.sql(GRAPH_SQL, mode="spark")
     engine.register("graph", df)
-    oracle.execute(f"CREATE OR REPLACE VIEW graph AS {GRAPH_SQL_DUCK}")
+    # materialized once — a VIEW would re-derive (md5 + scalar subquery)
+    # inside every join reference
+    oracle.execute(f"CREATE OR REPLACE TABLE graph AS {GRAPH_SQL_DUCK}")
     return engine
 
 

@@ -166,3 +166,29 @@ def test_berge_acyclicity_and_ranking():
     paths2 = comparison_paths(t, comps2)
     assert not is_berge_acyclic(paths2)  # c1-e1-c2-e2-c1 cycle
     assert rank_tree(t, comps2)[0] == 1
+
+
+def test_ghd_triangle_and_dumbbell():
+    """GHD (reference GhdAlgorithmTest intent): triangle = one width-3
+    bag; dumbbell = two triangle bags + the bridge."""
+    from sparksqlplus_spark.plans.ghd import ghd_decompose
+
+    tri = [rel(0, "r", ["a", "b"]), rel(1, "s", ["b", "c"]), rel(2, "t", ["c", "a"])]
+    d = ghd_decompose(tri)
+    # ghw(C3) = 2: two-edge bags cover the triangle
+    assert d is not None and d.width == 2
+    covered = set().union(*[b.rids for b in d.bags])
+    assert covered == {0, 1, 2}
+
+    dumb = [
+        rel(0, "g1", ["a", "b"]), rel(1, "g2", ["b", "c"]), rel(2, "g3", ["c", "a"]),
+        rel(3, "g4", ["d", "e"]), rel(4, "g5", ["e", "f"]), rel(5, "g6", ["f", "d"]),
+        rel(6, "g7", ["a", "d"]),
+    ]
+    d2 = ghd_decompose(dumb)
+    assert d2 is not None
+    assert d2.width <= 3
+    assert set().union(*[b.rids for b in d2.bags]) == set(range(7))
+    # acyclic input -> no decomposition needed
+    chain = [rel(0, "r", ["a", "b"]), rel(1, "s", ["b", "c"])]
+    assert ghd_decompose(chain) is None
