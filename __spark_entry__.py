@@ -528,13 +528,22 @@ def _minhash_pairs_q(spark, sf_dir):
     )
 
 
+def _minhash_perm_sql() -> str:
+    from sparksqlplus_spark.operators.dedup import MINHASH_P, minhash_params
+
+    perms = ", ".join(
+        f"list_min([(x * {a} + {b}) % {MINHASH_P} for x in bh])"
+        for a, b in minhash_params(12)
+    )
+    return f"[{perms}]"
+
+
 _MINHASH_ORACLE = f"""
 WITH docs_aug AS ({DOCS_AUG_SQL}),
 tok AS (SELECT doc_id, {_D_TOKS.format(t='text')} AS __toks FROM docs_aug),
 sh AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM tok),
-sig AS (SELECT doc_id,
-        [list_min([{_D_H52.format(s="CAST(p AS VARCHAR) || '|' || s")} for s in sh])
-         for p in range(0, 12)] AS mh FROM sh),
+bh AS (SELECT doc_id, sh, [{_D_H52.format(s='s')} for s in sh] AS bh FROM sh),
+sig AS (SELECT doc_id, {_minhash_perm_sql()} AS mh FROM bh),
 buckets AS (
   SELECT doc_id, b AS band,
          md5(CAST(mh[3*b+1] AS VARCHAR) || ',' || CAST(mh[3*b+2] AS VARCHAR)

@@ -33,6 +33,16 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q10",
     "tpch_q14",
+    "tpch_q17",
+    "tpch_q18",
+    # extension operators (dedup / similarity / text / windows)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "ann_cosine_topk",
+    "events_tumbling_window",
+    "events_session_window",
 ]
 
 

@@ -57,31 +57,67 @@ def shingles_col(text_col: str, n: int = 3) -> Column:
     )
 
 
+def shingle_frame(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(id, __sh) — the shared upstream of signatures and verification."""
+    return df.select(F.col(id_col), shingles_col(text_col, shingle_n).alias("__sh"))
+
+
+# affine permutation family over the 52-bit hash space: perm_i(h) =
+# (a_i*h + b_i) mod P. P prime near 2^52; a_i small so a_i*h stays in
+# int64; b_i md5-derived. Everything reproducible in plain SQL.
+MINHASH_P = 4503599627370449
+_MINHASH_AS = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59]
+
+
+def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    return [
+        (
+            _MINHASH_AS[i % len(_MINHASH_AS)],
+            int(hashlib.md5(f"mh{i}".encode()).hexdigest()[:13], 16),
+        )
+        for i in range(n_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n_hashes: int = 12,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature columns mh_0..mh_{n-1}.
 
-    Permutation i's hash of shingle s is H52(f"{i}|{s}") — a seeded
-    re-hash instead of an affine permutation family, so the oracle can
-    replicate it with md5 alone.
+    Each shingle is md5-hashed ONCE (the expensive part); the n_hashes
+    permutations are cheap affine maps of that base hash — versus n
+    seeded re-hashes, this cuts md5 work by n× at identical LSH
+    quality, and the oracle reproduces the exact values with integer
+    arithmetic.
     """
-    out = df.select(F.col(id_col), shingles_col(text_col, shingle_n).alias("__sh"))
+    out = (
+        shingles
+        if shingles is not None
+        else shingle_frame(df, text_col, id_col, shingle_n)
+    )
+    # materialize base hashes as a real column so the 12 permutation
+    # expressions share one md5 pass
+    out = out.withColumn("__bh", F.transform(F.col("__sh"), lambda s: h52(s)))
 
-    def seeded(prefix: str):
-        # single-arg lambda on purpose: a two-arg lambda would make
-        # F.transform pass the array index as the second argument
-        return lambda s: h52(F.concat(F.lit(prefix), s))
+    def affine(a: int, b: int):
+        # single-arg closure (a 2-arg lambda would receive the array
+        # index from F.transform as its second argument)
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
 
-    for i in range(n_hashes):
+    for i, (a, b) in enumerate(minhash_params(n_hashes)):
         out = out.withColumn(
-            f"mh_{i}", F.array_min(F.transform(F.col("__sh"), seeded(f"{i}|")))
+            f"mh_{i}", F.array_min(F.transform(F.col("__bh"), affine(a, b)))
         )
-    return out.drop("__sh")
+    return out.drop("__sh", "__bh")
 
 
 def lsh_candidate_pairs(
@@ -127,12 +163,17 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (the verify stage).
 
     Returns (id_a, id_b, jaccard) for pairs with jaccard >= threshold.
     """
-    sh = df.select(F.col(id_col), shingles_col(text_col, shingle_n).alias("sh"))
+    sh = (
+        shingles.withColumnRenamed("__sh", "sh")
+        if shingles is not None
+        else df.select(F.col(id_col), shingles_col(text_col, shingle_n).alias("sh"))
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
@@ -154,10 +195,25 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banding →
-    candidate pairs → exact Jaccard verify. Returns verified pairs."""
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    candidate pairs → exact Jaccard verify. Returns verified pairs.
+
+    Shingles are computed once and persisted (the signature build, the
+    band self-join, and the verify stage all consume them — without
+    reuse each downstream stage re-derives the whole upstream)."""
+    # spread the md5-heavy shingle/signature stage across the cluster
+    # (a single small input file otherwise caps parallelism at its
+    # partition count), then persist — three downstream stages reuse it
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        shingle_frame(df, text_col, id_col, shingle_n)
+        .repartition(parallelism)
+        .persist()
+    )
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n, shingles=sh)
     cand = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
-    return ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_n, threshold)
+    return ngram_jaccard_pairs(
+        df, cand, text_col, id_col, shingle_n, threshold, shingles=sh
+    )
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
