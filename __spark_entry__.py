@@ -465,6 +465,24 @@ _GRAPH_CASES: dict[str, tuple[str, str]] = {
            WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src
            GROUP BY g1.src ORDER BY n_triangles DESC, a""",
     ),
+    # --- example q3 shape: two COUNT views, two chained comparisons
+    # (reference exercises TreeLikeArray + 2-comparison enumeration here) ---
+    "graph_q3_two_counts": (
+        """SELECT g1.src AS src, g2.dst AS dst, c1.cnt AS cnt1, c2.cnt AS cnt2, c3.cnt AS cnt3
+           FROM graph AS g1, graph AS g2,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) AS c1,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) AS c2,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) AS c3
+           WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = c3.src
+             AND c2.src = g2.src AND c1.cnt < c2.cnt AND c2.cnt < c3.cnt""",
+        """SELECT DISTINCT g1.src AS src, g2.dst AS dst, c1.cnt AS cnt1, c2.cnt AS cnt2, c3.cnt AS cnt3
+           FROM graph g1, graph g2,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) c1,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) c2,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) c3
+           WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = c3.src
+             AND c2.src = g2.src AND c1.cnt < c2.cnt AND c2.cnt < c3.cnt""",
+    ),
     # --- example q8: 4-hop path with endpoint inequality, aggregated ---
     "graph_q8_4hop": (
         """SELECT g1.src AS src, COUNT(*) AS n_paths
@@ -750,6 +768,23 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
+def _ann_ivf_q(spark, sf_dir):
+    # IVF (k-means lists) — deterministic via fixed seed but not
+    # SQL-expressible (no k-means in DuckDB) => rows-only; recall vs
+    # brute force pinned in tests/test_operators.py
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.operators.similarity import ivf_cosine_topk
+
+    eng = _engine(spark, sf_dir)
+    emb = eng.catalog.get("embeddings").df
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = ivf_cosine_topk(emb, queries_df, k=5, n_lists=16, n_probe=4)
+    return df.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def _media_stats_q(spark, sf_dir):
     from sparksqlplus_spark.operators.multimodal import media_stats, text_to_media
 
@@ -916,6 +951,7 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "text_fingerprint": (_fingerprint_q, _FINGERPRINT_ORACLE),
     "ann_cosine_topk": (_ann_topk_q, _ANN_TOPK_ORACLE),
     "ann_lsh_topk": (_ann_lsh_q, _ann_lsh_oracle()),
+    "ann_ivf_topk": (_ann_ivf_q, None),  # k-means lists: rows-only
     "media_stats": (_media_stats_q, _MEDIA_STATS_ORACLE),
     "media_features_pandas": (_media_features_q, None),  # pandas path: rows-only
     "media_frame_sample": (_media_frames_q, _MEDIA_FRAMES_ORACLE),

@@ -97,6 +97,75 @@ def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
     return bucket
 
 
+def ivf_cosine_topk(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: coarse k-means quantization + probe-nearest-lists.
+
+    The billion-vector scale path: vectors partition into `n_lists`
+    Voronoi cells (one KMeans fit, deterministic via seed); each query
+    scores only vectors in its `n_probe` closest cells — candidate
+    volume drops by ~n_lists/n_probe versus brute force while the
+    per-pair cosine stays exact. Centroids are tiny and broadcast.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = emb_df.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv")
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="fv", predictionCol="__list").fit(train)
+    assigned = model.transform(train).select(id_col, "__list")
+    e = emb_df.join(assigned, id_col)
+
+    centers = model.clusterCenters()
+    spark = emb_df.sparkSession
+    centers_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            "__list int, centroid array<double>",
+        )
+    )
+    # queries probe their n_probe nearest centroids
+    q = query_df.crossJoin(centers_df)
+    qdist = cosine_similarity(
+        F.col(query_vec_col).cast("array<double>"), F.col("centroid")
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("__cdist").desc(), F.col("__list"))
+    probes = (
+        q.withColumn("__cdist", qdist)
+        .withColumn("__crank", F.row_number().over(wq))
+        .filter(F.col("__crank") <= n_probe)
+        .select(query_id_col, query_vec_col, "__list")
+    )
+    joined = e.join(F.broadcast(probes), "__list").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    sim = cosine_similarity(
+        F.col(vec_col).cast("array<double>"), F.col(query_vec_col).cast("array<double>")
+    )
+    scored = joined.select(
+        F.col(query_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_cosine_topk(
     emb_df: DataFrame,
     query_df: DataFrame,

@@ -1,0 +1,63 @@
+"""Operator-level properties not expressible as SQL oracles."""
+
+from pyspark.sql import functions as F
+
+from sparksqlplus_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+
+def _queries(engine):
+    emb = engine.catalog.get("embeddings").df
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return emb, q
+
+
+def test_ivf_recall_and_determinism(engine):
+    emb, q = _queries(engine)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=5).collect()
+    }
+    ivf_rows = ivf_cosine_topk(emb, q, k=5, n_lists=16, n_probe=4).collect()
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in ivf_rows}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_cosine_topk(emb, q, k=5, n_lists=16, n_probe=4).collect()
+    }
+    assert ivf == again  # fixed seed => deterministic
+
+    # cosine values for pairs IVF returns must equal the exact ones
+    exact_by_pair = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(emb, q, k=2000).collect()
+    }
+    for r in ivf_rows:
+        pair = (r["query_id"], r["neighbor_id"])
+        if pair in exact_by_pair:
+            assert abs(exact_by_pair[pair] - r["cosine"]) < 1e-9
+
+
+def test_wcoj_empty_graph(spark):
+    from sparksqlplus_spark.operators.wcoj import triangles_wcoj
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert triangles_wcoj(empty).count() == 0
+
+
+def test_minhash_identical_docs_caught(spark):
+    from sparksqlplus_spark.operators.dedup import minhash_dedup_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different text about spark query engines at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_dedup_pairs(df, "text", "doc_id").collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id_a"], pairs[0]["id_b"]) == (1, 2)
+    assert pairs[0]["jaccard"] == 1.0
