@@ -483,6 +483,23 @@ _GRAPH_CASES: dict[str, tuple[str, str]] = {
            WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = c3.src
              AND c2.src = g2.src AND c1.cnt < c2.cnt AND c2.cnt < c3.cnt""",
     ),
+    # --- examples q2/q10: dumbbell — two triangles joined by a bridge
+    # edge (cyclic; needs two recursive breaks) ---
+    "graph_q2_dumbbell": (
+        """SELECT g1.src AS a, g4.src AS d, COUNT(*) AS n
+           FROM graph AS g1, graph AS g2, graph AS g3, graph AS g4,
+                graph AS g5, graph AS g6, graph AS g7
+           WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src
+             AND g4.dst = g5.src AND g5.dst = g6.src AND g6.dst = g4.src
+             AND g7.src = g1.src AND g7.dst = g4.src
+           GROUP BY g1.src, g4.src ORDER BY a, d""",
+        """SELECT g1.src AS a, g4.src AS d, COUNT(*) AS n
+           FROM graph g1, graph g2, graph g3, graph g4, graph g5, graph g6, graph g7
+           WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src
+             AND g4.dst = g5.src AND g5.dst = g6.src AND g6.dst = g4.src
+             AND g7.src = g1.src AND g7.dst = g4.src
+           GROUP BY g1.src, g4.src ORDER BY a, d""",
+    ),
     # --- example q8: 4-hop path with endpoint inequality, aggregated ---
     "graph_q8_4hop": (
         """SELECT g1.src AS src, COUNT(*) AS n_paths
