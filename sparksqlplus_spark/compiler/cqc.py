@@ -82,8 +82,10 @@ def build_relation_df(
         base = catalog.get(rel.table).load(spark)
         gcols = [F.col(b).alias(out) for b, out in rel.agg_group_cols]
         if rel.agg_arg_expr is not None:
-            # expression argument (e.g. SUM(price * (1 - discount)))
+            # expression argument (e.g. SUM(price * (1 - discount)));
+            # refs may be unqualified or carry the subquery's FROM alias
             base_map = {("", c): c for c in base.columns}
+            base_map.update({(rel.agg_base_alias, c): c for c in base.columns})
             agg = getattr(F, rel.agg_func)(rel.agg_arg_expr.to_spark(base_map))
         elif rel.agg_func == "count" and rel.agg_arg_col is None:
             agg = F.count(F.lit(1))
@@ -219,7 +221,9 @@ class CqcExecutor:
                 and not selective[rid]
             ):
                 continue
-            dfs, comps = self._reduce_one(ctx, tree, dfs, comps, mf_cols, rid)
+            dfs, comps = self._reduce_one(
+                ctx, tree, dfs, comps, mf_cols, rid, in_scope=rid in scope
+            )
 
         # root-level self-resolution: comparisons whose both endpoints
         # migrated to the root were already filtered in _migrate; nothing
@@ -358,6 +362,7 @@ class CqcExecutor:
         comps: list[_CompState],
         mf_cols: dict[int, list[str]],
         rid: int,
+        in_scope: bool = True,
     ):
         """Reduce relation `rid` into its parent (one tree edge)."""
         parent = tree.parent[rid]
@@ -368,9 +373,16 @@ class CqcExecutor:
 
         incident = [c for c in comps if not c.resolved and rid in (c.left.host, c.right.host)]
 
-        if not key:
-            # cross-product edge: no key to semi-join on; the child stays in
-            # the enumeration scope (caller guarantees), nothing to prune
+        if not key and not incident:
+            # cross-product edge with no migrating comparison: if the child
+            # re-enters at enumeration there is nothing to prune; if it was
+            # DROPPED from the enumeration scope its existential semantics
+            # must survive here — parent keeps its rows iff child has ≥1 row
+            if not in_scope:
+                tag = f"__exists_{rid}"
+                dfs[parent] = parent_df.crossJoin(
+                    child_df.limit(1).select(F.lit(1).alias(tag))
+                ).drop(tag)
             return dfs, comps
 
         if not incident:
@@ -395,10 +407,19 @@ class CqcExecutor:
             aggs.append(agg_fn(side.column(var_map)).alias(mf_name))
             updates.append((comp, side_name, mf_name))
 
-        extras = child_df.groupBy(*key).agg(*aggs)
-        # inner join appends mf columns AND semi-joins the parent on the key
-        # (R7 appendExtraColumn: cogroup + append)
-        parent_df = parent_df.join(extras, key, "inner")
+        if key:
+            extras = child_df.groupBy(*key).agg(*aggs)
+            # inner join appends mf columns AND semi-joins the parent on the
+            # key (R7 appendExtraColumn: cogroup + append)
+            parent_df = parent_df.join(extras, key, "inner")
+        else:
+            # keyless edge: a one-row GLOBAL min/max still migrates the
+            # comparison exactly (∃ child row OP parent expr ⇔ extreme OP
+            # parent expr). An empty child yields NULL aggregates, so the
+            # resolved filter rejects every parent row — the existential
+            # semantics of a dropped keyless child is preserved.
+            extras = child_df.groupBy().agg(*aggs)
+            parent_df = parent_df.crossJoin(extras)
         mf_cols[parent].extend(m for _, _, m in updates)
 
         # migrate endpoints; resolve when both endpoints now share a host
@@ -591,17 +612,30 @@ def finalize(result: DataFrame, ctx: Context) -> DataFrame:
         result = result.select(*[F.col(n) for n, _ in ctx.output])
     else:
         sort_cols: list[Column] = []
+        helper_sorts: list[tuple[int, bool]] = []  # (order_by idx, desc)
         out_names = {n for n, _ in ctx.output}
         for i, (e, desc) in enumerate(ctx.order_by):
             if isinstance(e, Col) and e.alias == "" and e.name in out_names:
                 continue  # sorts on an output alias; handled post-projection
             sort_cols.append(e.to_spark(var_map).alias(f"__sort_{i}"))
+            helper_sorts.append((i, desc))
         proj = [e.to_spark(var_map).alias(n) for n, e in ctx.output]
         result = result.select(*proj, *sort_cols)
         if not ctx.is_full or ctx.distinct:
             # non-full ⇒ set semantics (reference rewrites SELECT -> SELECT
-            # DISTINCT for the baseline, CompileController.java:98-101)
-            result = result.dropDuplicates()
+            # DISTINCT for the baseline, CompileController.java:98-101).
+            # Dedup must run over the OUTPUT columns only — an ORDER BY on
+            # a non-output expression must not widen the distinct key, so
+            # each helper sort key collapses to its best rank per output
+            # row (min for asc, max for desc — deterministic).
+            if helper_sorts:
+                aggs = [
+                    (F.max if desc else F.min)(F.col(f"__sort_{i}")).alias(f"__sort_{i}")
+                    for i, desc in helper_sorts
+                ]
+                result = result.groupBy(*[F.col(n) for n, _ in ctx.output]).agg(*aggs)
+            else:
+                result = result.dropDuplicates()
         result = _order_limit(result, ctx, post_agg=False)
         result = result.select(*[F.col(n) for n, _ in ctx.output])
     return result

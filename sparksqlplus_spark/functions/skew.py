@@ -8,7 +8,10 @@ fallback and works for aggregations too.
 ``salted_join`` spreads each big-side row across ``salt`` sub-keys
 deterministically (hash of the whole row — no ``rand()``, so retries
 and speculative tasks stay consistent) and replicates the small side
-``salt`` times. Result is bit-identical to the plain join.
+``salt`` times. Result is bit-identical to the plain join for the
+big-side-preserving join types (inner / left / left_semi / left_anti);
+right and full outer joins would emit each unmatched small-side row
+once per salt replica, so they are rejected.
 """
 
 from __future__ import annotations
@@ -29,6 +32,13 @@ def salted_join(
     big: skewed fact side (each row gets one deterministic salt value);
     small: dimension side (replicated `salt` times — keep it small).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+               "left_anti", "leftanti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only, got {how!r} "
+            "(right/full outer would duplicate unmatched small-side rows)"
+        )
     salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
     b = big.withColumn("__salt", salt_col)
     s = small.withColumn(

@@ -66,6 +66,7 @@ class Relation:
     agg_func: str | None = None
     agg_arg_col: str | None = None  # None => COUNT(*)
     agg_arg_expr: object | None = None  # Expr over base columns (beats agg_arg_col)
+    agg_base_alias: str = ""  # the subquery's FROM alias (qualifies arg refs)
     agg_out_col: str | None = None
     cardinality: int | None = None
     primary_key_vars: tuple[str, ...] = ()
@@ -386,6 +387,16 @@ def _make_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation:
                 # SUM(l_extendedprice * (1 - l_discount)) — TPC-H Q15 view
                 agg_arg = None
                 agg_arg_expr = e.arg
+                # plan-time validation: every ref must resolve against the
+                # base table (unqualified or via the subquery's own FROM
+                # alias) so execution never hits a raw KeyError and
+                # mode='auto' can fall back cleanly on anything else
+                inner_alias = sub.from_items[0].alias
+                for a, c in e.arg.refs():
+                    if a not in ("", inner_alias) or c not in base.column_names:
+                        raise UnsupportedSqlError(
+                            f"subquery aggregate references unknown column {a}.{c}"
+                        )
             agg_out = si.alias or f"{e.func}_{i}"
             col_names.append(agg_out)
         else:
@@ -404,6 +415,7 @@ def _make_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation:
         agg_func=agg_func,
         agg_arg_col=agg_arg,
         agg_arg_expr=agg_arg_expr,
+        agg_base_alias=sub.from_items[0].alias,
         agg_out_col=agg_out,
         primary_key_vars=tuple(c for c in col_names if c != agg_out),
     )

@@ -145,12 +145,14 @@ def events_stream(
     import os
 
     static = spark.read.parquet(events_path)
+    reader = spark.readStream.schema(static.schema)
     if os.path.isfile(events_path):
-        # file-source streams need a directory (or glob) — turn the exact
-        # file path into a glob so the parent directory becomes basePath
-        root, ext = os.path.splitext(events_path)
-        events_path = f"{root}*{ext}"
-    stream = spark.readStream.schema(static.schema).parquet(events_path)
+        # file-source streams need a directory — stream the parent dir but
+        # match ONLY this exact file (a prefix glob like events*.parquet
+        # would silently pull sibling files into the stream)
+        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
+        events_path = os.path.dirname(events_path) or "."
+    stream = reader.parquet(events_path)
     for f in static.schema.fields:
         if f.name == ts_col and f.dataType.simpleString() == "bigint":
             stream = stream.withColumn(

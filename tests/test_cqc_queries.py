@@ -295,3 +295,79 @@ def test_tpch_q5_cyclic(engine, oracle):
     df = engine.sql(q)
     oracle_q = q.replace(" AS ", " ")
     assert_matches(df, oracle, oracle_q)
+
+
+# ---------------------------------------------------------------------------
+# round-2 regression tests (ADVICE r1 findings)
+# ---------------------------------------------------------------------------
+
+
+def test_disconnected_existential_empty(engine):
+    """A cross-product relation dropped from the enumeration scope keeps
+    its existential semantics: zero qualifying rows => empty result
+    (ADVICE r1: cqc._reduce_one keyless-edge guard)."""
+    q = """SELECT r_regionkey, r_name FROM region, nation
+           WHERE n_nationkey > 1000000"""
+    assert engine.sql(q).count() == 0
+
+
+def test_disconnected_existential_nonempty(engine, oracle):
+    q = """SELECT r_regionkey, r_name FROM region, nation
+           WHERE n_nationkey >= 20"""
+    df = engine.sql(q)
+    assert_matches(
+        df,
+        oracle,
+        """SELECT DISTINCT r_regionkey, r_name FROM region, nation
+           WHERE n_nationkey >= 20""",
+    )
+
+
+def test_disconnected_existential_comparison(engine, oracle):
+    """Keyless edge whose dropped child hosts a comparison endpoint:
+    global min/max migration must stay existentially exact."""
+    q = """SELECT r.r_regionkey, r.r_name FROM region AS r, supplier AS s
+           WHERE s.s_acctbal > r.r_regionkey + 9000.0"""
+    df = engine.sql(q)
+    assert_matches(
+        df,
+        oracle,
+        """SELECT DISTINCT r.r_regionkey, r.r_name FROM region r, supplier s
+           WHERE s.s_acctbal > r.r_regionkey + 9000.0""",
+    )
+
+
+def test_nonfull_orderby_nonoutput_distinct(engine, oracle):
+    """Non-full + ORDER BY on a non-output column: dedup must run over
+    the output columns only (ADVICE r1: finalize __sort_ widening)."""
+    q = """SELECT n.n_name FROM nation AS n, supplier AS s
+           WHERE n.n_nationkey = s.s_nationkey
+           ORDER BY s.s_acctbal DESC"""
+    df = engine.sql(q)
+    # order-insensitive compare: what matters is one row per distinct name
+    assert_matches(
+        df,
+        oracle,
+        """SELECT DISTINCT n.n_name FROM nation n, supplier s
+           WHERE n.n_nationkey = s.s_nationkey""",
+    )
+
+
+def test_agg_subquery_qualified_arg(engine, oracle):
+    """Qualified column refs inside an aggregated subquery's aggregate
+    argument (ADVICE r1: base_map only had unqualified keys)."""
+    q = """SELECT s.s_suppkey, r.total
+           FROM supplier AS s,
+                (SELECT l.l_suppkey, SUM(l.l_extendedprice * (1 - l.l_discount)) AS total
+                 FROM lineitem AS l GROUP BY l.l_suppkey) AS r
+           WHERE s.s_suppkey = r.l_suppkey"""
+    df = engine.sql(q)
+    assert_matches(
+        df,
+        oracle,
+        """SELECT DISTINCT s.s_suppkey, r.total
+           FROM supplier s,
+                (SELECT l.l_suppkey, SUM(l.l_extendedprice * (1 - l.l_discount)) AS total
+                 FROM lineitem l GROUP BY l.l_suppkey) r
+           WHERE s.s_suppkey = r.l_suppkey""",
+    )

@@ -192,3 +192,17 @@ def test_ghd_triangle_and_dumbbell():
     # acyclic input -> no decomposition needed
     chain = [rel(0, "r", ["a", "b"]), rel(1, "s", ["b", "c"])]
     assert ghd_decompose(chain) is None
+
+
+def test_salted_join_rejects_small_side_preserving(engine):
+    """right/full outer would emit unmatched small-side rows once per
+    salt replica — must be rejected (ADVICE r1)."""
+    import pytest as _pytest
+
+    from sparksqlplus_spark.functions import salted_join
+
+    li = engine.catalog.get("lineitem").df
+    su = engine.catalog.get("supplier").df.withColumnRenamed("s_suppkey", "l_suppkey")
+    for how in ("right", "full", "full_outer", "cross"):
+        with _pytest.raises(ValueError):
+            salted_join(li, su, ["l_suppkey"], how=how)
