@@ -51,8 +51,11 @@ def _engine(spark: SparkSession, sf_dir: str):
             pass
         eng = SparkSQLPlus(spark)
         eng.register_testdata(sf_dir)
-        eng.register("graph", eng.sql(GRAPH_SQL, mode="spark"))
-        eng.register("docs_aug", eng.sql(DOCS_AUG_SQL, mode="spark"))
+        # derived tables are persisted: the graph family self-joins the
+        # edge table up to 5× per query, and each un-persisted reference
+        # would re-derive it (md5 + scalar-subquery MAX over lineitem)
+        eng.register("graph", eng.sql(GRAPH_SQL, mode="spark").persist())
+        eng.register("docs_aug", eng.sql(DOCS_AUG_SQL, mode="spark").persist())
         _ENGINES[key] = eng
     return _ENGINES[key]
 
@@ -786,20 +789,47 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 
 
 def _ann_ivf_q(spark, sf_dir):
-    # IVF (k-means lists) — deterministic via fixed seed but not
-    # SQL-expressible (no k-means in DuckDB) => rows-only; recall vs
-    # brute force pinned in tests/test_operators.py
+    # IVF (k-means lists): k-means is not SQL-expressible and its seeded
+    # init depends on input partitioning, so raw IVF output is not a
+    # stable hash target. The driver-checked claim is the VERIFICATION
+    # JOIN instead: results are well-formed (10 queries × top-5) and
+    # aggregate recall vs the exact brute-force top-5 clears 0.5 with a
+    # wide margin (measured 0.78–0.80 at n_probe=8 of 16 lists at
+    # sf0.001/sf0.01) — robust to k-means jitter while still exercising
+    # real list pruning. Per-config recall is pinned separately in
+    # tests/test_operators.py.
     from pyspark.sql import functions as F
 
-    from sparksqlplus_spark.operators.similarity import ivf_cosine_topk
+    from sparksqlplus_spark.operators.similarity import cosine_topk, ivf_cosine_topk
 
     eng = _engine(spark, sf_dir)
     emb = eng.catalog.get("embeddings").df
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    df = ivf_cosine_topk(emb, queries_df, k=5, n_lists=16, n_probe=4)
-    return df.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    ivf = ivf_cosine_topk(emb, queries_df, k=5, n_lists=16, n_probe=8)
+    brute = cosine_topk(emb, queries_df, k=5)
+    matched = ivf.join(
+        brute.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    return (
+        ivf.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_results"),
+        )
+        .crossJoin(matched.agg(F.count(F.lit(1)).alias("__m")))
+        .select(
+            "n_queries",
+            "n_results",
+            (F.col("__m") / F.col("n_results") >= 0.5).alias("recall_ge_half"),
+        )
+    )
+
+
+_ANN_IVF_ORACLE = """
+SELECT CAST(10 AS BIGINT) AS n_queries, CAST(50 AS BIGINT) AS n_results,
+       TRUE AS recall_ge_half
+"""
 
 
 def _media_stats_q(spark, sf_dir):
@@ -846,11 +876,41 @@ FROM f, UNNEST(range(0, greatest(nf, 1))) AS t(i)
 
 
 def _media_features_q(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from sparksqlplus_spark.operators.multimodal import extract_features, text_to_media
 
     eng = _engine(spark, sf_dir)
     media = text_to_media(eng.catalog.get("documents").df, "text", "doc_id")
-    return extract_features(media, fake=True)
+    feats = extract_features(media, fake=True)
+    # explode array<double> to (media_id, idx, value) — a canonicalizable
+    # shape the driver can sort/hash, and SQL-expressible for the oracle
+    return feats.select(
+        "media_id", F.posexplode("features").alias("idx", "value")
+    )
+
+
+# the fake features are deterministic byte-histogram moments
+# (multimodal._fake_features): feature i = mean(bytes at positions ≡ i
+# mod 8) / 255, rounded to 9 — pure arithmetic over ASCII text
+_MEDIA_FEATURES_ORACLE = """
+WITH pos AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+         octet_length(encode(text)) AS n
+  FROM documents),
+b AS (
+  SELECT media_id, CAST((i - 1) % 8 AS INT) AS idx,
+         ascii(substr(text, CAST(i AS INT), 1)) AS byte
+  FROM pos, UNNEST(range(1, CAST(n AS BIGINT) + 1)) AS t(i)),
+agg AS (
+  SELECT media_id, idx, round(SUM(byte) / COUNT(*) / 255.0, 9) AS value
+  FROM b GROUP BY 1, 2),
+grid AS (
+  SELECT media_id, CAST(g.i AS INT) AS idx
+  FROM pos, UNNEST(range(0, 8)) AS g(i))
+SELECT g.media_id, g.idx, COALESCE(a.value, 0.0) AS value
+FROM grid g LEFT JOIN agg a ON g.media_id = a.media_id AND g.idx = a.idx
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -932,19 +992,37 @@ SELECT event_id, user_id, event_type, ts FROM (
 
 def _ewma_q(spark, sf_dir):
     # batch form of the custom stateful operator (applyInPandasWithState
-    # stream form asserted equal in tests/test_streaming.py); recursive
-    # EWMA has no numerically-stable SQL form => rows-only check
+    # stream form asserted equal in tests/test_streaming.py; windowed
+    # closed-form scale path asserted equal in the same file). DuckDB
+    # replays the recursion exactly via a recursive CTE (events are
+    # ≤ ~90 rows per key at the checked SFs, so the depth is tiny).
     from sparksqlplus_spark.streaming.stateful import ewma_batch
 
     eng = _engine(spark, sf_dir)
     return ewma_batch(eng.catalog.get("events").df, alpha=0.3)
 
 
+_EWMA_ORACLE = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+rec AS (
+  SELECT user_id, event_id, ts, value, rn, CAST(value AS DOUBLE) AS ewma
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
+         0.3 * o.value + (1 - 0.3) * r.ewma
+  FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+SELECT user_id, event_id, ts, value, round(ewma, 9) AS ewma FROM rec
+"""
+
+
 def _wcoj_triangles_q(spark, sf_dir):
     from sparksqlplus_spark.operators.wcoj import triangles_wcoj
 
     eng = _engine(spark, sf_dir)
-    return triangles_wcoj(eng.catalog.get("graph").df, "src", "dst", cube_side=2)
+    return triangles_wcoj(eng.catalog.get("graph").df, "src", "dst")
 
 
 _WCOJ_ORACLE_BODY = """
@@ -968,12 +1046,12 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "text_fingerprint": (_fingerprint_q, _FINGERPRINT_ORACLE),
     "ann_cosine_topk": (_ann_topk_q, _ANN_TOPK_ORACLE),
     "ann_lsh_topk": (_ann_lsh_q, _ann_lsh_oracle()),
-    "ann_ivf_topk": (_ann_ivf_q, None),  # k-means lists: rows-only
+    "ann_ivf_topk": (_ann_ivf_q, _ANN_IVF_ORACLE),
     "media_stats": (_media_stats_q, _MEDIA_STATS_ORACLE),
-    "media_features_pandas": (_media_features_q, None),  # pandas path: rows-only
+    "media_features_pandas": (_media_features_q, _MEDIA_FEATURES_ORACLE),
     "media_frame_sample": (_media_frames_q, _MEDIA_FRAMES_ORACLE),
     "graph_triangle_wcoj": (_wcoj_triangles_q, None),  # oracle attached below
-    "events_ewma_stateful": (_ewma_q, None),  # custom stateful op: rows-only
+    "events_ewma_stateful": (_ewma_q, _EWMA_ORACLE),
 }
 
 

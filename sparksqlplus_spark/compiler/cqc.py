@@ -67,32 +67,65 @@ class _CompState:
     resolved: bool = False
 
 
+def agg_signature(rel: Relation) -> tuple | None:
+    """Identity of an aggregated view, independent of its FROM alias —
+    two subqueries with this same signature are byte-identical views
+    (reference SqlPlusCompiler.scala:38-53 deduplicates them the same
+    way before materializing AggregatedRelations)."""
+    if rel.kind != "agg":
+        return None
+    arg_key = rel.agg_arg_expr.key() if rel.agg_arg_expr is not None else None
+    return (
+        rel.table,
+        rel.agg_func,
+        rel.agg_group_cols,
+        rel.agg_arg_col,
+        arg_key,
+        rel.agg_out_col,
+    )
+
+
 def build_relation_df(
-    spark: SparkSession, catalog: Catalog, rel: Relation, local_filters: list[Cond], var_map
+    spark: SparkSession,
+    catalog: Catalog,
+    rel: Relation,
+    local_filters: list[Cond],
+    var_map,
+    agg_cache: dict | None = None,
 ) -> DataFrame:
     """Materialize one relation with columns renamed to planner variables.
 
     scan → typed source scan (R1); agg → groupBy().agg() of the base
     table (R2/C21); local filters applied at the source so Catalyst
-    pushes them into the scan (predicate pushdown).
+    pushes them into the scan (predicate pushdown). ``agg_cache`` (keyed
+    by :func:`agg_signature`) shares ONE frame across identical
+    aggregated views — the caller persists it when referenced twice, so
+    the heaviest query family (graph q1/q3/q5 shapes: repeated COUNT
+    views) scans and shuffles the base table once, not once per alias.
     """
     if rel.kind == "scan":
         df = catalog.get(rel.table).load(spark)
     elif rel.kind == "agg":
-        base = catalog.get(rel.table).load(spark)
-        gcols = [F.col(b).alias(out) for b, out in rel.agg_group_cols]
-        if rel.agg_arg_expr is not None:
-            # expression argument (e.g. SUM(price * (1 - discount)));
-            # refs may be unqualified or carry the subquery's FROM alias
-            base_map = {("", c): c for c in base.columns}
-            base_map.update({(rel.agg_base_alias, c): c for c in base.columns})
-            agg = getattr(F, rel.agg_func)(rel.agg_arg_expr.to_spark(base_map))
-        elif rel.agg_func == "count" and rel.agg_arg_col is None:
-            agg = F.count(F.lit(1))
+        sig = agg_signature(rel)
+        if agg_cache is not None and sig in agg_cache:
+            df = agg_cache[sig]
         else:
-            arg = F.col(rel.agg_arg_col) if rel.agg_arg_col else F.lit(1)
-            agg = getattr(F, rel.agg_func)(arg)
-        df = base.groupBy(*gcols).agg(agg.alias(rel.agg_out_col))
+            base = catalog.get(rel.table).load(spark)
+            gcols = [F.col(b).alias(out) for b, out in rel.agg_group_cols]
+            if rel.agg_arg_expr is not None:
+                # expression argument (e.g. SUM(price * (1 - discount)));
+                # refs may be unqualified or carry the subquery's FROM alias
+                base_map = {("", c): c for c in base.columns}
+                base_map.update({(rel.agg_base_alias, c): c for c in base.columns})
+                agg = getattr(F, rel.agg_func)(rel.agg_arg_expr.to_spark(base_map))
+            elif rel.agg_func == "count" and rel.agg_arg_col is None:
+                agg = F.count(F.lit(1))
+            else:
+                arg = F.col(rel.agg_arg_col) if rel.agg_arg_col else F.lit(1)
+                agg = getattr(F, rel.agg_func)(arg)
+            df = base.groupBy(*gcols).agg(agg.alias(rel.agg_out_col))
+            if agg_cache is not None:
+                agg_cache[sig] = df
     else:
         raise UnsupportedSqlError(f"cannot materialize relation kind {rel.kind}")
 
@@ -123,6 +156,41 @@ class CqcExecutor:
     def __init__(self, spark: SparkSession, catalog: Catalog):
         self.spark = spark
         self.catalog = catalog
+        # aggregated views persisted because ≥2 aliases share them;
+        # Spark's LRU evicts under pressure, clear_cache() forces it
+        self.persisted: list[DataFrame] = []
+
+    def clear_cache(self) -> None:
+        for df in self.persisted:
+            df.unpersist()
+        self.persisted.clear()
+
+    def _build_all(self, ctx: Context) -> dict[int, DataFrame]:
+        """Materialize every relation, sharing identical aggregated
+        views (reference SqlPlusCompiler.scala:38-53): the shared frame
+        is persisted so the base table is scanned + shuffled once."""
+        from collections import Counter
+
+        sig_counts = Counter(
+            s for s in (agg_signature(r) for r in ctx.relations) if s is not None
+        )
+        agg_cache: dict = {}
+        dfs = {
+            r.rid: build_relation_df(
+                self.spark,
+                self.catalog,
+                r,
+                ctx.local_filters.get(r.rid, []),
+                ctx.var_map,
+                agg_cache=agg_cache,
+            )
+            for r in ctx.relations
+        }
+        for sig, n in sig_counts.items():
+            if n >= 2 and sig in agg_cache:
+                agg_cache[sig].persist()
+                self.persisted.append(agg_cache[sig])
+        return dfs
 
     # -- public -------------------------------------------------------------
     def execute(self, ctx: Context, reduce_mode: str = "selective") -> DataFrame:
@@ -150,12 +218,7 @@ class CqcExecutor:
         - 'off': no reduction (debug).
         """
         var_map = ctx.var_map
-        dfs: dict[int, DataFrame] = {
-            r.rid: build_relation_df(
-                self.spark, self.catalog, r, ctx.local_filters.get(r.rid, []), var_map
-            )
-            for r in ctx.relations
-        }
+        dfs = self._build_all(ctx)
 
         # ---- enumeration scope --------------------------------------------
         needed_vars = self._needed_vars(ctx)
@@ -678,8 +741,11 @@ def naive_execute(spark: SparkSession, catalog: Catalog, ctx: Context) -> DataFr
     paired `QueryNSparkSQL` baseline programs.
     """
     var_map = ctx.var_map
+    agg_cache: dict = {}
     dfs = {
-        r.rid: build_relation_df(spark, catalog, r, ctx.local_filters.get(r.rid, []), var_map)
+        r.rid: build_relation_df(
+            spark, catalog, r, ctx.local_filters.get(r.rid, []), var_map, agg_cache=agg_cache
+        )
         for r in ctx.relations
     }
     remaining = sorted(dfs)

@@ -35,95 +35,110 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _leapfrog_intersect(arrays: list[np.ndarray]) -> np.ndarray:
-    """Intersect sorted unique arrays by leapfrogging (seek via
-    searchsorted instead of pairwise hashing)."""
-    if not arrays or any(len(a) == 0 for a in arrays):
-        return np.empty(0, dtype=arrays[0].dtype if arrays else np.int64)
-    if len(arrays) == 1:
-        return arrays[0]
-    out = []
-    k = len(arrays)
-    cur = arrays[0][0]
-    i = 1  # the seed array already matches cur
-    matched = 1
-    while True:
-        arr = arrays[i]
-        p = np.searchsorted(arr, cur, side="left")
-        if p >= len(arr):
-            break
-        if arr[p] == cur:
-            matched += 1
-            if matched == k:
-                out.append(cur)
-                if p + 1 >= len(arr):
-                    break
-                cur = arr[p + 1]
-                matched = 1
-        else:
-            cur = arr[p]
-            matched = 1
-        i = (i + 1) % k
-    if not out:
-        return np.empty(0, dtype=arrays[0].dtype)
-    return np.array(out, dtype=arrays[0].dtype)
+def _empty_abc() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "a": pd.Series(dtype="int64"),
+            "b": pd.Series(dtype="int64"),
+            "c": pd.Series(dtype="int64"),
+        }
+    )
 
 
 def _triangles_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Leapfrog trie join over one hypercube cell.
+    """Vectorized worst-case-optimal kernel for one hypercube cell.
 
     pdf columns: rel ('r'|'s'|'t'), x, y — R(a,b), S(b,c), T(c,a)
     stored as (x=a,y=b), (x=b,y=c), (x=c,y=a) respectively.
+
+    For each surviving (a,b) pair the c-candidates are enumerated from
+    the SMALLER of S's b-adjacency and T's a-adjacency, then hash-
+    verified against the other relation. Σ min(deg_S(b), deg_T(a)) is
+    the classic O(m^{3/2}) triangle bound (the AGM bound for the
+    triangle query), so the kernel is worst-case optimal like a true
+    leapfrog — but every step is a numpy / pandas C-level primitive
+    (multi-slice gather + hash-join membership), no per-row Python.
     """
+    pdf = pdf.drop_duplicates(["rel", "x", "y"])
     r = pdf[pdf["rel"] == "r"]
     s = pdf[pdf["rel"] == "s"]
     t = pdf[pdf["rel"] == "t"]
-    if len(r) == 0 or len(s) == 0 or len(t) == 0:
-        return pd.DataFrame({"a": [], "b": [], "c": []}).astype("int64")
+    if min(len(r), len(s), len(t)) == 0:
+        return _empty_abc()
 
-    # tries: sort each relation by its variable-order prefix
-    r_a = np.sort(r["x"].unique())
-    t_by_a: dict = {}
-    for a_val, grp in t.groupby("y"):  # T(c,a): trie level order a, then c
-        t_by_a[a_val] = np.sort(grp["x"].unique())
-    r_by_a: dict = {}
-    for a_val, grp in r.groupby("x"):
-        r_by_a[a_val] = np.sort(grp["y"].unique())
-    s_by_b: dict = {}
-    for b_val, grp in s.groupby("x"):
-        s_by_b[b_val] = np.sort(grp["y"].unique())
+    rx, ry = r["x"].to_numpy(), r["y"].to_numpy()
+    sx, sy = s["x"].to_numpy(), s["y"].to_numpy()
+    tx, ty = t["x"].to_numpy(), t["y"].to_numpy()
 
-    t_a_keys = np.sort(t["y"].unique())
-    s_b_keys = np.sort(s["x"].unique())
+    # CSR adjacency: S keyed by b (=x, values c); T keyed by a (=y, values c)
+    s_order = np.lexsort((sy, sx))
+    sx, sy = sx[s_order], sy[s_order]
+    s_keys, s_starts, s_counts = np.unique(sx, return_index=True, return_counts=True)
+    t_order = np.lexsort((tx, ty))
+    tx, ty = tx[t_order], ty[t_order]
+    t_keys, t_starts, t_counts = np.unique(ty, return_index=True, return_counts=True)
 
-    out_a, out_b, out_c = [], [], []
-    for a_val in _leapfrog_intersect([r_a, t_a_keys]):
-        t_c = t_by_a[a_val]
-        for b_val in _leapfrog_intersect([r_by_a[a_val], s_b_keys]):
-            s_c = s_by_b.get(b_val)
-            if s_c is None:
-                continue
-            for c_val in _leapfrog_intersect([s_c, t_c]):
-                out_a.append(a_val)
-                out_b.append(b_val)
-                out_c.append(c_val)
-    return pd.DataFrame({"a": out_a, "b": out_b, "c": out_c}).astype("int64")
+    # levels a and b at once: keep R edges whose a has T-adjacency and
+    # whose b has S-adjacency (sorted-array membership, vectorized)
+    keep = np.isin(rx, t_keys) & np.isin(ry, s_keys)
+    a_arr, b_arr = rx[keep], ry[keep]
+    if len(a_arr) == 0:
+        return _empty_abc()
+    pos_s = np.searchsorted(s_keys, b_arr)
+    pos_t = np.searchsorted(t_keys, a_arr)
+    deg_s = s_counts[pos_s]
+    deg_t = t_counts[pos_t]
+
+    parts: list[pd.DataFrame] = []
+    for expand_s in (True, False):
+        sel = (deg_s <= deg_t) if expand_s else (deg_s > deg_t)
+        if not sel.any():
+            continue
+        if expand_s:
+            starts, counts, vals = s_starts[pos_s[sel]], deg_s[sel], sy
+        else:
+            starts, counts, vals = t_starts[pos_t[sel]], deg_t[sel], tx
+        total = int(counts.sum())
+        if total == 0:
+            continue
+        # vectorized multi-slice gather of the adjacency lists
+        offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        cand = pd.DataFrame(
+            {
+                "a": np.repeat(a_arr[sel], counts),
+                "b": np.repeat(b_arr[sel], counts),
+                "c": vals[np.repeat(starts, counts) + offs],
+            }
+        )
+        if expand_s:  # candidates came from S — verify (c, a) ∈ T
+            edges = pd.DataFrame({"c": tx, "a": ty})
+        else:  # candidates came from T — verify (b, c) ∈ S
+            edges = pd.DataFrame({"b": sx, "c": sy})
+        parts.append(cand.merge(edges, on=list(edges.columns), how="inner"))
+    if not parts:
+        return _empty_abc()
+    return pd.concat(parts, ignore_index=True)[["a", "b", "c"]].astype("int64")
 
 
 def triangles_wcoj(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    cube_side: int = 3,
+    cube_side: int | None = None,
 ) -> DataFrame:
     """All directed triangles (a→b→c→a) via hypercube LFTJ.
 
     Each edge is hashed on both endpoints and replicated along its
     missing hypercube axis (cube_side copies — the Afrati/Ullman shares
     scheme), then every (ha,hb,hc) cell joins independently. Wall-clock
-    scales with the heaviest cell; cube_side should grow with
-    ∛parallelism on a real cluster.
+    scales with the heaviest cell; by default cube_side grows with
+    ∛parallelism so cell count tracks the cluster size (27 cells on
+    local[32]; ~1000 cells at 4096-core scale — replication cost is
+    only 2·cube_side× per edge while cells shrink quadratically).
     """
+    if cube_side is None:
+        par = edges.sparkSession.sparkContext.defaultParallelism
+        cube_side = max(2, round(par ** (1 / 3)))
     p = cube_side
     e = edges.select(F.col(src).cast("long").alias("x"), F.col(dst).cast("long").alias("y"))
     hx = F.pmod(F.hash(F.col("x")), F.lit(p))

@@ -19,7 +19,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -49,7 +49,14 @@ def _ewma_series(values: pd.Series, alpha: float, seed: float | None) -> list[fl
 def ewma_batch(
     df: DataFrame, alpha: float = 0.3, key_col: str = "user_id"
 ) -> DataFrame:
-    """Batch form: per-key EWMA over events ordered by (ts, event_id)."""
+    """Batch form: per-key EWMA over events ordered by (ts, event_id).
+
+    Exact sequential recursion (bit-identical to the stream form), but
+    ``groupBy().applyInPandas`` materializes EVERY event of a key in one
+    pandas frame — a hot key at 100 TB is an executor OOM. At scale use
+    :func:`ewma_batch_scalable` (windowed closed form, no per-key
+    materialization) or the stream form (bounded per micro-batch).
+    """
 
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
@@ -60,6 +67,71 @@ def ewma_batch(
         df.select(key_col, "event_id", "ts", "value")
         .groupBy(key_col)
         .applyInPandas(per_key, OUT_SCHEMA)
+    )
+
+
+def ewma_batch_scalable(
+    df: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "user_id",
+    chunk: int = 1024,
+) -> DataFrame:
+    """Scale-safe batch EWMA: pure windowed expressions, no per-key
+    pandas materialization — a billion-event hot key costs one sort,
+    not one executor's heap.
+
+    The recursion e_t = α·v_t + (1-α)·e_{t-1} (seeded with the first
+    value) unrolls to a scaled cumulative sum. Directly, the scale
+    factor (1-α)^{-t} overflows past t ≈ 700, so rows are CHUNKED per
+    key: within a chunk (pos < ``chunk``) the closed form is exact in
+    expression space; across chunks the carried seed is
+    Σ_d L_{k-d}·(1-α)^{chunk·(d-1)} over chunk-final locals L, truncated
+    once the decay factor underflows — the dropped terms are below
+    double resolution of the result, so agreement with the exact
+    recursion is within float ulps (assert with tolerance, not
+    equality).
+    """
+    q = 1.0 - alpha
+    import math
+
+    # lag depth: stop once q^(chunk·(d-1)) can no longer move the sum
+    depth = max(1, min(64, math.ceil(70.0 / max(chunk * -math.log10(q), 1e-12))))
+
+    base = df.select(key_col, "event_id", "ts", "value")
+    w = Window.partitionBy(key_col).orderBy("ts", "event_id")
+    base = base.withColumn("__rn", F.row_number().over(w) - F.lit(1))
+    base = base.withColumn("__chunk", (F.col("__rn") / chunk).cast("long"))
+    base = base.withColumn("__pos", F.col("__rn") % chunk)
+
+    # within-chunk closed form: local_t = Σ_{i≤t} w_i v_i (1-α)^{pos_t-pos_i}
+    wgt = F.when(F.col("__rn") == 0, F.lit(1.0)).otherwise(F.lit(alpha))
+    u = wgt * F.col("value") * F.pow(F.lit(q), -F.col("__pos"))
+    cw = (
+        Window.partitionBy(key_col, "__chunk")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = base.withColumn(
+        "__local", F.sum(u).over(cw) * F.pow(F.lit(q), F.col("__pos"))
+    )
+
+    # chunk summaries: the local value at each chunk's last row
+    summaries = base.groupBy(key_col, "__chunk").agg(
+        F.max_by("__local", "__pos").alias("__L")
+    )
+    sw = Window.partitionBy(key_col).orderBy("__chunk")
+    carry = F.lit(0.0)
+    for d in range(1, depth + 1):
+        decay = q ** (chunk * (d - 1))
+        if decay == 0.0:
+            break
+        carry = carry + F.coalesce(F.lag("__L", d).over(sw), F.lit(0.0)) * F.lit(decay)
+    summaries = summaries.select(key_col, "__chunk", carry.alias("__carry"))
+
+    out = base.join(summaries, [key_col, "__chunk"], "inner")
+    ewma = F.col("__local") + F.col("__carry") * F.pow(F.lit(q), F.col("__pos") + 1)
+    return out.select(
+        key_col, "event_id", "ts", "value", F.round(ewma, 9).alias("ewma")
     )
 
 

@@ -206,3 +206,52 @@ def test_salted_join_rejects_small_side_preserving(engine):
     for how in ("right", "full", "full_outer", "cross"):
         with _pytest.raises(ValueError):
             salted_join(li, su, ["l_suppkey"], how=how)
+
+
+def test_agg_view_dedup(engine, oracle):
+    """Identical aggregated subqueries materialize once (reference
+    SqlPlusCompiler.scala:38-53) and the shared frame is persisted."""
+    from sparksqlplus_spark.compiler.cqc import agg_signature, build_relation_df
+    from tests.helpers import assert_matches
+
+    q = """SELECT c.c_custkey, a.cnt, b.cnt2
+           FROM customer AS c,
+                (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) AS a,
+                (SELECT o_custkey, COUNT(*) AS cnt2 FROM orders GROUP BY o_custkey) AS b
+           WHERE c.c_custkey = a.o_custkey AND c.c_custkey = b.o_custkey
+             AND a.cnt <= b.cnt2"""
+    ctx = engine.context(q)
+    aggs = [r for r in ctx.relations if r.kind == "agg"]
+    assert len(aggs) == 2
+    # out col names differ (cnt vs cnt2) => distinct signatures; same-name views share
+    cache: dict = {}
+    for rel in aggs:
+        build_relation_df(engine.spark, engine.catalog, rel, [], ctx.var_map, agg_cache=cache)
+    assert len(cache) == 2
+
+    q_same = q.replace("cnt2", "cnt").replace("a.cnt, b.cnt", "a.cnt AS cnt1, b.cnt AS cnt2")
+    ctx2 = engine.context(q_same)
+    aggs2 = [r for r in ctx2.relations if r.kind == "agg"]
+    assert agg_signature(aggs2[0]) == agg_signature(aggs2[1])
+    cache2: dict = {}
+    built = [
+        build_relation_df(engine.spark, engine.catalog, rel, [], ctx2.var_map, agg_cache=cache2)
+        for rel in aggs2
+    ]
+    assert len(cache2) == 1
+    assert len(built) == 2
+
+    n_before = len(engine._executor.persisted)
+    df = engine.sql(q_same)
+    assert_matches(
+        df,
+        oracle,
+        """SELECT DISTINCT c.c_custkey, a.cnt AS cnt1, b.cnt AS cnt2
+           FROM customer c,
+                (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) a,
+                (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) b
+           WHERE c.c_custkey = a.o_custkey AND c.c_custkey = b.o_custkey
+             AND a.cnt <= b.cnt""",
+    )
+    assert len(engine._executor.persisted) > n_before
+    engine._executor.clear_cache()

@@ -137,3 +137,30 @@ def test_ewma_stream_matches_batch(spark, events):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_ewma_scalable_matches_exact(events):
+    """Windowed closed-form EWMA (the 100 TB path — no per-key pandas
+    materialization) agrees with the exact recursion to float ulps."""
+    from sparksqlplus_spark.streaming.stateful import ewma_batch, ewma_batch_scalable
+
+    exact = {
+        (r.user_id, r.event_id): r.ewma for r in ewma_batch(events, alpha=0.3).collect()
+    }
+    scal = ewma_batch_scalable(events, alpha=0.3, chunk=16).collect()  # small chunk => cross-chunk carry exercised
+    assert len(scal) == len(exact)
+    for r in scal:
+        assert abs(r.ewma - exact[(r.user_id, r.event_id)]) < 1e-6, (r.user_id, r.event_id)
+
+
+def test_ewma_scalable_small_alpha_deep_carry(events):
+    """Small alpha means slow decay — the carry must look back several
+    chunks (depth formula), not just one."""
+    from sparksqlplus_spark.streaming.stateful import ewma_batch, ewma_batch_scalable
+
+    exact = {
+        (r.user_id, r.event_id): r.ewma for r in ewma_batch(events, alpha=0.05).collect()
+    }
+    scal = ewma_batch_scalable(events, alpha=0.05, chunk=8).collect()
+    for r in scal:
+        assert abs(r.ewma - exact[(r.user_id, r.event_id)]) < 1e-6, (r.user_id, r.event_id)
