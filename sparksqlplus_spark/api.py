@@ -123,7 +123,13 @@ class SparkSQLPlus:
     def context(self, query: str) -> Context:
         return build_context(parse_query(query), self.catalog)
 
-    def sql(self, query: str, mode: str = "auto", root_hint: str | None = None) -> DataFrame:
+    def sql(
+        self,
+        query: str,
+        mode: str = "auto",
+        root_hint: str | None = None,
+        cyclic_strategy: str = "auto",
+    ) -> DataFrame:
         """Plan and execute a query.
 
         mode: 'auto' (CQC, cyclic handler, then spark.sql fallback),
@@ -131,6 +137,8 @@ class SparkSQLPlus:
         baseline comparator), 'spark' (verbatim spark.sql).
         root_hint: alias to use as the enumeration root (reference C24
         join-order hint; overrides the planner's root choice).
+        cyclic_strategy: router for cyclic queries — 'auto' (break,
+        then GHD+WCOJ, then greedy), or force 'break'/'ghd'/'naive'.
         """
         if mode == "spark":
             self._ensure_views()
@@ -147,11 +155,10 @@ class SparkSQLPlus:
         tree = best_join_tree(ctx.relations, ctx.comparisons)
         if tree is not None:
             return self._executor.execute_tree(ctx, tree, root_hint=root_hint)
-        # cyclic: break / GHD planner; until then the greedy-join baseline
-        # is the correct executor for cyclic shapes
+        # cyclic: break rewrite / GHD bags + per-bag WCOJ / greedy joins
         from sparksqlplus_spark.plans.cyclic import execute_cyclic
 
-        return execute_cyclic(self.spark, self.catalog, ctx, mode)
+        return execute_cyclic(self.spark, self.catalog, ctx, mode, cyclic_strategy)
 
     def explain_tree(self, query: str) -> str:
         """Debug: render the join tree chosen for a query."""

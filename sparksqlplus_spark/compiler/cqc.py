@@ -167,10 +167,18 @@ class CqcExecutor:
 
     def _build_all(self, ctx: Context) -> dict[int, DataFrame]:
         """Materialize every relation, sharing identical aggregated
-        views (reference SqlPlusCompiler.scala:38-53): the shared frame
-        is persisted so the base table is scanned + shuffled once."""
+        views (reference SqlPlusCompiler.scala:38-53).
+
+        A view referenced by ≥2 aliases is persisted ONLY when its base
+        table is not already Spark-cached: re-running a groupBy over a
+        cached base is one in-memory agg — cheaper than writing a new
+        cache entry — while at real scale (uncached 100 TB base) the
+        persist saves a second full scan + shuffle. Frames persisted by
+        a previous query are released first (execute-scoped lifecycle,
+        so the executor's cache footprint stays bounded)."""
         from collections import Counter
 
+        self.clear_cache()
         sig_counts = Counter(
             s for s in (agg_signature(r) for r in ctx.relations) if s is not None
         )
@@ -187,10 +195,18 @@ class CqcExecutor:
             for r in ctx.relations
         }
         for sig, n in sig_counts.items():
-            if n >= 2 and sig in agg_cache:
+            if n >= 2 and sig in agg_cache and not self._base_cached(sig[0]):
                 agg_cache[sig].persist()
                 self.persisted.append(agg_cache[sig])
         return dfs
+
+    def _base_cached(self, table: str) -> bool:
+        """Is the base table's DataFrame already in Spark's cache?"""
+        try:
+            meta = self.catalog.get(table)
+            return meta.df is not None and meta.df.storageLevel.useMemory
+        except Exception:
+            return False
 
     # -- public -------------------------------------------------------------
     def execute(self, ctx: Context, reduce_mode: str = "selective") -> DataFrame:

@@ -201,14 +201,16 @@ def minhash_dedup_pairs(
     band self-join, and the verify stage all consume them — without
     reuse each downstream stage re-derives the whole upstream)."""
     # spread the md5-heavy shingle/signature stage across the cluster
-    # (a single small input file otherwise caps parallelism at its
-    # partition count), then persist — three downstream stages reuse it
+    # when the input arrives under-partitioned (a single small file caps
+    # parallelism at its partition count); a well-partitioned 100 TB
+    # input skips this — an unconditional repartition would be a
+    # gratuitous full shuffle of the shingle frame. Then persist: three
+    # downstream stages reuse it
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    sh = (
-        shingle_frame(df, text_col, id_col, shingle_n)
-        .repartition(parallelism)
-        .persist()
-    )
+    sh = shingle_frame(df, text_col, id_col, shingle_n)
+    if df.rdd.getNumPartitions() < parallelism:
+        sh = sh.repartition(parallelism)
+    sh = sh.persist()
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n, shingles=sh)
     cand = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
     return ngram_jaccard_pairs(

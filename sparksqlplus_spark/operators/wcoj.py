@@ -120,41 +120,58 @@ def _triangles_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(parts, ignore_index=True)[["a", "b", "c"]].astype("int64")
 
 
-def triangles_wcoj(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
+def triangle_join(
+    r: DataFrame,
+    s: DataFrame,
+    t: DataFrame,
     cube_side: int | None = None,
 ) -> DataFrame:
-    """All directed triangles (a→b→c→a) via hypercube LFTJ.
+    """General WCO triangle join Q(a,b,c) = R(a,b) ⋈ S(b,c) ⋈ T(c,a)
+    over three (possibly distinct) binary relations — the per-bag
+    evaluator for GHD bags of cyclic cores (reference
+    SqlPlusCompiler.scala:155-168 routes each GHD bag to lftj the same
+    way; like the reference's lftj the keys must be integral,
+    ImplicitConversions.scala:342-356).
 
-    Each edge is hashed on both endpoints and replicated along its
+    Inputs are 2-column DataFrames whose first column is the pattern's
+    first variable (R: a then b; S: b then c; T: c then a). Output
+    columns are named a, b, c.
+
+    Each tuple is hashed on both endpoints and replicated along its
     missing hypercube axis (cube_side copies — the Afrati/Ullman shares
     scheme), then every (ha,hb,hc) cell joins independently. Wall-clock
     scales with the heaviest cell; by default cube_side grows with
     ∛parallelism so cell count tracks the cluster size (27 cells on
     local[32]; ~1000 cells at 4096-core scale — replication cost is
-    only 2·cube_side× per edge while cells shrink quadratically).
+    only 2·cube_side× per tuple while cells shrink quadratically).
     """
     if cube_side is None:
-        par = edges.sparkSession.sparkContext.defaultParallelism
+        par = r.sparkSession.sparkContext.defaultParallelism
         cube_side = max(2, round(par ** (1 / 3)))
     p = cube_side
-    e = edges.select(F.col(src).cast("long").alias("x"), F.col(dst).cast("long").alias("y"))
+
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        x, y = df.columns[:2]
+        return df.select(
+            F.lit(tag).alias("rel"),
+            F.col(x).cast("long").alias("x"),
+            F.col(y).cast("long").alias("y"),
+        )
+
     hx = F.pmod(F.hash(F.col("x")), F.lit(p))
     hy = F.pmod(F.hash(F.col("y")), F.lit(p))
     axis = F.explode(F.sequence(F.lit(0), F.lit(p - 1))).alias("z")
 
     # R(a,b): cell (h(a), h(b), z) for all z; S(b,c): (z, h(b), h(c));
     # T(c,a): (h(a), z, h(c))
-    r = e.select(F.lit("r").alias("rel"), "x", "y", hx.alias("ca"), hy.alias("cb"), axis)
-    r = r.select("rel", "x", "y", "ca", "cb", F.col("z").alias("cc"))
-    s = e.select(F.lit("s").alias("rel"), "x", "y", hx.alias("cb"), hy.alias("cc"), axis)
-    s = s.select("rel", "x", "y", F.col("z").alias("ca"), "cb", "cc")
-    t = e.select(F.lit("t").alias("rel"), "x", "y", hy.alias("ca"), hx.alias("cc"), axis)
-    t = t.select("rel", "x", "y", "ca", F.col("z").alias("cb"), "cc")
+    r_ = prep(r, "r").select("rel", "x", "y", hx.alias("ca"), hy.alias("cb"), axis)
+    r_ = r_.select("rel", "x", "y", "ca", "cb", F.col("z").alias("cc"))
+    s_ = prep(s, "s").select("rel", "x", "y", hx.alias("cb"), hy.alias("cc"), axis)
+    s_ = s_.select("rel", "x", "y", F.col("z").alias("ca"), "cb", "cc")
+    t_ = prep(t, "t").select("rel", "x", "y", hy.alias("ca"), hx.alias("cc"), axis)
+    t_ = t_.select("rel", "x", "y", "ca", F.col("z").alias("cb"), "cc")
 
-    cells = r.unionByName(s).unionByName(t)
+    cells = r_.unionByName(s_).unionByName(t_)
     return (
         cells.groupBy("ca", "cb", "cc")
         .applyInPandas(
@@ -162,3 +179,15 @@ def triangles_wcoj(
             schema="a long, b long, c long",
         )
     )
+
+
+def triangles_wcoj(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    cube_side: int | None = None,
+) -> DataFrame:
+    """All directed triangles (a→b→c→a) of one edge table — the
+    self-join special case of :func:`triangle_join`."""
+    e = edges.select(src, dst)
+    return triangle_join(e, e, e, cube_side)

@@ -108,14 +108,242 @@ def try_break(ctx: Context, depth: int = 0) -> tuple[Context, JoinTree] | None:
     return None
 
 
-def execute_cyclic(
-    spark: SparkSession, catalog: Catalog, ctx: Context, mode: str = "auto"
+def _integral_types(df: DataFrame, cols: list[str]) -> bool:
+    from pyspark.sql import types as T
+
+    ok = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    return all(isinstance(by_name[c], ok) for c in cols)
+
+
+def _triangle_orientation(rels: list[Relation]):
+    """If the bag's 3 members form the triangle pattern R(a,b) ⋈ S(b,c)
+    ⋈ T(c,a), return [(R, (a, b)), (S, (b, c)), (T, (c, a))], else None."""
+    from itertools import permutations
+
+    if len(rels) != 3 or any(len(r.variables) != 2 for r in rels):
+        return None
+    if len(set().union(*[r.variables for r in rels])) != 3:
+        return None
+    for R, S, T in permutations(rels):
+        for a, b in permutations(sorted(R.variables)):
+            if b not in S.variables:
+                continue
+            c = next(iter(S.variables - {b}))
+            if T.variables == frozenset({c, a}):
+                return [(R, (a, b)), (S, (b, c)), (T, (c, a))]
+    return None
+
+
+def _eval_bag(
+    bag_rels: list[Relation], dfs: dict[int, DataFrame], vars_sorted: list[str]
 ) -> DataFrame:
-    """Break to acyclic + CQC when possible, else greedy connected joins."""
+    """Evaluate one GHD bag to a DataFrame over its variables.
+
+    Triangle-shaped bags with integral keys run the worst-case-optimal
+    hypercube kernel (reference: per-bag lftj,
+    SqlPlusCompiler.scala:155-168); anything else joins members
+    pairwise in connected order. Set semantics over the bag variables
+    (the GHD path assumes duplicate-free inputs — see execute_ghd).
+    """
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.operators.wcoj import triangle_join
+
+    if len(bag_rels) == 1:
+        return dfs[bag_rels[0].rid].select(*vars_sorted)
+
+    tri = _triangle_orientation(bag_rels)
+    if tri is not None:
+        (R, (a, b)), (S, (_, c)), (T, _) = tri
+        sides = [dfs[R.rid].select(a, b), dfs[S.rid].select(b, c), dfs[T.rid].select(c, a)]
+        if all(_integral_types(s, s.columns) for s in sides):
+            out = triangle_join(*sides)
+            renamed = out.select(
+                F.col("a").alias(a), F.col("b").alias(b), F.col("c").alias(c)
+            )
+            return renamed.select(*vars_sorted)
+
+    # general bag: greedy connected natural joins over the members
+    remaining = list(bag_rels)
+    first = remaining.pop(0)
+    result = dfs[first.rid]
+    have = set(first.variables)
+    while remaining:
+        pick = next((r for r in remaining if r.variables & have), remaining[0])
+        remaining.remove(pick)
+        shared = sorted(pick.variables & have)
+        result = (
+            result.join(dfs[pick.rid], shared, "inner")
+            if shared
+            else result.crossJoin(dfs[pick.rid])
+        )
+        have |= set(pick.variables)
+    return result.select(*vars_sorted).dropDuplicates()
+
+
+def execute_ghd(
+    spark: SparkSession, catalog: Catalog, ctx: Context
+) -> DataFrame | None:
+    """GHD-driven execution of an unbreakable cyclic core.
+
+    Reference semantics (SqlPlusCompiler.scala:155-168 +
+    GhdAlgorithm.scala:142-202): decompose the cyclic hypergraph into
+    bags, evaluate each bag worst-case-optimally, then run the ordinary
+    acyclic machinery over the bag tree — comparisons whose endpoints
+    land in different bags become bag-level CQC comparisons (min/max
+    migration), including endpoints that span several base relations
+    inside one bag (reference q2's cross-triangle sum,
+    examples/query/q2/query.sql).
+
+    Set-semantics caveat: bags are evaluated as sets over their
+    variables, so inputs carrying duplicate full rows would lose
+    multiplicity. Every relation here spans all its table's columns
+    (context normalization) — duplicate-free for any table with a key —
+    and the break path handles multiplicity-exact cases.
+    """
+    from sparksqlplus_spark.compiler.cqc import CqcExecutor, build_relation_df
+    from sparksqlplus_spark.expressions import rewrite_refs
+    from sparksqlplus_spark.plans.context import Comparison
+    from sparksqlplus_spark.plans.ghd import ghd_decompose
+
+    # triangle-sized bags first (they hit the WCOJ kernel); denser cores
+    # (K5, grids) need wider bags before an acyclic bag tree exists
+    decomp = ghd_decompose(ctx.relations) or ghd_decompose(ctx.relations, max_bag=4)
+    if decomp is None:
+        return None
+
+    by_id = {r.rid: r for r in ctx.relations}
+    dfs = {
+        r.rid: build_relation_df(
+            spark, catalog, r, ctx.local_filters.get(r.rid, []), ctx.var_map
+        )
+        for r in ctx.relations
+    }
+
+    # ---- evaluate bags, mint bag relations --------------------------------
+    bag_relations: list[Relation] = []
+    var_owner: dict[str, str] = {}  # variable -> owning bag alias
+    scratch = Catalog()
+    for meta in catalog.tables():
+        scratch.register(meta)
+    for i, bag in enumerate(decomp.bags):
+        members = [by_id[rid] for rid in sorted(bag.rids)]
+        vars_sorted = sorted(bag.variables)
+        bdf = _eval_bag(members, dfs, vars_sorted)
+        alias = f"__bag{i}"
+        rel = Relation(
+            rid=i,
+            alias=alias,
+            kind="scan",
+            table=alias,
+            col_to_var={v: v for v in vars_sorted},
+        )
+        bag_relations.append(rel)
+        scratch.register_df(alias, bdf)
+        for v in vars_sorted:
+            var_owner.setdefault(v, alias)
+
+    tree = gyo_join_tree(bag_relations)
+    if tree is None:  # decomposition validated this; defensive only
+        return None
+
+    # ---- rewrite the query over bag aliases -------------------------------
+    ref_map = {
+        (alias, col): (var_owner[var], var) for (alias, col), var in ctx.var_map.items()
+    }
+    new_var_map = {(r.alias, v): v for r in bag_relations for v in r.variables}
+    alias_rid = {r.alias: r.rid for r in bag_relations}
+
+    def rw(node):
+        return rewrite_refs(node, ref_map)
+
+    # every original condition — cross-relation comparisons AND residuals —
+    # reclassifies against the bag hypergraph: a side spanning three base
+    # relations inside one bag becomes a single-bag endpoint
+    conds = [Cmp(c.op, rw(c.left), rw(c.right)) for c in ctx.comparisons]
+    conds += [rw(c) for c in ctx.residuals]
+    local_filters: dict[int, list] = {r.rid: [] for r in bag_relations}
+    comparisons: list[Comparison] = []
+    residuals = []
+    cid = 0
+    for cond in conds:
+        aliases = {a for a, _ in cond.refs()}
+        if len(aliases) <= 1:
+            if aliases:
+                local_filters[alias_rid[next(iter(aliases))]].append(cond)
+            else:
+                residuals.append(cond)
+            continue
+        if isinstance(cond, Cmp) and cond.op in ("<", "<=", ">", ">="):
+            la = {a for a, _ in cond.left.refs()}
+            ra = {a for a, _ in cond.right.refs()}
+            if len(la) == 1 and len(ra) == 1 and la != ra:
+                cid += 1
+                comparisons.append(
+                    Comparison(
+                        cid=cid,
+                        op=cond.op,
+                        left=cond.left,
+                        right=cond.right,
+                        left_rid=alias_rid[next(iter(la))],
+                        right_rid=alias_rid[next(iter(ra))],
+                    )
+                )
+                continue
+        residuals.append(cond)
+
+    new_ctx = replace(
+        ctx,
+        relations=bag_relations,
+        var_map=new_var_map,
+        local_filters=local_filters,
+        comparisons=comparisons,
+        residuals=residuals,
+        output=[(n, rw(e)) for n, e in ctx.output],
+        group_by=[rw(e) for e in ctx.group_by],
+        aggregations=[(n, rw(e)) for n, e in ctx.aggregations],
+        order_by=[(rw(e), d) for e, d in ctx.order_by],
+    )
+    return CqcExecutor(spark, scratch).execute_tree(new_ctx, tree)
+
+
+# debug/testing probe: which strategy did the last execute_cyclic use?
+last_strategy: str | None = None
+
+
+def execute_cyclic(
+    spark: SparkSession,
+    catalog: Catalog,
+    ctx: Context,
+    mode: str = "auto",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Cyclic-query execution router.
+
+    strategy:
+    - 'auto': break to acyclic + CQC when possible (multiplicity-exact,
+      wins on sparse/filtered data), else GHD bags + per-bag WCOJ (the
+      scale-safe path for unbreakable dense cores), else greedy joins;
+    - 'break' / 'ghd' / 'naive': force one path ('ghd' still falls back
+      to naive if no decomposition exists).
+    """
+    global last_strategy
     from sparksqlplus_spark.compiler.cqc import CqcExecutor, naive_execute
 
-    broken = try_break(ctx)
-    if broken is not None:
-        new_ctx, tree = broken
-        return CqcExecutor(spark, catalog).execute_tree(new_ctx, tree)
+    if strategy in ("auto", "break"):
+        broken = try_break(ctx)
+        if broken is not None:
+            new_ctx, tree = broken
+            last_strategy = "break"
+            return CqcExecutor(spark, catalog).execute_tree(new_ctx, tree)
+        if strategy == "break":
+            last_strategy = "naive"
+            return naive_execute(spark, catalog, ctx)
+    if strategy in ("auto", "ghd"):
+        result = execute_ghd(spark, catalog, ctx)
+        if result is not None:
+            last_strategy = "ghd"
+            return result
+    last_strategy = "naive"
     return naive_execute(spark, catalog, ctx)

@@ -37,17 +37,22 @@ OUT_SCHEMA = T.StructType(
 STATE_SCHEMA = "last_ewma double, n long"
 
 
-def _ewma_series(values: pd.Series, alpha: float, seed: float | None) -> list[float]:
+def _ewma_series(
+    values: pd.Series, alpha: float, seed: float | None, round_to: int | None = 9
+) -> list[float]:
     out = []
     cur = seed
     for v in values:
         cur = v if cur is None else alpha * v + (1 - alpha) * cur
-        out.append(round(cur, 9))
+        out.append(cur if round_to is None else round(cur, round_to))
     return out
 
 
 def ewma_batch(
-    df: DataFrame, alpha: float = 0.3, key_col: str = "user_id"
+    df: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "user_id",
+    round_to: int | None = 9,
 ) -> DataFrame:
     """Batch form: per-key EWMA over events ordered by (ts, event_id).
 
@@ -60,7 +65,7 @@ def ewma_batch(
 
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        pdf["ewma"] = _ewma_series(pdf["value"], alpha, None)
+        pdf["ewma"] = _ewma_series(pdf["value"], alpha, None, round_to)
         return pdf[["user_id", "event_id", "ts", "value", "ewma"]]
 
     return (
@@ -75,6 +80,7 @@ def ewma_batch_scalable(
     alpha: float = 0.3,
     key_col: str = "user_id",
     chunk: int = 1024,
+    round_to: int | None = 9,
 ) -> DataFrame:
     """Scale-safe batch EWMA: pure windowed expressions, no per-key
     pandas materialization — a billion-event hot key costs one sort,
@@ -91,9 +97,28 @@ def ewma_batch_scalable(
     recursion is within float ulps (assert with tolerance, not
     equality).
     """
-    q = 1.0 - alpha
     import math
 
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    q = 1.0 - alpha
+    if q == 0.0:
+        # alpha == 1: e_t = v_t, no recursion to unroll
+        return df.select(
+            key_col,
+            "event_id",
+            "ts",
+            "value",
+            (
+                F.round(F.col("value"), round_to)
+                if round_to is not None
+                else F.col("value").cast("double")
+            ).alias("ewma"),
+        )
+    # within-chunk rescale is (1-α)^(-pos): cap the chunk so
+    # (1-α)^(-(chunk-1)) stays finite in a double (10^308) with margin
+    # — for α ≥ ~0.5 the default 1024 would overflow to inf/NaN
+    chunk = max(2, min(chunk, int(300.0 / max(-math.log10(q), 1e-12))))
     # lag depth: stop once q^(chunk·(d-1)) can no longer move the sum
     depth = max(1, min(64, math.ceil(70.0 / max(chunk * -math.log10(q), 1e-12))))
 
@@ -130,9 +155,9 @@ def ewma_batch_scalable(
 
     out = base.join(summaries, [key_col, "__chunk"], "inner")
     ewma = F.col("__local") + F.col("__carry") * F.pow(F.lit(q), F.col("__pos") + 1)
-    return out.select(
-        key_col, "event_id", "ts", "value", F.round(ewma, 9).alias("ewma")
-    )
+    if round_to is not None:
+        ewma = F.round(ewma, round_to)
+    return out.select(key_col, "event_id", "ts", "value", ewma.alias("ewma"))
 
 
 def ewma_stream(

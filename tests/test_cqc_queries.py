@@ -279,6 +279,78 @@ def test_graph_4hop_self_comparisons(graph_engine, oracle):
 
 
 # ---------------------------------------------------------------------------
+# GHD + per-bag WCOJ execution (reference q2, GhdAlgorithm.scala:142-202)
+# ---------------------------------------------------------------------------
+
+
+def test_ghd_execution_q2_crosstri(graph_engine, oracle):
+    """Reference q2 (dumbbell + cross-triangle sum comparison) through
+    the GHD path: two triangle bags run the WCOJ kernel, the 3-relation
+    comparison sides become ONE bag-level CQC comparison."""
+    import sparksqlplus_spark.plans.cyclic as cyc
+
+    from __spark_entry__ import _Q2_GHD_SQL
+
+    df = graph_engine.sql(_Q2_GHD_SQL, cyclic_strategy="ghd")
+    assert cyc.last_strategy == "ghd"
+    assert_matches(df, oracle, _Q2_GHD_SQL)
+
+
+def test_ghd_execution_nonfull_distinct(graph_engine, oracle):
+    """Non-full projection over a cyclic core through the GHD path keeps
+    the reference's DISTINCT semantics (C23) across the bag tree."""
+    import sparksqlplus_spark.plans.cyclic as cyc
+
+    q = """SELECT g1.src AS a, g4.dst AS e
+           FROM graph AS g1, graph AS g2, graph AS g3, graph AS g4
+           WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src
+             AND g4.src = g1.src"""
+    df = graph_engine.sql(q, cyclic_strategy="ghd")
+    assert cyc.last_strategy == "ghd"
+    assert_matches(
+        df,
+        oracle,
+        """SELECT DISTINCT g1.src AS a, g4.dst AS e
+           FROM graph g1, graph g2, graph g3, graph g4
+           WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src
+             AND g4.src = g1.src""",
+    )
+
+
+def test_unbreakable_k5_routes_to_ghd(graph_engine):
+    """K5 exhausts MAX_BREAKS clone rewrites: the auto router must take
+    the GHD path (NOT the greedy-join fallback) and agree with naive
+    execution — the round-2 verdict's named scale gap."""
+    import sparksqlplus_spark.plans.cyclic as cyc
+
+    aliases = []
+    preds = []
+    pairs = [(u, v) for i, u in enumerate("abcde") for v in "abcde"[i + 1:]]
+    var_owner: dict[str, tuple[str, str]] = {}
+    for i, (u, v) in enumerate(pairs):
+        g = f"g{i}"
+        aliases.append(f"graph AS {g}")
+        for var, col in ((u, "src"), (v, "dst")):
+            if var in var_owner:
+                oa, oc = var_owner[var]
+                preds.append(f"{g}.{col} = {oa}.{oc}")
+            else:
+                var_owner[var] = (g, col)
+    sel = ", ".join(
+        f"{a}.{c} AS {var}" for var, (a, c) in sorted(var_owner.items())
+    )
+    q = f"SELECT {sel} FROM {', '.join(aliases)} WHERE {' AND '.join(preds)}"
+
+    ctx = graph_engine.context(q)
+    assert cyc.try_break(ctx) is None  # genuinely unbreakable
+    df = graph_engine.sql(q)
+    auto_rows = sorted(map(tuple, df.collect()))
+    assert cyc.last_strategy == "ghd"
+    naive_rows = sorted(map(tuple, graph_engine.sql(q, mode="naive").collect()))
+    assert auto_rows == naive_rows
+
+
+# ---------------------------------------------------------------------------
 # cyclic TPC-H Q5 shape (breakable in the reference)
 # ---------------------------------------------------------------------------
 

@@ -169,16 +169,23 @@ def test_berge_acyclicity_and_ranking():
 
 
 def test_ghd_triangle_and_dumbbell():
-    """GHD (reference GhdAlgorithmTest intent): triangle = one width-3
-    bag; dumbbell = two triangle bags + the bridge."""
-    from sparksqlplus_spark.plans.ghd import ghd_decompose
+    """GHD with fractional-edge-cover scoring (reference
+    GhdScoreAssigner.scala:45-72): the triangle is ONE bag at ρ* = 1.5
+    — fractional scoring is what makes the WCOJ bag beat the
+    pair-of-edges cover (ρ* = 2, the binary-join blowup); the dumbbell
+    decomposes to the reference's two triangle bags + bridge."""
+    from sparksqlplus_spark.plans.ghd import fractional_edge_cover, ghd_decompose
+
+    assert fractional_edge_cover(
+        [frozenset("ab"), frozenset("bc"), frozenset("ca")]
+    ) == 1.5
+    assert fractional_edge_cover([frozenset("ab"), frozenset("bc")]) == 2.0
+    assert fractional_edge_cover([frozenset("ab")]) == 1.0
 
     tri = [rel(0, "r", ["a", "b"]), rel(1, "s", ["b", "c"]), rel(2, "t", ["c", "a"])]
     d = ghd_decompose(tri)
-    # ghw(C3) = 2: two-edge bags cover the triangle
-    assert d is not None and d.width == 2
-    covered = set().union(*[b.rids for b in d.bags])
-    assert covered == {0, 1, 2}
+    assert d is not None and d.width == 1.5
+    assert [sorted(b.rids) for b in d.bags] == [[0, 1, 2]]
 
     dumb = [
         rel(0, "g1", ["a", "b"]), rel(1, "g2", ["b", "c"]), rel(2, "g3", ["c", "a"]),
@@ -187,7 +194,8 @@ def test_ghd_triangle_and_dumbbell():
     ]
     d2 = ghd_decompose(dumb)
     assert d2 is not None
-    assert d2.width <= 3
+    assert d2.width == 1.5  # two WCOJ triangle bags + the singleton bridge
+    assert sorted(sorted(b.rids) for b in d2.bags) == [[0, 1, 2], [3, 4, 5], [6]]
     assert set().union(*[b.rids for b in d2.bags]) == set(range(7))
     # acyclic input -> no decomposition needed
     chain = [rel(0, "r", ["a", "b"]), rel(1, "s", ["b", "c"])]
@@ -241,7 +249,6 @@ def test_agg_view_dedup(engine, oracle):
     assert len(cache2) == 1
     assert len(built) == 2
 
-    n_before = len(engine._executor.persisted)
     df = engine.sql(q_same)
     assert_matches(
         df,
@@ -253,5 +260,20 @@ def test_agg_view_dedup(engine, oracle):
            WHERE c.c_custkey = a.o_custkey AND c.c_custkey = b.o_custkey
              AND a.cnt <= b.cnt""",
     )
-    assert len(engine._executor.persisted) > n_before
+    # shared view persisted (the base table is NOT Spark-cached in this
+    # fixture) and the footprint is execute-scoped: exactly one frame,
+    # frames of earlier queries were released at this execute's start
+    assert len(engine._executor.persisted) == 1
     engine._executor.clear_cache()
+
+    # when the base table IS cached, re-running the cheap agg beats
+    # materializing a new cache entry -> no persist (r2 bench regression)
+    base = engine.catalog.get("orders").df
+    base.persist()
+    base.count()
+    try:
+        engine.sql(q_same).count()
+        assert len(engine._executor.persisted) == 0
+    finally:
+        base.unpersist()
+        engine._executor.clear_cache()
