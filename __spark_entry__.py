@@ -1079,11 +1079,35 @@ def _q2_ghd_q(spark, sf_dir):
     return eng.sql(_Q2_GHD_SQL, cyclic_strategy="ghd")
 
 
+# --- C24: full user join-tree hint (reference HintHandler.scala:10-83)
+# — the chain is executed under an explicit user tree l→s→n (validated
+# against the hypergraph), with the hint root as enumeration root.
+_HINT_SQL = """
+SELECT s.s_name, n.n_name, l.l_quantity
+FROM lineitem AS l, supplier AS s, nation AS n
+WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+  AND l.l_quantity < 10
+"""
+
+_HINT_ORACLE = """
+SELECT DISTINCT s.s_name, n.n_name, l.l_quantity
+FROM lineitem l, supplier s, nation n
+WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+  AND l.l_quantity < 10
+"""
+
+
+def _hint_q(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return eng.sql(_HINT_SQL, join_tree_hint=[("l", "s"), ("s", "n")])
+
+
 _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "graph_q2_crosstri_ghd": (_q2_ghd_q, None),  # graph-CTE oracle attached below
     "graph_triangle_wcoj": (_wcoj_triangles_q, None),  # graph-CTE oracle attached below
     "events_ewma_stateful": (_ewma_q, _EWMA_ORACLE),
     "events_ewma_scalable": (_ewma_scalable_q, _EWMA_SCALABLE_ORACLE),
+    "hint_join_tree": (_hint_q, _HINT_ORACLE),
     "events_tumbling_window": (_tumbling_q, _TUMBLING_ORACLE),
     "events_sliding_window": (_sliding_q, _SLIDING_ORACLE),
     "events_session_window": (_session_q, _SESSION_ORACLE),
@@ -1115,12 +1139,14 @@ _HEAD = [
     "graph_triangle_wcoj",
     "events_ewma_stateful",
     "events_ewma_scalable",
+    "hint_join_tree",
 ]
 _TAIL = [
     "like_patterns",
     "is_not_null",
     "date_interval_arith",
     "cast_real",
+    "filters_pushdown",
 ]
 
 

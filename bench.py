@@ -67,9 +67,21 @@ def main() -> None:
         if meta.df is not None:
             meta.df = meta.df.cache()
             meta.df.count()
-    # one cheap untimed query to JIT the query path
+    # untimed queries to JIT the engine paths: a scan-agg (tpch_q6
+    # shape) AND a shuffle-heavy join+agg — the first shuffle join of a
+    # session pays JVM C2 compilation of the shuffle/hash-join runtime
+    # (measured: the first graph query runs ~2x its steady state when
+    # only the scan-agg path is warm). Neither query shares cached
+    # state or results with any timed query.
     qs_warm = entry_mod.queries()
     qs_warm["tpch_q6"](spark, sf_dir).count()
+    eng.sql(
+        """SELECT g1.src AS s, COUNT(*) AS c
+           FROM graph AS g1, graph AS g2,
+                (SELECT dst, COUNT(*) AS cnt FROM graph GROUP BY dst) AS v
+           WHERE g1.dst = g2.src AND g2.dst = v.dst
+           GROUP BY g1.src"""
+    ).count()
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

@@ -129,6 +129,7 @@ class SparkSQLPlus:
         mode: str = "auto",
         root_hint: str | None = None,
         cyclic_strategy: str = "auto",
+        join_tree_hint=None,
     ) -> DataFrame:
         """Plan and execute a query.
 
@@ -139,6 +140,13 @@ class SparkSQLPlus:
         join-order hint; overrides the planner's root choice).
         cyclic_strategy: router for cyclic queries — 'auto' (break,
         then GHD+WCOJ, then greedy), or force 'break'/'ghd'/'naive'.
+        join_tree_hint: a COMPLETE user join tree (reference
+        HintHandler.scala) as an edge list [(parent_alias,
+        child_alias), ...] or nested {'relation': ..., 'children':
+        [...]}; validated against the hypergraph (coverage, no
+        duplicates, running intersection) and used verbatim instead of
+        GYO enumeration. The enumeration root is the hint's root unless
+        root_hint overrides it.
         """
         if mode == "spark":
             self._ensure_views()
@@ -146,12 +154,19 @@ class SparkSQLPlus:
         try:
             ctx = self.context(query)
         except UnsupportedSqlError:
-            if mode == "auto":
+            if mode == "auto" and join_tree_hint is None:
                 self._ensure_views()
                 return self.spark.sql(query)
             raise
         if mode == "naive":
             return naive_execute(self.spark, self.catalog, ctx)
+        if join_tree_hint is not None:
+            from sparksqlplus_spark.plans.hints import join_tree_from_hint
+
+            tree = join_tree_from_hint(ctx, join_tree_hint)
+            return self._executor.execute_tree(
+                ctx, tree, root_hint=root_hint or tree.relations[tree.root].alias
+            )
         tree = best_join_tree(ctx.relations, ctx.comparisons)
         if tree is not None:
             return self._executor.execute_tree(ctx, tree, root_hint=root_hint)

@@ -301,27 +301,87 @@ def connex_subtree(tree: JoinTree, needed_vars: set[str]) -> set[int]:
     return nodes
 
 
+def fd_chase_closure(relations: list[Relation]) -> dict[int, frozenset[str]]:
+    """Chase primary-key functional dependencies to closure (reference
+    AcyclicHandler.scala:53-75): if r1's PK variables ⊆ closure(r2),
+    each r2 tuple determines at most one matching r1 tuple, so r2
+    functionally determines every r1 variable — closure(r2) ∪= closure(r1).
+    Iterate to fixpoint."""
+    chase: dict[int, set[str]] = {r.rid: set(r.variables) for r in relations}
+    changed = True
+    while changed:
+        changed = False
+        for r1 in relations:
+            pk1 = set(r1.primary_key_vars)
+            if not pk1:
+                continue
+            for r2 in relations:
+                if (
+                    r1.rid != r2.rid
+                    and pk1 <= chase[r2.rid]
+                    and not chase[r1.rid] <= chase[r2.rid]
+                ):
+                    chase[r2.rid] |= chase[r1.rid]
+                    changed = True
+    return {rid: frozenset(s) for rid, s in chase.items()}
+
+
+def fix_root_candidates(ctx: Context, relations: list[Relation]) -> list[int]:
+    """FD-chase fix-root (reference AcyclicHandler.scala:26-75): for an
+    aggregation query where every relation has a known cardinality and a
+    primary key, the near-largest relations (≥ 0.8 × max cardinality)
+    that own NO group-by variable but whose FD closure covers all of
+    them are root candidates — rooting enumeration at the biggest table
+    avoids re-shuffling it, and the closure proves each of its rows maps
+    to exactly one group."""
+    if not (ctx.aggregations and ctx.group_by):
+        return []
+    if any(not r.cardinality or not r.primary_key_vars for r in relations):
+        return []
+    gb_vars: set[str] = set()
+    for e in ctx.group_by:
+        for a, c in e.refs():
+            gb_vars.add(ctx.var_map[(a, c)])
+    chase = fd_chase_closure(relations)
+    max_card = max(r.cardinality for r in relations)
+    return [
+        r.rid
+        for r in relations
+        if r.cardinality >= 0.8 * max_card
+        and not (r.variables & gb_vars)
+        and gb_vars <= chase[r.rid]
+    ]
+
+
 def choose_root(tree: JoinTree, ctx: Context, subtree: set[int]) -> int:
     """Pick an enumeration root inside the connex subtree.
 
-    Aggregation fix-root heuristic (reference AcyclicHandler.scala:26-75):
-    prefer the largest relation that owns group-by variables, so the
-    final groupBy shuffles the least data.
+    Aggregation root choice (reference AcyclicHandler.scala:26-75):
+    first the FD-chase fix-root — the largest relation whose PK-chase
+    closure determines the group-by variables, even when it owns none
+    of them (TPC-H Q10: lineitem → orders → customer → nation) — then
+    the largest relation that owns group-by variables directly.
     """
     if ctx.aggregations and ctx.group_by:
         gb_vars: set[str] = set()
         for e in ctx.group_by:
             for a, c in e.refs():
                 gb_vars.add(ctx.var_map[(a, c)])
-        best, best_card = None, -1
+        owner, owner_card = None, -1
         for rid in subtree:
             rel = tree.relations[rid]
             if rel.variables & gb_vars:
                 card = rel.cardinality or 0
-                if card > best_card:
-                    best, best_card = rid, card
-        if best is not None:
-            return best
+                if card > owner_card:
+                    owner, owner_card = rid, card
+        fixed = fix_root_candidates(ctx, list(tree.relations.values()))
+        fixed = [rid for rid in fixed if rid in tree.relations]
+        if fixed:
+            best_fix = max(fixed, key=lambda rid: tree.relations[rid].cardinality or 0)
+            if (tree.relations[best_fix].cardinality or 0) > owner_card:
+                return best_fix
+        if owner is not None:
+            return owner
     # otherwise: the subtree node with the largest cardinality (root drives
     # the first enumeration join; biggest relation at the root avoids
     # re-shuffling it)

@@ -202,6 +202,114 @@ def test_ghd_triangle_and_dumbbell():
     assert ghd_decompose(chain) is None
 
 
+def test_join_tree_hint_validation(engine, oracle):
+    """Full user join-tree hint (reference HintHandler.scala:10-83):
+    valid trees execute verbatim; coverage / duplicate / connectivity /
+    running-intersection violations are rejected with InvalidHintError
+    (the reference misses the running-intersection check and would
+    compute garbage on such hints)."""
+    import pytest as _pytest
+
+    from sparksqlplus_spark.plans.hints import InvalidHintError, join_tree_from_hint
+    from tests.helpers import assert_matches
+
+    q = """SELECT s.s_name, n.n_name, l.l_quantity
+           FROM lineitem AS l, supplier AS s, nation AS n
+           WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+             AND l.l_quantity < 10"""
+    ctx = engine.context(q)
+
+    # edge-list form: chain rooted at l
+    tree = join_tree_from_hint(ctx, [("l", "s"), ("s", "n")])
+    assert tree.relations[tree.root].alias == "l"
+    assert {tree.relations[c].alias: tree.relations[p].alias
+            for c, p in tree.parent.items()} == {"s": "l", "n": "s"}
+
+    # nested HintNode form: same tree rooted at n
+    nested = {"relation": "n",
+              "children": [{"relation": "s", "children": [{"relation": "l"}]}]}
+    tree2 = join_tree_from_hint(ctx, nested)
+    assert tree2.relations[tree2.root].alias == "n"
+
+    # executed under the hint, result matches the oracle
+    df = engine.sql(q, join_tree_hint=[("l", "s"), ("s", "n")])
+    assert_matches(
+        df,
+        oracle,
+        """SELECT DISTINCT s.s_name, n.n_name, l.l_quantity
+           FROM lineitem l, supplier s, nation n
+           WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+             AND l.l_quantity < 10""",
+    )
+
+    with _pytest.raises(InvalidHintError):  # n not covered
+        join_tree_from_hint(ctx, [("l", "s")])
+    with _pytest.raises(InvalidHintError):  # unknown alias
+        join_tree_from_hint(ctx, [("l", "s"), ("s", "zz")])
+    with _pytest.raises(InvalidHintError):  # duplicate child
+        join_tree_from_hint(ctx, [("l", "s"), ("l", "s"), ("s", "n")])
+    with _pytest.raises(InvalidHintError):  # two roots / disconnected
+        join_tree_from_hint(ctx, [("l", "s"), ("n", "l"), ("s", "n")])
+    # running intersection: n beside s under l — s↔n share s_nationkey
+    # but are not adjacent
+    with _pytest.raises(InvalidHintError, match="running intersection"):
+        join_tree_from_hint(ctx, [("l", "s"), ("l", "n")])
+
+    # a cyclic query admits no valid join tree: any spanning tree hint
+    # must violate running intersection (TPC-H Q5's c-o-l-s cycle)
+    q5 = """SELECT c.c_name, s.s_name
+            FROM customer AS c, orders AS o, lineitem AS l, supplier AS s
+            WHERE c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+              AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey"""
+    ctx5 = engine.context(q5)
+    with _pytest.raises(InvalidHintError, match="running intersection"):
+        join_tree_from_hint(ctx5, [("c", "o"), ("o", "l"), ("l", "s")])
+
+
+def test_fd_chase_fix_root(engine):
+    """Mirror of the reference converter test (testFixRoot,
+    LogicalPlanConverterTest.scala:426-575, TPC-H Q10 shape): lineitem
+    owns no group-by variable, but the PK chase lineitem → orders →
+    customer → nation proves it determines all of them, so the largest
+    relation becomes the enumeration root."""
+    from sparksqlplus_spark.plans.gyo import (
+        choose_root,
+        fd_chase_closure,
+        fix_root_candidates,
+        gyo_join_tree,
+    )
+
+    q = """SELECT c.c_custkey, c.c_name, SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+                  c.c_acctbal, n.n_name
+           FROM customer AS c, orders AS o, lineitem AS l, nation AS n
+           WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+             AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+           GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name"""
+    ctx = engine.context(q)
+    by_alias = {r.alias: r for r in ctx.relations}
+
+    chase = fd_chase_closure(ctx.relations)
+    # closure(lineitem) reaches nation's vars through three PK hops
+    assert by_alias["n"].variables <= chase[by_alias["l"].rid]
+    # customer's PK does NOT flow the other way (lineitem's PK is not
+    # contained in customer's closure)
+    assert not by_alias["l"].variables <= chase[by_alias["c"].rid]
+
+    cands = fix_root_candidates(ctx, ctx.relations)
+    assert cands == [by_alias["l"].rid]
+
+    tree = gyo_join_tree(ctx.relations)
+    root = choose_root(tree, ctx, set(tree.relations))
+    assert root == by_alias["l"].rid
+
+    # dropping lineitem's PK kills every candidate (reference
+    # precondition: all relations need a primary key)
+    saved = by_alias["o"].primary_key_vars
+    by_alias["o"].primary_key_vars = ()
+    assert fix_root_candidates(ctx, ctx.relations) == []
+    by_alias["o"].primary_key_vars = saved
+
+
 def test_salted_join_rejects_small_side_preserving(engine):
     """right/full outer would emit unmatched small-side rows once per
     salt replica — must be rejected (ADVICE r1)."""
