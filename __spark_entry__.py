@@ -33,6 +33,31 @@ GRAPH_SQL_DUCK = (
     "% (SELECT MAX(l_orderkey) FROM lineitem)) AS dst FROM lineitem"
 )
 
+# Derived partsupp stand-in (TESTDATA ships none): one row per
+# (partkey, suppkey) seen in lineitem, with deterministic availqty /
+# supplycost. Identical text runs in Spark and DuckDB.
+PARTSUPP_SQL = (
+    "SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, "
+    "CAST(COUNT(*) * 10 AS BIGINT) AS ps_availqty, "
+    "MIN(l_extendedprice / greatest(l_quantity, 1.0)) AS ps_supplycost "
+    "FROM lineitem GROUP BY l_partkey, l_suppkey"
+)
+
+# Q8's pre-flattened view1 (reference TpchQueriesTest.scala:426-455):
+# orders + extracted year.
+ORDERS_Y_SQL = (
+    "SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, "
+    "CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year FROM orders"
+)
+
+
+def _ora_derived(body: str) -> str:
+    return (
+        f"WITH partsupp AS MATERIALIZED ({PARTSUPP_SQL}), "
+        f"orders_y AS MATERIALIZED ({ORDERS_Y_SQL}) {body}"
+    )
+
+
 _ENGINES: dict = {}
 
 
@@ -56,6 +81,20 @@ def _engine(spark: SparkSession, sf_dir: str):
         # would re-derive it (md5 + scalar-subquery MAX over lineitem)
         eng.register("graph", eng.sql(GRAPH_SQL, mode="spark").persist())
         eng.register("docs_aug", eng.sql(DOCS_AUG_SQL, mode="spark").persist())
+        # TESTDATA has no partsupp; TPC-H Q2/Q11 need one — derive a
+        # deterministic stand-in from lineitem (same SQL in the oracle).
+        # Reference plans Q2/Q8/Q11 over pre-flattened views the same
+        # way (TpchQueriesTest.scala:181-217, 426-500, 583-610).
+        eng.register(
+            "partsupp",
+            eng.sql(PARTSUPP_SQL, mode="spark").persist(),
+            primary_key=("ps_partkey", "ps_suppkey"),
+        )
+        eng.register(
+            "orders_y",
+            eng.sql(ORDERS_Y_SQL, mode="spark").persist(),
+            primary_key=("o_orderkey",),
+        )
         _ENGINES[key] = eng
     return _ENGINES[key]
 
@@ -383,6 +422,82 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
            WHERE s.s_suppkey = v.l_suppkey AND p.p_partkey = v.l_partkey
              AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
              AND p.p_name LIKE '%a%' AND v.qty > 60""",
+    ),
+    # --- TPC-H Q2 shape (reference pre-flattens the MIN-supplycost
+    # correlated subquery into a view, TpchQueriesTest.scala:181-217;
+    # partsupp itself is derived — see PARTSUPP_SQL) ---
+    "tpch_q2": (
+        """SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand
+           FROM part AS p, supplier AS s, partsupp AS ps, nation AS n, region AS r,
+                (SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+                 FROM partsupp GROUP BY ps_partkey) AS v
+           WHERE p.p_partkey = ps.ps_partkey AND s.s_suppkey = ps.ps_suppkey
+             AND p.p_size = 15 AND p.p_type LIKE '%DARD'
+             AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+             AND r.r_name = 'EUROPE'
+             AND p.p_partkey = v.ps_partkey AND ps.ps_supplycost = v.min_cost
+           ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+        _ora_derived(
+            """SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand
+           FROM part p, supplier s, partsupp ps, nation n, region r,
+                (SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+                 FROM partsupp GROUP BY ps_partkey) v
+           WHERE p.p_partkey = ps.ps_partkey AND s.s_suppkey = ps.ps_suppkey
+             AND p.p_size = 15 AND p.p_type LIKE '%DARD'
+             AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+             AND r.r_name = 'EUROPE'
+             AND p.p_partkey = v.ps_partkey AND ps.ps_supplycost = v.min_cost
+           ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""
+        ),
+    ),
+    # --- TPC-H Q8 shape: market share over the flattened orders+year
+    # view (reference TpchQueriesTest.scala:426-500) ---
+    "tpch_q8": (
+        """SELECT o.o_year,
+                  SUM(CASE WHEN n2.n_name = 'NATION_5'
+                           THEN l.l_extendedprice * (1 - l.l_discount)
+                           ELSE 0.0 END)
+                  / SUM(l.l_extendedprice * (1 - l.l_discount)) AS mkt_share
+           FROM part AS p, supplier AS s, lineitem AS l, customer AS c,
+                nation AS n1, nation AS n2, region AS r, orders_y AS o
+           WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+             AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+             AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r.r_regionkey
+             AND r.r_name = 'AMERICA' AND s.s_nationkey = n2.n_nationkey
+             AND o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate <= DATE '1996-12-31'
+             AND p.p_type = 'ECONOMY'
+           GROUP BY o.o_year ORDER BY o_year""",
+        _ora_derived(
+            """SELECT o.o_year,
+                  SUM(CASE WHEN n2.n_name = 'NATION_5'
+                           THEN l.l_extendedprice * (1 - l.l_discount)
+                           ELSE 0.0 END)
+                  / SUM(l.l_extendedprice * (1 - l.l_discount)) AS mkt_share
+           FROM part p, supplier s, lineitem l, customer c,
+                nation n1, nation n2, region r, orders_y o
+           WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+             AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+             AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r.r_regionkey
+             AND r.r_name = 'AMERICA' AND s.s_nationkey = n2.n_nationkey
+             AND o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate <= DATE '1996-12-31'
+             AND p.p_type = 'ECONOMY'
+           GROUP BY o.o_year ORDER BY o_year"""
+        ),
+    ),
+    # --- TPC-H Q11 shape (reference TpchQueriesTest.scala:583-610) ---
+    "tpch_q11": (
+        """SELECT ps.ps_partkey, SUM(ps.ps_supplycost * ps.ps_availqty) AS val
+           FROM partsupp AS ps, supplier AS s, nation AS n
+           WHERE ps.ps_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+             AND n.n_name = 'NATION_3'
+           GROUP BY ps.ps_partkey ORDER BY val DESC, ps_partkey LIMIT 50""",
+        _ora_derived(
+            """SELECT ps.ps_partkey, SUM(ps.ps_supplycost * ps.ps_availqty) AS val
+           FROM partsupp ps, supplier s, nation n
+           WHERE ps.ps_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+             AND n.n_name = 'NATION_3'
+           GROUP BY ps.ps_partkey ORDER BY val DESC, ps_partkey LIMIT 50"""
+        ),
     ),
     # --- C18: CAST executed for real (silently dropped in the reference) ---
     "cast_real": (
@@ -832,6 +947,63 @@ SELECT CAST(10 AS BIGINT) AS n_queries, CAST(50 AS BIGINT) AS n_results,
 """
 
 
+def _emb_neardup_q(spark, sf_dir):
+    # embedding-cosine near-dup: embeddings + planted near-copies (every
+    # 10th vector scaled 0.9 and shifted +0.01 per component — a
+    # deterministic perturbation both engines express identically on
+    # float32-promoted doubles), paired via hyperplane-LSH buckets and
+    # verified with exact cosine. The oracle reproduces the buckets
+    # bit-for-bit, so Spark and DuckDB agree regardless of LSH recall.
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.operators.dedup import embedding_neardup_pairs
+
+    eng = _engine(spark, sf_dir)
+    emb = eng.catalog.get("embeddings").df
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 0.9 + 0.01).alias("embedding"),
+    )
+    aug = base.unionByName(pert)
+    df = embedding_neardup_pairs(aug, threshold=0.95)
+    return df.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _emb_neardup_oracle() -> str:
+    from sparksqlplus_spark.operators.similarity import hyperplane
+
+    planes = [hyperplane(64, j) for j in range(8)]
+
+    def lit(p):
+        return "[" + ",".join(repr(x) for x in p) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(ev, {lit(planes[j])}) >= 0 THEN {2**j} ELSE 0 END)"
+        for j in range(8)
+    )
+    return f"""
+WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+            FROM embeddings),
+aug AS (SELECT vec_id, ev FROM e0
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, list_transform(ev, x -> x * 0.9 + 0.01) AS ev
+        FROM e0 WHERE vec_id % 10 = 0),
+b AS (SELECT vec_id, ev, {bucket} AS bucket FROM aug),
+cand AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.ev AS va, b2.ev AS vb
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+scored AS (
+  SELECT id_a, id_b,
+         list_dot_product(va, vb)
+           / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cosine
+  FROM cand)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.95
+"""
+
+
 def _media_stats_q(spark, sf_dir):
     from sparksqlplus_spark.operators.multimodal import media_stats, text_to_media
 
@@ -1115,6 +1287,7 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "dedup_exact": (_dedup_exact_q, _DEDUP_EXACT_ORACLE),
     "dedup_minhash_lsh": (_minhash_pairs_q, _MINHASH_ORACLE),
     "dedup_simhash": (_simhash_q, _simhash_oracle()),
+    "dedup_embedding_cosine": (_emb_neardup_q, _emb_neardup_oracle()),
     "text_stats": (_text_stats_q, _TEXT_STATS_ORACLE),
     "text_quality": (_quality_q, _QUALITY_ORACLE),
     "text_lang_id": (_lang_id_q, _lang_id_oracle()),
@@ -1140,13 +1313,23 @@ _HEAD = [
     "events_ewma_stateful",
     "events_ewma_scalable",
     "hint_join_tree",
+    "dedup_embedding_cosine",
 ]
+# every tail case was driver-green in BOTH r1 and r2, and its operator
+# class stays covered by an in-window entry (C7/C10/C11 by tpch_q19,
+# C9 by tpch_q9, C12 by tpch_q7, C14/C18 by pytest oracles, C15/C19 by
+# trade_selfjoin_q9, C16 by tpch_q12, C17 by tpch_q7/q9, C20 by
+# tpch_q1/q3/...)
 _TAIL = [
     "like_patterns",
     "is_not_null",
     "date_interval_arith",
     "cast_real",
     "filters_pushdown",
+    "or_residual",
+    "tpch_q6",
+    "tpch_q14",
+    "extract_year_agg",
 ]
 
 

@@ -119,6 +119,39 @@ class SparkSQLPlus:
             name = os.path.splitext(os.path.basename(p))[0]
             self.register_parquet(name, p, primary_key=pks.get(name, ()))
 
+    def save_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_cols: tuple[str, ...] | list[str],
+        n_buckets: int = 32,
+        path: str | None = None,
+        sort_cols: tuple[str, ...] | list[str] | None = None,
+        primary_key: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Write ``df`` as a bucketed table and register it.
+
+        The 100 TB co-located-join path: two tables bucketed on the same
+        key with the same bucket count join WITHOUT a shuffle exchange —
+        each bucket pair is joined where it lies. Worth it for a fact
+        table joined repeatedly on the same key (the one-time bucketed
+        write amortizes across every later join); `sort_cols` extends
+        this to shuffle-AND-sort-free sort-merge joins.
+        """
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        if path:
+            writer = writer.option("path", path)
+        writer.saveAsTable(name)
+        out = self.spark.table(name)  # carries the bucketing spec
+        self.catalog.register_df(name, out, tuple(primary_key))
+        return out
+
     # -- planning / execution -------------------------------------------------
     def context(self, query: str) -> Context:
         return build_context(parse_query(query), self.catalog)

@@ -242,3 +242,47 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     return per_doc.select(
         F.col(id_col), sim.alias("simhash"), F.col("n_tok").alias("n_tokens")
     )
+
+
+def embedding_neardup_pairs(
+    emb_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH blocking.
+
+    The embedding-space analogue of MinHash near-dup: every vector is
+    bucketed by the sign pattern of `n_planes` deterministic random
+    hyperplanes (similarity.lsh_bucket — near-identical vectors almost
+    always share all sign bits), candidate pairs come from ONE
+    self-equi-join on the bucket key (never an all-pairs product), and
+    each candidate is verified with the exact cosine. Returns
+    (id_a, id_b, cosine) for verified pairs with cosine ≥ threshold,
+    id_a < id_b.
+
+    Scale: bucket-local candidates keep the probe cost ~N·E[bucket]
+    instead of N²; recall misses only pairs split by a hyperplane
+    (P[split] = angle/π per plane) — raise recall by OR-ing rotated
+    plane sets, same as multi-band MinHash.
+    """
+    from sparksqlplus_spark.operators.similarity import cosine_similarity, lsh_bucket
+
+    b = emb_df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
+    )
+    left = b.select(
+        F.col("__bucket"), F.col(id_col).alias("id_a"), F.col("__v").alias("__va")
+    )
+    right = b.select(
+        F.col("__bucket"), F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")
+    )
+    cand = left.join(right, "__bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    return (
+        cand.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -385,3 +385,53 @@ def test_agg_view_dedup(engine, oracle):
     finally:
         base.unpersist()
         engine._executor.clear_cache()
+
+
+def test_bucketed_join_skips_shuffle(engine, tmp_path_factory):
+    """save_bucketed co-location (SCALING.md open item): two tables
+    bucketed on the join key with equal bucket counts join with NO
+    shuffle exchange — the 100 TB repeated-join path."""
+    import pyspark.sql.functions as F
+
+    spark = engine.spark
+    base = tmp_path_factory.mktemp("bucketed")
+    li = engine.catalog.get("lineitem").df.select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    od = engine.catalog.get("orders").df.select("o_orderkey", "o_totalprice")
+    engine.save_bucketed(
+        "li_b", li, ["l_orderkey"], n_buckets=4, path=str(base / "li")
+    )
+    engine.save_bucketed(
+        "od_b",
+        od.withColumnRenamed("o_orderkey", "l_orderkey"),
+        ["l_orderkey"],
+        n_buckets=4,
+        path=str(base / "od"),
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = engine.sql(
+            """SELECT li_b.l_orderkey, li_b.l_quantity, od_b.o_totalprice
+               FROM li_b, od_b WHERE li_b.l_orderkey = od_b.l_orderkey
+                 AND od_b.o_totalprice > 1000.0"""
+        )
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        # sanity: equals the plain (shuffled) join
+        expect = (
+            li.join(
+                od.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
+            )
+            .filter(F.col("o_totalprice") > 1000.0)
+            .select("l_orderkey", "l_quantity", "o_totalprice")
+            .distinct()
+            .count()
+        )
+        assert df.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS od_b")
