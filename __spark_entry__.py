@@ -601,6 +601,67 @@ _GRAPH_CASES: dict[str, tuple[str, str]] = {
            WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = c3.src
              AND c2.src = g2.src AND c1.cnt < c2.cnt AND c2.cnt < c3.cnt""",
     ),
+    # --- example q5: X-shape — two paths sharing the g2 spine, src- AND
+    # dst-count views, TWO independent comparison chains, non-full
+    # output (exercises multi-component free-connex scope extension) ---
+    "graph_q5_x_nonfull": (
+        """SELECT g2.src AS src, g2.dst AS dst
+           FROM graph AS g1, graph AS g2, graph AS g3, graph AS g4, graph AS g5,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) AS c1,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) AS c2,
+                (SELECT dst, COUNT(*) AS cnt FROM graph GROUP BY dst) AS c3,
+                (SELECT dst, COUNT(*) AS cnt FROM graph GROUP BY dst) AS c4
+           WHERE g1.dst = g2.src AND g2.dst = g3.src AND g1.src = c1.src
+             AND g3.dst = c2.src AND c1.cnt < c2.cnt
+             AND g4.dst = g2.src AND g2.dst = g5.src AND g4.src = c3.dst
+             AND g5.dst = c4.dst AND c3.cnt < c4.cnt""",
+        """SELECT DISTINCT g2.src AS src, g2.dst AS dst
+           FROM graph g1, graph g2, graph g3, graph g4, graph g5,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) c1,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) c2,
+                (SELECT dst, COUNT(*) AS cnt FROM graph GROUP BY dst) c3,
+                (SELECT dst, COUNT(*) AS cnt FROM graph GROUP BY dst) c4
+           WHERE g1.dst = g2.src AND g2.dst = g3.src AND g1.src = c1.src
+             AND g3.dst = c2.src AND c1.cnt < c2.cnt
+             AND g4.dst = g2.src AND g2.dst = g5.src AND g4.src = c3.dst
+             AND g5.dst = c4.dst AND c3.cnt < c4.cnt""",
+    ),
+    # --- example q6: comparison between a COUNT view and a base graph
+    # column (c1.cnt < g3.dst) ---
+    "graph_q6_cnt_vs_node": (
+        """SELECT g1.src AS src, g1.dst AS via1, g3.src AS via2, g3.dst AS dst,
+                  c1.cnt AS cnt1, c2.cnt AS cnt2
+           FROM graph AS g1, graph AS g2, graph AS g3,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) AS c1,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) AS c2
+           WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = g3.src
+             AND g3.dst = c2.src AND c1.cnt < g3.dst""",
+        """SELECT g1.src AS src, g1.dst AS via1, g3.src AS via2, g3.dst AS dst,
+                  c1.cnt AS cnt1, c2.cnt AS cnt2
+           FROM graph g1, graph g2, graph g3,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) c1,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) c2
+           WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = g3.src
+             AND g3.dst = c2.src AND c1.cnt < g3.dst""",
+    ),
+    # --- example q7: two view-vs-base-column comparisons at the path
+    # endpoints (c1.cnt < g1.dst, c2.cnt < g3.src) ---
+    "graph_q7_two_cnt_node": (
+        """SELECT g1.src AS src, g1.dst AS via1, g3.src AS via2, g3.dst AS dst,
+                  c1.cnt AS cnt1, c2.cnt AS cnt2
+           FROM graph AS g1, graph AS g2, graph AS g3,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) AS c1,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) AS c2
+           WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = g3.src
+             AND g3.dst = c2.src AND c1.cnt < g1.dst AND c2.cnt < g3.src""",
+        """SELECT g1.src AS src, g1.dst AS via1, g3.src AS via2, g3.dst AS dst,
+                  c1.cnt AS cnt1, c2.cnt AS cnt2
+           FROM graph g1, graph g2, graph g3,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) c1,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) c2
+           WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = g3.src
+             AND g3.dst = c2.src AND c1.cnt < g1.dst AND c2.cnt < g3.src""",
+    ),
     # --- examples q2/q10: dumbbell — two triangles joined by a bridge
     # edge (cyclic; needs two recursive breaks) ---
     "graph_q2_dumbbell": (
@@ -1330,6 +1391,9 @@ _TAIL = [
     "tpch_q6",
     "tpch_q14",
     "extract_year_agg",
+    "tpch_q12",
+    "tpch_q4",
+    "tpch_q15",
 ]
 
 
