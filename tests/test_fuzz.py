@@ -98,3 +98,113 @@ def test_cqc_equals_naive(engine, case):
     assert ca == cb, f"count mismatch {ca} vs {cb} for: {sql}"
     assert a.exceptAll(b).count() == 0, f"rows differ for: {sql}"
     assert b.exceptAll(a).count() == 0, f"rows differ for: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# round-3 fuzz: GHD execution + join-tree-hint execution
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dense_graph_engine(engine):
+    """A small dense edge table (60 nodes, ~2.5k edges) so random cyclic
+    patterns actually produce rows through every strategy."""
+    from pyspark.sql import functions as F
+
+    li = engine.catalog.get("lineitem").df
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 60).alias("src"),
+            (F.col("l_partkey") % 60).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    edges.count()
+    engine.register("fuzzgraph", edges)
+    return engine
+
+
+@st.composite
+def cyclic_pattern(draw):
+    """A random connected pattern guaranteed to contain a cycle: a
+    directed k-cycle over variables v0..v{k-1} plus 0-2 extra edges."""
+    k = draw(st.integers(min_value=3, max_value=4))
+    edges = [(i, (i + 1) % k) for i in range(k)]
+    n_extra = draw(st.integers(min_value=0, max_value=2))
+    for _ in range(n_extra):
+        u = draw(st.integers(0, k - 1))
+        v = draw(st.integers(0, k - 1))
+        if u != v and (u, v) not in edges:
+            edges.append((u, v))
+    compare = draw(st.booleans())
+    return k, edges, compare
+
+
+def _pattern_sql(edges, compare):
+    owner = {}
+    conds = []
+    for i, (u, v) in enumerate(edges):
+        for var, col in ((u, "src"), (v, "dst")):
+            if var in owner:
+                oa, oc = owner[var]
+                conds.append(f"g{i}.{col} = {oa}.{oc}")
+            else:
+                owner[var] = (f"g{i}", col)
+    sel = ", ".join(f"{a}.{c} AS v{var}" for var, (a, c) in sorted(owner.items()))
+    if compare:
+        vs = sorted(owner)
+        a, c = owner[vs[0]]
+        b, d = owner[vs[-1]]
+        conds.append(f"{a}.{c} < {b}.{d}")
+    froms = ", ".join(f"fuzzgraph AS g{i}" for i in range(len(edges)))
+    return f"SELECT {sel} FROM {froms} WHERE {' AND '.join(conds)}"
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(case=cyclic_pattern())
+def test_ghd_equals_naive_on_cyclic(dense_graph_engine, case):
+    """The GHD executor (bags + WCOJ + CQC over the bag tree) must agree
+    with greedy naive joins on random cyclic patterns."""
+    _, edges, compare = case
+    sql = _pattern_sql(edges, compare)
+    a = dense_graph_engine.sql(sql, cyclic_strategy="ghd")
+    b = dense_graph_engine.sql(sql, mode="naive")
+    ca, cb = a.count(), b.count()
+    assert ca == cb, f"count mismatch {ca} vs {cb} for: {sql}"
+    assert a.exceptAll(b).count() == 0, f"rows differ for: {sql}"
+    assert b.exceptAll(a).count() == 0, f"rows differ for: {sql}"
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(case=query_case(), root_seed=st.integers(0, 7))
+def test_hint_equals_naive(engine, case, root_seed):
+    """Executing under ANY valid user join tree (every rerooting of the
+    GYO tree) must agree with the naive executor."""
+    from sparksqlplus_spark.plans.gyo import gyo_join_tree
+
+    aliases, edges, comps, filts, out = case
+    sql = build_sql(aliases, edges, comps, filts, out)
+    ctx = engine.context(sql)
+    tree = gyo_join_tree(ctx.relations)
+    if tree is None:
+        return  # cyclic: hints are rejected by design
+    rids = sorted(tree.relations)
+    tree = tree.rerooted(rids[root_seed % len(rids)])
+    by_id = {r.rid: r.alias for r in ctx.relations}
+    hint = [(by_id[p], by_id[c]) for c, p in tree.parent.items()]
+    if not hint:
+        return  # single relation: nothing to hint
+    a = engine.sql(sql, join_tree_hint=hint)
+    b = engine.sql(sql, mode="naive")
+    assert a.count() == b.count(), f"count mismatch for: {sql} hint={hint}"
+    assert a.exceptAll(b).count() == 0, f"rows differ for: {sql} hint={hint}"
