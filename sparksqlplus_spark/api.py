@@ -208,22 +208,59 @@ class SparkSQLPlus:
 
         return execute_cyclic(self.spark, self.catalog, ctx, mode, cyclic_strategy)
 
-    def explain_tree(self, query: str) -> str:
-        """Debug: render the join tree chosen for a query."""
+    def explain_tree(self, query: str, cyclic_strategy: str = "auto") -> str:
+        """Debug: render the join tree chosen for a query; for cyclic
+        queries, describe the chosen strategy (break rewrite or GHD
+        decomposition with per-bag evaluation). Pass
+        cyclic_strategy='ghd' to preview the GHD plan even when the
+        auto router would break."""
         ctx = self.context(query)
         tree = best_join_tree(ctx.relations, ctx.comparisons)
-        if tree is None:
-            return "cyclic"
-        lines: list[str] = []
 
-        def walk(rid: int, depth: int) -> None:
-            rel = tree.relations[rid]
-            key = tree.join_key(rid) if rid in tree.parent else ()
-            lines.append("  " * depth + f"{rel.alias}[{rel.kind}] vars={sorted(rel.variables)} key={list(key)}")
-            for c in tree.children[rid]:
-                walk(c, depth + 1)
+        def render(t, ctx_) -> str:
+            lines: list[str] = []
 
-        walk(tree.root, 0)
+            def walk(rid: int, depth: int) -> None:
+                rel = t.relations[rid]
+                key = t.join_key(rid) if rid in t.parent else ()
+                lines.append(
+                    "  " * depth
+                    + f"{rel.alias}[{rel.kind}] vars={sorted(rel.variables)} key={list(key)}"
+                )
+                for c in t.children[rid]:
+                    walk(c, depth + 1)
+
+            walk(t.root, 0)
+            return "\n".join(lines)
+
+        if tree is not None:
+            return render(tree, ctx)
+        # cyclic: explain the router's decision
+        from sparksqlplus_spark.plans.cyclic import _triangle_orientation, try_break
+        from sparksqlplus_spark.plans.ghd import ghd_decompose
+
+        broken = try_break(ctx) if cyclic_strategy in ("auto", "break") else None
+        if broken is not None:
+            new_ctx, btree = broken
+            n_breaks = len(new_ctx.residuals) - len(ctx.residuals)
+            head = f"cyclic: break rewrite ({n_breaks} clone(s) + residual equalities)"
+            return head + "\n" + render(btree, new_ctx)
+        decomp = ghd_decompose(ctx.relations) or ghd_decompose(ctx.relations, max_bag=4)
+        if decomp is None:
+            return "cyclic: no break/GHD plan — greedy connected joins"
+        by_id = {r.rid: r for r in ctx.relations}
+        lines = [f"cyclic: GHD (fractional width {decomp.width})"]
+        for i, bag in enumerate(decomp.bags):
+            members = [by_id[r] for r in sorted(bag.rids)]
+            kind = (
+                "wcoj-triangle"
+                if _triangle_orientation(members) is not None
+                else ("scan" if len(members) == 1 else "binary-joins")
+            )
+            aliases = ", ".join(m.alias for m in members)
+            lines.append(
+                f"  bag{i} [{kind}] {{{aliases}}} vars={sorted(bag.variables)}"
+            )
         return "\n".join(lines)
 
     def _ensure_views(self) -> None:
