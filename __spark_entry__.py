@@ -1033,17 +1033,22 @@ def _emb_neardup_q(spark, sf_dir):
     return df.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-def _emb_neardup_oracle() -> str:
+def _emb_neardup_oracle(n_planes: int = 8, n_bands: int = 4) -> str:
     from sparksqlplus_spark.operators.similarity import hyperplane
-
-    planes = [hyperplane(64, j) for j in range(8)]
 
     def lit(p):
         return "[" + ",".join(repr(x) for x in p) + "]"
 
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(ev, {lit(planes[j])}) >= 0 THEN {2**j} ELSE 0 END)"
-        for j in range(8)
+    def bucket(band: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(ev, "
+            f"{lit(hyperplane(64, band * n_planes + j))}) >= 0 THEN {2**j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+
+    bands = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {band} AS band, {bucket(band)} AS bucket FROM aug"
+        for band in range(n_bands)
     )
     return f"""
 WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
@@ -1052,15 +1057,16 @@ aug AS (SELECT vec_id, ev FROM e0
         UNION ALL
         SELECT vec_id + 1000000 AS vec_id, list_transform(ev, x -> x * 0.9 + 0.01) AS ev
         FROM e0 WHERE vec_id % 10 = 0),
-b AS (SELECT vec_id, ev, {bucket} AS bucket FROM aug),
+b AS ({bands}),
 cand AS (
-  SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.ev AS va, b2.ev AS vb
-  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                     AND a.vec_id < b2.vec_id),
 scored AS (
-  SELECT id_a, id_b,
-         list_dot_product(va, vb)
-           / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cosine
-  FROM cand)
+  SELECT c.id_a, c.id_b,
+         list_dot_product(va.ev, vb.ev)
+           / (sqrt(list_dot_product(va.ev, va.ev)) * sqrt(list_dot_product(vb.ev, vb.ev))) AS cosine
+  FROM cand c JOIN aug va ON va.vec_id = c.id_a JOIN aug vb ON vb.vec_id = c.id_b)
 SELECT id_a, id_b, round(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.95
 """
 

@@ -272,36 +272,52 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     n_planes: int = 8,
+    n_bands: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via hyperplane-LSH blocking.
 
     The embedding-space analogue of MinHash near-dup: every vector is
-    bucketed by the sign pattern of `n_planes` deterministic random
-    hyperplanes (similarity.lsh_bucket — near-identical vectors almost
-    always share all sign bits), candidate pairs come from ONE
-    self-equi-join on the bucket key (never an all-pairs product), and
-    each candidate is verified with the exact cosine. Returns
-    (id_a, id_b, cosine) for verified pairs with cosine ≥ threshold,
-    id_a < id_b.
+    bucketed per band by the sign pattern of `n_planes` deterministic
+    random hyperplanes (an independent plane family per band — the
+    multi-band recall amplification of MinHash banding: a true pair is
+    missed only if EVERY band splits it, P[miss] = (1-(1-θ/π)^p)^B).
+    Candidate pairs come from ONE self-equi-join on (band, bucket) —
+    never an all-pairs product — and each candidate is verified with
+    the exact cosine. Returns (id_a, id_b, cosine) for verified pairs
+    with cosine ≥ threshold, id_a < id_b.
 
-    Scale: bucket-local candidates keep the probe cost ~N·E[bucket]
-    instead of N²; recall misses only pairs split by a hyperplane
-    (P[split] = angle/π per plane) — raise recall by OR-ing rotated
-    plane sets, same as multi-band MinHash.
+    Scale: bucket-local candidates keep the probe cost ~B·N·E[bucket]
+    instead of N²; B and p trade recall against candidate volume.
     """
     from sparksqlplus_spark.operators.similarity import cosine_similarity, lsh_bucket
 
+    buckets = [
+        F.struct(
+            F.lit(band).alias("band"),
+            lsh_bucket(F.col(vec_col), dim, n_planes, band * n_planes).alias("bucket"),
+        )
+        for band in range(n_bands)
+    ]
     b = emb_df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.explode(F.array(*buckets)).alias("bb"),
+    ).select(
+        F.col(id_col), F.col("__v"),
+        F.col("bb.band").alias("__band"), F.col("bb.bucket").alias("__bucket"),
     )
     left = b.select(
-        F.col("__bucket"), F.col(id_col).alias("id_a"), F.col("__v").alias("__va")
+        "__band", "__bucket", F.col(id_col).alias("id_a"), F.col("__v").alias("__va")
     )
     right = b.select(
-        F.col("__bucket"), F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")
+        "__band", "__bucket", F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")
     )
-    cand = left.join(right, "__bucket").filter(F.col("id_a") < F.col("id_b"))
+    cand = (
+        left.join(right, ["__band", "__bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     cos = cosine_similarity(F.col("__va"), F.col("__vb"))
     return (
         cand.select("id_a", "id_b", cos.alias("cosine"))

@@ -84,12 +84,18 @@ def hyperplane(dim: int, plane_idx: int) -> list[float]:
     return out
 
 
-def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
-    """Sign-of-projection bit bucket (random-hyperplane LSH)."""
+def lsh_bucket(
+    vec_col: Column, dim: int, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
+    """Sign-of-projection bit bucket (random-hyperplane LSH).
+
+    ``plane_offset`` selects an independent plane family (planes
+    ``offset .. offset+n_planes-1``) so callers can OR several bucket
+    sets — the multi-band recall amplification trick."""
     bucket = F.lit(0).cast("long")
     v = vec_col.cast("array<double>")
     for j in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in hyperplane(dim, j)])
+        plane = F.array(*[F.lit(x) for x in hyperplane(dim, plane_offset + j)])
         bit = F.when(_dot(v, plane) >= 0, F.lit(2**j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )

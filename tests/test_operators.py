@@ -61,3 +61,27 @@ def test_minhash_identical_docs_caught(spark):
     assert len(pairs) == 1
     assert (pairs[0]["id_a"], pairs[0]["id_b"]) == (1, 2)
     assert pairs[0]["jaccard"] == 1.0
+
+
+def test_embedding_neardup_multiband_recall(engine):
+    """Multi-band hyperplane LSH: banding must recover planted
+    near-dup pairs that single-band bucketing splits (MinHash-style
+    recall amplification), at full recall on the planted set."""
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = engine.catalog.get("embeddings").df
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.9 + 0.01).alias("embedding"),
+    )
+    aug = base.unionByName(pert)
+    planted = pert.count()
+    one_band = embedding_neardup_pairs(aug, n_bands=1).count()
+    four_band = embedding_neardup_pairs(aug, n_bands=4).count()
+    assert four_band >= one_band
+    assert four_band == planted  # full recall on the planted set
