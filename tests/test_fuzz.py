@@ -208,3 +208,51 @@ def test_hint_equals_naive(engine, case, root_seed):
     b = engine.sql(sql, mode="naive")
     assert a.count() == b.count(), f"count mismatch for: {sql} hint={hint}"
     assert a.exceptAll(b).count() == 0, f"rows differ for: {sql} hint={hint}"
+
+
+AGG_EXPRS = [
+    ("COUNT(*)", "cnt"),
+    ("SUM(l.l_quantity)", "s_qty"),
+    ("MIN(o.o_totalprice)", "mn_tp"),
+    ("MAX(c.c_acctbal)", "mx_ab"),
+]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(case=query_case(), agg_mask=st.integers(1, 15))
+def test_aggregation_equals_naive(engine, case, agg_mask):
+    """Random GROUP BY aggregation queries: the CQC pipeline (with
+    FD-chase fix-root active) must agree with the naive executor."""
+    aliases, edges, comps, filts, out = case
+    aggs = [
+        (e, n)
+        for i, (e, n) in enumerate(AGG_EXPRS)
+        if agg_mask & (1 << i)
+        and all(a in aliases for a in {e.split("(")[1][:1]} - {"*"})
+    ]
+    aggs = [(e, n) for e, n in aggs if "(*" in e or e[e.index("(") + 1] in aliases]
+    if not aggs:
+        aggs = [("COUNT(*)", "cnt")]
+    sel = ", ".join(out + [f"{e} AS {n}" for e, n in aggs])
+    from_clause = ", ".join(f"{TABLES[a]} AS {a}" for a in sorted(aliases))
+    conds = [f"{a}.{lc} = {b}.{rc}" for a, b, lc, rc in edges]
+    conds += [f"{la}.{lc} {op} {ra}.{rc}" for (la, lc, ra, rc), op in comps]
+    conds += [f"{a}.{pred}" for a, pred in filts]
+    sql = (
+        f"SELECT {sel} FROM {from_clause} WHERE {' AND '.join(conds)} "
+        f"GROUP BY {', '.join(out)}"
+    )
+    a = engine.sql(sql)
+    b = engine.sql(sql, mode="naive")
+    ca, cb = a.count(), b.count()
+    assert ca == cb, f"group count mismatch {ca} vs {cb} for: {sql}"
+    # exact row compare on rounded numeric aggregates
+    import pandas as pd
+
+    pa = a.toPandas().round(6).sort_values(list(a.columns)).reset_index(drop=True)
+    pb = b.toPandas().round(6).sort_values(list(a.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa, pb, check_dtype=False)
