@@ -164,3 +164,69 @@ def test_ewma_scalable_small_alpha_deep_carry(events):
     scal = ewma_batch_scalable(events, alpha=0.05, chunk=8).collect()
     for r in scal:
         assert abs(r.ewma - exact[(r.user_id, r.event_id)]) < 1e-6, (r.user_id, r.event_id)
+
+
+def test_sinks_roundtrip(engine, tmp_path):
+    """Batch writers + streaming file sink + foreachBatch custom sink
+    (sparksqlplus_spark.io): written data reads back identical, and the
+    streamed window aggregate equals its batch form."""
+    from sparksqlplus_spark import io as eio
+    from sparksqlplus_spark.streaming.windows import (
+        events_stream,
+        tumbling_agg,
+        tumbling_agg_stream,
+    )
+
+    spark = engine.spark
+    ev = engine.catalog.get("events").df.select("event_id", "user_id", "ts", "value")
+
+    # batch parquet roundtrip (+ partitioning)
+    p = str(tmp_path / "batch_parquet")
+    eio.write_table(ev.withColumn("part", ev.user_id % 4), p, partition_by=["part"])
+    back = eio.read_back(spark, p).select(*ev.columns)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0
+
+    # batch CSV roundtrip (headerless — the reference's input format)
+    c = str(tmp_path / "batch_csv")
+    small = ev.select("event_id", "user_id").limit(100)
+    eio.write_table(small, c, fmt="csv")
+    back_csv = eio.read_back(spark, c, fmt="csv", schema=small.schema)
+    assert back_csv.count() == 100
+
+    # streaming file sink: windowed agg drains exactly-once to parquet
+    stream = events_stream(spark, f"{SF_DIR}/events.parquet")
+    agg_stream = tumbling_agg_stream(stream, minutes=5)
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    eio.stream_to_files(agg_stream, out, ckpt)
+    streamed = spark.read.parquet(out)
+    batch = tumbling_agg(engine.catalog.get("events").df, minutes=5)
+    cols = sorted(set(streamed.columns) & set(batch.columns))
+    # file sinks are append-mode: a window is emitted once the watermark
+    # passes its end, so windows still open at end-of-stream stay
+    # unemitted — every streamed row must match batch exactly, and the
+    # only batch rows missing are those inside the final watermark tail
+    assert streamed.select(*cols).exceptAll(batch.select(*cols)).count() == 0
+    missing = batch.select(*cols).exceptAll(streamed.select(*cols))
+    import pyspark.sql.functions as F
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    late = missing.filter(
+        F.col("window_start") < F.lit(max_ts) - F.expr("INTERVAL 15 MINUTES")
+    )
+    assert late.count() == 0, late.collect()
+
+    # foreachBatch custom sink: per-batch callback sees every row once
+    seen = {"rows": 0, "batches": 0}
+
+    def collect(batch_df, batch_id):
+        seen["rows"] += batch_df.count()
+        seen["batches"] += 1
+
+    eio.stream_foreach_batch(
+        events_stream(spark, f"{SF_DIR}/events.parquet"), collect,
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    assert seen["rows"] == ev.count()
+    assert seen["batches"] >= 1
