@@ -163,6 +163,7 @@ class SparkSQLPlus:
         root_hint: str | None = None,
         cyclic_strategy: str = "auto",
         join_tree_hint=None,
+        count_mode: str = "rows",
     ) -> DataFrame:
         """Plan and execute a query.
 
@@ -180,6 +181,11 @@ class SparkSQLPlus:
         duplicates, running intersection) and used verbatim instead of
         GYO enumeration. The enumeration root is the hint's root unless
         root_hint overrides it.
+        count_mode: 'eager' propagates pre-aggregated COUNT(*)s up the
+        join tree (semiring annotation) so counting queries never
+        materialize the path bag — worth it on DENSE inputs where paths
+        ≫ distinct endpoint pairs; default 'rows' keeps the row-level
+        plan (faster on sparse data — see SCALING.md measurement).
         """
         if mode == "spark":
             self._ensure_views()
@@ -198,11 +204,16 @@ class SparkSQLPlus:
 
             tree = join_tree_from_hint(ctx, join_tree_hint)
             return self._executor.execute_tree(
-                ctx, tree, root_hint=root_hint or tree.relations[tree.root].alias
+                ctx,
+                tree,
+                root_hint=root_hint or tree.relations[tree.root].alias,
+                count_mode=count_mode,
             )
         tree = best_join_tree(ctx.relations, ctx.comparisons)
         if tree is not None:
-            return self._executor.execute_tree(ctx, tree, root_hint=root_hint)
+            return self._executor.execute_tree(
+                ctx, tree, root_hint=root_hint, count_mode=count_mode
+            )
         # cyclic: break rewrite / GHD bags + per-bag WCOJ / greedy joins
         from sparksqlplus_spark.plans.cyclic import execute_cyclic
 

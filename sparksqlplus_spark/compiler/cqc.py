@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparksqlplus_spark.catalog import Catalog
-from sparksqlplus_spark.expressions import Col, Cond, Expr
+from sparksqlplus_spark.expressions import AggCall, Col, Cond, Expr, Star
 from sparksqlplus_spark.parser.sql import UnsupportedSqlError
 from sparksqlplus_spark.plans.context import Comparison, Context, Relation
 from sparksqlplus_spark.plans.gyo import JoinTree, choose_root, connex_subtree, gyo_join_tree
@@ -221,6 +221,7 @@ class CqcExecutor:
         tree: JoinTree,
         reduce_mode: str = "selective",
         root_hint: str | None = None,
+        count_mode: str = "rows",
     ) -> DataFrame:
         """reduce_mode:
         - 'full': classic Yannakakis — semi-join every edge, propagate
@@ -309,6 +310,13 @@ class CqcExecutor:
         # else to do here.
 
         # ---- enumerate phase ------------------------------------------------
+        global last_enumerate_mode
+        if count_mode == "eager":
+            counted = self._enumerate_counted(ctx, tree, dfs, mf_cols, scope)
+            if counted is not None:
+                last_enumerate_mode = "counted"
+                return counted
+        last_enumerate_mode = "rows"
         result = self._enumerate(ctx, tree, dfs, mf_cols, scope)
         return finalize(result, ctx)
 
@@ -516,6 +524,196 @@ class CqcExecutor:
         dfs[parent] = parent_df
         return dfs, comps
 
+    def _enumerate_counted(
+        self,
+        ctx: Context,
+        tree: JoinTree,
+        dfs: dict[int, DataFrame],
+        mf_cols: dict[int, list[str]],
+        scope: set[int],
+    ) -> DataFrame | None:
+        """Eager COUNT propagation (semiring annotation): for
+        COUNT(*)-only aggregations over plain group columns, counts are
+        pre-aggregated per relation and multiplied up the join tree,
+        re-grouping after every join to only the variables still needed
+        (group-by vars + unapplied condition vars + future join keys).
+
+        Intermediates stay at distinct-combination size instead of the
+        full path bag — a 4-hop COUNT per source materializes pair-count
+        tables, never the m·d̄³ path rows (the AJAR / eager
+        group-by-pushdown idea; the reference has no counterpart, its
+        aggregations were planner-only). Exactness: COUNT(*) over the
+        join is the semiring sum of per-relation multiplicity products;
+        every filter's variables are retained in the grouping key until
+        the filter is applied, so filters see the same groups the
+        row-level plan would. Returns None when the query shape is not
+        eligible (caller falls back to row-level enumeration).
+
+        OPT-IN (count_mode='eager'): on sparse graphs distinct pairs ≈
+        paths, so nothing collapses and the per-step aggregations are
+        pure overhead — measured 1.6× slower on the sf0.01 test graph
+        (avg out-degree ~4) — while on dense inputs (paths ≫ pairs) the
+        collapse is the difference between pair-sized and bag-sized
+        intermediates. Same dense-only verdict as the WCOJ kernel; see
+        SCALING.md.
+        """
+        if not ctx.aggregations or not ctx.group_by or ctx.distinct:
+            return None
+        if any(
+            a.func != "count" or not isinstance(getattr(a, "arg", None), Star)
+            for _, a in ctx.aggregations
+        ):
+            return None
+        # only worth the extra per-step aggregations when the plan has
+        # ≥2 GROWTH joins (join key does not cover the child's PK —
+        # path/graph shapes); pure FK-lookup plans keep the row plan
+        growth = sum(
+            1
+            for rid in scope
+            if rid != tree.root
+            and not (
+                set(tree.relations[rid].primary_key_vars)
+                and set(tree.relations[rid].primary_key_vars)
+                <= set(tree.join_key(rid))
+            )
+        )
+        if growth < 2:
+            return None
+        var_map = ctx.var_map
+        # group-by: plain columns only
+        group_vars: list[str] = []
+        for e in ctx.group_by:
+            if not isinstance(e, Col):
+                return None
+            group_vars.append(var_map[(e.alias, e.name)])
+        # outputs: plain group columns or bare COUNT(*) calls only
+        out_plan: list[tuple[str, str]] = []  # (output name, source column)
+        for name, e in ctx.output:
+            if isinstance(e, Col):
+                v = var_map[(e.alias, e.name)]
+                if v not in group_vars:
+                    return None
+                out_plan.append((name, v))
+            elif isinstance(e, AggCall) and e.func == "count" and isinstance(e.arg, Star):
+                out_plan.append((name, "__cnt"))
+            else:
+                return None
+        # ORDER BY: output aliases or exact output expressions only
+        # (those are what _order_limit can resolve on the shaped frame)
+        out_names = {n for n, _ in ctx.output}
+        for e, _ in ctx.order_by:
+            if isinstance(e, Col) and e.alias == "" and e.name in out_names:
+                continue
+            if any(oe.key() == e.key() for _, oe in ctx.output):
+                continue
+            return None
+
+        alias_rid = {r.alias: r.rid for r in ctx.relations}
+        pending: list[tuple[set[int], set[str], object]] = []
+        for comp in ctx.comparisons:
+            if not {comp.left_rid, comp.right_rid} <= scope:
+                continue
+            vars_ = {
+                var_map[(a, c)]
+                for a, c in list(comp.left.refs()) + list(comp.right.refs())
+            }
+            pending.append(
+                (
+                    {comp.left_rid, comp.right_rid},
+                    vars_,
+                    lambda c=comp: _cmp(
+                        c.op, c.left.to_spark(var_map), c.right.to_spark(var_map)
+                    ),
+                )
+            )
+        for cond in ctx.residuals:
+            hosts = {alias_rid[a] for a, _ in cond.refs() if a in alias_rid}
+            vars_ = {var_map[(a, c)] for a, c in cond.refs() if (a, c) in var_map}
+            pending.append((hosts, vars_, lambda c=cond: c.to_spark(var_map)))
+
+        def clean(rid: int) -> DataFrame:
+            df = dfs[rid]
+            drop = [c for c in mf_cols[rid] if c in df.columns]
+            return df.drop(*drop) if drop else df
+
+        gv = set(group_vars)
+        joined: set[int] = {tree.root}
+        applied: list[bool] = [False] * len(pending)
+
+        def needed_now() -> set[str]:
+            need = set(gv)
+            for i, (hosts, vars_, _) in enumerate(pending):
+                if not applied[i]:
+                    need |= vars_
+            for rid in scope - joined:
+                need |= set(tree.join_key(rid))
+            return need
+
+        def regroup(df: DataFrame) -> DataFrame:
+            cols = set(df.columns) - {"__cnt"}
+            keep = sorted(needed_now() & cols)
+            if set(keep) == cols:
+                return df  # nothing to collapse — skip the shuffle
+            return df.groupBy(*keep).agg(F.sum("__cnt").alias("__cnt"))
+
+        def apply_ready(df: DataFrame) -> DataFrame:
+            for i, (hosts, _, build) in enumerate(pending):
+                if not applied[i] and hosts and hosts <= joined:
+                    df = df.filter(build())
+                    applied[i] = True
+            return df
+
+        root_df = clean(tree.root).withColumn("__cnt", F.lit(1).cast("long"))
+        result = regroup(apply_ready(root_df))
+
+        def join_score(rid: int) -> tuple[int, int]:
+            rel = tree.relations[rid]
+            key = set(tree.join_key(rid))
+            pk = set(rel.primary_key_vars)
+            score = 0 if pk and pk <= key else 1
+            for i, (hosts, _, _) in enumerate(pending):
+                if applied[i] or rid not in hosts:
+                    continue
+                if not (hosts - {rid} <= joined):
+                    score += 2
+            return (score, rel.cardinality or 1 << 40)
+
+        frontier = [c for c in tree.children[tree.root] if c in scope]
+        while frontier:
+            frontier.sort(key=join_score)
+            rid = frontier.pop(0)
+            key = list(tree.join_key(rid))
+            joined.add(rid)
+            child = clean(rid)
+            child_cols = set(child.columns)
+            child_keep = sorted((needed_now() | set(key)) & child_cols)
+            if set(child_keep) == child_cols:
+                # no columns to collapse: each row counts 1 (identical
+                # result, avoids a pure-shuffle pre-agg)
+                child_agg = child.withColumn("__c", F.lit(1).cast("long"))
+            else:
+                child_agg = child.groupBy(*child_keep).agg(
+                    F.count(F.lit(1)).cast("long").alias("__c")
+                )
+            if key:
+                result = result.join(child_agg, key, "inner")
+            else:
+                result = result.crossJoin(child_agg)
+            result = result.withColumn(
+                "__cnt", F.col("__cnt") * F.col("__c")
+            ).drop("__c")
+            result = regroup(apply_ready(result))
+            frontier.extend(c for c in tree.children[rid] if c in scope)
+
+        for i, (hosts, _, build) in enumerate(pending):
+            if not applied[i]:
+                result = result.filter(build())
+        # final grouping + output shaping
+        result = result.groupBy(*sorted(gv)).agg(F.sum("__cnt").alias("__cnt"))
+        out_cols = [F.col(src).alias(name) for name, src in out_plan]
+        result = result.select(*out_cols)
+        return _order_limit(result, ctx, post_agg=False)
+
     def _enumerate(
         self,
         ctx: Context,
@@ -608,6 +806,10 @@ class CqcExecutor:
             if key_ not in applied:
                 result = result.filter(build())
         return result
+
+
+# debug/testing probe: which enumerate path did the last execute use?
+last_enumerate_mode: str | None = None
 
 
 def _cmp(op: str, l: Column, r: Column) -> Column:

@@ -30,9 +30,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
 
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode runs every executor thread inside the driver JVM —
+        # the 1g default heap OOMs 32 concurrent shuffle writers long
+        # before the machine (128 GiB here) is anywhere near full
+        .config("spark.driver.memory", driver_mem)
         # --- Adaptive Query Execution: the scale safety-net -------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

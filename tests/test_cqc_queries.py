@@ -350,6 +350,37 @@ def test_unbreakable_k5_routes_to_ghd(graph_engine):
     assert auto_rows == naive_rows
 
 
+def test_eager_count_propagation(graph_engine, oracle):
+    """count_mode='eager': COUNT(*) group-bys propagate pre-aggregated
+    counts up the join tree (semiring annotation) — identical values to
+    the row-level plan, never materializing the path bag."""
+    import sparksqlplus_spark.compiler.cqc as cqc
+
+    q = """SELECT g1.src AS src, COUNT(*) AS n_paths
+           FROM graph AS g1, graph AS g2, graph AS g3, graph AS g4
+           WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+             AND g1.src < g4.dst
+           GROUP BY g1.src"""
+    eager = graph_engine.sql(q, count_mode="eager")
+    assert cqc.last_enumerate_mode == "counted"
+    assert_matches(
+        eager,
+        oracle,
+        """SELECT g1.src AS src, CAST(COUNT(*) AS BIGINT) AS n_paths
+           FROM graph g1, graph g2, graph g3, graph g4
+           WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+             AND g1.src < g4.dst
+           GROUP BY g1.src""",
+    )
+    # ineligible shape (SUM aggregate) falls back to the row plan
+    q2 = """SELECT g1.src AS src, SUM(g2.dst) AS s
+            FROM graph AS g1, graph AS g2, graph AS g3
+            WHERE g1.dst = g2.src AND g2.dst = g3.src
+            GROUP BY g1.src"""
+    graph_engine.sql(q2, count_mode="eager").count()
+    assert cqc.last_enumerate_mode == "rows"
+
+
 # ---------------------------------------------------------------------------
 # cyclic TPC-H Q5 shape (breakable in the reference)
 # ---------------------------------------------------------------------------

@@ -256,3 +256,8 @@ def test_aggregation_equals_naive(engine, case, agg_mask):
     pa = a.toPandas().round(6).sort_values(list(a.columns)).reset_index(drop=True)
     pb = b.toPandas().round(6).sort_values(list(a.columns)).reset_index(drop=True)
     pd.testing.assert_frame_equal(pa, pb, check_dtype=False)
+    # eager count propagation (counted where eligible, fallback where
+    # not) must agree with the row plan too
+    c = engine.sql(sql, count_mode="eager")
+    pc = c.toPandas().round(6).sort_values(list(a.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pc, pb, check_dtype=False)
