@@ -217,7 +217,9 @@ class SparkSQLPlus:
         # cyclic: break rewrite / GHD bags + per-bag WCOJ / greedy joins
         from sparksqlplus_spark.plans.cyclic import execute_cyclic
 
-        return execute_cyclic(self.spark, self.catalog, ctx, mode, cyclic_strategy)
+        return execute_cyclic(
+            self.spark, self.catalog, ctx, mode, cyclic_strategy, count_mode
+        )
 
     def explain_tree(self, query: str, cyclic_strategy: str = "auto") -> str:
         """Debug: render the join tree chosen for a query; for cyclic

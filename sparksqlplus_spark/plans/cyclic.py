@@ -183,7 +183,7 @@ def _eval_bag(
 
 
 def execute_ghd(
-    spark: SparkSession, catalog: Catalog, ctx: Context
+    spark: SparkSession, catalog: Catalog, ctx: Context, count_mode: str = "rows"
 ) -> DataFrame | None:
     """GHD-driven execution of an unbreakable cyclic core.
 
@@ -305,7 +305,9 @@ def execute_ghd(
         aggregations=[(n, rw(e)) for n, e in ctx.aggregations],
         order_by=[(rw(e), d) for e, d in ctx.order_by],
     )
-    return CqcExecutor(spark, scratch).execute_tree(new_ctx, tree)
+    return CqcExecutor(spark, scratch).execute_tree(
+        new_ctx, tree, count_mode=count_mode
+    )
 
 
 # debug/testing probe: which strategy did the last execute_cyclic use?
@@ -318,6 +320,7 @@ def execute_cyclic(
     ctx: Context,
     mode: str = "auto",
     strategy: str = "auto",
+    count_mode: str = "rows",
 ) -> DataFrame:
     """Cyclic-query execution router.
 
@@ -336,12 +339,14 @@ def execute_cyclic(
         if broken is not None:
             new_ctx, tree = broken
             last_strategy = "break"
-            return CqcExecutor(spark, catalog).execute_tree(new_ctx, tree)
+            return CqcExecutor(spark, catalog).execute_tree(
+                new_ctx, tree, count_mode=count_mode
+            )
         if strategy == "break":
             last_strategy = "naive"
             return naive_execute(spark, catalog, ctx)
     if strategy in ("auto", "ghd"):
-        result = execute_ghd(spark, catalog, ctx)
+        result = execute_ghd(spark, catalog, ctx, count_mode=count_mode)
         if result is not None:
             last_strategy = "ghd"
             return result
