@@ -218,7 +218,13 @@ class SparkSQLPlus:
         from sparksqlplus_spark.plans.cyclic import execute_cyclic
 
         return execute_cyclic(
-            self.spark, self.catalog, ctx, mode, cyclic_strategy, count_mode
+            self.spark,
+            self.catalog,
+            ctx,
+            mode,
+            cyclic_strategy,
+            count_mode,
+            executor=self._executor,
         )
 
     def explain_tree(self, query: str, cyclic_strategy: str = "auto") -> str:
@@ -261,15 +267,31 @@ class SparkSQLPlus:
         decomp = ghd_decompose(ctx.relations) or ghd_decompose(ctx.relations, max_bag=4)
         if decomp is None:
             return "cyclic: no break/GHD plan — greedy connected joins"
+        # build the (lazy) relation frames so the bag label reflects the
+        # SAME checks _eval_bag applies (triangle shape AND integral
+        # keys) — no job runs, only plan analysis
+        from sparksqlplus_spark.compiler.cqc import build_relation_df
+        from sparksqlplus_spark.plans.cyclic import _integral_types
+
+        dfs = {
+            r.rid: build_relation_df(
+                self.spark, self.catalog, r, ctx.local_filters.get(r.rid, []), ctx.var_map
+            )
+            for r in ctx.relations
+        }
         by_id = {r.rid: r for r in ctx.relations}
         lines = [f"cyclic: GHD (fractional width {decomp.width})"]
         for i, bag in enumerate(decomp.bags):
             members = [by_id[r] for r in sorted(bag.rids)]
-            kind = (
-                "wcoj-triangle"
-                if _triangle_orientation(members) is not None
-                else ("scan" if len(members) == 1 else "binary-joins")
-            )
+            tri = _triangle_orientation(members)
+            if len(members) == 1:
+                kind = "scan"
+            elif tri is not None and all(
+                _integral_types(dfs[rel.rid], [a, b]) for rel, (a, b) in tri
+            ):
+                kind = "wcoj-triangle"
+            else:
+                kind = "binary-joins"
             aliases = ", ".join(m.alias for m in members)
             lines.append(
                 f"  bag{i} [{kind}] {{{aliases}}} vars={sorted(bag.variables)}"

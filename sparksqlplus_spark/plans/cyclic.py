@@ -151,7 +151,11 @@ def _eval_bag(
     from sparksqlplus_spark.operators.wcoj import triangle_join
 
     if len(bag_rels) == 1:
-        return dfs[bag_rels[0].rid].select(*vars_sorted)
+        # dropDuplicates keeps bag evaluation uniformly set-semantics
+        # (multi-member bags dedup below; without this, duplicate rows
+        # in a singleton bag would leak mixed multiplicity). No-op on
+        # the duplicate-free inputs the auto router requires.
+        return dfs[bag_rels[0].rid].select(*vars_sorted).dropDuplicates()
 
     tri = _triangle_orientation(bag_rels)
     if tri is not None:
@@ -182,8 +186,27 @@ def _eval_bag(
     return result.select(*vars_sorted).dropDuplicates()
 
 
+def ghd_multiplicity_safe(ctx: Context) -> bool:
+    """Is GHD's set-semantics evaluation exact for this query?
+
+    Non-full queries carry DISTINCT semantics, so set evaluation IS the
+    semantics. Full/aggregation queries need bag multiplicity: exact
+    only when no relation can hold duplicate rows — every scan declares
+    a primary key (agg views are duplicate-free by construction). The
+    auto router checks this before taking the GHD path; forcing
+    cyclic_strategy='ghd' bypasses it (documented caveat).
+    """
+    if not ctx.is_full and not ctx.aggregations and not ctx.group_by:
+        return True
+    return all(r.primary_key_vars or r.kind == "agg" for r in ctx.relations)
+
+
 def execute_ghd(
-    spark: SparkSession, catalog: Catalog, ctx: Context, count_mode: str = "rows"
+    spark: SparkSession,
+    catalog: Catalog,
+    ctx: Context,
+    count_mode: str = "rows",
+    parent_executor=None,
 ) -> DataFrame | None:
     """GHD-driven execution of an unbreakable cyclic core.
 
@@ -202,7 +225,11 @@ def execute_ghd(
     (context normalization) — duplicate-free for any table with a key —
     and the break path handles multiplicity-exact cases.
     """
-    from sparksqlplus_spark.compiler.cqc import CqcExecutor, build_relation_df
+    from sparksqlplus_spark.compiler.cqc import (
+        CqcExecutor,
+        agg_signature,
+        build_relation_df,
+    )
     from sparksqlplus_spark.expressions import rewrite_refs
     from sparksqlplus_spark.plans.context import Comparison
     from sparksqlplus_spark.plans.ghd import ghd_decompose
@@ -214,12 +241,31 @@ def execute_ghd(
         return None
 
     by_id = {r.rid: r for r in ctx.relations}
+    # identical aggregated views share one frame (reference
+    # SqlPlusCompiler.scala:38-53) — without the cache each alias would
+    # re-scan and re-shuffle the base table
+    agg_cache: dict = {}
     dfs = {
         r.rid: build_relation_df(
-            spark, catalog, r, ctx.local_filters.get(r.rid, []), ctx.var_map
+            spark,
+            catalog,
+            r,
+            ctx.local_filters.get(r.rid, []),
+            ctx.var_map,
+            agg_cache=agg_cache,
         )
         for r in ctx.relations
     }
+    from collections import Counter
+
+    sig_counts = Counter(
+        s for s in (agg_signature(r) for r in ctx.relations) if s is not None
+    )
+    shared_persists = []
+    for sig, n in sig_counts.items():
+        if n >= 2 and sig in agg_cache:
+            agg_cache[sig].persist()
+            shared_persists.append(agg_cache[sig])
 
     # ---- evaluate bags, mint bag relations --------------------------------
     bag_relations: list[Relation] = []
@@ -305,9 +351,17 @@ def execute_ghd(
         aggregations=[(n, rw(e)) for n, e in ctx.aggregations],
         order_by=[(rw(e), d) for e, d in ctx.order_by],
     )
-    return CqcExecutor(spark, scratch).execute_tree(
-        new_ctx, tree, count_mode=count_mode
-    )
+    ghd_exec = CqcExecutor(spark, scratch)
+    if parent_executor is not None:
+        # share the persist ledger: the parent's next execute releases
+        # frames persisted here (without this, a throwaway executor's
+        # persisted views leak for the session's lifetime)
+        ghd_exec.persisted = parent_executor.persisted
+    result = ghd_exec.execute_tree(new_ctx, tree, count_mode=count_mode)
+    # register THIS query's shared views after execute_tree's ledger
+    # clear (which releases the previous query's frames, not ours)
+    ghd_exec.persisted.extend(shared_persists)
+    return result
 
 
 # debug/testing probe: which strategy did the last execute_cyclic use?
@@ -321,15 +375,23 @@ def execute_cyclic(
     mode: str = "auto",
     strategy: str = "auto",
     count_mode: str = "rows",
+    executor=None,
 ) -> DataFrame:
     """Cyclic-query execution router.
 
     strategy:
     - 'auto': break to acyclic + CQC when possible (multiplicity-exact,
       wins on sparse/filtered data), else GHD bags + per-bag WCOJ (the
-      scale-safe path for unbreakable dense cores), else greedy joins;
+      scale-safe path for unbreakable dense cores — taken only when
+      set-semantics evaluation is exact for the query, see
+      ghd_multiplicity_safe), else greedy joins;
     - 'break' / 'ghd' / 'naive': force one path ('ghd' still falls back
-      to naive if no decomposition exists).
+      to naive if no decomposition exists, and skips the multiplicity
+      guard — its set-semantics caveat is documented on execute_ghd).
+
+    ``executor``: the session's CqcExecutor, reused so persisted frames
+    stay on its ledger (released on the next execute) instead of
+    leaking from a throwaway instance.
     """
     global last_strategy
     from sparksqlplus_spark.compiler.cqc import CqcExecutor, naive_execute
@@ -339,14 +401,15 @@ def execute_cyclic(
         if broken is not None:
             new_ctx, tree = broken
             last_strategy = "break"
-            return CqcExecutor(spark, catalog).execute_tree(
-                new_ctx, tree, count_mode=count_mode
-            )
+            exe = executor or CqcExecutor(spark, catalog)
+            return exe.execute_tree(new_ctx, tree, count_mode=count_mode)
         if strategy == "break":
             last_strategy = "naive"
             return naive_execute(spark, catalog, ctx)
-    if strategy in ("auto", "ghd"):
-        result = execute_ghd(spark, catalog, ctx, count_mode=count_mode)
+    if strategy == "ghd" or (strategy == "auto" and ghd_multiplicity_safe(ctx)):
+        result = execute_ghd(
+            spark, catalog, ctx, count_mode=count_mode, parent_executor=executor
+        )
         if result is not None:
             last_strategy = "ghd"
             return result

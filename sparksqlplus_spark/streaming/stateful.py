@@ -63,6 +63,9 @@ def ewma_batch(
     materialization) or the stream form (bounded per micro-batch).
     """
 
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
         pdf["ewma"] = _ewma_series(pdf["value"], alpha, None, round_to)
@@ -171,6 +174,8 @@ def ewma_stream(
     State = (last ewma, event count); each micro-batch folds its events
     (ordered by event time) into the carried state.
     """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
 
     def fold(
         key: tuple[Any, ...],

@@ -17,7 +17,7 @@ from __spark_entry__ import GRAPH_SQL, GRAPH_SQL_DUCK
 @pytest.fixture(scope="session")
 def graph_engine(engine, oracle):
     df = engine.sql(GRAPH_SQL, mode="spark")
-    engine.register("graph", df)
+    engine.register("graph", df, primary_key=("src", "dst"))
     # materialized once — a VIEW would re-derive (md5 + scalar subquery)
     # inside every join reference
     oracle.execute(f"CREATE OR REPLACE TABLE graph AS {GRAPH_SQL_DUCK}")
@@ -317,19 +317,15 @@ def test_ghd_execution_nonfull_distinct(graph_engine, oracle):
     )
 
 
-def test_unbreakable_k5_routes_to_ghd(graph_engine):
-    """K5 exhausts MAX_BREAKS clone rewrites: the auto router must take
-    the GHD path (NOT the greedy-join fallback) and agree with naive
-    execution — the round-2 verdict's named scale gap."""
-    import sparksqlplus_spark.plans.cyclic as cyc
-
+def _k5_sql(table: str) -> str:
+    """Full SELECT over the K5 pattern (10 edge aliases, 5 variables)."""
     aliases = []
     preds = []
     pairs = [(u, v) for i, u in enumerate("abcde") for v in "abcde"[i + 1:]]
     var_owner: dict[str, tuple[str, str]] = {}
     for i, (u, v) in enumerate(pairs):
         g = f"g{i}"
-        aliases.append(f"graph AS {g}")
+        aliases.append(f"{table} AS {g}")
         for var, col in ((u, "src"), (v, "dst")):
             if var in var_owner:
                 oa, oc = var_owner[var]
@@ -339,8 +335,16 @@ def test_unbreakable_k5_routes_to_ghd(graph_engine):
     sel = ", ".join(
         f"{a}.{c} AS {var}" for var, (a, c) in sorted(var_owner.items())
     )
-    q = f"SELECT {sel} FROM {', '.join(aliases)} WHERE {' AND '.join(preds)}"
+    return f"SELECT {sel} FROM {', '.join(aliases)} WHERE {' AND '.join(preds)}"
 
+
+def test_unbreakable_k5_routes_to_ghd(graph_engine):
+    """K5 exhausts MAX_BREAKS clone rewrites: the auto router must take
+    the GHD path (NOT the greedy-join fallback) and agree with naive
+    execution — the round-2 verdict's named scale gap."""
+    import sparksqlplus_spark.plans.cyclic as cyc
+
+    q = _k5_sql("graph")
     ctx = graph_engine.context(q)
     assert cyc.try_break(ctx) is None  # genuinely unbreakable
     df = graph_engine.sql(q)
@@ -348,6 +352,33 @@ def test_unbreakable_k5_routes_to_ghd(graph_engine):
     assert cyc.last_strategy == "ghd"
     naive_rows = sorted(map(tuple, graph_engine.sql(q, mode="naive").collect()))
     assert auto_rows == naive_rows
+
+
+def test_ghd_guard_keyless_duplicates(engine):
+    """Round-3 code-review finding: a full cyclic query over a KEYLESS
+    duplicate-carrying table must NOT auto-route to the set-semantics
+    GHD path — it would silently drop row multiplicity. Auto falls back
+    to naive (exact); forcing 'ghd' keeps the documented set caveat."""
+    import sparksqlplus_spark.plans.cyclic as cyc
+
+    # one K5 instance, every edge duplicated ×2 -> bag multiplicity 2^10
+    pairs = [(u, v) for u in range(1, 6) for v in range(1, 6) if u < v]
+    rows = [(int(u), int(v)) for u, v in pairs] * 2
+    dup = engine.spark.createDataFrame(rows, "src long, dst long")
+    engine.register("dupgraph", dup)  # NO primary key declared
+
+    q = _k5_sql("dupgraph")
+    ctx = engine.context(q)
+    assert cyc.try_break(ctx) is None
+    assert not cyc.ghd_multiplicity_safe(ctx)
+
+    auto_n = engine.sql(q).count()
+    assert cyc.last_strategy == "naive"
+    naive_n = engine.sql(q, mode="naive").count()
+    assert auto_n == naive_n == 2**10  # exact bag multiplicity
+    forced = engine.sql(q, cyclic_strategy="ghd").count()
+    assert cyc.last_strategy == "ghd"
+    assert forced == 1  # documented set semantics under the forced path
 
 
 def test_eager_count_propagation(graph_engine, oracle):

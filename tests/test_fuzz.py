@@ -122,7 +122,7 @@ def dense_graph_engine(engine):
         .persist()
     )
     edges.count()
-    engine.register("fuzzgraph", edges)
+    engine.register("fuzzgraph", edges, primary_key=("src", "dst"))
     return engine
 
 
