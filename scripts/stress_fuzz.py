@@ -1,0 +1,160 @@
+"""One-off deep stress run of the engine's equivalence properties.
+
+Mirrors tests/test_fuzz.py's four families with a plain random
+generator and many more cases than CI runs: (1) random conjunctive
+queries CQC-vs-naive, (2) random GROUP BY aggregates incl. eager count
+mode, (3) random cyclic patterns through the GHD executor, (4) random
+join-tree-hint rerootings. Prints every failing SQL; exit code 1 on
+any failure.
+"""
+
+import random
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from sparksqlplus_spark import SparkSQLPlus, get_spark
+from tests.test_fuzz import (
+    AGG_EXPRS,
+    COMPARISONS,
+    EDGES,
+    FILTERS,
+    OUT_COLS,
+    TABLES,
+    _pattern_sql,
+    build_sql,
+)
+
+SEED = int(sys.argv[1]) if len(sys.argv) > 1 else 20260813
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+rng = random.Random(SEED)
+
+spark = get_spark(app_name="stress_fuzz", master="local[16]", shuffle_partitions=16)
+eng = SparkSQLPlus(spark)
+eng.register_testdata("/root/testdata/sf0.001")
+
+from pyspark.sql import functions as F
+
+li = eng.catalog.get("lineitem").df
+fuzzgraph = (
+    li.select((F.col("l_orderkey") % 60).alias("src"), (F.col("l_partkey") % 60).alias("dst"))
+    .filter(F.col("src") != F.col("dst"))
+    .distinct()
+    .persist()
+)
+fuzzgraph.count()
+eng.register("fuzzgraph", fuzzgraph, primary_key=("src", "dst"))
+
+failures: list[str] = []
+
+
+def rand_case():
+    n_edges = rng.randint(1, len(EDGES))
+    chosen = rng.sample(EDGES, n_edges)
+    aliases = {chosen[0][0], chosen[0][1]}
+    kept = [chosen[0]]
+    changed = True
+    while changed:
+        changed = False
+        for e in chosen:
+            if e not in kept and (e[0] in aliases or e[1] in aliases):
+                kept.append(e)
+                aliases |= {e[0], e[1]}
+                changed = True
+    comps = [
+        (c, rng.choice(["<", "<=", ">", ">="]))
+        for c in COMPARISONS
+        if c[0] in aliases and c[2] in aliases and rng.random() < 0.5
+    ]
+    filts = [f for f in FILTERS if f[0] in aliases and rng.random() < 0.5]
+    out = sorted(
+        {OUT_COLS[a] for a in aliases if rng.random() < 0.6}
+        or {OUT_COLS[sorted(aliases)[0]]}
+    )
+    return aliases, kept, comps, filts, out
+
+
+def check(tag, sql, frames):
+    counts = [df.count() for df in frames]
+    ok = len(set(counts)) == 1
+    if ok and counts[0] > 0:
+        base = frames[0]
+        for other in frames[1:]:
+            if base.exceptAll(other).count() or other.exceptAll(base).count():
+                ok = False
+                break
+    if not ok:
+        failures.append(f"[{tag}] counts={counts}: {sql}")
+        print(f"FAIL [{tag}]: {sql}", flush=True)
+
+
+t0 = time.time()
+for i in range(N):
+    aliases, kept, comps, filts, out = rand_case()
+    sql = build_sql(aliases, kept, comps, filts, out)
+    check("cq", sql, [eng.sql(sql), eng.sql(sql, mode="naive")])
+    if i % 10 == 0:
+        print(f"cq {i}/{N} ({time.time()-t0:.0f}s)", flush=True)
+
+for i in range(N):
+    aliases, kept, comps, filts, out = rand_case()
+    aggs = [
+        (e, n)
+        for e, n in AGG_EXPRS
+        if ("(*" in e or e[e.index("(") + 1] in aliases) and rng.random() < 0.6
+    ] or [("COUNT(*)", "cnt")]
+    sel = ", ".join(out + [f"{e} AS {n}" for e, n in aggs])
+    from_clause = ", ".join(f"{TABLES[a]} AS {a}" for a in sorted(aliases))
+    conds = [f"{a}.{lc} = {b}.{rc}" for a, b, lc, rc in kept]
+    conds += [f"{la}.{lc} {op} {ra}.{rc}" for (la, lc, ra, rc), op in comps]
+    conds += [f"{a}.{p}" for a, p in filts]
+    sql = (
+        f"SELECT {sel} FROM {from_clause} WHERE {' AND '.join(conds)} "
+        f"GROUP BY {', '.join(out)}"
+    )
+    check(
+        "agg",
+        sql,
+        [eng.sql(sql), eng.sql(sql, mode="naive"), eng.sql(sql, count_mode="eager")],
+    )
+    if i % 10 == 0:
+        print(f"agg {i}/{N} ({time.time()-t0:.0f}s)", flush=True)
+
+for i in range(N):
+    k = rng.randint(3, 4)
+    edges = [(j, (j + 1) % k) for j in range(k)]
+    for _ in range(rng.randint(0, 2)):
+        u, v = rng.randint(0, k - 1), rng.randint(0, k - 1)
+        if u != v and (u, v) not in edges:
+            edges.append((u, v))
+    sql = _pattern_sql(edges, rng.random() < 0.5)
+    check(
+        "ghd",
+        sql,
+        [eng.sql(sql, cyclic_strategy="ghd"), eng.sql(sql, mode="naive")],
+    )
+    if i % 10 == 0:
+        print(f"ghd {i}/{N} ({time.time()-t0:.0f}s)", flush=True)
+
+from sparksqlplus_spark.plans.gyo import gyo_join_tree
+
+for i in range(N):
+    aliases, kept, comps, filts, out = rand_case()
+    sql = build_sql(aliases, kept, comps, filts, out)
+    ctx = eng.context(sql)
+    tree = gyo_join_tree(ctx.relations)
+    if tree is None or len(tree.relations) < 2:
+        continue
+    rids = sorted(tree.relations)
+    tree = tree.rerooted(rng.choice(rids))
+    by_id = {r.rid: r.alias for r in ctx.relations}
+    hint = [(by_id[p], by_id[c]) for c, p in tree.parent.items()]
+    check("hint", sql, [eng.sql(sql, join_tree_hint=hint), eng.sql(sql, mode="naive")])
+    if i % 10 == 0:
+        print(f"hint {i}/{N} ({time.time()-t0:.0f}s)", flush=True)
+
+print(f"stress done in {time.time()-t0:.0f}s; failures: {len(failures)}")
+for f in failures:
+    print(f)
+sys.exit(1 if failures else 0)
