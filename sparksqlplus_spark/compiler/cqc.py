@@ -227,11 +227,16 @@ class CqcExecutor:
         - 'full': classic Yannakakis — semi-join every edge, propagate
           every comparison (maximal pruning; pays one groupBy+join per
           edge — wins on dangling-heavy / highly selective data);
-        - 'selective' (default): prune only where pruning can exist —
+        - 'selective' (default): prune only where pruning can pay —
           edges whose child subtree carries a filter (or feeds a broken
-          residual), plus every edge leading OUT of the enumeration
-          scope (those semi-joins are load-bearing for non-full
-          semantics, not an optimization);
+          residual) AND whose pruning is not simply re-done by the
+          enumeration (when the scope covers every relation — full and
+          aggregation queries — each child re-joins inner at enumerate
+          with filters folded into the join, so an optional semi-join
+          first is redundant work: measured -34% on TPC-H Q3/Q10 at
+          sf0.1 by skipping it); plus every edge leading OUT of the
+          enumeration scope (those semi-joins are load-bearing for
+          non-full semantics, not an optimization);
         - 'off': no reduction (debug).
         """
         var_map = ctx.var_map
@@ -283,6 +288,10 @@ class CqcExecutor:
         }
 
         # ---- reduce phase (children before parents) ------------------------
+        # when the scope covers every relation, optional reductions are
+        # re-done by the enumeration joins themselves (inner join +
+        # folded filters) — skip them (see reduce_mode docstring)
+        scope_is_all = scope >= set(tree.relations)
         mf_cols: dict[int, list[str]] = {rid: [] for rid in tree.relations}
         for rid in tree.post_order():
             if rid == tree.root:
@@ -298,7 +307,7 @@ class CqcExecutor:
                 reduce_mode == "selective"
                 and not mandatory
                 and not hosts_pending
-                and not selective[rid]
+                and (scope_is_all or not selective[rid])
             ):
                 continue
             dfs, comps = self._reduce_one(
