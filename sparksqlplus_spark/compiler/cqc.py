@@ -687,12 +687,23 @@ class CqcExecutor:
                     score += 2
             return (score, rel.cardinality or 1 << 40)
 
-        frontier = [c for c in tree.children[tree.root] if c in scope]
-        while frontier:
-            frontier.sort(key=join_score)
-            rid = frontier.pop(0)
+        # generalized frontier (same rule as _enumerate): joinable once
+        # the key variables are present in the accumulated result
+        result_vars = set(tree.relations[tree.root].variables)
+        remaining = {rid for rid in scope if rid != tree.root}
+        while remaining:
+            ready = [
+                r
+                for r in remaining
+                if (tree.join_key(r) and set(tree.join_key(r)) <= result_vars)
+                or tree.parent.get(r) in joined
+            ]
+            ready.sort(key=join_score)
+            rid = ready[0]
+            remaining.discard(rid)
             key = list(tree.join_key(rid))
             joined.add(rid)
+            result_vars |= set(tree.relations[rid].variables)
             child = clean(rid)
             child_cols = set(child.columns)
             child_keep = sorted((needed_now() | set(key)) & child_cols)
@@ -712,7 +723,6 @@ class CqcExecutor:
                 "__cnt", F.col("__cnt") * F.col("__c")
             ).drop("__c")
             result = regroup(apply_ready(result))
-            frontier.extend(c for c in tree.children[rid] if c in scope)
 
         for i, (hosts, _, build) in enumerate(pending):
             if not applied[i]:
@@ -778,12 +788,15 @@ class CqcExecutor:
 
         result = apply_ready(result)
 
-        def join_score(rid: int) -> tuple[int, int]:
+        def join_score(rid: int) -> tuple[int, int, int]:
             """Order frontier joins: PK-covered lookups first (no row
             growth), then growth joins whose pending conditions become
             applicable (constrained), then unconstrained growth whose
             conditions still wait on other relations (worst: defer).
-            Tie-break by cardinality."""
+            Tie-breaks: filter-carrying children first (a selective
+            lookup shrinks the stream before unfiltered lookups — TPC-H
+            Q17's brand filter before the unfiltered AVG view), then
+            cardinality."""
             rel = tree.relations[rid]
             key = set(tree.join_key(rid))
             pk = set(rel.primary_key_vars)
@@ -793,12 +806,29 @@ class CqcExecutor:
                     continue
                 if not (hosts - {rid} <= joined):
                     score += 2  # joining now creates growth a later filter would bound
-            return (score, rel.cardinality or 1 << 40)
+            filtered = 0 if ctx.local_filters.get(rid) else 1
+            return (score, filtered, rel.cardinality or 1 << 40)
 
-        frontier = [c for c in tree.children[tree.root] if c in scope]
-        while frontier:
-            frontier.sort(key=join_score)
-            rid = frontier.pop(0)
+        # generalized frontier: a relation is joinable once its tree
+        # join-key variables are all present in the accumulated result —
+        # not only once its tree PARENT joined. Running intersection
+        # guarantees the parent key covers every variable shared with
+        # any other relation, so an early join on those variables is
+        # exact; this frees the ordering to put a selective filtered
+        # lookup before an unfiltered one even when the tree nests them
+        # (TPC-H Q17: part-with-brand-filter before the AVG view).
+        result_vars = set(tree.relations[tree.root].variables)
+        remaining = {rid for rid in scope if rid != tree.root}
+        while remaining:
+            ready = [
+                r
+                for r in remaining
+                if (tree.join_key(r) and set(tree.join_key(r)) <= result_vars)
+                or tree.parent.get(r) in joined
+            ]
+            ready.sort(key=join_score)
+            rid = ready[0]
+            remaining.discard(rid)
             key = list(tree.join_key(rid))
             child = clean(rid)
             if key:
@@ -806,8 +836,8 @@ class CqcExecutor:
             else:
                 result = result.crossJoin(child)
             joined.add(rid)
+            result_vars |= set(tree.relations[rid].variables)
             result = apply_ready(result)
-            frontier.extend(c for c in tree.children[rid] if c in scope)
 
         # safety net: anything whose hosts never fully joined (shouldn't
         # happen — scope covers all condition refs)
