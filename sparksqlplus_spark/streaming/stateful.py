@@ -168,11 +168,15 @@ def ewma_stream(
     alpha: float = 0.3,
     key_col: str = "user_id",
     watermark: str = "1 hour",
+    round_to: int | None = 9,
 ) -> DataFrame:
     """Streaming form: arbitrary per-key state via applyInPandasWithState.
 
     State = (last ewma, event count); each micro-batch folds its events
-    (ordered by event time) into the carried state.
+    (ordered by event time) into the carried state. Per-key memory is
+    bounded by the micro-batch size, never by the key's history — this
+    is the scale-safe form of the exact recursion (``ewma_batch``
+    materializes whole keys and exists as the test comparator).
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -185,7 +189,7 @@ def ewma_stream(
         last, n = state.get if state.exists else (None, 0)
         events = pd.concat(list(batches), ignore_index=True)
         events = events.sort_values(["ts", "event_id"])
-        events["ewma"] = _ewma_series(events["value"], alpha, last)
+        events["ewma"] = _ewma_series(events["value"], alpha, last, round_to)
         last = float(events["ewma"].iloc[-1]) if len(events) else last
         n += len(events)
         state.update((last, n))

@@ -139,6 +139,24 @@ def test_ewma_stream_matches_batch(spark, events):
     assert want.exceptAll(got).count() == 0
 
 
+def test_ewma_stream_unrounded_bit_identical(spark, events):
+    """The driver-entry configuration (round_to=None, one-batch drain):
+    the stream fold must be BIT-identical to the exact recursion — this
+    is what lets events_ewma_stateful hash-match the recursive-CTE
+    oracle while the primary result flows through the bounded
+    applyInPandasWithState form (round-3 verdict #1)."""
+    from sparksqlplus_spark.streaming.stateful import ewma_batch, ewma_stream
+
+    stream = events_stream(spark, EVENTS)
+    got = run_stream_to_memory(
+        ewma_stream(stream, alpha=0.3, round_to=None), "t_ewma_unrounded"
+    )
+    want = ewma_batch(events, alpha=0.3, round_to=None)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_ewma_scalable_matches_exact(events):
     """Windowed closed-form EWMA (the 100 TB path — no per-key pandas
     materialization) agrees with the exact recursion to float ulps."""
