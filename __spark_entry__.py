@@ -944,20 +944,27 @@ def _ann_lsh_q(spark, sf_dir):
 
 
 def _ann_lsh_oracle() -> str:
-    from sparksqlplus_spark.operators.similarity import hyperplane
+    # buckets replayed on the QUANTIZED projection (floor(x*1024) onto
+    # integer plane components): every term and partial sum is an exact
+    # integer, so the >= 0 sign decision is bit-identical across engines
+    # regardless of dot-product fold order (round-3 ADVICE flake class)
+    from sparksqlplus_spark.operators.similarity import LSH_QUANT, hyperplane_int
 
-    planes = [hyperplane(64, j) for j in range(8)]
+    planes = [hyperplane_int(64, j) for j in range(8)]
 
     def lit(p):
-        return "[" + ",".join(repr(x) for x in p) + "]"
+        return "[" + ",".join(f"{x}.0" for x in p) + "]"
 
     bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(ev, {lit(planes[j])}) >= 0 THEN {2**j} ELSE 0 END)"
+        f"(CASE WHEN list_dot_product(qe, {lit(planes[j])}) >= 0 THEN {2**j} ELSE 0 END)"
         for j in range(8)
     )
     return f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
-b AS (SELECT vec_id, ev, {bucket} AS bucket FROM e),
+eq AS (SELECT vec_id, ev,
+              list_transform(ev, x -> CAST(floor(x * {LSH_QUANT}) AS DOUBLE)) AS qe
+       FROM e),
+b AS (SELECT vec_id, ev, {bucket} AS bucket FROM eq),
 q AS (SELECT vec_id AS query_id, ev AS qv, bucket FROM b WHERE vec_id < 10),
 scored AS (
   SELECT q.query_id, b.vec_id AS neighbor_id,
@@ -1041,20 +1048,22 @@ def _emb_neardup_q(spark, sf_dir):
 
 
 def _emb_neardup_oracle(n_planes: int = 8, n_bands: int = 4) -> str:
-    from sparksqlplus_spark.operators.similarity import hyperplane
+    # quantized-projection buckets — see _ann_lsh_oracle for why (exact
+    # integer sign decision, no cross-engine fold-order flake)
+    from sparksqlplus_spark.operators.similarity import LSH_QUANT, hyperplane_int
 
     def lit(p):
-        return "[" + ",".join(repr(x) for x in p) + "]"
+        return "[" + ",".join(f"{x}.0" for x in p) + "]"
 
     def bucket(band: int) -> str:
         return " + ".join(
-            f"(CASE WHEN list_dot_product(ev, "
-            f"{lit(hyperplane(64, band * n_planes + j))}) >= 0 THEN {2**j} ELSE 0 END)"
+            f"(CASE WHEN list_dot_product(qe, "
+            f"{lit(hyperplane_int(64, band * n_planes + j))}) >= 0 THEN {2**j} ELSE 0 END)"
             for j in range(n_planes)
         )
 
     bands = "\n  UNION ALL ".join(
-        f"SELECT vec_id, {band} AS band, {bucket(band)} AS bucket FROM aug"
+        f"SELECT vec_id, {band} AS band, {bucket(band)} AS bucket FROM augq"
         for band in range(n_bands)
     )
     return f"""
@@ -1064,6 +1073,9 @@ aug AS (SELECT vec_id, ev FROM e0
         UNION ALL
         SELECT vec_id + 1000000 AS vec_id, list_transform(ev, x -> x * 0.9 + 0.01) AS ev
         FROM e0 WHERE vec_id % 10 = 0),
+augq AS (SELECT vec_id,
+                list_transform(ev, x -> CAST(floor(x * {LSH_QUANT}) AS DOUBLE)) AS qe
+         FROM aug),
 b AS ({bands}),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b

@@ -69,33 +69,68 @@ def cosine_topk(
     )
 
 
-def hyperplane(dim: int, plane_idx: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane component values in [-1, 1].
-
-    Component d of plane j = (bigint(md5("{j}:{d}")[:13]) % 2001 - 1000) / 1000
-    — reproducible in any engine with md5.
-    """
+def hyperplane_int(dim: int, plane_idx: int) -> list[int]:
+    """Deterministic pseudo-random hyperplane with INTEGER components in
+    [-1000, 1000]: component d of plane j =
+    bigint(md5("{j}:{d}")[:13]) % 2001 - 1000 — reproducible in any
+    engine with md5, and exact in integer arithmetic."""
     import hashlib
 
     out = []
     for d in range(dim):
         h = int(hashlib.md5(f"{plane_idx}:{d}".encode()).hexdigest()[:13], 16)
-        out.append((h % 2001 - 1000) / 1000.0)
+        out.append(h % 2001 - 1000)
     return out
 
 
+def hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component values in [-1, 1]
+    (the integer components of :func:`hyperplane_int` scaled by 1/1000)."""
+    return [x / 1000.0 for x in hyperplane_int(dim, plane_idx)]
+
+
+#: sign-decision quantization scale (a power of two, so ``x * QUANT`` is
+#: exact for any float32-derived double)
+LSH_QUANT = 1024
+
+
 def lsh_bucket(
-    vec_col: Column, dim: int, n_planes: int = 8, plane_offset: int = 0
+    vec_col: Column,
+    dim: int,
+    n_planes: int = 8,
+    plane_offset: int = 0,
+    quantize: int | None = LSH_QUANT,
 ) -> Column:
     """Sign-of-projection bit bucket (random-hyperplane LSH).
 
     ``plane_offset`` selects an independent plane family (planes
     ``offset .. offset+n_planes-1``) so callers can OR several bucket
-    sets — the multi-band recall amplification trick."""
+    sets — the multi-band recall amplification trick.
+
+    ``quantize`` (default on) makes the sign decision INTEGER-EXACT:
+    the vector is quantized to ``floor(x * quantize)`` (exact — the
+    scale is a power of two) and projected onto the integer hyperplane
+    components, so every product and partial sum is an exactly
+    representable integer and the ``>= 0`` decision is bit-identical in
+    every engine at every summation order. Without it, a near-zero
+    float projection can round to opposite signs in two engines that
+    fold the dot product in different orders, silently desyncing an
+    oracle's candidate set (a cross-engine flake class, not a Spark
+    bug). ``quantize=None`` keeps raw-double projections.
+    """
     bucket = F.lit(0).cast("long")
     v = vec_col.cast("array<double>")
+    if quantize is not None:
+        # floor() yields exact integral doubles; products with the
+        # integer plane components stay ≲ 2^40 — exact in a double
+        v = F.transform(v, lambda x: F.floor(x * F.lit(float(quantize))).cast("double"))
     for j in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in hyperplane(dim, plane_offset + j)])
+        comps = (
+            [float(x) for x in hyperplane_int(dim, plane_offset + j)]
+            if quantize is not None
+            else hyperplane(dim, plane_offset + j)
+        )
+        plane = F.array(*[F.lit(x) for x in comps])
         bit = F.when(_dot(v, plane) >= 0, F.lit(2**j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )

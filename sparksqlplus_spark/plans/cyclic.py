@@ -292,6 +292,11 @@ def execute_ghd(
 
     tree = gyo_join_tree(bag_relations)
     if tree is None:  # decomposition validated this; defensive only
+        # release the shared agg views persisted above — they only reach
+        # the executor ledger after a successful execute, so returning
+        # without unpersisting would cache them for the session lifetime
+        for df in shared_persists:
+            df.unpersist()
         return None
 
     # ---- rewrite the query over bag aliases -------------------------------

@@ -51,7 +51,13 @@ def join_tree_from_hint(ctx: Context, hint) -> JoinTree:
         children = {c for _, c in edges}
         roots = {p for p, _ in edges} - children
         if len(edges) == 0:
-            raise InvalidHintError("empty hint")
+            # degenerate single-relation query: an empty edge list is a
+            # complete tree (root inferred) — same acceptance as the
+            # nested {'relation': ...} form's single node
+            if len(ctx.relations) == 1:
+                roots = {ctx.relations[0].alias}
+            else:
+                raise InvalidHintError("empty hint")
         if len(roots) != 1:
             raise InvalidHintError(
                 f"hint edge list must have exactly one root, found {sorted(roots)}"
