@@ -158,6 +158,12 @@ def events_stream(
             stream = stream.withColumn(
                 ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
             )
+        elif f.name == ts_col and f.dataType.simpleString() == "timestamp_ntz":
+            # testdata parquet stores ts as TIMESTAMP_MICROS with
+            # isAdjustedToUTC=0, which Spark reads as TIMESTAMP_NTZ —
+            # withWatermark requires TIMESTAMP. The session runs in UTC
+            # (session.py), so the cast preserves the wall-clock value.
+            stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return stream
 
 
