@@ -160,9 +160,9 @@ class CqcExecutor:
         # Spark's LRU evicts under pressure, clear_cache() forces it
         self.persisted: list[DataFrame] = []
 
-    def clear_cache(self) -> None:
+    def clear_cache(self, blocking: bool = False) -> None:
         for df in self.persisted:
-            df.unpersist()
+            df.unpersist(blocking=blocking)
         self.persisted.clear()
 
     def _build_all(self, ctx: Context) -> dict[int, DataFrame]:
