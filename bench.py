@@ -95,15 +95,19 @@ def main() -> None:
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
         elapsed = time.time() - t0
-        if elapsed < 1.0:
-            # sub-second entries: session noise dominates the signal
-            # (BASELINE.md "driver environment" note — same binary
-            # measured up to +35% slower on untouched queries in a busy
-            # session; round-3 verdict asked for best-of-2 here so the
-            # recorded number tracks the plan, not scheduler jitter)
-            t0 = time.time()
-            qs[name](spark, sf_dir).count()
-            elapsed = min(elapsed, time.time() - t0)
+        # best-of-2 for EVERY timed entry (round-4 verdict item 3: the
+        # sub-second-only gate left the >1 s band unprotected and it
+        # drifted +26-66% on untouched plans in a busy driver session;
+        # uniform protocol also removes the 1.0 s methodology
+        # discontinuity flagged in round-4 ADVICE). The second run's
+        # row count must match the first — a cheap nondeterminism trap.
+        t0 = time.time()
+        n2 = qs[name](spark, sf_dir).count()
+        elapsed = min(elapsed, time.time() - t0)
+        if n2 != n:
+            raise AssertionError(
+                f"{name}: row count changed between runs ({n} vs {n2})"
+            )
         timings[name] = round(elapsed, 3)
         print(f"  {name}: {timings[name]}s (rows={n})", file=sys.stderr)
 

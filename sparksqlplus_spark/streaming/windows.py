@@ -161,8 +161,11 @@ def events_stream(
         elif f.name == ts_col and f.dataType.simpleString() == "timestamp_ntz":
             # testdata parquet stores ts as TIMESTAMP_MICROS with
             # isAdjustedToUTC=0, which Spark reads as TIMESTAMP_NTZ —
-            # withWatermark requires TIMESTAMP. The session runs in UTC
-            # (session.py), so the cast preserves the wall-clock value.
+            # withWatermark requires TIMESTAMP. The cast is only
+            # wall-clock-preserving under a UTC session timezone, so
+            # enforce the invariant HERE, where it is relied upon (not
+            # just in session.py — callers may hand us any session).
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return stream
 
