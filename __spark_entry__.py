@@ -33,6 +33,23 @@ GRAPH_SQL_DUCK = (
     "% (SELECT MAX(l_orderkey) FROM lineitem)) AS dst FROM lineitem"
 )
 
+# DENSE variant (round-4 verdict item 2): both endpoints folded into a
+# small node domain (max_orderkey/20) => avg out-degree ~50-80 at EVERY
+# SF. On this shape the break rewrite's first join materializes
+# sum(deg^2) ~ 15-30x the input rows, so the auto router's density rule
+# sends it to GHD + per-bag WCOJ instead (plans/cyclic.py GHD_BLOWUP).
+_DENSE_N = "(SELECT GREATEST(CAST(FLOOR(MAX(l_orderkey)/20.0) AS BIGINT), 16) FROM lineitem)"
+DENSE_GRAPH_SQL = (
+    f"SELECT DISTINCT 1 + (l_orderkey % {_DENSE_N}) AS src, "
+    "1 + (CAST(conv(substring(md5(CAST(l_orderkey*7 + l_partkey*31 + l_suppkey AS STRING)),1,13),16,10) AS BIGINT) "
+    f"% {_DENSE_N}) AS dst FROM lineitem"
+)
+DENSE_GRAPH_SQL_DUCK = (
+    f"SELECT DISTINCT 1 + (l_orderkey % {_DENSE_N}) AS src, "
+    "1 + (CAST(('0x'||substr(md5(CAST(l_orderkey*7 + l_partkey*31 + l_suppkey AS VARCHAR)),1,13)) AS BIGINT) "
+    f"% {_DENSE_N}) AS dst FROM lineitem"
+)
+
 # Derived partsupp stand-in (TESTDATA ships none): one row per
 # (partkey, suppkey) seen in lineitem, with deterministic availqty /
 # supplycost. Identical text runs in Spark and DuckDB.
@@ -85,6 +102,11 @@ def _engine(spark: SparkSession, sf_dir: str):
         eng.register(
             "graph",
             eng.sql(GRAPH_SQL, mode="spark").persist(),
+            primary_key=("src", "dst"),
+        )
+        eng.register(
+            "graph_dense",
+            eng.sql(DENSE_GRAPH_SQL, mode="spark").persist(),
             primary_key=("src", "dst"),
         )
         eng.register("docs_aug", eng.sql(DOCS_AUG_SQL, mode="spark").persist())
@@ -1368,6 +1390,30 @@ def _q2_ghd_q(spark, sf_dir):
     return eng.sql(_Q2_GHD_SQL, cyclic_strategy="ghd")
 
 
+# --- P3/P4 routing (round-4 verdict item 2): directed-triangle count
+# per node on the DENSE derived graph, submitted with strategy AUTO.
+# The density rule (plans/cyclic.py:_break_blowup) measures the break
+# path's first-join blowup (sum deg^2 / inputs ~ 15-30x here) and
+# routes to GHD + per-bag WCOJ; tests/test_planner.py asserts
+# last_strategy == "ghd" through this exact path. Reference intent:
+# CyclicHandler.scala:13-24 (strategy chosen per query).
+_DENSE_TRI_SQL = """
+SELECT g1.src AS a, COUNT(*) AS n_tri
+FROM graph_dense AS g1, graph_dense AS g2, graph_dense AS g3
+WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src
+GROUP BY g1.src
+"""
+
+
+def _dense_auto_ghd_q(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return eng.sql(_DENSE_TRI_SQL)  # cyclic_strategy defaults to "auto"
+
+
+def _ora_dense(body: str) -> str:
+    return f"WITH graph_dense AS MATERIALIZED ({DENSE_GRAPH_SQL_DUCK}) {body}"
+
+
 # --- C24: full user join-tree hint (reference HintHandler.scala:10-83)
 # — the chain is executed under an explicit user tree l→s→n (validated
 # against the hypergraph), with the hint root as enumeration root.
@@ -1392,6 +1438,7 @@ def _hint_q(spark, sf_dir):
 
 
 _OP_CASES: dict[str, tuple[Callable, str | None]] = {
+    "graph_dense_auto_ghd": (_dense_auto_ghd_q, _ora_dense(_DENSE_TRI_SQL)),
     "graph_q2_crosstri_ghd": (_q2_ghd_q, None),  # graph-CTE oracle attached below
     "graph_triangle_wcoj": (_wcoj_triangles_q, None),  # graph-CTE oracle attached below
     "events_ewma_stateful": (_ewma_q, _EWMA_ORACLE),
@@ -1428,6 +1475,8 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # rotates, it is not dropped. No entry may sit driver-unchecked for 2+
 # consecutive rounds: next round the tail below rotates back in.
 _HEAD = [
+    # NEW this round: auto-router density rule -> GHD driver entry
+    "graph_dense_auto_ghd",
     # r1+r2-green entries that sat out r3+r4 — back in the window first
     "like_patterns",
     "is_not_null",

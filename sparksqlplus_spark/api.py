@@ -254,17 +254,30 @@ class SparkSQLPlus:
 
         if tree is not None:
             return render(tree, ctx)
-        # cyclic: explain the router's decision
-        from sparksqlplus_spark.plans.cyclic import _triangle_orientation, try_break
+        # cyclic: explain the router's decision (mirrors execute_cyclic,
+        # including the density rule — runs the same small stat jobs)
+        from sparksqlplus_spark.plans.cyclic import (
+            GHD_BLOWUP,
+            _break_blowup,
+            _triangle_orientation,
+            ghd_multiplicity_safe,
+            try_break,
+        )
         from sparksqlplus_spark.plans.ghd import ghd_decompose
 
         broken = try_break(ctx) if cyclic_strategy in ("auto", "break") else None
-        if broken is not None:
+        blowup = None
+        if broken is not None and cyclic_strategy == "auto" and ghd_multiplicity_safe(ctx):
+            blowup = _break_blowup(self.spark, self.catalog, ctx)
+        dense = blowup is not None and blowup >= GHD_BLOWUP
+        decomp = ghd_decompose(ctx.relations) or ghd_decompose(ctx.relations, max_bag=4)
+        if broken is not None and (not dense or decomp is None):
             new_ctx, btree = broken
             n_breaks = len(new_ctx.residuals) - len(ctx.residuals)
             head = f"cyclic: break rewrite ({n_breaks} clone(s) + residual equalities)"
+            if blowup is not None:
+                head += f" [blowup {blowup:.1f} < {GHD_BLOWUP}]"
             return head + "\n" + render(btree, new_ctx)
-        decomp = ghd_decompose(ctx.relations) or ghd_decompose(ctx.relations, max_bag=4)
         if decomp is None:
             return "cyclic: no break/GHD plan — greedy connected joins"
         # build the (lazy) relation frames so the bag label reflects the
@@ -280,7 +293,10 @@ class SparkSQLPlus:
             for r in ctx.relations
         }
         by_id = {r.rid: r for r in ctx.relations}
-        lines = [f"cyclic: GHD (fractional width {decomp.width})"]
+        head = f"cyclic: GHD (fractional width {decomp.width})"
+        if dense:
+            head += f" [density-routed: break blowup {blowup:.1f} >= {GHD_BLOWUP}]"
+        lines = [head]
         for i, bag in enumerate(decomp.bags):
             members = [by_id[r] for r in sorted(bag.rids)]
             tri = _triangle_orientation(members)

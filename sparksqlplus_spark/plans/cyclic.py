@@ -201,6 +201,86 @@ def ghd_multiplicity_safe(ctx: Context) -> bool:
     return all(r.primary_key_vars or r.kind == "agg" for r in ctx.relations)
 
 
+# Degree statistics for the auto router's density rule, keyed by
+# (id(catalog), table, local-filter signature, source column). Cached
+# for the engine's lifetime: repeated cyclic queries over the same
+# source (the bench's best-of-2 second run, the graph family) pay zero
+# extra planning jobs after the first.
+_degree_stats: dict[tuple, tuple[int, int]] = {}
+
+# Route auto->GHD when the break path's *smallest possible* first-join
+# intermediate exceeds this multiple of the total input rows. Measured
+# on the derived edge tables (scripts/exp_ghd_router.py): the sparse
+# ~deg-4 graph sits at blowup ~2 (break wins there — GHD's hypercube +
+# Arrow overhead measured 2-3x slower, SCALING.md), the dense mod-N
+# fixtures sit at 15-35 (break loses by >5x). 8 splits the families
+# with headroom on both sides.
+GHD_BLOWUP = 8.0
+
+
+def _break_blowup(spark, catalog, ctx: Context) -> float | None:
+    """Density of the cyclic core: estimated smallest first-join
+    intermediate of the break path, relative to total input rows.
+
+    Only edge-like cores are costed (every relation a binary scan —
+    the self-join/graph pattern where break's path-materialization
+    pathology lives); anything else returns None and the router keeps
+    the break path. Per (relation, var) we take exact degree moments
+    (rows, F2 = sum of per-key count^2) in one small aggregate job
+    each; a pair's equi-join size is bounded by Cauchy-Schwarz as
+    sqrt(F2_left * F2_right), exact for self-joins on the same key
+    distribution — 2-path count = F2 on the shared node column.
+    """
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.compiler.cqc import build_relation_df
+
+    rels = ctx.relations
+    if len(rels) < 3 or any(
+        r.kind != "scan" or len(r.variables) != 2 for r in rels
+    ):
+        return None
+    stats: dict[tuple[int, str], tuple[int, int]] = {}  # (rid, var) -> (rows, f2)
+    for r in rels:
+        filters = ctx.local_filters.get(r.rid, [])
+        fsig = tuple(sorted(str(f) for f in filters))
+        df = None
+        for col, var in r.col_to_var.items():
+            key = (id(catalog), r.table, fsig, col)
+            if key not in _degree_stats:
+                if df is None:
+                    df = build_relation_df(spark, catalog, r, filters, ctx.var_map)
+                row = (
+                    df.groupBy(var)
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .agg(
+                        F.coalesce(F.sum("c"), F.lit(0)).alias("rows"),
+                        F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0)).alias("f2"),
+                    )
+                    .first()
+                )
+                _degree_stats[key] = (int(row["rows"]), int(row["f2"]))
+            stats[(r.rid, var)] = _degree_stats[key]
+    total = sum(next(stats[(r.rid, v)] for v in r.variables)[0] for r in rels)
+    if total == 0:
+        return 0.0
+    best = None
+    for i, r1 in enumerate(rels):
+        for r2 in rels[i + 1 :]:
+            shared = r1.variables & r2.variables
+            if not shared:
+                continue
+            # join on ALL shared vars is at most the single-var bound
+            est = min(
+                (stats[(r1.rid, v)][1] * stats[(r2.rid, v)][1]) ** 0.5
+                for v in shared
+            )
+            best = est if best is None else min(best, est)
+    if best is None:  # no joinable pair — not a costable core
+        return None
+    return best / total
+
+
 def execute_ghd(
     spark: SparkSession,
     catalog: Catalog,
@@ -386,10 +466,15 @@ def execute_cyclic(
 
     strategy:
     - 'auto': break to acyclic + CQC when possible (multiplicity-exact,
-      wins on sparse/filtered data), else GHD bags + per-bag WCOJ (the
-      scale-safe path for unbreakable dense cores — taken only when
-      set-semantics evaluation is exact for the query, see
-      ghd_multiplicity_safe), else greedy joins;
+      wins on sparse/filtered data) — UNLESS the core is an edge-like
+      self-join pattern whose measured degree moments say the break
+      path's smallest first-join intermediate blows up past
+      ``GHD_BLOWUP``x the inputs (dense graphs), in which case GHD bags
+      + per-bag WCOJ run instead (reference routing intent,
+      CyclicHandler.scala:13-24: pick the strategy per query, not one
+      globally). Unbreakable cores go to GHD too when set-semantics
+      evaluation is exact for the query (ghd_multiplicity_safe), else
+      greedy joins;
     - 'break' / 'ghd' / 'naive': force one path ('ghd' still falls back
       to naive if no decomposition exists, and skips the multiplicity
       guard — its set-semantics caveat is documented on execute_ghd).
@@ -404,6 +489,21 @@ def execute_cyclic(
     if strategy in ("auto", "break"):
         broken = try_break(ctx)
         if broken is not None:
+            if strategy == "auto" and ghd_multiplicity_safe(ctx):
+                # density rule: GHD only pays off when break's path
+                # materialization explodes relative to the inputs
+                blowup = _break_blowup(spark, catalog, ctx)
+                if blowup is not None and blowup >= GHD_BLOWUP:
+                    result = execute_ghd(
+                        spark,
+                        catalog,
+                        ctx,
+                        count_mode=count_mode,
+                        parent_executor=executor,
+                    )
+                    if result is not None:
+                        last_strategy = "ghd"
+                        return result
             new_ctx, tree = broken
             last_strategy = "break"
             exe = executor or CqcExecutor(spark, catalog)

@@ -381,6 +381,42 @@ def test_ghd_guard_keyless_duplicates(engine):
     assert forced == 1  # documented set semantics under the forced path
 
 
+def test_auto_density_routes_dense_to_ghd(graph_engine, oracle):
+    """Round-4 verdict item 2: the auto router's density rule
+    (plans/cyclic.py:_break_blowup). The SPARSE derived graph (avg deg
+    ~4, blowup ~2) keeps the break rewrite; the DENSE mod-N variant
+    (avg deg ~50, blowup >= 15) routes to GHD + per-bag WCOJ through
+    strategy 'auto' — and the GHD result matches DuckDB exactly."""
+    import sparksqlplus_spark.plans.cyclic as cyc
+
+    from __spark_entry__ import (
+        _DENSE_TRI_SQL,
+        DENSE_GRAPH_SQL,
+        DENSE_GRAPH_SQL_DUCK,
+    )
+
+    graph_engine.register(
+        "graph_dense",
+        graph_engine.sql(DENSE_GRAPH_SQL, mode="spark"),
+        primary_key=("src", "dst"),
+    )
+    oracle.execute(
+        f"CREATE OR REPLACE TABLE graph_dense AS {DENSE_GRAPH_SQL_DUCK}"
+    )
+
+    sparse_tri = _DENSE_TRI_SQL.replace("graph_dense", "graph")
+    graph_engine.sql(sparse_tri).count()
+    assert cyc.last_strategy == "break"  # density rule keeps break here
+
+    ctx = graph_engine.context(_DENSE_TRI_SQL)
+    blowup = cyc._break_blowup(graph_engine.spark, graph_engine.catalog, ctx)
+    assert blowup is not None and blowup >= cyc.GHD_BLOWUP
+
+    df = graph_engine.sql(_DENSE_TRI_SQL)  # strategy defaults to auto
+    assert cyc.last_strategy == "ghd"
+    assert_matches(df, oracle, _DENSE_TRI_SQL)
+
+
 def test_eager_count_propagation(graph_engine, oracle):
     """count_mode='eager': COUNT(*) group-bys propagate pre-aggregated
     counts up the join tree (semiring annotation) — identical values to
