@@ -227,6 +227,122 @@ class SparkSQLPlus:
             executor=self._executor,
         )
 
+    def plan_candidates(self, query: str, limit: int = 24) -> dict:
+        """Ranked candidate join trees for user plan choice — the
+        reference's /parse surface (sqlplus-web
+        rest/controller/RestApiController.java:44-131,
+        candidatesWithLimit LogicalPlanConverter.scala:58-62) as a
+        library call instead of a REST endpoint.
+
+        A candidate is one distinct edge-set from exhaustive GYO ear
+        elimination x one valid enumeration root: every relation for
+        full/aggregation queries, only the connex subtree for non-full
+        ones (reference GyoAlgorithmTest line-3/line-4 semantics —
+        e.g. the 3-chain full query yields 3 candidates, its v1-v2
+        projection exactly 1 rooted at R1). Candidates are ranked by
+        the same key `api.sql` uses to pick silently (Berge-acyclic
+        first, then min max-edge-degree, then total comparison-path
+        length); index 0 is the executed plan. Cyclic queries report
+        the router's strategy and, for breakable cores, the candidate
+        trees of the broken (acyclic) form.
+        """
+        from sparksqlplus_spark.plans.gyo import (
+            comparison_paths,
+            connex_subtree,
+            enumerate_join_trees,
+            is_berge_acyclic,
+            rank_tree,
+        )
+
+        ctx = self.context(query)
+        result: dict = {
+            "full": ctx.is_full,
+            "output_variables": [n for n, _ in ctx.output],
+            "group_by": [e.key() for e in ctx.group_by],
+            "aggregations": [(n, e.key()) for n, e in ctx.aggregations],
+            "acyclic": True,
+            "strategy": "cqc",
+            "candidates": [],
+        }
+        work_ctx = ctx
+        if not enumerate_join_trees(ctx.relations, limit=1):  # cyclic
+            from sparksqlplus_spark.plans.cyclic import try_break
+
+            result["acyclic"] = False
+            broken = try_break(ctx)
+            if broken is None:
+                result["strategy"] = "ghd"
+                return result
+            result["strategy"] = "break"
+            work_ctx = broken[0]
+
+        trees = enumerate_join_trees(work_ctx.relations, limit=limit)
+        needed = self._executor._needed_vars(work_ctx)
+        scored = []
+        for t in trees:
+            rank_key = rank_tree(t, work_ctx.comparisons)
+            if work_ctx.is_full or work_ctx.aggregations or work_ctx.group_by:
+                roots = sorted(t.relations)
+            else:
+                roots = sorted(connex_subtree(t, needed))
+            for root in roots:
+                rt = t.rerooted(root)
+                paths = comparison_paths(rt, work_ctx.comparisons)
+                alias = {rid: r.alias for rid, r in rt.relations.items()}
+                edges = []
+                for child, parent in sorted(rt.parent.items()):
+                    key = sorted(rt.join_key(child))
+                    kset = set(key)
+                    p_pk = set(rt.relations[parent].primary_key_vars)
+                    c_pk = set(rt.relations[child].primary_key_vars)
+                    if p_pk and p_pk <= kset:
+                        ktype = "parent-pk"  # child row matches <=1 parent
+                    elif c_pk and c_pk <= kset:
+                        ktype = "child-pk"
+                    else:
+                        ktype = "many-to-many"
+                    edges.append(
+                        {
+                            "parent": alias[parent],
+                            "child": alias[child],
+                            "join_key": key,
+                            "key_type": ktype,
+                        }
+                    )
+                scored.append(
+                    (
+                        rank_key,
+                        alias[root],
+                        {
+                            "root": alias[root],
+                            "berge_acyclic": is_berge_acyclic(paths),
+                            "rank_key": list(rank_key),
+                            "relations": [
+                                {
+                                    "alias": r.alias,
+                                    "table": r.table,
+                                    "kind": r.kind,
+                                    "variables": sorted(r.variables),
+                                    "primary_key": sorted(r.primary_key_vars),
+                                }
+                                for _, r in sorted(rt.relations.items())
+                            ],
+                            "edges": edges,
+                            "comparison_paths": {
+                                cid: sorted(
+                                    sorted(alias[x] for x in e) for e in es
+                                )
+                                for cid, es in paths.items()
+                            },
+                        },
+                    )
+                )
+        scored.sort(key=lambda s: (s[0], s[1]))
+        for i, (_, _, cand) in enumerate(scored):
+            cand["rank"] = i
+            result["candidates"].append(cand)
+        return result
+
     def explain_tree(self, query: str, cyclic_strategy: str = "auto") -> str:
         """Debug: render the join tree chosen for a query; for cyclic
         queries, describe the chosen strategy (break rewrite or GHD

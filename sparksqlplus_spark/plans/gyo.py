@@ -282,13 +282,15 @@ def connex_subtree(tree: JoinTree, needed_vars: set[str]) -> set[int]:
     nodes: set[int] = {base}
     for o in owners:
         nodes |= set(tree.path(base, o))
-    # prune leaves whose vars are redundant
+    # prune leaves whose vars are redundant — including the Steiner
+    # base (reference GyoAlgorithmTest line-3 case 2: the v2,v3
+    # projection of the R1-R2-R3 chain has connex subset {R2} only)
     changed = True
     while changed:
         changed = False
         for rid in sorted(nodes):
-            if rid == base:
-                continue
+            if len(nodes) == 1:
+                break
             neighbors = [n for n in nodes if tree.parent.get(n) == rid or tree.parent.get(rid) == n]
             if len(neighbors) != 1:
                 continue  # not a leaf of the subtree

@@ -266,6 +266,69 @@ def test_join_tree_hint_validation(engine, oracle):
         join_tree_from_hint(ctx5, [("c", "o"), ("o", "l"), ("l", "s")])
 
 
+def test_plan_candidates_reference_gyo_cases(spark):
+    """Candidate count/shape parity with the reference's
+    GyoAlgorithmTest (sqlplus-core test/scala/sqlplus/gyo): a 3-chain
+    full query yields 3 candidates (one per root, same edge-set); its
+    v1,v2-projection yields exactly 1 rooted at R1; the v2,v3
+    projection 1 rooted at R2; the 5-chain with outputs {v2,v4,v5}
+    yields 3 (roots confined to the connex subtree R2-R3-R4)."""
+    from sparksqlplus_spark.api import SparkSQLPlus
+
+    eng = SparkSQLPlus(spark)
+    eng.ddl(
+        """CREATE TABLE R1 (a INT, b INT);
+           CREATE TABLE R2 (b2 INT, c INT);
+           CREATE TABLE R3 (c2 INT, d INT);
+           CREATE TABLE R4 (d2 INT, e INT);
+           CREATE TABLE R5 (e2 INT, f INT);"""
+    )
+    chain3 = """FROM R1 AS r1, R2 AS r2, R3 AS r3
+                WHERE r1.b = r2.b2 AND r2.c = r3.c2"""
+
+    full = eng.plan_candidates(f"SELECT r1.a, r1.b, r2.c, r3.d {chain3}")
+    assert full["full"] and full["acyclic"]
+    assert len(full["candidates"]) == 3  # one per root, same edge-set
+    assert {c["root"] for c in full["candidates"]} == {"r1", "r2", "r3"}
+    for c in full["candidates"]:
+        pairs = {frozenset((e["parent"], e["child"])) for e in c["edges"]}
+        assert pairs == {frozenset(("r1", "r2")), frozenset(("r2", "r3"))}
+        assert c["berge_acyclic"]
+
+    nf1 = eng.plan_candidates(f"SELECT r1.a, r1.b {chain3}")
+    assert not nf1["full"]
+    assert [c["root"] for c in nf1["candidates"]] == ["r1"]
+
+    nf2 = eng.plan_candidates(f"SELECT r1.b, r2.c {chain3}")
+    assert [c["root"] for c in nf2["candidates"]] == ["r2"]
+
+    chain5 = """FROM R1 AS r1, R2 AS r2, R3 AS r3, R4 AS r4, R5 AS r5
+                WHERE r1.b = r2.b2 AND r2.c = r3.c2
+                  AND r3.d = r4.d2 AND r4.e = r5.e2"""
+    nfc = eng.plan_candidates(f"SELECT r1.b, r3.d, r4.e {chain5}")
+    assert len(nfc["candidates"]) == 3
+    assert {c["root"] for c in nfc["candidates"]} == {"r2", "r3", "r4"}
+
+
+def test_plan_candidates_ranking_and_key_types(engine):
+    """Rank 0 must be the silently-executed plan (Berge-acyclic,
+    minimal comparison-path degree) and edge key types must reflect
+    declared primary keys (parent-pk = child rows match <=1 parent)."""
+    q = """SELECT l.l_orderkey, s.s_name, n.n_name
+           FROM lineitem AS l, supplier AS s, nation AS n
+           WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey"""
+    res = engine.plan_candidates(q)
+    assert res["candidates"], "acyclic chain must enumerate candidates"
+    best = res["candidates"][0]
+    assert best["rank"] == 0 and best["berge_acyclic"]
+    ktypes = {
+        (e["parent"], e["child"]): e["key_type"] for c in res["candidates"]
+        for e in c["edges"]
+    }
+    # joining lineitem under supplier keys on s_suppkey = supplier's PK
+    assert ktypes.get(("s", "l")) == "parent-pk"
+
+
 def test_fd_chase_fix_root(engine):
     """Mirror of the reference converter test (testFixRoot,
     LogicalPlanConverterTest.scala:426-575, TPC-H Q10 shape): lineitem
