@@ -50,6 +50,24 @@ DENSE_GRAPH_SQL_DUCK = (
     f"% {_DENSE_N}) AS dst FROM lineitem"
 )
 
+# MEDIUM-density variant (node domain max_orderkey/3 => avg degree ~12
+# at every SF): the 4-cycle regime where path-joins materialize N*d^3
+# three-paths (~86M rows at sf0.1, measured 44s) while the k-ary cycle
+# kernel closes them in-cell (measured 8.9s) — see
+# scripts/exp_cycle_bag.py. The /20 dense graph is too dense for an
+# unfiltered C4 (output ~n^4*rho^4 explodes at sf0.01).
+_MID_N = "(SELECT GREATEST(CAST(FLOOR(MAX(l_orderkey)/3.0) AS BIGINT), 16) FROM lineitem)"
+MID_GRAPH_SQL = (
+    f"SELECT DISTINCT 1 + (l_orderkey % {_MID_N}) AS src, "
+    "1 + (CAST(conv(substring(md5(CAST(l_orderkey*7 + l_partkey*31 + l_suppkey AS STRING)),1,13),16,10) AS BIGINT) "
+    f"% {_MID_N}) AS dst FROM lineitem"
+)
+MID_GRAPH_SQL_DUCK = (
+    f"SELECT DISTINCT 1 + (l_orderkey % {_MID_N}) AS src, "
+    "1 + (CAST(('0x'||substr(md5(CAST(l_orderkey*7 + l_partkey*31 + l_suppkey AS VARCHAR)),1,13)) AS BIGINT) "
+    f"% {_MID_N}) AS dst FROM lineitem"
+)
+
 # Derived partsupp stand-in (TESTDATA ships none): one row per
 # (partkey, suppkey) seen in lineitem, with deterministic availqty /
 # supplycost. Identical text runs in Spark and DuckDB.
@@ -107,6 +125,11 @@ def _engine(spark: SparkSession, sf_dir: str):
         eng.register(
             "graph_dense",
             eng.sql(DENSE_GRAPH_SQL, mode="spark").persist(),
+            primary_key=("src", "dst"),
+        )
+        eng.register(
+            "graph_mid",
+            eng.sql(MID_GRAPH_SQL, mode="spark").persist(),
             primary_key=("src", "dst"),
         )
         eng.register("docs_aug", eng.sql(DOCS_AUG_SQL, mode="spark").persist())
@@ -1410,6 +1433,31 @@ def _dense_auto_ghd_q(spark, sf_dir):
     return eng.sql(_DENSE_TRI_SQL)  # cyclic_strategy defaults to "auto"
 
 
+# --- R17 generalized (round-4 verdict item 6): a 4-CYCLE evaluated as
+# ONE k-ary WCOJ bag (operators/wcoj.py:cycle_join — hypercube shuffle
+# + per-cell path-extend + degree-directed close) instead of bags that
+# materialize the N*d^3 path blowup through a shuffle (44.4s vs 8.9s
+# at sf0.1, scripts/exp_cycle_bag.py). The reference's lftj is
+# triangle-only (SqlPlusCompiler.scala:155-168); this is the upgrade
+# beyond that restriction.
+_C4_GHD_SQL = """
+SELECT g1.src AS a, g4.src AS d, COUNT(*) AS n_c4
+FROM graph_mid AS g1, graph_mid AS g2, graph_mid AS g3, graph_mid AS g4
+WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+  AND g4.dst = g1.src
+GROUP BY g1.src, g4.src
+"""
+
+
+def _c4_ghd_q(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return eng.sql(_C4_GHD_SQL, cyclic_strategy="ghd")
+
+
+def _ora_mid(body: str) -> str:
+    return f"WITH graph_mid AS MATERIALIZED ({MID_GRAPH_SQL_DUCK}) {body}"
+
+
 def _ora_dense(body: str) -> str:
     return f"WITH graph_dense AS MATERIALIZED ({DENSE_GRAPH_SQL_DUCK}) {body}"
 
@@ -1439,6 +1487,7 @@ def _hint_q(spark, sf_dir):
 
 _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "graph_dense_auto_ghd": (_dense_auto_ghd_q, _ora_dense(_DENSE_TRI_SQL)),
+    "graph_c4_cycle_ghd": (_c4_ghd_q, _ora_mid(_C4_GHD_SQL)),
     "graph_q2_crosstri_ghd": (_q2_ghd_q, None),  # graph-CTE oracle attached below
     "graph_triangle_wcoj": (_wcoj_triangles_q, None),  # graph-CTE oracle attached below
     "events_ewma_stateful": (_ewma_q, _EWMA_ORACLE),
@@ -1475,8 +1524,10 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # rotates, it is not dropped. No entry may sit driver-unchecked for 2+
 # consecutive rounds: next round the tail below rotates back in.
 _HEAD = [
-    # NEW this round: auto-router density rule -> GHD driver entry
+    # NEW this round: auto-router density rule -> GHD driver entry,
+    # and the k-ary cycle-bag WCOJ upgrade
     "graph_dense_auto_ghd",
+    "graph_c4_cycle_ghd",
     # r1+r2-green entries that sat out r3+r4 — back in the window first
     "like_patterns",
     "is_not_null",

@@ -135,6 +135,48 @@ def _triangle_orientation(rels: list[Relation]):
     return None
 
 
+def _cycle_orientation(rels: list[Relation]):
+    """If the bag's k >= 4 members form a single undirected k-cycle
+    E1(v1,v2) ⋈ E2(v2,v3) ⋈ ... ⋈ Ek(vk,v1), return
+    [(E1, (v1, v2)), ..., (Ek, (vk, v1))] in cycle order, else None.
+    (Triangles are handled by _triangle_orientation / triangle_join.)"""
+    from collections import Counter
+
+    k = len(rels)
+    if k < 4 or any(len(r.variables) != 2 for r in rels):
+        return None
+    all_vars = set().union(*[r.variables for r in rels])
+    if len(all_vars) != k:
+        return None
+    cnt = Counter(v for r in rels for v in r.variables)
+    if any(c != 2 for c in cnt.values()):
+        return None
+    # walk the cycle from the first relation (deterministic)
+    start = rels[0]
+    v1, v2 = sorted(start.variables)
+    chain = [(start, (v1, v2))]
+    used = {start.rid}
+    cur_var = v2
+    for _ in range(k - 1):
+        nxt = next(
+            (r for r in rels if r.rid not in used and cur_var in r.variables),
+            None,
+        )
+        if nxt is None:
+            return None
+        other = next(iter(nxt.variables - {cur_var}))
+        chain.append((nxt, (cur_var, other)))
+        used.add(nxt.rid)
+        cur_var = other
+    if cur_var != v1 or len(used) != k:
+        return None
+    return chain
+
+
+# probe for tests/experiments: how each bag of the last execute_ghd ran
+last_bag_kinds: list[str] = []
+
+
 def _eval_bag(
     bag_rels: list[Relation], dfs: dict[int, DataFrame], vars_sorted: list[str]
 ) -> DataFrame:
@@ -148,13 +190,14 @@ def _eval_bag(
     """
     from pyspark.sql import functions as F
 
-    from sparksqlplus_spark.operators.wcoj import triangle_join
+    from sparksqlplus_spark.operators.wcoj import cycle_join, triangle_join
 
     if len(bag_rels) == 1:
         # dropDuplicates keeps bag evaluation uniformly set-semantics
         # (multi-member bags dedup below; without this, duplicate rows
         # in a singleton bag would leak mixed multiplicity). No-op on
         # the duplicate-free inputs the auto router requires.
+        last_bag_kinds.append("scan")
         return dfs[bag_rels[0].rid].select(*vars_sorted).dropDuplicates()
 
     tri = _triangle_orientation(bag_rels)
@@ -162,13 +205,32 @@ def _eval_bag(
         (R, (a, b)), (S, (_, c)), (T, _) = tri
         sides = [dfs[R.rid].select(a, b), dfs[S.rid].select(b, c), dfs[T.rid].select(c, a)]
         if all(_integral_types(s, s.columns) for s in sides):
+            last_bag_kinds.append("wcoj-triangle")
             out = triangle_join(*sides)
             renamed = out.select(
                 F.col("a").alias(a), F.col("b").alias(b), F.col("c").alias(c)
             )
             return renamed.select(*vars_sorted)
 
+    cyc = _cycle_orientation(bag_rels)
+    if cyc is not None:
+        sides = [dfs[r.rid].select(a, b) for r, (a, b) in cyc]
+        if all(_integral_types(s, s.columns) for s in sides):
+            # k-ary cycle bag: generalized hypercube + per-cell kernel
+            # instead of binary joins materializing the wedge blowup
+            # (round-4 verdict item 6)
+            last_bag_kinds.append("wcoj-cycle")
+            out = cycle_join(sides)
+            renamed = out.select(
+                *[
+                    F.col(f"x{i + 1}").alias(v)
+                    for i, (_, (v, _)) in enumerate(cyc)
+                ]
+            )
+            return renamed.select(*vars_sorted)
+
     # general bag: greedy connected natural joins over the members
+    last_bag_kinds.append("binary")
     remaining = list(bag_rels)
     first = remaining.pop(0)
     result = dfs[first.rid]
@@ -317,7 +379,14 @@ def execute_ghd(
     # triangle-sized bags first (they hit the WCOJ kernel); denser cores
     # (K5, grids) need wider bags before an acyclic bag tree exists
     decomp = ghd_decompose(ctx.relations) or ghd_decompose(ctx.relations, max_bag=4)
-    if decomp is None:
+    # when the WHOLE query is one k-cycle (k >= 4), prefer a single
+    # k-ary WCOJ bag over the decomposer's wedge bags — wedge bags
+    # materialize the Σdeg² path blowup through a Spark shuffle, the
+    # cycle kernel closes it in-cell (round-4 verdict item 6);
+    # confirmed against the integral-type requirement after frames are
+    # built below
+    whole_cycle = _cycle_orientation(ctx.relations)
+    if decomp is None and whole_cycle is None:
         return None
 
     by_id = {r.rid: r for r in ctx.relations}
@@ -347,7 +416,31 @@ def execute_ghd(
             agg_cache[sig].persist()
             shared_persists.append(agg_cache[sig])
 
+    if whole_cycle is not None and all(
+        _integral_types(dfs[r.rid].select(a, b), [a, b])
+        for r, (a, b) in whole_cycle
+    ):
+        from sparksqlplus_spark.plans.ghd import Bag, Decomposition
+
+        decomp = Decomposition(
+            bags=[
+                Bag(
+                    frozenset(r.rid for r in ctx.relations),
+                    frozenset().union(*[r.variables for r in ctx.relations]),
+                )
+            ],
+            tree=None,  # execute_ghd re-derives the (single-node) bag tree
+            width=len(ctx.relations) / 2.0,  # ρ* of a k-cycle
+        )
+    if decomp is None:
+        # release the shared agg views persisted above (mirrors the
+        # defensive no-tree early-return below)
+        for df in shared_persists:
+            df.unpersist()
+        return None
+
     # ---- evaluate bags, mint bag relations --------------------------------
+    last_bag_kinds.clear()
     bag_relations: list[Relation] = []
     var_owner: dict[str, str] = {}  # variable -> owning bag alias
     scratch = Catalog()

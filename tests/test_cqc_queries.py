@@ -417,6 +417,34 @@ def test_auto_density_routes_dense_to_ghd(graph_engine, oracle):
     assert_matches(df, oracle, _DENSE_TRI_SQL)
 
 
+def test_cycle_bag_wcoj_c4_and_c5(graph_engine, oracle):
+    """Round-4 verdict item 6: a k-cycle (k >= 4) evaluates as ONE
+    k-ary WCOJ bag (operators/wcoj.py:cycle_join) instead of bags of
+    binary joins — exact against DuckDB for C4, and against naive
+    execution for C5."""
+    import sparksqlplus_spark.plans.cyclic as cyc
+
+    c4 = """SELECT g1.src AS a, g2.src AS b, g3.src AS c, g4.src AS d
+            FROM graph AS g1, graph AS g2, graph AS g3, graph AS g4
+            WHERE g1.dst = g2.src AND g2.dst = g3.src
+              AND g3.dst = g4.src AND g4.dst = g1.src"""
+    df = graph_engine.sql(c4, cyclic_strategy="ghd")
+    assert cyc.last_bag_kinds == ["wcoj-cycle"]
+    assert_matches(df, oracle, c4)
+
+    c5 = """SELECT g1.src AS a, g2.src AS b, g3.src AS c, g4.src AS d,
+                   g5.src AS e
+            FROM graph AS g1, graph AS g2, graph AS g3, graph AS g4,
+                 graph AS g5
+            WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+              AND g4.dst = g5.src AND g5.dst = g1.src"""
+    got = graph_engine.sql(c5, cyclic_strategy="ghd")
+    assert cyc.last_bag_kinds == ["wcoj-cycle"]
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, graph_engine.sql(c5, mode="naive").collect()))
+    assert a == b
+
+
 def test_eager_count_propagation(graph_engine, oracle):
     """count_mode='eager': COUNT(*) group-bys propagate pre-aggregated
     counts up the join tree (semiring annotation) — identical values to
