@@ -1322,6 +1322,46 @@ def _ewma_q(spark, sf_dir):
     return run_stream_to_memory(ewma_stream(stream, alpha=0.3, round_to=None), name)
 
 
+def _ewma_multibatch_q(spark, sf_dir):
+    """Round-4 verdict item 7: the SAME stateful operator, drained
+    across MULTIPLE micro-batches so the cross-batch state carry itself
+    earns a driver row. Events are re-written as 3 event-time-ordered
+    slice files (streaming/windows.py:slice_to_files) and streamed with
+    maxFilesPerTrigger=1; the entry RAISES unless the drain used >= 2
+    non-empty micro-batches, so a green row proves the multi-batch
+    path. Slices respect global (ts, event_id) order, so the sequential
+    fold is the exact recursion — same bit-exact oracle as
+    events_ewma_stateful."""
+    import os
+    import tempfile
+
+    from sparksqlplus_spark.streaming.stateful import ewma_stream
+    from sparksqlplus_spark.streaming.windows import (
+        run_stream_to_memory_counted,
+        slice_to_files,
+        stream_from_slices,
+    )
+
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    # testdata stores ts as TIMESTAMP_NTZ; withWatermark needs TIMESTAMP
+    # and _engine pins the session to UTC, so the cast is wall-clock-safe
+    events = eng.catalog.get("events").df.select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    tag = "".join(c for c in sf_dir if c.isalnum())
+    path = os.path.join(tempfile.gettempdir(), f"ewma_slices_{tag}")
+    slice_to_files(events, path, n_slices=3)
+    stream = stream_from_slices(spark, path, events.schema)
+    out, n_batches = run_stream_to_memory_counted(
+        ewma_stream(stream, alpha=0.3, round_to=None), f"ewma_mb_{tag}"
+    )
+    if n_batches < 2:
+        raise AssertionError(f"drain used {n_batches} micro-batch(es)")
+    return out
+
+
 _EWMA_REC_CTE = """
 WITH RECURSIVE ordered AS (
   SELECT user_id, event_id, ts, value,
@@ -1491,6 +1531,7 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "graph_q2_crosstri_ghd": (_q2_ghd_q, None),  # graph-CTE oracle attached below
     "graph_triangle_wcoj": (_wcoj_triangles_q, None),  # graph-CTE oracle attached below
     "events_ewma_stateful": (_ewma_q, _EWMA_ORACLE),
+    "events_ewma_multibatch": (_ewma_multibatch_q, _EWMA_ORACLE),
     "events_ewma_scalable": (_ewma_scalable_q, _EWMA_SCALABLE_ORACLE),
     "hint_join_tree": (_hint_q, _HINT_ORACLE),
     "events_tumbling_window": (_tumbling_q, _TUMBLING_ORACLE),
@@ -1525,9 +1566,11 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # consecutive rounds: next round the tail below rotates back in.
 _HEAD = [
     # NEW this round: auto-router density rule -> GHD driver entry,
-    # and the k-ary cycle-bag WCOJ upgrade
+    # the k-ary cycle-bag WCOJ upgrade, and the multi-batch stateful
+    # EWMA drain
     "graph_dense_auto_ghd",
     "graph_c4_cycle_ghd",
+    "events_ewma_multibatch",
     # r1+r2-green entries that sat out r3+r4 — back in the window first
     "like_patterns",
     "is_not_null",

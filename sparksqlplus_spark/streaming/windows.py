@@ -231,6 +231,17 @@ def run_stream_to_memory(
 ) -> DataFrame:
     """Drain a bounded stream (availableNow) into an in-memory table and
     return it as a DataFrame. Test/demo helper."""
+    df, _ = run_stream_to_memory_counted(stream_df, name, output_mode)
+    return df
+
+
+def run_stream_to_memory_counted(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> tuple[DataFrame, int]:
+    """:func:`run_stream_to_memory` plus the number of non-empty
+    micro-batches the drain used — the probe that proves a stateful
+    operator's cross-batch state carry actually ran (a single-batch
+    drain never exercises it)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -239,4 +250,53 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    n_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    return stream_df.sparkSession.table(name), n_batches
+
+
+def slice_to_files(
+    df: DataFrame,
+    path: str,
+    n_slices: int = 3,
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> None:
+    """Re-write a bounded table as ``n_slices`` event-time-ordered
+    parquet slice directories (slice_0 earliest, written first), so a
+    file-source stream over ``path/slice_*`` with maxFilesPerTrigger=1
+    and the default latestFirst=false replays them as consecutive
+    micro-batches in global event-time order. Multi-batch test harness
+    for stateful operators — the single-partition ntile sort is a
+    harness cost, not an operator (real deployments already receive
+    time-ordered micro-batches from their source)."""
+    import os
+
+    from pyspark.sql import Window
+
+    sliced = df.withColumn(
+        "__slice",
+        F.ntile(n_slices).over(Window.orderBy(ts_col, order_col)) - 1,
+    )
+    for i in range(n_slices):
+        (
+            sliced.filter(F.col("__slice") == i)
+            .drop("__slice")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, f"slice_{i}"))
+        )
+
+
+def stream_from_slices(
+    spark: SparkSession, path: str, schema, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over :func:`slice_to_files` output, admitting
+    ``max_files_per_trigger`` file(s) per micro-batch (honored by the
+    availableNow trigger's admission control)."""
+    import os
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(os.path.join(path, "slice_*"))
+    )

@@ -157,6 +157,39 @@ def test_ewma_stream_unrounded_bit_identical(spark, events):
     assert want.exceptAll(got).count() == 0
 
 
+def test_ewma_multibatch_state_carry_bit_identical(spark, events, tmp_path):
+    """Round-4 verdict item 7: the stateful fold drained across >= 2
+    micro-batches (time-ordered slice files, maxFilesPerTrigger=1) must
+    carry state between batches and still be BIT-identical to the exact
+    batch recursion — the driver entry events_ewma_multibatch runs this
+    same path against the recursive-CTE oracle."""
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.streaming.stateful import ewma_batch, ewma_stream
+    from sparksqlplus_spark.streaming.windows import (
+        run_stream_to_memory_counted,
+        slice_to_files,
+        stream_from_slices,
+    )
+
+    src = events.select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    path = str(tmp_path / "slices")
+    slice_to_files(src, path, n_slices=3)
+    stream = stream_from_slices(spark, path, src.schema)
+    got, n_batches = run_stream_to_memory_counted(
+        ewma_stream(stream, alpha=0.3, round_to=None), "t_ewma_multibatch"
+    )
+    assert n_batches >= 2  # the state-carry path genuinely ran
+    want = ewma_batch(events, alpha=0.3, round_to=None).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_ewma_scalable_matches_exact(events):
     """Windowed closed-form EWMA (the 100 TB path — no per-key pandas
     materialization) agrees with the exact recursion to float ulps."""
