@@ -29,6 +29,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", "--ddl", required=True, help="CREATE TABLE DDL file")
     p.add_argument("-e", "--execute", help="inline SQL (instead of query_file)")
     p.add_argument("--explain", action="store_true", help="print the plan, don't run")
+    p.add_argument("--candidates", action="store_true",
+                   help="print ranked candidate join trees as JSON, don't run")
     p.add_argument("-o", "--output", help="write the result to this path")
     p.add_argument(
         "--format", default="parquet", choices=["parquet", "csv", "json"],
@@ -66,6 +68,11 @@ def main(argv: list[str] | None = None) -> int:
     eng = SparkSQLPlus(spark)
     eng.ddl(ddl_text)
 
+    if args.candidates:
+        import json
+
+        print(json.dumps(eng.plan_candidates(query), indent=2))
+        return 0
     if args.explain:
         print(eng.explain_tree(query, cyclic_strategy=args.cyclic_strategy))
         return 0

@@ -79,6 +79,17 @@ def test_cli_writes_output(spark, files, tmp_path, capsys):
     assert written == expected > 0
 
 
+def test_cli_candidates(spark, files, capsys):
+    import json
+
+    ddl, query = files
+    rc = main(["-d", str(ddl), "--candidates", str(query)])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["acyclic"] and res["candidates"]
+    assert res["candidates"][0]["rank"] == 0
+
+
 def test_cli_rejects_zero_or_two_queries(spark, files, capsys):
     ddl, query = files
     assert main(["-d", str(ddl)]) == 2
