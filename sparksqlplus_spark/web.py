@@ -1,0 +1,118 @@
+"""Minimal plan-inspection HTTP service — the reference's web surface
+(sqlplus-web rest/controller/RestApiController.java:44-131 /parse,
+CompileController.java:66-292 candidate choice) reduced to its API
+core on the stdlib ``http.server``; the SPA visualization and Spark
+standalone experiment submission (ExperimentManager) are out of scope
+(bench.py + scripts/ cover the experiment-pairing role).
+
+Endpoints (JSON over POST unless noted):
+
+- ``POST /api/v1/parse``   {"ddl": ..., "query": ...}
+    -> {"tables": [...], **plan_candidates(query)} — every candidate
+    join tree (roots, edges, key types, comparison paths, Berge flag),
+    ranked; index 0 is the plan ``sql()`` executes.
+- ``POST /api/v1/explain`` {"ddl": ..., "query": ..., "cyclic_strategy"?}
+    -> {"plan": explain_tree text}
+- ``POST /api/v1/run``     {"ddl": ..., "query": ..., "limit"? = 20}
+    -> {"n_rows": total, "rows": first <= limit rows as JSON objects}
+- ``GET /``                -> endpoint index (text)
+
+One SparkSession is shared; each request registers its DDL in a fresh
+engine (catalogs are cheap, sessions are not). The run endpoint is a
+bounded PREVIEW — it takes at most ``limit`` rows onto the driver
+(FormatResult semantics, SURVEY R19); the full result never leaves the
+cluster. Intended as a localhost dev tool, matching the reference's
+demo deployment.
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+_INDEX = (
+    "sqlplusx web API\n"
+    "POST /api/v1/parse   {ddl, query}\n"
+    "POST /api/v1/explain {ddl, query, cyclic_strategy?}\n"
+    "POST /api/v1/run     {ddl, query, limit?}\n"
+)
+
+
+def _engine_for(spark: SparkSession, ddl: str):
+    from sparksqlplus_spark.api import SparkSQLPlus
+
+    eng = SparkSQLPlus(spark)
+    if ddl:
+        eng.ddl(ddl)
+    return eng
+
+
+def _handle(spark: SparkSession, path: str, body: dict) -> dict:
+    eng = _engine_for(spark, body.get("ddl", ""))
+    query = body["query"]
+    if path == "/api/v1/parse":
+        out = eng.plan_candidates(query)
+        out["tables"] = [
+            {"name": m.name, "columns": m.column_names}
+            for m in eng.catalog.tables()
+        ]
+        return out
+    if path == "/api/v1/explain":
+        return {
+            "plan": eng.explain_tree(
+                query, cyclic_strategy=body.get("cyclic_strategy", "auto")
+            )
+        }
+    if path == "/api/v1/run":
+        limit = int(body.get("limit", 20))
+        df = eng.sql(query)
+        rows = [json.loads(r) for r in df.limit(limit).toJSON().take(limit)]
+        return {"n_rows": df.count(), "rows": rows}
+    raise KeyError(path)
+
+
+def make_server(spark: SparkSession, host: str = "127.0.0.1", port: int = 0):
+    """Build (not start) a ThreadingHTTPServer bound to host:port
+    (port 0 = ephemeral; read ``server.server_address``)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet: surface errors via responses
+            pass
+
+        def _send(self, code: int, payload: str, ctype: str) -> None:
+            data = payload.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/":
+                self._send(200, _INDEX, "text/plain")
+            else:
+                self._send(404, "not found\n", "text/plain")
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                result = _handle(spark, self.path, body)
+                self._send(200, json.dumps(result), "application/json")
+            except KeyError:
+                self._send(404, json.dumps({"error": "unknown endpoint"}),
+                           "application/json")
+            except Exception as exc:  # surface planner errors to the client
+                self._send(400, json.dumps({"error": str(exc)}),
+                           "application/json")
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(spark: SparkSession, host: str = "127.0.0.1", port: int = 8118) -> None:
+    """Blocking entry point: python -c 'from sparksqlplus_spark.web import ...'"""
+    server = make_server(spark, host, port)
+    print(f"sqlplusx web API on http://{host}:{server.server_address[1]}")
+    server.serve_forever()

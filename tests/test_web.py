@@ -1,0 +1,77 @@
+"""Web API tests (reference sqlplus-web /api/v1/parse surface): real
+HTTP round-trips against the stdlib server on an ephemeral port."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from sparksqlplus_spark.web import make_server
+
+DDL = """
+CREATE TABLE lineitem (l_orderkey BIGINT, l_suppkey BIGINT,
+                       l_linenumber INT, l_quantity DOUBLE,
+                       PRIMARY KEY (l_orderkey, l_linenumber))
+WITH ('path' = '/root/testdata/sf0.001/lineitem.parquet');
+CREATE TABLE supplier (s_suppkey BIGINT, s_name VARCHAR, s_nationkey INT,
+                       PRIMARY KEY (s_suppkey))
+WITH ('path' = '/root/testdata/sf0.001/supplier.parquet');
+"""
+
+QUERY = """
+SELECT s.s_name, l.l_quantity
+FROM lineitem AS l, supplier AS s
+WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity < 3
+"""
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    srv = make_server(spark, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(base: str, path: str, payload: dict) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        base + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_parse_endpoint(server):
+    code, res = _post(server, "/api/v1/parse", {"ddl": DDL, "query": QUERY})
+    assert code == 200
+    assert {t["name"] for t in res["tables"]} == {"lineitem", "supplier"}
+    assert res["acyclic"] and res["candidates"]
+    assert res["candidates"][0]["rank"] == 0
+
+
+def test_explain_and_run_endpoints(server, engine):
+    code, res = _post(server, "/api/v1/explain", {"ddl": DDL, "query": QUERY})
+    assert code == 200 and "[scan]" in res["plan"]
+
+    code, res = _post(
+        server, "/api/v1/run", {"ddl": DDL, "query": QUERY, "limit": 5}
+    )
+    assert code == 200
+    assert res["n_rows"] == engine.sql(QUERY).count()
+    assert 0 < len(res["rows"]) <= 5
+    assert set(res["rows"][0]) == {"s_name", "l_quantity"}
+
+
+def test_error_paths(server):
+    code, res = _post(server, "/api/v1/nope", {"query": "SELECT 1"})
+    assert code == 404
+    code, res = _post(server, "/api/v1/parse", {"ddl": "", "query": "SELEC nope"})
+    assert code == 400 and "error" in res
