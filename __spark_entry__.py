@@ -804,8 +804,8 @@ def _minhash_perm_sql() -> str:
     return f"[{perms}]"
 
 
-_MINHASH_ORACLE = f"""
-WITH docs_aug AS ({DOCS_AUG_SQL}),
+def _minhash_ctes() -> str:
+    return f"""docs_aug AS ({DOCS_AUG_SQL}),
 tok AS (SELECT doc_id, {_D_TOKS.format(t='text')} AS __toks FROM docs_aug),
 sh AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM tok),
 bh AS (SELECT doc_id, sh, [{_D_H52.format(s='s')} for s in sh] AS bh FROM sh),
@@ -823,8 +823,45 @@ jac AS (
   SELECT c.id_a, c.id_b,
          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
            / len(list_distinct(sa.sh || sb.sh)) AS jaccard
-  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
+  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)"""
+
+
+_MINHASH_ORACLE = f"""
+WITH {_minhash_ctes()}
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+"""
+
+
+def _cluster_cc_q(spark, sf_dir):
+    """Connected-components clustering of the verified MinHash pairs —
+    the keep-one-per-cluster step after pair generation (see
+    operators/dedup.py:dedup_clusters: distributed min-label
+    propagation, converges in diameter rounds). Oracle: DuckDB
+    recursive CTE computing min reachable id per node — an exact
+    fixpoint, no unrolling guesswork."""
+    from sparksqlplus_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_dedup_pairs,
+    )
+
+    eng = _engine(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        eng.catalog.get("docs_aug").df, "text", "doc_id",
+        n_hashes=12, bands=4, shingle_n=3, threshold=0.5,
+    )
+    return dedup_clusters(pairs)
+
+
+_CLUSTER_CC_ORACLE = f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+lab AS (
+  SELECT DISTINCT src AS doc_id, src AS l FROM edges
+  UNION
+  SELECT e.src, lab.l FROM edges e JOIN lab ON lab.doc_id = e.dst)
+SELECT doc_id, MIN(l) AS cluster_id FROM lab GROUP BY doc_id
 """
 
 
@@ -1540,6 +1577,7 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "events_dedup_first": (_dedup_first_q, _DEDUP_FIRST_ORACLE),
     "dedup_exact": (_dedup_exact_q, _DEDUP_EXACT_ORACLE),
     "dedup_minhash_lsh": (_minhash_pairs_q, _MINHASH_ORACLE),
+    "dedup_cluster_cc": (_cluster_cc_q, _CLUSTER_CC_ORACLE),
     "dedup_simhash": (_simhash_q, _simhash_oracle()),
     "dedup_embedding_cosine": (_emb_neardup_q, _emb_neardup_oracle()),
     "text_stats": (_text_stats_q, _TEXT_STATS_ORACLE),
@@ -1566,11 +1604,12 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # consecutive rounds: next round the tail below rotates back in.
 _HEAD = [
     # NEW this round: auto-router density rule -> GHD driver entry,
-    # the k-ary cycle-bag WCOJ upgrade, and the multi-batch stateful
-    # EWMA drain
+    # the k-ary cycle-bag WCOJ upgrade, the multi-batch stateful EWMA
+    # drain, and near-dup connected-components clustering
     "graph_dense_auto_ghd",
     "graph_c4_cycle_ghd",
     "events_ewma_multibatch",
+    "dedup_cluster_cc",
     # r1+r2-green entries that sat out r3+r4 — back in the window first
     "like_patterns",
     "is_not_null",
@@ -1591,6 +1630,7 @@ _HEAD = [
 # entries still in window, streaming windows by events_ewma_* and
 # pytest batch≡stream assertions).
 _TAIL = [
+    "tpch_q7",
     "tpch_q1",
     "tpch_q18",
     "events_tumbling_window",

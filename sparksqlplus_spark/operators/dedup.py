@@ -239,6 +239,69 @@ def minhash_dedup_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected-components clustering of near-duplicate pairs — the
+    step every production dedup pipeline runs after pair generation
+    (MinHash/SimHash/embedding pairs in, keep-one-per-cluster groups
+    out). Returns (doc_id, cluster_id) for every document in >= 1
+    pair, cluster_id = the component's smallest doc id.
+
+    Distributed min-label propagation: each round is one join + one
+    min-aggregate (labels flow one hop), iterated until a round changes
+    nothing — rounds = component diameter, and near-dup components are
+    quasi-cliques (diameter a small constant), so the loop is a handful
+    of shuffles regardless of input size. No driver-side graph; the
+    only driver value per round is the 1-row converged? count. Frames
+    are persisted per round and released as soon as the next round is
+    materialized (bounded cache at any scale).
+    """
+    a = F.col(id_a).alias("src")
+    b = F.col(id_b).alias("dst")
+    edges = (
+        pairs.select(a, b).unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_rounds):
+        nb = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb, labels.doc_id == nb.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nb_label", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """Per-document SimHash fingerprint (majority vote of token-hash bits).
 

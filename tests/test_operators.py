@@ -63,6 +63,28 @@ def test_minhash_identical_docs_caught(spark):
     assert pairs[0]["jaccard"] == 1.0
 
 
+def test_dedup_clusters_chain_and_clique(spark):
+    """Connected-components clustering: a 4-node CHAIN (10-20-30-40,
+    diameter 3 — exercises multi-round label propagation), a clique,
+    and an isolated pair must each collapse to their min doc id."""
+    from sparksqlplus_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [
+            (10, 20), (20, 30), (30, 40),          # chain
+            (1, 2), (2, 3), (1, 3),                # clique
+            (100, 200),                            # isolated pair
+        ],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {
+        10: 10, 20: 10, 30: 10, 40: 10,
+        1: 1, 2: 1, 3: 1,
+        100: 100, 200: 100,
+    }
+
+
 def test_embedding_neardup_multiband_recall(engine):
     """Multi-band hyperplane LSH: banding must recover planted
     near-dup pairs that single-band bucketing splits (MinHash-style
