@@ -397,10 +397,13 @@ class SparkSQLPlus:
         if decomp is None:
             return "cyclic: no break/GHD plan — greedy connected joins"
         # build the (lazy) relation frames so the bag label reflects the
-        # SAME checks _eval_bag applies (triangle shape AND integral
-        # keys) — no job runs, only plan analysis
+        # SAME checks _eval_bag applies (triangle/cycle shape AND
+        # integral keys) — no job runs, only plan analysis
         from sparksqlplus_spark.compiler.cqc import build_relation_df
-        from sparksqlplus_spark.plans.cyclic import _integral_types
+        from sparksqlplus_spark.plans.cyclic import (
+            _cycle_orientation,
+            _integral_types,
+        )
 
         dfs = {
             r.rid: build_relation_df(
@@ -409,6 +412,21 @@ class SparkSQLPlus:
             for r in ctx.relations
         }
         by_id = {r.rid: r for r in ctx.relations}
+        # mirror execute_ghd's whole-query k-cycle single-bag override
+        whole_cycle = _cycle_orientation(ctx.relations)
+        if whole_cycle is not None and all(
+            _integral_types(dfs[r.rid].select(a, b), [a, b])
+            for r, (a, b) in whole_cycle
+        ):
+            aliases = ", ".join(r.alias for r, _ in whole_cycle)
+            head = (
+                f"cyclic: GHD (single {len(ctx.relations)}-cycle bag, "
+                f"fractional width {len(ctx.relations) / 2.0})"
+            )
+            if dense:
+                head += f" [density-routed: break blowup {blowup:.1f} >= {GHD_BLOWUP}]"
+            all_vars = sorted(set().union(*[r.variables for r in ctx.relations]))
+            return head + f"\n  bag0 [wcoj-cycle] {{{aliases}}} vars={all_vars}"
         head = f"cyclic: GHD (fractional width {decomp.width})"
         if dense:
             head += f" [density-routed: break blowup {blowup:.1f} >= {GHD_BLOWUP}]"
