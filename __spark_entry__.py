@@ -865,6 +865,42 @@ SELECT doc_id, MIN(l) AS cluster_id FROM lab GROUP BY doc_id
 """
 
 
+def _decontaminate_q(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py:ngram_contamination):
+    the deterministic doc_id % 29 == 0 slice plays the benchmark corpus,
+    everything else the training corpus; documents sharing any 3-gram
+    shingle with the benchmark are flagged with shared-shingle and
+    bench-doc counts. Benchmark shingles broadcast — the corpus is
+    scanned once with no pre-aggregate shuffle."""
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.operators.dedup import ngram_contamination
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.catalog.get("docs_aug").df
+    return ngram_contamination(
+        docs.filter(F.col("doc_id") % 29 != 0),
+        docs.filter(F.col("doc_id") % 29 == 0),
+        "text",
+        "doc_id",
+        shingle_n=3,
+    )
+
+
+_DECONTAMINATE_ORACLE = f"""
+WITH docs_aug AS ({DOCS_AUG_SQL}),
+tok AS (SELECT doc_id, {_D_TOKS.format(t='text')} AS __toks FROM docs_aug),
+sh AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM tok),
+c AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 29 <> 0),
+b AS (SELECT doc_id AS bench_id, unnest(sh) AS shingle FROM sh
+      WHERE doc_id % 29 = 0)
+SELECT c.doc_id, COUNT(DISTINCT c.shingle) AS n_shared_shingles,
+       COUNT(DISTINCT b.bench_id) AS n_bench_docs
+FROM c JOIN b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+"""
+
+
 def _simhash_q(spark, sf_dir):
     from sparksqlplus_spark.operators.dedup import simhash
 
@@ -1578,6 +1614,7 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "dedup_exact": (_dedup_exact_q, _DEDUP_EXACT_ORACLE),
     "dedup_minhash_lsh": (_minhash_pairs_q, _MINHASH_ORACLE),
     "dedup_cluster_cc": (_cluster_cc_q, _CLUSTER_CC_ORACLE),
+    "text_decontaminate": (_decontaminate_q, _DECONTAMINATE_ORACLE),
     "dedup_simhash": (_simhash_q, _simhash_oracle()),
     "dedup_embedding_cosine": (_emb_neardup_q, _emb_neardup_oracle()),
     "text_stats": (_text_stats_q, _TEXT_STATS_ORACLE),
@@ -1610,6 +1647,7 @@ _HEAD = [
     "graph_c4_cycle_ghd",
     "events_ewma_multibatch",
     "dedup_cluster_cc",
+    "text_decontaminate",
     # r1+r2-green entries that sat out r3+r4 — back in the window first
     "like_patterns",
     "is_not_null",
@@ -1630,6 +1668,7 @@ _HEAD = [
 # entries still in window, streaming windows by events_ewma_* and
 # pytest batch≡stream assertions).
 _TAIL = [
+    "tpch_q9",
     "tpch_q7",
     "tpch_q1",
     "tpch_q18",

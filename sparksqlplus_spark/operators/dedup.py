@@ -239,6 +239,45 @@ def minhash_dedup_pairs(
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Training-data decontamination: flag corpus documents sharing at
+    least ``min_shared`` distinct word n-gram shingles with a benchmark
+    corpus (the standard eval-set leakage check before training).
+    Returns (id, n_shared_shingles, n_bench_docs) per flagged document.
+
+    100 TB shape: the benchmark side is small by construction (eval
+    sets are KBs-MBs), so its exploded shingles are explicitly
+    broadcast — the corpus is scanned ONCE, the join is map-side, and
+    the only shuffle is the per-document count aggregate (map-side
+    combinable). Corpus never joins corpus.
+    """
+    c_sh = shingle_frame(corpus, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.explode("__sh").alias("__shingle")
+    )
+    b_sh = (
+        shingle_frame(benchmark, text_col, id_col, shingle_n)
+        .select(
+            F.col(id_col).alias("__bench_id"), F.explode("__sh").alias("__shingle")
+        )
+    )
+    return (
+        c_sh.join(F.broadcast(b_sh), "__shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("__shingle").alias("n_shared_shingles"),
+            F.countDistinct("__bench_id").alias("n_bench_docs"),
+        )
+        .filter(F.col("n_shared_shingles") >= min_shared)
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

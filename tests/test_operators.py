@@ -63,6 +63,31 @@ def test_minhash_identical_docs_caught(spark):
     assert pairs[0]["jaccard"] == 1.0
 
 
+def test_ngram_contamination_flags_and_broadcasts(spark):
+    """Decontamination: only the corpus doc sharing a 3-gram with the
+    benchmark is flagged, counts are exact, and the benchmark side is
+    broadcast (the corpus never shuffles before its aggregate)."""
+    from sparksqlplus_spark.operators.dedup import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we ask about the quick brown fox here")],
+        "doc_id long, text string",
+    )
+    out = ngram_contamination(corpus, bench, "text", "doc_id", shingle_n=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_shared_shingles"] == 2  # 'the quick brown', 'quick brown fox'
+    assert rows[1]["n_bench_docs"] == 1
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
 def test_dedup_clusters_chain_and_clique(spark):
     """Connected-components clustering: a 4-node CHAIN (10-20-30-40,
     diameter 3 — exercises multi-round label propagation), a clique,
