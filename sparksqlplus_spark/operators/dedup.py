@@ -311,6 +311,7 @@ def dedup_clusters(
         .persist()
     )
     labels.count()
+    changed = -1
     for _ in range(max_rounds):
         nb = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -338,6 +339,15 @@ def dedup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # returning silently would hand back WRONG (partial) clusters —
+        # a component with diameter > max_rounds needs a larger budget
+        # (or the large-star/small-star contraction noted in SCALING.md)
+        labels.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing)"
+        )
     return labels
 
 
