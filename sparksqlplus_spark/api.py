@@ -266,12 +266,43 @@ class SparkSQLPlus:
         }
         work_ctx = ctx
         if not enumerate_join_trees(ctx.relations, limit=1):  # cyclic
-            from sparksqlplus_spark.plans.cyclic import try_break
+            from sparksqlplus_spark.plans.cyclic import (
+                _cycle_orientation,
+                try_break,
+            )
+            from sparksqlplus_spark.plans.ghd import ghd_decompose
 
             result["acyclic"] = False
             broken = try_break(ctx)
             if broken is None:
                 result["strategy"] = "ghd"
+                alias = {r.rid: r.alias for r in ctx.relations}
+                cyc = _cycle_orientation(ctx.relations)
+                if cyc is not None:
+                    result["bags"] = [
+                        {
+                            "members": [r.alias for r, _ in cyc],
+                            "variables": sorted(
+                                set().union(*[r.variables for r in ctx.relations])
+                            ),
+                            "kind": "cycle",
+                        }
+                    ]
+                else:
+                    decomp = ghd_decompose(ctx.relations) or ghd_decompose(
+                        ctx.relations, max_bag=4
+                    )
+                    result["bags"] = (
+                        [
+                            {
+                                "members": sorted(alias[r] for r in bag.rids),
+                                "variables": sorted(bag.variables),
+                            }
+                            for bag in decomp.bags
+                        ]
+                        if decomp is not None
+                        else []
+                    )
                 return result
             result["strategy"] = "break"
             work_ctx = broken[0]

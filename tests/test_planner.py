@@ -310,6 +310,28 @@ def test_plan_candidates_reference_gyo_cases(spark):
     assert {c["root"] for c in nfc["candidates"]} == {"r2", "r3", "r4"}
 
 
+def test_plan_candidates_cyclic_reports_strategy(spark):
+    """Cyclic queries report the router's strategy: breakable cores
+    list candidates of the broken (acyclic) form; unbreakable cores
+    report GHD with the bag structure."""
+    from sparksqlplus_spark.api import SparkSQLPlus
+
+    eng = SparkSQLPlus(spark)
+    eng.ddl("CREATE TABLE E (src INT, dst INT);")
+    tri = """SELECT g1.src AS a, g2.src AS b, g3.src AS c
+             FROM E AS g1, E AS g2, E AS g3
+             WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src"""
+    res = eng.plan_candidates(tri)
+    assert not res["acyclic"] and res["strategy"] == "break"
+    assert res["candidates"]  # broken-form join trees
+
+    from tests.test_cqc_queries import _k5_sql
+
+    res = eng.plan_candidates(_k5_sql("E"))
+    assert not res["acyclic"] and res["strategy"] == "ghd"
+    assert res["bags"]
+
+
 def test_plan_candidates_ranking_and_key_types(engine):
     """Rank 0 must be the silently-executed plan (Berge-acyclic,
     minimal comparison-path degree) and edge key types must reflect
