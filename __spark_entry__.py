@@ -1632,42 +1632,16 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 
 # The driver correctness gate checks exactly the FIRST 50 queries()
 # entries in declaration order (round-2 verdict: the last 2 of 52 were
-# silently skipped two rounds running). Ordering policy (round-5
-# rotation, per round-4 verdict item 1): entries that are NEW this
-# round or have gone longest without a driver row go FIRST; the
-# overflow tail holds only long-stable cases that were driver-green in
-# FOUR consecutive rounds (r1-r4) — their oracles still ship; coverage
-# rotates, it is not dropped. No entry may sit driver-unchecked for 2+
-# consecutive rounds: next round the tail below rotates back in.
+# silently skipped two rounds running). Ordering policy (standing rule
+# since round 5): entries that are NEW this round or have gone longest
+# without a driver row go FIRST; the overflow tail holds only
+# long-stable cases driver-green in >=3 consecutive recent rounds —
+# their oracles still ship; coverage rotates, it is not dropped. No
+# entry may sit driver-unchecked for 2+ consecutive rounds: every
+# round the previous tail rotates back into the head.
 _HEAD = [
-    # NEW this round: auto-router density rule -> GHD driver entry,
-    # the k-ary cycle-bag WCOJ upgrade, the multi-batch stateful EWMA
-    # drain, and near-dup connected-components clustering
-    "graph_dense_auto_ghd",
-    "graph_c4_cycle_ghd",
-    "events_ewma_multibatch",
-    "dedup_cluster_cc",
-    "text_decontaminate",
-    # r1+r2-green entries that sat out r3+r4 — back in the window first
-    "like_patterns",
-    "is_not_null",
-    "date_interval_arith",
-    "cast_real",
-    "filters_pushdown",
-    "or_residual",
-    "tpch_q6",
-    "tpch_q14",
-    "extract_year_agg",
-    "tpch_q12",
-    "tpch_q4",
-    "tpch_q15",
-]
-# every tail case was driver-green in r1-r4 (4 consecutive rounds) and
-# its operator class stays covered by an in-window entry (C20/C22 agg
-# + ORDER BY by tpch_q3/q10, text/media families by the pandas + LSH
-# entries still in window, streaming windows by events_ewma_* and
-# pytest batch≡stream assertions).
-_TAIL = [
+    # r6 rotation: the 17 r5-tail entries (green r1-r4, unchecked r5)
+    # come back FIRST, per the round-5 verdict's standing obligation.
     "tpch_q9",
     "tpch_q7",
     "tpch_q1",
@@ -1685,6 +1659,32 @@ _TAIL = [
     "dedup_exact",
     "dedup_simhash",
     "ann_cosine_topk",
+]
+# Every tail case below was driver-green in >=3 consecutive recent
+# rounds (most in all of r1-r5); their operator classes stay covered
+# in-window (CQC theta/comparison families by graph_q1/q4 +
+# two_comparisons coverage via pytest, cyclic routing by
+# graph_dense_auto_ghd + graph_c4_cycle_ghd + graph_triangle_*,
+# agg/ORDER BY by the tpch entries still in window). They rotate back
+# in next round (r7).
+_TAIL = [
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q3",
+    "tpch_q10",
+    "tpch_q17",
+    "tpch_q5_cyclic",
+    "graph_q3_two_counts",
+    "graph_q5_x_nonfull",
+    "graph_q6_cnt_vs_node",
+    "graph_q7_two_cnt_node",
+    "graph_q2_dumbbell",
+    "graph_q8_4hop",
+    "trade_selfjoin_q9",
+    "join_full_bag",
+    "multihop_theta",
+    "two_comparisons_edge",
+    "chain_theta_nonfull",
 ]
 
 
