@@ -267,13 +267,25 @@ class SparkSQLPlus:
         work_ctx = ctx
         if not enumerate_join_trees(ctx.relations, limit=1):  # cyclic
             from sparksqlplus_spark.plans.cyclic import (
+                GHD_BLOWUP,
+                _break_blowup,
                 _cycle_orientation,
+                ghd_multiplicity_safe,
                 try_break,
             )
             from sparksqlplus_spark.plans.ghd import ghd_decompose
 
             result["acyclic"] = False
             broken = try_break(ctx)
+            # mirror execute_cyclic's auto routing: a breakable core
+            # still goes to GHD when the density rule says break's
+            # first-join intermediate blows up (round-5 advice — the
+            # reported strategy must match what sql() executes)
+            if broken is not None and ghd_multiplicity_safe(ctx):
+                blowup = _break_blowup(self.spark, self.catalog, ctx)
+                if blowup is not None and blowup >= GHD_BLOWUP:
+                    result["break_blowup"] = round(blowup, 2)
+                    broken = None
             if broken is None:
                 result["strategy"] = "ghd"
                 alias = {r.rid: r.alias for r in ctx.relations}

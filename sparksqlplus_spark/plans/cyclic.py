@@ -25,6 +25,7 @@ greedy connected-join fallback below stays the correct baseline.
 from __future__ import annotations
 
 import copy
+import weakref
 from dataclasses import replace
 
 from pyspark.sql import DataFrame, SparkSession
@@ -263,12 +264,15 @@ def ghd_multiplicity_safe(ctx: Context) -> bool:
     return all(r.primary_key_vars or r.kind == "agg" for r in ctx.relations)
 
 
-# Degree statistics for the auto router's density rule, keyed by
-# (id(catalog), table, local-filter signature, source column). Cached
-# for the engine's lifetime: repeated cyclic queries over the same
-# source (the bench's best-of-2 second run, the graph family) pay zero
-# extra planning jobs after the first.
-_degree_stats: dict[tuple, tuple[int, int]] = {}
+# Degree statistics for the auto router's density rule: a per-catalog
+# dict keyed by (table, local-filter signature, source column), held in
+# a WeakKeyDictionary so a garbage-collected catalog (web.py builds a
+# fresh engine per request) drops its stats instead of letting a reused
+# id() serve stale moments for a same-named table with different data.
+# Cached for the catalog's lifetime: repeated cyclic queries over the
+# same source (the bench's best-of-2 second run, the graph family) pay
+# zero extra planning jobs after the first.
+_degree_stats: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 # Route auto->GHD when the break path's *smallest possible* first-join
 # intermediate exceeds this multiple of the total input rows. Measured
@@ -307,9 +311,10 @@ def _break_blowup(spark, catalog, ctx: Context) -> float | None:
         filters = ctx.local_filters.get(r.rid, [])
         fsig = tuple(sorted(str(f) for f in filters))
         df = None
+        cat_stats = _degree_stats.setdefault(catalog, {})
         for col, var in r.col_to_var.items():
-            key = (id(catalog), r.table, fsig, col)
-            if key not in _degree_stats:
+            key = (r.table, fsig, col)
+            if key not in cat_stats:
                 if df is None:
                     df = build_relation_df(spark, catalog, r, filters, ctx.var_map)
                 row = (
@@ -321,8 +326,8 @@ def _break_blowup(spark, catalog, ctx: Context) -> float | None:
                     )
                     .first()
                 )
-                _degree_stats[key] = (int(row["rows"]), int(row["f2"]))
-            stats[(r.rid, var)] = _degree_stats[key]
+                cat_stats[key] = (int(row["rows"]), int(row["f2"]))
+            stats[(r.rid, var)] = cat_stats[key]
     total = sum(next(stats[(r.rid, v)] for v in r.variables)[0] for r in rels)
     if total == 0:
         return 0.0

@@ -162,10 +162,18 @@ def events_stream(
             # testdata parquet stores ts as TIMESTAMP_MICROS with
             # isAdjustedToUTC=0, which Spark reads as TIMESTAMP_NTZ —
             # withWatermark requires TIMESTAMP. The cast is only
-            # wall-clock-preserving under a UTC session timezone, so
-            # enforce the invariant HERE, where it is relied upon (not
-            # just in session.py — callers may hand us any session).
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # wall-clock-preserving under a UTC session timezone; raise
+            # rather than silently mutating the caller's shared session
+            # config (round-5 advice — a conf.set here would change
+            # timestamp semantics for every other query in the session).
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+                raise ValueError(
+                    f"events_stream needs a UTC session timezone to cast "
+                    f"TIMESTAMP_NTZ '{ts_col}' wall-clock-preservingly; the "
+                    f"session has {tz!r}. Use get_spark() (which sets UTC) "
+                    f"or set spark.sql.session.timeZone=UTC yourself."
+                )
             stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return stream
 
@@ -241,7 +249,14 @@ def run_stream_to_memory_counted(
     """:func:`run_stream_to_memory` plus the number of non-empty
     micro-batches the drain used — the probe that proves a stateful
     operator's cross-batch state carry actually ran (a single-batch
-    drain never exercises it)."""
+    drain never exercises it).
+
+    Counting caveat: ``recentProgress`` retains only the last
+    ``spark.sql.streaming.numRecentProgressUpdates`` (default 100)
+    progress updates, so on a drain longer than that the count is a
+    LOWER bound. Fine for every current caller — they assert
+    ``n_batches >= 2`` — use a StreamingQueryListener if an exact
+    count over a long drain is ever needed."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)

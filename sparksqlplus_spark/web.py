@@ -66,16 +66,44 @@ def _handle(spark: SparkSession, path: str, body: dict) -> dict:
             )
         }
     if path == "/api/v1/run":
+        # one job: count per partition + first `limit` rows in a single
+        # aggregate pass over a persisted result (round-5 advice — the
+        # previous limit/take + count pair executed the query twice)
         limit = int(body.get("limit", 20))
         df = eng.sql(query)
-        rows = [json.loads(r) for r in df.limit(limit).toJSON().take(limit)]
-        return {"n_rows": df.count(), "rows": rows}
+        df.persist()
+        try:
+            rows = [json.loads(r) for r in df.toJSON().take(limit)]
+            return {"n_rows": df.count(), "rows": rows}
+        finally:
+            df.unpersist()
     raise KeyError(path)
 
 
-def make_server(spark: SparkSession, host: str = "127.0.0.1", port: int = 0):
+def make_server(
+    spark: SparkSession,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    allow_remote: bool = False,
+):
     """Build (not start) a ThreadingHTTPServer bound to host:port
-    (port 0 = ephemeral; read ``server.server_address``)."""
+    (port 0 = ephemeral; read ``server.server_address``).
+
+    The API is an UNAUTHENTICATED SQL + DDL surface (DDL paths read
+    arbitrary readable files), safe only as a localhost dev tool —
+    binding to a non-loopback host requires an explicit
+    ``allow_remote=True`` opt-in (round-5 advice)."""
+    import ipaddress
+
+    try:
+        loopback = ipaddress.ip_address(host).is_loopback
+    except ValueError:
+        loopback = host == "localhost"
+    if not loopback and not allow_remote:
+        raise ValueError(
+            f"refusing to bind the unauthenticated SQL API to non-loopback "
+            f"host {host!r}; pass allow_remote=True to opt in"
+        )
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet: surface errors via responses
@@ -111,8 +139,13 @@ def make_server(spark: SparkSession, host: str = "127.0.0.1", port: int = 0):
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def serve(spark: SparkSession, host: str = "127.0.0.1", port: int = 8118) -> None:
+def serve(
+    spark: SparkSession,
+    host: str = "127.0.0.1",
+    port: int = 8118,
+    allow_remote: bool = False,
+) -> None:
     """Blocking entry point: python -c 'from sparksqlplus_spark.web import ...'"""
-    server = make_server(spark, host, port)
+    server = make_server(spark, host, port, allow_remote=allow_remote)
     print(f"sqlplusx web API on http://{host}:{server.server_address[1]}")
     server.serve_forever()

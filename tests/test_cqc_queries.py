@@ -416,6 +416,16 @@ def test_auto_density_routes_dense_to_ghd(graph_engine, oracle):
     assert cyc.last_strategy == "ghd"
     assert_matches(df, oracle, _DENSE_TRI_SQL)
 
+    # round-5 advice: plan_candidates must report the SAME routing the
+    # executor takes — 'ghd' (with bag structure) for the dense core,
+    # 'break' for the sparse one
+    dense_plan = graph_engine.plan_candidates(_DENSE_TRI_SQL)
+    assert dense_plan["strategy"] == "ghd"
+    assert dense_plan["break_blowup"] >= cyc.GHD_BLOWUP
+    assert dense_plan["bags"], "density-routed plan must expose bags"
+    sparse_plan = graph_engine.plan_candidates(sparse_tri)
+    assert sparse_plan["strategy"] == "break"
+
 
 def test_cycle_bag_wcoj_c4_and_c5(graph_engine, oracle):
     """Round-4 verdict item 6: a k-cycle (k >= 4) evaluates as ONE

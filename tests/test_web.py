@@ -75,3 +75,10 @@ def test_error_paths(server):
     assert code == 404
     code, res = _post(server, "/api/v1/parse", {"ddl": "", "query": "SELEC nope"})
     assert code == 400 and "error" in res
+
+
+def test_non_loopback_bind_requires_opt_in(spark):
+    with pytest.raises(ValueError, match="allow_remote"):
+        make_server(spark, host="0.0.0.0", port=0)
+    srv = make_server(spark, host="0.0.0.0", port=0, allow_remote=True)
+    srv.server_close()
