@@ -94,21 +94,34 @@ def main() -> None:
             continue
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
-        elapsed = time.time() - t0
+        runs = [time.time() - t0]
         # best-of-2 for EVERY timed entry (round-4 verdict item 3: the
         # sub-second-only gate left the >1 s band unprotected and it
         # drifted +26-66% on untouched plans in a busy driver session;
         # uniform protocol also removes the 1.0 s methodology
         # discontinuity flagged in round-4 ADVICE). The second run's
         # row count must match the first — a cheap nondeterminism trap.
+        # When the two runs disagree by >1.5x the session was noisy
+        # during one of them (graph_q4_nonfull recorded 4.2 s in the r5
+        # driver session vs 1.3-2.1 s in every controlled re-measure,
+        # BASELINE.md) — take ONE adaptive third run so a single noisy
+        # window can't set the recorded number.
         t0 = time.time()
         n2 = qs[name](spark, sf_dir).count()
-        elapsed = min(elapsed, time.time() - t0)
+        runs.append(time.time() - t0)
         if n2 != n:
             raise AssertionError(
                 f"{name}: row count changed between runs ({n} vs {n2})"
             )
-        timings[name] = round(elapsed, 3)
+        if max(runs) / max(min(runs), 1e-9) > 1.5:
+            t0 = time.time()
+            n3 = qs[name](spark, sf_dir).count()
+            runs.append(time.time() - t0)
+            if n3 != n:
+                raise AssertionError(
+                    f"{name}: row count changed between runs ({n} vs {n3})"
+                )
+        timings[name] = round(min(runs), 3)
         print(f"  {name}: {timings[name]}s (rows={n})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
