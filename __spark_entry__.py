@@ -835,8 +835,8 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
 def _cluster_cc_q(spark, sf_dir):
     """Connected-components clustering of the verified MinHash pairs —
     the keep-one-per-cluster step after pair generation (see
-    operators/dedup.py:dedup_clusters: distributed min-label
-    propagation, converges in diameter rounds). Oracle: DuckDB
+    operators/dedup.py:dedup_clusters: large-star/small-star
+    contraction, O(log d) rounds). Oracle: DuckDB
     recursive CTE computing min reachable id per node — an exact
     fixpoint, no unrolling guesswork."""
     from sparksqlplus_spark.operators.dedup import (
@@ -862,6 +862,49 @@ lab AS (
   UNION
   SELECT e.src, lab.l FROM edges e JOIN lab ON lab.doc_id = e.dst)
 SELECT doc_id, MIN(l) AS cluster_id FROM lab GROUP BY doc_id
+"""
+
+
+def _cluster_chain_q(spark, sf_dir):
+    """Star-contraction clustering on planted LONG PATHS (round-5
+    verdict item 3): two disjoint chains built over every third doc_id
+    (split by parity, linked rank-consecutive), diameter ~n/6 per chain
+    — ~80 hops at sf0.01, ~830 at sf0.1. Label propagation's O(d)
+    rounds would blow any fixed budget here; large-star/small-star
+    contraction (operators/dedup.py:_dedup_clusters_star) converges in
+    O(log d) rounds, max_rounds=25 enforced. Oracle: each chain is one
+    component, so cluster_id = the chain's min doc_id — a closed form,
+    no fixpoint unrolling."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.operators.dedup import dedup_clusters
+
+    eng = _engine(spark, sf_dir)
+    chosen = (
+        eng.catalog.get("documents").df
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", (F.col("doc_id") % 2).alias("chain"))
+    )
+    w = Window.partitionBy("chain").orderBy("doc_id")
+    ranked = chosen.withColumn("rn", F.row_number().over(w))
+    pairs = (
+        ranked.alias("a")
+        .join(
+            ranked.alias("b"),
+            (F.col("a.chain") == F.col("b.chain"))
+            & (F.col("b.rn") == F.col("a.rn") + 1),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return dedup_clusters(pairs)
+
+
+_CLUSTER_CHAIN_ORACLE = """
+WITH chosen AS (
+  SELECT doc_id, doc_id % 2 AS chain FROM documents WHERE doc_id % 3 = 0)
+SELECT doc_id, MIN(doc_id) OVER (PARTITION BY chain) AS cluster_id
+FROM chosen
 """
 
 
@@ -1614,6 +1657,7 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "dedup_exact": (_dedup_exact_q, _DEDUP_EXACT_ORACLE),
     "dedup_minhash_lsh": (_minhash_pairs_q, _MINHASH_ORACLE),
     "dedup_cluster_cc": (_cluster_cc_q, _CLUSTER_CC_ORACLE),
+    "dedup_cluster_chain": (_cluster_chain_q, _CLUSTER_CHAIN_ORACLE),
     "text_decontaminate": (_decontaminate_q, _DECONTAMINATE_ORACLE),
     "dedup_simhash": (_simhash_q, _simhash_oracle()),
     "dedup_embedding_cosine": (_emb_neardup_q, _emb_neardup_oracle()),
@@ -1640,6 +1684,9 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # entry may sit driver-unchecked for 2+ consecutive rounds: every
 # round the previous tail rotates back into the head.
 _HEAD = [
+    # NEW this round: star-contraction clustering on planted long
+    # chains (O(log d) rounds)
+    "dedup_cluster_chain",
     # r6 rotation: the 17 r5-tail entries (green r1-r4, unchecked r5)
     # come back FIRST, per the round-5 verdict's standing obligation.
     "tpch_q9",
@@ -1668,6 +1715,7 @@ _HEAD = [
 # agg/ORDER BY by the tpch entries still in window). They rotate back
 # in next round (r7).
 _TAIL = [
+    "ann_lsh_topk",
     "tpch_q19",
     "tpch_q20",
     "tpch_q3",

@@ -90,8 +90,9 @@ def test_ngram_contamination_flags_and_broadcasts(spark):
 
 def test_dedup_clusters_chain_and_clique(spark):
     """Connected-components clustering: a 4-node CHAIN (10-20-30-40,
-    diameter 3 — exercises multi-round label propagation), a clique,
-    and an isolated pair must each collapse to their min doc id."""
+    diameter 3 — exercises multi-round contraction), a clique, and an
+    isolated pair must each collapse to their min doc id — identically
+    through BOTH methods (star contraction and label propagation)."""
     from sparksqlplus_spark.operators.dedup import dedup_clusters
 
     pairs = spark.createDataFrame(
@@ -102,12 +103,39 @@ def test_dedup_clusters_chain_and_clique(spark):
         ],
         "id_a long, id_b long",
     )
-    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
-    assert got == {
+    expect = {
         10: 10, 20: 10, 30: 10, 40: 10,
         1: 1, 2: 1, 3: 1,
         100: 100, 200: 100,
     }
+    for method in ("star", "propagate"):
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(pairs, method=method).collect()
+        }
+        assert got == expect, method
+
+
+def test_dedup_clusters_long_chain_star_rounds(spark):
+    """Round-5 verdict item 3: a planted 100-hop path (diameter 100)
+    must converge through star contraction within O(log d) rounds —
+    max_rounds=12 here, where label propagation needs 100+ (and is
+    asserted to raise rather than return partial clusters)."""
+    import pytest
+
+    from sparksqlplus_spark.operators.dedup import dedup_clusters
+
+    ids = [i * 7 + 3 for i in range(101)]  # non-consecutive ids
+    pairs = spark.createDataFrame(
+        list(zip(ids, ids[1:])), "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, max_rounds=12).collect()
+    }
+    assert got == {i: ids[0] for i in ids}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_rounds=12, method="propagate")
 
 
 def test_embedding_neardup_multiband_recall(engine):
