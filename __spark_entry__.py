@@ -1610,6 +1610,28 @@ def _c4_ghd_q(spark, sf_dir):
     return eng.sql(_C4_GHD_SQL, cyclic_strategy="ghd")
 
 
+# C5 pentagon on the same mid-density graph (round-5 verdict item 4):
+# exercises the k>=5 regime where the in-cell path intermediate needs
+# the pre-extension semi-join reduction (operators/wcoj.py:
+# _cycle_in_cell reduce_edges) — each E_i is pruned to edges that
+# continue one hop in both directions before any pandas merge, so
+# dead-end edges never multiply into the 3-merge path. A/B on this
+# query: scripts/exp_c5_reduce.py.
+_C5_GHD_SQL = """
+SELECT g1.src AS a, g3.src AS c, COUNT(*) AS n_c5
+FROM graph_mid AS g1, graph_mid AS g2, graph_mid AS g3,
+     graph_mid AS g4, graph_mid AS g5
+WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+  AND g4.dst = g5.src AND g5.dst = g1.src
+GROUP BY g1.src, g3.src
+"""
+
+
+def _c5_ghd_q(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return eng.sql(_C5_GHD_SQL, cyclic_strategy="ghd")
+
+
 def _ora_mid(body: str) -> str:
     return f"WITH graph_mid AS MATERIALIZED ({MID_GRAPH_SQL_DUCK}) {body}"
 
@@ -1644,6 +1666,7 @@ def _hint_q(spark, sf_dir):
 _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "graph_dense_auto_ghd": (_dense_auto_ghd_q, _ora_dense(_DENSE_TRI_SQL)),
     "graph_c4_cycle_ghd": (_c4_ghd_q, _ora_mid(_C4_GHD_SQL)),
+    "graph_c5_pentagon_ghd": (_c5_ghd_q, _ora_mid(_C5_GHD_SQL)),
     "graph_q2_crosstri_ghd": (_q2_ghd_q, None),  # graph-CTE oracle attached below
     "graph_triangle_wcoj": (_wcoj_triangles_q, None),  # graph-CTE oracle attached below
     "events_ewma_stateful": (_ewma_q, _EWMA_ORACLE),
@@ -1685,8 +1708,10 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # round the previous tail rotates back into the head.
 _HEAD = [
     # NEW this round: star-contraction clustering on planted long
-    # chains (O(log d) rounds)
+    # chains (O(log d) rounds), and the C5 pentagon through the
+    # semi-join-reduced k-cycle kernel
     "dedup_cluster_chain",
+    "graph_c5_pentagon_ghd",
     # r6 rotation: the 17 r5-tail entries (green r1-r4, unchecked r5)
     # come back FIRST, per the round-5 verdict's standing obligation.
     "tpch_q9",
@@ -1716,6 +1741,7 @@ _HEAD = [
 # in next round (r7).
 _TAIL = [
     "ann_lsh_topk",
+    "hint_join_tree",
     "tpch_q19",
     "tpch_q20",
     "tpch_q3",

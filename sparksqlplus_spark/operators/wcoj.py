@@ -187,7 +187,9 @@ def _empty_cycle(k: int) -> pd.DataFrame:
     )
 
 
-def _cycle_in_cell(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+def _cycle_in_cell(
+    pdf: pd.DataFrame, k: int, reduce_edges: bool = True
+) -> pd.DataFrame:
     """Vectorized k-cycle kernel for one hypercube cell.
 
     pdf columns: rel (0..k-1), x, y — edge E_i(v_{i+1}, v_{i+2 mod k})
@@ -200,24 +202,57 @@ def _cycle_in_cell(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
     min(deg_{E_{k-1}}, deg_{E_k^-1}) — the closing step of a leapfrog —
     with no per-row Python. k=3 degenerates to the triangle kernel
     (kept separate only because that path is tuned and oracle-tested).
+
+    ``reduce_edges`` (round-5 verdict item 4): before any path
+    extension, each E_i is semi-join reduced against its cycle
+    neighbors to a bounded fixpoint (E_i.x must appear in E_{i-1}.y,
+    E_i.y in E_{i+1}.x — sorted-array membership, no joins). This is
+    the generic-join candidate intersection for the middle variables:
+    every materialized partial path then extends only through vertices
+    that continue one more hop in BOTH directions, so a dead-end edge
+    never multiplies into the k≥5 path intermediate (for k=3/4 the
+    closing step already sees every edge; the reduction is still
+    applied — it only shrinks inputs). Measured on the mid-density C5:
+    see scripts/exp_c5_reduce.py.
     """
     pdf = pdf.drop_duplicates(["rel", "x", "y"])
-    es = {i: pdf[pdf["rel"] == i] for i in range(k)}
-    if min(len(es[i]) for i in range(k)) == 0:
-        return _empty_cycle(k)
+    arrs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for i in range(k):
+        e = pdf[pdf["rel"] == i]
+        if not len(e):
+            return _empty_cycle(k)
+        arrs[i] = (e["x"].to_numpy(), e["y"].to_numpy())
 
-    partial = es[0][["x", "y"]].rename(columns={"x": "x1", "y": "x2"})
+    if reduce_edges:
+        # pairwise-consistency fixpoint around the ring (<= k sweeps:
+        # each sweep propagates emptiness/shrinkage one hop further)
+        for _ in range(k):
+            changed = False
+            for i in range(k):
+                xi, yi = arrs[i]
+                prev_y = np.unique(arrs[(i - 1) % k][1])
+                next_x = np.unique(arrs[(i + 1) % k][0])
+                mask = np.isin(xi, prev_y) & np.isin(yi, next_x)
+                if not mask.all():
+                    arrs[i] = (xi[mask], yi[mask])
+                    changed = True
+                    if not len(arrs[i][0]):
+                        return _empty_cycle(k)
+            if not changed:
+                break
+
+    partial = pd.DataFrame({"x1": arrs[0][0], "x2": arrs[0][1]})
     for i in range(1, k - 2):
-        nxt = es[i][["x", "y"]].rename(
-            columns={"x": f"x{i + 1}", "y": f"x{i + 2}"}
+        nxt = pd.DataFrame(
+            {f"x{i + 1}": arrs[i][0], f"x{i + 2}": arrs[i][1]}
         )
         partial = partial.merge(nxt, on=f"x{i + 1}", how="inner")
         if not len(partial):
             return _empty_cycle(k)
 
-    s, t = es[k - 2], es[k - 1]  # E_{k-1}(v_{k-1}, v_k), E_k(v_k, v_1)
-    sx, sy = s["x"].to_numpy(), s["y"].to_numpy()
-    tx, ty = t["x"].to_numpy(), t["y"].to_numpy()
+    # E_{k-1}(v_{k-1}, v_k), E_k(v_k, v_1)
+    sx, sy = arrs[k - 2]
+    tx, ty = arrs[k - 1]
     s_order = np.lexsort((sy, sx))
     sx, sy = sx[s_order], sy[s_order]
     s_keys, s_starts, s_counts = np.unique(sx, return_index=True, return_counts=True)
@@ -262,7 +297,11 @@ def _cycle_in_cell(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
     return out[[f"x{i}" for i in range(1, k + 1)]].astype("int64")
 
 
-def cycle_join(edges: list[DataFrame], cube_side: int | None = None) -> DataFrame:
+def cycle_join(
+    edges: list[DataFrame],
+    cube_side: int | None = None,
+    reduce_edges: bool = True,
+) -> DataFrame:
     """Worst-case-optimal-style k-cycle join
     Q(v1..vk) = E1(v1,v2) ⋈ E2(v2,v3) ⋈ ... ⋈ Ek(vk,v1), k ≥ 3 —
     the per-bag evaluator for k-ary cycle bags (round-4 verdict item
@@ -307,7 +346,7 @@ def cycle_join(edges: list[DataFrame], cube_side: int | None = None) -> DataFram
         cells = cells.unionByName(d)
     schema = ", ".join(f"x{i} long" for i in range(1, k + 1))
     return cells.groupBy(*[f"c{j}" for j in range(k)]).applyInPandas(
-        lambda pdf: _cycle_in_cell(pdf, k), schema=schema
+        lambda pdf: _cycle_in_cell(pdf, k, reduce_edges), schema=schema
     )
 
 
