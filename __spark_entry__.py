@@ -1632,6 +1632,29 @@ def _c5_ghd_q(spark, sf_dir):
     return eng.sql(_C5_GHD_SQL, cyclic_strategy="ghd")
 
 
+# Chorded K4 (round-5 verdict item 5): C4 a→b→c→d→a plus chord a→c —
+# a cyclic core that is neither a triangle nor a pure cycle. The
+# decomposer may split it into two triangle bags (width 1.5, the
+# better plan) or hand a chorded bag to the generalized pattern kernel
+# (plans/cyclic.py:_eval_bag 'wcoj-pattern' →
+# operators/wcoj.py:pattern_join — generic join over arbitrary
+# connected binary patterns); both paths are pytest-proven equal
+# (tests/test_cqc_queries.py:test_pattern_bag_chorded_k4).
+_CK4_GHD_SQL = """
+SELECT g1.src AS a, g3.src AS c, COUNT(*) AS n_ck4
+FROM graph_mid AS g1, graph_mid AS g2, graph_mid AS g3,
+     graph_mid AS g4, graph_mid AS g5
+WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+  AND g4.dst = g1.src AND g5.src = g1.src AND g5.dst = g3.src
+GROUP BY g1.src, g3.src
+"""
+
+
+def _ck4_ghd_q(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return eng.sql(_CK4_GHD_SQL, cyclic_strategy="ghd")
+
+
 def _ora_mid(body: str) -> str:
     return f"WITH graph_mid AS MATERIALIZED ({MID_GRAPH_SQL_DUCK}) {body}"
 
@@ -1667,6 +1690,7 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "graph_dense_auto_ghd": (_dense_auto_ghd_q, _ora_dense(_DENSE_TRI_SQL)),
     "graph_c4_cycle_ghd": (_c4_ghd_q, _ora_mid(_C4_GHD_SQL)),
     "graph_c5_pentagon_ghd": (_c5_ghd_q, _ora_mid(_C5_GHD_SQL)),
+    "graph_chorded_k4_ghd": (_ck4_ghd_q, _ora_mid(_CK4_GHD_SQL)),
     "graph_q2_crosstri_ghd": (_q2_ghd_q, None),  # graph-CTE oracle attached below
     "graph_triangle_wcoj": (_wcoj_triangles_q, None),  # graph-CTE oracle attached below
     "events_ewma_stateful": (_ewma_q, _EWMA_ORACLE),
@@ -1712,6 +1736,7 @@ _HEAD = [
     # semi-join-reduced k-cycle kernel
     "dedup_cluster_chain",
     "graph_c5_pentagon_ghd",
+    "graph_chorded_k4_ghd",
     # r6 rotation: the 17 r5-tail entries (green r1-r4, unchecked r5)
     # come back FIRST, per the round-5 verdict's standing obligation.
     "tpch_q9",
@@ -1742,6 +1767,7 @@ _HEAD = [
 _TAIL = [
     "ann_lsh_topk",
     "hint_join_tree",
+    "graph_triangle_wcoj",
     "tpch_q19",
     "tpch_q20",
     "tpch_q3",
