@@ -475,6 +475,49 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
              AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
              AND p.p_name LIKE '%a%' AND v.qty > 60""",
     ),
+    # --- TPC-H Q13 shape: LEFT OUTER JOIN + two-level COUNT — one of
+    # the four TPC-H queries the reference's planning suite skips
+    # entirely (TpchQueriesTest.scala has no Q13/Q16/Q21/Q22: outer
+    # join / NOT EXISTS are outside its subset). Runs through the
+    # engine's documented spark.sql fallback (api.sql mode='auto' —
+    # the real user path for out-of-subset SQL); o_comment doesn't
+    # exist in the testdata, so the classic '%special%requests%'
+    # anti-filter becomes an orderpriority NOT LIKE ---
+    "tpch_q13": (
+        """SELECT c_count, COUNT(*) AS custdist
+           FROM (SELECT c.c_custkey AS c_custkey,
+                        COUNT(o.o_orderkey) AS c_count
+                 FROM customer AS c LEFT OUTER JOIN orders AS o
+                   ON c.c_custkey = o.o_custkey
+                      AND o.o_orderpriority NOT LIKE '1-%'
+                 GROUP BY c.c_custkey) AS c_orders
+           GROUP BY c_count
+           ORDER BY custdist DESC, c_count DESC""",
+        None,
+    ),
+    # --- TPC-H Q21 shape: EXISTS + NOT EXISTS (semi/anti join) over a
+    # lineitem self-correlation — also absent from the reference's
+    # suite; spark.sql fallback path. The testdata carries no
+    # receipt/commit dates, so "kept waiting" is a shipdate cutoff ---
+    "tpch_q21": (
+        """SELECT s.s_name AS s_name, COUNT(*) AS numwait
+           FROM supplier AS s, lineitem AS l1, orders AS o, nation AS n
+           WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+             AND o.o_orderstatus = 'F'
+             AND l1.l_shipdate > DATE '1997-01-01'
+             AND EXISTS (SELECT * FROM lineitem AS l2
+                         WHERE l2.l_orderkey = l1.l_orderkey
+                           AND l2.l_suppkey <> l1.l_suppkey)
+             AND NOT EXISTS (SELECT * FROM lineitem AS l3
+                             WHERE l3.l_orderkey = l1.l_orderkey
+                               AND l3.l_suppkey <> l1.l_suppkey
+                               AND l3.l_shipdate > DATE '1997-01-01')
+             AND s.s_nationkey = n.n_nationkey
+           GROUP BY s.s_name
+           ORDER BY numwait DESC, s_name
+           LIMIT 100""",
+        None,
+    ),
     # --- TPC-H Q2 shape (reference pre-flattens the MIN-supplycost
     # correlated subquery into a view, TpchQueriesTest.scala:181-217;
     # partsupp itself is derived — see PARTSUPP_SQL) ---
@@ -1737,6 +1780,8 @@ _HEAD = [
     "dedup_cluster_chain",
     "graph_c5_pentagon_ghd",
     "graph_chorded_k4_ghd",
+    "tpch_q13",
+    "tpch_q21",
     # r6 rotation: the 17 r5-tail entries (green r1-r4, unchecked r5)
     # come back FIRST, per the round-5 verdict's standing obligation.
     "tpch_q9",
@@ -1768,6 +1813,8 @@ _TAIL = [
     "ann_lsh_topk",
     "hint_join_tree",
     "graph_triangle_wcoj",
+    "tpch_q2",
+    "tpch_q11",
     "tpch_q19",
     "tpch_q20",
     "tpch_q3",

@@ -91,6 +91,23 @@ def test_unsupported_raises():
         parse_query("SELECT a FROM t WHERE a > ALL (SELECT b FROM s)")
 
 
+def test_outer_and_exists_raise_unsupported():
+    """TPC-H Q13/Q21 surface: LEFT OUTER JOIN and [NOT] EXISTS must
+    raise UnsupportedSqlError (not crash), so api.sql mode='auto'
+    routes them to the spark.sql fallback — the path the tpch_q13 /
+    tpch_q21 driver entries prove end-to-end vs DuckDB."""
+    with pytest.raises(UnsupportedSqlError):
+        parse_query(
+            "SELECT c.c_custkey FROM customer AS c "
+            "LEFT OUTER JOIN orders AS o ON c.c_custkey = o.o_custkey"
+        )
+    with pytest.raises(UnsupportedSqlError):
+        parse_query(
+            "SELECT a FROM t WHERE NOT EXISTS "
+            "(SELECT * FROM s WHERE s.b = t.a)"
+        )
+
+
 def test_interval_literal():
     q = parse_query("SELECT a FROM t WHERE d < DATE '2000-01-01' + INTERVAL '30' DAY")
     add = q.where[0].right
