@@ -475,6 +475,21 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
              AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
              AND p.p_name LIKE '%a%' AND v.qty > 60""",
     ),
+    # --- HAVING: post-aggregation filter through the native CQC path
+    # (engine extension — the reference's SURVEY §2.1 not-supported
+    # list includes HAVING; here it is parsed, validated against the
+    # GROUP BY, and executed as a post-agg filter with helper agg
+    # columns for aggregates not in the SELECT list) ---
+    "having_filter": (
+        """SELECT l.l_returnflag AS flag, n.n_name AS nation, COUNT(*) AS cnt
+           FROM lineitem AS l, supplier AS s, nation AS n
+           WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+             AND l.l_quantity < 30
+           GROUP BY l.l_returnflag, n.n_name
+           HAVING COUNT(*) > 50 AND SUM(l.l_quantity) > 200.0
+           ORDER BY flag, nation""",
+        None,
+    ),
     # --- TPC-H Q13 shape: LEFT OUTER JOIN + two-level COUNT — one of
     # the four TPC-H queries the reference's planning suite skips
     # entirely (TpchQueriesTest.scala has no Q13/Q16/Q21/Q22: outer
@@ -1782,6 +1797,7 @@ _HEAD = [
     "graph_chorded_k4_ghd",
     "tpch_q13",
     "tpch_q21",
+    "having_filter",
     # r6 rotation: the 17 r5-tail entries (green r1-r4, unchecked r5)
     # come back FIRST, per the round-5 verdict's standing obligation.
     "tpch_q9",
@@ -1815,6 +1831,7 @@ _TAIL = [
     "graph_triangle_wcoj",
     "tpch_q2",
     "tpch_q11",
+    "ann_ivf_topk",
     "tpch_q19",
     "tpch_q20",
     "tpch_q3",

@@ -908,6 +908,14 @@ def finalize(result: DataFrame, ctx: Context) -> DataFrame:
                     name = f"__agg_{len(agg_cols)}"
                     phys[sub.key()] = name
                     agg_cols.append(sub.to_spark(var_map).alias(name))
+        # HAVING may use aggregates that are in neither the output nor
+        # the sort list — compute them as helper columns the same way
+        for cond in ctx.having:
+            for sub in _agg_subcalls_of(cond):
+                if sub.key() not in phys:
+                    name = f"__agg_{len(agg_cols)}"
+                    phys[sub.key()] = name
+                    agg_cols.append(sub.to_spark(var_map).alias(name))
         if not agg_cols:
             # GROUP BY without aggregates ≡ DISTINCT over the group exprs
             result = result.select(*group_cols).distinct()
@@ -917,6 +925,10 @@ def finalize(result: DataFrame, ctx: Context) -> DataFrame:
             result = result.agg(*agg_cols)
         # rebuild each output over the aggregated frame
         post_map = {("#", p): p for p in phys.values()}
+        # HAVING: post-aggregation filter (validated in build_context to
+        # reference only group expressions and aggregates)
+        for cond in ctx.having:
+            result = result.filter(_replace_known(cond, phys).to_spark(post_map))
         out_cols = []
         for n, oe in ctx.output:
             reb = _replace_known(oe, phys)

@@ -77,6 +77,7 @@ class QuerySpec:
     group_by: list[Expr] = field(default_factory=list)
     order_by: list[OrderItem] = field(default_factory=list)
     limit: int | None = None
+    having: list[Cond] = field(default_factory=list)  # conjunction
 
 
 # ---------------------------------------------------------------------------
@@ -210,8 +211,16 @@ class _Parser:
             group_by.append(self._expr())
             while self.accept("op", ","):
                 group_by.append(self._expr())
+        having: list[Cond] = []
         if self.at("kw", "having"):
-            raise UnsupportedSqlError("HAVING not in subset")
+            # post-aggregation filter (engine extension — the reference
+            # has no HAVING surface at all, SURVEY §2.1 not-supported
+            # list). Only meaningful over GROUP BY; a bare HAVING keeps
+            # raising so api.sql mode='auto' can delegate it.
+            if not group_by:
+                raise UnsupportedSqlError("HAVING without GROUP BY not in subset")
+            self.expect("kw", "having")
+            having = self._conjunction()
         order_by: list[OrderItem] = []
         if self.accept("kw", "order"):
             self.expect("kw", "by")
@@ -228,7 +237,10 @@ class _Parser:
         limit = None
         if self.accept("kw", "limit"):
             limit = int(self.expect("num").text)
-        return QuerySpec(items, distinct, from_items, where, group_by, order_by, limit)
+        return QuerySpec(
+            items, distinct, from_items, where, group_by, order_by, limit,
+            having=having,
+        )
 
     def _select_item(self) -> SelectItem:
         e = self._expr()

@@ -117,6 +117,10 @@ class Context:
     limit: int | None
     distinct: bool
     is_full: bool
+    # post-aggregation filters (HAVING conjunction — engine extension;
+    # validated so every non-aggregate subexpression matches a GROUP BY
+    # expression)
+    having: list[Cond] = field(default_factory=list)
 
     def relation_by_alias(self, alias: str) -> Relation:
         for r in self.relations:
@@ -283,6 +287,29 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             out_vars.add(var_map[(expr.alias, expr.name)])
     is_full = out_vars >= set().union(*[set(r.variables) for r in relations])
 
+    # ---- HAVING validation: after substituting GROUP BY expressions and
+    # aggregate calls, nothing may still reference a base column (a
+    # non-grouped reference would be ambiguous per group) ----------------
+    if spec.having:
+        from sparksqlplus_spark.expressions import Lit, map_expr
+
+        known_keys = {e.key() for e in group_by}
+
+        def _known(node):
+            k = getattr(node, "key", None)
+            if k is not None and (
+                isinstance(node, AggCall) or node.key() in known_keys
+            ):
+                return Lit(0, "int")
+            return None
+
+        for cond in spec.having:
+            leftover = map_expr(cond, _known).refs()
+            if leftover:
+                raise UnsupportedSqlError(
+                    f"HAVING references non-grouped columns {sorted(leftover)}"
+                )
+
     return Context(
         relations=relations,
         var_map=var_map,
@@ -296,6 +323,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
         limit=spec.limit,
         distinct=spec.distinct,
         is_full=is_full,
+        having=list(spec.having),
     )
 
 

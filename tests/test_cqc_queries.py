@@ -204,6 +204,30 @@ def test_two_comparisons_same_edge(engine, oracle):
     )
 
 
+def test_having_post_agg_filter(engine, oracle):
+    """HAVING (engine extension — absent from the reference surface):
+    post-aggregation filter through the native CQC path, including an
+    aggregate that appears ONLY in the HAVING clause (helper agg
+    column), plus the invalid-reference rejection."""
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+    q = """SELECT l.l_returnflag AS flag, COUNT(*) AS cnt
+           FROM lineitem AS l, supplier AS s
+           WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity < 30
+           GROUP BY l.l_returnflag
+           HAVING COUNT(*) > 100 AND SUM(l.l_quantity) > 500.0
+           ORDER BY flag"""
+    df = engine.sql(q, mode="cqc")
+    assert_matches(df, oracle, q)
+
+    with pytest.raises(UnsupportedSqlError, match="non-grouped"):
+        engine.context(
+            """SELECT l.l_returnflag AS flag, COUNT(*) AS cnt
+               FROM lineitem AS l GROUP BY l.l_returnflag
+               HAVING l.l_quantity > 5"""
+        )
+
+
 # ---------------------------------------------------------------------------
 # graph queries (reference examples q1-q11 shapes, SURVEY §5)
 # ---------------------------------------------------------------------------

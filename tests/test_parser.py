@@ -91,6 +91,15 @@ def test_unsupported_raises():
         parse_query("SELECT a FROM t WHERE a > ALL (SELECT b FROM s)")
 
 
+def test_having_parses_with_group_by_only():
+    q = parse_query(
+        "SELECT a, COUNT(*) FROM t GROUP BY a HAVING COUNT(*) > 5 AND a = 1"
+    )
+    assert len(q.having) == 2
+    with pytest.raises(UnsupportedSqlError):
+        parse_query("SELECT a FROM t HAVING a > 1")  # no GROUP BY
+
+
 def test_outer_and_exists_raise_unsupported():
     """TPC-H Q13/Q21 surface: LEFT OUTER JOIN and [NOT] EXISTS must
     raise UnsupportedSqlError (not crash), so api.sql mode='auto'
