@@ -533,6 +533,57 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
            LIMIT 100""",
         None,
     ),
+    # --- TPC-H Q16 shape: COUNT(DISTINCT) + NOT IN subquery — third of
+    # the four reference-absent TPC-H queries; NOT IN routes it through
+    # the spark.sql fallback (COUNT DISTINCT itself is native, C20).
+    # supplier has no s_comment, so the exclusion is an acctbal filter;
+    # partsupp is the derived stand-in (PARTSUPP_SQL) ---
+    "tpch_q16": (
+        """SELECT p.p_brand AS p_brand, p.p_type AS p_type,
+                  p.p_size AS p_size,
+                  COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+           FROM partsupp AS ps, part AS p
+           WHERE p.p_partkey = ps.ps_partkey
+             AND p.p_brand <> 'Brand#2'
+             AND p.p_type NOT LIKE 'MEDIUM%'
+             AND p.p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+             AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                       WHERE s_acctbal < 0.0)
+           GROUP BY p.p_brand, p.p_type, p.p_size
+           ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        _ora_derived(
+            """SELECT p.p_brand AS p_brand, p.p_type AS p_type,
+                  p.p_size AS p_size,
+                  COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+           FROM partsupp ps, part p
+           WHERE p.p_partkey = ps.ps_partkey
+             AND p.p_brand <> 'Brand#2'
+             AND p.p_type NOT LIKE 'MEDIUM%'
+             AND p.p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+             AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                       WHERE s_acctbal < 0.0)
+           GROUP BY p.p_brand, p.p_type, p.p_size
+           ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+        ),
+    ),
+    # --- TPC-H Q22 shape: scalar subquery + NOT EXISTS anti-join —
+    # last of the four reference-absent queries; spark.sql fallback.
+    # No c_phone in the testdata: cntrycode := c_nationkey, and the
+    # anti-join excludes customers with any 1-URGENT order (plain
+    # no-orders is empty at every SF — all customers have orders) ---
+    "tpch_q22": (
+        """SELECT cntrycode, COUNT(*) AS numcust, SUM(c_acctbal) AS totacctbal
+           FROM (SELECT c.c_nationkey AS cntrycode, c.c_acctbal AS c_acctbal
+                 FROM customer AS c
+                 WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer AS c2
+                                      WHERE c2.c_acctbal > 0.0)
+                   AND NOT EXISTS (SELECT * FROM orders AS o
+                                   WHERE o.o_custkey = c.c_custkey
+                                     AND o.o_orderpriority = '1-URGENT')) AS custsale
+           GROUP BY cntrycode
+           ORDER BY cntrycode""",
+        None,
+    ),
     # --- TPC-H Q2 shape (reference pre-flattens the MIN-supplycost
     # correlated subquery into a view, TpchQueriesTest.scala:181-217;
     # partsupp itself is derived — see PARTSUPP_SQL) ---
@@ -1797,6 +1848,8 @@ _HEAD = [
     "graph_chorded_k4_ghd",
     "tpch_q13",
     "tpch_q21",
+    "tpch_q16",
+    "tpch_q22",
     "having_filter",
     # r6 rotation: the 17 r5-tail entries (green r1-r4, unchecked r5)
     # come back FIRST, per the round-5 verdict's standing obligation.
@@ -1832,6 +1885,8 @@ _TAIL = [
     "tpch_q2",
     "tpch_q11",
     "ann_ivf_topk",
+    "tpch_q8",
+    "graph_q2_crosstri_ghd",
     "tpch_q19",
     "tpch_q20",
     "tpch_q3",
