@@ -1,0 +1,83 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Engine extensions beyond the reference surface: data-mixing /
+subsampling steps every large-scale corpus build runs. All decisions
+are md5-hash based (operators/dedup.py:h52 — 52 bits, exact in BIGINT
+and IEEE doubles), NOT rand()-based: the same row always gets the same
+verdict, so runs are reproducible, incremental re-runs are stable, and
+a DuckDB oracle can reproduce every row bit-for-bit.
+
+Scale design: Bernoulli and stratified sampling are pure row-local
+filters (map-only — no shuffle, no state, no driver involvement at any
+input size); exact-N-per-group is one window shuffle on the group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparksqlplus_spark.operators.dedup import h52
+
+# denominator for hash-fraction decisions: keep iff h52(id) % SCALE
+# < fraction * SCALE. 2^20 divides the 52-bit hash space evenly, so
+# the realized rate is within 2^-20 of the requested fraction.
+SCALE = 1 << 20
+
+
+def _bucket(id_col: str, seed: str) -> "F.Column":
+    return F.pmod(
+        h52(F.concat(F.lit(seed), F.col(id_col).cast("string"))), F.lit(SCALE)
+    )
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff
+    h52(seed || id) mod 2^20 < fraction * 2^20. Map-only; changing
+    ``seed`` draws an independent sample over the same data."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_bucket(id_col, seed) < int(fraction * SCALE))
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    seed: str = "",
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling — the data-mixing step (e.g.
+    keep 100% of books, 10% of web). ``fractions`` maps group value →
+    keep fraction; unlisted groups use ``default``. Same map-only
+    hash decision as :func:`hash_sample`, thresholded per group."""
+    thresh = F.lit(int(default * SCALE))
+    for val, frac in sorted(fractions.items()):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {val!r} must be in [0, 1]")
+        thresh = F.when(
+            F.col(group_col) == F.lit(val), F.lit(int(frac * SCALE))
+        ).otherwise(thresh)
+    return df.filter(_bucket(id_col, seed) < thresh)
+
+
+def top_n_per_group(
+    df: DataFrame, group_col: str, id_col: str, n: int, seed: str = ""
+) -> DataFrame:
+    """Exact-N-per-group deterministic subsample: rank rows inside each
+    group by (h52(seed || id), id) — a reproducible shuffle order — and
+    keep the first ``n``. One window shuffle on the group key; the
+    hash tie-break makes the pick independent of input order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket(id_col, seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= n)
+        .drop("__rank")
+    )

@@ -95,6 +95,56 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return scored.select(F.col(id_col), pred.alias("pred_lang"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping whitespace-token windows —
+    the RAG/pre-training chunking step. Chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens) with stride = chunk_tokens −
+    overlap_tokens; every document yields ≥ 1 chunk, and the chunk
+    count is ceil(max(n_tokens − overlap, 1) / stride), so the final
+    window always reaches the document tail.
+
+    Pure expression-level (split → sequence → posexplode → slice):
+    whole-stage codegen, no Python, no shuffle — a map-only operator at
+    any scale. Rows: (doc_id, chunk_id, n_chunk_tokens, chunk_fp) with
+    chunk_fp = 16-hex md5 prefix of the space-joined window (content-
+    exact without shipping the text twice).
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit(""))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil(
+            F.greatest(n - F.lit(overlap_tokens), F.lit(1)).cast("double")
+            / F.lit(float(stride))
+        ).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(F.sequence(F.lit(1), n_chunks)).alias("chunk_id", "__x"),
+    )
+    window = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    chunk_text = F.array_join(window, " ")
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(window).cast("long").alias("n_chunk_tokens"),
+        F.substring(F.md5(chunk_text.cast("binary")), 1, 16).alias("chunk_fp"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Normalized-content fingerprint: md5 prefix of
     lower(collapse-whitespace(strip-punct(text))). 16 hex chars."""

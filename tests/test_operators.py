@@ -138,6 +138,50 @@ def test_dedup_clusters_long_chain_star_rounds(spark):
         dedup_clusters(pairs, max_rounds=12, method="propagate")
 
 
+def test_chunk_documents_windows(spark):
+    """Overlapping token windows: 10 tokens, chunk=4, overlap=1 →
+    stride 3, chunks at offsets 0/3/6 with 4 tokens each (last one
+    reaches the tail exactly); short docs yield one short chunk."""
+    from sparksqlplus_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): r["n_chunk_tokens"]
+        for r in chunk_documents(df, "text", "doc_id", 4, 1).collect()
+    }
+    assert rows == {(1, 0): 4, (1, 1): 4, (1, 2): 4, (2, 0): 2}
+
+
+def test_sampling_deterministic(spark):
+    """Hash sampling: fraction bounds, per-stratum thresholds, exact-N
+    per group — and bit-identical across repeated runs (no rand())."""
+    from sparksqlplus_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+        top_n_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g1" if i % 2 else "g2") for i in range(200)],
+        "id long, grp string",
+    )
+    assert hash_sample(df, "id", 0.0).count() == 0
+    assert hash_sample(df, "id", 1.0).count() == 200
+    kept = stratified_sample(df, "grp", "id", {"g1": 1.0}, default=0.0)
+    assert kept.count() == 100 and kept.filter("grp = 'g2'").count() == 0
+    top = top_n_per_group(df, "grp", "id", 7)
+    assert top.groupBy("grp").count().collect()[0]["count"] == 7
+    a = sorted(r["id"] for r in top.collect())
+    b = sorted(r["id"] for r in top_n_per_group(df, "grp", "id", 7).collect())
+    assert a == b
+    # a different seed draws a different (but still deterministic) set
+    c = sorted(r["id"] for r in top_n_per_group(df, "grp", "id", 7, seed="x").collect())
+    assert c != a
+
+
 def test_embedding_neardup_multiband_recall(engine):
     """Multi-band hyperplane LSH: banding must recover planted
     near-dup pairs that single-band bucketing splits (MinHash-style
