@@ -584,6 +584,26 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
            ORDER BY cntrycode""",
         None,
     ),
+    # --- window functions (reference not-supported list): top-3 orders
+    # per customer via ROW_NUMBER() OVER — spark.sql fallback path ---
+    "window_rank_topk": (
+        """SELECT c_custkey, o_orderkey, rnk FROM (
+             SELECT o.o_custkey AS c_custkey, o.o_orderkey AS o_orderkey,
+                    CAST(ROW_NUMBER() OVER (
+                      PARTITION BY o.o_custkey
+                      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT) AS rnk
+             FROM orders AS o) AS t
+           WHERE rnk <= 3""",
+        None,
+    ),
+    # --- set ops (reference not-supported list): UNION with dedup —
+    # spark.sql fallback path ---
+    "union_scan": (
+        """SELECT n_nationkey AS k, n_name AS name FROM nation
+           UNION
+           SELECT r_regionkey AS k, r_name AS name FROM region""",
+        None,
+    ),
     # --- TPC-H Q2 shape (reference pre-flattens the MIN-supplycost
     # correlated subquery into a view, TpchQueriesTest.scala:181-217;
     # partsupp itself is derived — see PARTSUPP_SQL) ---
@@ -1937,6 +1957,8 @@ _HEAD = [
     "text_chunks",
     "sample_stratified",
     "sample_topn_group",
+    "window_rank_topk",
+    "union_scan",
     # r6 rotation: the 17 r5-tail entries (green r1-r4, unchecked r5)
     # come back FIRST, per the round-5 verdict's standing obligation.
     "tpch_q9",
@@ -1976,6 +1998,8 @@ _TAIL = [
     "events_ewma_stateful",
     "events_ewma_scalable",
     "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "graph_triangle_cyclic",
     "tpch_q19",
     "tpch_q20",
     "tpch_q3",
