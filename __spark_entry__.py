@@ -1219,6 +1219,39 @@ FROM ch
 """
 
 
+def _redact_pii_q(spark, sf_dir):
+    """PII redaction (operators/text.py:redact_pii): email/IPv4/phone
+    counts + fingerprint of the scrubbed text, patterns restricted to
+    Java-regex ∩ RE2 syntax so DuckDB reproduces them exactly."""
+    from sparksqlplus_spark.operators.text import redact_pii
+
+    eng = _engine(spark, sf_dir)
+    return redact_pii(eng.catalog.get("documents").df, "text", "doc_id")
+
+
+_REDACT_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_REDACT_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_REDACT_PHONE = "\\+?\\d[\\d -]{7,}\\d"
+
+_REDACT_PII_ORACLE = f"""
+WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
+s1 AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(t0, '{_REDACT_EMAIL}')) AS BIGINT) AS n_email,
+              regexp_replace(t0, '{_REDACT_EMAIL}', '<EMAIL>', 'g') AS t1
+       FROM s0),
+s2 AS (SELECT doc_id, n_email,
+              CAST(len(regexp_extract_all(t1, '{_REDACT_IP}')) AS BIGINT) AS n_ip,
+              regexp_replace(t1, '{_REDACT_IP}', '<IP>', 'g') AS t2
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ip,
+              CAST(len(regexp_extract_all(t2, '{_REDACT_PHONE}')) AS BIGINT) AS n_phone,
+              regexp_replace(t2, '{_REDACT_PHONE}', '<PHONE>', 'g') AS t3
+       FROM s2)
+SELECT doc_id, n_email, n_ip, n_phone, substr(md5(t3), 1, 16) AS redacted_fp
+FROM s3
+"""
+
+
 def _sample_stratified_q(spark, sf_dir):
     """Deterministic data-mixing (operators/sampling.py:
     stratified_sample): keep 100% of 'en', 50% of 'zh', 10% of
@@ -1916,6 +1949,7 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "dedup_cluster_chain": (_cluster_chain_q, _CLUSTER_CHAIN_ORACLE),
     "text_decontaminate": (_decontaminate_q, _DECONTAMINATE_ORACLE),
     "text_chunks": (_text_chunks_q, _TEXT_CHUNKS_ORACLE),
+    "text_redact_pii": (_redact_pii_q, _REDACT_PII_ORACLE),
     "sample_stratified": (_sample_stratified_q, _SAMPLE_STRATIFIED_ORACLE),
     "sample_topn_group": (_sample_topn_q, _SAMPLE_TOPN_ORACLE),
     "dedup_simhash": (_simhash_q, _simhash_oracle()),
@@ -1959,6 +1993,7 @@ _HEAD = [
     "sample_topn_group",
     "window_rank_topk",
     "union_scan",
+    "text_redact_pii",
     # r6 rotation: the 17 r5-tail entries (green r1-r4, unchecked r5)
     # come back FIRST, per the round-5 verdict's standing obligation.
     "tpch_q9",
@@ -2000,6 +2035,7 @@ _TAIL = [
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
     "graph_triangle_cyclic",
+    "media_features_pandas",
     "tpch_q19",
     "tpch_q20",
     "tpch_q3",

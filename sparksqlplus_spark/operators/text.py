@@ -145,6 +145,39 @@ def chunk_documents(
     )
 
 
+# PII patterns kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backrefs — so oracles reproduce results
+# exactly. Order matters: emails first (they contain dots/digits), then
+# IPv4, then phone-like digit runs over the already-redacted text.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII scrubbing (emails / IPv4s / phone-like digit runs) — the
+    redaction pass a training corpus runs before release. Pure
+    regexp expressions (whole-stage codegen, map-only). Returns
+    (id, n_email, n_ip, n_phone, redacted_fp) where counts are
+    measured per pattern on the text AS EACH PATTERN SEES IT (emails
+    on the original, IPs after email redaction, phones after both —
+    so an IP inside an email is not double-counted) and redacted_fp
+    is the 16-hex md5 prefix of the fully redacted text."""
+    t = F.col(text_col)
+    cols = [F.col(id_col)]
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(
+            F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        t = F.regexp_replace(t, pat, repl)
+    cols.append(F.substring(F.md5(t.cast("binary")), 1, 16).alias("redacted_fp"))
+    return df.select(*cols)
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Normalized-content fingerprint: md5 prefix of
     lower(collapse-whitespace(strip-punct(text))). 16 hex chars."""

@@ -155,6 +155,29 @@ def test_chunk_documents_windows(spark):
     assert rows == {(1, 0): 4, (1, 1): 4, (1, 2): 4, (2, 0): 2}
 
 
+def test_redact_pii_planted(spark):
+    """Planted emails / IPs / phone runs are counted and scrubbed;
+    sequential redaction means the IP inside an email is counted once
+    (as part of the email), and clean text passes through intact."""
+    from sparksqlplus_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com and carol@test.org from 10.0.0.1"),
+            (2, "call +1 555 123 4567 now"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df, "text", "doc_id").collect()}
+    assert (rows[1]["n_email"], rows[1]["n_ip"], rows[1]["n_phone"]) == (2, 1, 0)
+    assert (rows[2]["n_email"], rows[2]["n_ip"], rows[2]["n_phone"]) == (0, 0, 1)
+    assert (rows[3]["n_email"], rows[3]["n_ip"], rows[3]["n_phone"]) == (0, 0, 0)
+    import hashlib
+
+    assert rows[3]["redacted_fp"] == hashlib.md5(b"clean text only").hexdigest()[:16]
+
+
 def test_sampling_deterministic(spark):
     """Hash sampling: fraction bounds, per-stratum thresholds, exact-N
     per group — and bit-identical across repeated runs (no rand())."""
