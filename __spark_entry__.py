@@ -1860,12 +1860,13 @@ def _c4_ghd_q(spark, sf_dir):
 # dead-end edges never multiply into the 3-merge path. A/B on this
 # query: scripts/exp_c5_reduce.py.
 _C5_GHD_SQL = """
-SELECT g1.src AS a, g3.src AS c, COUNT(*) AS n_c5
+SELECT g1.src AS a, COUNT(*) AS n_c5
 FROM graph_mid AS g1, graph_mid AS g2, graph_mid AS g3,
      graph_mid AS g4, graph_mid AS g5
 WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
   AND g4.dst = g5.src AND g5.dst = g1.src
-GROUP BY g1.src, g3.src
+  AND g1.src <= 5000
+GROUP BY g1.src
 """
 
 
