@@ -1301,6 +1301,122 @@ WHERE rn <= 40
 """
 
 
+def _sample_mixture_q(spark, sf_dir):
+    """Target-mixture sampler (operators/sampling.py:mixture_sample):
+    rebalance three sources to a 60/20/20 mixture. The per-source keep
+    rates derive from one count aggregate (T = min n_g/p_g, rate =
+    p_g*T/n_g), broadcast-joined back; the keep decision is the same
+    md5 Bernoulli as hash_sample — fully distributed, no driver
+    collect, bit-reproducible in DuckDB."""
+    from sparksqlplus_spark.operators.sampling import mixture_sample
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.catalog.get("documents").df
+    kept = mixture_sample(
+        docs, "source", "doc_id", {"src0": 3.0, "src1": 1.0, "src2": 1.0}
+    )
+    return kept.select("doc_id", "source")
+
+
+_SAMPLE_MIXTURE_ORACLE = f"""
+WITH listed AS (
+  SELECT doc_id, source FROM documents
+  WHERE source IN ('src0', 'src1', 'src2')),
+p AS (
+  SELECT source,
+         CASE source WHEN 'src0' THEN CAST(0.6 AS DOUBLE)
+                     ELSE CAST(0.2 AS DOUBLE) END AS p,
+         count(*) AS n
+  FROM listed GROUP BY source),
+t AS (SELECT min(n / p) AS T FROM p),
+r AS (SELECT source, least(CAST(1.0 AS DOUBLE), p * T / n) AS rate FROM p, t)
+SELECT d.doc_id, d.source
+FROM listed d JOIN r ON d.source = r.source
+WHERE {_D_H52.format(s="CAST(doc_id AS VARCHAR)")} % 1048576
+      < CAST(floor(rate * 1048576) AS BIGINT)
+"""
+
+
+def _text_repetition_q(spark, sf_dir):
+    """Gopher-style repetition rules (operators/text.py:
+    repetition_stats): top-word / top-bigram fraction via cascaded
+    partial aggregations, duplicate-trigram fraction as a map-only
+    array expression."""
+    from sparksqlplus_spark.operators.text import repetition_stats
+
+    eng = _engine(spark, sf_dir)
+    return repetition_stats(eng.catalog.get("documents").df, "text", "doc_id")
+
+
+_TEXT_REPETITION_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {_D_TOKS.format(t='text')} AS t FROM documents),
+base AS (
+  SELECT doc_id, t, len(t) AS nw,
+         CASE WHEN len(t) >= 3
+              THEN [array_to_string(t[i:i+2], ' ')
+                    for i in range(1, len(t) - 2 + 1)]
+              ELSE [] END AS tri
+  FROM tok),
+tri_stats AS (
+  SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+         CASE WHEN len(tri) > 0
+              THEN 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)
+              ELSE 0.0 END AS dup_trigram_frac
+  FROM base),
+w AS (SELECT doc_id, unnest(t) AS w FROM tok),
+wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+wtop AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_word_frac
+         FROM wc GROUP BY doc_id),
+bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 2
+                     THEN [array_to_string(t[i:i+1], ' ')
+                           for i in range(1, len(t) - 1 + 1)]
+                     ELSE [] END) AS b
+  FROM tok),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+btop AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+         FROM bc GROUP BY doc_id)
+SELECT ts.doc_id, ts.n_words,
+       coalesce(w.top_word_frac, 0.0) AS top_word_frac,
+       coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+       ts.dup_trigram_frac
+FROM tri_stats ts
+LEFT JOIN wtop w ON ts.doc_id = w.doc_id
+LEFT JOIN btop b ON ts.doc_id = b.doc_id
+"""
+
+
+def _text_boilerplate_q(spark, sf_dir):
+    """Cross-corpus boilerplate n-grams (operators/text.py:
+    boilerplate_stats) over the augmented corpus: a shingle in >= 2
+    distinct docs (the planted duplicate/prefix slices guarantee hits)
+    is boilerplate; per-doc fraction of flagged shingles. One shuffle
+    keyed by shingle, co-partitioned frequency join, one doc-keyed
+    aggregate."""
+    from sparksqlplus_spark.operators.text import boilerplate_stats
+
+    eng = _engine(spark, sf_dir)
+    return boilerplate_stats(
+        eng.catalog.get("docs_aug").df, "text", "doc_id", shingle_n=3, min_docs=2
+    )
+
+
+_TEXT_BOILERPLATE_ORACLE = f"""
+WITH docs_aug AS ({DOCS_AUG_SQL}),
+tok AS (SELECT doc_id, {_D_TOKS.format(t='text')} AS __toks FROM docs_aug),
+sh0 AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM tok),
+sh AS (SELECT doc_id, unnest(sh) AS s FROM sh0),
+freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+SELECT sh.doc_id, count(*) AS n_shingles,
+       count(CASE WHEN freq.df >= 2 THEN 1 END) AS n_boilerplate,
+       CAST(count(CASE WHEN freq.df >= 2 THEN 1 END) AS DOUBLE) / count(*)
+         AS boilerplate_frac
+FROM sh JOIN freq ON sh.s = freq.s
+GROUP BY sh.doc_id
+"""
+
+
 def _ann_topk_q(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1952,6 +2068,9 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "text_chunks": (_text_chunks_q, _TEXT_CHUNKS_ORACLE),
     "text_redact_pii": (_redact_pii_q, _REDACT_PII_ORACLE),
     "sample_stratified": (_sample_stratified_q, _SAMPLE_STRATIFIED_ORACLE),
+    "sample_mixture": (_sample_mixture_q, _SAMPLE_MIXTURE_ORACLE),
+    "text_repetition": (_text_repetition_q, _TEXT_REPETITION_ORACLE),
+    "text_boilerplate": (_text_boilerplate_q, _TEXT_BOILERPLATE_ORACLE),
     "sample_topn_group": (_sample_topn_q, _SAMPLE_TOPN_ORACLE),
     "dedup_simhash": (_simhash_q, _simhash_oracle()),
     "dedup_embedding_cosine": (_emb_neardup_q, _emb_neardup_oracle()),
@@ -1981,6 +2100,9 @@ _HEAD = [
     # NEW this round: star-contraction clustering on planted long
     # chains (O(log d) rounds), and the C5 pentagon through the
     # semi-join-reduced k-cycle kernel
+    "sample_mixture",
+    "text_repetition",
+    "text_boilerplate",
     "dedup_cluster_chain",
     "graph_c5_pentagon_ghd",
     "graph_chorded_k4_ghd",
@@ -2023,6 +2145,11 @@ _HEAD = [
 # agg/ORDER BY by the tpch entries still in window). They rotate back
 # in next round (r7).
 _TAIL = [
+    # rotated out to make room for the three new r6 ops above; each
+    # green r1-r3 and again r5 (one-round skip, back in r7)
+    "filters_pushdown",
+    "like_patterns",
+    "or_residual",
     "ann_lsh_topk",
     "hint_join_tree",
     "graph_triangle_wcoj",

@@ -64,6 +64,66 @@ def stratified_sample(
     return df.filter(_bucket(id_col, seed) < thresh)
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    seed: str = "",
+) -> DataFrame:
+    """Target-mixture sampler — the domain-rebalancing step of a corpus
+    build ("make the output 50% web / 30% code / 20% books"). Given
+    target mixture ``weights`` (normalized internally), computes the
+    LARGEST total corpus achievable without upsampling: T = min_g
+    (n_g / p_g), then keeps each group at rate p_g·T / n_g via the
+    same deterministic md5-hash Bernoulli filter as
+    :func:`hash_sample`. The binding (scarcest-relative-to-target)
+    group is kept ~whole; abundant groups are downsampled to match.
+    A weights key with no rows in ``df`` is ignored (T is taken over
+    groups that exist — strictly hitting the target would mean
+    keeping nothing).
+
+    Scale design: group counts are one partial-agg shuffle; the rate
+    table is #groups rows, joined back with an explicit
+    ``F.broadcast`` (map-side, no second shuffle of the data); the
+    keep decision is row-local. No driver-side collect — the rates
+    stay a (tiny) DataFrame end to end.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    total_w = sum(weights.values())
+    probs = {g: w / total_w for g, w in weights.items()}
+    listed = df.filter(F.col(group_col).isin(list(probs)))
+    pcol = None
+    for val, p in sorted(probs.items()):
+        cond = F.when(F.col(group_col) == F.lit(val), F.lit(p))
+        pcol = cond.otherwise(pcol) if pcol is not None else cond
+    counts = listed.groupBy(group_col).agg(F.count("*").alias("__n"))
+    caps = counts.select(
+        F.col(group_col),
+        F.col("__n"),
+        pcol.alias("__p"),
+        (F.col("__n") / pcol).alias("__cap"),
+    )
+    tmax = caps.agg(F.min("__cap").alias("__T"))
+    rates = caps.crossJoin(F.broadcast(tmax)).select(
+        F.col(group_col),
+        F.least(
+            F.lit(1.0), F.col("__p") * F.col("__T") / F.col("__n")
+        ).alias("__rate"),
+    )
+    return (
+        listed.join(F.broadcast(rates), group_col)
+        .filter(
+            _bucket(id_col, seed)
+            < F.floor(F.col("__rate") * SCALE).cast("long")
+        )
+        .drop("__rate")
+    )
+
+
 def top_n_per_group(
     df: DataFrame, group_col: str, id_col: str, n: int, seed: str = ""
 ) -> DataFrame:

@@ -178,6 +178,128 @@ def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(*cols)
 
 
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``top_word_frac``: occurrences of the most frequent word / total
+      words — catches "buy buy buy buy" spam.
+    - ``top_bigram_frac``: same over word bigrams.
+    - ``dup_trigram_frac``: 1 − distinct/total word trigrams — catches
+      looping generation and copy-paste padding.
+
+    Scale design: the trigram fraction is a pure array expression
+    (map-only — ``array_distinct`` over the per-doc trigram array, no
+    shuffle). Word/bigram modes need a per-(doc, gram) count, done as
+    two cascaded aggregations — both partial-aggregate (map-side
+    combine) friendly, keyed by (doc, gram) then doc, so the shuffle
+    volume is bounded by the token stream, never a cross product.
+    Docs with < 2 words get 0.0 fractions via the left joins.
+    """
+    from sparksqlplus_spark.operators.dedup import tokens_col
+
+    toks = df.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+    nw = F.size(F.col("__toks"))
+    # guards matter: F.sequence(1, n) DESCENDS when n < 1, so short
+    # docs must short-circuit to an empty gram array.
+    bigrams = F.when(
+        nw >= 2,
+        F.transform(
+            F.sequence(F.lit(1), nw - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    trigrams = F.when(
+        nw >= 3,
+        F.transform(
+            F.sequence(F.lit(1), nw - 2),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = toks.select(
+        F.col(id_col),
+        nw.cast("long").alias("n_words"),
+        F.when(
+            F.size(trigrams) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(trigrams)).cast("double") / F.size(trigrams),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )
+    wtop = (
+        toks.select(F.col(id_col), F.explode("__toks").alias("__w"))
+        .groupBy(id_col, "__w")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg((F.max("__c").cast("double") / F.sum("__c")).alias("top_word_frac"))
+    )
+    btop = (
+        toks.select(F.col(id_col), F.explode(bigrams).alias("__b"))
+        .groupBy(id_col, "__b")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg((F.max("__c").cast("double") / F.sum("__c")).alias("top_bigram_frac"))
+    )
+    return (
+        base.join(wtop, id_col, "left")
+        .join(btop, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            F.coalesce("top_word_frac", F.lit(0.0)).alias("top_word_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            "dup_trigram_frac",
+        )
+    )
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-corpus boilerplate detection: a word n-gram that appears
+    in ≥ ``min_docs`` DISTINCT documents is boilerplate (headers,
+    footers, licence blurbs, nav text); each doc reports what fraction
+    of its distinct shingles are corpus-boilerplate. The per-doc
+    fraction feeds the same filter stage as the Gopher rules.
+
+    Scale design: per-doc shingles are deduped map-side
+    (``array_distinct`` inside :func:`~sparksqlplus_spark.operators.
+    dedup.shingle_frame`), so the document-frequency count is a plain
+    ``COUNT(*)`` — one shuffle keyed by shingle. The frequency join
+    lands on the same shingle key (co-partitioned with the aggregate),
+    then one final doc-keyed aggregation. No all-pairs product, no
+    driver state, volume bounded by the distinct-shingle stream.
+    """
+    from sparksqlplus_spark.operators.dedup import shingle_frame
+
+    sh = shingle_frame(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.explode("__sh").alias("__s")
+    )
+    freq = sh.groupBy("__s").agg(F.count("*").alias("__df"))
+    return (
+        sh.join(freq, "__s")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("__df") >= min_docs, F.lit(1))).alias(
+                "n_boilerplate"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_boilerplate",
+            (F.col("n_boilerplate").cast("double") / F.col("n_shingles")).alias(
+                "boilerplate_frac"
+            ),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Normalized-content fingerprint: md5 prefix of
     lower(collapse-whitespace(strip-punct(text))). 16 hex chars."""

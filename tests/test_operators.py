@@ -227,3 +227,90 @@ def test_embedding_neardup_multiband_recall(engine):
     four_band = embedding_neardup_pairs(aug, n_bands=4).count()
     assert four_band >= one_band
     assert four_band == planted  # full recall on the planted set
+
+
+def test_repetition_stats_planted(spark):
+    """Gopher repetition rules on planted docs: an all-same-word doc
+    maxes every fraction; a no-repeat doc zeroes them; a one-word doc
+    has no bigrams/trigrams (0.0 via the guards, not a crash)."""
+    from sparksqlplus_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "all words here are unique tokens"),
+            (3, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, "text", "doc_id").collect()}
+    # doc 1: 4x "spam" -> top word 4/4; bigrams all "spam spam" (3/3);
+    # trigrams 2 total, 1 distinct -> dup frac 0.5
+    assert rows[1]["n_words"] == 4
+    assert rows[1]["top_word_frac"] == 1.0
+    assert rows[1]["top_bigram_frac"] == 1.0
+    assert abs(rows[1]["dup_trigram_frac"] - 0.5) < 1e-12
+    # doc 2: all unique -> top word 1/6, no dup trigrams
+    assert abs(rows[2]["top_word_frac"] - 1 / 6) < 1e-12
+    assert rows[2]["dup_trigram_frac"] == 0.0
+    # doc 3: single word -> gram guards produce 0.0, row still present
+    assert rows[3]["n_words"] == 1
+    assert rows[3]["top_word_frac"] == 1.0
+    assert rows[3]["top_bigram_frac"] == 0.0
+    assert rows[3]["dup_trigram_frac"] == 0.0
+
+
+def test_boilerplate_stats_planted(spark):
+    """A footer 3-gram planted in 3 of 4 docs is flagged (min_docs=3);
+    each carrier reports the right boilerplate fraction and the clean
+    doc reports 0.0."""
+    from sparksqlplus_spark.operators.text import boilerplate_stats
+
+    footer = "all rights reserved"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {footer}"),
+            (2, f"delta epsilon zeta {footer}"),
+            (3, f"eta theta iota {footer}"),
+            (4, "kappa lambda mu nu xi"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in boilerplate_stats(df, "text", "doc_id", min_docs=3).collect()
+    }
+    # each carrier doc has 6 words -> 4 distinct 3-gram shingles; only
+    # the exact footer shingle appears in >= 3 docs
+    for d in (1, 2, 3):
+        assert rows[d]["n_shingles"] == 4
+        assert rows[d]["n_boilerplate"] == 1
+        assert abs(rows[d]["boilerplate_frac"] - 0.25) < 1e-12
+    assert rows[4]["n_boilerplate"] == 0
+    assert rows[4]["boilerplate_frac"] == 0.0
+
+
+def test_mixture_sample_targets(spark):
+    """Mixture sampling hits the target proportions: with g1:g2 at
+    300:700 rows and a 50/50 target, g1 binds (T=600) so g1 keeps
+    ~everything and g2 downsamples to ~300; unlisted groups drop; the
+    draw is deterministic across runs."""
+    from sparksqlplus_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "g1") for i in range(300)]
+    rows += [(1000 + i, "g2") for i in range(700)]
+    rows += [(5000 + i, "other") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    kept = mixture_sample(df, "grp", "id", {"g1": 1.0, "g2": 1.0})
+    by = {r["grp"]: r["count"] for r in kept.groupBy("grp").count().collect()}
+    assert "other" not in by
+    # binding group keeps ~all (hash floor can drop a hair), abundant
+    # group lands near 300 (binomial at rate 3/7 over 700 rows)
+    assert by["g1"] >= 295
+    assert 250 <= by["g2"] <= 350
+    a = sorted(r["id"] for r in kept.collect())
+    b = sorted(
+        r["id"]
+        for r in mixture_sample(df, "grp", "id", {"g1": 1.0, "g2": 1.0}).collect()
+    )
+    assert a == b
