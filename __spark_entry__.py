@@ -596,6 +596,21 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
            WHERE rnk <= 3""",
         None,
     ),
+    # --- exact distributed quantiles: sort-based percentile inside a
+    # hash aggregate (spark.sql fallback path). Exact because the
+    # oracle needs bit-level agreement; at 100 TB the same query swaps
+    # percentile -> approx_percentile (t-digest-style mergeable
+    # sketch, bounded memory) with everything else unchanged ---
+    "events_quantiles": (
+        """SELECT event_type, percentile(value, 0.5) AS p50,
+                  percentile(value, 0.9) AS p90,
+                  COUNT(*) AS n_events
+           FROM events GROUP BY event_type""",
+        """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+                  quantile_cont(value, 0.9) AS p90,
+                  COUNT(*) AS n_events
+           FROM events GROUP BY event_type""",
+    ),
     # --- set ops (reference not-supported list): UNION with dedup —
     # spark.sql fallback path ---
     "union_scan": (
@@ -1417,6 +1432,39 @@ GROUP BY sh.doc_id
 """
 
 
+def _pagerank_q(spark, sf_dir):
+    """Fixed-round PageRank power iteration (operators/graph.py:
+    pagerank) on the derived edge table: one src-keyed join + one
+    dst-keyed aggregate per round, bounded persist window (current +
+    next ranks), no driver-side graph. The oracle unrolls the same
+    three rounds as chained CTEs."""
+    from sparksqlplus_spark.operators.graph import pagerank
+
+    eng = _engine(spark, sf_dir)
+    return pagerank(eng.catalog.get("graph").df, iterations=3)
+
+
+def _pagerank_oracle(iters: int = 3, d: float = 0.85) -> str:
+    parts = [
+        "nodes AS (SELECT src AS node FROM graph UNION SELECT dst FROM graph)",
+        "deg AS (SELECT src, count(*) AS dg FROM graph GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS (SELECT g.dst AS node, sum(r{i-1}.r / deg.dg) AS m "
+            f"FROM graph g JOIN deg ON g.src = deg.src "
+            f"JOIN r{i-1} ON g.src = r{i-1}.node GROUP BY g.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node, {1 - d!r} + {d!r} * coalesce(s{i}.m, 0.0) "
+            f"AS r FROM nodes n LEFT JOIN s{i} ON n.node = s{i}.node)"
+        )
+    return _ora_graph(
+        ", " + ", ".join(parts) + f" SELECT node, r AS rank FROM r{iters}"
+    )
+
+
 def _ann_topk_q(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2069,6 +2117,7 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "text_redact_pii": (_redact_pii_q, _REDACT_PII_ORACLE),
     "sample_stratified": (_sample_stratified_q, _SAMPLE_STRATIFIED_ORACLE),
     "sample_mixture": (_sample_mixture_q, _SAMPLE_MIXTURE_ORACLE),
+    "graph_pagerank": (_pagerank_q, _pagerank_oracle()),
     "text_repetition": (_text_repetition_q, _TEXT_REPETITION_ORACLE),
     "text_boilerplate": (_text_boilerplate_q, _TEXT_BOILERPLATE_ORACLE),
     "sample_topn_group": (_sample_topn_q, _SAMPLE_TOPN_ORACLE),
@@ -2103,6 +2152,8 @@ _HEAD = [
     "sample_mixture",
     "text_repetition",
     "text_boilerplate",
+    "graph_pagerank",
+    "events_quantiles",
     "dedup_cluster_chain",
     "graph_c5_pentagon_ghd",
     "graph_chorded_k4_ghd",
@@ -2145,11 +2196,13 @@ _HEAD = [
 # agg/ORDER BY by the tpch entries still in window). They rotate back
 # in next round (r7).
 _TAIL = [
-    # rotated out to make room for the three new r6 ops above; each
+    # rotated out to make room for the five new r6 ops above; each
     # green r1-r3 and again r5 (one-round skip, back in r7)
     "filters_pushdown",
     "like_patterns",
     "or_residual",
+    "is_not_null",
+    "cast_real",
     "ann_lsh_topk",
     "hint_join_tree",
     "graph_triangle_wcoj",

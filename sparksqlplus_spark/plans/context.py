@@ -275,9 +275,33 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             aggregations.append((name, expr))
         elif group_by or contains_agg(expr):
             # nested aggregates (e.g. SUM(a)/SUM(b)) are decomposed at
-            # finalize time; plain group columns pass through
+            # finalize time; plain group columns pass through. After
+            # substituting GROUP BY expressions and aggregate calls,
+            # nothing may still reference a base column — finalize's
+            # colmap only has group keys + aggregate results, so e.g.
+            # percentile(value, 0.5) (an aggregate this subset doesn't
+            # model) must be rejected HERE so mode='auto' can fall back
+            # to spark.sql instead of dying mid-plan.
+            from sparksqlplus_spark.expressions import Lit, map_expr
+
             for sub in _agg_subcalls(expr):
                 aggregations.append((f"__agg_{len(aggregations)}", sub))
+            known_keys = {e.key() for e in group_by}
+
+            def _known_out(node):
+                k = getattr(node, "key", None)
+                if k is not None and (
+                    isinstance(node, AggCall) or node.key() in known_keys
+                ):
+                    return Lit(0, "int")
+                return None
+
+            leftover = map_expr(expr, _known_out).refs()
+            if leftover:
+                raise UnsupportedSqlError(
+                    f"output {name!r} references non-grouped, non-aggregated "
+                    f"columns {sorted(leftover)}"
+                )
         output.append((name, expr))
 
     # ---- is_full: every variable appears as a plain output column ---------

@@ -314,3 +314,43 @@ def test_mixture_sample_targets(spark):
         for r in mixture_sample(df, "grp", "id", {"g1": 1.0, "g2": 1.0}).collect()
     )
     assert a == b
+
+
+def test_pagerank_matches_reference_loop(spark):
+    """PageRank power iteration matches a dict-based reference on a
+    planted graph (star + dangling + isolated-sink shapes), and the
+    parameter guards reject bad input."""
+    import pytest
+
+    from sparksqlplus_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 1), (5, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def ref(iters, d=0.85):
+        nodes = {n for e in edges for n in e}
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        r = {n: 1.0 for n in nodes}
+        for _ in range(iters):
+            m = {n: 0.0 for n in nodes}
+            for s, t in edges:
+                m[t] += r[s] / deg[s]
+            r = {n: (1 - d) + d * m[n] for n in nodes}
+        return r
+
+    for iters in (1, 3):
+        got = {
+            row["node"]: row["rank"]
+            for row in pagerank(df, iterations=iters).collect()
+        }
+        want = ref(iters)
+        assert got.keys() == want.keys()
+        for n in want:
+            assert abs(got[n] - want[n]) < 1e-9, (iters, n, got[n], want[n])
+
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.5)

@@ -130,3 +130,20 @@ def test_join_on_desugar():
     )
     assert len(q.from_items) == 3
     assert len(q.where) == 3
+
+
+def test_grouped_output_requires_group_or_aggregate(engine):
+    """An output over GROUP BY that is neither a grouped expression nor
+    a modeled aggregate (e.g. percentile — real but outside the CQC
+    subset) must raise UnsupportedSqlError at validation, so that
+    mode='auto' falls back to spark.sql instead of failing mid-plan."""
+    import pytest
+
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+    sql = ("SELECT o.o_custkey, percentile(o.o_totalprice, 0.5) AS p50 "
+           "FROM orders AS o GROUP BY o.o_custkey")
+    with pytest.raises(UnsupportedSqlError, match="non-grouped"):
+        engine.context(sql)
+    # auto mode completes through the spark.sql fallback
+    assert engine.sql(sql).count() > 0
