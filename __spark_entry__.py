@@ -1421,7 +1421,8 @@ _TEXT_BOILERPLATE_ORACLE = f"""
 WITH docs_aug AS ({DOCS_AUG_SQL}),
 tok AS (SELECT doc_id, {_D_TOKS.format(t='text')} AS __toks FROM docs_aug),
 sh0 AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM tok),
-sh AS (SELECT doc_id, unnest(sh) AS s FROM sh0),
+sh1 AS (SELECT doc_id, unnest(sh) AS s FROM sh0),
+sh AS (SELECT doc_id, {_D_H52.format(s='s')} AS s FROM sh1),
 freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
 SELECT sh.doc_id, count(*) AS n_shingles,
        count(CASE WHEN freq.df >= 2 THEN 1 END) AS n_boilerplate,

@@ -57,6 +57,10 @@ def pagerank(
         .select(
             F.col(src).alias("__s"), F.col(dst).alias("__d"), F.col("__deg")
         )
+        # hash-partition by the join key ONCE and persist: every
+        # iteration's rank join then reuses this layout and only the
+        # (much smaller) rank frame shuffles per round
+        .repartition("__s")
         .persist()
     )
     e.count()

@@ -268,16 +268,25 @@ def boilerplate_stats(
 
     Scale design: per-doc shingles are deduped map-side
     (``array_distinct`` inside :func:`~sparksqlplus_spark.operators.
-    dedup.shingle_frame`), so the document-frequency count is a plain
-    ``COUNT(*)`` — one shuffle keyed by shingle. The frequency join
-    lands on the same shingle key (co-partitioned with the aggregate),
-    then one final doc-keyed aggregation. No all-pairs product, no
-    driver state, volume bounded by the distinct-shingle stream.
+    dedup.shingle_frame`) and hashed to 52-bit ints BEFORE the shuffle
+    (8-byte keys instead of n-gram strings; a hash collision merges
+    two shingles' doc-frequencies — deterministic, reproduced exactly
+    by the oracle, and vanishingly rare at 2^52). The document-
+    frequency count is then a plain ``COUNT(*)`` — one shuffle keyed
+    by shingle hash; the frequency join lands on the same key
+    (co-partitioned with the aggregate), then one final doc-keyed
+    aggregation. The exploded frame feeds both the count and the join,
+    so it is persisted for the operator's lifetime (released before
+    return would kill the join; Spark drops it with the plan). No
+    all-pairs product, no driver state.
     """
-    from sparksqlplus_spark.operators.dedup import shingle_frame
+    from sparksqlplus_spark.operators.dedup import h52, shingle_frame
 
-    sh = shingle_frame(df, text_col, id_col, shingle_n).select(
-        F.col(id_col), F.explode("__sh").alias("__s")
+    sh = (
+        shingle_frame(df, text_col, id_col, shingle_n)
+        .select(F.col(id_col), F.explode("__sh").alias("__sg"))
+        .select(F.col(id_col), h52(F.col("__sg")).alias("__s"))
+        .persist()
     )
     freq = sh.groupBy("__s").agg(F.count("*").alias("__df"))
     return (
