@@ -1009,6 +1009,42 @@ SELECT doc_id, MIN(l) AS cluster_id FROM lab GROUP BY doc_id
 """
 
 
+def _dedup_apply_q(spark, sf_dir):
+    """The COMPLETE near-dup chain as one operator (operators/dedup.py:
+    apply_dedup): MinHash pair generation -> star-contraction
+    clustering -> keep the min-id representative per cluster ->
+    left_anti filter of the corpus. Oracle: the recursive-CTE
+    fixpoint clustering anti-joined the same way."""
+    from sparksqlplus_spark.operators.dedup import (
+        apply_dedup,
+        minhash_dedup_pairs,
+    )
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.catalog.get("docs_aug").df
+    pairs = minhash_dedup_pairs(
+        docs, "text", "doc_id",
+        n_hashes=12, bands=4, shingle_n=3, threshold=0.5,
+    )
+    return apply_dedup(docs, pairs, "doc_id").select("doc_id")
+
+
+_DEDUP_APPLY_ORACLE = f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+lab AS (
+  SELECT DISTINCT src AS doc_id, src AS l FROM edges
+  UNION
+  SELECT e.src, lab.l FROM edges e JOIN lab ON lab.doc_id = e.dst),
+cl AS (SELECT doc_id, MIN(l) AS cluster_id FROM lab GROUP BY doc_id),
+losers AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+SELECT d.doc_id FROM docs_aug d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
 def _cluster_chain_q(spark, sf_dir):
     """Star-contraction clustering on planted LONG PATHS (round-5
     verdict item 3): two disjoint chains built over every third doc_id
@@ -2112,6 +2148,7 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "dedup_exact": (_dedup_exact_q, _DEDUP_EXACT_ORACLE),
     "dedup_minhash_lsh": (_minhash_pairs_q, _MINHASH_ORACLE),
     "dedup_cluster_cc": (_cluster_cc_q, _CLUSTER_CC_ORACLE),
+    "dedup_neardup_apply": (_dedup_apply_q, _DEDUP_APPLY_ORACLE),
     "dedup_cluster_chain": (_cluster_chain_q, _CLUSTER_CHAIN_ORACLE),
     "text_decontaminate": (_decontaminate_q, _DECONTAMINATE_ORACLE),
     "text_chunks": (_text_chunks_q, _TEXT_CHUNKS_ORACLE),
@@ -2155,6 +2192,7 @@ _HEAD = [
     "text_boilerplate",
     "graph_pagerank",
     "events_quantiles",
+    "dedup_neardup_apply",
     "dedup_cluster_chain",
     "graph_c5_pentagon_ghd",
     "graph_chorded_k4_ghd",
@@ -2197,13 +2235,14 @@ _HEAD = [
 # agg/ORDER BY by the tpch entries still in window). They rotate back
 # in next round (r7).
 _TAIL = [
-    # rotated out to make room for the five new r6 ops above; each
+    # rotated out to make room for the six new r6 ops above; each
     # green r1-r3 and again r5 (one-round skip, back in r7)
     "filters_pushdown",
     "like_patterns",
     "or_residual",
     "is_not_null",
     "cast_real",
+    "date_interval_arith",
     "ann_lsh_topk",
     "hint_join_tree",
     "graph_triangle_wcoj",

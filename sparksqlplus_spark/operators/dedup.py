@@ -446,6 +446,27 @@ def _dedup_clusters_star(
     return out
 
 
+def apply_dedup(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Keep-one materialization — the final step of the near-dup
+    chain: given verified duplicate PAIRS (id_a, id_b), cluster them
+    (:func:`dedup_clusters`, star contraction) and drop every doc that
+    is not its cluster's canonical (minimum-id) representative. Docs
+    appearing in no pair pass through untouched, so
+    ``pairs -> apply_dedup`` composes directly after
+    :func:`minhash_dedup_pairs` / :func:`embedding_neardup_pairs`.
+
+    Scale design: the loser list is |docs-in-clusters| − |clusters|
+    rows (tiny relative to the corpus); the filter is one ``left_anti``
+    join keyed by id — no full-corpus shuffle beyond that join, and
+    the corpus side streams. Deterministic: the canonical pick is a
+    min, not an arbitrary first()."""
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """Per-document SimHash fingerprint (majority vote of token-hash bits).
 

@@ -354,3 +354,22 @@ def test_pagerank_matches_reference_loop(spark):
         pagerank(df, iterations=0)
     with pytest.raises(ValueError):
         pagerank(df, damping=1.5)
+
+
+def test_apply_dedup_keeps_canonicals(spark):
+    """Keep-one materialization: cluster {1,2,3} keeps 1, pair {7,9}
+    keeps 7, unpaired docs pass through; output is the corpus minus
+    non-canonical cluster members."""
+    from sparksqlplus_spark.operators.dedup import apply_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 5, 7, 9)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in apply_dedup(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 5, 7]
