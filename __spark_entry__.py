@@ -596,6 +596,26 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
            WHERE rnk <= 3""",
         None,
     ),
+    # --- [NOT] EXISTS planned NATIVELY (engine extension; reference
+    # not-supported list): single-table correlated-equality EXISTS
+    # folds into a relation-local left_semi/left_anti at the source
+    # (plans/context.py:SemiFilter) — the join tree and DISTINCT
+    # semantics are untouched. Same SQL text is the DuckDB oracle. ---
+    "exists_semijoin": (
+        """SELECT c.c_custkey, c.c_name, n.n_name
+           FROM customer AS c, nation AS n
+           WHERE c.c_nationkey = n.n_nationkey
+             AND EXISTS (SELECT * FROM orders AS o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')""",
+        None,
+    ),
+    "not_exists_anti": (
+        """SELECT c.c_custkey, c.c_name FROM customer AS c
+           WHERE NOT EXISTS (SELECT * FROM orders AS o
+                             WHERE o.o_custkey = c.c_custkey)""",
+        None,
+    ),
     # --- exact distributed quantiles: sort-based percentile inside a
     # hash aggregate (spark.sql fallback path). Exact because the
     # oracle needs bit-level agreement; at 100 TB the same query swaps
@@ -2192,6 +2212,8 @@ _HEAD = [
     "text_boilerplate",
     "graph_pagerank",
     "events_quantiles",
+    "exists_semijoin",
+    "not_exists_anti",
     "dedup_neardup_apply",
     "dedup_cluster_chain",
     "graph_c5_pentagon_ghd",
@@ -2243,6 +2265,8 @@ _TAIL = [
     "is_not_null",
     "cast_real",
     "date_interval_arith",
+    "tpch_q6",
+    "tpch_q14",
     "ann_lsh_topk",
     "hint_join_tree",
     "graph_triangle_wcoj",

@@ -450,7 +450,8 @@ class SparkSQLPlus:
 
         dfs = {
             r.rid: build_relation_df(
-                self.spark, self.catalog, r, ctx.local_filters.get(r.rid, []), ctx.var_map
+                self.spark, self.catalog, r, ctx.local_filters.get(r.rid, []),
+                ctx.var_map, semi_filters=ctx.semi_filters.get(r.rid, []),
             )
             for r in ctx.relations
         }

@@ -92,6 +92,7 @@ def build_relation_df(
     local_filters: list[Cond],
     var_map,
     agg_cache: dict | None = None,
+    semi_filters: list | None = None,
 ) -> DataFrame:
     """Materialize one relation with columns renamed to planner variables.
 
@@ -147,6 +148,28 @@ def build_relation_df(
     # selection pushdown SURVEY §4.1)
     for cond in local_filters:
         df = df.filter(cond.to_spark(var_map))
+    # planned [NOT] EXISTS (engine extension, plans/context.py:SemiFilter):
+    # left_semi/left_anti against the filtered inner table — applied at
+    # the source like any other pushed predicate, so the join tree,
+    # acyclicity, and DISTINCT semantics are untouched (semi joins
+    # never duplicate rows). NULL keys follow SQL: a NULL never
+    # matches, so EXISTS drops the row and NOT EXISTS keeps it.
+    for sf in semi_filters or []:
+        inner = catalog.get(sf.table).load(spark)
+        imap = {("", c): c for c in inner.columns}
+        for cond in sf.inner_filters:
+            inner = inner.filter(cond.to_spark(imap))
+        inner = inner.select(
+            *[
+                F.col(ic).alias(f"__sj_{i}")
+                for i, (_, ic) in enumerate(sf.keys)
+            ]
+        )
+        on = None
+        for i, (ov, _) in enumerate(sf.keys):
+            c = F.col(ov) == F.col(f"__sj_{i}")
+            on = c if on is None else (on & c)
+        df = df.join(inner, on, "left_anti" if sf.negated else "left_semi")
     return df
 
 
@@ -191,6 +214,7 @@ class CqcExecutor:
                 ctx.local_filters.get(r.rid, []),
                 ctx.var_map,
                 agg_cache=agg_cache,
+                semi_filters=ctx.semi_filters.get(r.rid, []),
             )
             for r in ctx.relations
         }
@@ -426,7 +450,9 @@ class CqcExecutor:
         not filter either side alone, so it does not count.)"""
         own: dict[int, bool] = {}
         for rel in ctx.relations:
-            own[rel.rid] = bool(ctx.local_filters.get(rel.rid))
+            own[rel.rid] = bool(
+                ctx.local_filters.get(rel.rid) or ctx.semi_filters.get(rel.rid)
+            )
         out: dict[int, bool] = {}
 
         def walk(rid: int) -> bool:
@@ -806,7 +832,11 @@ class CqcExecutor:
                     continue
                 if not (hosts - {rid} <= joined):
                     score += 2  # joining now creates growth a later filter would bound
-            filtered = 0 if ctx.local_filters.get(rid) else 1
+            filtered = (
+                0
+                if (ctx.local_filters.get(rid) or ctx.semi_filters.get(rid))
+                else 1
+            )
             return (score, filtered, rel.cardinality or 1 << 40)
 
         # generalized frontier: a relation is joinable once its tree
@@ -1013,7 +1043,8 @@ def naive_execute(spark: SparkSession, catalog: Catalog, ctx: Context) -> DataFr
     agg_cache: dict = {}
     dfs = {
         r.rid: build_relation_df(
-            spark, catalog, r, ctx.local_filters.get(r.rid, []), var_map, agg_cache=agg_cache
+            spark, catalog, r, ctx.local_filters.get(r.rid, []), var_map,
+            agg_cache=agg_cache, semi_filters=ctx.semi_filters.get(r.rid, []),
         )
         for r in ctx.relations
     }

@@ -396,6 +396,37 @@ class AndCond(Cond):
         return "(" + " and ".join(c.key() for c in self.children) + ")"
 
 
+@dataclass(frozen=True)
+class Exists(Cond):
+    """[NOT] EXISTS (SELECT ... FROM table AS alias WHERE conds) —
+    engine extension (the reference's not-supported list includes
+    EXISTS). Only the single-table correlated-equality shape is
+    represented; anything wider stays UnsupportedSqlError and rides
+    the spark.sql fallback. Planned as a relation-local left_semi /
+    left_anti join (the same primitive as the Yannakakis reduce),
+    never evaluated as an inline column."""
+
+    table: str
+    table_alias: str
+    conds: tuple[Cond, ...]
+    negated: bool = False
+
+    def refs(self):
+        # outer refs only: inner-alias refs are scoped to the subquery
+        out: set[tuple[str, str]] = set()
+        for c in self.conds:
+            out |= {r for r in c.refs() if r[0] != self.table_alias}
+        return out
+
+    def to_spark(self, colmap):
+        raise ValueError("EXISTS must be planned as a semi-join, not inlined")
+
+    def key(self):
+        n = "not " if self.negated else ""
+        inner = " and ".join(c.key() for c in self.conds)
+        return f"({n}exists {self.table} as {self.table_alias}: {inner})"
+
+
 def map_expr(node, fn):
     """Top-down transform: if fn(node) returns non-None, substitute it;
     otherwise rebuild the node with transformed children."""

@@ -27,6 +27,7 @@ from sparksqlplus_spark.expressions import (
     Cmp,
     Col,
     Cond,
+    Exists,
     Expr,
     ExtractYear,
     Func,
@@ -324,9 +325,44 @@ class _Parser:
                 return IsNull(inner.expr, not inner.negated)
             if isinstance(inner, Cmp) and inner.op == "=":
                 return Cmp("<>", inner.left, inner.right)
-            raise UnsupportedSqlError("NOT only supported on LIKE/IN/IS NULL/=")
+            if isinstance(inner, Exists):
+                return Exists(
+                    inner.table, inner.table_alias, inner.conds, not inner.negated
+                )
+            raise UnsupportedSqlError("NOT only supported on LIKE/IN/IS NULL/=/EXISTS")
+        if self.accept("kw", "exists"):
+            return self._exists_tail()
         left = self._expr()
         return self._predicate_tail(left)
+
+    def _exists_tail(self) -> "Exists":
+        """EXISTS (SELECT ... FROM table [AS alias] [WHERE conj]) — the
+        single-table shape the planner folds into a semi/anti join.
+        Joins, GROUP BY, or nested subqueries inside EXISTS raise
+        UnsupportedSqlError, which mode='auto' routes to spark.sql."""
+        self.expect("op", "(")
+        self.expect("kw", "select")
+        # the select list of an EXISTS subquery is semantically void —
+        # accept `*` or a plain column list and discard either
+        if not self.accept("op", "*"):
+            self._expr()
+            while self.accept("op", ","):
+                self._expr()
+        self.expect("kw", "from")
+        fi = self._from_item()
+        if fi.subquery is not None:
+            raise UnsupportedSqlError("EXISTS over a subquery is not in the subset")
+        if self.at("op", ","):
+            raise UnsupportedSqlError("EXISTS over a join is not in the subset")
+        conds: list[Cond] = []
+        if self.accept("kw", "where"):
+            conds = self._conjunction()
+        if not self.at("op", ")"):
+            raise UnsupportedSqlError(
+                "EXISTS subquery supports only FROM one table + WHERE"
+            )
+        self.expect("op", ")")
+        return Exists(fi.table, fi.alias, tuple(conds))
 
     def _at_cmp_or_predicate(self) -> bool:
         t = self.peek()

@@ -18,6 +18,7 @@ from sparksqlplus_spark.expressions import (
     Cmp,
     Col,
     Cond,
+    Exists,
     Expr,
     Star,
     rewrite_refs,
@@ -101,6 +102,20 @@ class Comparison:
     right_rid: int
 
 
+@dataclass(frozen=True)
+class SemiFilter:
+    """A planned [NOT] EXISTS: left_semi / left_anti of one relation
+    against a filtered inner table on equality keys (engine extension —
+    the reference rejects EXISTS; this folds it into the same semi-join
+    primitive the Yannakakis reduce already uses, so acyclicity and
+    DISTINCT semantics are untouched)."""
+
+    negated: bool
+    table: str
+    keys: tuple[tuple[str, str], ...]  # (outer variable, inner column)
+    inner_filters: tuple[Cond, ...]  # refs are ("", inner column)
+
+
 @dataclass
 class Context:
     """Normalized query (reference convert/Context.scala)."""
@@ -121,6 +136,8 @@ class Context:
     # validated so every non-aggregate subexpression matches a GROUP BY
     # expression)
     having: list[Cond] = field(default_factory=list)
+    # rid -> planned [NOT] EXISTS semi/anti joins (engine extension)
+    semi_filters: dict[int, list[SemiFilter]] = field(default_factory=dict)
 
     def relation_by_alias(self, alias: str) -> Relation:
         for r in self.relations:
@@ -140,6 +157,12 @@ _CMP_OPS = {"<", "<=", ">", ">="}
 
 def _refs_aliases(node) -> set[str]:
     return {a for a, _ in node.refs()}
+
+
+def _contains_exists(c) -> bool:
+    if isinstance(c, Exists):
+        return True
+    return any(_contains_exists(k) for k in getattr(c, "children", ()))
 
 
 def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
@@ -180,7 +203,10 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 raise UnsupportedSqlError(f"unknown column {a}.{c}")
         return rewrite_refs(node, mapping) if mapping else node
 
-    where = [qualify(c) for c in spec.where]
+    # [NOT] EXISTS conjuncts are scoped (inner alias shadows outer
+    # columns), so they skip the flat qualifier and resolve below
+    exists_conds = [c for c in spec.where if isinstance(c, Exists)]
+    where = [qualify(c) for c in spec.where if not isinstance(c, Exists)]
     select = [(si.alias, qualify(si.expr)) for si in spec.select]
     group_by = [qualify(e) for e in spec.group_by]
     # ORDER BY may reference an output alias — keep those unqualified
@@ -234,10 +260,94 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
     # ---- classify remaining conditions ------------------------------------
     alias_rid = {r.alias: r.rid for r in relations}
     local_filters: dict[int, list[Cond]] = {r.rid: [] for r in relations}
+
+    # ---- [NOT] EXISTS → relation-local semi/anti joins (extension) --------
+    semi_filters: dict[int, list[SemiFilter]] = {}
+    for ex in exists_conds:
+        inner_cols = set(catalog.get(ex.table).column_names)
+        if ex.table_alias in alias_cols:
+            raise UnsupportedSqlError(
+                f"EXISTS alias {ex.table_alias!r} shadows an outer alias"
+            )
+
+        def _resolve(c: Cond):
+            """Scope refs: inner alias (or bare names the inner table
+            owns — innermost scope wins) rewrite to ("", col); the rest
+            must resolve against the outer FROM list."""
+            mapping: dict[tuple[str, str], tuple[str, str]] = {}
+            sides: set[str] = set()
+            for a, col in c.refs():
+                if a == ex.table_alias or (a == "" and col in inner_cols):
+                    mapping[(a, col)] = ("", col)
+                    sides.add("inner")
+                elif a in alias_cols and col in alias_cols[a]:
+                    sides.add("outer")
+                elif a == "":
+                    mapping[(a, col)] = (owner_of(col), col)
+                    sides.add("outer")
+                else:
+                    raise UnsupportedSqlError(
+                        f"unknown reference {a}.{col} inside EXISTS"
+                    )
+            return sides, (rewrite_refs(c, mapping) if mapping else c)
+
+        keys: list[tuple[Col, str]] = []
+        inner_only: list[Cond] = []
+        outer_aliases: set[str] = set()
+        for c in ex.conds:
+            sides, rw = _resolve(c)
+            if sides <= {"inner"}:
+                inner_only.append(rw)
+            elif (
+                isinstance(rw, Cmp)
+                and rw.op == "="
+                and isinstance(rw.left, Col)
+                and isinstance(rw.right, Col)
+                and sides == {"inner", "outer"}
+            ):
+                if rw.left.alias == "" and rw.right.alias != "":
+                    keys.append((rw.right, rw.left.name))
+                    outer_aliases.add(rw.right.alias)
+                elif rw.right.alias == "" and rw.left.alias != "":
+                    keys.append((rw.left, rw.right.name))
+                    outer_aliases.add(rw.left.alias)
+                else:
+                    raise UnsupportedSqlError(
+                        "EXISTS correlation must be inner_col = outer_col"
+                    )
+            else:
+                raise UnsupportedSqlError(
+                    "EXISTS supports inner-local predicates and equality "
+                    "correlation only"
+                )
+        if not keys:
+            raise UnsupportedSqlError(
+                "uncorrelated EXISTS is not in the subset"
+            )
+        if len(outer_aliases) != 1:
+            raise UnsupportedSqlError(
+                "EXISTS must correlate with exactly one outer relation"
+            )
+        rid = alias_rid[next(iter(outer_aliases))]
+        semi_filters.setdefault(rid, []).append(
+            SemiFilter(
+                negated=ex.negated,
+                table=ex.table,
+                keys=tuple(
+                    (var_map[(k.alias, k.name)], ic) for k, ic in keys
+                ),
+                inner_filters=tuple(inner_only),
+            )
+        )
     comparisons: list[Comparison] = []
     residuals: list[Cond] = []
     cid = 0
     for cond in rest:
+        if _contains_exists(cond):
+            # e.g. EXISTS inside OR — not foldable into one semi-join
+            raise UnsupportedSqlError(
+                "EXISTS is only supported as a top-level AND conjunct"
+            )
         aliases = _refs_aliases(cond)
         if len(aliases) <= 1:
             if aliases:
@@ -348,6 +458,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
         distinct=spec.distinct,
         is_full=is_full,
         having=list(spec.having),
+        semi_filters=semi_filters,
     )
 
 

@@ -440,6 +440,7 @@ def execute_ghd(
             ctx.local_filters.get(r.rid, []),
             ctx.var_map,
             agg_cache=agg_cache,
+            semi_filters=ctx.semi_filters.get(r.rid, []),
         )
         for r in ctx.relations
     }

@@ -100,21 +100,26 @@ def test_having_parses_with_group_by_only():
         parse_query("SELECT a FROM t HAVING a > 1")  # no GROUP BY
 
 
-def test_outer_and_exists_raise_unsupported():
-    """TPC-H Q13/Q21 surface: LEFT OUTER JOIN and [NOT] EXISTS must
-    raise UnsupportedSqlError (not crash), so api.sql mode='auto'
-    routes them to the spark.sql fallback — the path the tpch_q13 /
-    tpch_q21 driver entries prove end-to-end vs DuckDB."""
+def test_outer_raises_unsupported_exists_parses():
+    """TPC-H Q13/Q21 surface: LEFT OUTER JOIN must raise
+    UnsupportedSqlError (not crash), so api.sql mode='auto' routes it
+    to the spark.sql fallback — the path the tpch_q13 / tpch_q21
+    driver entries prove end-to-end vs DuckDB. Single-table [NOT]
+    EXISTS, by contrast, now PARSES into an Exists conjunct (native
+    semi/anti planning since round 6)."""
+    from sparksqlplus_spark.expressions import Exists
+
     with pytest.raises(UnsupportedSqlError):
         parse_query(
             "SELECT c.c_custkey FROM customer AS c "
             "LEFT OUTER JOIN orders AS o ON c.c_custkey = o.o_custkey"
         )
-    with pytest.raises(UnsupportedSqlError):
-        parse_query(
-            "SELECT a FROM t WHERE NOT EXISTS "
-            "(SELECT * FROM s WHERE s.b = t.a)"
-        )
+    q = parse_query(
+        "SELECT a FROM t WHERE NOT EXISTS "
+        "(SELECT * FROM s WHERE s.b = t.a)"
+    )
+    (ex,) = q.where
+    assert isinstance(ex, Exists) and ex.negated and ex.table == "s"
 
 
 def test_interval_literal():
@@ -147,3 +152,63 @@ def test_grouped_output_requires_group_or_aggregate(engine):
         engine.context(sql)
     # auto mode completes through the spark.sql fallback
     assert engine.sql(sql).count() > 0
+
+
+def test_exists_parses_and_plans_native(engine):
+    """[NOT] EXISTS with single-table equality correlation plans
+    NATIVELY (no fallback): the context carries a SemiFilter and the
+    result matches spark.sql exactly. Out-of-subset EXISTS shapes
+    (joins inside, OR'd EXISTS, uncorrelated) raise and fall back."""
+    import pytest
+
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+    sql = ("SELECT c.c_custkey, c.c_name FROM customer AS c "
+           "WHERE EXISTS (SELECT * FROM orders AS o "
+           "              WHERE o.o_custkey = c.c_custkey "
+           "                AND o.o_orderpriority = '1-URGENT')")
+    ctx = engine.context(sql)
+    sfs = ctx.semi_filters[ctx.relation_by_alias("c").rid]
+    assert len(sfs) == 1 and not sfs[0].negated
+    assert sfs[0].keys == (("v1", "o_custkey"),) or len(sfs[0].keys) == 1
+    ours = engine.sql(sql, mode="cqc")
+    ref = engine.sql(sql, mode="spark")
+    assert ours.count() == ref.count() > 0
+    assert ours.exceptAll(ref).count() == 0 and ref.exceptAll(ours).count() == 0
+
+    neg = ("SELECT c.c_custkey FROM customer AS c "
+           "WHERE NOT EXISTS (SELECT * FROM orders AS o "
+           "                  WHERE o.o_custkey = c.c_custkey)")
+    ctx2 = engine.context(neg)
+    assert ctx2.semi_filters[0][0].negated
+    ours2 = engine.sql(neg, mode="cqc")
+    ref2 = engine.sql(neg, mode="spark")
+    assert ours2.count() == ref2.count()
+    assert ours2.exceptAll(ref2).count() == 0
+
+    # joined with another relation: semi filter + normal join tree
+    joined = ("SELECT c.c_custkey, n.n_name FROM customer AS c, nation AS n "
+              "WHERE c.c_nationkey = n.n_nationkey "
+              "  AND EXISTS (SELECT * FROM orders AS o "
+              "              WHERE o.o_custkey = c.c_custkey)")
+    ours3 = engine.sql(joined, mode="cqc")
+    ref3 = engine.sql(joined, mode="spark")
+    assert ours3.count() == ref3.count() > 0
+    assert ours3.exceptAll(ref3).count() == 0
+
+    for bad in [
+        # join inside EXISTS
+        ("SELECT c.c_custkey FROM customer AS c WHERE EXISTS "
+         "(SELECT * FROM orders AS o, lineitem AS l "
+         " WHERE o.o_custkey = c.c_custkey AND l.l_orderkey = o.o_orderkey)"),
+        # uncorrelated
+        ("SELECT c.c_custkey FROM customer AS c WHERE EXISTS "
+         "(SELECT * FROM orders AS o WHERE o.o_totalprice > 100)"),
+        # OR'd with another predicate
+        ("SELECT c.c_custkey FROM customer AS c WHERE c.c_custkey < 10 OR "
+         "EXISTS (SELECT * FROM orders AS o WHERE o.o_custkey = c.c_custkey)"),
+    ]:
+        with pytest.raises(UnsupportedSqlError):
+            engine.context(bad)
+        # auto mode still answers through the fallback
+        assert engine.sql(bad).count() >= 0
