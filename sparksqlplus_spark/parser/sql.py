@@ -392,6 +392,19 @@ class _Parser:
             pat = self.expect("str").text
             return Like(left, pat, negated)
         if self.accept("kw", "in"):
+            if self.at("kw", "select", k=1):
+                # IN (SELECT col FROM t [WHERE ...]) desugars to the
+                # correlated-equality EXISTS the planner folds into a
+                # left_semi (engine extension). NOT IN does NOT desugar
+                # to anti-join — SQL's NOT IN returns no rows when the
+                # inner side contains a NULL, which a left_anti cannot
+                # express statically — so it stays on the fallback.
+                if negated:
+                    raise UnsupportedSqlError(
+                        "NOT IN (subquery) not in subset (NULL semantics); "
+                        "runs via the spark.sql fallback"
+                    )
+                return self._in_subquery_tail(left)
             self.expect("op", "(")
             vals: list[object] = []
             while True:
@@ -415,6 +428,29 @@ class _Parser:
             self.expect("kw", "null")
             return IsNull(left, neg2)
         raise UnsupportedSqlError(f"expected predicate after expression, got {t}")
+
+    def _in_subquery_tail(self, left: Expr) -> "Exists":
+        """expr IN (SELECT col FROM t [WHERE conj]) — desugared to the
+        same Exists node as a correlated-equality EXISTS (semi-join);
+        identical subset limits apply (one table, no nesting)."""
+        self.expect("op", "(")
+        self.expect("kw", "select")
+        sel = self._expr()
+        if self.accept("kw", "as"):
+            self.take()
+        self.expect("kw", "from")
+        fi = self._from_item()
+        if fi.subquery is not None:
+            raise UnsupportedSqlError("IN over a nested subquery is not in the subset")
+        conds: list[Cond] = []
+        if self.accept("kw", "where"):
+            conds = self._conjunction()
+        if not self.at("op", ")"):
+            raise UnsupportedSqlError(
+                "IN subquery supports only FROM one table + WHERE"
+            )
+        self.expect("op", ")")
+        return Exists(fi.table, fi.alias, (Cmp("=", sel, left), *conds))
 
     # -- scalar expression grammar -------------------------------------------
     def _expr(self) -> Expr:

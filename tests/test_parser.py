@@ -212,3 +212,28 @@ def test_exists_parses_and_plans_native(engine):
             engine.context(bad)
         # auto mode still answers through the fallback
         assert engine.sql(bad).count() >= 0
+
+
+def test_in_subquery_desugars_to_semijoin(engine):
+    """expr IN (SELECT col FROM t WHERE ...) desugars to the Exists
+    semi-join and matches spark.sql; NOT IN (subquery) stays on the
+    fallback (NULL semantics are not expressible as a plain anti-join)."""
+    import pytest
+
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+    sql = ("SELECT c.c_custkey FROM customer AS c "
+           "WHERE c.c_custkey IN (SELECT o_custkey FROM orders AS o "
+           "                      WHERE o.o_orderpriority = '1-URGENT')")
+    ctx = engine.context(sql)
+    assert ctx.semi_filters and not ctx.semi_filters[0][0].negated
+    ours = engine.sql(sql, mode="cqc")
+    ref = engine.sql(sql, mode="spark")
+    assert ours.count() == ref.count() > 0
+    assert ours.exceptAll(ref).count() == 0
+
+    with pytest.raises(UnsupportedSqlError):
+        engine.context(
+            "SELECT c.c_custkey FROM customer AS c "
+            "WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders AS o)"
+        )
