@@ -616,6 +616,15 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                              WHERE o.o_custkey = c.c_custkey)""",
         None,
     ),
+    # --- uncorrelated scalar subquery folded to a literal before
+    # planning (engine extension; reference not-supported list): the
+    # classic above-average filter. Same SQL is the DuckDB oracle. ---
+    "scalar_subquery_avg": (
+        """SELECT o.o_orderkey, o.o_totalprice FROM orders AS o
+           WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice)
+                                   FROM orders AS o2)""",
+        None,
+    ),
     # --- exact distributed quantiles: sort-based percentile inside a
     # hash aggregate (spark.sql fallback path). Exact because the
     # oracle needs bit-level agreement; at 100 TB the same query swaps
@@ -2214,6 +2223,7 @@ _HEAD = [
     "events_quantiles",
     "exists_semijoin",
     "not_exists_anti",
+    "scalar_subquery_avg",
     "dedup_neardup_apply",
     "dedup_cluster_chain",
     "graph_c5_pentagon_ghd",
@@ -2267,6 +2277,7 @@ _TAIL = [
     "date_interval_arith",
     "tpch_q6",
     "tpch_q14",
+    "tpch_q12",
     "ann_lsh_topk",
     "hint_join_tree",
     "graph_triangle_wcoj",

@@ -154,7 +154,90 @@ class SparkSQLPlus:
 
     # -- planning / execution -------------------------------------------------
     def context(self, query: str) -> Context:
-        return build_context(parse_query(query), self.catalog)
+        return build_context(self._fold_scalars(parse_query(query)), self.catalog)
+
+    def _fold_scalars(self, spec):
+        """Replace uncorrelated scalar subqueries in WHERE/HAVING with
+        their computed Lit (expressions.ScalarSubquery docstring): the
+        inner query runs through the engine first — a one-value
+        collect, the same metadata-scale class as the router's ANALYZE
+        statistics. Nested scalars fold recursively; a correlated
+        subquery raises UnsupportedSqlError from the inner context
+        build (unknown alias), routing the whole query to the
+        fallback under mode='auto'."""
+        from dataclasses import replace as dc_replace
+        from decimal import Decimal
+
+        from sparksqlplus_spark.expressions import Lit, ScalarSubquery, map_expr
+
+        def fold(node):
+            if not isinstance(node, ScalarSubquery):
+                return None
+            ctx = build_context(
+                self._fold_scalars(node.spec), self.catalog
+            )
+            rows = self._run_context(ctx).collect()
+            if len(rows) != 1 or len(rows[0]) != 1:
+                raise UnsupportedSqlError(
+                    "scalar subquery must return exactly one value"
+                )
+            v = rows[0][0]
+            if isinstance(v, Decimal):
+                v = float(v)
+            if isinstance(v, bool) or v is None:
+                kind = "null" if v is None else "boolean"
+            elif isinstance(v, float):
+                kind = "double"
+            elif isinstance(v, int):
+                kind = "bigint"
+            else:
+                kind = "str"
+            return Lit(v, kind)
+
+        has_scalar = False
+
+        def probe(node):
+            nonlocal has_scalar
+            if isinstance(node, ScalarSubquery):
+                has_scalar = True
+            return None
+
+        for c in [*spec.where, *spec.having]:
+            map_expr(c, probe)
+        if not has_scalar:
+            return spec
+        return dc_replace(
+            spec,
+            where=[map_expr(c, fold) for c in spec.where],
+            having=[map_expr(c, fold) for c in spec.having],
+        )
+
+    def _run_context(
+        self,
+        ctx: Context,
+        mode: str = "auto",
+        root_hint: str | None = None,
+        cyclic_strategy: str = "auto",
+        count_mode: str = "rows",
+    ) -> DataFrame:
+        """Execute an already-built Context: acyclic CQC tree, else the
+        cyclic router (break / GHD / greedy)."""
+        tree = best_join_tree(ctx.relations, ctx.comparisons)
+        if tree is not None:
+            return self._executor.execute_tree(
+                ctx, tree, root_hint=root_hint, count_mode=count_mode
+            )
+        from sparksqlplus_spark.plans.cyclic import execute_cyclic
+
+        return execute_cyclic(
+            self.spark,
+            self.catalog,
+            ctx,
+            mode,
+            cyclic_strategy,
+            count_mode,
+            executor=self._executor,
+        )
 
     def sql(
         self,
@@ -209,22 +292,12 @@ class SparkSQLPlus:
                 root_hint=root_hint or tree.relations[tree.root].alias,
                 count_mode=count_mode,
             )
-        tree = best_join_tree(ctx.relations, ctx.comparisons)
-        if tree is not None:
-            return self._executor.execute_tree(
-                ctx, tree, root_hint=root_hint, count_mode=count_mode
-            )
-        # cyclic: break rewrite / GHD bags + per-bag WCOJ / greedy joins
-        from sparksqlplus_spark.plans.cyclic import execute_cyclic
-
-        return execute_cyclic(
-            self.spark,
-            self.catalog,
+        return self._run_context(
             ctx,
-            mode,
-            cyclic_strategy,
-            count_mode,
-            executor=self._executor,
+            mode=mode,
+            root_hint=root_hint,
+            cyclic_strategy=cyclic_strategy,
+            count_mode=count_mode,
         )
 
     def plan_candidates(self, query: str, limit: int = 24) -> dict:

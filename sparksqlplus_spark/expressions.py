@@ -427,13 +427,36 @@ class Exists(Cond):
         return f"({n}exists {self.table} as {self.table_alias}: {inner})"
 
 
+@dataclass(frozen=True, eq=False)
+class ScalarSubquery(Expr):
+    """Uncorrelated scalar subquery, e.g. ``x > (SELECT AVG(y) FROM
+    t)`` — engine extension (reference not-supported list). Folded to
+    a Lit BEFORE context building (api._fold_scalars): the inner query
+    runs through the engine and its single value substitutes in. The
+    one-value collect is metadata-scale (same class as the ANALYZE
+    statistics the cyclic router gathers), not a data collect. A
+    correlated subquery fails the inner build with an unknown-alias
+    UnsupportedSqlError, so mode='auto' falls back to spark.sql."""
+
+    spec: object  # parser.sql.QuerySpec (unhashable — eq=False)
+
+    def refs(self):
+        return set()
+
+    def to_spark(self, colmap):
+        raise ValueError("scalar subquery must be folded before execution")
+
+    def key(self):
+        return f"scalar-subquery@{id(self)}"
+
+
 def map_expr(node, fn):
     """Top-down transform: if fn(node) returns non-None, substitute it;
     otherwise rebuild the node with transformed children."""
     hit = fn(node)
     if hit is not None:
         return hit
-    if isinstance(node, (Col, Lit, Star)):
+    if isinstance(node, (Col, Lit, Star, ScalarSubquery)):
         return node
     if isinstance(node, Arith):
         return Arith(node.op, map_expr(node.left, fn), map_expr(node.right, fn))
@@ -464,6 +487,13 @@ def map_expr(node, fn):
         return OrCond(tuple(map_expr(c, fn) for c in node.children))
     if isinstance(node, AndCond):
         return AndCond(tuple(map_expr(c, fn) for c in node.children))
+    if isinstance(node, Exists):
+        return Exists(
+            node.table,
+            node.table_alias,
+            tuple(map_expr(c, fn) for c in node.conds),
+            node.negated,
+        )
     raise TypeError(f"unknown node {type(node)}")
 
 

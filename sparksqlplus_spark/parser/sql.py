@@ -37,6 +37,7 @@ from sparksqlplus_spark.expressions import (
     Lit,
     Neg,
     OrCond,
+    ScalarSubquery,
     Star,
 )
 
@@ -520,6 +521,13 @@ class _Parser:
             inner = self._expr()
             self.expect("op", ")")
             return ExtractYear(inner)
+        if self.at("op", "(") and self.at("kw", "select", k=1):
+            # uncorrelated scalar subquery — folded to a Lit by
+            # api._fold_scalars before planning (engine extension)
+            self.take()
+            sub = self._select_stmt()
+            self.expect("op", ")")
+            return ScalarSubquery(sub)
         if self.accept("op", "("):
             e = self._expr()
             self.expect("op", ")")

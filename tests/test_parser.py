@@ -237,3 +237,38 @@ def test_in_subquery_desugars_to_semijoin(engine):
             "SELECT c.c_custkey FROM customer AS c "
             "WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders AS o)"
         )
+
+
+def test_scalar_subquery_folds_to_literal(engine):
+    """Uncorrelated scalar subqueries fold to a computed Lit before
+    planning (above-average filter — the classic idiom); correlated
+    ones raise from the inner build and ride the fallback in auto."""
+    import pytest
+
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+    sql = ("SELECT o.o_orderkey, o.o_totalprice FROM orders AS o "
+           "WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice) "
+           "                        FROM orders AS o2)")
+    ctx = engine.context(sql)
+    (cond,) = ctx.local_filters[0]
+    assert cond.right.kind == "double" and cond.right.value > 0
+    ours = engine.sql(sql, mode="cqc")
+    ref = engine.sql(sql, mode="spark")
+    assert ours.count() == ref.count() > 0
+    assert ours.exceptAll(ref).count() == 0
+
+    # nested: scalar inside the scalar's WHERE
+    nested = ("SELECT o.o_orderkey FROM orders AS o "
+              "WHERE o.o_totalprice > (SELECT MAX(o2.o_totalprice) "
+              "  FROM orders AS o2 WHERE o2.o_totalprice < "
+              "  (SELECT AVG(o3.o_totalprice) FROM orders AS o3))")
+    assert engine.sql(nested, mode="cqc").count() == engine.sql(nested, mode="spark").count()
+
+    # correlated -> unknown alias inside the inner build -> fallback
+    corr = ("SELECT o.o_orderkey FROM orders AS o "
+            "WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice) "
+            "  FROM orders AS o2 WHERE o2.o_custkey = o.o_custkey)")
+    with pytest.raises(UnsupportedSqlError):
+        engine.context(corr)
+    assert engine.sql(corr).count() >= 0
