@@ -75,11 +75,26 @@ def _apply_break(ctx: Context, rid: int, var: str, n: int) -> Context:
             break
     assert broken_col is not None and other is not None
     residual = Cmp("=", Col(broken_rel.alias, broken_col), Col(other[0], other[1]))
+    # semi/anti filters on the broken relation key on its variables —
+    # follow the rename or their join key goes unresolved at execution
+    new_semi = ctx.semi_filters
+    if ctx.semi_filters.get(rid):
+        new_semi = dict(ctx.semi_filters)
+        new_semi[rid] = [
+            replace(
+                sf,
+                keys=tuple(
+                    (clone if ov == var else ov, ic) for ov, ic in sf.keys
+                ),
+            )
+            for sf in new_semi[rid]
+        ]
     return replace(
         ctx,
         relations=new_relations,
         var_map=new_var_map,
         residuals=ctx.residuals + [residual],
+        semi_filters=new_semi,
     )
 
 

@@ -261,3 +261,50 @@ def test_aggregation_equals_naive(engine, case, agg_mask):
     c = engine.sql(sql, count_mode="eager")
     pc = c.toPandas().round(6).sort_values(list(a.columns)).reset_index(drop=True)
     pd.testing.assert_frame_equal(pc, pb, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# round-6 fuzz: native [NOT] EXISTS / IN-subquery semi-join planning
+# ---------------------------------------------------------------------------
+
+SEMI_PREDS = [
+    ("c", "EXISTS (SELECT * FROM orders AS xo WHERE xo.o_custkey = c.c_custkey"
+          " AND xo.o_totalprice > 150000.0)"),
+    ("s", "EXISTS (SELECT * FROM lineitem AS xl WHERE xl.l_suppkey = s.s_suppkey"
+          " AND xl.l_quantity > 40)"),
+    ("o", "o.o_custkey IN (SELECT c_custkey FROM customer AS xc"
+          " WHERE xc.c_acctbal > 5000.0)"),
+    ("n", "NOT EXISTS (SELECT * FROM supplier AS xs"
+          " WHERE xs.s_nationkey = n.n_nationkey AND xs.s_acctbal < -900.0)"),
+]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(case=query_case(), semi_mask=st.integers(min_value=0, max_value=15))
+def test_exists_semijoins_equal_spark(engine, case, semi_mask):
+    """Random conjunctive queries with random [NOT] EXISTS / IN-subquery
+    predicates attached: the native semi/anti planning must match
+    verbatim spark.sql (bag result deduped — these projections are
+    non-full, so the engine's DISTINCT semantics apply)."""
+    aliases, edges, comps, filts, out = case
+    semis = [
+        s
+        for i, (a, s) in enumerate(SEMI_PREDS)
+        if a in aliases and (semi_mask >> i) & 1
+    ]
+    if not semis:
+        semis = [s for a, s in SEMI_PREDS if a in aliases][:1]
+    sql = build_sql(aliases, edges, comps, filts, out)
+    sql += " AND " + " AND ".join(semis)
+    ctx = engine.context(sql)
+    assert ctx.semi_filters, f"no semi filter planned for: {sql}"
+    a = engine.sql(sql)
+    b = engine.sql(sql, mode="spark").distinct()
+    ca, cb = a.count(), b.count()
+    assert ca == cb, f"count mismatch {ca} vs {cb} for: {sql}"
+    assert a.exceptAll(b).count() == 0, f"rows differ for: {sql}"
+    assert b.exceptAll(a).count() == 0, f"rows differ for: {sql}"
