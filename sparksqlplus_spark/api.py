@@ -337,6 +337,18 @@ class SparkSQLPlus:
             "strategy": "cqc",
             "candidates": [],
         }
+        if ctx.semi_filters:
+            rel_alias = {r.rid: r.alias for r in ctx.relations}
+            result["semi_joins"] = [
+                {
+                    "relation": rel_alias[rid],
+                    "kind": "anti" if sf.negated else "semi",
+                    "inner_table": sf.table,
+                    "keys": [list(k) for k in sf.keys],
+                }
+                for rid, sfs in sorted(ctx.semi_filters.items())
+                for sf in sfs
+            ]
         work_ctx = ctx
         if not enumerate_join_trees(ctx.relations, limit=1):  # cyclic
             from sparksqlplus_spark.plans.cyclic import (
@@ -474,9 +486,15 @@ class SparkSQLPlus:
             def walk(rid: int, depth: int) -> None:
                 rel = t.relations[rid]
                 key = t.join_key(rid) if rid in t.parent else ()
+                semis = "".join(
+                    f" {'anti' if sf.negated else 'semi'}({sf.table} on "
+                    f"{[ov for ov, _ in sf.keys]})"
+                    for sf in ctx_.semi_filters.get(rel.rid, [])
+                )
                 lines.append(
                     "  " * depth
                     + f"{rel.alias}[{rel.kind}] vars={sorted(rel.variables)} key={list(key)}"
+                    + semis
                 )
                 for c in t.children[rid]:
                     walk(c, depth + 1)
