@@ -154,6 +154,27 @@ for i in range(N):
     if i % 10 == 0:
         print(f"hint {i}/{N} ({time.time()-t0:.0f}s)", flush=True)
 
+from tests.test_fuzz import SEMI_PREDS
+
+for i in range(N):
+    aliases, kept, comps, filts, out = rand_case()
+    semis = [s for a, s in SEMI_PREDS if a in aliases and rng.random() < 0.6]
+    if not semis:
+        semis = [s for a, s in SEMI_PREDS if a in aliases][:1]
+    if not semis:
+        continue
+    sql = build_sql(aliases, kept, comps, filts, out)
+    sql += " AND " + " AND ".join(semis)
+    ctx = eng.context(sql)
+    assert ctx.semi_filters, sql
+    check(
+        "exists",
+        sql,
+        [eng.sql(sql), eng.sql(sql, mode="naive"), eng.sql(sql, mode="spark").distinct()],
+    )
+    if i % 10 == 0:
+        print(f"exists {i}/{N} ({time.time()-t0:.0f}s)", flush=True)
+
 print(f"stress done in {time.time()-t0:.0f}s; failures: {len(failures)}")
 for f in failures:
     print(f)

@@ -27,6 +27,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    prepartition: bool = False,
 ) -> DataFrame:
     """PageRank by fixed-round power iteration over an edge DataFrame.
 
@@ -52,17 +53,20 @@ def pagerank(
         .persist()
     )
     deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
-    e = (
-        edges.join(deg, src)
-        .select(
-            F.col(src).alias("__s"), F.col(dst).alias("__d"), F.col("__deg")
-        )
-        # hash-partition by the join key ONCE and persist: every
-        # iteration's rank join then reuses this layout and only the
-        # (much smaller) rank frame shuffles per round
-        .repartition("__s")
-        .persist()
+    e = edges.join(deg, src).select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d"), F.col("__deg")
     )
+    if prepartition:
+        # hash-partition by the join key once so each iteration's rank
+        # join reuses the layout. Measured OFF by default
+        # (scripts/exp_pagerank_prepart.py, sf0.1: ratio 0.97x): at
+        # bench scale the rank frame sits under the broadcast
+        # threshold, edges never shuffle in either variant, and this
+        # exchange is pure overhead. Flip it on when |nodes| is too
+        # large to broadcast — that is when the per-round edge shuffle
+        # it avoids actually exists.
+        e = e.repartition("__s")
+    e = e.persist()
     e.count()
     ranks = nodes.select("node", F.lit(1.0).alias("rank")).persist()
     ranks.count()
