@@ -616,6 +616,20 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                              WHERE o.o_custkey = c.c_custkey)""",
         None,
     ),
+    # --- WITH (CTE) desugared to the native C21 aggregated-view
+    # subquery (engine extension; reference not-supported list) — the
+    # q15 revenue-view shape as users actually write it. Same SQL text
+    # is the DuckDB oracle. ---
+    "cte_agg_view": (
+        """WITH rev AS (SELECT l_suppkey,
+                               SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+                        FROM lineitem GROUP BY l_suppkey)
+           SELECT s.s_suppkey, s.s_name, r.total_revenue
+           FROM supplier AS s, rev AS r
+           WHERE s.s_suppkey = r.l_suppkey
+             AND r.total_revenue > 40000.0""",
+        None,
+    ),
     # --- uncorrelated scalar subquery folded to a literal before
     # planning (engine extension; reference not-supported list): the
     # classic above-average filter. Same SQL is the DuckDB oracle. ---
@@ -2224,6 +2238,7 @@ _HEAD = [
     "exists_semijoin",
     "not_exists_anti",
     "scalar_subquery_avg",
+    "cte_agg_view",
     "dedup_neardup_apply",
     "dedup_cluster_chain",
     "graph_c5_pentagon_ghd",
@@ -2278,6 +2293,7 @@ _TAIL = [
     "tpch_q6",
     "tpch_q14",
     "tpch_q12",
+    "tpch_q15",
     "ann_lsh_topk",
     "hint_join_tree",
     "graph_triangle_wcoj",

@@ -102,7 +102,7 @@ KEYWORDS = {
     "and", "or", "not", "like", "in", "between", "is", "null", "as",
     "case", "when", "then", "else", "end", "extract", "year", "date",
     "interval", "timestamp", "day", "join", "inner", "on", "asc", "desc",
-    "having", "union", "exists",
+    "having", "union", "exists", "with",
 }
 
 
@@ -179,7 +179,27 @@ class _Parser:
 
     # -- grammar -----------------------------------------------------------
     def parse_query(self) -> QuerySpec:
+        # WITH name AS (SELECT ...) [, ...] — desugared by substituting
+        # each CTE reference in FROM with an inline subquery, so the
+        # C21 aggregated-view shape plans natively (the reference's own
+        # TPC-H rewrites use exactly that form); other CTE bodies raise
+        # at context build and ride the fallback. Earlier CTEs are
+        # visible inside later ones.
+        ctes: dict[str, QuerySpec] = {}
+        if self.accept("kw", "with"):
+            while True:
+                name = self.expect("id").text
+                self.expect("kw", "as")
+                self.expect("op", "(")
+                sub = self._select_stmt()
+                self.expect("op", ")")
+                _substitute_ctes(sub, ctes)
+                ctes[name.lower()] = sub
+                if not self.accept("op", ","):
+                    break
         q = self._select_stmt()
+        if ctes:
+            _substitute_ctes(q, ctes)
         if self.peek() is not None:
             raise UnsupportedSqlError(f"trailing tokens at {self.peek()}")
         return q
@@ -589,6 +609,37 @@ class _Parser:
             otherwise = self._expr()
         self.expect("kw", "end")
         return CaseWhen(tuple(branches), otherwise)
+
+
+def _substitute_ctes(spec: QuerySpec, ctes: dict[str, QuerySpec]) -> None:
+    """Replace CTE references in FROM with inline subqueries (in
+    place), recursing into FROM-subqueries, scalar subqueries, and
+    EXISTS bodies. An EXISTS over a CTE is rejected (its planner path
+    loads the inner table from the catalog) so mode='auto' falls back."""
+    if not ctes:
+        return
+    from sparksqlplus_spark.expressions import Exists, ScalarSubquery, map_expr
+
+    for fi in spec.from_items:
+        if fi.table is not None and fi.table.lower() in ctes:
+            fi.subquery = ctes[fi.table.lower()]
+            fi.table = None
+        elif fi.subquery is not None:
+            _substitute_ctes(fi.subquery, ctes)
+
+    def probe(node):
+        if isinstance(node, ScalarSubquery):
+            _substitute_ctes(node.spec, ctes)
+        if isinstance(node, Exists) and node.table and node.table.lower() in ctes:
+            raise UnsupportedSqlError(
+                "EXISTS over a CTE is not in the subset"
+            )
+        return None
+
+    for c in [*spec.where, *spec.having]:
+        map_expr(c, probe)
+    for si in spec.select:
+        map_expr(si.expr, probe)
 
 
 def parse_query(sql: str) -> QuerySpec:

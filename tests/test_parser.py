@@ -272,3 +272,51 @@ def test_scalar_subquery_folds_to_literal(engine):
     with pytest.raises(UnsupportedSqlError):
         engine.context(corr)
     assert engine.sql(corr).count() >= 0
+
+
+def test_with_cte_desugars_to_subquery(engine):
+    """WITH over an aggregated view desugars to the native C21
+    FROM-subquery shape (tpch_q15's revenue view as a CTE); a CTE
+    whose body is outside the subset raises at context build and runs
+    via the fallback; EXISTS over a CTE also falls back."""
+    import pytest
+
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+    sql = ("WITH rev AS (SELECT l_suppkey, SUM(l_extendedprice) AS total "
+           "             FROM lineitem GROUP BY l_suppkey) "
+           "SELECT s.s_suppkey, s.s_name, r.total "
+           "FROM supplier AS s, rev AS r "
+           "WHERE s.s_suppkey = r.l_suppkey AND r.total > 100000.0")
+    ctx = engine.context(sql)
+    assert any(rel.kind == "agg" for rel in ctx.relations)
+    ours = engine.sql(sql, mode="cqc")
+    ref = engine.sql(sql, mode="spark")
+    assert ours.count() == ref.count() > 0
+    assert ours.exceptAll(ref).count() == 0
+
+    # same CTE referenced twice: both FROM items become agg subqueries
+    twice = ("WITH rev AS (SELECT l_suppkey, COUNT(*) AS n "
+             "             FROM lineitem GROUP BY l_suppkey) "
+             "SELECT a.l_suppkey, a.n, b.n FROM rev AS a, rev AS b "
+             "WHERE a.l_suppkey = b.l_suppkey")
+    ctx2 = engine.context(twice)
+    assert sum(rel.kind == "agg" for rel in ctx2.relations) == 2
+    assert engine.sql(twice, mode="cqc").count() > 0
+
+    # non-agg CTE body -> outside the C21 subset -> fallback in auto
+    plain = ("WITH big AS (SELECT o_orderkey, o_totalprice FROM orders "
+             "             WHERE o_totalprice > 100000.0) "
+             "SELECT big.o_orderkey FROM big")
+    with pytest.raises(UnsupportedSqlError):
+        engine.context(plain)
+    assert engine.sql(plain).count() > 0
+
+    # EXISTS over a CTE -> fallback
+    exq = ("WITH rev AS (SELECT l_suppkey, COUNT(*) AS n "
+           "             FROM lineitem GROUP BY l_suppkey) "
+           "SELECT s.s_suppkey FROM supplier AS s "
+           "WHERE EXISTS (SELECT * FROM rev WHERE l_suppkey = s.s_suppkey)")
+    with pytest.raises(UnsupportedSqlError):
+        engine.context(exq)
+    assert engine.sql(exq).count() > 0
