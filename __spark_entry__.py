@@ -2227,9 +2227,13 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # entry may sit driver-unchecked for 2+ consecutive rounds: every
 # round the previous tail rotates back into the head.
 _HEAD = [
-    # NEW this round: star-contraction clustering on planted long
-    # chains (O(log d) rounds), and the C5 pentagon through the
-    # semi-join-reduced k-cycle kernel
+    # NEW this round (r6), in two waves: corpus ops (mixture sampler,
+    # Gopher repetition rules, boilerplate n-grams, keep-one dedup,
+    # PageRank, exact quantiles), native SQL-surface extensions
+    # (EXISTS/NOT EXISTS semi-anti planning, scalar-subquery folding,
+    # CTE desugar), star-contraction chains, the C5 pentagon +
+    # chorded-K4 kernels, the reference-absent TPC-H set, HAVING,
+    # chunking/sampling/window/UNION/PII entries
     "sample_mixture",
     "text_repetition",
     "text_boilerplate",
