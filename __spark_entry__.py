@@ -616,6 +616,24 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                              WHERE o.o_custkey = c.c_custkey)""",
         None,
     ),
+    # --- derived table (engine extension): FROM (SELECT exprs FROM t
+    # WHERE conds) planned as a filtered scan with an expression
+    # projection — the filter pushes into the parquet scan and may use
+    # unprojected columns; the computed column joins like any other
+    # variable. Non-full projection => engine DISTINCT semantics, so
+    # the oracle says DISTINCT explicitly. ---
+    "derived_table_scan": (
+        """SELECT t.k, t.price2, s.s_name
+           FROM (SELECT l_suppkey AS k, l_extendedprice * 2 AS price2
+                 FROM lineitem WHERE l_quantity > 45) AS t,
+                supplier AS s
+           WHERE t.k = s.s_suppkey""",
+        """SELECT DISTINCT t.k, t.price2, s.s_name
+           FROM (SELECT l_suppkey AS k, l_extendedprice * 2 AS price2
+                 FROM lineitem WHERE l_quantity > 45) AS t,
+                supplier AS s
+           WHERE t.k = s.s_suppkey""",
+    ),
     # --- WITH (CTE) desugared to the native C21 aggregated-view
     # subquery (engine extension; reference not-supported list) — the
     # q15 revenue-view shape as users actually write it. Same SQL text
@@ -2243,6 +2261,7 @@ _HEAD = [
     "not_exists_anti",
     "scalar_subquery_avg",
     "cte_agg_view",
+    "derived_table_scan",
     "dedup_neardup_apply",
     "dedup_cluster_chain",
     "graph_c5_pentagon_ghd",
@@ -2298,6 +2317,7 @@ _TAIL = [
     "tpch_q14",
     "tpch_q12",
     "tpch_q15",
+    "tpch_q4",
     "ann_lsh_topk",
     "hint_join_tree",
     "graph_triangle_wcoj",

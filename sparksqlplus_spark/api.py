@@ -194,6 +194,12 @@ class SparkSQLPlus:
                 kind = "str"
             return Lit(v, kind)
 
+        # recurse into FROM-subqueries first (a derived table's WHERE
+        # may carry a scalar subquery — TPC-H Q22's custsale shape)
+        for fi in spec.from_items:
+            if fi.subquery is not None:
+                fi.subquery = self._fold_scalars(fi.subquery)
+
         has_scalar = False
 
         def probe(node):

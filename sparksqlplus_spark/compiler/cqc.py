@@ -106,6 +106,16 @@ def build_relation_df(
     """
     if rel.kind == "scan":
         df = catalog.get(rel.table).load(spark)
+        if rel.sub_proj:
+            # derived table (plans/context.py:_make_derived_relation):
+            # base-column filters FIRST (they push into the scan and may
+            # use unprojected columns), then the expression projection
+            base_map = {("", c): c for c in df.columns}
+            for cond in rel.pre_filters:
+                df = df.filter(cond.to_spark(base_map))
+            df = df.select(
+                *[e.to_spark(base_map).alias(n) for n, e in rel.sub_proj]
+            )
     elif rel.kind == "agg":
         sig = agg_signature(rel)
         if agg_cache is not None and sig in agg_cache:

@@ -73,6 +73,12 @@ class Relation:
     primary_key_vars: tuple[str, ...] = ()
     # aux payload (kind == 'aux'): projection of another relation
     source_rid: int | None = None
+    # derived-table payload (kind == 'scan' with sub_proj): the
+    # FROM-subquery SELECT exprs... FROM table WHERE conds shape —
+    # filters apply over base columns BEFORE the projection, so filter
+    # columns need not be projected and pushdown reaches the scan
+    sub_proj: tuple[tuple[str, object], ...] = ()  # (out name, Expr over base)
+    pre_filters: tuple = ()  # Conds over base columns, refs ("", col)
 
     @property
     def variables(self) -> frozenset[str]:
@@ -495,6 +501,81 @@ def _agg_subcalls(node) -> list[AggCall]:
     return out
 
 
+def _make_derived_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation:
+    """Derived table (engine extension): FROM (SELECT exprs FROM t
+    WHERE conds) AS a — a filtered scan with an expression projection.
+    Filters stay over base columns (applied before the projection), so
+    they push into the scan and may reference unprojected columns.
+    Computed columns need an alias and become ordinary join-able
+    variables. The base PK survives only if every PK column is
+    projected as a plain column."""
+    sub = fi.subquery
+    if sub.order_by or sub.limit is not None or sub.distinct or sub.having:
+        raise UnsupportedSqlError(
+            "derived table supports only SELECT exprs FROM t WHERE conds"
+        )
+    base = catalog.get(sub.from_items[0].table)
+    inner_alias = sub.from_items[0].alias
+    base_cols = set(base.column_names)
+
+    def norm(node):
+        if _contains_exists(node):
+            raise UnsupportedSqlError(
+                "EXISTS inside a derived table is not in the subset"
+            )
+        mapping = {}
+        for a, c in node.refs():
+            if a not in ("", inner_alias) or c not in base_cols:
+                raise UnsupportedSqlError(
+                    f"derived table references unknown column {a}.{c}"
+                )
+            mapping[(a, c)] = ("", c)
+        try:
+            return rewrite_refs(node, mapping) if mapping else node
+        except TypeError as exc:
+            # e.g. an unfolded ScalarSubquery when build_context is
+            # called without api._fold_scalars — degrade to the
+            # fallback-able error instead of crashing
+            raise UnsupportedSqlError(f"derived table: {exc}") from None
+
+    proj: list[tuple[str, Expr]] = []
+    names: set[str] = set()
+    plain_src: dict[str, str] = {}  # base col -> output name (plain cols)
+    for si in sub.select:
+        e = norm(si.expr)
+        if isinstance(e, Col):
+            name = si.alias or e.name
+            plain_src[e.name] = name
+        elif si.alias:
+            name = si.alias
+        else:
+            raise UnsupportedSqlError(
+                "computed derived-table column needs an alias"
+            )
+        if name in names:
+            raise UnsupportedSqlError(f"duplicate derived-table column {name!r}")
+        names.add(name)
+        proj.append((name, e))
+    if not proj:
+        raise UnsupportedSqlError("derived table selects nothing")
+    filters = tuple(norm(c) for c in sub.where)
+    pk_out: tuple[str, ...] = ()
+    if base.primary_key and all(c in plain_src for c in base.primary_key):
+        pk_out = tuple(plain_src[c] for c in base.primary_key)
+    rel = Relation(
+        rid=rid,
+        alias=fi.alias,
+        kind="scan",
+        table=base.name,
+        col_to_var={n: "" for n, _ in proj},
+        cardinality=base.cardinality,
+        sub_proj=tuple(proj),
+        pre_filters=filters,
+    )
+    rel.primary_key_vars = pk_out
+    return rel
+
+
 def _make_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation:
     if fi.table is not None:
         meta = catalog.get(fi.table)
@@ -508,13 +589,17 @@ def _make_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation:
         )
         rel.primary_key_vars = tuple(meta.primary_key)  # cols; mapped later
         return rel
-    # aggregated subquery (SURVEY C21): SELECT g..., FUNC(arg) FROM t GROUP BY g...
     sub = fi.subquery
     assert sub is not None
+    if len(sub.from_items) != 1 or sub.from_items[0].table is None:
+        raise UnsupportedSqlError("FROM subquery must scan one base table")
+    # derived table (no aggregation): SELECT exprs FROM t WHERE conds —
+    # planned as a filtered scan with an expression projection
+    if not sub.group_by and not any(contains_agg(si.expr) for si in sub.select):
+        return _make_derived_relation(rid, fi, catalog)
+    # aggregated subquery (SURVEY C21): SELECT g..., FUNC(arg) FROM t GROUP BY g...
     if (
-        len(sub.from_items) != 1
-        or sub.from_items[0].table is None
-        or sub.where
+        sub.where
         or sub.order_by
         or sub.limit is not None
         or sub.distinct

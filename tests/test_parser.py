@@ -304,13 +304,14 @@ def test_with_cte_desugars_to_subquery(engine):
     assert sum(rel.kind == "agg" for rel in ctx2.relations) == 2
     assert engine.sql(twice, mode="cqc").count() > 0
 
-    # non-agg CTE body -> outside the C21 subset -> fallback in auto
+    # non-agg CTE body -> now a native derived table (filtered scan)
     plain = ("WITH big AS (SELECT o_orderkey, o_totalprice FROM orders "
              "             WHERE o_totalprice > 100000.0) "
              "SELECT big.o_orderkey FROM big")
-    with pytest.raises(UnsupportedSqlError):
-        engine.context(plain)
-    assert engine.sql(plain).count() > 0
+    ctx3 = engine.context(plain)
+    assert ctx3.relations[0].sub_proj and ctx3.relations[0].pre_filters
+    assert engine.sql(plain, mode="cqc").count() == \
+        engine.sql(plain, mode="spark").count() > 0
 
     # EXISTS over a CTE -> fallback
     exq = ("WITH rev AS (SELECT l_suppkey, COUNT(*) AS n "
@@ -320,3 +321,37 @@ def test_with_cte_desugars_to_subquery(engine):
     with pytest.raises(UnsupportedSqlError):
         engine.context(exq)
     assert engine.sql(exq).count() > 0
+
+
+def test_derived_table_filtered_scan(engine):
+    """FROM (SELECT ...) derived tables plan as filtered scans: plain
+    and renamed columns, a computed column usable as a join-able
+    output, and a filter on an UNPROJECTED base column; results match
+    spark.sql exactly. Window functions inside stay on the fallback."""
+    import pytest
+
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+    sql = ("SELECT t.k, t.price2, s.s_name "
+           "FROM (SELECT l_suppkey AS k, l_extendedprice * 2 AS price2 "
+           "      FROM lineitem WHERE l_quantity > 45) AS t, "
+           "     supplier AS s "
+           "WHERE t.k = s.s_suppkey")
+    ctx = engine.context(sql)
+    t_rel = ctx.relation_by_alias("t")
+    assert t_rel.sub_proj and t_rel.pre_filters
+    ours = engine.sql(sql, mode="cqc")
+    ref = engine.sql(sql, mode="spark").distinct()  # non-full => DISTINCT
+    assert ours.count() == ref.count() > 0
+    assert ours.exceptAll(ref).count() == 0
+    assert ref.exceptAll(ours).count() == 0
+
+    # computed column without an alias is rejected (fallback in auto)
+    with pytest.raises(UnsupportedSqlError):
+        engine.context(
+            "SELECT t.l_suppkey FROM (SELECT l_suppkey, l_quantity + 1 "
+            "FROM lineitem) AS t"
+        )
+    # predicate pushdown: the base filter must reach the parquet scan
+    plan = ours._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_quantity" in plan
