@@ -308,3 +308,60 @@ def test_exists_semijoins_equal_spark(engine, case, semi_mask):
     assert ca == cb, f"count mismatch {ca} vs {cb} for: {sql}"
     assert a.exceptAll(b).count() == 0, f"rows differ for: {sql}"
     assert b.exceptAll(a).count() == 0, f"rows differ for: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# round-6 fuzz: derived tables (filtered/projected FROM-subqueries)
+# ---------------------------------------------------------------------------
+
+# per alias: the subselect body replacing the bare table (keeps the same
+# alias and column names, so edges/comparisons/filters still bind)
+DERIVED_BODIES = {
+    "c": "(SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment "
+         " FROM customer WHERE c_acctbal > -1000000.0)",
+    "o": "(SELECT o_orderkey, o_custkey, o_totalprice "
+         " FROM orders WHERE o_orderkey > -1)",
+    "l": "(SELECT l_orderkey, l_suppkey, l_linenumber, l_quantity, "
+         "        l_extendedprice "
+         " FROM lineitem WHERE l_quantity > -1.0)",
+    "s": "(SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier)",
+    "n": "(SELECT n_nationkey FROM nation WHERE n_nationkey >= 0)",
+}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(case=query_case(), wrap_mask=st.integers(min_value=1, max_value=31))
+def test_derived_tables_equal_plain(engine, case, wrap_mask):
+    """Random conjunctive queries with a random subset of base tables
+    replaced by equivalent derived tables (projection + super-set
+    filters): the derived plan must match the plain-table plan row for
+    row — same joins, same comparisons, same outputs."""
+    aliases, edges, comps, filts, out = case
+    order = sorted(aliases)
+    wrapped = {a for i, a in enumerate(order) if (wrap_mask >> i) & 1}
+    # filters/comparisons/outputs must only touch columns the derived
+    # bodies project — OUT_COLS/COMPARISONS/FILTERS all qualify
+    plain_sql = build_sql(aliases, edges, comps, filts, out)
+    from_clause = ", ".join(
+        f"{DERIVED_BODIES[a] if a in wrapped else TABLES[a]} AS {a}"
+        for a in order
+    )
+    conds = [f"{a}.{lc} = {b}.{rc}" for a, b, lc, rc in edges]
+    conds += [f"{la}.{lc} {op} {ra}.{rc}" for (la, lc, ra, rc), op in comps]
+    conds += [f"{a}.{pred}" for a, pred in filts]
+    derived_sql = (
+        f"SELECT {', '.join(out)} FROM {from_clause} "
+        f"WHERE {' AND '.join(conds)}"
+    )
+    # derived bodies' own filters are supersets of the data domain
+    # (acctbal > -500 etc.), so results must be identical
+    a = engine.sql(derived_sql)
+    b = engine.sql(plain_sql)
+    ca, cb = a.count(), b.count()
+    assert ca == cb, f"count mismatch {ca} vs {cb} for: {derived_sql}"
+    assert a.exceptAll(b).count() == 0, f"rows differ: {derived_sql}"
+    assert b.exceptAll(a).count() == 0, f"rows differ: {derived_sql}"
