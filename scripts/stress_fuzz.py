@@ -175,6 +175,28 @@ for i in range(N):
     if i % 10 == 0:
         print(f"exists {i}/{N} ({time.time()-t0:.0f}s)", flush=True)
 
+from tests.test_fuzz import DERIVED_BODIES, TABLES as _TBLS
+
+for i in range(N):
+    aliases, kept, comps, filts, out = rand_case()
+    order = sorted(aliases)
+    wrapped = {a for a in order if rng.random() < 0.5} or {order[0]}
+    plain = build_sql(aliases, kept, comps, filts, out)
+    from_clause = ", ".join(
+        f"{DERIVED_BODIES[a] if a in wrapped else _TBLS[a]} AS {a}"
+        for a in order
+    )
+    conds = [f"{a}.{lc} = {b}.{rc}" for a, b, lc, rc in kept]
+    conds += [f"{la}.{lc} {op} {ra}.{rc}" for (la, lc, ra, rc), op in comps]
+    conds += [f"{a}.{p}" for a, p in filts]
+    derived = (
+        f"SELECT {', '.join(out)} FROM {from_clause} "
+        f"WHERE {' AND '.join(conds)}"
+    )
+    check("derived", derived, [eng.sql(derived), eng.sql(plain)])
+    if i % 10 == 0:
+        print(f"derived {i}/{N} ({time.time()-t0:.0f}s)", flush=True)
+
 print(f"stress done in {time.time()-t0:.0f}s; failures: {len(failures)}")
 for f in failures:
     print(f)
