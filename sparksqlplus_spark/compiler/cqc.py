@@ -113,6 +113,27 @@ def build_relation_df(
             base_map = {("", c): c for c in df.columns}
             for cond in rel.pre_filters:
                 df = df.filter(cond.to_spark(base_map))
+            # lifted [NOT] EXISTS: semi/anti against the base frame
+            # BEFORE the projection — the correlation column may not
+            # survive it (plans/context.py derived-table notes)
+            for i_sf, sf in enumerate(rel.pre_semi):
+                inner = catalog.get(sf.table).load(spark)
+                imap = {("", c): c for c in inner.columns}
+                for cond in sf.inner_filters:
+                    inner = inner.filter(cond.to_spark(imap))
+                inner = inner.select(
+                    *[
+                        F.col(ic).alias(f"__ps{i_sf}_{i}")
+                        for i, (_, ic) in enumerate(sf.keys)
+                    ]
+                )
+                on = None
+                for i, (bc, _) in enumerate(sf.keys):
+                    c = df[bc] == inner[f"__ps{i_sf}_{i}"]
+                    on = c if on is None else (on & c)
+                df = df.join(
+                    inner, on, "left_anti" if sf.negated else "left_semi"
+                )
             df = df.select(
                 *[e.to_spark(base_map).alias(n) for n, e in rel.sub_proj]
             )

@@ -79,6 +79,11 @@ class Relation:
     # columns need not be projected and pushdown reaches the scan
     sub_proj: tuple[tuple[str, object], ...] = ()  # (out name, Expr over base)
     pre_filters: tuple = ()  # Conds over base columns, refs ("", col)
+    # [NOT] EXISTS inside the derived table's WHERE, lifted as a
+    # semi/anti join applied BEFORE the projection (the correlation
+    # column may be projected away — TPC-H Q22's custsale drops
+    # c_custkey). SemiFilter.keys here pair (base column, inner column)
+    pre_semi: tuple = ()
 
     @property
     def variables(self) -> frozenset[str]:
@@ -517,6 +522,8 @@ def _make_derived_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation
     base = catalog.get(sub.from_items[0].table)
     inner_alias = sub.from_items[0].alias
     base_cols = set(base.column_names)
+    exists_conds = [c for c in sub.where if isinstance(c, Exists)]
+    plain_where = [c for c in sub.where if not isinstance(c, Exists)]
 
     def norm(node):
         if _contains_exists(node):
@@ -558,7 +565,74 @@ def _make_derived_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation
         proj.append((name, e))
     if not proj:
         raise UnsupportedSqlError("derived table selects nothing")
-    filters = tuple(norm(c) for c in sub.where)
+    filters = tuple(norm(c) for c in plain_where)
+    # lift [NOT] EXISTS conjuncts of the derived WHERE into semi/anti
+    # joins applied before the projection (same subset rules as
+    # top-level EXISTS: one inner table, equality correlation against
+    # the derived table's base columns, inner-local predicates)
+    pre_semi: list[SemiFilter] = []
+    for ex in exists_conds:
+        ex_inner_cols = set(catalog.get(ex.table).column_names)
+        if ex.table_alias == inner_alias:
+            raise UnsupportedSqlError(
+                "EXISTS alias inside a derived table shadows its base"
+            )
+        keys: list[tuple[str, str]] = []
+        inner_only: list[Cond] = []
+        for c in ex.conds:
+            mapping: dict[tuple[str, str], tuple[str, str]] = {}
+            sides: set[str] = set()
+            for a, col in c.refs():
+                if a == ex.table_alias or (a == "" and col in ex_inner_cols):
+                    # innermost scope wins for bare names
+                    mapping[(a, col)] = ("@i", col)
+                    sides.add("inner")
+                elif a in ("", inner_alias) and col in base_cols:
+                    mapping[(a, col)] = ("", col)
+                    sides.add("outer")
+                else:
+                    raise UnsupportedSqlError(
+                        f"unknown reference {a}.{col} in derived-table EXISTS"
+                    )
+            rw = rewrite_refs(c, mapping) if mapping else c
+            if sides <= {"inner"}:
+                inner_only.append(
+                    rewrite_refs(
+                        rw, {("@i", col): ("", col) for _, col in rw.refs()}
+                    )
+                )
+            elif (
+                isinstance(rw, Cmp)
+                and rw.op == "="
+                and isinstance(rw.left, Col)
+                and isinstance(rw.right, Col)
+                and sides == {"inner", "outer"}
+            ):
+                if rw.left.alias == "@i" and rw.right.alias == "":
+                    keys.append((rw.right.name, rw.left.name))
+                elif rw.right.alias == "@i" and rw.left.alias == "":
+                    keys.append((rw.left.name, rw.right.name))
+                else:
+                    raise UnsupportedSqlError(
+                        "derived-table EXISTS correlation must be col = col"
+                    )
+            else:
+                raise UnsupportedSqlError(
+                    "derived-table EXISTS supports inner-local predicates "
+                    "and equality correlation only"
+                )
+        if not keys:
+            raise UnsupportedSqlError(
+                "uncorrelated EXISTS inside a derived table is not in the subset"
+            )
+        pre_semi.append(
+            SemiFilter(
+                negated=ex.negated,
+                table=ex.table,
+                keys=tuple(keys),
+                inner_filters=tuple(inner_only),
+            )
+        )
     pk_out: tuple[str, ...] = ()
     if base.primary_key and all(c in plain_src for c in base.primary_key):
         pk_out = tuple(plain_src[c] for c in base.primary_key)
@@ -571,6 +645,7 @@ def _make_derived_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation
         cardinality=base.cardinality,
         sub_proj=tuple(proj),
         pre_filters=filters,
+        pre_semi=tuple(pre_semi),
     )
     rel.primary_key_vars = pk_out
     return rel

@@ -355,3 +355,27 @@ def test_derived_table_filtered_scan(engine):
     # predicate pushdown: the base filter must reach the parquet scan
     plan = ours._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "l_quantity" in plan
+
+
+def test_exists_inside_derived_table_lifts_to_pre_semi(engine):
+    """[NOT] EXISTS inside a derived table's WHERE lifts to a semi/anti
+    join on the BASE frame before the projection — the correlation
+    column may be projected away (TPC-H Q22's custsale drops
+    c_custkey). The full Q22 shape plans natively and matches
+    spark.sql."""
+    q = ("SELECT seg, COUNT(*) AS numcust FROM "
+         "(SELECT substring(c_mktsegment, 1, 2) AS seg FROM customer "
+         " WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer AS c2) "
+         "   AND NOT EXISTS (SELECT * FROM orders "
+         "                   WHERE o_custkey = c_custkey "
+         "                     AND o_totalprice > 450000.0)) AS custsale "
+         "GROUP BY seg")
+    ctx = engine.context(q)
+    rel = ctx.relations[0]
+    assert rel.pre_semi and rel.pre_semi[0].negated
+    assert rel.pre_semi[0].keys == (("c_custkey", "o_custkey"),)
+    ours = engine.sql(q, mode="cqc")
+    ref = engine.sql(q, mode="spark")
+    assert ours.count() == ref.count() > 0
+    assert ours.exceptAll(ref).count() == 0
+    assert ref.exceptAll(ours).count() == 0
