@@ -85,6 +85,39 @@ def agg_signature(rel: Relation) -> tuple | None:
     )
 
 
+def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
+    """Apply one planned [NOT] EXISTS (plans/context.py:SemiFilter):
+    left_semi/left_anti of ``df`` against the filtered inner table.
+    The inner side projects only the columns the join condition needs,
+    renamed to ``{prefix}_N`` so they can't collide with the outer
+    frame; equality keys drive the join, and ``extra`` correlated
+    predicates (e.g. Q21's <>) AND into the join condition — their
+    ("@o", name) refs resolve against the outer frame's columns."""
+    inner = catalog.get(sf.table).load(spark)
+    imap = {("", c): c for c in inner.columns}
+    for cond in sf.inner_filters:
+        inner = inner.filter(cond.to_spark(imap))
+    need = [ic for _, ic in sf.keys]
+    for cond in sf.extra:
+        need += [c for a, c in cond.refs() if a == ""]
+    ren: dict[str, str] = {}
+    sel = []
+    for c in dict.fromkeys(need):
+        ren[c] = f"{prefix}_{len(ren)}"
+        sel.append(F.col(c).alias(ren[c]))
+    inner = inner.select(*sel)
+    on = None
+    for ov, ic in sf.keys:
+        cond_col = F.col(ov) == F.col(ren[ic])
+        on = cond_col if on is None else (on & cond_col)
+    for cond in sf.extra:
+        jmap = {("", c): ren[c] for c in ren}
+        jmap.update({("@o", n): n for a, n in cond.refs() if a == "@o"})
+        cond_col = cond.to_spark(jmap)
+        on = cond_col if on is None else (on & cond_col)
+    return df.join(inner, on, "left_anti" if sf.negated else "left_semi")
+
+
 def build_relation_df(
     spark: SparkSession,
     catalog: Catalog,
@@ -117,23 +150,7 @@ def build_relation_df(
             # BEFORE the projection — the correlation column may not
             # survive it (plans/context.py derived-table notes)
             for i_sf, sf in enumerate(rel.pre_semi):
-                inner = catalog.get(sf.table).load(spark)
-                imap = {("", c): c for c in inner.columns}
-                for cond in sf.inner_filters:
-                    inner = inner.filter(cond.to_spark(imap))
-                inner = inner.select(
-                    *[
-                        F.col(ic).alias(f"__ps{i_sf}_{i}")
-                        for i, (_, ic) in enumerate(sf.keys)
-                    ]
-                )
-                on = None
-                for i, (bc, _) in enumerate(sf.keys):
-                    c = df[bc] == inner[f"__ps{i_sf}_{i}"]
-                    on = c if on is None else (on & c)
-                df = df.join(
-                    inner, on, "left_anti" if sf.negated else "left_semi"
-                )
+                df = _apply_semi_filter(spark, catalog, df, sf, f"__ps{i_sf}")
             df = df.select(
                 *[e.to_spark(base_map).alias(n) for n, e in rel.sub_proj]
             )
@@ -186,21 +203,7 @@ def build_relation_df(
     # never duplicate rows). NULL keys follow SQL: a NULL never
     # matches, so EXISTS drops the row and NOT EXISTS keeps it.
     for sf in semi_filters or []:
-        inner = catalog.get(sf.table).load(spark)
-        imap = {("", c): c for c in inner.columns}
-        for cond in sf.inner_filters:
-            inner = inner.filter(cond.to_spark(imap))
-        inner = inner.select(
-            *[
-                F.col(ic).alias(f"__sj_{i}")
-                for i, (_, ic) in enumerate(sf.keys)
-            ]
-        )
-        on = None
-        for i, (ov, _) in enumerate(sf.keys):
-            c = F.col(ov) == F.col(f"__sj_{i}")
-            on = c if on is None else (on & c)
-        df = df.join(inner, on, "left_anti" if sf.negated else "left_semi")
+        df = _apply_semi_filter(spark, catalog, df, sf, "__sj")
     return df
 
 

@@ -125,6 +125,11 @@ class SemiFilter:
     table: str
     keys: tuple[tuple[str, str], ...]  # (outer variable, inner column)
     inner_filters: tuple[Cond, ...]  # refs are ("", inner column)
+    # additional correlated predicates beyond the equality keys (e.g.
+    # Q21's l2.l_suppkey <> l1.l_suppkey) — join-condition conjuncts.
+    # Refs: outer side ("@o", outer variable) [top-level] or
+    # ("@o", base column) [derived pre_semi]; inner side ("", column)
+    extra: tuple[Cond, ...] = ()
 
 
 @dataclass
@@ -304,42 +309,63 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
 
         keys: list[tuple[Col, str]] = []
         inner_only: list[Cond] = []
+        extra_raw: list[Cmp] = []  # correlated non-equality Cmp (Col vs Col)
         outer_aliases: set[str] = set()
+
+        def _col_sides(rw: Cmp):
+            """Return (outer Col, inner Col) for a correlated Col-Col
+            Cmp, or None if it isn't that shape."""
+            if not (isinstance(rw.left, Col) and isinstance(rw.right, Col)):
+                return None
+            if rw.left.alias == "" and rw.right.alias != "":
+                return rw.right, rw.left
+            if rw.right.alias == "" and rw.left.alias != "":
+                return rw.left, rw.right
+            return None
+
         for c in ex.conds:
             sides, rw = _resolve(c)
             if sides <= {"inner"}:
                 inner_only.append(rw)
-            elif (
-                isinstance(rw, Cmp)
-                and rw.op == "="
-                and isinstance(rw.left, Col)
-                and isinstance(rw.right, Col)
-                and sides == {"inner", "outer"}
-            ):
-                if rw.left.alias == "" and rw.right.alias != "":
-                    keys.append((rw.right, rw.left.name))
-                    outer_aliases.add(rw.right.alias)
-                elif rw.right.alias == "" and rw.left.alias != "":
-                    keys.append((rw.left, rw.right.name))
-                    outer_aliases.add(rw.left.alias)
-                else:
-                    raise UnsupportedSqlError(
-                        "EXISTS correlation must be inner_col = outer_col"
-                    )
-            else:
+                continue
+            pair = (
+                _col_sides(rw)
+                if isinstance(rw, Cmp) and sides == {"inner", "outer"}
+                else None
+            )
+            if pair is None:
                 raise UnsupportedSqlError(
-                    "EXISTS supports inner-local predicates and equality "
+                    "EXISTS supports inner-local predicates and Col-Col "
                     "correlation only"
                 )
+            outer_col, inner_col = pair
+            outer_aliases.add(outer_col.alias)
+            if rw.op == "=":
+                keys.append((outer_col, inner_col.name))
+            else:
+                extra_raw.append(rw)
         if not keys:
             raise UnsupportedSqlError(
-                "uncorrelated EXISTS is not in the subset"
+                "EXISTS needs at least one equality correlation"
             )
         if len(outer_aliases) != 1:
             raise UnsupportedSqlError(
                 "EXISTS must correlate with exactly one outer relation"
             )
-        rid = alias_rid[next(iter(outer_aliases))]
+        out_alias = next(iter(outer_aliases))
+        rid = alias_rid[out_alias]
+        # mark extra conds: outer refs -> ("@o", variable), inner stay ("", col)
+        extra = tuple(
+            rewrite_refs(
+                rw,
+                {
+                    (out_alias, c): ("@o", var_map[(out_alias, c)])
+                    for a, c in rw.refs()
+                    if a == out_alias
+                },
+            )
+            for rw in extra_raw
+        )
         semi_filters.setdefault(rid, []).append(
             SemiFilter(
                 negated=ex.negated,
@@ -348,6 +374,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                     (var_map[(k.alias, k.name)], ic) for k, ic in keys
                 ),
                 inner_filters=tuple(inner_only),
+                extra=extra,
             )
         )
     comparisons: list[Comparison] = []
@@ -579,6 +606,7 @@ def _make_derived_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation
             )
         keys: list[tuple[str, str]] = []
         inner_only: list[Cond] = []
+        extra: list[Cond] = []
         for c in ex.conds:
             mapping: dict[tuple[str, str], tuple[str, str]] = {}
             sides: set[str] = set()
@@ -588,7 +616,7 @@ def _make_derived_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation
                     mapping[(a, col)] = ("@i", col)
                     sides.add("inner")
                 elif a in ("", inner_alias) and col in base_cols:
-                    mapping[(a, col)] = ("", col)
+                    mapping[(a, col)] = ("@o", col)
                     sides.add("outer")
                 else:
                     raise UnsupportedSqlError(
@@ -601,25 +629,34 @@ def _make_derived_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation
                         rw, {("@i", col): ("", col) for _, col in rw.refs()}
                     )
                 )
-            elif (
+                continue
+            if not (
                 isinstance(rw, Cmp)
-                and rw.op == "="
                 and isinstance(rw.left, Col)
                 and isinstance(rw.right, Col)
                 and sides == {"inner", "outer"}
             ):
-                if rw.left.alias == "@i" and rw.right.alias == "":
-                    keys.append((rw.right.name, rw.left.name))
-                elif rw.right.alias == "@i" and rw.left.alias == "":
-                    keys.append((rw.left.name, rw.right.name))
-                else:
-                    raise UnsupportedSqlError(
-                        "derived-table EXISTS correlation must be col = col"
-                    )
-            else:
                 raise UnsupportedSqlError(
                     "derived-table EXISTS supports inner-local predicates "
-                    "and equality correlation only"
+                    "and Col-Col correlation only"
+                )
+            if rw.left.alias == "@i" and rw.right.alias == "@o":
+                inner_c, outer_c = rw.left.name, rw.right.name
+            elif rw.right.alias == "@i" and rw.left.alias == "@o":
+                inner_c, outer_c = rw.right.name, rw.left.name
+            else:
+                raise UnsupportedSqlError(
+                    "derived-table EXISTS correlation must be col = col"
+                )
+            if rw.op == "=":
+                keys.append((outer_c, inner_c))
+            else:
+                # SemiFilter.extra convention: inner ("", col)
+                extra.append(
+                    rewrite_refs(
+                        rw,
+                        {("@i", c): ("", c) for a, c in rw.refs() if a == "@i"},
+                    )
                 )
         if not keys:
             raise UnsupportedSqlError(
@@ -631,6 +668,7 @@ def _make_derived_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation
                 table=ex.table,
                 keys=tuple(keys),
                 inner_filters=tuple(inner_only),
+                extra=tuple(extra),
             )
         )
     pk_out: tuple[str, ...] = ()

@@ -80,11 +80,17 @@ def _apply_break(ctx: Context, rid: int, var: str, n: int) -> Context:
     new_semi = ctx.semi_filters
     if ctx.semi_filters.get(rid):
         new_semi = dict(ctx.semi_filters)
+        from sparksqlplus_spark.expressions import rewrite_refs
+
         new_semi[rid] = [
             replace(
                 sf,
                 keys=tuple(
                     (clone if ov == var else ov, ic) for ov, ic in sf.keys
+                ),
+                extra=tuple(
+                    rewrite_refs(c, {("@o", var): ("@o", clone)})
+                    for c in sf.extra
                 ),
             )
             for sf in new_semi[rid]

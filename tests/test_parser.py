@@ -379,3 +379,25 @@ def test_exists_inside_derived_table_lifts_to_pre_semi(engine):
     assert ours.count() == ref.count() > 0
     assert ours.exceptAll(ref).count() == 0
     assert ref.exceptAll(ours).count() == 0
+
+
+def test_exists_non_equality_correlation(engine):
+    """Correlated non-equality predicates (Q21's l2.l_suppkey <>
+    l1.l_suppkey) AND into the semi-join condition alongside the
+    equality keys — both EXISTS and NOT EXISTS forms plan natively and
+    match spark.sql."""
+    q = ("SELECT l1.l_orderkey, l1.l_suppkey FROM lineitem AS l1 "
+         "WHERE EXISTS (SELECT * FROM lineitem AS l2 "
+         "              WHERE l2.l_orderkey = l1.l_orderkey "
+         "                AND l2.l_suppkey <> l1.l_suppkey) "
+         "  AND NOT EXISTS (SELECT * FROM lineitem AS l3 "
+         "                  WHERE l3.l_orderkey = l1.l_orderkey "
+         "                    AND l3.l_linenumber > l1.l_linenumber)")
+    ctx = engine.context(q)
+    sfs = ctx.semi_filters[0]
+    assert len(sfs) == 2 and all(sf.extra for sf in sfs)
+    ours = engine.sql(q, mode="cqc")
+    ref = engine.sql(q, mode="spark").distinct()
+    assert ours.count() == ref.count() > 0
+    assert ours.exceptAll(ref).count() == 0
+    assert ref.exceptAll(ours).count() == 0
