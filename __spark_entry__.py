@@ -616,6 +616,19 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                              WHERE o.o_custkey = c.c_custkey)""",
         None,
     ),
+    # --- NOT IN (subquery) planned NATIVELY as a null-aware anti join
+    # (engine extension): hash left_anti on the key + a broadcast
+    # one-row has-null/empty-set check reproduces SQL's three-valued
+    # NOT IN semantics without the nested-loop join an OR'd condition
+    # would force (compiler/cqc.py:_apply_semi_filter). Same SQL text
+    # is the DuckDB oracle; NULL edge cases are pytest-covered
+    # (tests/test_parser.py:test_not_in_subquery_null_semantics). ---
+    "not_in_nullaware": (
+        """SELECT c.c_custkey, c.c_name FROM customer AS c
+           WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders
+                                     WHERE o_orderpriority = '1-URGENT')""",
+        None,
+    ),
     # --- derived table (engine extension): FROM (SELECT exprs FROM t
     # WHERE conds) planned as a filtered scan with an expression
     # projection — the filter pushes into the parquet scan and may use
@@ -2259,6 +2272,7 @@ _HEAD = [
     "events_quantiles",
     "exists_semijoin",
     "not_exists_anti",
+    "not_in_nullaware",
     "scalar_subquery_avg",
     "cte_agg_view",
     "derived_table_scan",
@@ -2305,8 +2319,9 @@ _HEAD = [
 # agg/ORDER BY by the tpch entries still in window). They rotate back
 # in next round (r7).
 _TAIL = [
-    # rotated out to make room for the six new r6 ops above; each
+    # rotated out to make room for the new r6 ops above; each
     # green r1-r3 and again r5 (one-round skip, back in r7)
+    "extract_year_agg",
     "filters_pushdown",
     "like_patterns",
     "or_residual",

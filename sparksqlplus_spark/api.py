@@ -348,7 +348,11 @@ class SparkSQLPlus:
             result["semi_joins"] = [
                 {
                     "relation": rel_alias[rid],
-                    "kind": "anti" if sf.negated else "semi",
+                    "kind": (
+                        "null_aware_anti"
+                        if sf.negated and sf.null_aware
+                        else "anti" if sf.negated else "semi"
+                    ),
                     "inner_table": sf.table,
                     "keys": [list(k) for k in sf.keys],
                 }

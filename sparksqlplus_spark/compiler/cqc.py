@@ -97,6 +97,27 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
     imap = {("", c): c for c in inner.columns}
     for cond in sf.inner_filters:
         inner = inner.filter(cond.to_spark(imap))
+    if sf.negated and sf.null_aware:
+        # NOT IN (subquery) three-valued NULL semantics, scalably:
+        # an OR'd null-aware join condition would force a nested-loop
+        # join, so split into (1) a hash anti join on the key — drops
+        # real matches — and (2) a broadcast one-row aggregate of the
+        # inner set deciding the NULL cases: an EMPTY set keeps every
+        # row (even NULL probes); any inner NULL, or a NULL probe
+        # against a non-empty set, yields UNKNOWN and drops the row.
+        (ov, ic), = sf.keys  # validated single-key in build_context
+        stats = inner.agg(
+            F.count(F.lit(1)).alias(f"{prefix}_n"),
+            F.count(F.col(ic)).alias(f"{prefix}_nn"),
+        )
+        keys = inner.select(F.col(ic).alias(f"{prefix}_k")).distinct()
+        out = df.join(keys, F.col(ov) == F.col(f"{prefix}_k"), "left_anti")
+        out = out.join(F.broadcast(stats), how="cross")
+        keep = (F.col(f"{prefix}_n") == 0) | (
+            (F.col(f"{prefix}_n") == F.col(f"{prefix}_nn"))
+            & F.col(ov).isNotNull()
+        )
+        return out.filter(keep).drop(f"{prefix}_n", f"{prefix}_nn")
     need = [ic for _, ic in sf.keys]
     for cond in sf.extra:
         need += [c for a, c in cond.refs() if a == ""]

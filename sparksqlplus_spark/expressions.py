@@ -410,6 +410,12 @@ class Exists(Cond):
     table_alias: str
     conds: tuple[Cond, ...]
     negated: bool = False
+    # set by the IN (subquery) desugar: when negated, SQL's NOT IN
+    # three-valued NULL semantics apply (a NULL probe or any NULL in
+    # the inner set yields UNKNOWN, filtering the row) — planned as a
+    # null-aware anti join, not a plain left_anti. Ignored when
+    # negated=False (a positive semi-join already drops NULL probes).
+    null_aware: bool = False
 
     def refs(self):
         # outer refs only: inner-alias refs are scoped to the subquery
@@ -423,8 +429,9 @@ class Exists(Cond):
 
     def key(self):
         n = "not " if self.negated else ""
+        na = "null-aware " if self.null_aware else ""
         inner = " and ".join(c.key() for c in self.conds)
-        return f"({n}exists {self.table} as {self.table_alias}: {inner})"
+        return f"({n}{na}exists {self.table} as {self.table_alias}: {inner})"
 
 
 @dataclass(frozen=True, eq=False)
@@ -493,6 +500,7 @@ def map_expr(node, fn):
             node.table_alias,
             tuple(map_expr(c, fn) for c in node.conds),
             node.negated,
+            node.null_aware,
         )
     raise TypeError(f"unknown node {type(node)}")
 

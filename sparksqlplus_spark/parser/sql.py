@@ -348,7 +348,8 @@ class _Parser:
                 return Cmp("<>", inner.left, inner.right)
             if isinstance(inner, Exists):
                 return Exists(
-                    inner.table, inner.table_alias, inner.conds, not inner.negated
+                    inner.table, inner.table_alias, inner.conds,
+                    not inner.negated, inner.null_aware,
                 )
             raise UnsupportedSqlError("NOT only supported on LIKE/IN/IS NULL/=/EXISTS")
         if self.accept("kw", "exists"):
@@ -414,18 +415,14 @@ class _Parser:
             return Like(left, pat, negated)
         if self.accept("kw", "in"):
             if self.at("kw", "select", k=1):
-                # IN (SELECT col FROM t [WHERE ...]) desugars to the
-                # correlated-equality EXISTS the planner folds into a
-                # left_semi (engine extension). NOT IN does NOT desugar
-                # to anti-join — SQL's NOT IN returns no rows when the
-                # inner side contains a NULL, which a left_anti cannot
-                # express statically — so it stays on the fallback.
-                if negated:
-                    raise UnsupportedSqlError(
-                        "NOT IN (subquery) not in subset (NULL semantics); "
-                        "runs via the spark.sql fallback"
-                    )
-                return self._in_subquery_tail(left)
+                # [NOT] IN (SELECT col FROM t [WHERE ...]) desugars to
+                # the correlated-equality EXISTS the planner folds into
+                # a semi join (engine extension). The Exists carries
+                # null_aware=True: a negated one plans as a NULL-AWARE
+                # anti join (SQL's NOT IN returns no rows when the inner
+                # side contains a NULL — plans/context.py SemiFilter,
+                # compiler/cqc.py _apply_semi_filter).
+                return self._in_subquery_tail(left, negated)
             self.expect("op", "(")
             vals: list[object] = []
             while True:
@@ -450,10 +447,11 @@ class _Parser:
             return IsNull(left, neg2)
         raise UnsupportedSqlError(f"expected predicate after expression, got {t}")
 
-    def _in_subquery_tail(self, left: Expr) -> "Exists":
-        """expr IN (SELECT col FROM t [WHERE conj]) — desugared to the
-        same Exists node as a correlated-equality EXISTS (semi-join);
-        identical subset limits apply (one table, no nesting)."""
+    def _in_subquery_tail(self, left: Expr, negated: bool = False) -> "Exists":
+        """expr [NOT] IN (SELECT col FROM t [WHERE conj]) — desugared
+        to the same Exists node as a correlated-equality EXISTS
+        (semi/anti join) with null_aware=True; identical subset limits
+        apply (one table, no nesting)."""
         self.expect("op", "(")
         self.expect("kw", "select")
         sel = self._expr()
@@ -471,7 +469,10 @@ class _Parser:
                 "IN subquery supports only FROM one table + WHERE"
             )
         self.expect("op", ")")
-        return Exists(fi.table, fi.alias, (Cmp("=", sel, left), *conds))
+        return Exists(
+            fi.table, fi.alias, (Cmp("=", sel, left), *conds),
+            negated=negated, null_aware=True,
+        )
 
     # -- scalar expression grammar -------------------------------------------
     def _expr(self) -> Expr:

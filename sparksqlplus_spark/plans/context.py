@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from sparksqlplus_spark.catalog import Catalog
+from sparksqlplus_spark.catalog import Catalog, UnknownTableError
 from sparksqlplus_spark.expressions import (
     AggCall,
     Cmp,
@@ -130,6 +130,12 @@ class SemiFilter:
     # Refs: outer side ("@o", outer variable) [top-level] or
     # ("@o", base column) [derived pre_semi]; inner side ("", column)
     extra: tuple[Cond, ...] = ()
+    # NOT IN (subquery) three-valued NULL semantics: when negated, plan
+    # as a null-aware anti join (hash anti on the key + a broadcast
+    # one-row has-null/empty-set check) instead of a plain left_anti.
+    # Only the single-key, no-extra shape is admitted (build_context
+    # validates); ignored when negated=False.
+    null_aware: bool = False
 
 
 @dataclass
@@ -194,7 +200,12 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
     relations: list[Relation] = []
     alias_cols: dict[str, list[str]] = {}
     for i, fi in enumerate(spec.from_items):
-        rel = _make_relation(i, fi, catalog)
+        try:
+            rel = _make_relation(i, fi, catalog)
+        except UnknownTableError as exc:
+            # the table may exist only as a Spark temp view — route to
+            # the spark.sql fallback instead of dying here
+            raise UnsupportedSqlError(str(exc)) from None
         relations.append(rel)
         alias_cols[fi.alias] = list(rel.col_to_var.keys())
     if len({r.alias for r in relations}) != len(relations):
@@ -280,7 +291,10 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
     # ---- [NOT] EXISTS → relation-local semi/anti joins (extension) --------
     semi_filters: dict[int, list[SemiFilter]] = {}
     for ex in exists_conds:
-        inner_cols = set(catalog.get(ex.table).column_names)
+        try:
+            inner_cols = set(catalog.get(ex.table).column_names)
+        except UnknownTableError as exc:
+            raise UnsupportedSqlError(str(exc)) from None
         if ex.table_alias in alias_cols:
             raise UnsupportedSqlError(
                 f"EXISTS alias {ex.table_alias!r} shadows an outer alias"
@@ -352,6 +366,11 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             raise UnsupportedSqlError(
                 "EXISTS must correlate with exactly one outer relation"
             )
+        if ex.null_aware and ex.negated and (len(keys) != 1 or extra_raw):
+            raise UnsupportedSqlError(
+                "NOT IN (subquery) supports a single key and no extra "
+                "correlation"
+            )
         out_alias = next(iter(outer_aliases))
         rid = alias_rid[out_alias]
         # mark extra conds: outer refs -> ("@o", variable), inner stay ("", col)
@@ -375,6 +394,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 ),
                 inner_filters=tuple(inner_only),
                 extra=extra,
+                null_aware=ex.null_aware,
             )
         )
     comparisons: list[Comparison] = []
@@ -599,7 +619,10 @@ def _make_derived_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation
     # the derived table's base columns, inner-local predicates)
     pre_semi: list[SemiFilter] = []
     for ex in exists_conds:
-        ex_inner_cols = set(catalog.get(ex.table).column_names)
+        try:
+            ex_inner_cols = set(catalog.get(ex.table).column_names)
+        except UnknownTableError as exc:
+            raise UnsupportedSqlError(str(exc)) from None
         if ex.table_alias == inner_alias:
             raise UnsupportedSqlError(
                 "EXISTS alias inside a derived table shadows its base"
@@ -662,6 +685,11 @@ def _make_derived_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation
             raise UnsupportedSqlError(
                 "uncorrelated EXISTS inside a derived table is not in the subset"
             )
+        if ex.null_aware and ex.negated and (len(keys) != 1 or extra):
+            raise UnsupportedSqlError(
+                "NOT IN (subquery) supports a single key and no extra "
+                "correlation"
+            )
         pre_semi.append(
             SemiFilter(
                 negated=ex.negated,
@@ -669,6 +697,7 @@ def _make_derived_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation
                 keys=tuple(keys),
                 inner_filters=tuple(inner_only),
                 extra=tuple(extra),
+                null_aware=ex.null_aware,
             )
         )
     pk_out: tuple[str, ...] = ()

@@ -216,12 +216,8 @@ def test_exists_parses_and_plans_native(engine):
 
 def test_in_subquery_desugars_to_semijoin(engine):
     """expr IN (SELECT col FROM t WHERE ...) desugars to the Exists
-    semi-join and matches spark.sql; NOT IN (subquery) stays on the
-    fallback (NULL semantics are not expressible as a plain anti-join)."""
-    import pytest
-
-    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
-
+    semi-join; NOT IN (subquery) plans as a NULL-AWARE anti join
+    (hash anti + broadcast has-null check) and matches spark.sql."""
     sql = ("SELECT c.c_custkey FROM customer AS c "
            "WHERE c.c_custkey IN (SELECT o_custkey FROM orders AS o "
            "                      WHERE o.o_orderpriority = '1-URGENT')")
@@ -232,11 +228,47 @@ def test_in_subquery_desugars_to_semijoin(engine):
     assert ours.count() == ref.count() > 0
     assert ours.exceptAll(ref).count() == 0
 
-    with pytest.raises(UnsupportedSqlError):
-        engine.context(
-            "SELECT c.c_custkey FROM customer AS c "
-            "WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders AS o)"
-        )
+    neg = ("SELECT c.c_custkey FROM customer AS c "
+           "WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders AS o "
+           "                          WHERE o.o_orderpriority = '1-URGENT')")
+    ctx2 = engine.context(neg)
+    (sf2,) = ctx2.semi_filters[0]
+    assert sf2.negated and sf2.null_aware
+    ours2 = engine.sql(neg, mode="cqc")
+    ref2 = engine.sql(neg, mode="spark")
+    assert ours2.count() == ref2.count() > 0
+    assert ours2.exceptAll(ref2).count() == 0
+
+
+def test_not_in_subquery_null_semantics(spark):
+    """NOT IN three-valued logic on synthetic data: any NULL in the
+    inner set empties the result; a NULL probe never qualifies against
+    a non-empty set; an EMPTY inner set keeps every row including NULL
+    probes. Each case is checked against spark.sql."""
+    from sparksqlplus_spark.api import SparkSQLPlus
+
+    eng = SparkSQLPlus(spark)
+    probe = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 40)], "pk int, x int"
+    )
+    eng.register("probe_t", probe, primary_key=("pk",))
+    for inner_rows, tag in [
+        ([(10,), (30,)], "plain"),          # drops x=10; keeps 20, 40; drops NULL
+        ([(10,), (None,)], "inner-null"),   # empty result
+        ([], "empty-set"),                  # keeps all four rows
+    ]:
+        inner = spark.createDataFrame(inner_rows, "y int")
+        eng.register("inner_t", inner)
+        q = ("SELECT p.pk FROM probe_t AS p "
+             "WHERE p.x NOT IN (SELECT y FROM inner_t AS i)")
+        ctx = eng.context(q)
+        (sf,) = ctx.semi_filters[0]
+        assert sf.negated and sf.null_aware, tag
+        ours = sorted(r.pk for r in eng.sql(q, mode="cqc").collect())
+        ref = sorted(r.pk for r in eng.sql(q, mode="spark").collect())
+        assert ours == ref, f"{tag}: {ours} != {ref}"
+    expected = {"plain": [2, 4], "inner-null": [], "empty-set": [1, 2, 3, 4]}
+    assert ours == expected["empty-set"]
 
 
 def test_scalar_subquery_folds_to_literal(engine):
