@@ -629,6 +629,22 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                                      WHERE o_orderpriority = '1-URGENT')""",
         None,
     ),
+    # --- GROUP BY ROLLUP with GROUPING() indicator (engine extension;
+    # the reference's GROUP BY takes plain columns only): planned
+    # through the native grouped-frame finalize (compiler/cqc.py) as
+    # df.rollup().agg(). COALESCE keeps the sort keys NULL-free so
+    # Spark (NULLS FIRST) and DuckDB (NULLS LAST) order identically;
+    # GROUPING cast to INT for a schema match. Same SQL is the oracle. ---
+    "rollup_agg": (
+        """SELECT COALESCE(o.o_orderpriority, 'ALL') AS pri,
+                  COALESCE(o.o_orderstatus, 'ALL') AS st,
+                  COUNT(*) AS n, SUM(o.o_totalprice) AS total,
+                  CAST(GROUPING(o.o_orderstatus) AS INT) AS g
+           FROM orders AS o
+           GROUP BY ROLLUP(o.o_orderpriority, o.o_orderstatus)
+           ORDER BY pri, st""",
+        None,
+    ),
     # --- derived table (engine extension): FROM (SELECT exprs FROM t
     # WHERE conds) planned as a filtered scan with an expression
     # projection — the filter pushes into the parquet scan and may use
@@ -2273,6 +2289,7 @@ _HEAD = [
     "exists_semijoin",
     "not_exists_anti",
     "not_in_nullaware",
+    "rollup_agg",
     "scalar_subquery_avg",
     "cte_agg_view",
     "derived_table_scan",
@@ -2322,6 +2339,7 @@ _TAIL = [
     # rotated out to make room for the new r6 ops above; each
     # green r1-r3 and again r5 (one-round skip, back in r7)
     "extract_year_agg",
+    "dedup_cluster_cc",
     "filters_pushdown",
     "like_patterns",
     "or_residual",

@@ -973,12 +973,26 @@ def finalize(result: DataFrame, ctx: Context) -> DataFrame:
         # groupBy: group expressions + each unique AggCall subexpression
         phys: dict[str, str] = {}  # expr.key() -> physical column
         group_cols: list[Column] = []
+        group_names: list[str] = []
         for i, e in enumerate(ctx.group_by):
             if e.key() in phys:
                 continue
             name = next((n for n, oe in ctx.output if oe.key() == e.key()), f"__gb_{i}")
             phys[e.key()] = name
             group_cols.append(e.to_spark(var_map).alias(name))
+            group_names.append(name)
+        def mk_agg(sub) -> Column:
+            # GROUPING(e) must reference the materialized group COLUMN
+            # (Spark matches grouping() args against the grouped frame's
+            # expressions) — resolve through phys, not var_map
+            if sub.func == "grouping" and ctx.group_mode != "plain":
+                if sub.arg.key() not in phys:
+                    raise UnsupportedSqlError(
+                        "GROUPING() argument must be a GROUP BY expression"
+                    )
+                return F.grouping(F.col(phys[sub.arg.key()]))
+            return sub.to_spark(var_map)
+
         agg_cols: list[Column] = []
         for n, oe in ctx.output:
             for sub in _agg_subcalls_of(oe):
@@ -986,13 +1000,13 @@ def finalize(result: DataFrame, ctx: Context) -> DataFrame:
                     continue
                 name = n if oe.key() == sub.key() else f"__agg_{len(agg_cols)}"
                 phys[sub.key()] = name
-                agg_cols.append(sub.to_spark(var_map).alias(name))
+                agg_cols.append(mk_agg(sub).alias(name))
         for e, _ in ctx.order_by:
             for sub in _agg_subcalls_of(e):
                 if sub.key() not in phys:
                     name = f"__agg_{len(agg_cols)}"
                     phys[sub.key()] = name
-                    agg_cols.append(sub.to_spark(var_map).alias(name))
+                    agg_cols.append(mk_agg(sub).alias(name))
         # HAVING may use aggregates that are in neither the output nor
         # the sort list — compute them as helper columns the same way
         for cond in ctx.having:
@@ -1000,10 +1014,30 @@ def finalize(result: DataFrame, ctx: Context) -> DataFrame:
                 if sub.key() not in phys:
                     name = f"__agg_{len(agg_cols)}"
                     phys[sub.key()] = name
-                    agg_cols.append(sub.to_spark(var_map).alias(name))
+                    agg_cols.append(mk_agg(sub).alias(name))
         if not agg_cols:
             # GROUP BY without aggregates ≡ DISTINCT over the group exprs
             result = result.select(*group_cols).distinct()
+        elif ctx.group_mode != "plain":
+            # ROLLUP / CUBE / GROUPING SETS (engine extension):
+            # materialize the group expressions as named columns first,
+            # then hand the plain names to the grouped frame — Spark's
+            # rollup/cube/groupingSets need the set members to be the
+            # same expressions, which plain names guarantee
+            gnames = group_names
+            for name, gc in zip(gnames, group_cols):
+                result = result.withColumn(name, gc)
+            if ctx.group_mode == "rollup":
+                gd = result.rollup(*gnames)
+            elif ctx.group_mode == "cube":
+                gd = result.cube(*gnames)
+            else:
+                sets = [
+                    [gnames[i] for i in s if i < len(gnames)]
+                    for s in ctx.grouping_sets
+                ]
+                gd = result.groupingSets(sets, *gnames)
+            result = gd.agg(*agg_cols)
         elif group_cols:
             result = result.groupBy(*group_cols).agg(*agg_cols)
         else:

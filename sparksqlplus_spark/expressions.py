@@ -216,7 +216,11 @@ class Star(Expr):
         return "*"
 
 
-AGG_FUNCS = {"sum", "count", "avg", "min", "max"}
+# 'grouping' is the GROUPING() indicator for ROLLUP/CUBE rows — it
+# behaves like an aggregate syntactically (valid only under a grouped
+# frame; F.grouping on the Spark side); build_context rejects it
+# outside ROLLUP/CUBE/GROUPING SETS queries.
+AGG_FUNCS = {"sum", "count", "avg", "min", "max", "grouping"}
 
 
 @dataclass(frozen=True)

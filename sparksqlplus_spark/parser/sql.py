@@ -80,6 +80,12 @@ class QuerySpec:
     order_by: list[OrderItem] = field(default_factory=list)
     limit: int | None = None
     having: list[Cond] = field(default_factory=list)  # conjunction
+    # GROUP BY ROLLUP(...) / CUBE(...) / GROUPING SETS ((...), ...) —
+    # engine extension (the reference's GROUP BY takes plain columns
+    # only). 'plain' | 'rollup' | 'cube' | 'sets'; for 'sets',
+    # grouping_sets holds one list of group_by indices per set.
+    group_mode: str = "plain"
+    grouping_sets: list[list[int]] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -228,11 +234,62 @@ class _Parser:
         if self.accept("kw", "where"):
             where.extend(self._conjunction())
         group_by: list[Expr] = []
+        group_mode = "plain"
+        grouping_sets: list[list[int]] = []
         if self.accept("kw", "group"):
             self.expect("kw", "by")
-            group_by.append(self._expr())
-            while self.accept("op", ","):
+            # ROLLUP( ... ) / CUBE( ... ) / GROUPING SETS ((...),...) —
+            # soft keywords (plain ids) so columns named e.g. 'cube'
+            # stay usable outside this position
+            t = self.peek()
+            if (
+                t is not None
+                and t.kind == "id"
+                and t.text.lower() in ("rollup", "cube")
+                and self.at("op", "(", k=1)
+            ):
+                group_mode = self.take().text.lower()
+                self.expect("op", "(")
                 group_by.append(self._expr())
+                while self.accept("op", ","):
+                    group_by.append(self._expr())
+                self.expect("op", ")")
+            elif (
+                t is not None
+                and t.kind == "id"
+                and t.text.lower() == "grouping"
+                and self.at("id", k=1)
+                and self.peek(1).text.lower() == "sets"
+            ):
+                self.take()
+                self.take()
+                group_mode = "sets"
+                self.expect("op", "(")
+                # each set: ( expr, ... ) or ( ) — exprs dedup into
+                # group_by; sets hold indices into it
+                keys: dict[str, int] = {}
+                while True:
+                    self.expect("op", "(")
+                    one: list[int] = []
+                    if not self.at("op", ")"):
+                        while True:
+                            e = self._expr()
+                            k = e.key()
+                            if k not in keys:
+                                keys[k] = len(group_by)
+                                group_by.append(e)
+                            one.append(keys[k])
+                            if not self.accept("op", ","):
+                                break
+                    self.expect("op", ")")
+                    grouping_sets.append(one)
+                    if not self.accept("op", ","):
+                        break
+                self.expect("op", ")")
+            else:
+                group_by.append(self._expr())
+                while self.accept("op", ","):
+                    group_by.append(self._expr())
         having: list[Cond] = []
         if self.at("kw", "having"):
             # post-aggregation filter (engine extension — the reference
@@ -261,7 +318,7 @@ class _Parser:
             limit = int(self.expect("num").text)
         return QuerySpec(
             items, distinct, from_items, where, group_by, order_by, limit,
-            having=having,
+            having=having, group_mode=group_mode, grouping_sets=grouping_sets,
         )
 
     def _select_item(self) -> SelectItem:

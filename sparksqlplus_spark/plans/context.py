@@ -160,6 +160,10 @@ class Context:
     having: list[Cond] = field(default_factory=list)
     # rid -> planned [NOT] EXISTS semi/anti joins (engine extension)
     semi_filters: dict[int, list[SemiFilter]] = field(default_factory=dict)
+    # GROUP BY ROLLUP/CUBE/GROUPING SETS (engine extension):
+    # 'plain' | 'rollup' | 'cube' | 'sets' (+ index lists into group_by)
+    group_mode: str = "plain"
+    grouping_sets: list[list[int]] = field(default_factory=list)
 
     def relation_by_alias(self, alias: str) -> Relation:
         for r in self.relations:
@@ -502,6 +506,25 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                     f"HAVING references non-grouped columns {sorted(leftover)}"
                 )
 
+    # ---- ROLLUP / CUBE / GROUPING SETS validation ------------------------
+    if spec.group_mode != "plain" and not aggregations:
+        raise UnsupportedSqlError(
+            f"GROUP BY {spec.group_mode.upper()} requires at least one "
+            "aggregate in the SELECT list"
+        )
+    if spec.group_mode == "plain" and any(
+        a.func == "grouping" for _, a in aggregations
+    ):
+        raise UnsupportedSqlError(
+            "GROUPING() is only valid with ROLLUP/CUBE/GROUPING SETS"
+        )
+    gb_keys = {e.key() for e in group_by}
+    for _, a in aggregations:
+        if a.func == "grouping" and a.arg.key() not in gb_keys:
+            raise UnsupportedSqlError(
+                "GROUPING() argument must be a GROUP BY expression"
+            )
+
     return Context(
         relations=relations,
         var_map=var_map,
@@ -517,6 +540,8 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
         is_full=is_full,
         having=list(spec.having),
         semi_filters=semi_filters,
+        group_mode=spec.group_mode,
+        grouping_sets=list(spec.grouping_sets),
     )
 
 
@@ -747,6 +772,10 @@ def _make_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation:
         or sub.distinct
     ):
         raise UnsupportedSqlError("subquery must be a simple GROUP BY aggregate over one table")
+    if sub.group_mode != "plain":
+        raise UnsupportedSqlError(
+            "ROLLUP/CUBE/GROUPING SETS inside a subquery is not in the subset"
+        )
     base = catalog.get(sub.from_items[0].table)
     group_cols: list[tuple[str, str]] = []
     agg_func = agg_arg = agg_out = agg_arg_expr = None

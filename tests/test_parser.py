@@ -271,6 +271,47 @@ def test_not_in_subquery_null_semantics(spark):
     assert ours == expected["empty-set"]
 
 
+def test_rollup_cube_grouping_sets(engine):
+    """GROUP BY ROLLUP / CUBE / GROUPING SETS (engine extension) plan
+    natively through the grouped-frame finalize and match spark.sql,
+    including GROUPING() indicators; subquery ROLLUP and GROUPING()
+    without ROLLUP raise and ride the fallback."""
+    import pytest
+
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+    cases = [
+        ("SELECT o.o_orderpriority AS pri, o.o_orderstatus AS st, "
+         "COUNT(*) AS n, GROUPING(o.o_orderstatus) AS g FROM orders AS o "
+         "GROUP BY ROLLUP(o.o_orderpriority, o.o_orderstatus)"),
+        ("SELECT n.n_regionkey AS rk, c.c_mktsegment AS seg, COUNT(*) AS n "
+         "FROM customer AS c, nation AS n "
+         "WHERE c.c_nationkey = n.n_nationkey "
+         "GROUP BY CUBE(n.n_regionkey, c.c_mktsegment)"),
+        ("SELECT o.o_orderpriority AS pri, o.o_orderstatus AS st, "
+         "COUNT(*) AS n FROM orders AS o GROUP BY GROUPING SETS "
+         "((o.o_orderpriority), (o.o_orderstatus), ())"),
+    ]
+    for q in cases:
+        ours = eng_df = engine.sql(q, mode="cqc")
+        ref = engine.sql(q, mode="spark")
+        assert ours.count() == ref.count() > 0
+        assert ours.exceptAll(ref).count() == 0
+        assert ref.exceptAll(eng_df).count() == 0
+
+    with pytest.raises(UnsupportedSqlError):
+        engine.context(
+            "SELECT t.s, COUNT(*) AS n FROM "
+            "(SELECT o_orderstatus AS s, COUNT(*) AS c FROM orders "
+            " GROUP BY ROLLUP(o_orderstatus)) AS t GROUP BY t.s"
+        )
+    with pytest.raises(UnsupportedSqlError):
+        engine.context(
+            "SELECT o.o_orderstatus AS st, GROUPING(o.o_orderstatus) AS g, "
+            "COUNT(*) AS n FROM orders AS o GROUP BY o.o_orderstatus"
+        )
+
+
 def test_scalar_subquery_folds_to_literal(engine):
     """Uncorrelated scalar subqueries fold to a computed Lit before
     planning (above-average filter — the classic idiom); correlated
