@@ -629,6 +629,20 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                                      WHERE o_orderpriority = '1-URGENT')""",
         None,
     ),
+    # --- EXCEPT (set difference) planned natively: each part runs
+    # through the engine with ANSI bag semantics, then df.subtract
+    # (hash-partition exchange, no driver materialization). Same SQL
+    # is the DuckDB oracle; UNION/INTERSECT classes are pytest-covered
+    # (tests/test_parser.py:test_compound_set_operators) and UNION in
+    # the union_scan entry (now native through the same path). ---
+    "setop_except": (
+        """SELECT c.c_custkey AS k FROM customer AS c
+           EXCEPT
+           SELECT o.o_custkey AS k FROM orders AS o
+           WHERE o.o_orderpriority = '1-URGENT'
+           ORDER BY k""",
+        None,
+    ),
     # --- GROUP BY ROLLUP with GROUPING() indicator (engine extension;
     # the reference's GROUP BY takes plain columns only): planned
     # through the native grouped-frame finalize (compiler/cqc.py) as
@@ -2290,6 +2304,7 @@ _HEAD = [
     "not_exists_anti",
     "not_in_nullaware",
     "rollup_agg",
+    "setop_except",
     "scalar_subquery_avg",
     "cte_agg_view",
     "derived_table_scan",
@@ -2340,6 +2355,7 @@ _TAIL = [
     # green r1-r3 and again r5 (one-round skip, back in r7)
     "extract_year_agg",
     "dedup_cluster_cc",
+    "events_ewma_multibatch",
     "filters_pushdown",
     "like_patterns",
     "or_residual",

@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sparksqlplus_spark.catalog import Catalog, TableMeta, parse_ddl
 from sparksqlplus_spark.compiler.cqc import CqcExecutor, naive_execute
-from sparksqlplus_spark.parser.sql import UnsupportedSqlError, parse_query
+from sparksqlplus_spark.parser.sql import (
+    CompoundSpec,
+    UnsupportedSqlError,
+    parse_query,
+    parse_statement,
+)
 from sparksqlplus_spark.plans.context import Context, build_context
 from sparksqlplus_spark.plans.gyo import best_join_tree, gyo_join_tree
 
@@ -245,6 +250,72 @@ class SparkSQLPlus:
             executor=self._executor,
         )
 
+    def _run_compound(
+        self,
+        comp: CompoundSpec,
+        mode: str = "auto",
+        cyclic_strategy: str = "auto",
+        count_mode: str = "rows",
+    ) -> DataFrame:
+        """Execute a set-operator compound: plan each part natively,
+        then fold left-associatively with the matching Spark set op.
+        Parts get ANSI bag semantics (CompoundSpec docstring) — the
+        combining operator owns the dedup decision, so UNION ALL keeps
+        duplicates a CQ-dialect part would have collapsed. Columns
+        align by POSITION (standard SQL), renamed to the first part's
+        names. The whole chain stays one lazy Spark plan — set ops are
+        hash-partition exchanges, no driver materialization."""
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import Col
+
+        dfs: list[DataFrame] = []
+        for part in comp.parts:
+            ctx = build_context(self._fold_scalars(part), self.catalog)
+            ctx.is_full = True  # ANSI bag semantics for compound parts
+            if mode == "naive":
+                dfs.append(naive_execute(self.spark, self.catalog, ctx))
+            else:
+                dfs.append(
+                    self._run_context(
+                        ctx, mode=mode, cyclic_strategy=cyclic_strategy,
+                        count_mode=count_mode,
+                    )
+                )
+        width = len(dfs[0].columns)
+        for d in dfs[1:]:
+            if len(d.columns) != width:
+                raise UnsupportedSqlError(
+                    "compound parts differ in column count"
+                )
+        acc = dfs[0]
+        for (op, is_all), d in zip(comp.ops, dfs[1:]):
+            d = d.toDF(*acc.columns)
+            if op == "union":
+                acc = acc.unionAll(d)
+                if not is_all:
+                    acc = acc.dropDuplicates()
+            elif op == "intersect":
+                acc = acc.intersectAll(d) if is_all else acc.intersect(d)
+            else:
+                acc = acc.exceptAll(d) if is_all else acc.subtract(d)
+        if comp.order_by:
+            sort_exprs = []
+            for oi in comp.order_by:
+                e = oi.expr
+                if not (
+                    isinstance(e, Col) and e.alias == "" and e.name in acc.columns
+                ):
+                    raise UnsupportedSqlError(
+                        "compound ORDER BY must name output columns"
+                    )
+                col = F.col(e.name)
+                sort_exprs.append(col.desc() if oi.desc else col.asc())
+            acc = acc.orderBy(*sort_exprs)
+        if comp.limit is not None:
+            acc = acc.limit(comp.limit)
+        return acc
+
     def sql(
         self,
         query: str,
@@ -280,7 +351,17 @@ class SparkSQLPlus:
             self._ensure_views()
             return self.spark.sql(query)
         try:
-            ctx = self.context(query)
+            stmt = parse_statement(query)
+            if isinstance(stmt, CompoundSpec):
+                if join_tree_hint is not None:
+                    raise UnsupportedSqlError(
+                        "join_tree_hint does not apply to a compound query"
+                    )
+                return self._run_compound(
+                    stmt, mode=mode, cyclic_strategy=cyclic_strategy,
+                    count_mode=count_mode,
+                )
+            ctx = build_context(self._fold_scalars(stmt), self.catalog)
         except UnsupportedSqlError:
             if mode == "auto" and join_tree_hint is None:
                 self._ensure_views()

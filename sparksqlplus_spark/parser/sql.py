@@ -88,6 +88,23 @@ class QuerySpec:
     grouping_sets: list[list[int]] = field(default_factory=list)
 
 
+@dataclass
+class CompoundSpec:
+    """UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL] chain (engine
+    extension; the reference parses exactly one SELECT). Parts combine
+    by POSITION, left-associatively; a trailing ORDER BY / LIMIT binds
+    to the whole compound. Parts carry ANSI bag semantics (the CQ
+    non-full => DISTINCT rule is a reference-dialect behavior; set
+    operators are pure SQL surface, so they follow SQL exactly).
+    INTERSECT mixed with other operators is rejected (its higher ANSI
+    precedence would make left-assoc evaluation wrong)."""
+
+    parts: list[QuerySpec]
+    ops: list[tuple[str, bool]]  # between parts: (op, is_all)
+    order_by: list[OrderItem] = field(default_factory=list)
+    limit: int | None = None
+
+
 # ---------------------------------------------------------------------------
 # tokenizer
 # ---------------------------------------------------------------------------
@@ -184,7 +201,7 @@ class _Parser:
         return False
 
     # -- grammar -----------------------------------------------------------
-    def parse_query(self) -> QuerySpec:
+    def _with_clause(self) -> dict[str, QuerySpec]:
         # WITH name AS (SELECT ...) [, ...] — desugared by substituting
         # each CTE reference in FROM with an inline subquery, so the
         # C21 aggregated-view shape plans natively (the reference's own
@@ -203,12 +220,64 @@ class _Parser:
                 ctes[name.lower()] = sub
                 if not self.accept("op", ","):
                     break
+        return ctes
+
+    def parse_query(self) -> QuerySpec:
+        ctes = self._with_clause()
         q = self._select_stmt()
         if ctes:
             _substitute_ctes(q, ctes)
         if self.peek() is not None:
             raise UnsupportedSqlError(f"trailing tokens at {self.peek()}")
         return q
+
+    def parse_statement(self) -> "QuerySpec | CompoundSpec":
+        """Like parse_query, but additionally accepts a top-level
+        UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL] chain."""
+        ctes = self._with_clause()
+        parts = [self._select_stmt()]
+        ops: list[tuple[str, bool]] = []
+        while True:
+            t = self.peek()
+            if self.at("kw", "union"):
+                self.take()
+                op = "union"
+            elif t is not None and t.kind == "id" and t.text.lower() in (
+                "intersect", "except",
+            ):
+                self.take()
+                op = t.text.lower()
+            else:
+                break
+            is_all = False
+            t2 = self.peek()
+            if t2 is not None and t2.kind == "id" and t2.text.lower() == "all":
+                self.take()
+                is_all = True
+            ops.append((op, is_all))
+            parts.append(self._select_stmt())
+        if ctes:
+            for p in parts:
+                _substitute_ctes(p, ctes)
+        if self.peek() is not None:
+            raise UnsupportedSqlError(f"trailing tokens at {self.peek()}")
+        if len(parts) == 1:
+            return parts[0]
+        opnames = {op for op, _ in ops}
+        if "intersect" in opnames and len(opnames) > 1:
+            raise UnsupportedSqlError(
+                "INTERSECT mixed with UNION/EXCEPT is not in the subset "
+                "(precedence); parenthesize via the spark.sql fallback"
+            )
+        for p in parts[:-1]:
+            if p.order_by or p.limit is not None:
+                raise UnsupportedSqlError(
+                    "ORDER BY/LIMIT on a non-final compound part needs "
+                    "parentheses; not in the subset"
+                )
+        order_by, limit = parts[-1].order_by, parts[-1].limit
+        parts[-1].order_by, parts[-1].limit = [], None
+        return CompoundSpec(parts, ops, order_by, limit)
 
     def _select_stmt(self) -> QuerySpec:
         self.expect("kw", "select")
@@ -702,5 +771,11 @@ def _substitute_ctes(spec: QuerySpec, ctes: dict[str, QuerySpec]) -> None:
 
 def parse_query(sql: str) -> QuerySpec:
     """Parse the supported SQL subset into a QuerySpec (raises
-    UnsupportedSqlError outside the subset)."""
+    UnsupportedSqlError outside the subset, including compounds)."""
     return _Parser(tokenize(sql.strip().rstrip(";"))).parse_query()
+
+
+def parse_statement(sql: str) -> "QuerySpec | CompoundSpec":
+    """Parse one statement: a plain query, or a top-level set-operator
+    compound (engine extension) as a CompoundSpec."""
+    return _Parser(tokenize(sql.strip().rstrip(";"))).parse_statement()

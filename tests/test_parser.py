@@ -312,6 +312,50 @@ def test_rollup_cube_grouping_sets(engine):
         )
 
 
+def test_compound_set_operators(engine):
+    """Top-level UNION [ALL] / INTERSECT / EXCEPT chains plan each part
+    natively with ANSI bag semantics and fold with Spark set ops; a
+    trailing ORDER BY/LIMIT binds to the whole compound. INTERSECT
+    mixed with other ops is rejected (precedence) and falls back."""
+    import pytest
+
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError, parse_query
+
+    cases = [
+        # UNION ALL over non-full parts must keep duplicates (ANSI),
+        # not collapse them with the CQ non-full DISTINCT rule
+        ("SELECT o.o_orderstatus AS s FROM orders AS o "
+         "WHERE o.o_totalprice > 100000.0 "
+         "UNION ALL SELECT o.o_orderstatus AS s FROM orders AS o "
+         "WHERE o.o_orderpriority = '1-URGENT'"),
+        ("SELECT c.c_custkey AS k FROM customer AS c "
+         "EXCEPT SELECT o.o_custkey AS k FROM orders AS o "
+         "WHERE o.o_orderpriority = '1-URGENT'"),
+        ("SELECT c.c_custkey AS k FROM customer AS c "
+         "INTERSECT SELECT o.o_custkey AS k FROM orders AS o"),
+        ("SELECT n.n_nationkey AS k FROM nation AS n "
+         "UNION SELECT r.r_regionkey AS k FROM region AS r "
+         "ORDER BY k DESC LIMIT 7"),
+    ]
+    for q in cases:
+        ours = engine.sql(q)
+        ref = engine.sql(q, mode="spark")
+        assert ours.count() == ref.count()
+        assert ours.exceptAll(ref).count() == 0
+        assert ref.exceptAll(ours).count() == 0
+
+    # compound stays out of parse_query (single-SELECT callers)
+    with pytest.raises(UnsupportedSqlError):
+        parse_query("SELECT a FROM t UNION SELECT b FROM u")
+    # INTERSECT mixed with UNION is rejected at parse_statement
+    from sparksqlplus_spark.parser.sql import parse_statement
+
+    with pytest.raises(UnsupportedSqlError):
+        parse_statement(
+            "SELECT a FROM t UNION SELECT b FROM u INTERSECT SELECT c FROM v"
+        )
+
+
 def test_scalar_subquery_folds_to_literal(engine):
     """Uncorrelated scalar subqueries fold to a computed Lit before
     planning (above-average filter — the classic idiom); correlated
