@@ -493,11 +493,12 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     # --- TPC-H Q13 shape: LEFT OUTER JOIN + two-level COUNT — one of
     # the four TPC-H queries the reference's planning suite skips
     # entirely (TpchQueriesTest.scala has no Q13/Q16/Q21/Q22: outer
-    # join / NOT EXISTS are outside its subset). Runs through the
-    # engine's documented spark.sql fallback (api.sql mode='auto' —
-    # the real user path for out-of-subset SQL); o_comment doesn't
-    # exist in the testdata, so the classic '%special%requests%'
-    # anti-filter becomes an orderpriority NOT LIKE ---
+    # join / NOT EXISTS are outside its subset). Plans NATIVELY since
+    # round 6: the LEFT JOIN runs through api._run_outer (core block +
+    # attachment + tail over the joined frame) inside a recursively
+    # planned composite view; o_comment doesn't exist in the testdata,
+    # so the classic '%special%requests%' anti-filter becomes an
+    # orderpriority NOT LIKE ---
     "tpch_q13": (
         """SELECT c_count, COUNT(*) AS custdist
            FROM (SELECT c.c_custkey AS c_custkey,

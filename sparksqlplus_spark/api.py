@@ -65,6 +65,7 @@ class SparkSQLPlus:
         self.spark = spark
         self.catalog = catalog or Catalog()
         self._executor = CqcExecutor(spark, self.catalog)
+        self._view_counter = 0  # ephemeral composite-view names
 
     # -- registration --------------------------------------------------------
     def ddl(self, ddl_str: str) -> None:
@@ -223,6 +224,322 @@ class SparkSQLPlus:
             having=[map_expr(c, fold) for c in spec.having],
         )
 
+    def _plan_subqueries(self, spec) -> list[str]:
+        """Composite views (engine extension): any FROM-subquery that
+        the narrow native shapes (derived filtered scan, C21 aggregated
+        view) reject is planned RECURSIVELY through the full pipeline
+        and registered as an ephemeral DataFrame-backed catalog table
+        the outer query scans — so aggregates over joins, multi-level
+        nesting, and (via their own planning) window/outer-join bodies
+        all compose natively. The registration is plan-time only: the
+        view is one lazy Spark plan Catalyst sees through (filters
+        from the outer query still push into it), and the caller
+        unregisters the returned names once the statement's DataFrame
+        is built. Subquery results use ANSI bag semantics (pure SQL
+        surface, same rationale as CompoundSpec). A GROUP BY on plain
+        projected columns becomes the view's primary key (the planner's
+        FD/broadcast hints); so does DISTINCT over all columns."""
+        from sparksqlplus_spark.catalog import UnknownTableError
+        from sparksqlplus_spark.expressions import Col
+        from sparksqlplus_spark.plans.context import _make_relation
+
+        ephemeral: list[str] = []
+        for i, fi in enumerate(spec.from_items):
+            if fi.subquery is None:
+                continue
+            try:
+                _make_relation(i, fi, self.catalog)
+                continue  # narrow native shape — tighter integration
+            except (UnsupportedSqlError, UnknownTableError):
+                pass
+            # CTE substitution can alias ONE QuerySpec object into
+            # several FROM items, and recursive planning mutates the
+            # spec in place — plan a private copy
+            import copy
+
+            sub = copy.deepcopy(fi.subquery)
+            df = self._plan_spec(sub, ansi=True)
+            # PK inference from the sub-spec's shape
+            pk: tuple[str, ...] = ()
+            out_names: dict[str, str] = {}
+            for si in sub.select:
+                if isinstance(si.expr, Col):
+                    out_names[si.expr.key()] = si.alias or si.expr.name
+            if sub.distinct:
+                pk = tuple(df.columns)
+            elif sub.group_by and sub.group_mode == "plain":
+                keys = [e.key() for e in sub.group_by]
+                if all(
+                    isinstance(e, Col) for e in sub.group_by
+                ) and all(k in out_names for k in keys):
+                    pk = tuple(dict.fromkeys(out_names[k] for k in keys))
+            if pk and not set(pk) <= set(df.columns):
+                pk = ()
+            self._view_counter += 1
+            name = f"__view{self._view_counter}_{fi.alias}"
+            self.catalog.register_df(name, df, pk)
+            ephemeral.append(name)
+            fi.table = name
+            fi.subquery = None
+        return ephemeral
+
+    def _plan_spec(
+        self,
+        spec,
+        mode: str = "auto",
+        cyclic_strategy: str = "auto",
+        count_mode: str = "rows",
+        ansi: bool = False,
+    ) -> DataFrame:
+        """Plan one QuerySpec end-to-end: fold scalar subqueries, plan
+        composite FROM-subqueries, build the context, execute. ansi=True
+        forces bag semantics (compound parts / composite views)."""
+        spec = self._fold_scalars(spec)
+        if spec.outer_joins:
+            return self._run_outer(
+                spec, mode=mode, cyclic_strategy=cyclic_strategy,
+                count_mode=count_mode,
+            )
+        ephemeral = self._plan_subqueries(spec)
+        try:
+            ctx = build_context(spec, self.catalog)
+            if ansi:
+                ctx.is_full = True
+            return self._run_context(
+                ctx, mode=mode, cyclic_strategy=cyclic_strategy,
+                count_mode=count_mode,
+            )
+        finally:
+            for n in ephemeral:
+                self.catalog.unregister(n)
+
+    def _run_outer(
+        self,
+        spec,
+        mode: str = "auto",
+        cyclic_strategy: str = "auto",
+        count_mode: str = "rows",
+    ) -> DataFrame:
+        """LEFT OUTER JOIN planner (engine extension; the reference is
+        inner-join only). Three phases, one lazy Spark plan end to end:
+
+        1. the inner FROM block + inner-only WHERE conjuncts plan
+           through the NORMAL pipeline (CQC reduce/enumerate, cyclic
+           router — all of it) with bag semantics, projecting every
+           inner column under a generated name;
+        2. each LEFT JOIN attaches in source order: right-local ON
+           conjuncts pre-filter the right side (equivalent for a left
+           join, and they push into the right scan), the rest join;
+           broadcast/shuffle choice is Catalyst's by size, as with any
+           equi-join;
+        3. the SELECT/GROUP BY/HAVING/ORDER BY/LIMIT tail runs as a
+           single-table query over the joined frame through the same
+           build_context + finalize as every other statement (so
+           ROLLUP, HAVING, aliases all work) — with ANSI semantics,
+           which makes WHERE right.key IS NULL the native anti-join
+           idiom and TPC-H Q13 plan natively.
+        """
+        import copy
+
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.catalog import UnknownTableError
+        from sparksqlplus_spark.expressions import (
+            Col,
+            Exists,
+            ScalarSubquery,
+            map_expr,
+            rewrite_refs,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OrderItem, SelectItem
+        from sparksqlplus_spark.plans.context import (
+            _default_name,
+            _make_relation,
+        )
+
+        # EXISTS / unfolded scalar subqueries are not supported in the
+        # outer-join subset — detect early so mode='auto' falls back
+        def _probe(node):
+            if isinstance(node, (Exists, ScalarSubquery)):
+                raise UnsupportedSqlError(
+                    "EXISTS/scalar subqueries with LEFT OUTER JOIN are "
+                    "not in the subset"
+                )
+            return None
+
+        all_conds = [
+            *spec.where,
+            *[c for oj in spec.outer_joins for c in oj.conds],
+            *spec.having,
+        ]
+        for c in all_conds:
+            map_expr(c, _probe)
+        for si in spec.select:
+            map_expr(si.expr, _probe)
+
+        ephemeral: list[str] = []
+        try:
+            ephemeral += self._plan_subqueries(spec)
+            for oj in spec.outer_joins:
+                if oj.item.subquery is not None:
+                    sub = copy.deepcopy(oj.item.subquery)
+                    df = self._plan_spec(sub, ansi=True)
+                    self._view_counter += 1
+                    name = f"__view{self._view_counter}_{oj.item.alias}"
+                    self.catalog.register_df(name, df, ())
+                    ephemeral.append(name)
+                    oj.item.table = name
+                    oj.item.subquery = None
+
+            # ---- alias -> columns over BOTH sides ----------------------
+            alias_cols: dict[str, list[str]] = {}
+            for i, fi in enumerate(spec.from_items):
+                try:
+                    rel = _make_relation(i, fi, self.catalog)
+                except UnknownTableError as exc:
+                    raise UnsupportedSqlError(str(exc)) from None
+                alias_cols[fi.alias] = list(rel.col_to_var.keys())
+            outer_cols: dict[str, list[str]] = {}
+            for oj in spec.outer_joins:
+                try:
+                    meta = self.catalog.get(oj.item.table)
+                except UnknownTableError as exc:
+                    raise UnsupportedSqlError(str(exc)) from None
+                outer_cols[oj.item.alias] = list(meta.column_names)
+            every = {**alias_cols, **outer_cols}
+            if len(every) != len(alias_cols) + len(outer_cols):
+                raise UnsupportedSqlError("duplicate FROM alias")
+
+            def owner(col: str) -> str:
+                owners = [a for a, cols in every.items() if col in cols]
+                if len(owners) != 1:
+                    raise UnsupportedSqlError(
+                        f"ambiguous or unknown column {col!r}"
+                    )
+                return owners[0]
+
+            def qualify(node):
+                mapping = {}
+                for a, c in node.refs():
+                    if a == "":
+                        mapping[(a, c)] = (owner(c), c)
+                    elif a not in every:
+                        raise UnsupportedSqlError(f"unknown alias {a!r}")
+                    elif c not in every[a]:
+                        raise UnsupportedSqlError(f"unknown column {a}.{c}")
+                return rewrite_refs(node, mapping) if mapping else node
+
+            where_q = [qualify(c) for c in spec.where]
+            on_q = [[qualify(c) for c in oj.conds] for oj in spec.outer_joins]
+
+            # ---- split WHERE: inner-only pushes into the core ----------
+            inner_aliases = set(alias_cols)
+            core_where, post_where = [], []
+            for c in where_q:
+                refs = {a for a, _ in c.refs()}
+                (core_where if refs <= inner_aliases else post_where).append(c)
+
+            # ---- phase 1: core inner block -----------------------------
+            phys: dict[tuple[str, str], str] = {}
+            core_sel: list[SelectItem] = []
+            for a, cols in alias_cols.items():
+                for c in cols:
+                    phys[(a, c)] = f"__i{len(phys)}"
+                    core_sel.append(SelectItem(Col(a, c), phys[(a, c)]))
+            from sparksqlplus_spark.parser.sql import QuerySpec
+
+            core_spec = QuerySpec(
+                select=core_sel, distinct=False,
+                from_items=spec.from_items, where=core_where,
+            )
+            core_ctx = build_context(core_spec, self.catalog)
+            core_ctx.is_full = True  # SQL bag semantics for the core
+            if mode == "naive":
+                joined = naive_execute(self.spark, self.catalog, core_ctx)
+            else:
+                joined = self._run_context(
+                    core_ctx, mode=mode, cyclic_strategy=cyclic_strategy,
+                    count_mode=count_mode,
+                )
+
+            # ---- phase 2: attach LEFT JOINs in source order ------------
+            known = dict(phys)  # (alias, col) -> physical column
+            for j, (oj, conds) in enumerate(zip(spec.outer_joins, on_q)):
+                a = oj.item.alias
+                right = self.catalog.get(oj.item.table).load(self.spark)
+                ren = {c: f"__o{j}_{k}" for k, c in enumerate(outer_cols[a])}
+                right = right.select(
+                    *[F.col(c).alias(ren[c]) for c in outer_cols[a]]
+                )
+                join_cond = None
+                for cond in conds:
+                    refs = {al for al, _ in cond.refs()}
+                    if refs <= {a}:
+                        right = right.filter(
+                            cond.to_spark({(a, c): ren[c] for c in ren})
+                        )
+                        continue
+                    if not all(
+                        al == a or (al, c) in known for al, c in cond.refs()
+                    ):
+                        raise UnsupportedSqlError(
+                            "LEFT JOIN ON may only reference earlier "
+                            "FROM items"
+                        )
+                    m = dict(known)
+                    m.update({(a, c): ren[c] for c in ren})
+                    cc = cond.to_spark(m)
+                    join_cond = cc if join_cond is None else (join_cond & cc)
+                if join_cond is None:
+                    raise UnsupportedSqlError(
+                        "LEFT JOIN needs a correlated ON condition"
+                    )
+                joined = joined.join(right, join_cond, "left")
+                known.update({(a, c): ren[c] for c in ren})
+
+            # ---- phase 3: the statement tail over the joined frame -----
+            self._view_counter += 1
+            jname = f"__ojoin{self._view_counter}"
+            self.catalog.register_df(jname, joined, ())
+            ephemeral.append(jname)
+            remap = {k: ("", v) for k, v in known.items()}
+
+            final_sel = []
+            for i, si in enumerate(spec.select):
+                name = si.alias or _default_name(si.expr, i)
+                final_sel.append(
+                    SelectItem(rewrite_refs(qualify(si.expr), remap), name)
+                )
+            out_aliases = {si.alias for si in final_sel}
+
+            def fix_order(e):
+                if isinstance(e, Col) and e.alias == "" and e.name in out_aliases:
+                    return e  # resolves against the output alias
+                return rewrite_refs(qualify(e), remap)
+
+            final_spec = QuerySpec(
+                select=final_sel,
+                distinct=spec.distinct,
+                from_items=[FromItem(alias="__j", table=jname)],
+                where=[rewrite_refs(c, remap) for c in post_where],
+                group_by=[rewrite_refs(qualify(e), remap) for e in spec.group_by],
+                order_by=[
+                    OrderItem(fix_order(oi.expr), oi.desc)
+                    for oi in spec.order_by
+                ],
+                limit=spec.limit,
+                having=[rewrite_refs(qualify(c), remap) for c in spec.having],
+                group_mode=spec.group_mode,
+                grouping_sets=list(spec.grouping_sets),
+            )
+            return self._plan_spec(
+                final_spec, mode=mode, cyclic_strategy=cyclic_strategy,
+                count_mode=count_mode, ansi=True,
+            )
+        finally:
+            for n in ephemeral:
+                self.catalog.unregister(n)
+
     def _run_context(
         self,
         ctx: Context,
@@ -271,15 +588,15 @@ class SparkSQLPlus:
 
         dfs: list[DataFrame] = []
         for part in comp.parts:
-            ctx = build_context(self._fold_scalars(part), self.catalog)
-            ctx.is_full = True  # ANSI bag semantics for compound parts
             if mode == "naive":
+                ctx = build_context(self._fold_scalars(part), self.catalog)
+                ctx.is_full = True  # ANSI bag semantics for compound parts
                 dfs.append(naive_execute(self.spark, self.catalog, ctx))
             else:
                 dfs.append(
-                    self._run_context(
-                        ctx, mode=mode, cyclic_strategy=cyclic_strategy,
-                        count_mode=count_mode,
+                    self._plan_spec(
+                        part, mode=mode, cyclic_strategy=cyclic_strategy,
+                        count_mode=count_mode, ansi=True,
                     )
                 )
         width = len(dfs[0].columns)
@@ -361,31 +678,52 @@ class SparkSQLPlus:
                     stmt, mode=mode, cyclic_strategy=cyclic_strategy,
                     count_mode=count_mode,
                 )
-            ctx = build_context(self._fold_scalars(stmt), self.catalog)
+            stmt = self._fold_scalars(stmt)
+            if stmt.outer_joins:
+                if join_tree_hint is not None:
+                    raise UnsupportedSqlError(
+                        "join_tree_hint does not apply to an outer join"
+                    )
+                return self._run_outer(
+                    stmt, mode=mode, cyclic_strategy=cyclic_strategy,
+                    count_mode=count_mode,
+                )
+            ephemeral = self._plan_subqueries(stmt)
+            try:
+                ctx = build_context(stmt, self.catalog)
+                if ephemeral:
+                    # composite views are a pure-SQL extension surface:
+                    # their statements follow ANSI bag semantics
+                    ctx.is_full = True
+                if mode == "naive":
+                    return naive_execute(self.spark, self.catalog, ctx)
+                if join_tree_hint is not None:
+                    from sparksqlplus_spark.plans.hints import (
+                        join_tree_from_hint,
+                    )
+
+                    tree = join_tree_from_hint(ctx, join_tree_hint)
+                    return self._executor.execute_tree(
+                        ctx,
+                        tree,
+                        root_hint=root_hint or tree.relations[tree.root].alias,
+                        count_mode=count_mode,
+                    )
+                return self._run_context(
+                    ctx,
+                    mode=mode,
+                    root_hint=root_hint,
+                    cyclic_strategy=cyclic_strategy,
+                    count_mode=count_mode,
+                )
+            finally:
+                for n in ephemeral:
+                    self.catalog.unregister(n)
         except UnsupportedSqlError:
             if mode == "auto" and join_tree_hint is None:
                 self._ensure_views()
                 return self.spark.sql(query)
             raise
-        if mode == "naive":
-            return naive_execute(self.spark, self.catalog, ctx)
-        if join_tree_hint is not None:
-            from sparksqlplus_spark.plans.hints import join_tree_from_hint
-
-            tree = join_tree_from_hint(ctx, join_tree_hint)
-            return self._executor.execute_tree(
-                ctx,
-                tree,
-                root_hint=root_hint or tree.relations[tree.root].alias,
-                count_mode=count_mode,
-            )
-        return self._run_context(
-            ctx,
-            mode=mode,
-            root_hint=root_hint,
-            cyclic_strategy=cyclic_strategy,
-            count_mode=count_mode,
-        )
 
     def plan_candidates(self, query: str, limit: int = 24) -> dict:
         """Ranked candidate join trees for user plan choice — the

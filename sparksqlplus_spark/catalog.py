@@ -120,6 +120,12 @@ class Catalog:
             )
         )
 
+    def unregister(self, name: str) -> None:
+        """Drop a table entry (no-op if absent) — used for the
+        ephemeral composite-view registrations api._plan_subqueries
+        makes while planning a single statement."""
+        self._tables.pop(name.lower(), None)
+
     def get(self, name: str) -> TableMeta:
         key = name.lower()
         if key not in self._tables:

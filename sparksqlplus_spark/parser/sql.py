@@ -71,6 +71,19 @@ class OrderItem:
 
 
 @dataclass
+class OuterJoin:
+    """One LEFT [OUTER] JOIN attachment (engine extension; the
+    reference supports inner joins only). Applied AFTER the inner FROM
+    block joins, in source order; `conds` is the ON conjunction (right-
+    local conjuncts pre-filter the right side — equivalent for a left
+    join; everything else joins)."""
+
+    item: FromItem
+    conds: list[Cond]
+    side: str = "left"
+
+
+@dataclass
 class QuerySpec:
     select: list[SelectItem]
     distinct: bool
@@ -86,6 +99,10 @@ class QuerySpec:
     # grouping_sets holds one list of group_by indices per set.
     group_mode: str = "plain"
     grouping_sets: list[list[int]] = field(default_factory=list)
+    # LEFT [OUTER] JOIN attachments, applied after the inner FROM block
+    # (engine extension — api._run_outer). build_context rejects specs
+    # carrying these; the API routes them to the outer-join planner.
+    outer_joins: list[OuterJoin] = field(default_factory=list)
 
 
 @dataclass
@@ -288,16 +305,47 @@ class _Parser:
         self.expect("kw", "from")
         from_items = [self._from_item()]
         where: list[Cond] = []
+        outer_joins: list[OuterJoin] = []
         while True:
-            if self.accept("op", ","):
+            t = self.peek()
+            if self.at("op", ","):
+                if outer_joins:
+                    raise UnsupportedSqlError(
+                        "joins after a LEFT OUTER JOIN must be outer "
+                        "(ordering changes semantics); not in the subset"
+                    )
+                self.take()
                 from_items.append(self._from_item())
             elif self.at("kw", "inner") or self.at("kw", "join"):
+                if outer_joins:
+                    raise UnsupportedSqlError(
+                        "joins after a LEFT OUTER JOIN must be outer "
+                        "(ordering changes semantics); not in the subset"
+                    )
                 # INNER JOIN t AS a ON cond — desugar to comma + condition
                 self.accept("kw", "inner")
                 self.expect("kw", "join")
                 from_items.append(self._from_item())
                 self.expect("kw", "on")
                 where.extend(self._conjunction())
+            elif (
+                t is not None
+                and t.kind == "id"
+                and t.text.lower() in ("left", "right", "full")
+            ):
+                side = self.take().text.lower()
+                t2 = self.peek()
+                if t2 is not None and t2.kind == "id" and t2.text.lower() == "outer":
+                    self.take()
+                self.expect("kw", "join")
+                if side != "left":
+                    raise UnsupportedSqlError(
+                        f"{side.upper()} OUTER JOIN is not in the subset; "
+                        "rides the spark.sql fallback"
+                    )
+                item = self._from_item()
+                self.expect("kw", "on")
+                outer_joins.append(OuterJoin(item, self._conjunction()))
             else:
                 break
         if self.accept("kw", "where"):
@@ -388,6 +436,7 @@ class _Parser:
         return QuerySpec(
             items, distinct, from_items, where, group_by, order_by, limit,
             having=having, group_mode=group_mode, grouping_sets=grouping_sets,
+            outer_joins=outer_joins,
         )
 
     def _select_item(self) -> SelectItem:
@@ -398,6 +447,11 @@ class _Parser:
         elif self.at("id") :
             alias = self.take().text
         return SelectItem(e, alias)
+
+    # ids that act as soft keywords right after a FROM item — NOT
+    # implicit aliases ("FROM customer LEFT JOIN ..." must not read
+    # 'left' as an alias and silently degrade to an inner join)
+    _SOFT_AFTER_FROM = {"left", "right", "full", "outer", "intersect", "except"}
 
     def _from_item(self) -> FromItem:
         if self.accept("op", "("):
@@ -410,7 +464,7 @@ class _Parser:
         alias = name
         if self.accept("kw", "as"):
             alias = self.take().text
-        elif self.at("id"):
+        elif self.at("id") and self.peek().text.lower() not in self._SOFT_AFTER_FROM:
             alias = self.take().text
         return FromItem(alias=alias, table=name)
 
@@ -747,7 +801,7 @@ def _substitute_ctes(spec: QuerySpec, ctes: dict[str, QuerySpec]) -> None:
         return
     from sparksqlplus_spark.expressions import Exists, ScalarSubquery, map_expr
 
-    for fi in spec.from_items:
+    for fi in [*spec.from_items, *[oj.item for oj in spec.outer_joins]]:
         if fi.table is not None and fi.table.lower() in ctes:
             fi.subquery = ctes[fi.table.lower()]
             fi.table = None

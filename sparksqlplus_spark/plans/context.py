@@ -200,6 +200,13 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
     comparisons when they are binary inequalities between two relations,
     and kept as residual otherwise.
     """
+    if spec.outer_joins:
+        # LEFT OUTER JOIN attachments are planned by api._run_outer
+        # (core inner block + post-join attach); a direct context build
+        # cannot express them
+        raise UnsupportedSqlError(
+            "LEFT OUTER JOIN is planned by the outer-join planner"
+        )
     # ---- relations -------------------------------------------------------
     relations: list[Relation] = []
     alias_cols: dict[str, list[str]] = {}
@@ -758,6 +765,10 @@ def _make_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation:
         return rel
     sub = fi.subquery
     assert sub is not None
+    if sub.outer_joins:
+        raise UnsupportedSqlError(
+            "FROM subquery with outer joins needs recursive planning"
+        )
     if len(sub.from_items) != 1 or sub.from_items[0].table is None:
         raise UnsupportedSqlError("FROM subquery must scan one base table")
     # derived table (no aggregation): SELECT exprs FROM t WHERE conds —

@@ -100,20 +100,20 @@ def test_having_parses_with_group_by_only():
         parse_query("SELECT a FROM t HAVING a > 1")  # no GROUP BY
 
 
-def test_outer_raises_unsupported_exists_parses():
-    """TPC-H Q13/Q21 surface: LEFT OUTER JOIN must raise
-    UnsupportedSqlError (not crash), so api.sql mode='auto' routes it
-    to the spark.sql fallback — the path the tpch_q13 / tpch_q21
-    driver entries prove end-to-end vs DuckDB. Single-table [NOT]
-    EXISTS, by contrast, now PARSES into an Exists conjunct (native
-    semi/anti planning since round 6)."""
+def test_outer_parses_exists_parses():
+    """TPC-H Q13/Q21 surface: LEFT OUTER JOIN now PARSES into an
+    OuterJoin attachment (native planning via api._run_outer since
+    round 6 — build_context still rejects it so plain context callers
+    fall back); single-table [NOT] EXISTS parses into an Exists
+    conjunct (native semi/anti planning)."""
     from sparksqlplus_spark.expressions import Exists
 
-    with pytest.raises(UnsupportedSqlError):
-        parse_query(
-            "SELECT c.c_custkey FROM customer AS c "
-            "LEFT OUTER JOIN orders AS o ON c.c_custkey = o.o_custkey"
-        )
+    q = parse_query(
+        "SELECT c.c_custkey FROM customer AS c "
+        "LEFT OUTER JOIN orders AS o ON c.c_custkey = o.o_custkey"
+    )
+    (oj,) = q.outer_joins
+    assert oj.item.alias == "o" and oj.side == "left" and len(oj.conds) == 1
     q = parse_query(
         "SELECT a FROM t WHERE NOT EXISTS "
         "(SELECT * FROM s WHERE s.b = t.a)"
@@ -309,6 +309,79 @@ def test_rollup_cube_grouping_sets(engine):
         engine.context(
             "SELECT o.o_orderstatus AS st, GROUPING(o.o_orderstatus) AS g, "
             "COUNT(*) AS n FROM orders AS o GROUP BY o.o_orderstatus"
+        )
+
+
+def test_composite_view_planning(engine):
+    """FROM-subqueries outside the narrow native shapes plan
+    RECURSIVELY (aggregates over joins, nesting, ORDER BY/LIMIT views)
+    as ephemeral DataFrame-backed catalog tables, and the ephemeral
+    names never leak."""
+    q = ("SELECT t.c_count AS c_count, COUNT(*) AS custdist "
+         "FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count "
+         "      FROM customer AS c, orders AS o "
+         "      WHERE c.c_custkey = o.o_custkey GROUP BY c.c_custkey) AS t "
+         "GROUP BY t.c_count ORDER BY custdist DESC, c_count DESC")
+    ours = engine.sql(q, mode="cqc")
+    ref = engine.sql(q, mode="spark")
+    assert ours.count() == ref.count() > 0
+    assert ours.exceptAll(ref).count() == 0
+    assert not [t.name for t in engine.catalog.tables()
+                if t.name.startswith("__view")]
+
+
+def test_left_outer_join_native(engine):
+    """LEFT [OUTER] JOIN plans natively (core through the normal
+    pipeline, attachments in source order, tail over the joined frame):
+    right-side ON filters, the IS NULL anti-join idiom, chains, and
+    the TPC-H Q13 shape all match spark.sql. RIGHT/FULL raise."""
+    import pytest
+
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+    cases = [
+        ("SELECT c.c_custkey, o.o_orderkey FROM customer AS c "
+         "LEFT OUTER JOIN orders AS o ON c.c_custkey = o.o_custkey "
+         "AND o.o_orderpriority = '1-URGENT'"),
+        # WHERE right-col IS NULL == anti join (ANSI semantics)
+        ("SELECT c.c_custkey FROM customer AS c "
+         "LEFT JOIN orders AS o ON c.c_custkey = o.o_custkey "
+         "AND o.o_totalprice > 200000.0 WHERE o.o_orderkey IS NULL"),
+        # Q13: aggregate over a left join inside a derived table
+        ("SELECT t.c_count AS c_count, COUNT(*) AS custdist FROM "
+         "(SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count "
+         " FROM customer AS c LEFT OUTER JOIN orders AS o "
+         " ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT' "
+         " GROUP BY c.c_custkey) AS t "
+         "GROUP BY t.c_count ORDER BY custdist DESC, c_count DESC"),
+        # chain + multi-relation inner core
+        ("SELECT n.n_name, COUNT(o.o_orderkey) AS cnt "
+         "FROM customer AS c, nation AS n "
+         "LEFT JOIN orders AS o ON c.c_custkey = o.o_custkey "
+         "AND o.o_totalprice > 150000.0 "
+         "WHERE c.c_nationkey = n.n_nationkey GROUP BY n.n_name"),
+    ]
+    for q in cases:
+        ours = engine.sql(q)
+        ref = engine.sql(q, mode="spark")
+        assert ours.count() == ref.count()
+        assert ours.exceptAll(ref).count() == 0
+        assert ref.exceptAll(ours).count() == 0
+
+    with pytest.raises(UnsupportedSqlError):
+        from sparksqlplus_spark.parser.sql import parse_query
+
+        parse_query(
+            "SELECT c.c_custkey FROM customer AS c "
+            "RIGHT JOIN orders AS o ON c.c_custkey = o.o_custkey"
+        )
+    # inner join AFTER a left join changes semantics — rejected
+    with pytest.raises(UnsupportedSqlError):
+        from sparksqlplus_spark.parser.sql import parse_query
+
+        parse_query(
+            "SELECT c.c_custkey FROM customer AS c "
+            "LEFT JOIN orders AS o ON c.c_custkey = o.o_custkey, lineitem AS l"
         )
 
 
