@@ -586,7 +586,9 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
         None,
     ),
     # --- window functions (reference not-supported list): top-3 orders
-    # per customer via ROW_NUMBER() OVER — spark.sql fallback path ---
+    # per customer via ROW_NUMBER() OVER — plans NATIVELY since round 6
+    # (expressions.WindowCall inside the derived-table projection; ANSI
+    # semantics, Spark default frame = DuckDB default) ---
     "window_rank_topk": (
         """SELECT c_custkey, o_orderkey, rnk FROM (
              SELECT o.o_custkey AS c_custkey, o.o_orderkey AS o_orderkey,

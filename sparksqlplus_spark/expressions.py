@@ -249,6 +249,67 @@ class AggCall(Expr):
         return f"{self.func}({d}{self.arg.key()})"
 
 
+# window functions with 0 args / 1+ args (engine extension — the
+# reference has no OVER clause at all)
+WINDOW_RANK_FUNCS = {"row_number", "rank", "dense_rank"}
+WINDOW_AGG_FUNCS = {"sum", "min", "max", "avg", "count", "lag", "lead"}
+
+
+@dataclass(frozen=True)
+class WindowCall(Expr):
+    """fn(args) OVER (PARTITION BY ... ORDER BY ...) — engine extension
+    (the reference's not-supported list has no window surface). Renders
+    to F.fn(...).over(Window...) — Spark's default frame for an ordered
+    window (RANGE UNBOUNDED PRECEDING..CURRENT ROW) matches the ANSI /
+    DuckDB default, so no explicit frame spec is emitted. lag/lead take
+    literal offset/default extras. Valid in SELECT items only
+    (build_context rejects other positions)."""
+
+    func: str
+    args: tuple[Expr, ...]
+    partition_by: tuple[Expr, ...]
+    order_by: tuple[tuple[Expr, bool], ...]  # (expr, desc)
+
+    def refs(self):
+        out: set[tuple[str, str]] = set()
+        for a in self.args:
+            out |= a.refs()
+        for e in self.partition_by:
+            out |= e.refs()
+        for e, _ in self.order_by:
+            out |= e.refs()
+        return out
+
+    def to_spark(self, colmap):
+        from pyspark.sql.window import Window
+
+        if self.func in WINDOW_RANK_FUNCS:
+            col = getattr(F, self.func)()
+        elif self.func in ("lag", "lead"):
+            inner = self.args[0].to_spark(colmap)
+            extras = [a.value for a in self.args[1:]]  # validated Lits
+            col = getattr(F, self.func)(inner, *extras)
+        else:
+            col = getattr(F, self.func)(self.args[0].to_spark(colmap))
+        w = Window.partitionBy(
+            *[e.to_spark(colmap) for e in self.partition_by]
+        )
+        if self.order_by:
+            w = w.orderBy(
+                *[
+                    e.to_spark(colmap).desc() if d else e.to_spark(colmap).asc()
+                    for e, d in self.order_by
+                ]
+            )
+        return col.over(w)
+
+    def key(self):
+        a = ",".join(x.key() for x in self.args)
+        p = ",".join(e.key() for e in self.partition_by)
+        o = ",".join(f"{e.key()}{' desc' if d else ''}" for e, d in self.order_by)
+        return f"{self.func}({a}) over(partition {p} order {o})"
+
+
 # ---------------------------------------------------------------------------
 # conditions (boolean)
 # ---------------------------------------------------------------------------
@@ -486,6 +547,13 @@ def map_expr(node, fn):
         return Func(node.name, tuple(map_expr(a, fn) for a in node.args))
     if isinstance(node, AggCall):
         return AggCall(node.func, map_expr(node.arg, fn), node.distinct)
+    if isinstance(node, WindowCall):
+        return WindowCall(
+            node.func,
+            tuple(map_expr(a, fn) for a in node.args),
+            tuple(map_expr(e, fn) for e in node.partition_by),
+            tuple((map_expr(e, fn), d) for e, d in node.order_by),
+        )
     if isinstance(node, Cmp):
         return Cmp(node.op, map_expr(node.left, fn), map_expr(node.right, fn))
     if isinstance(node, Like):
@@ -533,6 +601,13 @@ def rewrite_refs(node, mapping: dict[tuple[str, str], tuple[str, str]]):
         return Func(node.name, tuple(rewrite_refs(a, mapping) for a in node.args))
     if isinstance(node, AggCall):
         return AggCall(node.func, rewrite_refs(node.arg, mapping), node.distinct)
+    if isinstance(node, WindowCall):
+        return WindowCall(
+            node.func,
+            tuple(rewrite_refs(a, mapping) for a in node.args),
+            tuple(rewrite_refs(e, mapping) for e in node.partition_by),
+            tuple((rewrite_refs(e, mapping), d) for e, d in node.order_by),
+        )
     if isinstance(node, Cmp):
         return Cmp(node.op, rewrite_refs(node.left, mapping), rewrite_refs(node.right, mapping))
     if isinstance(node, Like):

@@ -765,6 +765,19 @@ class _Parser:
                     while self.accept("op", ","):
                         args.append(self._expr())
                 self.expect("op", ")")
+                # fn(...) OVER (...) — window call ('over' is a soft id)
+                t_over = self.peek()
+                if (
+                    t_over is not None
+                    and t_over.kind == "id"
+                    and t_over.text.lower() == "over"
+                    and self.at("op", "(", k=1)
+                ):
+                    if distinct:
+                        raise UnsupportedSqlError(
+                            "DISTINCT window arguments not in subset"
+                        )
+                    return self._window_tail(low, args)
                 if low in AGG_FUNCS:
                     if len(args) != 1:
                         raise UnsupportedSqlError(f"{low} needs 1 arg")
@@ -776,6 +789,61 @@ class _Parser:
                 return Col(name, col)
             return Col("", name)
         raise UnsupportedSqlError(f"unexpected token {t} in expression")
+
+    def _window_tail(self, func: str, args: list[Expr]) -> Expr:
+        """fn(args) OVER ([PARTITION BY e,...] [ORDER BY e [DESC],...])
+        — engine extension; explicit frame specs (ROWS/RANGE BETWEEN)
+        are not in the subset and ride the fallback."""
+        from sparksqlplus_spark.expressions import (
+            WINDOW_AGG_FUNCS,
+            WINDOW_RANK_FUNCS,
+            WindowCall,
+        )
+
+        if func in WINDOW_RANK_FUNCS:
+            if args:
+                raise UnsupportedSqlError(f"{func}() takes no arguments")
+        elif func in ("lag", "lead"):
+            if not 1 <= len(args) <= 3 or any(
+                not isinstance(a, Lit) for a in args[1:]
+            ):
+                raise UnsupportedSqlError(
+                    f"{func} takes (expr [, literal offset [, literal default]])"
+                )
+        elif func in WINDOW_AGG_FUNCS:
+            if len(args) != 1:
+                raise UnsupportedSqlError(f"window {func} needs 1 arg")
+        else:
+            raise UnsupportedSqlError(f"unsupported window function {func}")
+        self.take()  # 'over'
+        self.expect("op", "(")
+        partition: list[Expr] = []
+        order: list[tuple[Expr, bool]] = []
+        t = self.peek()
+        if t is not None and t.kind == "id" and t.text.lower() == "partition":
+            self.take()
+            self.expect("kw", "by")
+            partition.append(self._expr())
+            while self.accept("op", ","):
+                partition.append(self._expr())
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            while True:
+                e = self._expr()
+                desc = False
+                if self.accept("kw", "desc"):
+                    desc = True
+                else:
+                    self.accept("kw", "asc")
+                order.append((e, desc))
+                if not self.accept("op", ","):
+                    break
+        if not self.at("op", ")"):
+            raise UnsupportedSqlError(
+                "explicit window frames (ROWS/RANGE BETWEEN) not in subset"
+            )
+        self.expect("op", ")")
+        return WindowCall(func, tuple(args), tuple(partition), tuple(order))
 
     def _case_when(self) -> Expr:
         self.expect("kw", "case")

@@ -191,6 +191,22 @@ def _contains_exists(c) -> bool:
     return any(_contains_exists(k) for k in getattr(c, "children", ()))
 
 
+def contains_window(node) -> bool:
+    """True if any WindowCall appears in the expression tree."""
+    from sparksqlplus_spark.expressions import WindowCall, map_expr
+
+    hit = False
+
+    def probe(n):
+        nonlocal hit
+        if isinstance(n, WindowCall):
+            hit = True
+        return None
+
+    map_expr(node, probe)
+    return hit
+
+
 def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
     """Normalize a parsed query against the catalog.
 
@@ -483,12 +499,34 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 )
         output.append((name, expr))
 
+    # ---- window functions: SELECT items only; ANSI semantics --------------
+    for cond in [*where, *spec.having]:
+        if contains_window(cond):
+            raise UnsupportedSqlError(
+                "window functions are only valid in the SELECT list"
+            )
+    for e in [*group_by, *[e for e, _ in order_by]]:
+        if contains_window(e):
+            raise UnsupportedSqlError(
+                "window functions are only valid in the SELECT list"
+            )
+    has_window = any(contains_window(e) for _, e in output)
+    if has_window and (group_by or aggregations):
+        raise UnsupportedSqlError(
+            "window functions over aggregated queries are not in the subset"
+        )
+
     # ---- is_full: every variable appears as a plain output column ---------
     out_vars: set[str] = set()
     for _, expr in output:
         if isinstance(expr, Col):
             out_vars.add(var_map[(expr.alias, expr.name)])
     is_full = out_vars >= set().union(*[set(r.variables) for r in relations])
+    if has_window:
+        # an OVER clause is pure-SQL extension surface: ANSI bag
+        # semantics, never the CQ non-full DISTINCT rule (which would
+        # dedup rows the window numbering distinguishes)
+        is_full = True
 
     # ---- HAVING validation: after substituting GROUP BY expressions and
     # aggregate calls, nothing may still reference a base column (a
@@ -644,6 +682,11 @@ def _make_derived_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation
         proj.append((name, e))
     if not proj:
         raise UnsupportedSqlError("derived table selects nothing")
+    for c in plain_where:
+        if contains_window(c):
+            raise UnsupportedSqlError(
+                "window functions are only valid in the SELECT list"
+            )
     filters = tuple(norm(c) for c in plain_where)
     # lift [NOT] EXISTS conjuncts of the derived WHERE into semi/anti
     # joins applied before the projection (same subset rules as

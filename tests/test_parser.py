@@ -385,6 +385,58 @@ def test_left_outer_join_native(engine):
         )
 
 
+def test_window_functions_native(engine):
+    """fn() OVER (PARTITION BY ... ORDER BY ...) plans natively with
+    ANSI semantics — ranking in a derived table (top-k idiom), running
+    aggregates, lag with defaults, and windows over a join all match
+    spark.sql; windows outside the SELECT list raise and fall back."""
+    import pytest
+
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+    cases = [
+        ("SELECT c_custkey, o_orderkey, rnk FROM ("
+         "  SELECT o.o_custkey AS c_custkey, o.o_orderkey AS o_orderkey,"
+         "         CAST(ROW_NUMBER() OVER (PARTITION BY o.o_custkey"
+         "           ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT)"
+         "           AS rnk"
+         "  FROM orders AS o) AS t WHERE rnk <= 3"),
+        ("SELECT o.o_orderkey, SUM(o.o_totalprice) OVER ("
+         "PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey"
+         ") AS run FROM orders AS o"),
+        ("SELECT o.o_orderkey, LAG(o.o_totalprice, 1, 0.0) OVER ("
+         "PARTITION BY o.o_custkey ORDER BY o.o_orderkey) AS prev "
+         "FROM orders AS o"),
+        ("SELECT c.c_name, RANK() OVER (PARTITION BY c.c_nationkey "
+         "ORDER BY o.o_totalprice DESC) AS r "
+         "FROM customer AS c, orders AS o WHERE c.c_custkey = o.o_custkey"),
+    ]
+    for q in cases:
+        ours = engine.sql(q, mode="cqc")
+        ref = engine.sql(q, mode="spark")
+        assert ours.count() == ref.count() > 0
+        assert ours.exceptAll(ref).count() == 0
+        assert ref.exceptAll(ours).count() == 0
+
+    for bad, valid_sql in [
+        # window in WHERE — invalid SQL everywhere, no fallback rescue
+        ("SELECT o.o_orderkey FROM orders AS o "
+         "WHERE ROW_NUMBER() OVER (ORDER BY o.o_orderkey) <= 3", False),
+        # window over an aggregated query — valid SQL, fallback handles
+        ("SELECT o.o_custkey, RANK() OVER (ORDER BY SUM(o.o_totalprice)) "
+         "AS r, SUM(o.o_totalprice) AS s FROM orders AS o "
+         "GROUP BY o.o_custkey", True),
+        # explicit frame spec — valid SQL, fallback handles
+        ("SELECT SUM(o.o_totalprice) OVER (ORDER BY o.o_orderkey "
+         "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
+         "FROM orders AS o", True),
+    ]:
+        with pytest.raises(UnsupportedSqlError):
+            engine.sql(bad, mode="cqc")
+        if valid_sql:
+            assert engine.sql(bad).count() >= 0  # auto falls back
+
+
 def test_compound_set_operators(engine):
     """Top-level UNION [ALL] / INTERSECT / EXCEPT chains plan each part
     natively with ANSI bag semantics and fold with Spark set ops; a
