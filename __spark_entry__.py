@@ -632,6 +632,22 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                                      WHERE o_orderpriority = '1-URGENT')""",
         None,
     ),
+    # --- correlated scalar subquery DECORRELATED to an aggregated
+    # view + equi-join (engine extension, api._decorrelate_scalars):
+    # TPC-H Q17 in its ORIGINAL correlated spelling — the engine's
+    # tpch_q17 entry uses the pre-rewritten aggregated-view form; this
+    # one proves users can write the textbook text. Sound because AVG
+    # is NULL over an empty group (inner join drops exactly the rows
+    # the UNKNOWN comparison would). Same SQL is the DuckDB oracle. ---
+    "corr_scalar_q17": (
+        """SELECT SUM(l.l_extendedprice) / 7.0 AS avg_yearly
+           FROM lineitem AS l, part AS p
+           WHERE p.p_partkey = l.l_partkey AND p.p_size = 15
+             AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                                 FROM lineitem AS l2
+                                 WHERE l2.l_partkey = p.p_partkey)""",
+        None,
+    ),
     # --- EXCEPT (set difference) planned natively: each part runs
     # through the engine with ANSI bag semantics, then df.subtract
     # (hash-partition exchange, no driver materialization). Same SQL
@@ -2308,6 +2324,7 @@ _HEAD = [
     "not_in_nullaware",
     "rollup_agg",
     "setop_except",
+    "corr_scalar_q17",
     "scalar_subquery_avg",
     "cte_agg_view",
     "derived_table_scan",
@@ -2359,6 +2376,7 @@ _TAIL = [
     "extract_year_agg",
     "dedup_cluster_cc",
     "events_ewma_multibatch",
+    "text_decontaminate",
     "filters_pushdown",
     "like_patterns",
     "or_residual",

@@ -162,6 +162,173 @@ class SparkSQLPlus:
     def context(self, query: str) -> Context:
         return build_context(self._fold_scalars(parse_query(query)), self.catalog)
 
+    def _decorrelate_scalars(self, spec):
+        """Rewrite WHERE conjuncts of the form
+        ``expr CMP (SELECT <agg-expr> FROM t [AS a] WHERE a.k = outer.k
+        [AND inner filters])`` into an aggregated FROM-subquery grouped
+        by the correlation keys plus an equi-join and a plain
+        comparison — the classic TPC-H Q2/Q17 shape in its ORIGINAL
+        correlated spelling, planned as the same C21 aggregated view
+        the rewritten form uses. Sound only when the aggregate is NULL
+        over an empty group (sum/avg/min/max — the inner join then
+        drops exactly the rows the UNKNOWN comparison would filter);
+        COUNT or non-NULL-propagating select expressions are left
+        alone and ride the fallback. Non-equality correlation and
+        multi-table subqueries are also left alone."""
+        from sparksqlplus_spark.catalog import UnknownTableError
+        from sparksqlplus_spark.expressions import (
+            AggCall,
+            Arith,
+            Cast,
+            Cmp,
+            Col,
+            Neg,
+            ScalarSubquery,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, SelectItem
+
+        from sparksqlplus_spark.plans.context import _agg_subcalls
+
+        def null_propagating(e) -> bool:
+            # NULL-on-empty-group check: the (single) aggregate must be
+            # sum/avg/min/max and every node on the path from the root
+            # to it must propagate a NULL operand (Arith/Neg/Cast do)
+            if isinstance(e, AggCall):
+                return e.func in ("sum", "avg", "min", "max")
+            if isinstance(e, Arith):
+                la = bool(_agg_subcalls(e.left))
+                ra = bool(_agg_subcalls(e.right))
+                if la and ra:
+                    return False
+                if la:
+                    return null_propagating(e.left)
+                if ra:
+                    return null_propagating(e.right)
+                return False
+            if isinstance(e, (Neg, Cast)):
+                return null_propagating(e.child)
+            return False
+
+        new_where = []
+        changed = False
+        for cond in spec.where:
+            rewritten = None
+            if isinstance(cond, Cmp):
+                scalar_left = isinstance(cond.left, ScalarSubquery)
+                scalar_right = isinstance(cond.right, ScalarSubquery)
+                if scalar_left != scalar_right:
+                    sub = (cond.left if scalar_left else cond.right).spec
+                    rewritten = self._try_decorrelate_one(
+                        spec, cond, sub, scalar_left, null_propagating,
+                    )
+            if rewritten is None:
+                new_where.append(cond)
+            else:
+                new_where.extend(rewritten)
+                changed = True
+        if changed:
+            spec.where = new_where
+        return spec
+
+    def _try_decorrelate_one(self, spec, cond, sub, scalar_left, null_ok):
+        """One conjunct of _decorrelate_scalars; returns replacement
+        conds (mutating spec.from_items) or None to leave it alone."""
+        from sparksqlplus_spark.catalog import UnknownTableError
+        from sparksqlplus_spark.expressions import AggCall, Cmp, Col
+        from sparksqlplus_spark.parser.sql import FromItem, SelectItem
+        from sparksqlplus_spark.plans.context import _agg_subcalls
+
+        if (
+            len(sub.from_items) != 1
+            or sub.from_items[0].table is None
+            or sub.group_by
+            or sub.order_by
+            or sub.limit is not None
+            or sub.distinct
+            or sub.having
+            or sub.outer_joins
+            or len(sub.select) != 1
+        ):
+            return None
+        sel = sub.select[0].expr
+        aggs = _agg_subcalls(sel)
+        if len(aggs) != 1 or not null_ok(sel):
+            return None
+        inner_alias = sub.from_items[0].alias
+        table = sub.from_items[0].table
+        try:
+            inner_cols = set(self.catalog.get(table).column_names)
+        except UnknownTableError:
+            return None
+        outer_aliases = {fi.alias for fi in spec.from_items}
+
+        def side_of(col: Col) -> str | None:
+            if col.alias == inner_alias or (
+                col.alias == "" and col.name in inner_cols
+            ):
+                return "inner"
+            if col.alias in outer_aliases:
+                return "outer"
+            return None
+
+        inner_only: list = []
+        pairs: list[tuple[Col, str]] = []  # (outer col, inner col name)
+        for c in sub.where:
+            refs = c.refs()
+            sides = set()
+            for a, cn in refs:
+                if a == inner_alias or (a == "" and cn in inner_cols):
+                    sides.add("inner")
+                elif a in outer_aliases:
+                    sides.add("outer")
+                else:
+                    return None
+            if sides <= {"inner"}:
+                inner_only.append(c)
+                continue
+            if not (
+                isinstance(c, Cmp)
+                and c.op == "="
+                and isinstance(c.left, Col)
+                and isinstance(c.right, Col)
+            ):
+                return None
+            sl, sr = side_of(c.left), side_of(c.right)
+            if {sl, sr} != {"inner", "outer"}:
+                return None
+            outer_col, inner_col = (
+                (c.right, c.left) if sl == "inner" else (c.left, c.right)
+            )
+            pairs.append((outer_col, inner_col.name))
+        if not pairs:
+            return None  # uncorrelated — _fold_scalars handles it
+
+        from sparksqlplus_spark.parser.sql import QuerySpec
+
+        self._view_counter += 1
+        alias = f"__sq{self._view_counter}"
+        group_cols = list(dict.fromkeys(ic for _, ic in pairs))
+        view = QuerySpec(
+            select=[
+                *[SelectItem(Col(inner_alias, gc), gc) for gc in group_cols],
+                SelectItem(sel, "__sval"),
+            ],
+            distinct=False,
+            from_items=[FromItem(alias=inner_alias, table=table)],
+            where=list(inner_only),
+            group_by=[Col(inner_alias, gc) for gc in group_cols],
+        )
+        spec.from_items.append(FromItem(alias=alias, subquery=view))
+        out: list = [
+            Cmp("=", oc, Col(alias, ic)) for oc, ic in pairs
+        ]
+        sval = Col(alias, "__sval")
+        if scalar_left:
+            out.append(Cmp(cond.op, sval, cond.right))
+        else:
+            out.append(Cmp(cond.op, cond.left, sval))
+        return out
+
     def _fold_scalars(self, spec):
         """Replace uncorrelated scalar subqueries in WHERE/HAVING with
         their computed Lit (expressions.ScalarSubquery docstring): the
@@ -294,7 +461,7 @@ class SparkSQLPlus:
         """Plan one QuerySpec end-to-end: fold scalar subqueries, plan
         composite FROM-subqueries, build the context, execute. ansi=True
         forces bag semantics (compound parts / composite views)."""
-        spec = self._fold_scalars(spec)
+        spec = self._fold_scalars(self._decorrelate_scalars(spec))
         if spec.outer_joins:
             return self._run_outer(
                 spec, mode=mode, cyclic_strategy=cyclic_strategy,
@@ -678,7 +845,7 @@ class SparkSQLPlus:
                     stmt, mode=mode, cyclic_strategy=cyclic_strategy,
                     count_mode=count_mode,
                 )
-            stmt = self._fold_scalars(stmt)
+            stmt = self._fold_scalars(self._decorrelate_scalars(stmt))
             if stmt.outer_joins:
                 if join_tree_hint is not None:
                     raise UnsupportedSqlError(

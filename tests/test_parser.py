@@ -481,6 +481,42 @@ def test_compound_set_operators(engine):
         )
 
 
+def test_correlated_scalar_decorrelates(engine):
+    """expr CMP (SELECT agg FROM t WHERE t.k = outer.k) rewrites to an
+    aggregated view + equi-join (api._decorrelate_scalars) — the
+    ORIGINAL Q17/Q2 spelling plans natively. COUNT stays on the
+    fallback (0-on-empty-group breaks the inner-join equivalence)."""
+    import pytest
+
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+    cases = [
+        ("SELECT SUM(l.l_extendedprice) / 7.0 AS avg_yearly "
+         "FROM lineitem AS l, part AS p "
+         "WHERE p.p_partkey = l.l_partkey AND p.p_size = 15 "
+         "AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) "
+         "FROM lineitem AS l2 WHERE l2.l_partkey = p.p_partkey)"),
+        ("SELECT s.s_suppkey, s.s_acctbal FROM supplier AS s "
+         "WHERE s.s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier AS s2 "
+         "WHERE s2.s_nationkey = s.s_nationkey)"),
+    ]
+    for q in cases:
+        ours = engine.sql(q, mode="cqc")
+        ref = engine.sql(q, mode="spark")
+        assert ours.count() == ref.count() > 0
+        assert ours.exceptAll(ref).count() == 0
+
+    count_q = ("SELECT c.c_custkey FROM customer AS c WHERE 0 = "
+               "(SELECT COUNT(*) FROM orders AS o "
+               " WHERE o.o_custkey = c.c_custkey)")
+    with pytest.raises(UnsupportedSqlError):
+        engine.sql(count_q, mode="cqc")
+    assert (
+        engine.sql(count_q).exceptAll(engine.sql(count_q, mode="spark")).count()
+        == 0
+    )
+
+
 def test_scalar_subquery_folds_to_literal(engine):
     """Uncorrelated scalar subqueries fold to a computed Lit before
     planning (above-average filter — the classic idiom); correlated
