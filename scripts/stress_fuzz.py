@@ -197,6 +197,86 @@ for i in range(N):
     if i % 10 == 0:
         print(f"derived {i}/{N} ({time.time()-t0:.0f}s)", flush=True)
 
+
+# ---- ANSI extension families (round 6): oracle is spark.sql ------------
+
+def check_spark(tag, sql):
+    check(tag, sql, [eng.sql(sql), eng.sql(sql, mode="spark")])
+
+
+for i in range(N):
+    core = "customer AS c" + (", nation AS n" if rng.random() < 0.5 else "")
+    conds = ["c.c_nationkey = n.n_nationkey"] if "nation" in core else []
+    on = "c.c_custkey = o.o_custkey"
+    if rng.random() < 0.6:
+        on += " AND " + rng.choice(
+            ["o.o_totalprice > 150000.0", "o.o_orderpriority = '1-URGENT'"]
+        )
+    if rng.random() < 0.5:
+        conds.append(rng.choice(["o.o_orderkey IS NULL", "c.c_acctbal > 0.0"]))
+    agg = rng.random() < 0.5
+    sel = (
+        "c.c_custkey, COUNT(o.o_orderkey) AS cnt"
+        if agg
+        else "c.c_custkey, o.o_orderkey"
+    )
+    sql = f"SELECT {sel} FROM {core} LEFT JOIN orders AS o ON {on}"
+    if conds:
+        sql += " WHERE " + " AND ".join(conds)
+    if agg:
+        sql += " GROUP BY c.c_custkey"
+    check_spark("outer", sql)
+    if i % 10 == 0:
+        print(f"outer {i}/{N} ({time.time()-t0:.0f}s)", flush=True)
+
+for i in range(N):
+    fn = rng.choice([
+        "ROW_NUMBER()", "RANK()", "DENSE_RANK()",
+        "SUM(o.o_totalprice)", "COUNT(o.o_orderkey)",
+        "LAG(o.o_totalprice, 1, 0.0)", "LEAD(o.o_orderkey) ",
+        "MIN(o.o_totalprice)", "AVG(o.o_totalprice)",
+    ])
+    part = rng.choice(["o.o_custkey", "o.o_orderstatus", "o.o_orderpriority"])
+    order = rng.choice(["o.o_orderkey", "o.o_totalprice DESC, o.o_orderkey"])
+    sql = (
+        f"SELECT o.o_orderkey, {fn} OVER (PARTITION BY {part} "
+        f"ORDER BY {order}) AS w FROM orders AS o"
+    )
+    if rng.random() < 0.5:
+        sql += " WHERE o.o_totalprice > 100000.0"
+    check_spark("window", sql)
+    if i % 10 == 0:
+        print(f"window {i}/{N} ({time.time()-t0:.0f}s)", flush=True)
+
+for i in range(N):
+    op = rng.choice(["UNION", "UNION ALL", "EXCEPT", "EXCEPT ALL", "INTERSECT"])
+    p1 = "SELECT c.c_nationkey AS k FROM customer AS c"
+    if rng.random() < 0.6:
+        p1 += " WHERE " + rng.choice(["c.c_acctbal > 0.0", "c.c_nationkey < 12"])
+    p2 = "SELECT o.o_custkey AS k FROM orders AS o"
+    if rng.random() < 0.6:
+        p2 += " WHERE o.o_totalprice > 150000.0"
+    sql = f"{p1} {op} {p2}"
+    if rng.random() < 0.4:
+        sql += " ORDER BY k DESC LIMIT 13"
+    check_spark("setop", sql)
+    if i % 10 == 0:
+        print(f"setop {i}/{N} ({time.time()-t0:.0f}s)", flush=True)
+
+for i in range(N):
+    kw = "NOT IN" if rng.random() < 0.5 else "IN"
+    sub = "SELECT o_custkey FROM orders"
+    if rng.random() < 0.6:
+        sub += " WHERE " + rng.choice(
+            ["o_orderpriority = '1-URGENT'", "o_totalprice > 180000.0"]
+        )
+    sql = (
+        f"SELECT c.c_custkey FROM customer AS c "
+        f"WHERE c.c_custkey {kw} ({sub})"
+    )
+    check("in_subq", sql, [eng.sql(sql, mode="cqc"), eng.sql(sql, mode="spark")])
+    if i % 10 == 0:
+        print(f"in_subq {i}/{N} ({time.time()-t0:.0f}s)", flush=True)
 print(f"stress done in {time.time()-t0:.0f}s; failures: {len(failures)}")
 for f in failures:
     print(f)

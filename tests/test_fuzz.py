@@ -365,3 +365,173 @@ def test_derived_tables_equal_plain(engine, case, wrap_mask):
     assert ca == cb, f"count mismatch {ca} vs {cb} for: {derived_sql}"
     assert a.exceptAll(b).count() == 0, f"rows differ: {derived_sql}"
     assert b.exceptAll(a).count() == 0, f"rows differ: {derived_sql}"
+
+
+# ---------------------------------------------------------------------------
+# ANSI extension surface (round 6): every construct here follows SQL
+# bag semantics exactly, so the oracle is spark.sql on the same text —
+# two fully independent planners must agree row for row.
+# ---------------------------------------------------------------------------
+
+
+def _assert_equals_spark(engine, sql):
+    a = engine.sql(sql)
+    b = engine.sql(sql, mode="spark")
+    ca, cb = a.count(), b.count()
+    assert ca == cb, f"count mismatch {ca} vs {cb} for: {sql}"
+    assert a.exceptAll(b).count() == 0, f"rows differ: {sql}"
+    assert b.exceptAll(a).count() == 0, f"rows differ: {sql}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    two_core=st.booleans(),
+    on_extra=st.sampled_from(
+        [None, "o.o_totalprice > 150000.0", "o.o_orderpriority = '1-URGENT'"]
+    ),
+    where=st.sampled_from([None, "o.o_orderkey IS NULL", "c.c_acctbal > 0.0"]),
+    agg=st.booleans(),
+)
+def test_left_join_equals_spark(engine, two_core, on_extra, where, agg):
+    """Random LEFT JOIN shapes (1-2 core tables, optional right-local
+    ON filter, optional post-join WHERE incl. the IS NULL anti idiom,
+    optional COUNT aggregation) vs spark.sql."""
+    core = "customer AS c"
+    conds = []
+    if two_core:
+        core += ", nation AS n"
+        conds.append("c.c_nationkey = n.n_nationkey")
+    on = "c.c_custkey = o.o_custkey" + (f" AND {on_extra}" if on_extra else "")
+    if where:
+        conds.append(where)
+    sel = (
+        "c.c_custkey, COUNT(o.o_orderkey) AS cnt"
+        if agg
+        else "c.c_custkey, o.o_orderkey"
+    )
+    sql = f"SELECT {sel} FROM {core} LEFT JOIN orders AS o ON {on}"
+    if conds:
+        sql += " WHERE " + " AND ".join(conds)
+    if agg:
+        sql += " GROUP BY c.c_custkey"
+    _assert_equals_spark(engine, sql)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    fn=st.sampled_from(
+        [
+            "ROW_NUMBER()",
+            "RANK()",
+            "DENSE_RANK()",
+            "SUM(o.o_totalprice)",
+            "COUNT(o.o_orderkey)",
+            "LAG(o.o_totalprice, 1, 0.0)",
+        ]
+    ),
+    part=st.sampled_from(["o.o_custkey", "o.o_orderstatus"]),
+    order=st.sampled_from(["o.o_orderkey", "o.o_totalprice DESC, o.o_orderkey"]),
+    filt=st.sampled_from([None, "o.o_totalprice > 100000.0"]),
+)
+def test_window_equals_spark(engine, fn, part, order, filt):
+    """Random window calls (ranking, running aggregates, lag) over
+    random partition/order specs vs spark.sql."""
+    sql = (
+        f"SELECT o.o_orderkey, {fn} OVER (PARTITION BY {part} "
+        f"ORDER BY {order}) AS w FROM orders AS o"
+    )
+    if filt:
+        sql += f" WHERE {filt}"
+    _assert_equals_spark(engine, sql)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    op=st.sampled_from(
+        ["UNION", "UNION ALL", "EXCEPT", "EXCEPT ALL", "INTERSECT"]
+    ),
+    f1=st.sampled_from([None, "c.c_acctbal > 0.0", "c.c_nationkey < 12"]),
+    f2=st.sampled_from([None, "o.o_totalprice > 150000.0"]),
+    tail=st.sampled_from([None, "ORDER BY k DESC LIMIT 13"]),
+)
+def test_setops_equal_spark(engine, op, f1, f2, tail):
+    """Random set-operator compounds over key projections (duplicates
+    on both sides exercise the ALL variants) vs spark.sql."""
+    p1 = "SELECT c.c_nationkey AS k FROM customer AS c"
+    if f1:
+        p1 += f" WHERE {f1}"
+    p2 = "SELECT o.o_custkey AS k FROM orders AS o"
+    if f2:
+        p2 += f" WHERE {f2}"
+    sql = f"{p1} {op} {p2}"
+    if tail:
+        sql += f" {tail}"
+    _assert_equals_spark(engine, sql)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    mode=st.sampled_from(["ROLLUP", "CUBE"]),
+    cols=st.sampled_from(
+        ["o.o_orderpriority, o.o_orderstatus", "o.o_orderstatus"]
+    ),
+    agg=st.sampled_from(["COUNT(*)", "SUM(o.o_totalprice)"]),
+    filt=st.sampled_from([None, "o.o_totalprice > 100000.0"]),
+)
+def test_grouped_sets_equal_spark(engine, mode, cols, agg, filt):
+    """Random ROLLUP/CUBE aggregates (with filters) vs spark.sql."""
+    sql = (
+        f"SELECT {cols}, {agg} AS v FROM orders AS o "
+        + (f"WHERE {filt} " if filt else "")
+        + f"GROUP BY {mode}({cols})"
+    )
+    _assert_equals_spark(engine, sql)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    negated=st.booleans(),
+    inner_filt=st.sampled_from(
+        [None, "o_orderpriority = '1-URGENT'", "o_totalprice > 180000.0"]
+    ),
+    outer_filt=st.sampled_from([None, "c.c_acctbal > 0.0"]),
+)
+def test_in_subquery_equals_spark(engine, negated, inner_filt, outer_filt):
+    """Random [NOT] IN (subquery) predicates — the negated form runs
+    the null-aware anti-join plan — vs spark.sql."""
+    kw = "NOT IN" if negated else "IN"
+    sub = "SELECT o_custkey FROM orders"
+    if inner_filt:
+        sub += f" WHERE {inner_filt}"
+    sql = (
+        f"SELECT c.c_custkey FROM customer AS c "
+        f"WHERE c.c_custkey {kw} ({sub})"
+    )
+    if outer_filt:
+        sql += f" AND {outer_filt}"
+    ours = engine.sql(sql, mode="cqc")
+    ref = engine.sql(sql, mode="spark")
+    # non-full CQ projection: engine applies DISTINCT; c_custkey is the
+    # PK so the frames still match exactly
+    assert ours.count() == ref.count(), sql
+    assert ours.exceptAll(ref).count() == 0, sql
