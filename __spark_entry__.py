@@ -1362,6 +1362,63 @@ FROM documents
 """
 
 
+def _pack_sequences_q(spark, sf_dir):
+    """Greedy contiguous sequence packing under a 256-token budget
+    (operators/packing.py:pack_sequences): the pre-training batching
+    step, as a two-level distributed prefix sum (per-shard window
+    cumsum + broadcast shard offsets) — never a single-task global
+    window. Oracle is the one-window DuckDB cumsum."""
+    from sparksqlplus_spark.operators.packing import pack_sequences
+
+    eng = _engine(spark, sf_dir)
+    return pack_sequences(
+        eng.catalog.get("documents").df, "text", "doc_id", budget=256
+    )
+
+
+_PACK_SEQ_ORACLE = """
+SELECT doc_id, n_tok, CAST(FLOOR((cum - n_tok) / 256.0) AS BIGINT) AS seq_id FROM (
+  SELECT doc_id, n_tok, SUM(n_tok) OVER (ORDER BY doc_id) AS cum FROM (
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+    FROM documents) t1) t2
+"""
+
+
+def _tfidf_topk_q(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf-idf with the
+    rational idf surrogate N/df (operators/text.py:tfidf_top_terms) —
+    bit-exact across engines because IEEE division is correctly
+    rounded where ln's last bit is libm-dependent. Ties break on the
+    term text."""
+    from sparksqlplus_spark.operators.text import tfidf_top_terms
+
+    eng = _engine(spark, sf_dir)
+    return tfidf_top_terms(
+        eng.catalog.get("documents").df, "text", "doc_id", k=3
+    )
+
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, score, rnk FROM (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(t.tf AS DOUBLE) * n.n_docs / d.df AS score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY t.doc_id
+              ORDER BY CAST(t.tf AS DOUBLE)*n.n_docs/d.df DESC, t.term)
+              AS BIGINT) AS rnk
+  FROM tf t, dfq d, n WHERE t.term = d.term) x
+WHERE rnk <= 3
+"""
+
+
 def _text_chunks_q(spark, sf_dir):
     """Overlapping token-window chunking (operators/text.py:
     chunk_documents): chunk=32 tokens, overlap=8 (stride 24), map-only
@@ -2275,6 +2332,8 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "dedup_cluster_chain": (_cluster_chain_q, _CLUSTER_CHAIN_ORACLE),
     "text_decontaminate": (_decontaminate_q, _DECONTAMINATE_ORACLE),
     "text_chunks": (_text_chunks_q, _TEXT_CHUNKS_ORACLE),
+    "pack_sequences": (_pack_sequences_q, _PACK_SEQ_ORACLE),
+    "text_tfidf_topk": (_tfidf_topk_q, _TFIDF_ORACLE),
     "text_redact_pii": (_redact_pii_q, _REDACT_PII_ORACLE),
     "sample_stratified": (_sample_stratified_q, _SAMPLE_STRATIFIED_ORACLE),
     "sample_mixture": (_sample_mixture_q, _SAMPLE_MIXTURE_ORACLE),
@@ -2338,6 +2397,8 @@ _HEAD = [
     "tpch_q22",
     "having_filter",
     "text_chunks",
+    "pack_sequences",
+    "text_tfidf_topk",
     "sample_stratified",
     "sample_topn_group",
     "window_rank_topk",
@@ -2377,6 +2438,8 @@ _TAIL = [
     "dedup_cluster_cc",
     "events_ewma_multibatch",
     "text_decontaminate",
+    "graph_q1_path_counts",
+    "graph_c4_cycle_ghd",
     "filters_pushdown",
     "like_patterns",
     "or_residual",

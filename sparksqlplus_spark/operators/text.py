@@ -322,3 +322,45 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         F.substring(F.md5(norm.cast("binary")), 1, 16).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf, with the
+    RATIONAL idf surrogate N/df instead of ln(N/df): monotone in the
+    same order for a fixed tf, and — unlike ln, whose last-bit rounding
+    differs across libm implementations — bit-exact across engines
+    (IEEE division is correctly rounded), so the DuckDB oracle matches
+    the score column exactly. Ties break on the term text.
+
+    Plan shape at scale: explode -> two hash aggregates (map-side
+    partial combine) -> broadcast of the one-row corpus count ->
+    per-doc window top-k. The df (document-frequency) aggregate is the
+    only term-keyed shuffle; skewed stop-word terms are bounded by the
+    partial aggregation.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(total), how="cross")
+        .withColumn(
+            "score",
+            F.col("tf").cast("double") * F.col("__n") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select(F.col(id_col), "term", "tf", "df", "score", "rnk")
+    )

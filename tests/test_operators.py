@@ -373,3 +373,52 @@ def test_apply_dedup_keeps_canonicals(spark):
         r["doc_id"] for r in apply_dedup(docs, pairs, "doc_id").collect()
     )
     assert kept == [1, 5, 7]
+
+
+def test_pack_sequences_budget_and_order(spark):
+    """Greedy contiguous packing: seq_id = floor(exclusive prefix /
+    budget) over id order — verified against a hand-computed prefix
+    sum, across shard boundaries (shard=4 forces the two-level path),
+    and only the straddling doc may overflow a sequence."""
+    from sparksqlplus_spark.operators.packing import (
+        pack_sequences,
+        sequence_stats,
+    )
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in
+            enumerate([5, 7, 3, 10, 2, 6, 9, 1, 4, 8])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_sequences(df, "text", "doc_id", budget=10, shard=4)
+    got = {r.doc_id: (r.n_tok, r.seq_id) for r in packed.collect()}
+    prefix = 0
+    for i, n in enumerate([5, 7, 3, 10, 2, 6, 9, 1, 4, 8]):
+        assert got[i] == (n, prefix // 10), f"doc {i}"
+        prefix += n
+    stats = {r.seq_id: r.total_tokens for r in
+             sequence_stats(packed).collect()}
+    # every sequence except possibly the last starts under budget and
+    # overflows only via its straddling final doc
+    assert sum(stats.values()) == prefix
+
+
+def test_tfidf_top_terms_planted(spark):
+    """A term unique to one doc must outrank corpus-wide terms there;
+    ranks are 1..k with term-text tie-breaks."""
+    from sparksqlplus_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common zebra zebra zebra"),
+            (2, "common common common yak"),
+            (3, "common plain plain"),
+        ],
+        "doc_id long, text string",
+    )
+    top = tfidf_top_terms(df, "text", "doc_id", k=2)
+    rows = {(r.doc_id, r.rnk): (r.term, r.tf, r.df) for r in top.collect()}
+    assert rows[(1, 1)][0] == "zebra"   # tf=3, df=1 -> score 9
+    # doc 2: common tf=3,df=3 -> 3.0 ties yak tf=1,df=1 -> 3.0;
+    # the tie breaks on term text ('common' < 'yak')
+    assert rows[(2, 1)][0] == "common" and rows[(2, 2)][0] == "yak"
+    assert rows[(3, 1)][0] == "plain"   # tf=2,df=1 -> 6 > common 1*3/3
+    assert all(r.rnk in (1, 2) for r in top.collect())
