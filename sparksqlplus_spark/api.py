@@ -919,7 +919,55 @@ class SparkSQLPlus:
             rank_tree,
         )
 
-        ctx = self.context(query)
+        stmt = parse_statement(query)
+        if isinstance(stmt, CompoundSpec):
+            # set-operator compound: each part is its own plan; report
+            # the fold structure so the surface agrees with _run_compound
+            return {
+                "strategy": "compound",
+                "acyclic": True,
+                "ops": [
+                    f"{op}{' all' if is_all else ''}" for op, is_all in stmt.ops
+                ],
+                "parts": len(stmt.parts),
+                "candidates": [],
+            }
+        spec = self._fold_scalars(self._decorrelate_scalars(stmt))
+        if spec.outer_joins:
+            # outer-join plan: core + attachments (api._run_outer); the
+            # core's own candidates are not enumerated here
+            return {
+                "strategy": "outer_join",
+                "acyclic": True,
+                "attachments": [
+                    {
+                        "alias": oj.item.alias,
+                        "table": oj.item.table or f"({oj.item.alias})",
+                        "on": [c.key() for c in oj.conds],
+                    }
+                    for oj in spec.outer_joins
+                ],
+                "candidates": [],
+            }
+        # composite views must stay registered through the cyclic-path
+        # statistics below — clean up only when the whole dict is built
+        ephemeral = self._plan_subqueries(spec)
+        try:
+            ctx = build_context(spec, self.catalog)
+            return self._plan_candidates_ctx(ctx, limit)
+        finally:
+            for n in ephemeral:
+                self.catalog.unregister(n)
+
+    def _plan_candidates_ctx(self, ctx, limit: int) -> dict:
+        from sparksqlplus_spark.plans.gyo import (
+            comparison_paths,
+            connex_subtree,
+            enumerate_join_trees,
+            is_berge_acyclic,
+            rank_tree,
+        )
+
         result: dict = {
             "full": ctx.is_full,
             "output_variables": [n for n, _ in ctx.output],
@@ -1072,8 +1120,76 @@ class SparkSQLPlus:
         queries, describe the chosen strategy (break rewrite or GHD
         decomposition with per-bag evaluation). Pass
         cyclic_strategy='ghd' to preview the GHD plan even when the
-        auto router would break."""
-        ctx = self.context(query)
+        auto router would break. Compounds render one tree per part;
+        outer joins render the core tree plus attachment lines."""
+        stmt = parse_statement(query)
+        if isinstance(stmt, CompoundSpec):
+            out = ["compound (ANSI bag parts):"]
+            for i, part in enumerate(stmt.parts):
+                if i:
+                    op, is_all = stmt.ops[i - 1]
+                    out.append(f"-- {op.upper()}{' ALL' if is_all else ''} --")
+                out.append(self._explain_parsed(part, cyclic_strategy))
+            return "\n".join(out)
+        return self._explain_parsed(stmt, cyclic_strategy)
+
+    def _explain_parsed(self, spec, cyclic_strategy: str = "auto") -> str:
+        spec = self._fold_scalars(self._decorrelate_scalars(spec))
+        if spec.outer_joins:
+            from sparksqlplus_spark.expressions import Col
+            from sparksqlplus_spark.parser.sql import QuerySpec, SelectItem
+            from sparksqlplus_spark.plans.context import _make_relation
+
+            ephemeral = self._plan_subqueries(spec)
+            try:
+                inner = {fi.alias for fi in spec.from_items}
+                alias_cols: dict[str, list[str]] = {}
+                for i, fi in enumerate(spec.from_items):
+                    alias_cols[fi.alias] = list(
+                        _make_relation(i, fi, self.catalog).col_to_var
+                    )
+                # display approximation of _run_outer's split: fully
+                # qualified inner-only conjuncts join the core tree
+                core_where = [
+                    c
+                    for c in spec.where
+                    if {a for a, _ in c.refs()} <= inner
+                    and all(a != "" for a, _ in c.refs())
+                ]
+                core_sel = [
+                    SelectItem(Col(a, cols[0]), f"__e{k}")
+                    for k, (a, cols) in enumerate(alias_cols.items())
+                    if cols
+                ]
+                core = QuerySpec(
+                    select=core_sel, distinct=False,
+                    from_items=spec.from_items, where=core_where,
+                )
+                core_txt = self._explain_ctx(
+                    build_context(core, self.catalog), cyclic_strategy
+                )
+                lines = ["outer-join plan (ANSI):"]
+                lines += ["  " + ln for ln in core_txt.splitlines()]
+                for oj in spec.outer_joins:
+                    tgt = oj.item.table or f"({oj.item.alias})"
+                    conds = ", ".join(c.key() for c in oj.conds)
+                    lines.append(
+                        f"  left_join {tgt} AS {oj.item.alias} on [{conds}]"
+                    )
+                return "\n".join(lines)
+            finally:
+                for n in ephemeral:
+                    self.catalog.unregister(n)
+        ephemeral = self._plan_subqueries(spec)
+        try:
+            return self._explain_ctx(
+                build_context(spec, self.catalog), cyclic_strategy
+            )
+        finally:
+            for n in ephemeral:
+                self.catalog.unregister(n)
+
+    def _explain_ctx(self, ctx, cyclic_strategy: str = "auto") -> str:
         tree = best_join_tree(ctx.relations, ctx.comparisons)
 
         def render(t, ctx_) -> str:
