@@ -1961,6 +1961,37 @@ FROM grid g LEFT JOIN agg a ON g.media_id = a.media_id AND g.idx = a.idx
 # ---------------------------------------------------------------------------
 
 
+def _interval_join_q(spark, sf_dir):
+    """Stream-stream interval join (streaming/windows.py:interval_join)
+    in its batch form: click->purchase attribution within 10 minutes
+    per user. The streaming form (watermarks on BOTH sides + the
+    time-range state-eviction bound) is pytest-proven equal to this
+    batch frame (tests/test_streaming.py:
+    test_interval_join_stream_matches_batch); the oracle is the exact
+    DuckDB time-range join."""
+    from sparksqlplus_spark.streaming.windows import interval_join
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.catalog.get("events").df
+    from pyspark.sql import functions as F
+
+    return interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        within="10 minutes",
+    )
+
+
+_INTERVAL_JOIN_ORACLE = """
+SELECT l.user_id AS l_key, l.event_id AS l_event_id, l.ts AS l_ts,
+       r.event_id AS r_event_id, r.ts AS r_ts
+FROM events l, events r
+WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+  AND l.user_id = r.user_id
+  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+"""
+
+
 def _tumbling_q(spark, sf_dir):
     from sparksqlplus_spark.streaming.windows import tumbling_agg
 
@@ -2322,6 +2353,7 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "events_ewma_scalable": (_ewma_scalable_q, _EWMA_SCALABLE_ORACLE),
     "hint_join_tree": (_hint_q, _HINT_ORACLE),
     "events_tumbling_window": (_tumbling_q, _TUMBLING_ORACLE),
+    "events_interval_join": (_interval_join_q, _INTERVAL_JOIN_ORACLE),
     "events_sliding_window": (_sliding_q, _SLIDING_ORACLE),
     "events_session_window": (_session_q, _SESSION_ORACLE),
     "events_dedup_first": (_dedup_first_q, _DEDUP_FIRST_ORACLE),
@@ -2411,6 +2443,7 @@ _HEAD = [
     "tpch_q1",
     "tpch_q18",
     "events_tumbling_window",
+    "events_interval_join",
     "events_sliding_window",
     "events_session_window",
     "events_dedup_first",
@@ -2440,6 +2473,7 @@ _TAIL = [
     "text_decontaminate",
     "graph_q1_path_counts",
     "graph_c4_cycle_ghd",
+    "graph_dense_auto_ghd",
     "filters_pushdown",
     "like_patterns",
     "or_residual",

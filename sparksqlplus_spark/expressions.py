@@ -241,6 +241,14 @@ class AggCall(Expr):
         if self.distinct:
             if self.func == "count":
                 return F.count_distinct(inner)
+            if self.func == "sum":
+                return F.sum_distinct(inner)
+            if self.func == "avg":
+                # no F.avg_distinct; the exact identity over the
+                # distinct value set
+                return F.sum_distinct(inner) / F.count_distinct(inner)
+            if self.func in ("min", "max"):
+                return getattr(F, self.func)(inner)  # DISTINCT is a no-op
             raise ValueError(f"DISTINCT unsupported for {self.func}")
         return getattr(F, self.func)(inner)
 

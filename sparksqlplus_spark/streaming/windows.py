@@ -234,6 +234,51 @@ def dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+    left_cols: tuple[str, ...] = ("event_id", "ts"),
+    right_cols: tuple[str, ...] = ("event_id", "ts"),
+) -> DataFrame:
+    """Stream-stream (or batch) interval inner join: pair each left
+    event with right events for the SAME key whose timestamp falls in
+    [left.ts, left.ts + within] — the click→purchase attribution
+    shape. Works identically on batch and streaming frames; on streams
+    BOTH sides get event-time watermarks and the time-range condition
+    is what lets Spark bound the join state (rows older than
+    watermark + within are evicted) — an unbounded-state stream-stream
+    join is rejected by Spark, so the range bound is the scalability
+    contract, not an optimization. Output columns are prefixed l_/r_.
+    """
+    l = left
+    r = right
+    if l.isStreaming:
+        l = l.withWatermark(ts_col, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(ts_col, watermark)
+    lsel = l.select(
+        F.col(key_col).alias("l_key"),
+        *[F.col(c).alias(f"l_{c}") for c in left_cols],
+    )
+    rsel = r.select(
+        F.col(key_col).alias("r_key"),
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col(f"r_{ts_col}") >= F.col(f"l_{ts_col}"))
+        & (
+            F.col(f"r_{ts_col}")
+            <= F.col(f"l_{ts_col}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lsel.join(rsel, cond, "inner").drop("r_key")
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

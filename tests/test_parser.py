@@ -679,3 +679,17 @@ def test_exists_non_equality_correlation(engine):
     assert ours.count() == ref.count() > 0
     assert ours.exceptAll(ref).count() == 0
     assert ref.exceptAll(ours).count() == 0
+
+
+def test_distinct_aggregates(engine):
+    """SUM/AVG/COUNT(DISTINCT ...) execute natively (AVG DISTINCT via
+    the sum_distinct/count_distinct identity); MIN/MAX DISTINCT are
+    no-ops. Matches spark.sql."""
+    q = ("SELECT o.o_orderstatus AS st, SUM(DISTINCT o.o_custkey) AS sd, "
+         "AVG(DISTINCT o.o_custkey) AS ad, COUNT(DISTINCT o.o_custkey) AS cd, "
+         "MIN(DISTINCT o.o_totalprice) AS md "
+         "FROM orders AS o GROUP BY o.o_orderstatus")
+    ours = engine.sql(q, mode="cqc")
+    ref = engine.sql(q, mode="spark")
+    assert ours.count() == ref.count() > 0
+    assert ours.exceptAll(ref).count() == 0

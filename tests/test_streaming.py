@@ -281,3 +281,51 @@ def test_sinks_roundtrip(engine, tmp_path):
     )
     assert seen["rows"] == ev.count()
     assert seen["batches"] >= 1
+
+
+def test_interval_join_batch_oracle(events, oracle):
+    """Batch interval join (click->purchase attribution within 10 min)
+    matches the DuckDB time-range join exactly."""
+    from sparksqlplus_spark.streaming.windows import interval_join
+
+    got = interval_join(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+        within="10 minutes",
+    )
+    assert_matches(
+        got,
+        oracle,
+        """SELECT l.user_id AS l_key, l.event_id AS l_event_id,
+                  l.ts AS l_ts, r.event_id AS r_event_id, r.ts AS r_ts
+           FROM events l, events r
+           WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+             AND l.user_id = r.user_id
+             AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE""",
+    )
+
+
+def test_interval_join_stream_matches_batch(spark, events):
+    """Stream-stream interval join with watermarks on both sides: the
+    availableNow drain over the file stream must equal the batch form
+    row for row (the time-range bound is what lets Spark evict state)."""
+    from sparksqlplus_spark.streaming.windows import interval_join
+
+    s = events_stream(spark, EVENTS)
+    got = run_stream_to_memory(
+        interval_join(
+            s.filter(F.col("event_type") == "click"),
+            s.filter(F.col("event_type") == "purchase"),
+            within="10 minutes",
+            watermark="30 minutes",
+        ),
+        "t_ivjoin",
+    )
+    want = interval_join(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+        within="10 minutes",
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
