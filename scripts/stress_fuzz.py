@@ -201,7 +201,9 @@ for i in range(N):
 # ---- ANSI extension families (round 6): oracle is spark.sql ------------
 
 def check_spark(tag, sql):
-    check(tag, sql, [eng.sql(sql), eng.sql(sql, mode="spark")])
+    # mode='cqc' forces the native path (a silent auto-fallback would
+    # compare spark with spark and prove nothing)
+    check(tag, sql, [eng.sql(sql, mode="cqc"), eng.sql(sql, mode="spark")])
 
 
 for i in range(N):

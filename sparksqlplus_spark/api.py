@@ -391,7 +391,13 @@ class SparkSQLPlus:
             having=[map_expr(c, fold) for c in spec.having],
         )
 
-    def _plan_subqueries(self, spec) -> list[str]:
+    def _plan_subqueries(
+        self,
+        spec,
+        mode: str = "auto",
+        cyclic_strategy: str = "auto",
+        count_mode: str = "rows",
+    ) -> list[str]:
         """Composite views (engine extension): any FROM-subquery that
         the narrow native shapes (derived filtered scan, C21 aggregated
         view) reject is planned RECURSIVELY through the full pipeline
@@ -425,7 +431,10 @@ class SparkSQLPlus:
             import copy
 
             sub = copy.deepcopy(fi.subquery)
-            df = self._plan_spec(sub, ansi=True)
+            df = self._plan_spec(
+                sub, mode=mode, cyclic_strategy=cyclic_strategy,
+                count_mode=count_mode, ansi=True,
+            )
             # PK inference from the sub-spec's shape
             pk: tuple[str, ...] = ()
             out_names: dict[str, str] = {}
@@ -457,24 +466,48 @@ class SparkSQLPlus:
         cyclic_strategy: str = "auto",
         count_mode: str = "rows",
         ansi: bool = False,
+        root_hint: str | None = None,
+        join_tree_hint=None,
     ) -> DataFrame:
-        """Plan one QuerySpec end-to-end: fold scalar subqueries, plan
-        composite FROM-subqueries, build the context, execute. ansi=True
-        forces bag semantics (compound parts / composite views)."""
+        """Plan one QuerySpec end-to-end: decorrelate + fold scalar
+        subqueries, plan composite FROM-subqueries, build the context,
+        execute (honoring mode='naive' and the join-tree/root hints).
+        ANSI bag semantics apply when requested (compound parts,
+        composite views, the outer-join tail) or whenever the statement
+        uses a composite view (pure-SQL extension surface)."""
         spec = self._fold_scalars(self._decorrelate_scalars(spec))
         if spec.outer_joins:
+            if join_tree_hint is not None:
+                raise UnsupportedSqlError(
+                    "join_tree_hint does not apply to an outer join"
+                )
             return self._run_outer(
                 spec, mode=mode, cyclic_strategy=cyclic_strategy,
                 count_mode=count_mode,
             )
-        ephemeral = self._plan_subqueries(spec)
+        ephemeral = self._plan_subqueries(
+            spec, mode=mode, cyclic_strategy=cyclic_strategy,
+            count_mode=count_mode,
+        )
         try:
             ctx = build_context(spec, self.catalog)
-            if ansi:
+            if ansi or ephemeral:
                 ctx.is_full = True
+            if mode == "naive":
+                return naive_execute(self.spark, self.catalog, ctx)
+            if join_tree_hint is not None:
+                from sparksqlplus_spark.plans.hints import join_tree_from_hint
+
+                tree = join_tree_from_hint(ctx, join_tree_hint)
+                return self._executor.execute_tree(
+                    ctx,
+                    tree,
+                    root_hint=root_hint or tree.relations[tree.root].alias,
+                    count_mode=count_mode,
+                )
             return self._run_context(
-                ctx, mode=mode, cyclic_strategy=cyclic_strategy,
-                count_mode=count_mode,
+                ctx, mode=mode, root_hint=root_hint,
+                cyclic_strategy=cyclic_strategy, count_mode=count_mode,
             )
         finally:
             for n in ephemeral:
@@ -546,11 +579,17 @@ class SparkSQLPlus:
 
         ephemeral: list[str] = []
         try:
-            ephemeral += self._plan_subqueries(spec)
+            ephemeral += self._plan_subqueries(
+                spec, mode=mode, cyclic_strategy=cyclic_strategy,
+                count_mode=count_mode,
+            )
             for oj in spec.outer_joins:
                 if oj.item.subquery is not None:
                     sub = copy.deepcopy(oj.item.subquery)
-                    df = self._plan_spec(sub, ansi=True)
+                    df = self._plan_spec(
+                        sub, mode=mode, cyclic_strategy=cyclic_strategy,
+                        count_mode=count_mode, ansi=True,
+                    )
                     self._view_counter += 1
                     name = f"__view{self._view_counter}_{oj.item.alias}"
                     self.catalog.register_df(name, df, ())
@@ -753,19 +792,13 @@ class SparkSQLPlus:
 
         from sparksqlplus_spark.expressions import Col
 
-        dfs: list[DataFrame] = []
-        for part in comp.parts:
-            if mode == "naive":
-                ctx = build_context(self._fold_scalars(part), self.catalog)
-                ctx.is_full = True  # ANSI bag semantics for compound parts
-                dfs.append(naive_execute(self.spark, self.catalog, ctx))
-            else:
-                dfs.append(
-                    self._plan_spec(
-                        part, mode=mode, cyclic_strategy=cyclic_strategy,
-                        count_mode=count_mode, ansi=True,
-                    )
-                )
+        dfs: list[DataFrame] = [
+            self._plan_spec(
+                part, mode=mode, cyclic_strategy=cyclic_strategy,
+                count_mode=count_mode, ansi=True,
+            )
+            for part in comp.parts
+        ]
         width = len(dfs[0].columns)
         for d in dfs[1:]:
             if len(d.columns) != width:
@@ -845,47 +878,14 @@ class SparkSQLPlus:
                     stmt, mode=mode, cyclic_strategy=cyclic_strategy,
                     count_mode=count_mode,
                 )
-            stmt = self._fold_scalars(self._decorrelate_scalars(stmt))
-            if stmt.outer_joins:
-                if join_tree_hint is not None:
-                    raise UnsupportedSqlError(
-                        "join_tree_hint does not apply to an outer join"
-                    )
-                return self._run_outer(
-                    stmt, mode=mode, cyclic_strategy=cyclic_strategy,
-                    count_mode=count_mode,
-                )
-            ephemeral = self._plan_subqueries(stmt)
-            try:
-                ctx = build_context(stmt, self.catalog)
-                if ephemeral:
-                    # composite views are a pure-SQL extension surface:
-                    # their statements follow ANSI bag semantics
-                    ctx.is_full = True
-                if mode == "naive":
-                    return naive_execute(self.spark, self.catalog, ctx)
-                if join_tree_hint is not None:
-                    from sparksqlplus_spark.plans.hints import (
-                        join_tree_from_hint,
-                    )
-
-                    tree = join_tree_from_hint(ctx, join_tree_hint)
-                    return self._executor.execute_tree(
-                        ctx,
-                        tree,
-                        root_hint=root_hint or tree.relations[tree.root].alias,
-                        count_mode=count_mode,
-                    )
-                return self._run_context(
-                    ctx,
-                    mode=mode,
-                    root_hint=root_hint,
-                    cyclic_strategy=cyclic_strategy,
-                    count_mode=count_mode,
-                )
-            finally:
-                for n in ephemeral:
-                    self.catalog.unregister(n)
+            return self._plan_spec(
+                stmt,
+                mode=mode,
+                cyclic_strategy=cyclic_strategy,
+                count_mode=count_mode,
+                root_hint=root_hint,
+                join_tree_hint=join_tree_hint,
+            )
         except UnsupportedSqlError:
             if mode == "auto" and join_tree_hint is None:
                 self._ensure_views()

@@ -1032,8 +1032,15 @@ def finalize(result: DataFrame, ctx: Context) -> DataFrame:
             elif ctx.group_mode == "cube":
                 gd = result.cube(*gnames)
             else:
+                # indices point into ctx.group_by; resolve through phys
+                # (duplicate group exprs collapse to one physical name,
+                # so a set can never silently lose a member)
                 sets = [
-                    [gnames[i] for i in s if i < len(gnames)]
+                    list(
+                        dict.fromkeys(
+                            phys[ctx.group_by[i].key()] for i in s
+                        )
+                    )
                     for s in ctx.grouping_sets
                 ]
                 gd = result.groupingSets(sets, *gnames)

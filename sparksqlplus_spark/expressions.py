@@ -293,6 +293,8 @@ class WindowCall(Expr):
 
         if self.func in WINDOW_RANK_FUNCS:
             col = getattr(F, self.func)()
+        elif self.func == "count" and isinstance(self.args[0], Star):
+            col = F.count(F.lit(1))  # COUNT(*) OVER (...)
         elif self.func in ("lag", "lead"):
             inner = self.args[0].to_spark(colmap)
             extras = [a.value for a in self.args[1:]]  # validated Lits

@@ -457,7 +457,19 @@ class _Parser:
         if self.accept("op", "("):
             sub = self._select_stmt()
             self.expect("op", ")")
-            self.accept("kw", "as")
+            explicit_as = self.accept("kw", "as")
+            if (
+                not explicit_as
+                and self.at("id")
+                and self.peek().text.lower() in self._SOFT_AFTER_FROM
+            ):
+                # "(SELECT ...) LEFT JOIN ..." — the id is a join
+                # keyword, NOT an implicit alias; an unaliased derived
+                # table is outside the subset (silently reading 'left'
+                # as the alias would degrade the outer join to inner)
+                raise UnsupportedSqlError(
+                    "derived table needs an alias before a join keyword"
+                )
             alias = self.expect("id").text
             return FromItem(alias=alias, subquery=sub)
         name = self.expect("id").text
@@ -813,6 +825,8 @@ class _Parser:
         elif func in WINDOW_AGG_FUNCS:
             if len(args) != 1:
                 raise UnsupportedSqlError(f"window {func} needs 1 arg")
+            if isinstance(args[0], Star) and func != "count":
+                raise UnsupportedSqlError(f"window {func}(*) is invalid")
         else:
             raise UnsupportedSqlError(f"unsupported window function {func}")
         self.take()  # 'over'

@@ -510,8 +510,10 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             raise UnsupportedSqlError(
                 "window functions are only valid in the SELECT list"
             )
-    has_window = any(contains_window(e) for _, e in output)
-    if has_window and (group_by or aggregations):
+    has_window = any(contains_window(e) for _, e in output) or any(
+        contains_window(e) for r in relations for _, e in r.sub_proj
+    )
+    if any(contains_window(e) for _, e in output) and (group_by or aggregations):
         raise UnsupportedSqlError(
             "window functions over aggregated queries are not in the subset"
         )
@@ -557,15 +559,26 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             f"GROUP BY {spec.group_mode.upper()} requires at least one "
             "aggregate in the SELECT list"
         )
-    if spec.group_mode == "plain" and any(
-        a.func == "grouping" for _, a in aggregations
-    ):
+    # every GROUPING() anywhere in the statement tail (outputs, HAVING,
+    # ORDER BY) must ride a grouped-set query and name a group expr —
+    # a leak into a plain groupBy().agg() would die in Spark with an
+    # AnalysisException instead of falling back
+    grouping_calls = [
+        a
+        for a in (
+            [a for _, a in aggregations]
+            + [s for c in spec.having for s in _agg_subcalls(c)]
+            + [s for e, _ in order_by for s in _agg_subcalls(e)]
+        )
+        if a.func == "grouping"
+    ]
+    if spec.group_mode == "plain" and grouping_calls:
         raise UnsupportedSqlError(
             "GROUPING() is only valid with ROLLUP/CUBE/GROUPING SETS"
         )
     gb_keys = {e.key() for e in group_by}
-    for _, a in aggregations:
-        if a.func == "grouping" and a.arg.key() not in gb_keys:
+    for a in grouping_calls:
+        if a.arg.key() not in gb_keys:
             raise UnsupportedSqlError(
                 "GROUPING() argument must be a GROUP BY expression"
             )
@@ -850,6 +863,10 @@ def _make_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation:
         elif isinstance(e, AggCall):
             if agg_func is not None:
                 raise UnsupportedSqlError("subquery supports one aggregate")
+            if e.func == "grouping":
+                raise UnsupportedSqlError(
+                    "GROUPING() is only valid with ROLLUP/CUBE/GROUPING SETS"
+                )
             agg_func = e.func
             if isinstance(e.arg, Star):
                 agg_arg = None

@@ -375,7 +375,9 @@ def test_derived_tables_equal_plain(engine, case, wrap_mask):
 
 
 def _assert_equals_spark(engine, sql):
-    a = engine.sql(sql)
+    # mode='cqc' forces the native path: a silent fallback would make
+    # the comparison spark-vs-spark and prove nothing
+    a = engine.sql(sql, mode="cqc")
     b = engine.sql(sql, mode="spark")
     ca, cb = a.count(), b.count()
     assert ca == cb, f"count mismatch {ca} vs {cb} for: {sql}"

@@ -693,3 +693,34 @@ def test_distinct_aggregates(engine):
     ref = engine.sql(q, mode="spark")
     assert ours.count() == ref.count() > 0
     assert ours.exceptAll(ref).count() == 0
+
+
+def test_review_regressions_round6(engine):
+    """Round-6 review findings, pinned: (a) an unaliased derived table
+    followed by LEFT JOIN must not eat 'left' as its alias and degrade
+    to an inner join (raises -> fallback); (b) COUNT(*) OVER plans
+    natively; (c) a window inside a derived-table projection keeps ANSI
+    semantics even when the outer projection is non-full; (d) GROUPING()
+    inside a C21-shaped subquery falls back instead of crashing."""
+    cases = [
+        ("SELECT c_custkey, o_orderkey FROM (SELECT * FROM customer) "
+         "LEFT JOIN orders AS o ON c_custkey = o.o_custkey "
+         "AND o.o_totalprice > 250000.0", "auto"),
+        ("SELECT c.c_custkey, COUNT(*) OVER (PARTITION BY c.c_nationkey) "
+         "AS n FROM customer AS c", "cqc"),
+        ("SELECT t.r FROM (SELECT o_custkey AS k, RANK() OVER "
+         "(PARTITION BY o_custkey ORDER BY o_totalprice) AS r "
+         "FROM orders) AS t", "cqc"),
+    ]
+    for q, mode in cases:
+        a = engine.sql(q, mode=mode)
+        b = engine.sql(q, mode="spark")
+        assert a.count() == b.count(), q
+        assert a.exceptAll(b).count() == 0, q
+        assert b.exceptAll(a).count() == 0, q
+    grouping_sub = (
+        "SELECT v.k FROM (SELECT o_custkey AS k, "
+        "CAST(GROUPING(o_custkey) AS INT) AS g "
+        "FROM orders GROUP BY ROLLUP(o_custkey)) AS v WHERE v.k > 0"
+    )
+    assert engine.sql(grouping_sub).count() > 0  # fallback, no crash
