@@ -2398,12 +2398,15 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # entry may sit driver-unchecked for 2+ consecutive rounds: every
 # round the previous tail rotates back into the head.
 _HEAD = [
-    # NEW this round (r6), in two waves: corpus ops (mixture sampler,
+    # NEW this round (r6), in three waves: corpus ops (mixture sampler,
     # Gopher repetition rules, boilerplate n-grams, keep-one dedup,
     # PageRank, exact quantiles), native SQL-surface extensions
     # (EXISTS/NOT EXISTS semi-anti planning, scalar-subquery folding,
-    # CTE desugar), star-contraction chains, the C5 pentagon +
-    # chorded-K4 kernels, the reference-absent TPC-H set, HAVING,
+    # CTE desugar; late-round: null-aware NOT IN, ROLLUP+GROUPING,
+    # EXCEPT compounds, correlated-scalar decorrelation, sequence
+    # packing, tf-idf, the stream-stream interval join),
+    # star-contraction chains, the C5 pentagon + chorded-K4 kernels,
+    # the reference-absent TPC-H set (Q13/Q16/Q21 now native), HAVING,
     # chunking/sampling/window/UNION/PII entries
     "sample_mixture",
     "text_repetition",
