@@ -263,6 +263,10 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
     where = [qualify(c) for c in spec.where if not isinstance(c, Exists)]
     select = [(si.alias, qualify(si.expr)) for si in spec.select]
     group_by = [qualify(e) for e in spec.group_by]
+    # HAVING must qualify like everything else: finalize renders its
+    # aggregate helper columns through var_map, whose keys are
+    # (alias, col) — an unqualified ref would KeyError at to_spark
+    having = [qualify(c) for c in spec.having]
     # ORDER BY may reference an output alias — keep those unqualified
     out_aliases = {si.alias for si in spec.select if si.alias}
 
@@ -500,7 +504,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
         output.append((name, expr))
 
     # ---- window functions: SELECT items only; ANSI semantics --------------
-    for cond in [*where, *spec.having]:
+    for cond in [*where, *having]:
         if contains_window(cond):
             raise UnsupportedSqlError(
                 "window functions are only valid in the SELECT list"
@@ -533,7 +537,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
     # ---- HAVING validation: after substituting GROUP BY expressions and
     # aggregate calls, nothing may still reference a base column (a
     # non-grouped reference would be ambiguous per group) ----------------
-    if spec.having:
+    if having:
         from sparksqlplus_spark.expressions import Lit, map_expr
 
         known_keys = {e.key() for e in group_by}
@@ -546,7 +550,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 return Lit(0, "int")
             return None
 
-        for cond in spec.having:
+        for cond in having:
             leftover = map_expr(cond, _known).refs()
             if leftover:
                 raise UnsupportedSqlError(
@@ -567,7 +571,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
         a
         for a in (
             [a for _, a in aggregations]
-            + [s for c in spec.having for s in _agg_subcalls(c)]
+            + [s for c in having for s in _agg_subcalls(c)]
             + [s for e, _ in order_by for s in _agg_subcalls(e)]
         )
         if a.func == "grouping"
@@ -596,7 +600,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
         limit=spec.limit,
         distinct=spec.distinct,
         is_full=is_full,
-        having=list(spec.having),
+        having=having,
         semi_filters=semi_filters,
         group_mode=spec.group_mode,
         grouping_sets=list(spec.grouping_sets),

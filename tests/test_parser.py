@@ -724,3 +724,24 @@ def test_review_regressions_round6(engine):
         "FROM orders GROUP BY ROLLUP(o_custkey)) AS v WHERE v.k > 0"
     )
     assert engine.sql(grouping_sub).count() > 0  # fallback, no crash
+
+
+def test_having_qualification(engine):
+    """HAVING refs qualify like every other clause: unqualified column
+    refs inside HAVING aggregates, and HAVING over an outer-join tail
+    (the round-6 KeyError), both match spark.sql."""
+    cases = [
+        ("SELECT o.o_orderstatus AS st, SUM(o.o_totalprice) AS s "
+         "FROM orders AS o GROUP BY o.o_orderstatus "
+         "HAVING SUM(o_totalprice) > 1000.0"),
+        ("SELECT c.c_nationkey AS nk, COUNT(o.o_orderkey) AS cnt "
+         "FROM customer AS c "
+         "LEFT JOIN orders AS o ON c.c_custkey = o.o_custkey "
+         "GROUP BY c.c_nationkey HAVING COUNT(o.o_orderkey) > 50 "
+         "ORDER BY cnt DESC, nk"),
+    ]
+    for q in cases:
+        a = engine.sql(q, mode="cqc")
+        b = engine.sql(q, mode="spark")
+        assert a.count() == b.count() > 0, q
+        assert a.exceptAll(b).count() == 0, q
