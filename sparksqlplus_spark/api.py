@@ -368,10 +368,16 @@ class SparkSQLPlus:
             return Lit(v, kind)
 
         # recurse into FROM-subqueries first (a derived table's WHERE
-        # may carry a scalar subquery — TPC-H Q22's custsale shape)
+        # may carry a scalar subquery — TPC-H Q22's custsale shape).
+        # Decorrelate BEFORE folding: a correlated scalar inside the
+        # subquery must rewrite to its aggregated-view join here, or
+        # the fold attempt dies on the unresolvable outer alias before
+        # the subquery ever reaches its own _plan_spec
         for fi in spec.from_items:
             if fi.subquery is not None:
-                fi.subquery = self._fold_scalars(fi.subquery)
+                fi.subquery = self._fold_scalars(
+                    self._decorrelate_scalars(fi.subquery)
+                )
 
         has_scalar = False
 

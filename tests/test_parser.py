@@ -745,3 +745,35 @@ def test_having_qualification(engine):
         b = engine.sql(q, mode="spark")
         assert a.count() == b.count() > 0, q
         assert a.exceptAll(b).count() == 0, q
+
+
+def test_cross_feature_combinations(engine):
+    """Round-6 surfaces composed: windows inside compound parts,
+    aggregated compound parts, a correlated scalar inside a derived
+    table (decorrelation must run before scalar folding), NOT IN inside
+    a derived table, and EXISTS + window in one statement."""
+    cases = [
+        ("SELECT o.o_orderkey AS k, ROW_NUMBER() OVER "
+         "(ORDER BY o.o_orderkey) AS r FROM orders AS o "
+         "WHERE o.o_totalprice > 400000.0 "
+         "UNION ALL SELECT o.o_orderkey AS k, ROW_NUMBER() OVER "
+         "(ORDER BY o.o_orderkey DESC) AS r FROM orders AS o "
+         "WHERE o.o_totalprice > 400000.0"),
+        ("SELECT v.k FROM (SELECT o.o_orderkey AS k FROM orders AS o "
+         "WHERE o.o_totalprice > (SELECT 2.0 * AVG(o2.o_totalprice) "
+         "FROM orders AS o2 WHERE o2.o_custkey = o.o_custkey)) AS v "
+         "ORDER BY v.k LIMIT 20"),
+        ("SELECT t.k FROM (SELECT c_custkey AS k FROM customer "
+         "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+         "WHERE o_orderpriority = '1-URGENT')) AS t"),
+        ("SELECT c.c_custkey, RANK() OVER (ORDER BY c.c_acctbal DESC) "
+         "AS r FROM customer AS c WHERE EXISTS "
+         "(SELECT * FROM orders AS o WHERE o.o_custkey = c.c_custkey "
+         "AND o.o_totalprice > 300000.0)"),
+    ]
+    for q in cases:
+        a = engine.sql(q, mode="cqc")
+        b = engine.sql(q, mode="spark")
+        assert a.count() == b.count() > 0, q
+        assert a.exceptAll(b).count() == 0, q
+        assert b.exceptAll(a).count() == 0, q
