@@ -526,17 +526,28 @@ class SparkSQLPlus:
         cyclic_strategy: str = "auto",
         count_mode: str = "rows",
     ) -> DataFrame:
-        """LEFT OUTER JOIN planner (engine extension; the reference is
-        inner-join only). Three phases, one lazy Spark plan end to end:
+        """LEFT/RIGHT/FULL OUTER JOIN planner (engine extension; the
+        reference is inner-join only). Three phases, one lazy Spark
+        plan end to end:
 
-        1. the inner FROM block + inner-only WHERE conjuncts plan
-           through the NORMAL pipeline (CQC reduce/enumerate, cyclic
-           router — all of it) with bag semantics, projecting every
-           inner column under a generated name;
-        2. each LEFT JOIN attaches in source order: right-local ON
-           conjuncts pre-filter the right side (equivalent for a left
-           join, and they push into the right scan), the rest join;
-           broadcast/shuffle choice is Catalyst's by size, as with any
+        1. the inner FROM block + its INNER-JOIN ON conjuncts (and,
+           when every attachment is a LEFT join, the inner-only WHERE
+           conjuncts — the FROM block is then the preserved side, so
+           pre-join placement is equivalent) plan through the NORMAL
+           pipeline (CQC reduce/enumerate, cyclic router — all of it)
+           with bag semantics, projecting every inner column under a
+           generated name;
+        2. each outer join attaches in source order (left-associative,
+           ANSI). LEFT: right-local ON conjuncts pre-filter the right
+           side (not preserved — equivalent, and they push into the
+           right scan), the rest join. RIGHT/FULL: the right side IS
+           preserved, so every ON conjunct stays in the join condition
+           (ON never removes preserved-side rows); WHERE conjuncts over
+           core columns apply post-join (the core is null-supplied —
+           pre-filtering would resurrect rows `WHERE x IS NULL` should
+           not see and drop rows it should; Catalyst re-pushes the
+           null-rejecting ones through the join at physical planning).
+           Broadcast/shuffle choice is Catalyst's by size, as with any
            equi-join;
         3. the SELECT/GROUP BY/HAVING/ORDER BY/LIMIT tail runs as a
            single-table query over the joined frame through the same
@@ -575,6 +586,7 @@ class SparkSQLPlus:
 
         all_conds = [
             *spec.where,
+            *spec.inner_on,
             *[c for oj in spec.outer_joins for c in oj.conds],
             *spec.having,
         ]
@@ -643,13 +655,31 @@ class SparkSQLPlus:
 
             where_q = [qualify(c) for c in spec.where]
             on_q = [[qualify(c) for c in oj.conds] for oj in spec.outer_joins]
-
-            # ---- split WHERE: inner-only pushes into the core ----------
             inner_aliases = set(alias_cols)
-            core_where, post_where = [], []
+            core_where: list = []
+            for c in spec.inner_on:  # non-empty only with RIGHT/FULL
+                cq = qualify(c)
+                if {a for a, _ in cq.refs()} - inner_aliases:
+                    raise UnsupportedSqlError(
+                        "INNER JOIN ON may not reference outer-joined "
+                        "tables"
+                    )
+                core_where.append(cq)
+
+            # ---- split WHERE: inner-only pushes into the core when the
+            # core is the preserved side of every attachment; with a
+            # RIGHT/FULL join the core is null-supplied, so WHERE stays
+            # post-join (docstring phase 2) ------------------------------
+            preserved_core = all(
+                oj.side == "left" for oj in spec.outer_joins
+            )
+            post_where = []
             for c in where_q:
                 refs = {a for a, _ in c.refs()}
-                (core_where if refs <= inner_aliases else post_where).append(c)
+                if preserved_core and refs <= inner_aliases:
+                    core_where.append(c)
+                else:
+                    post_where.append(c)
 
             # ---- phase 1: core inner block -----------------------------
             phys: dict[tuple[str, str], str] = {}
@@ -686,7 +716,11 @@ class SparkSQLPlus:
                 join_cond = None
                 for cond in conds:
                     refs = {al for al, _ in cond.refs()}
-                    if refs <= {a}:
+                    if oj.side == "left" and refs <= {a}:
+                        # right side not preserved: ON-local conjuncts
+                        # pre-filter (and push into the right scan);
+                        # for RIGHT/FULL the right side is preserved,
+                        # so they must stay matching-only conditions
                         right = right.filter(
                             cond.to_spark({(a, c): ren[c] for c in ren})
                         )
@@ -695,7 +729,7 @@ class SparkSQLPlus:
                         al == a or (al, c) in known for al, c in cond.refs()
                     ):
                         raise UnsupportedSqlError(
-                            "LEFT JOIN ON may only reference earlier "
+                            "OUTER JOIN ON may only reference earlier "
                             "FROM items"
                         )
                     m = dict(known)
@@ -704,9 +738,9 @@ class SparkSQLPlus:
                     join_cond = cc if join_cond is None else (join_cond & cc)
                 if join_cond is None:
                     raise UnsupportedSqlError(
-                        "LEFT JOIN needs a correlated ON condition"
+                        "OUTER JOIN needs a correlated ON condition"
                     )
-                joined = joined.join(right, join_cond, "left")
+                joined = joined.join(right, join_cond, oj.side)
                 known.update({(a, c): ren[c] for c in ren})
 
             # ---- phase 3: the statement tail over the joined frame -----
@@ -949,6 +983,7 @@ class SparkSQLPlus:
                     {
                         "alias": oj.item.alias,
                         "table": oj.item.table or f"({oj.item.alias})",
+                        "side": oj.side,
                         "on": [c.key() for c in oj.conds],
                     }
                     for oj in spec.outer_joins
@@ -1156,9 +1191,12 @@ class SparkSQLPlus:
                     )
                 # display approximation of _run_outer's split: fully
                 # qualified inner-only conjuncts join the core tree
+                preserved = all(
+                    oj.side == "left" for oj in spec.outer_joins
+                )
                 core_where = [
                     c
-                    for c in spec.where
+                    for c in [*spec.inner_on, *(spec.where if preserved else [])]
                     if {a for a, _ in c.refs()} <= inner
                     and all(a != "" for a, _ in c.refs())
                 ]
@@ -1180,7 +1218,7 @@ class SparkSQLPlus:
                     tgt = oj.item.table or f"({oj.item.alias})"
                     conds = ", ".join(c.key() for c in oj.conds)
                     lines.append(
-                        f"  left_join {tgt} AS {oj.item.alias} on [{conds}]"
+                        f"  {oj.side}_join {tgt} AS {oj.item.alias} on [{conds}]"
                     )
                 return "\n".join(lines)
             finally:

@@ -72,15 +72,17 @@ class OrderItem:
 
 @dataclass
 class OuterJoin:
-    """One LEFT [OUTER] JOIN attachment (engine extension; the
-    reference supports inner joins only). Applied AFTER the inner FROM
-    block joins, in source order; `conds` is the ON conjunction (right-
-    local conjuncts pre-filter the right side — equivalent for a left
-    join; everything else joins)."""
+    """One LEFT/RIGHT/FULL [OUTER] JOIN attachment (engine extension;
+    the reference supports inner joins only). Applied AFTER the inner
+    FROM block joins, in source order; `conds` is the ON conjunction.
+    For a LEFT join, right-local conjuncts pre-filter the right side
+    (equivalent — the right side is not preserved); for RIGHT/FULL the
+    right side IS preserved, so every conjunct stays in the join
+    condition (ON never removes preserved-side rows)."""
 
     item: FromItem
     conds: list[Cond]
-    side: str = "left"
+    side: str = "left"  # 'left' | 'right' | 'full'
 
 
 @dataclass
@@ -99,10 +101,19 @@ class QuerySpec:
     # grouping_sets holds one list of group_by indices per set.
     group_mode: str = "plain"
     grouping_sets: list[list[int]] = field(default_factory=list)
-    # LEFT [OUTER] JOIN attachments, applied after the inner FROM block
-    # (engine extension — api._run_outer). build_context rejects specs
-    # carrying these; the API routes them to the outer-join planner.
+    # LEFT/RIGHT/FULL [OUTER] JOIN attachments, applied after the inner
+    # FROM block (engine extension — api._run_outer). build_context
+    # rejects specs carrying these; the API routes them to the
+    # outer-join planner.
     outer_joins: list[OuterJoin] = field(default_factory=list)
+    # ON conjuncts of INNER JOINs in the FROM block. Kept separate from
+    # `where` ONLY when a RIGHT/FULL OUTER JOIN follows: they then
+    # belong inside the outer join's left operand (pre-join), while the
+    # WHERE clause applies after ALL joins — the placements differ once
+    # the left side is null-supplied. For LEFT-only / no-outer
+    # statements the two placements are equivalent, so the parser merges
+    # them into `where` and this stays empty.
+    inner_on: list[Cond] = field(default_factory=list)
 
 
 @dataclass
@@ -305,13 +316,14 @@ class _Parser:
         self.expect("kw", "from")
         from_items = [self._from_item()]
         where: list[Cond] = []
+        inner_on: list[Cond] = []
         outer_joins: list[OuterJoin] = []
         while True:
             t = self.peek()
             if self.at("op", ","):
                 if outer_joins:
                     raise UnsupportedSqlError(
-                        "joins after a LEFT OUTER JOIN must be outer "
+                        "joins after an OUTER JOIN must be outer "
                         "(ordering changes semantics); not in the subset"
                     )
                 self.take()
@@ -319,7 +331,7 @@ class _Parser:
             elif self.at("kw", "inner") or self.at("kw", "join"):
                 if outer_joins:
                     raise UnsupportedSqlError(
-                        "joins after a LEFT OUTER JOIN must be outer "
+                        "joins after an OUTER JOIN must be outer "
                         "(ordering changes semantics); not in the subset"
                     )
                 # INNER JOIN t AS a ON cond — desugar to comma + condition
@@ -327,7 +339,7 @@ class _Parser:
                 self.expect("kw", "join")
                 from_items.append(self._from_item())
                 self.expect("kw", "on")
-                where.extend(self._conjunction())
+                inner_on.extend(self._conjunction())
             elif (
                 t is not None
                 and t.kind == "id"
@@ -338,18 +350,18 @@ class _Parser:
                 if t2 is not None and t2.kind == "id" and t2.text.lower() == "outer":
                     self.take()
                 self.expect("kw", "join")
-                if side != "left":
-                    raise UnsupportedSqlError(
-                        f"{side.upper()} OUTER JOIN is not in the subset; "
-                        "rides the spark.sql fallback"
-                    )
                 item = self._from_item()
                 self.expect("kw", "on")
-                outer_joins.append(OuterJoin(item, self._conjunction()))
+                outer_joins.append(OuterJoin(item, self._conjunction(), side))
             else:
                 break
         if self.accept("kw", "where"):
             where.extend(self._conjunction())
+        if all(oj.side == "left" for oj in outer_joins):
+            # pre-join vs post-join placement is equivalent when the
+            # FROM block is the preserved side of every outer join —
+            # merge (QuerySpec.inner_on docstring)
+            where, inner_on = inner_on + where, []
         group_by: list[Expr] = []
         group_mode = "plain"
         grouping_sets: list[list[int]] = []
@@ -437,6 +449,7 @@ class _Parser:
             items, distinct, from_items, where, group_by, order_by, limit,
             having=having, group_mode=group_mode, grouping_sets=grouping_sets,
             outer_joins=outer_joins,
+            inner_on=inner_on,
         )
 
     def _select_item(self) -> SelectItem:
@@ -899,7 +912,7 @@ def _substitute_ctes(spec: QuerySpec, ctes: dict[str, QuerySpec]) -> None:
             )
         return None
 
-    for c in [*spec.where, *spec.having]:
+    for c in [*spec.where, *spec.inner_on, *spec.having]:
         map_expr(c, probe)
     for si in spec.select:
         map_expr(si.expr, probe)

@@ -216,12 +216,13 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
     comparisons when they are binary inequalities between two relations,
     and kept as residual otherwise.
     """
-    if spec.outer_joins:
-        # LEFT OUTER JOIN attachments are planned by api._run_outer
-        # (core inner block + post-join attach); a direct context build
-        # cannot express them
+    if spec.outer_joins or spec.inner_on:
+        # OUTER JOIN attachments (and the inner-ON conjuncts a
+        # RIGHT/FULL statement keeps separate) are planned by
+        # api._run_outer (core inner block + post-join attach); a
+        # direct context build cannot express them
         raise UnsupportedSqlError(
-            "LEFT OUTER JOIN is planned by the outer-join planner"
+            "OUTER JOIN is planned by the outer-join planner"
         )
     # ---- relations -------------------------------------------------------
     relations: list[Relation] = []

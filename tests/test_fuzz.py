@@ -424,6 +424,46 @@ def test_left_join_equals_spark(engine, two_core, on_extra, where, agg):
 
 
 @settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    side=st.sampled_from(["RIGHT", "FULL", "RIGHT OUTER", "FULL OUTER"]),
+    two_core=st.booleans(),
+    on_extra=st.sampled_from(
+        [None, "c.c_acctbal > 9000.0", "o.o_orderpriority = '1-URGENT'"]
+    ),
+    where=st.sampled_from(
+        [None, "c.c_custkey IS NULL", "o.o_totalprice > 150000.0"]
+    ),
+    agg=st.booleans(),
+)
+def test_right_full_join_equals_spark(engine, side, two_core, on_extra, where, agg):
+    """Random RIGHT/FULL OUTER JOIN shapes vs spark.sql: 1-2 core
+    tables (inner-ON conjuncts must stay PRE-join while WHERE applies
+    POST-join — the placements differ once the core is null-supplied),
+    optional extra ON conjuncts on either side (matching-only for a
+    preserved right side), the IS NULL idiom over the nullable core,
+    and COUNT aggregation."""
+    core = "customer AS c"
+    if two_core:
+        core += " JOIN nation AS n ON c.c_nationkey = n.n_nationkey"
+    on = "c.c_custkey = o.o_custkey" + (f" AND {on_extra}" if on_extra else "")
+    sel = (
+        "o.o_orderstatus, COUNT(c.c_custkey) AS cnt"
+        if agg
+        else "c.c_custkey, o.o_orderkey"
+    )
+    sql = f"SELECT {sel} FROM {core} {side} JOIN orders AS o ON {on}"
+    if where:
+        sql += f" WHERE {where}"
+    if agg:
+        sql += " GROUP BY o.o_orderstatus"
+    _assert_equals_spark(engine, sql)
+
+
+@settings(
     max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],

@@ -334,7 +334,7 @@ def test_left_outer_join_native(engine):
     """LEFT [OUTER] JOIN plans natively (core through the normal
     pipeline, attachments in source order, tail over the joined frame):
     right-side ON filters, the IS NULL anti-join idiom, chains, and
-    the TPC-H Q13 shape all match spark.sql. RIGHT/FULL raise."""
+    the TPC-H Q13 shape all match spark.sql."""
     import pytest
 
     from sparksqlplus_spark.parser.sql import UnsupportedSqlError
@@ -368,14 +368,7 @@ def test_left_outer_join_native(engine):
         assert ours.exceptAll(ref).count() == 0
         assert ref.exceptAll(ours).count() == 0
 
-    with pytest.raises(UnsupportedSqlError):
-        from sparksqlplus_spark.parser.sql import parse_query
-
-        parse_query(
-            "SELECT c.c_custkey FROM customer AS c "
-            "RIGHT JOIN orders AS o ON c.c_custkey = o.o_custkey"
-        )
-    # inner join AFTER a left join changes semantics — rejected
+    # inner join AFTER an outer join changes semantics — rejected
     with pytest.raises(UnsupportedSqlError):
         from sparksqlplus_spark.parser.sql import parse_query
 
@@ -383,6 +376,57 @@ def test_left_outer_join_native(engine):
             "SELECT c.c_custkey FROM customer AS c "
             "LEFT JOIN orders AS o ON c.c_custkey = o.o_custkey, lineitem AS l"
         )
+
+
+def test_right_full_outer_join_native(engine):
+    """RIGHT/FULL OUTER JOIN plan natively through the same three-phase
+    planner: RIGHT preserves the right side (ON conjuncts never
+    pre-filter it), FULL preserves both, inner-ON conjuncts stay inside
+    the outer join's left operand while WHERE applies post-join, and
+    the IS NULL idiom works against the nullable core."""
+    from sparksqlplus_spark.parser.sql import parse_query
+
+    cases = [
+        # ON conjunct over the (preserved) right side: matching-only
+        ("SELECT n.n_name, c.c_name FROM customer AS c "
+         "RIGHT JOIN nation AS n ON c.c_nationkey = n.n_nationkey "
+         "AND c.c_acctbal > 9900.0"),
+        # IS NULL over the null-supplied core — must NOT be pushed
+        ("SELECT n.n_name FROM customer AS c "
+         "RIGHT JOIN nation AS n ON c.c_nationkey = n.n_nationkey "
+         "AND c.c_acctbal > 9900.0 WHERE c.c_custkey IS NULL"),
+        # FULL + aggregation over the nullable side
+        ("SELECT o.o_orderpriority, COUNT(l.l_orderkey) AS cnt "
+         "FROM orders AS o FULL OUTER JOIN lineitem AS l "
+         "ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 49 "
+         "GROUP BY o.o_orderpriority"),
+        # inner-ON stays pre-join when a RIGHT join follows
+        ("SELECT s.s_name, n.n_name, r.r_name FROM supplier AS s "
+         "JOIN nation AS n ON s.s_nationkey = n.n_nationkey "
+         "RIGHT JOIN region AS r ON n.n_regionkey = r.r_regionkey "
+         "AND s.s_acctbal > 9000.0"),
+    ]
+    for q in cases:
+        ours = engine.sql(q, mode="cqc")
+        ref = engine.sql(q, mode="spark")
+        assert ours.count() == ref.count(), q
+        assert ours.exceptAll(ref).count() == 0, q
+        assert ref.exceptAll(ours).count() == 0, q
+
+    # parse shape: inner-ON kept separate only when RIGHT/FULL present
+    spec = parse_query(
+        "SELECT s.s_name FROM supplier AS s "
+        "JOIN nation AS n ON s.s_nationkey = n.n_nationkey "
+        "RIGHT JOIN region AS r ON n.n_regionkey = r.r_regionkey"
+    )
+    assert len(spec.inner_on) == 1 and not spec.where
+    assert [oj.side for oj in spec.outer_joins] == ["right"]
+    spec_l = parse_query(
+        "SELECT s.s_name FROM supplier AS s "
+        "JOIN nation AS n ON s.s_nationkey = n.n_nationkey "
+        "LEFT JOIN region AS r ON n.n_regionkey = r.r_regionkey"
+    )
+    assert not spec_l.inner_on and len(spec_l.where) == 1
 
 
 def test_window_functions_native(engine):
