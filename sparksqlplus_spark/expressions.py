@@ -277,6 +277,13 @@ class WindowCall(Expr):
     args: tuple[Expr, ...]
     partition_by: tuple[Expr, ...]
     order_by: tuple[tuple[Expr, bool], ...]  # (expr, desc)
+    # explicit frame spec: (kind, start, end) with kind 'rows'|'range'
+    # and bounds already in Spark's Window convention
+    # (Window.unboundedPreceding / -n / 0=CURRENT ROW / +n /
+    # Window.unboundedFollowing — the same ints ANSI BETWEEN bounds map
+    # to); None keeps Spark's default frame, which matches the
+    # ANSI/DuckDB default for an ordered window
+    frame: tuple[str, int, int] | None = None
 
     def refs(self):
         out: set[tuple[str, str]] = set()
@@ -311,13 +318,25 @@ class WindowCall(Expr):
                     for e, d in self.order_by
                 ]
             )
+        if self.frame is not None:
+            kind, start, end = self.frame
+            w = (
+                w.rowsBetween(start, end)
+                if kind == "rows"
+                else w.rangeBetween(start, end)
+            )
         return col.over(w)
 
     def key(self):
         a = ",".join(x.key() for x in self.args)
         p = ",".join(e.key() for e in self.partition_by)
         o = ",".join(f"{e.key()}{' desc' if d else ''}" for e, d in self.order_by)
-        return f"{self.func}({a}) over(partition {p} order {o})"
+        f = (
+            f" {self.frame[0]} {self.frame[1]}..{self.frame[2]}"
+            if self.frame is not None
+            else ""
+        )
+        return f"{self.func}({a}) over(partition {p} order {o}{f})"
 
 
 # ---------------------------------------------------------------------------
@@ -563,6 +582,7 @@ def map_expr(node, fn):
             tuple(map_expr(a, fn) for a in node.args),
             tuple(map_expr(e, fn) for e in node.partition_by),
             tuple((map_expr(e, fn), d) for e, d in node.order_by),
+            node.frame,
         )
     if isinstance(node, Cmp):
         return Cmp(node.op, map_expr(node.left, fn), map_expr(node.right, fn))
@@ -617,6 +637,7 @@ def rewrite_refs(node, mapping: dict[tuple[str, str], tuple[str, str]]):
             tuple(rewrite_refs(a, mapping) for a in node.args),
             tuple(rewrite_refs(e, mapping) for e in node.partition_by),
             tuple((rewrite_refs(e, mapping), d) for e, d in node.order_by),
+            node.frame,
         )
     if isinstance(node, Cmp):
         return Cmp(node.op, rewrite_refs(node.left, mapping), rewrite_refs(node.right, mapping))

@@ -865,12 +865,85 @@ class _Parser:
                 order.append((e, desc))
                 if not self.accept("op", ","):
                     break
+        frame = None
+        t = self.peek()
+        if t is not None and t.kind == "id" and t.text.lower() in ("rows", "range"):
+            frame = self._window_frame(func, order)
         if not self.at("op", ")"):
             raise UnsupportedSqlError(
-                "explicit window frames (ROWS/RANGE BETWEEN) not in subset"
+                "unsupported window specification tail"
             )
         self.expect("op", ")")
-        return WindowCall(func, tuple(args), tuple(partition), tuple(order))
+        return WindowCall(
+            func, tuple(args), tuple(partition), tuple(order), frame
+        )
+
+    def _window_frame(self, func: str, order) -> tuple[str, int, int]:
+        """ROWS/RANGE [BETWEEN] frame spec (engine extension) —
+        UNBOUNDED PRECEDING | <n> PRECEDING | CURRENT ROW |
+        <n> FOLLOWING | UNBOUNDED FOLLOWING bounds, mapped to Spark's
+        Window.rowsBetween/rangeBetween ints (ANSI-identical). The
+        single-bound form `ROWS <b>` desugars to BETWEEN <b> AND
+        CURRENT ROW per ANSI. RANGE with a numeric offset needs exactly
+        one ORDER BY expression (Spark and ANSI agree); ranking
+        functions and lag/lead take no frame."""
+        from pyspark.sql.window import Window
+
+        kind = self.take().text.lower()
+        from sparksqlplus_spark.expressions import WINDOW_RANK_FUNCS
+
+        if func in WINDOW_RANK_FUNCS or func in ("lag", "lead"):
+            raise UnsupportedSqlError(f"{func} does not accept a frame")
+        if not order:
+            raise UnsupportedSqlError(
+                "a window frame requires ORDER BY in the window"
+            )
+
+        def bound(is_start: bool) -> int:
+            t = self.peek()
+            if t is not None and t.kind == "id" and t.text.lower() == "unbounded":
+                self.take()
+                d = self.take().text.lower()
+                if d == "preceding":
+                    return Window.unboundedPreceding
+                if d == "following":
+                    return Window.unboundedFollowing
+                raise UnsupportedSqlError(f"bad frame bound UNBOUNDED {d}")
+            if t is not None and t.kind == "id" and t.text.lower() == "current":
+                self.take()
+                if self.take().text.lower() != "row":
+                    raise UnsupportedSqlError("expected CURRENT ROW")
+                return 0
+            if t is not None and t.kind == "num":
+                n = int(self.take().text)
+                d = self.take().text.lower()
+                if d == "preceding":
+                    return -n
+                if d == "following":
+                    return n
+                raise UnsupportedSqlError(f"bad frame bound {n} {d}")
+            raise UnsupportedSqlError(f"bad window frame bound at {t}")
+
+        if self.accept("kw", "between"):
+            start = bound(True)
+            self.expect("kw", "and")
+            end = bound(False)
+        else:
+            start, end = bound(True), 0
+        if start > end:
+            raise UnsupportedSqlError("window frame start is after its end")
+        if kind == "range":
+            offsets = {
+                b
+                for b in (start, end)
+                if b not in (Window.unboundedPreceding, Window.unboundedFollowing, 0)
+            }
+            if offsets and len(order) != 1:
+                raise UnsupportedSqlError(
+                    "RANGE with a numeric offset needs exactly one "
+                    "ORDER BY expression"
+                )
+        return (kind, start, end)
 
     def _case_when(self) -> Expr:
         self.expect("kw", "case")

@@ -501,6 +501,41 @@ def test_window_equals_spark(engine, fn, part, order, filt):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(
+    fn=st.sampled_from(
+        ["SUM(o.o_totalprice)", "AVG(o.o_totalprice)", "COUNT(*)",
+         "MIN(o.o_totalprice)", "MAX(o.o_totalprice)"]
+    ),
+    frame=st.sampled_from(
+        [
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+            "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+            "ROWS UNBOUNDED PRECEDING",
+            "ROWS 3 PRECEDING",
+            "RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING",
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        ]
+    ),
+    part=st.sampled_from(["o.o_custkey", "o.o_orderstatus"]),
+)
+def test_window_frames_equals_spark(engine, fn, frame, part):
+    """Explicit ROWS/RANGE frame specs (BETWEEN and the single-bound
+    ANSI desugar) vs spark.sql — moving averages/sums over random
+    partitions."""
+    sql = (
+        f"SELECT o.o_orderkey, {fn} OVER (PARTITION BY {part} "
+        f"ORDER BY o.o_orderkey {frame}) AS w FROM orders AS o"
+    )
+    _assert_equals_spark(engine, sql)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
     op=st.sampled_from(
         ["UNION", "UNION ALL", "EXCEPT", "EXCEPT ALL", "INTERSECT"]
     ),
