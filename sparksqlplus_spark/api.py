@@ -171,10 +171,13 @@ class SparkSQLPlus:
         correlated spelling, planned as the same C21 aggregated view
         the rewritten form uses. Sound only when the aggregate is NULL
         over an empty group (sum/avg/min/max — the inner join then
-        drops exactly the rows the UNKNOWN comparison would filter);
-        COUNT or non-NULL-propagating select expressions are left
-        alone and ride the fallback. Non-equality correlation and
-        multi-table subqueries are also left alone."""
+        drops exactly the rows the UNKNOWN comparison would filter).
+        A bare correlated COUNT decorrelates too, via a LEFT JOIN on
+        the aggregated view + COALESCE(cnt, 0) (0-on-empty — the
+        `WHERE (SELECT COUNT(*) ...) = 0` idiom); other
+        non-NULL-propagating select expressions are left alone and
+        ride the fallback. Non-equality correlation and multi-table
+        subqueries are also left alone."""
         from sparksqlplus_spark.catalog import UnknownTableError
         from sparksqlplus_spark.expressions import (
             AggCall,
@@ -252,7 +255,19 @@ class SparkSQLPlus:
             return None
         sel = sub.select[0].expr
         aggs = _agg_subcalls(sel)
-        if len(aggs) != 1 or not null_ok(sel):
+        if len(aggs) != 1:
+            return None
+        # COUNT is 0 — not NULL — over an empty group, so the
+        # inner-join rewrite is unsound for it. Rewrite instead to a
+        # LEFT JOIN on the aggregated view + COALESCE(__sval, 0)
+        # (api._run_outer plans the attachment): unmatched outer rows —
+        # including NULL correlation keys, which never equi-match —
+        # read 0, exactly the correlated COUNT's empty-group value.
+        # Only a BARE COUNT qualifies: an expression around it (e.g.
+        # COUNT(*) + 1) would need the whole expression evaluated over
+        # the empty group, which COALESCE-on-the-count cannot express.
+        is_count = isinstance(sel, AggCall) and sel.func == "count"
+        if not is_count and not null_ok(sel):
             return None
         inner_alias = sub.from_items[0].alias
         table = sub.from_items[0].table
@@ -318,6 +333,22 @@ class SparkSQLPlus:
             where=list(inner_only),
             group_by=[Col(inner_alias, gc) for gc in group_cols],
         )
+        if is_count:
+            from sparksqlplus_spark.expressions import Func, Lit
+            from sparksqlplus_spark.parser.sql import OuterJoin
+
+            spec.outer_joins.append(
+                OuterJoin(
+                    FromItem(alias=alias, subquery=view),
+                    [Cmp("=", oc, Col(alias, ic)) for oc, ic in pairs],
+                )
+            )
+            sval: Expr = Func("coalesce", (Col(alias, "__sval"), Lit(0, "bigint")))
+            return [
+                Cmp(cond.op, sval, cond.right)
+                if scalar_left
+                else Cmp(cond.op, cond.left, sval)
+            ]
         spec.from_items.append(FromItem(alias=alias, subquery=view))
         out: list = [
             Cmp("=", oc, Col(alias, ic)) for oc, ic in pairs

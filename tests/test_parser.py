@@ -528,8 +528,11 @@ def test_compound_set_operators(engine):
 def test_correlated_scalar_decorrelates(engine):
     """expr CMP (SELECT agg FROM t WHERE t.k = outer.k) rewrites to an
     aggregated view + equi-join (api._decorrelate_scalars) — the
-    ORIGINAL Q17/Q2 spelling plans natively. COUNT stays on the
-    fallback (0-on-empty-group breaks the inner-join equivalence)."""
+    ORIGINAL Q17/Q2 spelling plans natively. A bare correlated COUNT
+    decorrelates through a LEFT JOIN + COALESCE(cnt, 0) instead
+    (0-on-empty-group breaks the inner-join equivalence), making the
+    `WHERE (SELECT COUNT(*) ...) = 0` idiom native; COUNT wrapped in
+    an expression still rides the fallback."""
     import pytest
 
     from sparksqlplus_spark.parser.sql import UnsupportedSqlError
@@ -550,13 +553,39 @@ def test_correlated_scalar_decorrelates(engine):
         assert ours.count() == ref.count() > 0
         assert ours.exceptAll(ref).count() == 0
 
-    count_q = ("SELECT c.c_custkey FROM customer AS c WHERE 0 = "
-               "(SELECT COUNT(*) FROM orders AS o "
+    count_cases = [
+        # the customers-without-matching-orders idiom: cnt = 0
+        ("SELECT c.c_custkey FROM customer AS c WHERE 0 = "
+         "(SELECT COUNT(*) FROM orders AS o "
+         " WHERE o.o_custkey = c.c_custkey "
+         " AND o.o_totalprice > 350000.0)"),
+        # threshold the other way, COUNT(col), subquery on the left
+        ("SELECT c.c_custkey FROM customer AS c WHERE "
+         "(SELECT COUNT(o.o_orderkey) FROM orders AS o "
+         " WHERE o.o_custkey = c.c_custkey) >= 15"),
+        # aggregate outer over the decorrelated count
+        ("SELECT COUNT(*) AS n FROM customer AS c WHERE 0 = "
+         "(SELECT COUNT(*) FROM orders AS o "
+         " WHERE o.o_custkey = c.c_custkey AND "
+         " o.o_orderpriority = '1-URGENT' "
+         " AND o.o_totalprice > 250000.0)"),
+    ]
+    for q in count_cases:
+        ours = engine.sql(q, mode="cqc")
+        ref = engine.sql(q, mode="spark")
+        assert ours.count() == ref.count() > 0, q
+        assert ours.exceptAll(ref).count() == 0, q
+        assert ref.exceptAll(ours).count() == 0, q
+
+    # COUNT wrapped in arithmetic: COALESCE-on-the-count can't express
+    # the empty-group value of the whole expression — fallback
+    wrapped = ("SELECT c.c_custkey FROM customer AS c WHERE 1 = "
+               "(SELECT COUNT(*) + 1 FROM orders AS o "
                " WHERE o.o_custkey = c.c_custkey)")
     with pytest.raises(UnsupportedSqlError):
-        engine.sql(count_q, mode="cqc")
+        engine.sql(wrapped, mode="cqc")
     assert (
-        engine.sql(count_q).exceptAll(engine.sql(count_q, mode="spark")).count()
+        engine.sql(wrapped).exceptAll(engine.sql(wrapped, mode="spark")).count()
         == 0
     )
 
