@@ -428,6 +428,154 @@ class SparkSQLPlus:
             having=[map_expr(c, fold) for c in spec.having],
         )
 
+    def _lift_exists_joins(
+        self,
+        spec,
+        mode: str = "auto",
+        cyclic_strategy: str = "auto",
+        count_mode: str = "rows",
+    ) -> list[str]:
+        """Rewrite each multi-table [NOT] EXISTS (Exists.body set — a
+        join inside the subquery, e.g. the TPC-H Q4 shape with a
+        lineitem⋈partsupp body) into the single-table shape the
+        SemiFilter planner already folds: the inner join block plans
+        RECURSIVELY as a composite view projecting (DISTINCT) exactly
+        the inner columns the correlation touches, and the Exists is
+        replaced with a semi/anti join against that view on the same
+        keys. DISTINCT keeps the view minimal (semi joins ignore
+        multiplicity); filters local to the body stay inside the view
+        where they push into its scans. Returns ephemeral view names
+        for the caller to unregister."""
+        from sparksqlplus_spark.catalog import UnknownTableError
+        from sparksqlplus_spark.expressions import Cmp, Col, Exists
+        from sparksqlplus_spark.parser.sql import QuerySpec, SelectItem
+
+        has_body = any(
+            isinstance(c, Exists) and c.body is not None for c in spec.where
+        )
+        if not has_body:
+            return []
+        outer_aliases = {fi.alias for fi in spec.from_items}
+        ephemeral: list[str] = []
+        new_where: list = []
+        for cond in spec.where:
+            if not (isinstance(cond, Exists) and cond.body is not None):
+                new_where.append(cond)
+                continue
+            body = cond.body
+            inner_cols: dict[str, set[str]] = {}
+            for fi in body.from_items:
+                if fi.alias in outer_aliases:
+                    raise UnsupportedSqlError(
+                        f"EXISTS alias {fi.alias!r} shadows an outer alias"
+                    )
+                try:
+                    inner_cols[fi.alias] = set(
+                        self.catalog.get(fi.table).column_names
+                    )
+                except UnknownTableError as exc:
+                    raise UnsupportedSqlError(str(exc)) from None
+
+            def inner_owner(col_ref: Col) -> str | None:
+                """Inner alias owning the ref, or None if outer-scoped.
+                Innermost scope wins for bare names, matching the
+                single-table EXISTS resolution."""
+                if col_ref.alias in inner_cols:
+                    if col_ref.name not in inner_cols[col_ref.alias]:
+                        raise UnsupportedSqlError(
+                            f"unknown column {col_ref.alias}.{col_ref.name} "
+                            "inside EXISTS"
+                        )
+                    return col_ref.alias
+                if col_ref.alias == "":
+                    owners = [
+                        a for a, cols in inner_cols.items()
+                        if col_ref.name in cols
+                    ]
+                    if len(owners) > 1:
+                        raise UnsupportedSqlError(
+                            f"ambiguous column {col_ref.name!r} inside EXISTS"
+                        )
+                    if owners:
+                        return owners[0]
+                return None
+
+            inner_only: list = []
+            corr: list[tuple[Cmp, Col, Col, str]] = []  # (cond, outer, inner, owner)
+            for c in body.where:
+                sides = set()
+                for a, cn in c.refs():
+                    sides.add(
+                        "inner"
+                        if inner_owner(Col(a, cn)) is not None
+                        else "outer"
+                    )
+                if sides <= {"inner"}:
+                    inner_only.append(c)
+                    continue
+                ok = (
+                    isinstance(c, Cmp)
+                    and isinstance(c.left, Col)
+                    and isinstance(c.right, Col)
+                )
+                if ok:
+                    lo, ro = inner_owner(c.left), inner_owner(c.right)
+                    if (lo is None) == (ro is None):
+                        ok = False
+                if not ok:
+                    raise UnsupportedSqlError(
+                        "EXISTS supports inner-local predicates and "
+                        "Col-Col correlation only"
+                    )
+                outer_c, inner_c, owner = (
+                    (c.right, c.left, lo)
+                    if lo is not None
+                    else (c.left, c.right, ro)
+                )
+                corr.append((c, outer_c, inner_c, owner))
+            if not corr:
+                raise UnsupportedSqlError(
+                    "EXISTS needs at least one correlated condition"
+                )
+
+            # project exactly the correlated inner columns, DISTINCT
+            proj: dict[tuple[str, str], str] = {}
+            for _, _, inner_c, owner in corr:
+                proj.setdefault((owner, inner_c.name), f"__x{len(proj)}")
+            view = QuerySpec(
+                select=[
+                    SelectItem(Col(a, cn), out)
+                    for (a, cn), out in proj.items()
+                ],
+                distinct=True,
+                from_items=body.from_items,
+                where=inner_only,
+            )
+            df = self._plan_spec(
+                view, mode=mode, cyclic_strategy=cyclic_strategy,
+                count_mode=count_mode, ansi=True,
+            )
+            self._view_counter += 1
+            vname = f"__exv{self._view_counter}"
+            self.catalog.register_df(vname, df, ())
+            ephemeral.append(vname)
+            valias = f"{vname}_i"
+            lifted_conds = []
+            for c, outer_c, inner_c, owner in corr:
+                vcol = Col(valias, proj[(owner, inner_c.name)])
+                if c.left is inner_c:
+                    lifted_conds.append(Cmp(c.op, vcol, outer_c))
+                else:
+                    lifted_conds.append(Cmp(c.op, outer_c, vcol))
+            new_where.append(
+                Exists(
+                    vname, valias, tuple(lifted_conds),
+                    negated=cond.negated, null_aware=False,
+                )
+            )
+        spec.where = new_where
+        return ephemeral
+
     def _plan_subqueries(
         self,
         spec,
@@ -522,11 +670,16 @@ class SparkSQLPlus:
                 spec, mode=mode, cyclic_strategy=cyclic_strategy,
                 count_mode=count_mode,
             )
-        ephemeral = self._plan_subqueries(
-            spec, mode=mode, cyclic_strategy=cyclic_strategy,
-            count_mode=count_mode,
-        )
+        ephemeral: list[str] = []
         try:
+            ephemeral += self._lift_exists_joins(
+                spec, mode=mode, cyclic_strategy=cyclic_strategy,
+                count_mode=count_mode,
+            )
+            ephemeral += self._plan_subqueries(
+                spec, mode=mode, cyclic_strategy=cyclic_strategy,
+                count_mode=count_mode,
+            )
             ctx = build_context(spec, self.catalog)
             if ansi or ephemeral:
                 ctx.is_full = True
@@ -1023,8 +1176,10 @@ class SparkSQLPlus:
             }
         # composite views must stay registered through the cyclic-path
         # statistics below — clean up only when the whole dict is built
-        ephemeral = self._plan_subqueries(spec)
+        ephemeral = []
         try:
+            ephemeral += self._lift_exists_joins(spec)
+            ephemeral += self._plan_subqueries(spec)
             ctx = build_context(spec, self.catalog)
             return self._plan_candidates_ctx(ctx, limit)
         finally:
@@ -1255,8 +1410,10 @@ class SparkSQLPlus:
             finally:
                 for n in ephemeral:
                     self.catalog.unregister(n)
-        ephemeral = self._plan_subqueries(spec)
+        ephemeral = []
         try:
+            ephemeral += self._lift_exists_joins(spec)
+            ephemeral += self._plan_subqueries(spec)
             return self._explain_ctx(
                 build_context(spec, self.catalog), cyclic_strategy
             )

@@ -510,10 +510,27 @@ class Exists(Cond):
     # null-aware anti join, not a plain left_anti. Ignored when
     # negated=False (a positive semi-join already drops NULL probes).
     null_aware: bool = False
+    # multi-table EXISTS body (a parser.sql.QuerySpec with 2+ inner
+    # FROM items and the combined ON+WHERE conjunction in .where).
+    # api._lift_exists_joins plans the inner join block as a composite
+    # view and rewrites this node to the single-table shape above;
+    # table/table_alias/conds are empty placeholders while body is set.
+    body: object | None = None
 
     def refs(self):
+        if self.body is not None:
+            # outer refs only (best effort without a catalog: bare
+            # names are treated as inner-scoped, matching the
+            # innermost-wins resolution the lift applies)
+            inner = {fi.alias for fi in self.body.from_items}
+            out: set[tuple[str, str]] = set()
+            for c in self.body.where:
+                out |= {
+                    r for r in c.refs() if r[0] != "" and r[0] not in inner
+                }
+            return out
         # outer refs only: inner-alias refs are scoped to the subquery
-        out: set[tuple[str, str]] = set()
+        out = set()
         for c in self.conds:
             out |= {r for r in c.refs() if r[0] != self.table_alias}
         return out
@@ -524,6 +541,12 @@ class Exists(Cond):
     def key(self):
         n = "not " if self.negated else ""
         na = "null-aware " if self.null_aware else ""
+        if self.body is not None:
+            tables = ",".join(
+                f"{fi.table} as {fi.alias}" for fi in self.body.from_items
+            )
+            inner = " and ".join(c.key() for c in self.body.where)
+            return f"({n}{na}exists [{tables}]: {inner})"
         inner = " and ".join(c.key() for c in self.conds)
         return f"({n}{na}exists {self.table} as {self.table_alias}: {inner})"
 
@@ -603,6 +626,7 @@ def map_expr(node, fn):
             tuple(map_expr(c, fn) for c in node.conds),
             node.negated,
             node.null_aware,
+            node.body,
         )
     raise TypeError(f"unknown node {type(node)}")
 

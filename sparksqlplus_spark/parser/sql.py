@@ -554,7 +554,7 @@ class _Parser:
             if isinstance(inner, Exists):
                 return Exists(
                     inner.table, inner.table_alias, inner.conds,
-                    not inner.negated, inner.null_aware,
+                    not inner.negated, inner.null_aware, inner.body,
                 )
             raise UnsupportedSqlError("NOT only supported on LIKE/IN/IS NULL/=/EXISTS")
         if self.accept("kw", "exists"):
@@ -563,10 +563,13 @@ class _Parser:
         return self._predicate_tail(left)
 
     def _exists_tail(self) -> "Exists":
-        """EXISTS (SELECT ... FROM table [AS alias] [WHERE conj]) — the
-        single-table shape the planner folds into a semi/anti join.
-        Joins, GROUP BY, or nested subqueries inside EXISTS raise
-        UnsupportedSqlError, which mode='auto' routes to spark.sql."""
+        """EXISTS (SELECT ... FROM tables [WHERE conj]) — the
+        single-table shape the planner folds directly into a semi/anti
+        join; a multi-table body (comma or INNER JOIN list) is carried
+        as Exists.body and lifted by api._lift_exists_joins into a
+        composite view + the same single-table semi-join. GROUP BY or
+        nested subqueries inside EXISTS raise UnsupportedSqlError,
+        which mode='auto' routes to spark.sql."""
         self.expect("op", "(")
         self.expect("kw", "select")
         # the select list of an EXISTS subquery is semantically void —
@@ -576,20 +579,41 @@ class _Parser:
             while self.accept("op", ","):
                 self._expr()
         self.expect("kw", "from")
-        fi = self._from_item()
-        if fi.subquery is not None:
-            raise UnsupportedSqlError("EXISTS over a subquery is not in the subset")
-        if self.at("op", ","):
-            raise UnsupportedSqlError("EXISTS over a join is not in the subset")
+        items = [self._from_item()]
         conds: list[Cond] = []
+        while True:
+            if self.accept("op", ","):
+                items.append(self._from_item())
+            elif self.at("kw", "inner") or self.at("kw", "join"):
+                self.accept("kw", "inner")
+                self.expect("kw", "join")
+                items.append(self._from_item())
+                self.expect("kw", "on")
+                conds.extend(self._conjunction())
+            else:
+                break
+        for fi in items:
+            if fi.subquery is not None:
+                raise UnsupportedSqlError(
+                    "EXISTS over a subquery is not in the subset"
+                )
         if self.accept("kw", "where"):
-            conds = self._conjunction()
+            conds.extend(self._conjunction())
         if not self.at("op", ")"):
             raise UnsupportedSqlError(
-                "EXISTS subquery supports only FROM one table + WHERE"
+                "EXISTS subquery supports only FROM tables + WHERE"
             )
         self.expect("op", ")")
-        return Exists(fi.table, fi.alias, tuple(conds))
+        if len(items) == 1:
+            return Exists(items[0].table, items[0].alias, tuple(conds))
+        if len({fi.alias for fi in items}) != len(items):
+            raise UnsupportedSqlError("duplicate alias inside EXISTS")
+        return Exists(
+            "", "", (),
+            body=QuerySpec(
+                select=[], distinct=False, from_items=items, where=conds
+            ),
+        )
 
     def _at_cmp_or_predicate(self) -> bool:
         t = self.peek()
@@ -980,6 +1004,13 @@ def _substitute_ctes(spec: QuerySpec, ctes: dict[str, QuerySpec]) -> None:
         if isinstance(node, ScalarSubquery):
             _substitute_ctes(node.spec, ctes)
         if isinstance(node, Exists) and node.table and node.table.lower() in ctes:
+            raise UnsupportedSqlError(
+                "EXISTS over a CTE is not in the subset"
+            )
+        if isinstance(node, Exists) and node.body is not None and any(
+            fi.table and fi.table.lower() in ctes
+            for fi in node.body.from_items
+        ):
             raise UnsupportedSqlError(
                 "EXISTS over a CTE is not in the subset"
             )

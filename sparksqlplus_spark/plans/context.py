@@ -323,6 +323,12 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
     # ---- [NOT] EXISTS → relation-local semi/anti joins (extension) --------
     semi_filters: dict[int, list[SemiFilter]] = {}
     for ex in exists_conds:
+        if ex.body is not None:
+            # multi-table bodies are rewritten to this single-table
+            # shape by api._lift_exists_joins before the context build
+            raise UnsupportedSqlError(
+                "multi-table EXISTS must be lifted to a composite view"
+            )
         try:
             inner_cols = set(catalog.get(ex.table).column_names)
         except UnknownTableError as exc:

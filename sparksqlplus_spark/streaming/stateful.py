@@ -53,6 +53,7 @@ def ewma_batch(
     alpha: float = 0.3,
     key_col: str = "user_id",
     round_to: int | None = 9,
+    max_rows_per_key: int = 5_000_000,
 ) -> DataFrame:
     """Batch form: per-key EWMA over events ordered by (ts, event_id).
 
@@ -61,12 +62,26 @@ def ewma_batch(
     pandas frame — a hot key at 100 TB is an executor OOM. At scale use
     :func:`ewma_batch_scalable` (windowed closed form, no per-key
     materialization) or the stream form (bounded per micro-batch).
+
+    ``max_rows_per_key`` is the guard on that foot-gun: any key group
+    larger than the bound fails fast inside the pandas kernel (before
+    the sort, while the batch is still one Arrow buffer) with a message
+    pointing at the scalable form, instead of grinding toward an
+    executor OOM. The check is per-task — no extra Spark job.
     """
 
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if max_rows_per_key <= 0:
+        raise ValueError("max_rows_per_key must be positive")
 
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_rows_per_key:
+            raise ValueError(
+                f"ewma_batch: key group of {len(pdf)} rows exceeds "
+                f"max_rows_per_key={max_rows_per_key}; use "
+                "ewma_batch_scalable (windowed closed form) for hot keys"
+            )
         pdf = pdf.sort_values(["ts", "event_id"])
         pdf["ewma"] = _ewma_series(pdf["value"], alpha, None, round_to)
         return pdf[["user_id", "event_id", "ts", "value", "ewma"]]

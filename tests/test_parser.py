@@ -197,10 +197,6 @@ def test_exists_parses_and_plans_native(engine):
     assert ours3.exceptAll(ref3).count() == 0
 
     for bad in [
-        # join inside EXISTS
-        ("SELECT c.c_custkey FROM customer AS c WHERE EXISTS "
-         "(SELECT * FROM orders AS o, lineitem AS l "
-         " WHERE o.o_custkey = c.c_custkey AND l.l_orderkey = o.o_orderkey)"),
         # uncorrelated
         ("SELECT c.c_custkey FROM customer AS c WHERE EXISTS "
          "(SELECT * FROM orders AS o WHERE o.o_totalprice > 100)"),
@@ -212,6 +208,39 @@ def test_exists_parses_and_plans_native(engine):
             engine.context(bad)
         # auto mode still answers through the fallback
         assert engine.sql(bad).count() >= 0
+
+
+def test_exists_join_body_lifts_to_view(engine):
+    """[NOT] EXISTS with a JOIN inside the subquery (TPC-H Q4 shape
+    widened) lifts the inner block to a composite DISTINCT view
+    (api._lift_exists_joins) and plans the same SemiFilter semi/anti
+    join against it; results match spark.sql and the explain surface
+    shows the semi join."""
+    cases = [
+        ("SELECT o.o_orderpriority, COUNT(*) AS order_count "
+         "FROM orders AS o WHERE EXISTS "
+         "(SELECT * FROM lineitem AS l, part AS p "
+         " WHERE l.l_partkey = p.p_partkey "
+         " AND l.l_orderkey = o.o_orderkey AND p.p_size = 15) "
+         "GROUP BY o.o_orderpriority"),
+        # explicit JOIN ... ON syntax + NOT EXISTS (anti join)
+        ("SELECT COUNT(*) AS n FROM customer AS c "
+         "WHERE NOT EXISTS (SELECT * FROM orders AS o JOIN lineitem AS l "
+         " ON o.o_orderkey = l.l_orderkey "
+         " WHERE o.o_custkey = c.c_custkey AND l.l_quantity > 45)"),
+        # extra non-equality correlation into the lifted view
+        ("SELECT s.s_suppkey FROM supplier AS s "
+         "WHERE EXISTS (SELECT * FROM lineitem AS l, part AS p "
+         " WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey "
+         " AND l.l_extendedprice < s.s_acctbal AND p.p_size = 15)"),
+    ]
+    for q in cases:
+        ours = engine.sql(q, mode="cqc")
+        ref = engine.sql(q, mode="spark")
+        assert ours.count() == ref.count(), q
+        assert ours.exceptAll(ref).count() == 0, q
+        assert ref.exceptAll(ours).count() == 0, q
+    assert "semi(__exv" in engine.explain_tree(cases[0])
 
 
 def test_in_subquery_desugars_to_semijoin(engine):

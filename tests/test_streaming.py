@@ -217,6 +217,23 @@ def test_ewma_scalable_small_alpha_deep_carry(events):
         assert abs(r.ewma - exact[(r.user_id, r.event_id)]) < 1e-6, (r.user_id, r.event_id)
 
 
+def test_ewma_batch_hot_key_guard(events):
+    """The per-key materialization foot-gun is guarded: a key group
+    over max_rows_per_key fails fast with a message directing to
+    ewma_batch_scalable, instead of grinding toward an executor OOM."""
+    import pytest
+
+    from sparksqlplus_spark.streaming.stateful import ewma_batch
+
+    with pytest.raises(Exception, match="ewma_batch_scalable"):
+        ewma_batch(events, alpha=0.3, max_rows_per_key=3).collect()
+    # bound respected => identical to the unguarded result
+    n = ewma_batch(events, alpha=0.3).count()
+    assert ewma_batch(events, alpha=0.3, max_rows_per_key=10**9).count() == n
+    with pytest.raises(ValueError):
+        ewma_batch(events, alpha=0.3, max_rows_per_key=0)
+
+
 def test_sinks_roundtrip(engine, tmp_path):
     """Batch writers + streaming file sink + foreachBatch custom sink
     (sparksqlplus_spark.io): written data reads back identical, and the
