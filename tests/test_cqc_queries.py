@@ -271,6 +271,30 @@ def test_graph_q4_nonfull(graph_engine, oracle):
     assert_matches(df, oracle, oracle_q)
 
 
+def test_graph_cnt_vs_node_comparisons(graph_engine, oracle):
+    """q6/q7 shape: comparisons between a COUNT-view column and a BASE
+    graph column at both path endpoints (class coverage for the r7-
+    retired driver entries graph_q6_cnt_vs_node/graph_q7_two_cnt_node;
+    graph_q3_two_counts' chained view-vs-view comparisons stay covered
+    by q1/q4/q5 entries and the theta families here)."""
+    q = """SELECT g1.src AS src, g1.dst AS via1, g3.src AS via2, g3.dst AS dst,
+                  c1.cnt AS cnt1, c2.cnt AS cnt2
+           FROM graph AS g1, graph AS g2, graph AS g3,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) AS c1,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) AS c2
+           WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = g3.src
+             AND g3.dst = c2.src AND c1.cnt < g1.dst AND c2.cnt < g3.src"""
+    df = graph_engine.sql(q, mode="cqc")
+    oracle_q = """SELECT g1.src AS src, g1.dst AS via1, g3.src AS via2, g3.dst AS dst,
+                  c1.cnt AS cnt1, c2.cnt AS cnt2
+           FROM graph g1, graph g2, graph g3,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) c1,
+                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) c2
+           WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = g3.src
+             AND g3.dst = c2.src AND c1.cnt < g1.dst AND c2.cnt < g3.src"""
+    assert_matches(df, oracle, oracle_q)
+
+
 def test_graph_triangle_cyclic(graph_engine, oracle):
     """Triangle (cyclic core, reference q2/q10 family)."""
     q = """SELECT g1.src, g1.dst, g2.dst

@@ -499,10 +499,12 @@ def test_window_functions_native(engine):
         ("SELECT o.o_custkey, RANK() OVER (ORDER BY SUM(o.o_totalprice)) "
          "AS r, SUM(o.o_totalprice) AS s FROM orders AS o "
          "GROUP BY o.o_custkey", True),
-        # explicit frame spec — valid SQL, fallback handles
-        ("SELECT SUM(o.o_totalprice) OVER (ORDER BY o.o_orderkey "
+        # frame on a ranking function — invalid per ANSI, falls back to
+        # Spark's own error surface (explicit frames on aggregates are
+        # NATIVE since r7 — covered by test_window_frames_equals_spark)
+        ("SELECT RANK() OVER (ORDER BY o.o_orderkey "
          "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
-         "FROM orders AS o", True),
+         "FROM orders AS o", False),
     ]:
         with pytest.raises(UnsupportedSqlError):
             engine.sql(bad, mode="cqc")
