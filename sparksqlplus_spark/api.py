@@ -851,11 +851,12 @@ class SparkSQLPlus:
                 core_where.append(cq)
 
             # ---- split WHERE: inner-only pushes into the core when the
-            # core is the preserved side of every attachment; with a
+            # core stays non-null-supplied through every attachment
+            # (LEFT preserves it, INNER never null-extends); with a
             # RIGHT/FULL join the core is null-supplied, so WHERE stays
             # post-join (docstring phase 2) ------------------------------
             preserved_core = all(
-                oj.side == "left" for oj in spec.outer_joins
+                oj.side in ("left", "inner") for oj in spec.outer_joins
             )
             post_where = []
             for c in where_q:
@@ -900,11 +901,13 @@ class SparkSQLPlus:
                 join_cond = None
                 for cond in conds:
                     refs = {al for al, _ in cond.refs()}
-                    if oj.side == "left" and refs <= {a}:
-                        # right side not preserved: ON-local conjuncts
-                        # pre-filter (and push into the right scan);
-                        # for RIGHT/FULL the right side is preserved,
-                        # so they must stay matching-only conditions
+                    if oj.side in ("left", "inner") and refs <= {a}:
+                        # right side not preserved (LEFT null-extends
+                        # it, INNER drops non-matches): ON-local
+                        # conjuncts pre-filter (and push into the
+                        # right scan); for RIGHT/FULL the right side
+                        # IS preserved, so they must stay
+                        # matching-only conditions
                         right = right.filter(
                             cond.to_spark({(a, c): ren[c] for c in ren})
                         )

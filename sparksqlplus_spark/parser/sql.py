@@ -329,17 +329,24 @@ class _Parser:
                 self.take()
                 from_items.append(self._from_item())
             elif self.at("kw", "inner") or self.at("kw", "join"):
-                if outer_joins:
-                    raise UnsupportedSqlError(
-                        "joins after an OUTER JOIN must be outer "
-                        "(ordering changes semantics); not in the subset"
-                    )
-                # INNER JOIN t AS a ON cond — desugar to comma + condition
                 self.accept("kw", "inner")
                 self.expect("kw", "join")
-                from_items.append(self._from_item())
-                self.expect("kw", "on")
-                inner_on.extend(self._conjunction())
+                if outer_joins:
+                    # INNER JOIN after an outer join: ANSI joins
+                    # left-associate, so this is an attachment over the
+                    # outer-joined frame — same three-phase planner,
+                    # join type 'inner' (side='inner' below)
+                    item = self._from_item()
+                    self.expect("kw", "on")
+                    outer_joins.append(
+                        OuterJoin(item, self._conjunction(), "inner")
+                    )
+                else:
+                    # INNER JOIN t AS a ON cond in the FROM block —
+                    # desugar to comma + condition
+                    from_items.append(self._from_item())
+                    self.expect("kw", "on")
+                    inner_on.extend(self._conjunction())
             elif (
                 t is not None
                 and t.kind == "id"
@@ -357,10 +364,11 @@ class _Parser:
                 break
         if self.accept("kw", "where"):
             where.extend(self._conjunction())
-        if all(oj.side == "left" for oj in outer_joins):
+        if all(oj.side in ("left", "inner") for oj in outer_joins):
             # pre-join vs post-join placement is equivalent when the
-            # FROM block is the preserved side of every outer join —
-            # merge (QuerySpec.inner_on docstring)
+            # FROM block stays non-null-supplied through every
+            # attachment (LEFT preserves it; INNER never null-extends)
+            # — merge (QuerySpec.inner_on docstring)
             where, inner_on = inner_on + where, []
         group_by: list[Expr] = []
         group_mode = "plain"
