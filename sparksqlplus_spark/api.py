@@ -267,7 +267,23 @@ class SparkSQLPlus:
         # COUNT(*) + 1) would need the whole expression evaluated over
         # the empty group, which COALESCE-on-the-count cannot express.
         is_count = isinstance(sel, AggCall) and sel.func == "count"
-        if not is_count and not null_ok(sel):
+        # round-8: COUNT wrapped in an expression (e.g. COUNT(*) + 1,
+        # 2 * COUNT(x), CAST(COUNT(*) AS DOUBLE)) decorrelates too —
+        # over an empty group the whole expression evaluates with
+        # count = 0, so substituting COALESCE(__sval, 0) for the
+        # AggCall inside the expression reproduces it exactly, PROVIDED
+        # the rest of the expression is constant (no column refs
+        # outside the aggregate — those would be unevaluable over the
+        # empty group)
+        count_expr = False
+        if not is_count and len(aggs) == 1 and aggs[0].func == "count":
+            from sparksqlplus_spark.expressions import Lit, map_expr
+
+            probe = map_expr(
+                sel, lambda n: Lit(0, "bigint") if n is aggs[0] else None
+            )
+            count_expr = not probe.refs()
+        if not is_count and not count_expr and not null_ok(sel):
             return None
         inner_alias = sub.from_items[0].alias
         table = sub.from_items[0].table
@@ -326,15 +342,17 @@ class SparkSQLPlus:
         view = QuerySpec(
             select=[
                 *[SelectItem(Col(inner_alias, gc), gc) for gc in group_cols],
-                SelectItem(sel, "__sval"),
+                # count paths aggregate the BARE count; any wrapping
+                # expression re-applies over COALESCE below
+                SelectItem(aggs[0] if count_expr else sel, "__sval"),
             ],
             distinct=False,
             from_items=[FromItem(alias=inner_alias, table=table)],
             where=list(inner_only),
             group_by=[Col(inner_alias, gc) for gc in group_cols],
         )
-        if is_count:
-            from sparksqlplus_spark.expressions import Func, Lit
+        if is_count or count_expr:
+            from sparksqlplus_spark.expressions import Func, Lit, map_expr
             from sparksqlplus_spark.parser.sql import OuterJoin
 
             spec.outer_joins.append(
@@ -343,7 +361,14 @@ class SparkSQLPlus:
                     [Cmp("=", oc, Col(alias, ic)) for oc, ic in pairs],
                 )
             )
-            sval: Expr = Func("coalesce", (Col(alias, "__sval"), Lit(0, "bigint")))
+            coal: Expr = Func(
+                "coalesce", (Col(alias, "__sval"), Lit(0, "bigint"))
+            )
+            sval: Expr = (
+                coal
+                if is_count
+                else map_expr(sel, lambda n: coal if n is aggs[0] else None)
+            )
             return [
                 Cmp(cond.op, sval, cond.right)
                 if scalar_left
@@ -358,6 +383,9 @@ class SparkSQLPlus:
             out.append(Cmp(cond.op, sval, cond.right))
         else:
             out.append(Cmp(cond.op, cond.left, sval))
+        # mark for _run_outer: these stay in the phase-1 core even
+        # under RIGHT/FULL (QuerySpec.core_safe_where docstring)
+        spec.core_safe_where.extend(out)
         return out
 
     def _fold_scalars(self, spec):
@@ -422,10 +450,19 @@ class SparkSQLPlus:
             map_expr(c, probe)
         if not has_scalar:
             return spec
+        safe_ids = {id(c) for c in spec.core_safe_where}
+        new_where = [map_expr(c, fold) for c in spec.where]
         return dc_replace(
             spec,
-            where=[map_expr(c, fold) for c in spec.where],
+            where=new_where,
             having=[map_expr(c, fold) for c in spec.having],
+            # positional remap keeps the decorrelation marker aligned
+            # with the rebuilt conjunct objects
+            core_safe_where=[
+                nc
+                for oc, nc in zip(spec.where, new_where)
+                if id(oc) in safe_ids
+            ],
         )
 
     def _lift_exists_joins(
@@ -660,6 +697,11 @@ class SparkSQLPlus:
         ANSI bag semantics apply when requested (compound parts,
         composite views, the outer-join tail) or whenever the statement
         uses a composite view (pure-SQL extension surface)."""
+        if spec.qualify:
+            return self._plan_qualify(
+                spec, mode=mode, cyclic_strategy=cyclic_strategy,
+                count_mode=count_mode,
+            )
         spec = self._fold_scalars(self._decorrelate_scalars(spec))
         if spec.outer_joins:
             if join_tree_hint is not None:
@@ -702,6 +744,95 @@ class SparkSQLPlus:
         finally:
             for n in ephemeral:
                 self.catalog.unregister(n)
+
+    def _plan_qualify(
+        self,
+        spec,
+        mode: str = "auto",
+        cyclic_strategy: str = "auto",
+        count_mode: str = "rows",
+    ) -> DataFrame:
+        """Desugar QUALIFY (QuerySpec.qualify — DuckDB/Snowflake
+        surface, absent from both the reference and Spark SQL) into a
+        derived table + outer WHERE, following the ANSI-extension
+        evaluation order WHERE -> GROUP BY/HAVING -> window -> QUALIFY
+        -> DISTINCT -> ORDER BY -> LIMIT:
+
+          inner: the statement minus DISTINCT/ORDER/LIMIT, projecting
+                 every original select item PLUS one hidden column per
+                 window call (__qw<i>) and per non-window base-column
+                 reference (__qc<i>) the QUALIFY conjunction touches;
+          outer: FROM (inner) AS __qual WHERE <qualify with windows and
+                 base refs remapped to the hidden columns>, carrying
+                 the original DISTINCT/ORDER/LIMIT.
+
+        Select-alias references in QUALIFY (e.g. `QUALIFY r <= 3` over
+        `RANK() ... AS r`) resolve against the inner output naturally.
+        The derived table routes through the composite-view planner, so
+        bag semantics and the window-over-aggregate validation apply
+        unchanged. At scale the plan is exactly the hand-written
+        two-level form: one window exchange + a filter — nothing
+        materializes driver-side."""
+        from dataclasses import replace as dc_replace
+
+        from sparksqlplus_spark.expressions import Col, WindowCall, map_expr
+        from sparksqlplus_spark.parser.sql import (
+            FromItem,
+            QuerySpec,
+            SelectItem,
+        )
+        from sparksqlplus_spark.plans.context import _default_name
+
+        out_names = [
+            si.alias or _default_name(si.expr, i)
+            for i, si in enumerate(spec.select)
+        ]
+        if len(set(out_names)) != len(out_names):
+            raise UnsupportedSqlError(
+                "QUALIFY needs unambiguous select-item names"
+            )
+        hidden: list[SelectItem] = []
+
+        def remap(cond):
+            def repl(n):
+                if isinstance(n, WindowCall):
+                    name = f"__qw{len(hidden)}"
+                    hidden.append(SelectItem(n, name))
+                    return Col("__qual", name)
+                if isinstance(n, Col):
+                    if n.alias == "" and n.name in out_names:
+                        return Col("__qual", n.name)
+                    if n.alias == "__qual":
+                        return None
+                    name = f"__qc{len(hidden)}"
+                    hidden.append(SelectItem(Col(n.alias, n.name), name))
+                    return Col("__qual", name)
+                return None
+
+            return map_expr(cond, repl)
+
+        outer_where = [remap(c) for c in spec.qualify]
+        inner = dc_replace(
+            spec,
+            select=[*spec.select, *hidden],
+            distinct=False,
+            order_by=[],
+            limit=None,
+            qualify=[],
+        )
+        outer = QuerySpec(
+            select=[SelectItem(Col("__qual", n), n) for n in out_names],
+            distinct=spec.distinct,
+            from_items=[FromItem(alias="__qual", subquery=inner)],
+            where=outer_where,
+            group_by=[],
+            order_by=spec.order_by,
+            limit=spec.limit,
+        )
+        return self._plan_spec(
+            outer, mode=mode, cyclic_strategy=cyclic_strategy,
+            count_mode=count_mode, ansi=True,
+        )
 
     def _run_outer(
         self,
@@ -858,13 +989,23 @@ class SparkSQLPlus:
             preserved_core = all(
                 oj.side in ("left", "inner") for oj in spec.outer_joins
             )
+            safe_ids = {id(c) for c in spec.core_safe_where}
             post_where = []
-            for c in where_q:
-                refs = {a for a, _ in c.refs()}
-                if preserved_core and refs <= inner_aliases:
-                    core_where.append(c)
+            for c, cq in zip(spec.where, where_q):
+                refs = {a for a, _ in cq.refs()}
+                if refs <= inner_aliases and (
+                    preserved_core or id(c) in safe_ids
+                ):
+                    core_where.append(cq)
+                    if not preserved_core:
+                        # decorrelation conjunct under RIGHT/FULL:
+                        # planned inside the core (no cartesian
+                        # core x view) AND re-applied post-join to
+                        # drop spurious null-extended preserved rows
+                        # (QuerySpec.core_safe_where docstring)
+                        post_where.append(cq)
                 else:
-                    post_where.append(c)
+                    post_where.append(cq)
 
             # ---- phase 1: core inner block -----------------------------
             phys: dict[tuple[str, str], str] = {}
@@ -1380,12 +1521,21 @@ class SparkSQLPlus:
                     )
                 # display approximation of _run_outer's split: fully
                 # qualified inner-only conjuncts join the core tree
+                # same preserved-core predicate as _run_outer — an
+                # INNER attachment after a LEFT join keeps the core
+                # non-null-supplied (round-7 ADVICE); decorrelation
+                # conjuncts additionally stay core-side under
+                # RIGHT/FULL (core_safe_where)
                 preserved = all(
-                    oj.side == "left" for oj in spec.outer_joins
+                    oj.side in ("left", "inner") for oj in spec.outer_joins
                 )
+                safe = spec.core_safe_where
                 core_where = [
                     c
-                    for c in [*spec.inner_on, *(spec.where if preserved else [])]
+                    for c in [
+                        *spec.inner_on,
+                        *(spec.where if preserved else safe),
+                    ]
                     if {a for a, _ in c.refs()} <= inner
                     and all(a != "" for a, _ in c.refs())
                 ]

@@ -206,6 +206,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def _scan_partition_estimate(df: DataFrame) -> int:
+    """Estimated scan-task count for ``df``'s file sources: per file,
+    splittable formats yield ceil(bytes / maxPartitionBytes) tasks, so
+    ONE large parquet file can already feed the whole cluster — a bare
+    ``len(inputFiles())`` undercounts it and triggers a gratuitous
+    full repartition of the shingle frame (round-7 ADVICE). Driver-side
+    metadata only (os.stat of the scan's file list — no job, no RDD
+    lineage). Files whose size we cannot stat (non-local URIs) count
+    conservatively as one task each; a frame with no file provenance
+    estimates 0 (pure in-memory input — tiny, or behind a shuffle the
+    caller's repartition replaces at the same width)."""
+    import os
+    from urllib.parse import urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return 0
+    conf_v = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728"
+    )
+    digits = "".join(ch for ch in conf_v if ch.isdigit())
+    unit = conf_v[len(digits):].strip().lower()
+    mult = {"k": 2**10, "kb": 2**10, "m": 2**20, "mb": 2**20,
+            "g": 2**30, "gb": 2**30}.get(unit, 1)
+    max_bytes = max(int(digits or "134217728") * mult, 1)
+    est = 0
+    for f in files:
+        p = urlparse(f)
+        path = p.path if p.scheme in ("file", "") else None
+        try:
+            size = os.stat(path).st_size if path else None
+        except OSError:
+            size = None
+        est += 1 if size is None else max(1, -(-size // max_bytes))
+    return est
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str,
@@ -235,7 +272,7 @@ def minhash_dedup_pairs(
     # the same width. Then persist: three downstream stages reuse it
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     sh = shingle_frame(df, text_col, id_col, shingle_n)
-    if len(df.inputFiles()) < parallelism:
+    if _scan_partition_estimate(df) < parallelism:
         sh = sh.repartition(parallelism)
     sh = sh.persist()
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n, shingles=sh)

@@ -224,6 +224,12 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
         raise UnsupportedSqlError(
             "OUTER JOIN is planned by the outer-join planner"
         )
+    if spec.qualify:
+        # QUALIFY desugars in api._plan_qualify (derived table +
+        # outer WHERE) before any context build
+        raise UnsupportedSqlError(
+            "QUALIFY is planned by the qualify desugar"
+        )
     # ---- relations -------------------------------------------------------
     relations: list[Relation] = []
     alias_cols: dict[str, list[str]] = {}

@@ -422,3 +422,29 @@ def test_tfidf_top_terms_planted(spark):
     assert rows[(2, 1)][0] == "common" and rows[(2, 2)][0] == "yak"
     assert rows[(3, 1)][0] == "plain"   # tf=2,df=1 -> 6 > common 1*3/3
     assert all(r.rnk in (1, 2) for r in top.collect())
+
+
+def test_scan_partition_estimate(spark):
+    """Round-7 ADVICE: one large splittable parquet file must not be
+    treated as parallelism=1 — the estimate is ceil(bytes /
+    maxPartitionBytes) per file, so a single big file skips the
+    shingle-frame repartition. In-memory frames (no file provenance)
+    estimate 0; file-backed frames estimate >= file count."""
+    from sparksqlplus_spark.operators.dedup import _scan_partition_estimate
+
+    mem = spark.range(10)
+    assert _scan_partition_estimate(mem) == 0
+
+    import os
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_files = len(li.inputFiles())
+    assert _scan_partition_estimate(li) >= n_files >= 1
+
+    # with a tiny maxPartitionBytes the same file yields many tasks
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        assert _scan_partition_estimate(li) > n_files
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

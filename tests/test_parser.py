@@ -608,15 +608,15 @@ def test_correlated_scalar_decorrelates(engine):
         assert ours.exceptAll(ref).count() == 0, q
         assert ref.exceptAll(ours).count() == 0, q
 
-    # COUNT wrapped in arithmetic: COALESCE-on-the-count can't express
-    # the empty-group value of the whole expression — fallback
+    # round-8: COUNT wrapped in constant arithmetic decorrelates
+    # NATIVELY too — the wrapper re-applies over COALESCE(cnt, 0)
+    # (test_count_arithmetic_decorrelation covers the variants)
     wrapped = ("SELECT c.c_custkey FROM customer AS c WHERE 1 = "
                "(SELECT COUNT(*) + 1 FROM orders AS o "
                " WHERE o.o_custkey = c.c_custkey)")
-    with pytest.raises(UnsupportedSqlError):
-        engine.sql(wrapped, mode="cqc")
     assert (
-        engine.sql(wrapped).exceptAll(engine.sql(wrapped, mode="spark")).count()
+        engine.sql(wrapped, mode="cqc")
+        .exceptAll(engine.sql(wrapped, mode="spark")).count()
         == 0
     )
 
@@ -881,3 +881,146 @@ def test_cross_feature_combinations(engine):
         assert a.count() == b.count() > 0, q
         assert a.exceptAll(b).count() == 0, q
         assert b.exceptAll(a).count() == 0, q
+
+
+def test_round7_advice_regressions(engine):
+    """Round-7 ADVICE items: (1) a non-integer window-frame bound
+    raises UnsupportedSqlError (not ValueError) so mode='auto' rides
+    the spark.sql fallback; (2) INNER JOIN after an outer join executes
+    natively (OuterJoin side='inner', left-associative attachment over
+    the outer-joined frame); (3) a decorrelated sum/avg/min/max scalar
+    under a RIGHT/FULL outer join keeps its generated view-join
+    conjuncts in the phase-1 core (no cartesian core x view) AND
+    re-applies them post-join (core_safe_where)."""
+    # (1) non-integer frame bound: parse raises UnsupportedSqlError...
+    bad_frame = (
+        "SELECT o.o_custkey AS k, AVG(o.o_totalprice) OVER "
+        "(ORDER BY o.o_totalprice RANGE BETWEEN 2.5 PRECEDING AND "
+        "CURRENT ROW) AS m FROM orders AS o WHERE o.o_custkey < 100"
+    )
+    with pytest.raises(UnsupportedSqlError):
+        parse_query(bad_frame)
+    # ...and auto mode falls back to spark.sql instead of crashing
+    assert engine.sql(bad_frame, mode="auto").count() > 0
+
+    cases = [
+        # (2) INNER after LEFT: attachment over the outer-joined frame
+        ("SELECT c.c_custkey AS ck, o.o_orderkey AS ok, n.n_name AS nn "
+         "FROM customer AS c "
+         "LEFT JOIN orders AS o ON o.o_custkey = c.c_custkey "
+         "AND o.o_totalprice > 300000.0 "
+         "INNER JOIN nation AS n ON n.n_nationkey = c.c_nationkey "
+         "AND n.n_regionkey = 1 WHERE c.c_custkey < 500"),
+        # (2) INNER after RIGHT: core is null-supplied, attachment is not
+        ("SELECT n.n_name AS nn, c.c_custkey AS ck, r.r_name AS rn "
+         "FROM customer AS c "
+         "RIGHT JOIN nation AS n ON c.c_nationkey = n.n_nationkey "
+         "AND c.c_acctbal > 9990.0 "
+         "INNER JOIN region AS r ON r.r_regionkey = n.n_regionkey"),
+        # (3) decorrelated AVG scalar + RIGHT join
+        ("SELECT n.n_name AS nn, c.c_custkey AS ck FROM customer AS c "
+         "RIGHT JOIN nation AS n ON c.c_nationkey = n.n_nationkey "
+         "AND c.c_acctbal > 9900.0 "
+         "WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer "
+         "AS c2 WHERE c2.c_nationkey = c.c_nationkey)"),
+        # (3) decorrelated scalar + FULL join
+        ("SELECT n.n_name AS nn, c.c_custkey AS ck FROM customer AS c "
+         "FULL OUTER JOIN nation AS n ON c.c_nationkey = n.n_nationkey "
+         "AND c.c_acctbal > 9900.0 "
+         "WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer "
+         "AS c2 WHERE c2.c_nationkey = c.c_nationkey)"),
+    ]
+    for q in cases:
+        a = engine.sql(q, mode="cqc")
+        b = engine.sql(q, mode="spark")
+        assert a.count() == b.count() > 0, q
+        assert a.exceptAll(b).count() == 0, q
+        assert b.exceptAll(a).count() == 0, q
+
+    # the parse shape: side='inner' attachment recorded in order
+    spec = parse_query(cases[0])
+    assert [oj.side for oj in spec.outer_joins] == ["left", "inner"]
+    # (3) plan check: the aggregated view joins INSIDE the core — the
+    # explain tree shows __sq1 under the core join tree, not a
+    # post-join cross product (explain uses the same preserved-core
+    # predicate as _run_outer now)
+    tree = engine.explain_tree(cases[2])
+    assert "__sq" in tree and "right_join" in tree
+
+
+def test_qualify_native(engine):
+    """QUALIFY (DuckDB/Snowflake surface; Spark SQL has no such
+    clause) desugars to a derived table + outer WHERE
+    (api._plan_qualify): inline window calls, select-alias references,
+    base-column references, DISTINCT/ORDER/LIMIT after the filter, and
+    a column *named* qualify staying usable."""
+    cases = [
+        # inline window call over a join
+        ("SELECT n.n_name AS nn, c.c_custkey AS ck, c.c_acctbal AS bal "
+         "FROM customer AS c, nation AS n "
+         "WHERE c.c_nationkey = n.n_nationkey "
+         "QUALIFY ROW_NUMBER() OVER (PARTITION BY n.n_name "
+         "ORDER BY c.c_acctbal DESC, c.c_custkey) <= 3"),
+        # select-alias reference
+        ("SELECT o.o_custkey AS ck, o.o_orderkey AS ok, RANK() OVER "
+         "(PARTITION BY o.o_custkey ORDER BY o.o_totalprice DESC) AS r "
+         "FROM orders AS o WHERE o.o_custkey < 100 QUALIFY r <= 2"),
+        # window agg + base-column conjunct, WHERE upstream
+        ("SELECT o.o_custkey AS ck, o.o_orderkey AS ok FROM orders "
+         "AS o WHERE o.o_custkey < 200 QUALIFY SUM(o.o_totalprice) OVER "
+         "(PARTITION BY o.o_custkey) > 400000.0 AND o.o_orderkey <= 4000"),
+    ]
+    for q in cases:
+        ours = engine.sql(q, mode="cqc")
+        via_naive = engine.sql(q, mode="naive")
+        assert ours.count() == via_naive.count() > 0, q
+        assert ours.exceptAll(via_naive).count() == 0, q
+        assert via_naive.exceptAll(ours).count() == 0, q
+    # QUALIFY runs BEFORE DISTINCT/LIMIT: top-1-per-group then distinct
+    q_d = ("SELECT DISTINCT c.c_mktsegment AS seg FROM customer AS c "
+           "QUALIFY ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment, "
+           "c.c_nationkey ORDER BY c.c_custkey) = 1 ORDER BY seg LIMIT 3")
+    assert engine.sql(q_d, mode="cqc").count() == 3
+    # a column alias named 'qualify' still parses
+    q_alias = "SELECT c_custkey AS qualify FROM customer WHERE c_custkey < 5"
+    assert (
+        engine.sql(q_alias, mode="cqc").count()
+        == engine.sql(q_alias, mode="spark").count()
+        > 0
+    )
+
+
+def test_count_arithmetic_decorrelation(engine):
+    """Round-8: a correlated scalar whose single aggregate is COUNT
+    wrapped in constant arithmetic/CAST decorrelates via the LEFT JOIN
+    + COALESCE path, re-applying the wrapper over COALESCE(cnt, 0) —
+    0-on-empty arithmetic must match the naive evaluation."""
+    cases = [
+        ("SELECT c.c_custkey AS ck FROM customer AS c "
+         "WHERE (SELECT COUNT(*) + 1 FROM orders AS o "
+         "WHERE o.o_custkey = c.c_custkey "
+         "AND o.o_totalprice > 250000.0) <= 2"),
+        ("SELECT c.c_custkey AS ck FROM customer AS c "
+         "WHERE (SELECT 2 * COUNT(o.o_orderkey) FROM orders AS o "
+         "WHERE o.o_custkey = c.c_custkey "
+         "AND o.o_totalprice > 200000.0) < 3 AND c.c_custkey < 500"),
+        ("SELECT c.c_custkey AS ck FROM customer AS c "
+         "WHERE (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders AS o "
+         "WHERE o.o_custkey = c.c_custkey "
+         "AND o.o_totalprice > 250000.0) = 0.0 AND c.c_custkey < 300"),
+    ]
+    for q in cases:
+        ours = engine.sql(q, mode="cqc")  # raises if not native
+        ref = engine.sql(q, mode="spark")
+        assert ours.count() == ref.count() > 0, q
+        assert ours.exceptAll(ref).count() == 0, q
+        assert ref.exceptAll(ours).count() == 0, q
+    # COUNT wrapped with a non-constant term stays on the fallback
+    import pytest as _pytest
+    with _pytest.raises(UnsupportedSqlError):
+        engine.sql(
+            "SELECT c.c_custkey FROM customer AS c WHERE "
+            "(SELECT COUNT(*) + o2.o_orderkey FROM orders AS o2 "
+            "WHERE o2.o_custkey = c.c_custkey) = 1",
+            mode="cqc",
+        )
