@@ -714,6 +714,44 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
            FROM orders AS o WHERE o.o_totalprice > 150000.0""",
         None,
     ),
+    # --- NEW r8: QUALIFY (DuckDB/Snowflake surface, absent from Spark
+    # SQL) — api._plan_qualify desugars to a derived table + outer
+    # WHERE; top-k-per-group without a subquery. DuckDB runs the same
+    # statement natively ---
+    "window_qualify_topk": (
+        """SELECT c.c_nationkey AS nk, c.c_custkey AS ck,
+                  c.c_acctbal AS bal
+           FROM customer AS c
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+                   ORDER BY c.c_acctbal DESC, c.c_custkey) <= 3
+           ORDER BY nk, ck""",
+        None,
+    ),
+    # --- NEW r8: INNER JOIN after an outer join (round-7 ADVICE) —
+    # ANSI left-associative attachment over the outer-joined frame,
+    # OuterJoin(side='inner') through api._run_outer ---
+    "inner_after_outer_join": (
+        """SELECT c.c_custkey AS ck, o.o_orderkey AS ok,
+                  n.n_name AS nation
+           FROM customer AS c
+           LEFT JOIN orders AS o ON o.o_custkey = c.c_custkey
+               AND o.o_totalprice > 350000.0
+           INNER JOIN nation AS n ON n.n_nationkey = c.c_nationkey
+               AND n.n_regionkey <= 2
+           WHERE c.c_custkey <= 600""",
+        None,
+    ),
+    # --- NEW r8: correlated COUNT wrapped in constant arithmetic
+    # decorrelates natively (wrapper re-applied over COALESCE(cnt,0) —
+    # api._try_decorrelate_one count_expr path) ---
+    "corr_count_arith": (
+        """SELECT c.c_custkey AS ck FROM customer AS c
+           WHERE (SELECT COUNT(*) + 1 FROM orders AS o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 350000.0) <= 2
+             AND c.c_custkey <= 900""",
+        None,
+    ),
     # --- NEW r7: correlated COUNT scalar decorrelated to LEFT JOIN +
     # COALESCE(cnt, 0) (api._decorrelate_scalars is_count path) — the
     # customers-without-matching-orders idiom, 0-on-empty-group ---
@@ -2215,7 +2253,99 @@ def _hint_q(spark, sf_dir):
     return eng.sql(_HINT_SQL, join_tree_hint=[("l", "s"), ("s", "n")])
 
 
+def _split_assign_q(spark, sf_dir):
+    """Deterministic disjoint train/val/test split (operators/
+    sampling.py:split_assign): h52(seed || id) bucket vs cumulative
+    fraction boundaries in sorted-name order — map-only, stable under
+    corpus growth, bit-reproducible in DuckDB."""
+    from sparksqlplus_spark.operators.sampling import split_assign
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.catalog.get("documents").df
+    return split_assign(
+        docs, "doc_id", {"test": 0.1, "train": 0.8, "val": 0.1}, seed="r8"
+    ).select("doc_id", "lang", "split")
+
+
+def _split_assign_oracle() -> str:
+    # mirror split_assign's boundary arithmetic EXACTLY (int(cum*SCALE)
+    # over float-accumulated cums) so the thresholds match bit-for-bit
+    from sparksqlplus_spark.operators.sampling import SCALE
+
+    splits = {"test": 0.1, "train": 0.8, "val": 0.1}
+    names = sorted(splits)
+    h = _D_H52.format(s="('r8' || CAST(doc_id AS VARCHAR))")
+    cum = 0.0
+    whens = []
+    for name in names[:-1]:
+        cum += splits[name]
+        whens.append(f"WHEN {h} % {SCALE} < {int(cum * SCALE)} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return f"SELECT doc_id, lang, {case} AS split FROM documents"
+
+
+def _centroid_assign_q(spark, sf_dir):
+    """Nearest-centroid assignment against a fixed centroid set
+    (operators/similarity.py:centroid_assign) — the SemDeDup-style
+    semantic-clustering step. Centroids fold into a literal array, so
+    the assignment is a pure projection: zero shuffles at any scale."""
+    from sparksqlplus_spark.operators.similarity import centroid_assign
+
+    eng = _engine(spark, sf_dir)
+    emb = eng.catalog.get("embeddings").df
+    return centroid_assign(emb, [0, 1, 2, 3, 4, 5, 6, 7])
+
+
+_CENTROID_ASSIGN_ORACLE = """
+WITH c AS (SELECT vec_id AS cid,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id <= 7),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      FROM embeddings),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         round(list_dot_product(e.ev, c.cv)
+               / (sqrt(list_dot_product(e.ev, e.ev))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cosine
+  FROM e, c),
+ranked AS (
+  SELECT vec_id, cid, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, cid) AS rnk
+  FROM scored)
+SELECT vec_id, cid AS cluster_id, cosine FROM ranked WHERE rnk = 1
+"""
+
+
+def _unigram_freq_q(spark, sf_dir):
+    """Per-doc unigram commonness (operators/text.py:
+    unigram_freq_stats): mean corpus frequency of the doc's tokens —
+    the cheap unigram-LM quality signal with integer-exact sums (no
+    ln(), so the oracle hash-matches)."""
+    from sparksqlplus_spark.operators.text import unigram_freq_stats
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.catalog.get("documents").df
+    return unigram_freq_stats(docs, "text", "doc_id")
+
+
+_UNIGRAM_FREQ_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({_D_TOKS.format(t='text')}) AS term
+             FROM documents),
+cf AS (SELECT term, COUNT(*) AS cf FROM tok GROUP BY term)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       SUM(cf.cf) AS sum_cf,
+       round(CAST(SUM(cf.cf) AS DOUBLE) / COUNT(*), 6) AS avg_cf
+FROM tok AS t JOIN cf ON t.term = cf.term
+GROUP BY t.doc_id
+"""
+
+
 _OP_CASES: dict[str, tuple[Callable, str | None]] = {
+    "sample_split_assign": (_split_assign_q, _split_assign_oracle()),
+    "embed_centroid_assign": (_centroid_assign_q, _CENTROID_ASSIGN_ORACLE),
+    "text_unigram_freq": (_unigram_freq_q, _UNIGRAM_FREQ_ORACLE),
     "graph_dense_auto_ghd": (_dense_auto_ghd_q, _ora_dense(_DENSE_TRI_SQL)),
     "graph_c4_cycle_ghd": (_c4_ghd_q, _ora_mid(_C4_GHD_SQL)),
     "graph_c5_pentagon_ghd": (_c5_ghd_q, _ora_mid(_C5_GHD_SQL)),
@@ -2269,76 +2399,16 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # driver-unchecked for 2+ consecutive rounds: every round the previous
 # tail rotates back into the head.
 #
-# r7 consolidation (round-6 verdict item 1): total entries are down
+# r7 consolidation (round-6 verdict item 1): total entries went down
 # from 99 to 90 (14 retired as redundantly covered — see the inline
-# "(r7 consolidation: ...)" notes at each former definition site —
-# and 5 added for the new native surface), so the 50-slot window now
-# carries 10 slots of slack instead of alternating with zero.
+# "(r7 consolidation: ...)" notes at each former definition site).
+# r8 adds 6 entries for the new surface (total 96): the 46-entry tail
+# below rotates back in r9 with 4 slack slots; if r9 needs more new
+# slots than that, consolidate again rather than letting any entry go
+# unchecked 2+ rounds.
 _HEAD = [
-    # NEW this round (r7): RIGHT/FULL OUTER JOIN native planning,
-    # explicit ROWS frames, correlated-COUNT decorrelation, and
-    # EXISTS-with-a-join-inside lifted to a composite view
-    "right_outer_join",
-    "full_outer_join",
-    "window_frame_movavg",
-    "corr_scalar_count",
-    "exists_join_body",
-    # r7 rotation: every r6-tail survivor (green r5, unchecked r6)
-    # comes back FIRST, per the standing obligation
-    "events_ewma_multibatch",
-    "text_decontaminate",
-    "graph_q1_path_counts",
-    "graph_c4_cycle_ghd",
-    "graph_dense_auto_ghd",
-    "tpch_q6",
-    "tpch_q14",
-    "tpch_q12",
-    "tpch_q15",
-    "tpch_q4",
-    "ann_lsh_topk",
-    "hint_join_tree",
-    "graph_triangle_wcoj",
-    "tpch_q2",
-    "tpch_q11",
-    "ann_ivf_topk",
-    "tpch_q8",
-    "graph_q2_crosstri_ghd",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "graph_triangle_cyclic",
-    "media_features_pandas",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q3",
-    "tpch_q10",
-    "tpch_q17",
-    "tpch_q5_cyclic",
-    "graph_q5_x_nonfull",
-    "graph_q2_dumbbell",
-    "graph_q8_4hop",
-    "trade_selfjoin_q9",
-    "join_full_bag",
-    "multihop_theta",
-    "two_comparisons_edge",
-    "chain_theta_nonfull",
-    # re-checked from the r6 window with the spare slots:
-    # graph_c5_pentagon_ghd's SQL changed this round (gate-cost bound),
-    # and the reference-absent TPC-H quartet + the EXISTS/scalar
-    # entries sit closest to this round's planner changes
-    "graph_c5_pentagon_ghd",
-    "graph_chorded_k4_ghd",
-    "tpch_q13",
-    "tpch_q21",
-    "tpch_q16",
-    "tpch_q22",
-    "exists_semijoin",
-    "not_in_nullaware",
-    "corr_scalar_q17",
-]
-# Every tail case below was driver-green in r6 (the r6 window);
-# their operator classes stay covered in-window (see _HEAD) and they
-# rotate back in next round (r8).
-_TAIL = [
+    # r8 rotation: every r7-tail entry (green r6, unchecked r7) comes
+    # back FIRST, per the standing obligation
     "sample_mixture",
     "text_repetition",
     "text_boilerplate",
@@ -2379,6 +2449,75 @@ _TAIL = [
     "dedup_simhash",
     "ann_cosine_topk",
     "graph_q4_nonfull",
+    # NEW this round (r8): QUALIFY, inner-after-outer attachment,
+    # arithmetic-wrapped correlated COUNT, deterministic split
+    # assignment, fixed-centroid semantic clustering, unigram-LM
+    # commonness scoring
+    "window_qualify_topk",
+    "inner_after_outer_join",
+    "corr_count_arith",
+    "sample_split_assign",
+    "embed_centroid_assign",
+    "text_unigram_freq",
+    # re-checked from the r7 window with the spare slots: the four
+    # entries whose code paths this round's changes touch — _run_outer
+    # core/preserved-core split (outer joins), the decorrelation
+    # rewrite, and the window-frame parser
+    "right_outer_join",
+    "full_outer_join",
+    "corr_scalar_count",
+    "window_frame_movavg",
+]
+# Every tail case below was driver-green in r7 (the r7 window);
+# their operator classes stay covered in-window (see _HEAD) and they
+# rotate back in next round (r9).
+_TAIL = [
+    "exists_join_body",
+    "events_ewma_multibatch",
+    "text_decontaminate",
+    "graph_q1_path_counts",
+    "graph_c4_cycle_ghd",
+    "graph_dense_auto_ghd",
+    "tpch_q6",
+    "tpch_q14",
+    "tpch_q12",
+    "tpch_q15",
+    "tpch_q4",
+    "ann_lsh_topk",
+    "hint_join_tree",
+    "graph_triangle_wcoj",
+    "tpch_q2",
+    "tpch_q11",
+    "ann_ivf_topk",
+    "tpch_q8",
+    "graph_q2_crosstri_ghd",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "graph_triangle_cyclic",
+    "media_features_pandas",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q3",
+    "tpch_q10",
+    "tpch_q17",
+    "tpch_q5_cyclic",
+    "graph_q5_x_nonfull",
+    "graph_q2_dumbbell",
+    "graph_q8_4hop",
+    "trade_selfjoin_q9",
+    "join_full_bag",
+    "multihop_theta",
+    "two_comparisons_edge",
+    "chain_theta_nonfull",
+    "graph_c5_pentagon_ghd",
+    "graph_chorded_k4_ghd",
+    "tpch_q13",
+    "tpch_q21",
+    "tpch_q16",
+    "tpch_q22",
+    "exists_semijoin",
+    "not_in_nullaware",
+    "corr_scalar_q17",
 ]
 
 

@@ -141,3 +141,40 @@ def top_n_per_group(
         .filter(F.col("__rank") <= n)
         .drop("__rank")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float] | None = None,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic disjoint train/val/test assignment — the corpus
+    split step before training. Each row gets exactly one ``split``
+    label from ``splits`` (name -> fraction, must sum to ~1.0): the
+    h52(seed || id) bucket falls into cumulative fraction boundaries,
+    in sorted-name order so the assignment is reproducible across runs
+    and engines. Map-only — no shuffle, no state, any input size; the
+    same id always lands in the same split (stable under corpus
+    growth, the property random splits lack)."""
+    if splits is None:
+        splits = {"test": 0.01, "train": 0.98, "val": 0.01}
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    bucket = _bucket(id_col, seed)
+    expr = None
+    cum = 0.0
+    names = sorted(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        branch = F.when(bucket < int(cum * SCALE), F.lit(name))
+        expr = branch if expr is None else expr.when(
+            bucket < int(cum * SCALE), F.lit(name)
+        )
+    expr = (
+        F.lit(names[0])
+        if expr is None
+        else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn("split", expr)

@@ -243,3 +243,59 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+def centroid_assign(
+    emb_df: DataFrame,
+    centroid_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Nearest-centroid (max-cosine) assignment against a FIXED
+    centroid set — the cluster-assign step of SemDeDup-style semantic
+    curation and of IVF list routing, made oracle-checkable by taking
+    the centroids from ``emb_df`` itself (rows whose id is in
+    ``centroid_ids``) instead of a k-means fit.
+
+    Scale shape: the centroid set is metadata-scale (k rows) — it is
+    collected once and folded into a LITERAL array, so the assignment
+    is a pure projection over the vector table: zero shuffles, zero
+    joins, no per-row Python. Cosines round to ``round_digits`` before
+    the argmax so the decision is stable across dot-product fold
+    orders (same protocol as the ANN entries); ties break to the
+    smallest centroid id via struct comparison."""
+    cents = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in emb_df.filter(F.col(id_col).isin(list(centroid_ids)))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if len(cents) != len(set(centroid_ids)):
+        raise ValueError("some centroid_ids are missing from emb_df")
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("bigint").alias("cid"),
+                F.array(*[F.lit(x) for x in cv]).alias("cv"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    scored = F.transform(
+        cents_lit,
+        lambda c: F.struct(
+            F.round(
+                cosine_similarity(vec, c["cv"]), round_digits
+            ).alias("cosine"),
+            (-c["cid"]).alias("__negid"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    best = F.array_max(scored)
+    return emb_df.select(
+        F.col(id_col),
+        best["cid"].alias("cluster_id"),
+        best["cosine"].alias("cosine"),
+    )

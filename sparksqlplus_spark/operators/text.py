@@ -364,3 +364,41 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(F.col(id_col), "term", "tf", "df", "score", "rnk")
     )
+
+
+def unigram_freq_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document unigram-LM commonness score: mean corpus frequency
+    of the document's tokens. Low avg_cf = rare/garbled vocabulary
+    (OCR noise, codes, non-language), high = stop-wordy common text —
+    the cheap corpus-relative signal a unigram-logprob filter gives,
+    WITHOUT ln(): tf sums are exact integers (order-independent, so
+    the DuckDB oracle hash-matches), and the single final division is
+    correctly rounded IEEE. Tokenization: lower, split \\s+, drop
+    empties — same as tfidf_top_terms.
+
+    Plan shape at scale: explode -> term-keyed hash aggregate (map-side
+    partial combine bounds stop-word skew) -> explode again joined on
+    term -> doc-keyed aggregate. Two shuffles (term, doc), both
+    pre-combined; no driver state, no UDFs."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    cf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    return (
+        terms.join(cf, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cf").alias("sum_cf"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("sum_cf"),
+            F.round(
+                F.col("sum_cf").cast("double") / F.col("n_tokens"), 6
+            ).alias("avg_cf"),
+        )
+    )

@@ -448,3 +448,79 @@ def test_scan_partition_estimate(spark):
         assert _scan_partition_estimate(li) > n_files
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_split_assign_partition(spark):
+    """split_assign: every row gets exactly one label, realized
+    fractions track the requested ones, assignments are deterministic,
+    stable under corpus growth (the same id keeps its split when more
+    rows arrive), and bad fraction sums raise."""
+    import pytest as _pytest
+
+    from sparksqlplus_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    out = split_assign(df, "id", {"test": 0.1, "train": 0.8, "val": 0.1})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    # deterministic + growth-stable: the first 1000 ids keep their split
+    small = split_assign(
+        spark.createDataFrame([(i,) for i in range(1000)], "id long"),
+        "id", {"test": 0.1, "train": 0.8, "val": 0.1},
+    )
+    big_map = {r["id"]: r["split"] for r in out.collect()}
+    assert all(big_map[r["id"]] == r["split"] for r in small.collect())
+    with _pytest.raises(ValueError):
+        split_assign(df, "id", {"a": 0.5, "b": 0.3})
+
+
+def test_centroid_assign_planted(spark):
+    """centroid_assign: vectors identical to a centroid land on it
+    with cosine 1.0; a vector equidistant from two centroids breaks
+    the tie to the smaller centroid id; missing centroid ids raise."""
+    import pytest as _pytest
+
+    from sparksqlplus_spark.operators.similarity import centroid_assign
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid A
+        (1, [0.0, 1.0, 0.0, 0.0]),   # centroid B
+        (10, [2.0, 0.0, 0.0, 0.0]),  # scaled copy of A -> cluster 0
+        (11, [0.0, 3.0, 0.0, 0.0]),  # scaled copy of B -> cluster 1
+        (12, [1.0, 1.0, 0.0, 0.0]),  # tie A/B -> smaller cid 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["cluster_id"], r["cosine"])
+           for r in centroid_assign(df, [0, 1]).collect()}
+    assert got[10] == (0, 1.0) and got[11] == (1, 1.0)
+    assert got[12][0] == 0
+    assert got[0] == (0, 1.0) and got[1] == (1, 1.0)
+    with _pytest.raises(ValueError):
+        centroid_assign(df, [0, 99])
+    # plan shape: pure projection — no exchange in the physical plan
+    plan = centroid_assign(df, [0, 1])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_unigram_freq_planted(spark):
+    """unigram_freq_stats on a planted corpus: token counts and corpus
+    frequencies are exact integers; the common-word doc scores higher
+    avg_cf than the rare-word doc."""
+    from sparksqlplus_spark.operators.text import unigram_freq_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the cat"),
+            (2, "the dog"),
+            (3, "zyzzyva"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_freq_stats(df, "text", "doc_id").collect()}
+    # cf: the=4, cat=1, dog=1, zyzzyva=1
+    assert got[1]["n_tokens"] == 4 and got[1]["sum_cf"] == 4 * 3 + 1
+    assert got[2]["n_tokens"] == 2 and got[2]["sum_cf"] == 4 + 1
+    assert got[3]["n_tokens"] == 1 and got[3]["sum_cf"] == 1
+    assert got[1]["avg_cf"] > got[3]["avg_cf"]
