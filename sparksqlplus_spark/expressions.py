@@ -80,7 +80,7 @@ class Lit(Expr):
 
 @dataclass(frozen=True)
 class Arith(Expr):
-    op: str  # + - * /
+    op: str  # + - * / %
     left: Expr
     right: Expr
 
@@ -97,6 +97,9 @@ class Arith(Expr):
             return l * r
         if self.op == "/":
             return l / r
+        if self.op == "%":
+            # C-style remainder — Spark % and DuckDB % agree
+            return l % r
         raise ValueError(self.op)
 
     def key(self):
@@ -120,18 +123,28 @@ class Neg(Expr):
 @dataclass(frozen=True)
 class ExtractYear(Expr):
     """EXTRACT(YEAR FROM e) — the only EXTRACT flag the reference supports
-    (LogicalPlanConverter.scala:705-713)."""
+    (LogicalPlanConverter.scala:705-713). Engine extension (round 8):
+    MONTH / DAY / QUARTER fields too (``field``), mapped to the
+    matching Spark datetime functions — same ANSI integers DuckDB
+    returns."""
 
     child: Expr
+    field: str = "year"
 
     def refs(self):
         return self.child.refs()
 
     def to_spark(self, colmap):
-        return F.year(self.child.to_spark(colmap))
+        fn = {
+            "year": F.year,
+            "month": F.month,
+            "day": F.dayofmonth,
+            "quarter": F.quarter,
+        }[self.field]
+        return fn(self.child.to_spark(colmap))
 
     def key(self):
-        return f"year({self.child.key()})"
+        return f"{self.field}({self.child.key()})"
 
 
 @dataclass(frozen=True)
@@ -589,7 +602,7 @@ def map_expr(node, fn):
     if isinstance(node, Cast):
         return Cast(map_expr(node.child, fn), node.type_name)
     if isinstance(node, ExtractYear):
-        return ExtractYear(map_expr(node.child, fn))
+        return ExtractYear(map_expr(node.child, fn), node.field)
     if isinstance(node, CaseWhen):
         return CaseWhen(
             tuple((map_expr(c, fn), map_expr(e, fn)) for c, e in node.branches),
@@ -645,7 +658,7 @@ def rewrite_refs(node, mapping: dict[tuple[str, str], tuple[str, str]]):
     if isinstance(node, Cast):
         return Cast(rewrite_refs(node.child, mapping), node.type_name)
     if isinstance(node, ExtractYear):
-        return ExtractYear(rewrite_refs(node.child, mapping))
+        return ExtractYear(rewrite_refs(node.child, mapping), node.field)
     if isinstance(node, CaseWhen):
         return CaseWhen(
             tuple((rewrite_refs(c, mapping), rewrite_refs(e, mapping)) for c, e in node.branches),

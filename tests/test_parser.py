@@ -1024,3 +1024,34 @@ def test_count_arithmetic_decorrelation(engine):
             "WHERE o2.o_custkey = c.c_custkey) = 1",
             mode="cqc",
         )
+
+
+def test_modulo_and_extract_fields(engine):
+    """Round-8 expression extensions: % (C-style remainder, Spark and
+    DuckDB agree) through arithmetic precedence, and EXTRACT
+    MONTH/DAY/QUARTER alongside the reference's YEAR."""
+    cases = [
+        ("SELECT c.c_custkey AS ck FROM customer AS c "
+         "WHERE c.c_custkey % 7 = 3"),
+        # precedence: % binds like * (tighter than +)
+        ("SELECT o.o_orderkey AS ok, o.o_orderkey % 10 + 1 AS b "
+         "FROM orders AS o WHERE o.o_orderkey < 100"),
+        ("SELECT EXTRACT(YEAR FROM o.o_orderdate) AS y, "
+         "EXTRACT(MONTH FROM o.o_orderdate) AS m, "
+         "EXTRACT(DAY FROM o.o_orderdate) AS d, "
+         "EXTRACT(QUARTER FROM o.o_orderdate) AS q, COUNT(*) AS cnt "
+         "FROM orders AS o "
+         "GROUP BY EXTRACT(YEAR FROM o.o_orderdate), "
+         "EXTRACT(MONTH FROM o.o_orderdate), "
+         "EXTRACT(DAY FROM o.o_orderdate), "
+         "EXTRACT(QUARTER FROM o.o_orderdate)"),
+    ]
+    for q in cases:
+        a = engine.sql(q, mode="cqc")
+        b = engine.sql(q, mode="spark")
+        assert a.count() == b.count() > 0, q
+        assert a.exceptAll(b).count() == 0, q
+        assert b.exceptAll(a).count() == 0, q
+    # unknown EXTRACT field still routes to the fallback
+    with pytest.raises(UnsupportedSqlError):
+        parse_query("SELECT EXTRACT(EPOCH FROM o.o_orderdate) FROM orders AS o")
