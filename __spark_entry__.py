@@ -741,6 +741,21 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
            WHERE c.c_custkey <= 600""",
         None,
     ),
+    # --- NEW r8: correlated scalar subqueries in the SELECT list —
+    # lifted to grouped views LEFT-JOINed on the correlation keys
+    # (api._decorrelate_select_scalars): COUNT reads COALESCE(cnt,0),
+    # MAX reads the bare view value (NULL on empty = the ANSI scalar
+    # value). Two scalars in one statement = two attachments ---
+    "select_scalar_agg": (
+        """SELECT c.c_custkey AS ck,
+                  (SELECT COUNT(*) FROM orders AS o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 350000.0) AS n_big,
+                  (SELECT MAX(o2.o_totalprice) FROM orders AS o2
+                   WHERE o2.o_custkey = c.c_custkey) AS max_price
+           FROM customer AS c WHERE c.c_custkey <= 400""",
+        None,
+    ),
     # --- NEW r8: correlated COUNT wrapped in constant arithmetic
     # decorrelates natively (wrapper re-applied over COALESCE(cnt,0) —
     # api._try_decorrelate_one count_expr path) ---
@@ -2456,22 +2471,24 @@ _HEAD = [
     "window_qualify_topk",
     "inner_after_outer_join",
     "corr_count_arith",
+    "select_scalar_agg",
     "sample_split_assign",
     "embed_centroid_assign",
     "text_unigram_freq",
-    # re-checked from the r7 window with the spare slots: the four
-    # entries whose code paths this round's changes touch — _run_outer
-    # core/preserved-core split (outer joins), the decorrelation
-    # rewrite, and the window-frame parser
+    # re-checked from the r7 window with the spare slots: entries
+    # whose code paths this round's changes touch — _run_outer
+    # core/preserved-core split (outer joins) and the window-frame
+    # parser (corr_scalar_count's path is covered in-window by the
+    # strictly-stronger corr_count_arith + select_scalar_agg)
     "right_outer_join",
     "full_outer_join",
-    "corr_scalar_count",
     "window_frame_movavg",
 ]
 # Every tail case below was driver-green in r7 (the r7 window);
 # their operator classes stay covered in-window (see _HEAD) and they
 # rotate back in next round (r9).
 _TAIL = [
+    "corr_scalar_count",
     "exists_join_body",
     "events_ewma_multibatch",
     "text_decontaminate",

@@ -233,12 +233,16 @@ class SparkSQLPlus:
             spec.where = new_where
         return spec
 
-    def _try_decorrelate_one(self, spec, cond, sub, scalar_left, null_ok):
-        """One conjunct of _decorrelate_scalars; returns replacement
-        conds (mutating spec.from_items) or None to leave it alone."""
+    def _corr_scalar_parts(self, spec, sub):
+        """Shared correlation analysis for scalar-subquery
+        decorrelation (WHERE conjuncts AND select-list occurrences):
+        a single-table, single-aggregate subquery whose WHERE splits
+        into inner-only filters plus outer=inner equi pairs. Returns
+        (inner_alias, table, sel, aggs, inner_only, pairs) or None
+        when the shape does not qualify (multi-table, non-equality
+        correlation, several aggregates, ...)."""
         from sparksqlplus_spark.catalog import UnknownTableError
-        from sparksqlplus_spark.expressions import AggCall, Cmp, Col
-        from sparksqlplus_spark.parser.sql import FromItem, SelectItem
+        from sparksqlplus_spark.expressions import Cmp, Col
         from sparksqlplus_spark.plans.context import _agg_subcalls
 
         if (
@@ -256,34 +260,6 @@ class SparkSQLPlus:
         sel = sub.select[0].expr
         aggs = _agg_subcalls(sel)
         if len(aggs) != 1:
-            return None
-        # COUNT is 0 — not NULL — over an empty group, so the
-        # inner-join rewrite is unsound for it. Rewrite instead to a
-        # LEFT JOIN on the aggregated view + COALESCE(__sval, 0)
-        # (api._run_outer plans the attachment): unmatched outer rows —
-        # including NULL correlation keys, which never equi-match —
-        # read 0, exactly the correlated COUNT's empty-group value.
-        # Only a BARE COUNT qualifies: an expression around it (e.g.
-        # COUNT(*) + 1) would need the whole expression evaluated over
-        # the empty group, which COALESCE-on-the-count cannot express.
-        is_count = isinstance(sel, AggCall) and sel.func == "count"
-        # round-8: COUNT wrapped in an expression (e.g. COUNT(*) + 1,
-        # 2 * COUNT(x), CAST(COUNT(*) AS DOUBLE)) decorrelates too —
-        # over an empty group the whole expression evaluates with
-        # count = 0, so substituting COALESCE(__sval, 0) for the
-        # AggCall inside the expression reproduces it exactly, PROVIDED
-        # the rest of the expression is constant (no column refs
-        # outside the aggregate — those would be unevaluable over the
-        # empty group)
-        count_expr = False
-        if not is_count and len(aggs) == 1 and aggs[0].func == "count":
-            from sparksqlplus_spark.expressions import Lit, map_expr
-
-            probe = map_expr(
-                sel, lambda n: Lit(0, "bigint") if n is aggs[0] else None
-            )
-            count_expr = not probe.refs()
-        if not is_count and not count_expr and not null_ok(sel):
             return None
         inner_alias = sub.from_items[0].alias
         table = sub.from_items[0].table
@@ -331,6 +307,43 @@ class SparkSQLPlus:
                 (c.right, c.left) if sl == "inner" else (c.left, c.right)
             )
             pairs.append((outer_col, inner_col.name))
+        return inner_alias, table, sel, aggs, inner_only, pairs
+
+    def _try_decorrelate_one(self, spec, cond, sub, scalar_left, null_ok):
+        """One conjunct of _decorrelate_scalars; returns replacement
+        conds (mutating spec.from_items) or None to leave it alone."""
+        from sparksqlplus_spark.expressions import AggCall, Cmp, Col
+        from sparksqlplus_spark.parser.sql import FromItem, SelectItem
+
+        parts = self._corr_scalar_parts(spec, sub)
+        if parts is None:
+            return None
+        inner_alias, table, sel, aggs, inner_only, pairs = parts
+        # COUNT is 0 — not NULL — over an empty group, so the
+        # inner-join rewrite is unsound for it. Rewrite instead to a
+        # LEFT JOIN on the aggregated view + COALESCE(__sval, 0)
+        # (api._run_outer plans the attachment): unmatched outer rows —
+        # including NULL correlation keys, which never equi-match —
+        # read 0, exactly the correlated COUNT's empty-group value.
+        is_count = isinstance(sel, AggCall) and sel.func == "count"
+        # round-8: COUNT wrapped in an expression (e.g. COUNT(*) + 1,
+        # 2 * COUNT(x), CAST(COUNT(*) AS DOUBLE)) decorrelates too —
+        # over an empty group the whole expression evaluates with
+        # count = 0, so substituting COALESCE(__sval, 0) for the
+        # AggCall inside the expression reproduces it exactly, PROVIDED
+        # the rest of the expression is constant (no column refs
+        # outside the aggregate — those would be unevaluable over the
+        # empty group)
+        count_expr = False
+        if not is_count and len(aggs) == 1 and aggs[0].func == "count":
+            from sparksqlplus_spark.expressions import Lit, map_expr
+
+            probe = map_expr(
+                sel, lambda n: Lit(0, "bigint") if n is aggs[0] else None
+            )
+            count_expr = not probe.refs()
+        if not is_count and not count_expr and not null_ok(sel):
+            return None
         if not pairs:
             return None  # uncorrelated — _fold_scalars handles it
 
@@ -387,6 +400,99 @@ class SparkSQLPlus:
         # under RIGHT/FULL (QuerySpec.core_safe_where docstring)
         spec.core_safe_where.extend(out)
         return out
+
+    def _decorrelate_select_scalars(self, spec):
+        """SELECT-list scalar subqueries (engine extension; round 8).
+        A correlated single-table aggregate lifts to a grouped view
+        LEFT-JOINed on the correlation keys (api._run_outer plans the
+        attachment): sum/avg/min/max read the bare view value — NULL
+        on an empty group, exactly the ANSI scalar-subquery value —
+        while COUNT (bare or wrapped in constant arithmetic) reads
+        COALESCE(cnt, 0). Uncorrelated scalars are left in place for
+        _fold_scalars; shapes outside the subset stay ScalarSubquery
+        nodes and hit the build_context guard, which raises
+        UnsupportedSqlError so mode='auto' rides the spark.sql
+        fallback (previously they crashed with a raw ValueError from
+        ScalarSubquery.to_spark)."""
+        from sparksqlplus_spark.expressions import (
+            AggCall,
+            Cmp,
+            Col,
+            Func,
+            Lit,
+            ScalarSubquery,
+            map_expr,
+        )
+        from sparksqlplus_spark.parser.sql import (
+            FromItem,
+            OuterJoin,
+            QuerySpec,
+            SelectItem,
+        )
+
+        def attach(sub):
+            parts = self._corr_scalar_parts(spec, sub)
+            if parts is None:
+                return None
+            inner_alias, table, sel, aggs, inner_only, pairs = parts
+            if not pairs:
+                return None  # uncorrelated — _fold_scalars folds it
+            agg = aggs[0]
+            if agg.func not in ("sum", "avg", "min", "max", "count"):
+                return None
+            # any wrapping expression must be constant outside the
+            # aggregate (inner columns are unevaluable over the empty
+            # group a LEFT-join miss represents)
+            if sel is not agg:
+                probe = map_expr(
+                    sel, lambda n: Lit(0, "bigint") if n is agg else None
+                )
+                if probe.refs():
+                    return None
+            self._view_counter += 1
+            alias = f"__sq{self._view_counter}"
+            group_cols = list(dict.fromkeys(ic for _, ic in pairs))
+            view = QuerySpec(
+                select=[
+                    *[
+                        SelectItem(Col(inner_alias, gc), gc)
+                        for gc in group_cols
+                    ],
+                    SelectItem(agg, "__sval"),
+                ],
+                distinct=False,
+                from_items=[FromItem(alias=inner_alias, table=table)],
+                where=list(inner_only),
+                group_by=[Col(inner_alias, gc) for gc in group_cols],
+            )
+            spec.outer_joins.append(
+                OuterJoin(
+                    FromItem(alias=alias, subquery=view),
+                    [Cmp("=", oc, Col(alias, ic)) for oc, ic in pairs],
+                    "left",
+                )
+            )
+            val: Expr = Col(alias, "__sval")
+            if agg.func == "count":
+                val = Func("coalesce", (val, Lit(0, "bigint")))
+            if sel is agg:
+                return val
+            return map_expr(sel, lambda n: val if n is agg else None)
+
+        def repl(n):
+            if isinstance(n, ScalarSubquery):
+                return attach(n.spec)
+            return None
+
+        # a LEFT attachment after a RIGHT/FULL join would change which
+        # side is preserved mid-chain — keep those on the fallback
+        if any(oj.side in ("right", "full") for oj in spec.outer_joins):
+            return spec
+        spec.select = [
+            SelectItem(map_expr(si.expr, repl), si.alias)
+            for si in spec.select
+        ]
+        return spec
 
     def _fold_scalars(self, spec):
         """Replace uncorrelated scalar subqueries in WHERE/HAVING with
@@ -446,16 +552,25 @@ class SparkSQLPlus:
                 has_scalar = True
             return None
 
-        for c in [*spec.where, *spec.having]:
+        for c in [*spec.where, *spec.having, *[si.expr for si in spec.select]]:
             map_expr(c, probe)
         if not has_scalar:
             return spec
+        from sparksqlplus_spark.parser.sql import SelectItem
+
         safe_ids = {id(c) for c in spec.core_safe_where}
         new_where = [map_expr(c, fold) for c in spec.where]
         return dc_replace(
             spec,
             where=new_where,
             having=[map_expr(c, fold) for c in spec.having],
+            # round-8: SELECT-list uncorrelated scalars fold too (the
+            # correlated ones were lifted by _decorrelate_select_scalars
+            # just before)
+            select=[
+                SelectItem(map_expr(si.expr, fold), si.alias)
+                for si in spec.select
+            ],
             # positional remap keeps the decorrelation marker aligned
             # with the rebuilt conjunct objects
             core_safe_where=[
@@ -702,7 +817,9 @@ class SparkSQLPlus:
                 spec, mode=mode, cyclic_strategy=cyclic_strategy,
                 count_mode=count_mode,
             )
-        spec = self._fold_scalars(self._decorrelate_scalars(spec))
+        spec = self._fold_scalars(
+            self._decorrelate_scalars(self._decorrelate_select_scalars(spec))
+        )
         if spec.outer_joins:
             if join_tree_hint is not None:
                 raise UnsupportedSqlError(
@@ -1300,7 +1417,9 @@ class SparkSQLPlus:
                 "parts": len(stmt.parts),
                 "candidates": [],
             }
-        spec = self._fold_scalars(self._decorrelate_scalars(stmt))
+        spec = self._fold_scalars(
+            self._decorrelate_scalars(self._decorrelate_select_scalars(stmt))
+        )
         if spec.outer_joins:
             # outer-join plan: core + attachments (api._run_outer); the
             # core's own candidates are not enumerated here
@@ -1505,7 +1624,9 @@ class SparkSQLPlus:
         return self._explain_parsed(stmt, cyclic_strategy)
 
     def _explain_parsed(self, spec, cyclic_strategy: str = "auto") -> str:
-        spec = self._fold_scalars(self._decorrelate_scalars(spec))
+        spec = self._fold_scalars(
+            self._decorrelate_scalars(self._decorrelate_select_scalars(spec))
+        )
         if spec.outer_joins:
             from sparksqlplus_spark.expressions import Col
             from sparksqlplus_spark.parser.sql import QuerySpec, SelectItem

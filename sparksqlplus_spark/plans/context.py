@@ -527,6 +527,38 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             raise UnsupportedSqlError(
                 "window functions are only valid in the SELECT list"
             )
+    # residual scalar subqueries (not folded by api._fold_scalars nor
+    # decorrelated — e.g. multi-table or non-equality-correlated
+    # shapes) cannot execute here; raise UnsupportedSqlError instead
+    # of letting ScalarSubquery.to_spark crash with ValueError, so
+    # mode='auto' rides the spark.sql fallback (round-8 fix)
+    from sparksqlplus_spark.expressions import ScalarSubquery as _SSq
+    from sparksqlplus_spark.expressions import map_expr as _map_expr
+
+    def _has_scalar(node) -> bool:
+        hit = False
+
+        def probe(n):
+            nonlocal hit
+            if isinstance(n, _SSq):
+                hit = True
+            return None
+
+        _map_expr(node, probe)
+        return hit
+
+    for e in [
+        *[e for _, e in output],
+        *where,
+        *having,
+        *group_by,
+        *[e for e, _ in order_by],
+    ]:
+        if _has_scalar(e):
+            raise UnsupportedSqlError(
+                "scalar subquery in a non-plannable position"
+            )
+
     has_window = any(contains_window(e) for _, e in output) or any(
         contains_window(e) for r in relations for _, e in r.sub_proj
     )

@@ -1055,3 +1055,51 @@ def test_modulo_and_extract_fields(engine):
     # unknown EXTRACT field still routes to the fallback
     with pytest.raises(UnsupportedSqlError):
         parse_query("SELECT EXTRACT(EPOCH FROM o.o_orderdate) FROM orders AS o")
+
+
+def test_select_list_scalar_subqueries(engine):
+    """Round-8: scalar subqueries in the SELECT list. Correlated
+    single-table aggregates lift to grouped views LEFT-JOINed on the
+    correlation keys (COUNT -> COALESCE(cnt,0), sum/avg/min/max ->
+    bare value, NULL on empty); uncorrelated ones fold to literals;
+    out-of-subset shapes raise UnsupportedSqlError (and so ride the
+    fallback in auto mode) instead of crashing with ValueError."""
+    cases = [
+        # correlated COUNT + correlated MAX in one statement
+        ("SELECT c.c_custkey AS ck, "
+         "(SELECT COUNT(*) FROM orders AS o "
+         " WHERE o.o_custkey = c.c_custkey "
+         "   AND o.o_totalprice > 250000.0) AS n, "
+         "(SELECT MAX(o2.o_totalprice) FROM orders AS o2 "
+         " WHERE o2.o_custkey = c.c_custkey) AS mx "
+         "FROM customer AS c WHERE c.c_custkey < 200"),
+        # wrapped COUNT; uncorrelated scalar folds
+        ("SELECT c.c_custkey AS ck, "
+         "(SELECT COUNT(*) * 2 FROM orders AS o "
+         " WHERE o.o_custkey = c.c_custkey "
+         "   AND o.o_totalprice > 250000.0) AS n2, "
+         "(SELECT MIN(o3.o_orderkey) FROM orders AS o3) AS mo "
+         "FROM customer AS c WHERE c.c_custkey < 100"),
+        # alongside a join
+        ("SELECT c.c_custkey AS ck, n.n_name AS nn, "
+         "(SELECT COUNT(*) FROM orders AS o "
+         " WHERE o.o_custkey = c.c_custkey) AS n "
+         "FROM customer AS c, nation AS n "
+         "WHERE c.c_nationkey = n.n_nationkey AND c.c_custkey < 100"),
+    ]
+    for q in cases:
+        a = engine.sql(q, mode="cqc")
+        b = engine.sql(q, mode="spark")
+        assert a.count() == b.count() > 0, q
+        assert a.exceptAll(b).count() == 0, q
+        assert b.exceptAll(a).count() == 0, q
+    # multi-table correlated select scalar: UnsupportedSqlError in cqc,
+    # completes via the fallback in auto (was: raw ValueError crash)
+    q_multi = ("SELECT c.c_custkey AS ck, "
+               "(SELECT COUNT(*) FROM orders AS o, lineitem AS l "
+               " WHERE o.o_orderkey = l.l_orderkey "
+               "   AND o.o_custkey = c.c_custkey) AS n "
+               "FROM customer AS c WHERE c.c_custkey < 10")
+    with pytest.raises(UnsupportedSqlError):
+        engine.sql(q_multi, mode="cqc")
+    assert engine.sql(q_multi, mode="auto").count() > 0
