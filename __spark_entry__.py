@@ -2268,6 +2268,67 @@ def _hint_q(spark, sf_dir):
     return eng.sql(_HINT_SQL, join_tree_hint=[("l", "s"), ("s", "n")])
 
 
+def _paragraph_dedup_q(spark, sf_dir):
+    """Line-level exact dedup across the corpus (operators/dedup.py:
+    paragraph_dedup) — the RefinedWeb/CCNet boilerplate-removal pass:
+    a line appearing in several documents survives only at its first
+    (doc, pos) occurrence; docs reassemble in order. The synthetic
+    docs are single-line, so the entry fabricates deterministic
+    8-token lines first (same arithmetic in the oracle)."""
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.operators.dedup import paragraph_dedup
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.catalog.get("documents").df
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.greatest(
+        F.ceil(F.size(toks) / F.lit(8.0)).cast("int"), F.lit(1)
+    )
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(1), n_lines),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, (i - F.lit(1)) * F.lit(8) + F.lit(1), 8)
+                ),
+            ),
+        ).alias("text"),
+    )
+    return paragraph_dedup(lined, "text", "doc_id", min_len=1)
+
+
+_PARAGRAPH_DEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+lined AS (
+  SELECT doc_id,
+         [array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' ')
+          for i in range(1, greatest(CAST(ceil(len(toks)/8.0) AS INT), 1) + 1)]
+         AS ls
+  FROM t),
+lines AS (
+  SELECT doc_id, unnest(ls) AS ln, unnest(range(len(ls))) AS pos FROM lined),
+ranked AS (
+  SELECT doc_id, pos, ln,
+         CASE WHEN length(ln) >= 1 THEN
+           row_number() OVER (
+             PARTITION BY CASE WHEN length(ln) >= 1
+                               THEN {_D_H52.format(s='ln')} END
+             ORDER BY doc_id, pos)
+         ELSE 1 END AS rnk
+  FROM lines)
+SELECT doc_id,
+       coalesce(
+         string_agg(CASE WHEN rnk = 1 THEN ln END, chr(10) ORDER BY pos),
+         '') AS text,
+       COUNT(*) AS n_lines,
+       SUM(CASE WHEN rnk > 1 THEN 1 ELSE 0 END) AS n_dropped
+FROM ranked GROUP BY doc_id
+"""
+
+
 def _split_assign_q(spark, sf_dir):
     """Deterministic disjoint train/val/test split (operators/
     sampling.py:split_assign): h52(seed || id) bucket vs cumulative
@@ -2358,6 +2419,7 @@ GROUP BY t.doc_id
 
 
 _OP_CASES: dict[str, tuple[Callable, str | None]] = {
+    "dedup_paragraph": (_paragraph_dedup_q, _PARAGRAPH_DEDUP_ORACLE),
     "sample_split_assign": (_split_assign_q, _split_assign_oracle()),
     "embed_centroid_assign": (_centroid_assign_q, _CENTROID_ASSIGN_ORACLE),
     "text_unigram_freq": (_unigram_freq_q, _UNIGRAM_FREQ_ORACLE),
@@ -2417,10 +2479,11 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # r7 consolidation (round-6 verdict item 1): total entries went down
 # from 99 to 90 (14 retired as redundantly covered — see the inline
 # "(r7 consolidation: ...)" notes at each former definition site).
-# r8 adds 6 entries for the new surface (total 96): the 46-entry tail
-# below rotates back in r9 with 4 slack slots; if r9 needs more new
-# slots than that, consolidate again rather than letting any entry go
-# unchecked 2+ rounds.
+# r8 adds 8 entries for the new surface (total 98): the 48-entry tail
+# below rotates back in r9 with only 2 slack slots — r9 MUST
+# consolidate (retire redundantly-covered entries, as r7 did) before
+# adding new ones, rather than letting any entry go unchecked 2+
+# rounds.
 _HEAD = [
     # r8 rotation: every r7-tail entry (green r6, unchecked r7) comes
     # back FIRST, per the standing obligation
@@ -2472,6 +2535,7 @@ _HEAD = [
     "inner_after_outer_join",
     "corr_count_arith",
     "select_scalar_agg",
+    "dedup_paragraph",
     "sample_split_assign",
     "embed_centroid_assign",
     "text_unigram_freq",
@@ -2482,12 +2546,12 @@ _HEAD = [
     # strictly-stronger corr_count_arith + select_scalar_agg)
     "right_outer_join",
     "full_outer_join",
-    "window_frame_movavg",
 ]
 # Every tail case below was driver-green in r7 (the r7 window);
 # their operator classes stay covered in-window (see _HEAD) and they
 # rotate back in next round (r9).
 _TAIL = [
+    "window_frame_movavg",
     "corr_scalar_count",
     "exists_join_body",
     "events_ewma_multibatch",

@@ -594,3 +594,73 @@ def embedding_neardup_pairs(
         cand.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Line/paragraph-level exact dedup across the corpus — the
+    RefinedWeb/CCNet-style boilerplate removal pass: a line that
+    appears in more than one document (nav menus, cookie banners,
+    footers) is kept only in the document where it first occurs
+    (smallest ``(doc id, position)``), every other copy is dropped;
+    each survivor document is reassembled in original line order.
+    Lines shorter than ``min_len`` characters pass through untouched
+    (blank/short separators are not boilerplate evidence).
+
+    Scale shape: split -> posexplode (map-only) -> ONE window shuffle
+    keyed on the 52-bit line hash -> per-doc reassembly aggregate
+    keyed on the id. No all-pairs product, no Python UDFs, no driver
+    state; the line-hash shuffle is the only corpus-wide exchange and
+    partial aggregation bounds hot boilerplate lines. Returns
+    (id, text, n_lines, n_dropped) with text rebuilt from the kept
+    lines."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    )
+    eligible = F.length("__line") >= min_len
+    # split instead of a NULL-hash bucket: routing every short line
+    # into one window partition would be a corpus-wide skew key —
+    # ineligible lines never enter the shuffle at all
+    elig = lines.filter(eligible).withColumn("__h", h52(F.col("__line")))
+    w = Window.partitionBy("__h").orderBy(F.col(id_col), F.col("__pos"))
+    ranked = (
+        elig.withColumn("__r", F.row_number().over(w))
+        .withColumn("__keep", F.col("__r") == 1)
+        .select(id_col, "__pos", "__line", "__keep")
+    )
+    passthrough = lines.filter(~eligible).withColumn("__keep", F.lit(True))
+    kept = ranked.unionByName(
+        passthrough.select(id_col, "__pos", "__line", "__keep")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(F.col("__pos"), F.col("__line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+        .select(F.col(id_col), F.col(text_col), "n_lines", "n_dropped")
+    )

@@ -524,3 +524,36 @@ def test_unigram_freq_planted(spark):
     assert got[2]["n_tokens"] == 2 and got[2]["sum_cf"] == 4 + 1
     assert got[3]["n_tokens"] == 1 and got[3]["sum_cf"] == 1
     assert got[1]["avg_cf"] > got[3]["avg_cf"]
+
+
+def test_paragraph_dedup_planted(spark):
+    """paragraph_dedup: a boilerplate footer shared by three docs
+    survives only in the first (smallest doc_id, earliest position);
+    unique lines and short lines pass through; documents reassemble in
+    original line order."""
+    from sparksqlplus_spark.operators.dedup import paragraph_dedup
+
+    footer = "subscribe to our newsletter today"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha body one\n{footer}\nx"),
+            (2, f"{footer}\nbeta body two"),
+            (3, f"gamma body three\n{footer}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           paragraph_dedup(df, "text", "doc_id", min_len=2).collect()}
+    # doc 1 keeps everything incl. the short line 'x' (min_len=2 ->
+    # 'x' is ineligible and passes through)
+    assert got[1]["text"] == f"alpha body one\n{footer}\nx"
+    assert got[1]["n_dropped"] == 0 and got[1]["n_lines"] == 3
+    # docs 2 and 3 lose the footer copy but keep their own lines
+    assert got[2]["text"] == "beta body two" and got[2]["n_dropped"] == 1
+    assert got[3]["text"] == "gamma body three" and got[3]["n_dropped"] == 1
+    # reassembly preserves order for multi-line survivors
+    df2 = spark.createDataFrame(
+        [(7, "l1\nl2\nl3\nl4")], "doc_id long, text string"
+    )
+    out2 = paragraph_dedup(df2, "text", "doc_id").collect()[0]
+    assert out2["text"] == "l1\nl2\nl3\nl4" and out2["n_dropped"] == 0
