@@ -612,3 +612,78 @@ def test_in_subquery_equals_spark(engine, negated, inner_filt, outer_filt):
     # PK so the frames still match exactly
     assert ours.count() == ref.count(), sql
     assert ours.exceptAll(ref).count() == 0, sql
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    agg=st.sampled_from(
+        ["COUNT(*)", "COUNT(*) + 1", "2 * COUNT(*)", "SUM(o2.o_totalprice)",
+         "MAX(o2.o_totalprice)", "MIN(o2.o_orderkey)", "AVG(o2.o_totalprice)"]
+    ),
+    inner_filt=st.sampled_from(
+        [None, "o2.o_totalprice > 250000.0", "o2.o_orderpriority = '1-URGENT'"]
+    ),
+    outer_filt=st.sampled_from(
+        [None, "c.c_custkey < 400", "c.c_mktsegment = 'BUILDING'"]
+    ),
+)
+def test_select_scalar_equals_spark(engine, agg, inner_filt, outer_filt):
+    """Round-8: correlated scalar subqueries in the SELECT list —
+    random aggregate (bare, constant-wrapped, NULL-on-empty and
+    COALESCE-0 classes) x inner filter x outer filter vs spark.sql.
+    Aggregates over doubles are rounded so summation order cannot
+    flake the comparison (float fold-order, round-3 ADVICE class)."""
+    inner_where = f"o2.o_custkey = c.c_custkey"
+    if inner_filt:
+        inner_where += f" AND {inner_filt}"
+    expr = f"(SELECT {agg} FROM orders AS o2 WHERE {inner_where})"
+    if "SUM" in agg or "AVG" in agg:
+        expr = f"CAST({expr} / 1000 AS BIGINT)"
+    sql = f"SELECT c.c_custkey AS ck, {expr} AS v FROM customer AS c"
+    if outer_filt:
+        sql += f" WHERE {outer_filt}"
+    _assert_equals_spark(engine, sql)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    fn=st.sampled_from(
+        ["ROW_NUMBER()", "RANK()", "DENSE_RANK()", "COUNT(*)"]
+    ),
+    part=st.sampled_from(["o.o_custkey", "o.o_orderstatus"]),
+    k=st.integers(min_value=1, max_value=4),
+    filt=st.sampled_from([None, "o.o_totalprice > 150000.0"]),
+    tail=st.sampled_from([None, "ORDER BY ok LIMIT 50"]),
+)
+def test_qualify_equals_naive(engine, fn, part, k, filt, tail):
+    """Round-8 QUALIFY fuzz: random window fn / partition / threshold /
+    upstream filter / downstream ORDER-LIMIT. spark.sql has no QUALIFY,
+    so the independent comparator is the hand-desugared two-level
+    statement run through spark.sql."""
+    over = f"OVER (PARTITION BY {part} ORDER BY o.o_totalprice DESC, o.o_orderkey)"
+    sql = f"SELECT o.o_orderkey AS ok, o.o_custkey AS ck FROM orders AS o"
+    if filt:
+        sql += f" WHERE {filt}"
+    sql += f" QUALIFY {fn} {over} <= {k}"
+    desugar = (
+        f"SELECT ok, ck FROM (SELECT o.o_orderkey AS ok, o.o_custkey AS ck, "
+        f"{fn} {over} AS __w FROM orders AS o"
+        + (f" WHERE {filt}" if filt else "")
+        + f") WHERE __w <= {k}"
+    )
+    if tail:
+        sql += f" {tail}"
+        desugar += f" {tail}"
+    a = engine.sql(sql, mode="cqc")
+    b = engine.sql(desugar, mode="spark")
+    assert a.count() == b.count(), sql
+    assert a.exceptAll(b).count() == 0, sql
+    assert b.exceptAll(a).count() == 0, sql
