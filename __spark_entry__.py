@@ -1964,6 +1964,48 @@ WHERE l.event_type = 'click' AND r.event_type = 'purchase'
 """
 
 
+def _asof_join_q(spark, sf_dir):
+    """Point-in-time as-of join (operators/asof.py:asof_join) — for
+    every click, the latest same-user purchase at or before it,
+    LEFT-preserving. Planned as union + one key shuffle + running
+    last() — never a range join. The right side pre-aggregates to one
+    row per (user, ts) so the pick is deterministic on both engines;
+    the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.operators.asof import asof_join
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.catalog.get("events").df
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("buy_event"))
+    )
+    out = asof_join(clicks, buys, "ts", "ts", by=["user_id"])
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("ts_r").alias("buy_ts"),
+        F.col("buy_event_r").alias("buy_event"),
+    )
+
+
+_ASOF_JOIN_ORACLE = """
+WITH c AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+b AS (SELECT user_id, ts, MAX(event_id) AS buy_event FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       b.ts AS buy_ts, b.buy_event
+FROM c ASOF LEFT JOIN b ON c.user_id = b.user_id AND c.ts >= b.ts
+"""
+
+
 def _tumbling_q(spark, sf_dir):
     from sparksqlplus_spark.streaming.windows import tumbling_agg
 
@@ -2433,6 +2475,7 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "hint_join_tree": (_hint_q, _HINT_ORACLE),
     "events_tumbling_window": (_tumbling_q, _TUMBLING_ORACLE),
     "events_interval_join": (_interval_join_q, _INTERVAL_JOIN_ORACLE),
+    "events_asof_join": (_asof_join_q, _ASOF_JOIN_ORACLE),
     "events_sliding_window": (_sliding_q, _SLIDING_ORACLE),
     "events_session_window": (_session_q, _SESSION_ORACLE),
     "events_dedup_first": (_dedup_first_q, _DEDUP_FIRST_ORACLE),
@@ -2479,8 +2522,8 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # r7 consolidation (round-6 verdict item 1): total entries went down
 # from 99 to 90 (14 retired as redundantly covered — see the inline
 # "(r7 consolidation: ...)" notes at each former definition site).
-# r8 adds 8 entries for the new surface (total 98): the 48-entry tail
-# below rotates back in r9 with only 2 slack slots — r9 MUST
+# r8 adds 9 entries for the new surface (total 99): the 49-entry tail
+# below rotates back in r9 with only 1 slack slot — r9 MUST
 # consolidate (retire redundantly-covered entries, as r7 did) before
 # adding new ones, rather than letting any entry go unchecked 2+
 # rounds.
@@ -2536,6 +2579,7 @@ _HEAD = [
     "corr_count_arith",
     "select_scalar_agg",
     "dedup_paragraph",
+    "events_asof_join",
     "sample_split_assign",
     "embed_centroid_assign",
     "text_unigram_freq",
@@ -2544,13 +2588,17 @@ _HEAD = [
     # core/preserved-core split (outer joins) and the window-frame
     # parser (corr_scalar_count's path is covered in-window by the
     # strictly-stronger corr_count_arith + select_scalar_agg)
+    # (full_outer_join / window_frame_movavg / corr_scalar_count were
+    # all checked green in r7 and rotate back in r9; their touched code
+    # paths keep in-window coverage via right_outer_join,
+    # inner_after_outer_join, corr_count_arith and select_scalar_agg)
     "right_outer_join",
-    "full_outer_join",
 ]
 # Every tail case below was driver-green in r7 (the r7 window);
 # their operator classes stay covered in-window (see _HEAD) and they
 # rotate back in next round (r9).
 _TAIL = [
+    "full_outer_join",
     "window_frame_movavg",
     "corr_scalar_count",
     "exists_join_body",

@@ -557,3 +557,45 @@ def test_paragraph_dedup_planted(spark):
     )
     out2 = paragraph_dedup(df2, "text", "doc_id").collect()[0]
     assert out2["text"] == "l1\nl2\nl3\nl4" and out2["n_dropped"] == 0
+
+
+def test_asof_join_directions(spark):
+    """asof_join: backward picks the largest right ts <= left ts per
+    key (ties match inclusively), forward mirrors it, unmatched lefts
+    survive with NULLs, tolerance reverts too-distant matches to NULL,
+    and the plan is union + ONE window exchange (no nested-loop
+    range join)."""
+    from sparksqlplus_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(
+        [(1, 5, 50), (1, 9, 90), (2, 4, 40), (3, 1, 10)],
+        "k int, ts int, v int",
+    )
+    r = spark.createDataFrame(
+        [(1, 3, 300), (1, 7, 700), (2, 9, 900), (1, 9, 990)],
+        "k int, ts int, p int",
+    )
+    back = {(x["k"], x["ts"]): (x["ts_r"], x["p_r"])
+            for x in asof_join(l, r, "ts", "ts", by=["k"]).collect()}
+    assert back[(1, 5)] == (3, 300)
+    assert back[(1, 9)] == (9, 990)      # tie matches inclusively
+    assert back[(2, 4)] == (None, None)  # right is later only
+    assert back[(3, 1)] == (None, None)  # no right rows for key
+
+    fwd = {(x["k"], x["ts"]): (x["ts_r"], x["p_r"])
+           for x in asof_join(l, r, "ts", "ts", by=["k"],
+                              direction="forward").collect()}
+    assert fwd[(1, 5)] == (7, 700)
+    assert fwd[(2, 4)] == (9, 900)
+    assert fwd[(3, 1)] == (None, None)
+
+    tol = {(x["k"], x["ts"]): (x["ts_r"], x["p_r"])
+           for x in asof_join(l, r, "ts", "ts", by=["k"],
+                              tolerance=2).collect()}
+    assert tol[(1, 5)] == (3, 300)       # distance 2 == tolerance
+    assert tol[(1, 9)] == (9, 990)
+    # one exchange total: the union feeds a single window sort
+    plan = asof_join(l, r, "ts", "ts", by=["k"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 3
+    assert "BroadcastNestedLoop" not in plan
