@@ -85,12 +85,15 @@ def asof_join(
 
     # backward: ascending ts; a right row at the SAME ts sorts before
     # the left row (side 0 < 1), so ties match inclusively — the ASOF
-    # >= convention. forward: descending ts, same tie rule.
+    # >= convention. forward: descending ts, same tie rule. Payload
+    # columns break ties among right rows at the SAME ts (the carried
+    # row is the greatest payload tuple) so the result is
+    # deterministic and matches asof_stream's fold order.
     order = (
         [F.col("__asof_ts").asc(), F.col("__asof_side").asc()]
         if direction == "backward"
         else [F.col("__asof_ts").desc(), F.col("__asof_side").asc()]
-    )
+    ) + [F.col(out_payload[c]).asc_nulls_first() for c in payload]
     w = (
         Window.partitionBy(*[F.col(c) for c in by])
         .orderBy(*order)
@@ -119,4 +122,148 @@ def asof_join(
     return result.select(
         *[F.col(c) for c in left.columns],
         *[F.col(out_payload[c]) for c in payload],
+    )
+
+
+def asof_stream(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    by: list[str],
+    watermark: str = "1 hour",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Streaming form of :func:`asof_join` (backward direction):
+    both sides union into ONE tagged stream, and a per-key
+    ``applyInPandasWithState`` fold carries the latest right row seen
+    so far — each left event emits with the carried payload. Per-key
+    state is O(1) (one right row), memory is bounded by the
+    micro-batch like the other stateful ops here.
+
+    Ordering contract (same as ``ewma_stream``): events inside a
+    micro-batch are sorted by event time before folding, and
+    micro-batches must arrive in per-key event-time order (a replayed
+    time-ordered log — the bounded-stream test shape). A right event
+    arriving in a LATER batch than a left event it should precede is
+    matched to nothing — the bounded-staleness tradeoff every
+    low-latency as-of stream makes; hold-until-watermark exactness
+    would buffer lefts in state instead.
+
+    Works on batch frames too (groupBy.applyInPandas path is not
+    taken — batch callers should use :func:`asof_join`)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    if not by:
+        raise ValueError("asof_stream needs grouping keys")
+    payload = [c for c in right.columns if c not in by]
+    if right_ts not in payload:
+        raise ValueError(f"right frame has no column {right_ts!r}")
+    out_payload = {c: f"{c}{suffix}" for c in payload}
+
+    l_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(out_payload[c])
+          for c in payload],
+        F.col(left_ts).alias("__asof_ts"),
+        F.lit(1).alias("__asof_side"),
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          if c not in by else F.col(c)
+          for c in left.columns],
+        *[F.col(c).alias(out_payload[c]) for c in payload],
+        F.col(right_ts).alias("__asof_ts"),
+        F.lit(0).alias("__asof_side"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    if unioned.isStreaming:
+        unioned = unioned.withWatermark("__asof_ts", watermark)
+
+    pay_cols = [out_payload[c] for c in payload]
+    is_ts = {
+        out_payload[c]: isinstance(right.schema[c].dataType, T.TimestampType)
+        for c in payload
+    }
+    out_fields = [f for f in left.schema.fields] + [
+        T.StructField(out_payload[c], right.schema[c].dataType)
+        for c in payload
+    ]
+    out_schema = T.StructType(out_fields)
+    # timestamps live in state as epoch micros (long) — pandas
+    # Timestamps do not round-trip through the state Arrow schema
+    state_schema = ", ".join(
+        f"s{i} " + (
+            "long" if is_ts[c]
+            else right.schema[payload[i]].dataType.simpleString()
+        )
+        for i, c in enumerate(pay_cols)
+    )
+    left_out_cols = [f.name for f in left.schema.fields]
+
+    state_type = {
+        out_payload[c]: right.schema[c].dataType.simpleString()
+        for c in payload
+    }
+
+    def _to_state(c, v):
+        # Arrow reads a nullable long column into float64, so the
+        # value MUST be coerced back to the declared state type — a
+        # Python float written into a `long` state field nulls
+        # silently on the round-trip
+        if v is None or pd.isna(v):
+            return None
+        if is_ts[c]:
+            return int(pd.Timestamp(v).value // 1000)
+        t = state_type[c]
+        if t in ("bigint", "int", "smallint", "tinyint"):
+            return int(v)
+        if t in ("double", "float"):
+            return float(v)
+        return v
+
+    def _from_state(c, v):
+        if v is None:
+            return None
+        if is_ts[c]:
+            return pd.Timestamp(v * 1000)
+        return v
+
+    def fold(
+        key, batches, state: GroupState
+    ):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        # same total order as asof_join's window: payload columns
+        # break right-row ties at equal ts (lefts have NaN payloads,
+        # which pandas sorts last — they follow the rights anyway by
+        # the side key)
+        pdf = pdf.sort_values(["__asof_ts", "__asof_side", *pay_cols])
+        seed = state.get if state.exists else None
+        rights = pdf[pdf["__asof_side"] == 0]
+        for i, c in enumerate(pay_cols):
+            col = pdf[c].astype("object").ffill()
+            if seed is not None and seed[i] is not None:
+                col = col.fillna(_from_state(c, seed[i]))
+            # NaN/NaT -> None so Arrow can emit typed nulls
+            pdf[c] = col.where(pd.notna(col), None)
+        if len(rights):
+            last = rights.iloc[-1]
+            state.update(tuple(
+                _to_state(c, last[c]) for c in pay_cols
+            ))
+        out = pdf[pdf["__asof_side"] == 1][left_out_cols + pay_cols]
+        yield out
+
+    return unioned.groupBy(*[F.col(c) for c in by]).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

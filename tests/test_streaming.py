@@ -346,3 +346,79 @@ def test_interval_join_stream_matches_batch(spark, events):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_asof_stream_matches_batch(spark, events):
+    """Streaming as-of join (applyInPandasWithState, O(1) state per
+    key): the bounded time-ordered stream must reproduce the batch
+    asof_join exactly — clicks matched to the latest preceding
+    purchase per user."""
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.operators.asof import asof_join, asof_stream
+    from sparksqlplus_spark.streaming.windows import (
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    def sides(ev):
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        buys = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("buy_event"),
+            F.col("value").alias("buy_value"),
+        )
+        return clicks, buys
+
+    want = asof_join(*sides(events), "ts", "ts", by=["user_id"])
+    stream = events_stream(spark, EVENTS)
+    got = run_stream_to_memory(
+        asof_stream(*sides(stream), "ts", "ts", by=["user_id"]),
+        "t_asof",
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_asof_stream_multibatch_state_carry(spark, events, tmp_path):
+    """The as-of fold drained across >= 2 time-ordered micro-batches:
+    a purchase seen in batch N must match clicks in batch N+1 through
+    the carried O(1) state, reproducing the batch asof_join exactly."""
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.operators.asof import asof_join, asof_stream
+    from sparksqlplus_spark.streaming.windows import (
+        run_stream_to_memory_counted,
+        slice_to_files,
+        stream_from_slices,
+    )
+
+    src = events.select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+    path = str(tmp_path / "asof_slices")
+    slice_to_files(src, path, n_slices=3)
+    stream = stream_from_slices(spark, path, src.schema)
+
+    def sides(ev):
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        buys = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("buy_event")
+        )
+        return clicks, buys
+
+    got, n_batches = run_stream_to_memory_counted(
+        asof_stream(*sides(stream), "ts", "ts", by=["user_id"]),
+        "t_asof_multibatch",
+    )
+    assert n_batches >= 2
+    want = asof_join(*sides(src), "ts", "ts", by=["user_id"])
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
