@@ -1965,27 +1965,50 @@ WHERE l.event_type = 'click' AND r.event_type = 'purchase'
 
 
 def _asof_join_q(spark, sf_dir):
-    """Point-in-time as-of join (operators/asof.py:asof_join) — for
-    every click, the latest same-user purchase at or before it,
-    LEFT-preserving. Planned as union + one key shuffle + running
-    last() — never a range join. The right side pre-aggregates to one
-    row per (user, ts) so the pick is deterministic on both engines;
-    the oracle is DuckDB's native ASOF LEFT JOIN."""
+    """Point-in-time as-of join — for every click, the latest
+    same-user purchase at or before it, LEFT-preserving, run through
+    the STREAMING form (operators/asof.py:asof_stream —
+    applyInPandasWithState, O(1) right-row state per key) drained
+    across >= 2 event-time-ordered micro-batches; the entry RAISES on
+    a single-batch drain, so a green row proves the cross-batch state
+    carry against DuckDB's native ASOF LEFT JOIN. The batch plan
+    (asof_join: union + one key shuffle + running last(), never a
+    range join) is pytest-proven equal to this stream
+    (tests/test_streaming.py:test_asof_stream_multibatch_state_carry)."""
+    import os
+    import tempfile
+
     from pyspark.sql import functions as F
 
-    from sparksqlplus_spark.operators.asof import asof_join
+    from sparksqlplus_spark.operators.asof import asof_stream
+    from sparksqlplus_spark.streaming.windows import (
+        run_stream_to_memory_counted,
+        slice_to_files,
+        stream_from_slices,
+    )
 
     eng = _engine(spark, sf_dir)
-    ev = eng.catalog.get("events").df
-    clicks = ev.filter(F.col("event_type") == "click").select(
+    ev = eng.catalog.get("events").df.select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    tag = "".join(c for c in sf_dir if c.isalnum())
+    path = os.path.join(tempfile.gettempdir(), f"asof_slices_{tag}")
+    slice_to_files(ev, path, n_slices=3)
+    stream = stream_from_slices(spark, path, ev.schema)
+    clicks = stream.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    buys = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("buy_event"))
+    buys = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("buy_event")
     )
-    out = asof_join(clicks, buys, "ts", "ts", by=["user_id"])
+    out, n_batches = run_stream_to_memory_counted(
+        asof_stream(clicks, buys, "ts", "ts", by=["user_id"]),
+        f"asof_mb_{tag}",
+    )
+    if n_batches < 2:
+        raise AssertionError(f"drain used {n_batches} micro-batch(es)")
     return out.select(
         F.col("event_id").alias("click_id"),
         "user_id",
