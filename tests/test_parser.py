@@ -1103,3 +1103,54 @@ def test_select_list_scalar_subqueries(engine):
     with pytest.raises(UnsupportedSqlError):
         engine.sql(q_multi, mode="cqc")
     assert engine.sql(q_multi, mode="auto").count() > 0
+
+
+def test_row_value_in_subquery(engine):
+    """Round-8: (a, b) [NOT] IN (SELECT x, y ...) — the row-value form
+    desugars to the multi-key Exists/SemiFilter fold. Non-full outputs
+    keep the CQ dialect DISTINCT, so the spark.sql comparator is
+    DISTINCT-rewritten. The negated multi-key form stays on the
+    fallback (three-valued NOT IN is planned single-key only), and
+    parenthesized expressions/ORs still parse after the backtracking
+    row attempt."""
+    q_cross = ("SELECT o.o_orderkey AS ok FROM orders AS o "
+               "WHERE (o.o_custkey, o.o_orderkey) IN "
+               "(SELECT l.l_suppkey, l.l_orderkey FROM lineitem AS l "
+               " WHERE l.l_quantity > 30)")
+    a = engine.sql(q_cross, mode="cqc")
+    b = engine.sql(q_cross, mode="spark")
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    q_self = ("SELECT l.l_orderkey AS ok, l.l_linenumber AS ln "
+              "FROM lineitem AS l "
+              "WHERE (l.l_orderkey, l.l_linenumber) IN "
+              "(SELECT l2.l_orderkey, l2.l_linenumber FROM lineitem AS l2 "
+              " WHERE l2.l_quantity > 45)")
+    a2 = engine.sql(q_self, mode="cqc")
+    b2 = engine.sql(
+        q_self.replace("SELECT l.l_orderkey", "SELECT DISTINCT l.l_orderkey"),
+        mode="spark",
+    )
+    assert a2.count() == b2.count() > 0
+    assert a2.exceptAll(b2).count() == 0 and b2.exceptAll(a2).count() == 0
+
+    # negated multi-key: UnsupportedSqlError in cqc, fallback in auto
+    q_neg = ("SELECT o.o_orderkey AS ok FROM orders AS o "
+             "WHERE (o.o_custkey, o.o_orderkey) NOT IN "
+             "(SELECT l.l_suppkey, l.l_orderkey FROM lineitem AS l) "
+             "AND o.o_orderkey < 100")
+    with pytest.raises(UnsupportedSqlError):
+        engine.sql(q_neg, mode="cqc")
+    assert (
+        engine.sql(q_neg, mode="auto").count()
+        == engine.sql(q_neg, mode="spark").count()
+    )
+
+    # backtracking regressions
+    assert engine.sql(
+        "SELECT c.c_custkey AS ck FROM customer AS c "
+        "WHERE (c.c_custkey + 1) * 2 = 10", mode="cqc").count() == 1
+    assert engine.sql(
+        "SELECT c.c_custkey AS ck FROM customer AS c "
+        "WHERE (c.c_custkey = 3 OR c.c_custkey = 5)", mode="cqc").count() == 2
