@@ -386,6 +386,17 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             if sides <= {"inner"}:
                 inner_only.append(rw)
                 continue
+            if sides <= {"outer"} and not ex.negated:
+                # a conjunct inside EXISTS that touches only OUTER
+                # columns (or constants) doesn't depend on inner rows:
+                # EXISTS(inner AND P_outer) == P_outer AND EXISTS(inner)
+                # — lift it to the enclosing WHERE (round 8). NOT the
+                # negated form: NOT EXISTS(inner AND P) is
+                # NOT P OR NOT EXISTS(inner), a disjunction this
+                # conjunction cannot express — those raise below and
+                # ride the fallback
+                rest.append(rw)
+                continue
             pair = (
                 _col_sides(rw)
                 if isinstance(rw, Cmp) and sides == {"inner", "outer"}

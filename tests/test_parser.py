@@ -1154,3 +1154,42 @@ def test_row_value_in_subquery(engine):
     assert engine.sql(
         "SELECT c.c_custkey AS ck FROM customer AS c "
         "WHERE (c.c_custkey = 3 OR c.c_custkey = 5)", mode="cqc").count() == 2
+
+
+def test_exists_outer_pred_and_group_by_all(engine):
+    """Round-8: (1) a conjunct inside EXISTS touching only OUTER
+    columns lifts to the enclosing WHERE (EXISTS(inner AND P_outer) ==
+    P_outer AND EXISTS(inner)); negated stays on the fallback (the
+    identity turns into a disjunction). (2) GROUP BY ALL expands to
+    every non-aggregate select item."""
+    q = ("SELECT c.c_custkey AS ck FROM customer AS c "
+         "WHERE EXISTS (SELECT * FROM orders AS o "
+         "WHERE o.o_custkey = c.c_custkey "
+         "AND c.c_mktsegment = 'BUILDING' "
+         "AND o.o_totalprice > 250000.0)")
+    a = engine.sql(q, mode="cqc")
+    b = engine.sql(q, mode="spark")
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    q_neg = ("SELECT c.c_custkey AS ck FROM customer AS c "
+             "WHERE NOT EXISTS (SELECT * FROM orders AS o "
+             "WHERE o.o_custkey = c.c_custkey "
+             "AND c.c_mktsegment = 'BUILDING')")
+    with pytest.raises(UnsupportedSqlError):
+        engine.sql(q_neg, mode="cqc")
+    assert (
+        engine.sql(q_neg, mode="auto").count()
+        == engine.sql(q_neg, mode="spark").count()
+    )
+
+    q_all = ("SELECT n.n_name AS nation, c.c_mktsegment AS seg, "
+             "COUNT(*) AS cnt FROM customer AS c, nation AS n "
+             "WHERE c.c_nationkey = n.n_nationkey GROUP BY ALL")
+    a2 = engine.sql(q_all, mode="cqc")
+    b2 = engine.sql(q_all, mode="spark")  # Spark 3.4+ parses it too
+    assert a2.count() == b2.count() > 0
+    assert a2.exceptAll(b2).count() == 0 and b2.exceptAll(a2).count() == 0
+    spec = parse_query(q_all)
+    assert len(spec.group_by) == 2 and spec.group_mode == "plain"
+    with pytest.raises(UnsupportedSqlError):
+        parse_query("SELECT COUNT(*) FROM t GROUP BY ALL")
