@@ -928,6 +928,98 @@ class SparkSQLPlus:
 
             return map_expr(cond, repl)
 
+        from sparksqlplus_spark.plans.context import _agg_subcalls
+
+        grouped = bool(spec.group_by) or any(
+            _agg_subcalls(si.expr) for si in spec.select
+        )
+        if grouped:
+            # QUALIFY over an aggregated statement (top-k groups):
+            # windows over aggregates cannot live in the grouped
+            # select, so the desugar goes THREE levels — inner = the
+            # full grouped statement (GROUP BY + HAVING, no windows),
+            # mid = projection + the QUALIFY window expressions, outer
+            # = the filter + DISTINCT/ORDER/LIMIT. Window internals
+            # may reference inner outputs by select alias, or repeat a
+            # select-item expression verbatim (COUNT(*) when the item
+            # is `COUNT(*) AS cnt` — matched by structural key);
+            # anything else is not grouped/aggregated and raises.
+            by_key = {si.expr.key(): n for si, n in zip(spec.select, out_names)}
+
+            def to_inner_ref(e):
+                def repl(n):
+                    k = getattr(n, "key", None)
+                    if k is not None and n.key() in by_key:
+                        return Col("__qual", by_key[n.key()])
+                    if isinstance(n, Col):
+                        if n.alias == "" and n.name in out_names:
+                            return Col("__qual", n.name)
+                        if n.alias == "__qual":
+                            return None
+                        raise UnsupportedSqlError(
+                            "QUALIFY over GROUP BY may only reference "
+                            "select aliases or repeated select items"
+                        )
+                    return None
+
+                return map_expr(e, repl)
+
+            mid_hidden: list[SelectItem] = []
+
+            def remap_grouped(cond):
+                def repl(n):
+                    if isinstance(n, WindowCall):
+                        name = f"__qw{len(mid_hidden)}"
+                        mid_hidden.append(SelectItem(to_inner_ref(n), name))
+                        return Col("__q2", name)
+                    if isinstance(n, Col):
+                        if n.alias == "" and n.name in out_names:
+                            return Col("__q2", n.name)
+                        if n.alias == "__q2":
+                            return None
+                        raise UnsupportedSqlError(
+                            "QUALIFY over GROUP BY may only reference "
+                            "select aliases or repeated select items"
+                        )
+                    return None
+
+                return map_expr(cond, repl)
+
+            outer_where = [remap_grouped(c) for c in spec.qualify]
+            inner = dc_replace(
+                spec,
+                select=[
+                    SelectItem(si.expr, n)
+                    for si, n in zip(spec.select, out_names)
+                ],
+                distinct=False,
+                order_by=[],
+                limit=None,
+                qualify=[],
+            )
+            mid = QuerySpec(
+                select=[
+                    *[SelectItem(Col("__qual", n), n) for n in out_names],
+                    *mid_hidden,
+                ],
+                distinct=False,
+                from_items=[FromItem(alias="__qual", subquery=inner)],
+                where=[],
+            )
+            outer = QuerySpec(
+                select=[SelectItem(Col("__q2", n), n) for n in out_names],
+                distinct=spec.distinct,
+                from_items=[FromItem(alias="__q2", subquery=mid)],
+                where=outer_where,
+                group_by=[],
+                order_by=spec.order_by,
+                limit=spec.limit,
+            )
+            return self._plan_spec(
+                outer, mode=mode, cyclic_strategy=cyclic_strategy,
+                count_mode=count_mode, ansi=True,
+            )
+
         outer_where = [remap(c) for c in spec.qualify]
         inner = dc_replace(
             spec,

@@ -1193,3 +1193,39 @@ def test_exists_outer_pred_and_group_by_all(engine):
     assert len(spec.group_by) == 2 and spec.group_mode == "plain"
     with pytest.raises(UnsupportedSqlError):
         parse_query("SELECT COUNT(*) FROM t GROUP BY ALL")
+
+
+def test_qualify_over_group_by(engine):
+    """Round-8: QUALIFY over an aggregated statement — three-level
+    desugar (grouped inner -> window mid -> filter outer). Window
+    internals may use select aliases or repeat a select item
+    verbatim; other base-column references raise (not
+    grouped/aggregated)."""
+    cases = [
+        ("SELECT o.o_custkey AS ck, COUNT(*) AS cnt FROM orders AS o "
+         "GROUP BY o.o_custkey "
+         "QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, ck) <= 5"),
+        ("SELECT c.c_nationkey AS nk, c.c_mktsegment AS seg, "
+         "COUNT(*) AS cnt FROM customer AS c "
+         "GROUP BY c.c_nationkey, c.c_mktsegment "
+         "QUALIFY RANK() OVER (PARTITION BY nk "
+         "ORDER BY COUNT(*) DESC, seg) = 1"),
+        ("SELECT o.o_custkey AS ck, SUM(o.o_totalprice) AS s "
+         "FROM orders AS o GROUP BY o.o_custkey HAVING COUNT(*) > 3 "
+         "QUALIFY ROW_NUMBER() OVER (ORDER BY s DESC, ck) <= 10 "
+         "ORDER BY ck LIMIT 8"),
+    ]
+    for q in cases:
+        a = engine.sql(q, mode="cqc")
+        b = engine.sql(q, mode="naive")
+        assert a.count() == b.count() > 0, q
+        assert a.exceptAll(b).count() == 0, q
+        assert b.exceptAll(a).count() == 0, q
+    # a window referencing a non-grouped base column raises
+    with pytest.raises(UnsupportedSqlError):
+        engine.sql(
+            "SELECT o.o_custkey AS ck, COUNT(*) AS cnt FROM orders AS o "
+            "GROUP BY o.o_custkey "
+            "QUALIFY ROW_NUMBER() OVER (ORDER BY o.o_totalprice) <= 5",
+            mode="cqc",
+        )
