@@ -80,6 +80,19 @@ class TableMeta:
             return spark.read.schema(self.spark_schema()).csv(
                 self.path, header=False, sep=","
             )
+        if self.fmt in ("json", "jsonl"):
+            # JSON Lines (engine extension; the dominant raw-corpus
+            # interchange format in LLM-data pipelines). The declared
+            # schema drives the read — no inference pass over the data
+            # (an extra full scan at 100 TB); missing fields read NULL,
+            # extra fields are ignored per Spark's JSON semantics
+            return spark.read.schema(self.spark_schema()).json(self.path)
+        if self.fmt == "orc":
+            df = spark.read.orc(self.path)
+            declared = self.column_names
+            if declared and set(declared) <= set(df.columns):
+                df = df.select(*declared)
+            return df
         raise ValueError(f"unsupported format {self.fmt}")
 
 
@@ -210,7 +223,14 @@ def parse_ddl(ddl: str, catalog: Catalog | None = None) -> Catalog:
         props = dict(_PROP.findall(props_str))
         card = int(props["cardinality"]) if "cardinality" in props else None
         path = props.get("path")
-        fmt = "csv" if path and path.endswith((".csv", ".dat", ".txt")) else "parquet"
+        if path and path.endswith((".csv", ".dat", ".txt")):
+            fmt = "csv"
+        elif path and path.endswith((".json", ".jsonl", ".ndjson")):
+            fmt = "json"
+        elif path and path.endswith(".orc"):
+            fmt = "orc"
+        else:
+            fmt = "parquet"
         catalog.register(
             TableMeta(
                 name=name,

@@ -1229,3 +1229,45 @@ def test_qualify_over_group_by(engine):
             "QUALIFY ROW_NUMBER() OVER (ORDER BY o.o_totalprice) <= 5",
             mode="cqc",
         )
+
+
+def test_jsonl_and_orc_sources(engine, spark, tmp_path):
+    """Round-8 source formats: JSONL (the raw-corpus interchange
+    format — declared schema drives the read, no inference scan) and
+    ORC register through DDL with extension inference or an explicit
+    'format' property, and queries plan identically to parquet."""
+    import json as _json
+
+    jl = tmp_path / "docs.jsonl"
+    with open(jl, "w") as f:
+        for i in range(20):
+            f.write(_json.dumps(
+                {"id": i, "txt": f"doc {i}", "score": i * 1.5,
+                 "extra_ignored": True}) + "\n")
+    engine.ddl(
+        "CREATE TABLE jdocs (id BIGINT, txt VARCHAR, score DOUBLE, "
+        f"PRIMARY KEY (id)) WITH ('path' = '{jl}')"
+    )
+    out = engine.sql(
+        "SELECT j.id, j.score FROM jdocs AS j WHERE j.score > 10.0",
+        mode="cqc",
+    )
+    assert out.count() == 13 and set(out.columns) == {"id", "score"}
+    # missing fields read NULL
+    with open(jl, "a") as f:
+        f.write(_json.dumps({"id": 99}) + "\n")
+    assert engine.sql(
+        "SELECT j.id FROM jdocs AS j WHERE j.txt IS NULL", mode="cqc"
+    ).count() == 1
+
+    orc = str(tmp_path / "docs_orc")
+    spark.createDataFrame(
+        [(i, f"o{i}") for i in range(10)], "id long, txt string"
+    ).write.orc(orc)
+    engine.ddl(
+        "CREATE TABLE odocs (id BIGINT, txt VARCHAR, PRIMARY KEY (id)) "
+        f"WITH ('path' = '{orc}', 'format' = 'orc')"
+    )
+    assert engine.sql(
+        "SELECT o.id FROM odocs AS o WHERE o.id < 4", mode="cqc"
+    ).count() == 4
