@@ -255,6 +255,15 @@ def test_sinks_roundtrip(engine, tmp_path):
     assert back.count() == ev.count()
     assert back.exceptAll(ev).count() == 0
 
+    # batch JSONL roundtrip (the raw-corpus interchange format;
+    # write_table passes any format through)
+    j = str(tmp_path / "batch_jsonl")
+    smallj = ev.select("event_id", "user_id").limit(100)
+    eio.write_table(smallj, j, fmt="json")
+    back_json = eio.read_back(spark, j, fmt="json", schema=smallj.schema)
+    assert back_json.count() == 100
+    assert back_json.exceptAll(smallj).count() == 0
+
     # batch CSV roundtrip (headerless — the reference's input format)
     c = str(tmp_path / "batch_csv")
     small = ev.select("event_id", "user_id").limit(100)
