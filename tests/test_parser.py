@@ -86,8 +86,6 @@ def test_case_when_nested():
 
 def test_unsupported_raises():
     with pytest.raises(UnsupportedSqlError):
-        parse_query("SELECT a FROM t HAVING a > 1")
-    with pytest.raises(UnsupportedSqlError):
         parse_query("SELECT a FROM t WHERE a > ALL (SELECT b FROM s)")
 
 
@@ -96,8 +94,11 @@ def test_having_parses_with_group_by_only():
         "SELECT a, COUNT(*) FROM t GROUP BY a HAVING COUNT(*) > 5 AND a = 1"
     )
     assert len(q.having) == 2
-    with pytest.raises(UnsupportedSqlError):
-        parse_query("SELECT a FROM t HAVING a > 1")  # no GROUP BY
+    # bare HAVING (no GROUP BY) parses since round 8 — the ANSI
+    # global-aggregate filter; context validation still rejects
+    # non-aggregate refs (test_bare_having below)
+    q2 = parse_query("SELECT COUNT(*) FROM t HAVING COUNT(*) > 1")
+    assert len(q2.having) == 1 and not q2.group_by
 
 
 def test_outer_parses_exists_parses():
@@ -1271,3 +1272,26 @@ def test_jsonl_and_orc_sources(engine, spark, tmp_path):
     assert engine.sql(
         "SELECT o.id FROM odocs AS o WHERE o.id < 4", mode="cqc"
     ).count() == 4
+
+
+def test_bare_having(engine):
+    """Round-8: HAVING without GROUP BY — the global-aggregate filter
+    over the one-row result — plans natively; non-aggregate references
+    still raise (per-group ambiguity) and ride the fallback."""
+    q = ("SELECT COUNT(*) AS n, SUM(o.o_totalprice) AS s "
+         "FROM orders AS o WHERE o.o_totalprice > 100000.0 "
+         "HAVING COUNT(*) > 10")
+    a = engine.sql(q, mode="cqc")
+    b = engine.sql(q, mode="spark")
+    assert a.count() == b.count() == 1
+    assert a.exceptAll(b).count() == 0
+    assert engine.sql(
+        "SELECT COUNT(*) AS n FROM orders AS o HAVING COUNT(*) < 0",
+        mode="cqc",
+    ).count() == 0
+    with pytest.raises(UnsupportedSqlError):
+        engine.sql(
+            "SELECT COUNT(*) AS n FROM orders AS o "
+            "HAVING o.o_custkey > 1",
+            mode="cqc",
+        )
