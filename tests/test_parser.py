@@ -1295,3 +1295,44 @@ def test_bare_having(engine):
             "HAVING o.o_custkey > 1",
             mode="cqc",
         )
+
+
+def test_any_some_quantified(engine):
+    """Round-8: CMP ANY|SOME (subquery) — `= ANY` folds to the
+    IN-subquery semi join; ordering ops desugar to MIN/MAX scalar
+    subqueries (sound in WHERE under three-valued logic), incl. the
+    correlated form through the normal decorrelation; ALL stays out
+    of the subset."""
+    cases = [
+        # > ANY: above the minimum of a selective set
+        ("SELECT o.o_orderkey AS ok FROM orders AS o "
+         "WHERE o.o_totalprice > ANY (SELECT o2.o_totalprice "
+         "FROM orders AS o2 WHERE o2.o_totalprice > 400000.0)"),
+        # < SOME over another table
+        ("SELECT c.c_custkey AS ck FROM customer AS c "
+         "WHERE c.c_acctbal < SOME (SELECT c2.c_acctbal "
+         "FROM customer AS c2 WHERE c2.c_custkey < 5)"),
+        # correlated: decorrelates to the aggregated-view join
+        ("SELECT c.c_custkey AS ck FROM customer AS c "
+         "WHERE c.c_acctbal > ANY (SELECT o.o_totalprice / 100 "
+         "FROM orders AS o WHERE o.o_custkey = c.c_custkey)"),
+    ]
+    for q in cases:
+        a = engine.sql(q, mode="cqc")
+        b = engine.sql(q, mode="naive")  # spark.sql has no ANY/ALL
+        assert a.count() == b.count() > 0, q
+        assert a.exceptAll(b).count() == 0, q
+        assert b.exceptAll(a).count() == 0, q
+    # = ANY is IN: same rows as the IN spelling via spark comparator
+    q_eq = ("SELECT c.c_custkey AS ck FROM customer AS c "
+            "WHERE c.c_custkey = ANY (SELECT o.o_custkey FROM orders "
+            "AS o WHERE o.o_totalprice > 420000.0)")
+    q_in = q_eq.replace("= ANY", "IN")
+    assert (
+        engine.sql(q_eq, mode="cqc").exceptAll(
+            engine.sql(q_in, mode="spark")).count() == 0
+    )
+    with pytest.raises(UnsupportedSqlError):
+        parse_query(
+            "SELECT 1 FROM t WHERE a > ALL (SELECT b FROM s)"
+        )
