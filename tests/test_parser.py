@@ -1336,3 +1336,20 @@ def test_any_some_quantified(engine):
         parse_query(
             "SELECT 1 FROM t WHERE a > ALL (SELECT b FROM s)"
         )
+
+
+def test_string_concat_operator(engine):
+    """Round-8: ANSI `||` concatenation at additive precedence —
+    NULL-propagating (Spark concat == DuckDB ||)."""
+    q = ("SELECT c.c_name || '/' || c.c_mktsegment AS tag "
+         "FROM customer AS c WHERE c.c_custkey < 20")
+    a = engine.sql(q, mode="cqc")
+    b = engine.sql(
+        "SELECT concat(c.c_name, '/', c.c_mktsegment) AS tag "
+        "FROM customer AS c WHERE c.c_custkey < 20", mode="spark")
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    spec = parse_query("SELECT a || b FROM t")
+    from sparksqlplus_spark.expressions import Func
+    assert isinstance(spec.select[0].expr, Func)
+    assert spec.select[0].expr.name == "concat"
