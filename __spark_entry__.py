@@ -550,20 +550,12 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
            ORDER BY cntrycode""",
         None,
     ),
-    # --- window functions (reference not-supported list): top-3 orders
-    # per customer via ROW_NUMBER() OVER — plans NATIVELY since round 6
-    # (expressions.WindowCall inside the derived-table projection; ANSI
-    # semantics, Spark default frame = DuckDB default) ---
-    "window_rank_topk": (
-        """SELECT c_custkey, o_orderkey, rnk FROM (
-             SELECT o.o_custkey AS c_custkey, o.o_orderkey AS o_orderkey,
-                    CAST(ROW_NUMBER() OVER (
-                      PARTITION BY o.o_custkey
-                      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT) AS rnk
-             FROM orders AS o) AS t
-           WHERE rnk <= 3""",
-        None,
-    ),
+    # (r8 consolidation: window_rank_topk retired — its facet, a
+    # ranking window rendered inside a derived-table projection then
+    # filtered, is exactly the mid level of window_qualify_topk's
+    # desugar, and the default-frame SELECT rendering stays covered by
+    # window_frame_movavg; pytest test_window_functions_native and
+    # fuzz test_window_equals_spark retain the direct form.)
     # --- [NOT] EXISTS planned NATIVELY (engine extension; reference
     # not-supported list): single-table correlated-equality EXISTS
     # folds into a relation-local left_semi/left_anti at the source
@@ -675,15 +667,11 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
              AND r.total_revenue > 40000.0""",
         None,
     ),
-    # --- uncorrelated scalar subquery folded to a literal before
-    # planning (engine extension; reference not-supported list): the
-    # classic above-average filter. Same SQL is the DuckDB oracle. ---
-    "scalar_subquery_avg": (
-        """SELECT o.o_orderkey, o.o_totalprice FROM orders AS o
-           WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice)
-                                   FROM orders AS o2)""",
-        None,
-    ),
+    # (r8 consolidation: scalar_subquery_avg retired — the
+    # uncorrelated-fold path it covered runs inside tpch_q22 (the
+    # custsale avg scalar, in-window) and the select-list fold of
+    # select_scalar_agg's pytest siblings; test_correlated_scalar_
+    # decorrelates + test_select_list_scalar_subqueries retain it.)
     # --- NEW r7: RIGHT OUTER JOIN through the native three-phase
     # planner (api._run_outer — RIGHT preserves the right side, so the
     # acctbal ON conjunct is matching-only, never a pre-filter). ANSI
@@ -767,16 +755,12 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
              AND c.c_custkey <= 900""",
         None,
     ),
-    # --- NEW r7: correlated COUNT scalar decorrelated to LEFT JOIN +
-    # COALESCE(cnt, 0) (api._decorrelate_scalars is_count path) — the
-    # customers-without-matching-orders idiom, 0-on-empty-group ---
-    "corr_scalar_count": (
-        """SELECT c.c_custkey AS c_custkey FROM customer AS c
-           WHERE 0 = (SELECT COUNT(*) FROM orders AS o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_totalprice > 350000.0)""",
-        None,
-    ),
+    # (r8 consolidation: corr_scalar_count retired — the LEFT JOIN +
+    # COALESCE(cnt, 0) attachment it covered is the same code the
+    # in-window corr_count_arith (wrapped superset) and
+    # select_scalar_agg (SELECT-position COUNT) drive;
+    # test_correlated_scalar_decorrelates retains the bare 0-on-empty
+    # WHERE idiom.)
     # --- NEW r7: EXISTS with a JOIN inside the subquery (TPC-H Q4
     # shape widened) — api._lift_exists_joins plans the inner block as
     # a DISTINCT composite view and semi-joins it on the correlation
@@ -2545,11 +2529,12 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # r7 consolidation (round-6 verdict item 1): total entries went down
 # from 99 to 90 (14 retired as redundantly covered — see the inline
 # "(r7 consolidation: ...)" notes at each former definition site).
-# r8 adds 9 entries for the new surface (total 99): the 49-entry tail
-# below rotates back in r9 with only 1 slack slot — r9 MUST
-# consolidate (retire redundantly-covered entries, as r7 did) before
-# adding new ones, rather than letting any entry go unchecked 2+
-# rounds.
+# r8 adds 9 entries and retires 3 as redundantly covered — see the
+# inline "(r8 consolidation: ...)" notes at the former definition
+# sites (total 96): the 46-entry tail
+# below rotates back in r9 with 4 slack slots; consolidate further
+# before adding more than that, rather than letting any entry go
+# unchecked 2+ rounds.
 _HEAD = [
     # r8 rotation: every r7-tail entry (green r6, unchecked r7) comes
     # back FIRST, per the standing obligation
@@ -2561,7 +2546,6 @@ _HEAD = [
     "not_exists_anti",
     "rollup_agg",
     "setop_except",
-    "scalar_subquery_avg",
     "cte_agg_view",
     "derived_table_scan",
     "dedup_neardup_apply",
@@ -2572,7 +2556,6 @@ _HEAD = [
     "text_tfidf_topk",
     "sample_stratified",
     "sample_topn_group",
-    "window_rank_topk",
     "text_redact_pii",
     "tpch_q9",
     "tpch_q7",
@@ -2611,19 +2594,17 @@ _HEAD = [
     # core/preserved-core split (outer joins) and the window-frame
     # parser (corr_scalar_count's path is covered in-window by the
     # strictly-stronger corr_count_arith + select_scalar_agg)
-    # (full_outer_join / window_frame_movavg / corr_scalar_count were
-    # all checked green in r7 and rotate back in r9; their touched code
-    # paths keep in-window coverage via right_outer_join,
-    # inner_after_outer_join, corr_count_arith and select_scalar_agg)
+    # re-checked from the r7 window with the two slots the r8
+    # consolidation freed inside the head: the outer-join split and
+    # the window-frame parser are this round's touched code paths
     "right_outer_join",
+    "full_outer_join",
+    "window_frame_movavg",
 ]
 # Every tail case below was driver-green in r7 (the r7 window);
 # their operator classes stay covered in-window (see _HEAD) and they
 # rotate back in next round (r9).
 _TAIL = [
-    "full_outer_join",
-    "window_frame_movavg",
-    "corr_scalar_count",
     "exists_join_body",
     "events_ewma_multibatch",
     "text_decontaminate",
