@@ -599,3 +599,40 @@ def test_asof_join_directions(spark):
         .executedPlan().toString()
     assert plan.count("Exchange") - plan.count("ReusedExchange") <= 3
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Independent oracle: asof_join (backward) equals pandas
+    merge_asof on randomized frames — keys, duplicate left timestamps,
+    unmatched keys, inclusive ties. Right side unique per (k, ts) so
+    both tie rules coincide."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(8)
+    from sparksqlplus_spark.operators.asof import asof_join
+
+    for trial in range(3):
+        lrows = [(rng.randrange(5), rng.randrange(100), i)
+                 for i in range(80)]
+        seen = set()
+        rrows = []
+        for j in range(60):
+            k, ts = rng.randrange(5), rng.randrange(100)
+            if (k, ts) not in seen:
+                seen.add((k, ts))
+                rrows.append((k, ts, 1000 + j))
+        l = spark.createDataFrame(lrows, "k int, ts int, lv int")
+        r = spark.createDataFrame(rrows, "k int, ts int, p int")
+        got = {
+            (x["k"], x["ts"], x["lv"]): x["p_r"]
+            for x in asof_join(l, r, "ts", "ts", by=["k"]).collect()
+        }
+        lp = pd.DataFrame(lrows, columns=["k", "ts", "lv"]).sort_values("ts")
+        rp = pd.DataFrame(rrows, columns=["k", "ts", "p"]).sort_values("ts")
+        want = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+        assert len(got) == len(want)
+        for _, row in want.iterrows():
+            w = None if pd.isna(row["p"]) else int(row["p"])
+            assert got[(row["k"], row["ts"], row["lv"])] == w, (trial, dict(row))
