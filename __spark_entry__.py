@@ -2373,7 +2373,7 @@ SELECT doc_id,
          string_agg(CASE WHEN rnk = 1 THEN ln END, chr(10) ORDER BY pos),
          '') AS text,
        COUNT(*) AS n_lines,
-       SUM(CASE WHEN rnk > 1 THEN 1 ELSE 0 END) AS n_dropped
+       CAST(SUM(CASE WHEN rnk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM ranked GROUP BY doc_id
 """
 
@@ -2460,7 +2460,7 @@ WITH tok AS (SELECT doc_id, unnest({_D_TOKS.format(t='text')}) AS term
 cf AS (SELECT term, COUNT(*) AS cf FROM tok GROUP BY term)
 SELECT t.doc_id,
        COUNT(*) AS n_tokens,
-       SUM(cf.cf) AS sum_cf,
+       CAST(SUM(cf.cf) AS BIGINT) AS sum_cf,
        round(CAST(SUM(cf.cf) AS DOUBLE) / COUNT(*), 6) AS avg_cf
 FROM tok AS t JOIN cf ON t.term = cf.term
 GROUP BY t.doc_id

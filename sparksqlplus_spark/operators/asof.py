@@ -99,29 +99,38 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned
-    for c in payload:
-        carried = carried.withColumn(
-            out_payload[c],
-            F.last(F.col(out_payload[c]), ignorenulls=True).over(w),
-        )
+    # carry the matched right row as ONE atomic struct: a right row is
+    # always a non-null struct even when individual payload fields are
+    # NULL, so `last(..., ignorenulls=True)` skips left rows (NULL
+    # struct) but never mixes fields across different right rows — the
+    # per-column-last formulation backfilled a NULL field of the
+    # nearest right row from an OLDER right row, inventing rows that
+    # match no input.
+    row_struct = F.when(
+        F.col("__asof_side") == 0,
+        F.struct(*[F.col(out_payload[c]) for c in payload]),
+    )
+    carried = unioned.withColumn(
+        "__asof_row", F.last(row_struct, ignorenulls=True).over(w)
+    )
     result = carried.filter(F.col("__asof_side") == 1)
     if tolerance is not None:
-        matched_ts = F.col(out_payload[right_ts])
+        matched_ts = F.col("__asof_row").getField(out_payload[right_ts])
         dist = (
             F.col("__asof_ts") - matched_ts
             if direction == "backward"
             else matched_ts - F.col("__asof_ts")
         )
         within = matched_ts.isNotNull() & (dist <= tolerance)
-        for c in payload:
-            result = result.withColumn(
-                out_payload[c],
-                F.when(within, F.col(out_payload[c])),
-            )
+        result = result.withColumn(
+            "__asof_row", F.when(within, F.col("__asof_row"))
+        )
     return result.select(
         *[F.col(c) for c in left.columns],
-        *[F.col(out_payload[c]) for c in payload],
+        *[
+            F.col("__asof_row").getField(out_payload[c]).alias(out_payload[c])
+            for c in payload
+        ],
     )
 
 
@@ -240,18 +249,35 @@ def asof_stream(
     ):
         pdf = pd.concat(list(batches), ignore_index=True)
         # same total order as asof_join's window: payload columns
-        # break right-row ties at equal ts (lefts have NaN payloads,
-        # which pandas sorts last — they follow the rights anyway by
-        # the side key)
-        pdf = pdf.sort_values(["__asof_ts", "__asof_side", *pay_cols])
+        # break right-row ties at equal ts; na_position='first'
+        # mirrors the batch window's asc_nulls_first (pandas defaults
+        # to NaN-last, which would pick a different tied right row)
+        pdf = pdf.sort_values(
+            ["__asof_ts", "__asof_side", *pay_cols], na_position="first"
+        ).reset_index(drop=True)
         seed = state.get if state.exists else None
-        rights = pdf[pdf["__asof_side"] == 0]
+        is_right = pdf["__asof_side"] == 0
+        rights = pdf[is_right]
+        # forward-fill the INDEX of the last right row, then take every
+        # payload value from that one row — row-atomic, unlike a
+        # per-column ffill which mixes values across different right
+        # rows when payload fields are NULL. Rows before the first
+        # right row of the batch fall back to the seed row from state
+        # (also one atomic right row).
+        ridx = pd.Series(pdf.index, index=pdf.index, dtype="float64")
+        ridx = ridx.where(is_right).ffill()
+        have = ridx.notna()
         for i, c in enumerate(pay_cols):
-            col = pdf[c].astype("object").ffill()
-            if seed is not None and seed[i] is not None:
-                col = col.fillna(_from_state(c, seed[i]))
+            vals = pdf[c].astype("object")
+            carried = pd.Series([None] * len(pdf), dtype="object")
+            if have.any():
+                carried[have] = vals.reindex(
+                    ridx[have].astype("int64")
+                ).to_numpy()
+            if seed is not None:
+                carried[~have] = _from_state(c, seed[i])
             # NaN/NaT -> None so Arrow can emit typed nulls
-            pdf[c] = col.where(pd.notna(col), None)
+            pdf[c] = carried.where(pd.notna(carried), None)
         if len(rights):
             last = rights.iloc[-1]
             state.update(tuple(

@@ -431,3 +431,65 @@ def test_asof_stream_multibatch_state_carry(spark, events, tmp_path):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_asof_stream_null_payload_row_atomic(spark, tmp_path):
+    """NULL right-payload fields must carry atomically through the
+    streaming fold and across micro-batch state — the round-8 bug
+    ffilled each payload column independently, mixing values from
+    different right rows (and the per-column state seed had the same
+    hole). Rights (t=5, x=NULL, y='A') then (t=8, x=99, y=NULL), left
+    at t=10 must get (99, NULL) even when the rights land in an
+    EARLIER micro-batch than the left."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.operators.asof import asof_join, asof_stream
+    from sparksqlplus_spark.streaming.windows import (
+        run_stream_to_memory_counted,
+        slice_to_files,
+        stream_from_slices,
+    )
+
+    def t(m):
+        return datetime.datetime(2026, 1, 1, 0, m)
+
+    src = spark.createDataFrame(
+        [
+            # (user, ts, side, x, y): side L rows have NULL payloads
+            (1, t(5), "R", None, "A"),
+            (1, t(6), "L", None, None),
+            (1, t(8), "R", 99, None),
+            (1, t(10), "L", None, None),
+            (2, t(3), "R", None, None),   # all-NULL right row still matches
+            (2, t(4), "L", None, None),
+            (3, t(9), "L", None, None),   # no rights for this key
+        ],
+        "user_id int, ts timestamp, side string, x int, y string",
+    )
+    path = str(tmp_path / "asof_null_slices")
+    slice_to_files(src, path, n_slices=3, order_col="user_id")
+    stream = stream_from_slices(spark, path, src.schema)
+
+    def sides(ev):
+        lefts = ev.filter(F.col("side") == "L").select("user_id", "ts")
+        rights = ev.filter(F.col("side") == "R").select(
+            "user_id", "ts", "x", "y"
+        )
+        return lefts, rights
+
+    got, n_batches = run_stream_to_memory_counted(
+        asof_stream(*sides(stream), "ts", "ts", by=["user_id"]),
+        "t_asof_nullpay",
+    )
+    assert n_batches >= 2
+    rows = {(r["user_id"], r["ts"].minute): (r["x_r"], r["y_r"])
+            for r in got.collect()}
+    assert rows[(1, 6)] == (None, "A")
+    assert rows[(1, 10)] == (99, None)   # not (99, 'A')
+    assert rows[(2, 4)] == (None, None)
+    assert rows[(3, 9)] == (None, None)
+    want = asof_join(*sides(src), "ts", "ts", by=["user_id"])
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
