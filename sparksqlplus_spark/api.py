@@ -607,7 +607,9 @@ class SparkSQLPlus:
         )
         if not has_body:
             return []
-        outer_aliases = {fi.alias for fi in spec.from_items}
+        outer_aliases = {fi.alias for fi in spec.from_items} | {
+            oj.item.alias for oj in spec.outer_joins
+        }
         ephemeral: list[str] = []
         new_where: list = []
         for cond in spec.where:
@@ -686,9 +688,35 @@ class SparkSQLPlus:
                 )
                 corr.append((c, outer_c, inner_c, owner))
             if not corr:
-                raise UnsupportedSqlError(
-                    "EXISTS needs at least one correlated condition"
+                # uncorrelated multi-table [NOT] EXISTS (round 9): the
+                # body plans as a one-column constant view (DISTINCT
+                # caps it at one row) and the Exists rewrites to the
+                # keyless shape build_context plans as a broadcast
+                # LIMIT-1 gate — same path as the single-table
+                # uncorrelated form.
+                from sparksqlplus_spark.expressions import Lit
+
+                view = QuerySpec(
+                    select=[SelectItem(Lit(1, "int"), "__x0")],
+                    distinct=True,
+                    from_items=body.from_items,
+                    where=inner_only,
                 )
+                df = self._plan_spec(
+                    view, mode=mode, cyclic_strategy=cyclic_strategy,
+                    count_mode=count_mode, ansi=True,
+                )
+                self._view_counter += 1
+                vname = f"__exv{self._view_counter}"
+                self.catalog.register_df(vname, df, ())
+                ephemeral.append(vname)
+                new_where.append(
+                    Exists(
+                        vname, f"{vname}_i", (),
+                        negated=cond.negated, null_aware=False,
+                    )
+                )
+                continue
 
             # project exactly the correlated inner columns, DISTINCT
             proj: dict[tuple[str, str], str] = {}
@@ -1098,29 +1126,43 @@ class SparkSQLPlus:
             _make_relation,
         )
 
-        # EXISTS / unfolded scalar subqueries are not supported in the
-        # outer-join subset — detect early so mode='auto' falls back
+        # Unfolded scalar subqueries are not supported in the
+        # outer-join subset, and neither is EXISTS anywhere except as
+        # a top-level WHERE conjunct (round 9: those now compose —
+        # routed into the phase-1 core when they only touch preserved
+        # core columns, else applied post-join by the phase-3
+        # single-table pipeline) — detect early so mode='auto' falls
+        # back
         def _probe(node):
             if isinstance(node, (Exists, ScalarSubquery)):
                 raise UnsupportedSqlError(
-                    "EXISTS/scalar subqueries with LEFT OUTER JOIN are "
-                    "not in the subset"
+                    "EXISTS/scalar subqueries in this position are not "
+                    "in the outer-join subset"
                 )
             return None
 
-        all_conds = [
-            *spec.where,
+        non_where_conds = [
             *spec.inner_on,
             *[c for oj in spec.outer_joins for c in oj.conds],
             *spec.having,
         ]
-        for c in all_conds:
+        for c in non_where_conds:
+            map_expr(c, _probe)
+        for c in spec.where:
+            if isinstance(c, Exists):
+                continue  # top-level WHERE EXISTS composes (below)
             map_expr(c, _probe)
         for si in spec.select:
             map_expr(si.expr, _probe)
 
         ephemeral: list[str] = []
         try:
+            # multi-table EXISTS bodies lift to composite-view form
+            # first, same as the inner-only pipeline
+            ephemeral += self._lift_exists_joins(
+                spec, mode=mode, cyclic_strategy=cyclic_strategy,
+                count_mode=count_mode,
+            )
             ephemeral += self._plan_subqueries(
                 spec, mode=mode, cyclic_strategy=cyclic_strategy,
                 count_mode=count_mode,
@@ -1177,7 +1219,53 @@ class SparkSQLPlus:
                         raise UnsupportedSqlError(f"unknown column {a}.{c}")
                 return rewrite_refs(node, mapping) if mapping else node
 
-            where_q = [qualify(c) for c in spec.where]
+            def exists_inner_cols(ex) -> set[str]:
+                try:
+                    return set(self.catalog.get(ex.table).column_names)
+                except UnknownTableError as exc:
+                    raise UnsupportedSqlError(str(exc)) from None
+
+            def qualify_exists(ex):
+                """Qualify only the OUTER-scoped refs inside an Exists
+                conjunct: refs on the subquery alias, and bare names
+                the inner table owns (innermost scope wins), stay
+                untouched — the flat qualifier would mis-resolve them
+                against the enclosing FROM list."""
+                inner_cols = exists_inner_cols(ex)
+                mapping = {}
+                for c in ex.conds:
+                    for a, cn in c.refs():
+                        if a == ex.table_alias or (
+                            a == "" and cn in inner_cols
+                        ):
+                            continue
+                        if a == "":
+                            mapping[(a, cn)] = (owner(cn), cn)
+                        elif a not in every:
+                            raise UnsupportedSqlError(f"unknown alias {a!r}")
+                        elif cn not in every[a]:
+                            raise UnsupportedSqlError(
+                                f"unknown column {a}.{cn}"
+                            )
+                return rewrite_refs(ex, mapping) if mapping else ex
+
+            def exists_outer_aliases(ex) -> set[str]:
+                """Outer aliases a QUALIFIED Exists correlates with."""
+                inner_cols = exists_inner_cols(ex)
+                out: set[str] = set()
+                for c in ex.conds:
+                    for a, cn in c.refs():
+                        if a == ex.table_alias or (
+                            a == "" and cn in inner_cols
+                        ):
+                            continue
+                        out.add(a)
+                return out
+
+            where_q = [
+                qualify_exists(c) if isinstance(c, Exists) else qualify(c)
+                for c in spec.where
+            ]
             on_q = [[qualify(c) for c in oj.conds] for oj in spec.outer_joins]
             inner_aliases = set(alias_cols)
             core_where: list = []
@@ -1201,6 +1289,25 @@ class SparkSQLPlus:
             safe_ids = {id(c) for c in spec.core_safe_where}
             post_where = []
             for c, cq in zip(spec.where, where_q):
+                if isinstance(cq, Exists):
+                    # a semi/anti filter only REMOVES rows of the frame
+                    # it applies to, so when its correlation touches
+                    # only core columns AND the core is preserved
+                    # through every attachment, pre-join placement in
+                    # the core is equivalent (each core row's EXISTS
+                    # truth is join-invariant) and lets the SemiFilter
+                    # planner push it into the core scan. Any
+                    # attachment-column correlation — or a
+                    # null-supplied core — applies post-join through
+                    # the phase-3 single-table pipeline.
+                    if (
+                        exists_outer_aliases(cq) <= inner_aliases
+                        and preserved_core
+                    ):
+                        core_where.append(cq)
+                    else:
+                        post_where.append(cq)
+                    continue
                 refs = {a for a, _ in cq.refs()}
                 if refs <= inner_aliases and (
                     preserved_core or id(c) in safe_ids

@@ -97,6 +97,18 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
     imap = {("", c): c for c in inner.columns}
     for cond in sf.inner_filters:
         inner = inner.filter(cond.to_spark(imap))
+    if not sf.keys and not sf.extra:
+        # uncorrelated [NOT] EXISTS: a constant gate. LIMIT 1 bounds
+        # the probe (EXISTS only needs >= 1 row, so the scan
+        # short-circuits) and the broadcast one-row side makes the
+        # semi/anti a trivial BroadcastNestedLoop — one row against
+        # the outer frame, no shuffle, no driver collect.
+        probe = F.broadcast(
+            inner.limit(1).select(F.lit(1).alias(f"{prefix}_g"))
+        )
+        return df.join(
+            probe, F.lit(True), "left_anti" if sf.negated else "left_semi"
+        )
     if sf.negated and sf.null_aware:
         # NOT IN (subquery) three-valued NULL semantics, scalably:
         # an OR'd null-aware join condition would force a nested-loop

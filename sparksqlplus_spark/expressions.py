@@ -688,4 +688,17 @@ def rewrite_refs(node, mapping: dict[tuple[str, str], tuple[str, str]]):
         return OrCond(tuple(rewrite_refs(c, mapping) for c in node.children))
     if isinstance(node, AndCond):
         return AndCond(tuple(rewrite_refs(c, mapping) for c in node.children))
+    if isinstance(node, Exists):
+        # scoping is the CALLER's concern: the mapping must contain
+        # outer-scoped refs only — inner-scoped refs (the subquery
+        # alias, or bare names the inner table owns) must not appear
+        # as keys or they would be rewritten out of their scope
+        return Exists(
+            node.table,
+            node.table_alias,
+            tuple(rewrite_refs(c, mapping) for c in node.conds),
+            node.negated,
+            node.null_aware,
+            node.body,
+        )
     raise TypeError(f"unknown node {type(node)}")

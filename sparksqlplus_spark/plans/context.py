@@ -413,10 +413,29 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 keys.append((outer_col, inner_col.name))
             else:
                 extra_raw.append(rw)
-        if not keys:
+        if not keys and extra_raw:
             raise UnsupportedSqlError(
                 "EXISTS needs at least one equality correlation"
             )
+        if not keys:
+            # uncorrelated [NOT] EXISTS (round 9): a constant gate —
+            # true iff the filtered inner table has >= 1 row. Planned
+            # as a keyless SemiFilter on the first relation
+            # (_apply_semi_filter broadcasts a LIMIT 1 one-row probe,
+            # so the gate costs one metadata-scale scan regardless of
+            # outer size); attachment point is arbitrary since the
+            # gate keeps either every row or none.
+            semi_filters.setdefault(relations[0].rid, []).append(
+                SemiFilter(
+                    negated=ex.negated,
+                    table=ex.table,
+                    keys=(),
+                    inner_filters=tuple(inner_only),
+                    extra=(),
+                    null_aware=False,
+                )
+            )
+            continue
         if len(outer_aliases) != 1:
             raise UnsupportedSqlError(
                 "EXISTS must correlate with exactly one outer relation"

@@ -680,3 +680,150 @@ def test_agg_subquery_qualified_arg(engine, oracle):
                  FROM lineitem l GROUP BY l.l_suppkey) r
            WHERE s.s_suppkey = r.l_suppkey""",
     )
+
+
+# ---------------------------------------------------------------------------
+# round-9: uncorrelated EXISTS + EXISTS composed with outer joins
+# ---------------------------------------------------------------------------
+
+UNCORR_EXISTS_CASES = [
+    # constant gate, non-empty inner -> keep all
+    (
+        "gate_true",
+        """SELECT r_regionkey, r_name FROM region AS r
+           WHERE EXISTS (SELECT 1 FROM nation AS x WHERE x.n_nationkey >= 0)""",
+    ),
+    # empty inner -> drop all
+    (
+        "gate_false",
+        """SELECT r_regionkey, r_name FROM region AS r
+           WHERE EXISTS (SELECT 1 FROM nation AS x WHERE x.n_nationkey < -1)""",
+    ),
+    # NOT EXISTS over an empty inner -> keep all
+    (
+        "gate_not_empty",
+        """SELECT r_regionkey, r_name FROM region AS r
+           WHERE NOT EXISTS (SELECT 1 FROM nation AS x WHERE x.n_nationkey < -1)""",
+    ),
+    # gate composed with a join + correlated EXISTS in the same WHERE
+    (
+        "gate_plus_corr",
+        """SELECT n.n_nationkey, s.s_suppkey FROM nation AS n, supplier AS s
+           WHERE n.n_nationkey = s.s_nationkey
+             AND EXISTS (SELECT 1 FROM region AS r WHERE r.r_regionkey = 3)
+             AND EXISTS (SELECT 1 FROM customer AS c
+                         WHERE c.c_nationkey = n.n_nationkey)""",
+    ),
+    # multi-table uncorrelated body (lifted to a constant view)
+    (
+        "gate_join_body",
+        """SELECT r_regionkey FROM region AS r
+           WHERE EXISTS (SELECT 1 FROM nation AS x, supplier AS s
+                         WHERE x.n_nationkey = s.s_nationkey
+                           AND x.n_nationkey = 3)""",
+    ),
+    # EXISTS whose only conjunct is outer-scoped lifts to a plain
+    # predicate + uncorrelated gate
+    (
+        "gate_outer_pred",
+        """SELECT n_nationkey FROM nation AS n
+           WHERE EXISTS (SELECT 1 FROM region AS r WHERE n.n_nationkey < 5)""",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,sql", UNCORR_EXISTS_CASES, ids=[c[0] for c in UNCORR_EXISTS_CASES]
+)
+def test_exists_uncorrelated(engine, oracle, name, sql):
+    """Uncorrelated [NOT] EXISTS plans as a broadcast LIMIT-1 constant
+    gate (keyless SemiFilter), in cqc and naive modes, matching DuckDB.
+    Non-full projections get the engine's DISTINCT semantics."""
+    for mode in ("cqc", "naive"):
+        df = engine.sql(sql, mode=mode)
+        assert_matches(df, oracle, f"SELECT DISTINCT * FROM ({sql}) t")
+
+
+OUTER_EXISTS_CASES = [
+    # EXISTS correlated to the preserved core -> planned IN the core
+    (
+        "left_core_exists",
+        """SELECT c.c_custkey, o.o_orderkey
+           FROM customer AS c LEFT JOIN orders AS o ON c.c_custkey = o.o_custkey
+           WHERE EXISTS (SELECT 1 FROM nation AS n
+                         WHERE n.n_nationkey = c.c_nationkey AND n.n_nationkey < 7)""",
+    ),
+    # NOT EXISTS on the core
+    (
+        "left_core_not_exists",
+        """SELECT c.c_custkey, o.o_orderkey
+           FROM customer AS c LEFT JOIN orders AS o ON c.c_custkey = o.o_custkey
+           WHERE NOT EXISTS (SELECT 1 FROM nation AS n
+                             WHERE n.n_nationkey = c.c_nationkey AND n.n_nationkey < 7)""",
+    ),
+    # EXISTS correlated to the ATTACHMENT side: NULL-extended probe
+    # columns must not match (post-join placement)
+    (
+        "left_attach_exists",
+        """SELECT c.c_custkey, o.o_orderkey
+           FROM customer AS c LEFT JOIN orders AS o ON c.c_custkey = o.o_custkey
+           WHERE EXISTS (SELECT 1 FROM lineitem AS l
+                         WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45.0)""",
+    ),
+    # FULL OUTER: core is null-supplied, EXISTS must apply post-join
+    (
+        "full_core_exists",
+        """SELECT c.c_custkey, o.o_orderkey
+           FROM customer AS c FULL JOIN orders AS o ON c.c_custkey = o.o_custkey
+           WHERE EXISTS (SELECT 1 FROM nation AS n
+                         WHERE n.n_nationkey = c.c_nationkey AND n.n_nationkey < 7)""",
+    ),
+    # uncorrelated gate + outer join
+    (
+        "left_uncorr_gate",
+        """SELECT c.c_custkey, o.o_orderkey
+           FROM customer AS c LEFT JOIN orders AS o ON c.c_custkey = o.o_custkey
+           WHERE EXISTS (SELECT 1 FROM region AS r WHERE r.r_regionkey = 3)""",
+    ),
+    # multi-table EXISTS body + outer join (lift then route)
+    (
+        "left_body_exists",
+        """SELECT c.c_custkey, o.o_orderkey
+           FROM customer AS c LEFT JOIN orders AS o ON c.c_custkey = o.o_custkey
+           WHERE EXISTS (SELECT 1 FROM nation AS n, region AS r
+                         WHERE n.n_regionkey = r.r_regionkey
+                           AND n.n_nationkey = c.c_nationkey
+                           AND r.r_regionkey <= 2)""",
+    ),
+    # the anti-join idiom + EXISTS together (TPC-H Q13-with-EXISTS)
+    (
+        "left_isnull_plus_exists",
+        """SELECT c.c_custkey
+           FROM customer AS c LEFT JOIN orders AS o ON c.c_custkey = o.o_custkey
+           WHERE o.o_orderkey IS NULL
+             AND EXISTS (SELECT 1 FROM nation AS n
+                         WHERE n.n_nationkey = c.c_nationkey)""",
+    ),
+    # NOT IN (subquery) under an outer join (null-aware anti post-join)
+    (
+        "left_not_in",
+        """SELECT c.c_custkey, o.o_orderkey
+           FROM customer AS c LEFT JOIN orders AS o ON c.c_custkey = o.o_custkey
+           WHERE c.c_nationkey NOT IN (SELECT n_nationkey FROM nation AS n
+                                       WHERE n.n_nationkey < 3)""",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,sql", OUTER_EXISTS_CASES, ids=[c[0] for c in OUTER_EXISTS_CASES]
+)
+def test_exists_with_outer_joins(engine, oracle, name, sql):
+    """[NOT] EXISTS / IN-subquery as top-level WHERE conjuncts now
+    compose with LEFT/RIGHT/FULL OUTER JOIN (round 9): core-correlated
+    filters plan inside the phase-1 core when it is preserved, the
+    rest apply post-join — vs DuckDB, in cqc and naive modes. The
+    outer-join tail uses ANSI bag semantics, so no DISTINCT rewrite."""
+    for mode in ("cqc", "naive"):
+        df = engine.sql(sql, mode=mode)
+        assert_matches(df, oracle, sql)

@@ -197,11 +197,21 @@ def test_exists_parses_and_plans_native(engine):
     assert ours3.count() == ref3.count() > 0
     assert ours3.exceptAll(ref3).count() == 0
 
+    # uncorrelated EXISTS plans natively since round 9: a keyless
+    # SemiFilter (broadcast LIMIT-1 constant gate)
+    unc = ("SELECT c.c_custkey FROM customer AS c WHERE EXISTS "
+           "(SELECT * FROM orders AS o WHERE o.o_totalprice > 100)")
+    ctx4 = engine.context(unc)
+    gate = [sf for sfs in ctx4.semi_filters.values() for sf in sfs]
+    assert len(gate) == 1 and gate[0].keys == ()
+    ours4 = engine.sql(unc, mode="cqc")
+    ref4 = engine.sql(unc, mode="spark").distinct()
+    assert ours4.count() == ref4.count() > 0
+    assert ours4.exceptAll(ref4).count() == 0
+
     for bad in [
-        # uncorrelated
-        ("SELECT c.c_custkey FROM customer AS c WHERE EXISTS "
-         "(SELECT * FROM orders AS o WHERE o.o_totalprice > 100)"),
-        # OR'd with another predicate
+        # OR'd with another predicate — the context build itself
+        # rejects it (api-level flag-join lift handles it upstream)
         ("SELECT c.c_custkey FROM customer AS c WHERE c.c_custkey < 10 OR "
          "EXISTS (SELECT * FROM orders AS o WHERE o.o_custkey = c.c_custkey)"),
     ]:
