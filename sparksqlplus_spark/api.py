@@ -756,6 +756,172 @@ class SparkSQLPlus:
         spec.where = new_where
         return ephemeral
 
+    def _lift_or_exists(
+        self,
+        spec,
+        mode: str = "auto",
+        cyclic_strategy: str = "auto",
+        count_mode: str = "rows",
+    ) -> list[str]:
+        """[NOT] EXISTS nested under OR (round 9; any non-top-level
+        position in a WHERE conjunct) rewrites to a LEFT-JOIN flag:
+        the subquery's DISTINCT correlation-key view left-joins onto
+        the query (distinct keys, so no row duplication — one
+        broadcast-able equi-join per EXISTS), and the Exists node
+        becomes ``flag IS [NOT] NULL``. ``P OR EXISTS(...)`` then
+        evaluates row-at-a-time like any other disjunction, which a
+        single semi/anti join cannot express. Uncorrelated EXISTS
+        under OR folds at plan time via the same LIMIT-1 probe the
+        keyless SemiFilter uses (a constant, like _fold_scalars'
+        literal fold). Queries using this lift get ANSI bag semantics
+        (extension surface, same rationale as composite views —
+        _run_outer's phase-3 tail plans the flags). Out of subset
+        (fallback): EXISTS with a join body under OR, NOT IN under OR
+        (its UNKNOWN can't be carried by a two-valued flag), and
+        non-equality correlation. Returns ephemeral view names."""
+        from sparksqlplus_spark.catalog import UnknownTableError
+        from sparksqlplus_spark.expressions import (
+            Cmp,
+            Col,
+            Exists,
+            IsNull,
+            Lit,
+            map_expr,
+        )
+        from sparksqlplus_spark.parser.sql import (
+            FromItem,
+            OuterJoin,
+            QuerySpec,
+            SelectItem,
+        )
+
+        def has_nested_exists(c) -> bool:
+            hit = False
+
+            def probe(n):
+                nonlocal hit
+                if isinstance(n, Exists):
+                    hit = True
+                return None
+
+            map_expr(c, probe)
+            return hit
+
+        if not any(
+            has_nested_exists(c)
+            for c in spec.where
+            if not isinstance(c, Exists)
+        ):
+            return []
+        taken = {fi.alias for fi in spec.from_items} | {
+            oj.item.alias for oj in spec.outer_joins
+        }
+        ephemeral: list[str] = []
+
+        def lift(ex: Exists):
+            if not isinstance(ex, Exists):
+                return None
+            if ex.body is not None:
+                raise UnsupportedSqlError(
+                    "EXISTS with a join body under OR is not in the subset"
+                )
+            if ex.null_aware and ex.negated:
+                raise UnsupportedSqlError(
+                    "NOT IN (subquery) under OR is not in the subset"
+                )
+            if ex.table_alias in taken:
+                raise UnsupportedSqlError(
+                    f"EXISTS alias {ex.table_alias!r} shadows an outer alias"
+                )
+            try:
+                inner_cols = set(self.catalog.get(ex.table).column_names)
+            except UnknownTableError as exc:
+                raise UnsupportedSqlError(str(exc)) from None
+
+            def is_inner(a: str, cn: str) -> bool:
+                return a == ex.table_alias or (a == "" and cn in inner_cols)
+
+            inner_only: list = []
+            keys: list[tuple] = []  # (outer Col, inner column name)
+            for c in ex.conds:
+                sides = {
+                    "inner" if is_inner(a, cn) else "outer"
+                    for a, cn in c.refs()
+                }
+                if sides <= {"inner"}:
+                    inner_only.append(c)
+                    continue
+                ok = (
+                    isinstance(c, Cmp)
+                    and c.op == "="
+                    and isinstance(c.left, Col)
+                    and isinstance(c.right, Col)
+                    and sides == {"inner", "outer"}
+                )
+                if not ok:
+                    raise UnsupportedSqlError(
+                        "EXISTS under OR supports inner-local predicates "
+                        "and Col-Col equality correlation only"
+                    )
+                if is_inner(c.left.alias, c.left.name):
+                    keys.append((c.right, c.left.name))
+                else:
+                    keys.append((c.left, c.right.name))
+            if not keys:
+                # uncorrelated: constant gate, folded at plan time
+                # (LIMIT-1 probe — the scan short-circuits)
+                inner = self.catalog.get(ex.table).load(self.spark)
+                imap = {("", cn): cn for cn in inner.columns}
+                imap.update(
+                    {(ex.table_alias, cn): cn for cn in inner.columns}
+                )
+                for c in inner_only:
+                    inner = inner.filter(c.to_spark(imap))
+                val = bool(inner.limit(1).count())
+                return Lit(val != ex.negated, "boolean")
+
+            view_sel: dict[str, str] = {}
+            for _, icol in keys:
+                view_sel.setdefault(icol, f"__f{len(view_sel)}")
+            view = QuerySpec(
+                select=[
+                    SelectItem(Col(ex.table_alias, icol), out)
+                    for icol, out in view_sel.items()
+                ],
+                distinct=True,
+                from_items=[
+                    FromItem(alias=ex.table_alias, table=ex.table)
+                ],
+                where=list(inner_only),
+            )
+            df = self._plan_spec(
+                view, mode=mode, cyclic_strategy=cyclic_strategy,
+                count_mode=count_mode, ansi=True,
+            )
+            self._view_counter += 1
+            vname = f"__orx{self._view_counter}"
+            self.catalog.register_df(vname, df, ())
+            ephemeral.append(vname)
+            valias = f"{vname}_i"
+            spec.outer_joins.append(
+                OuterJoin(
+                    item=FromItem(alias=valias, table=vname),
+                    conds=[
+                        Cmp("=", oc, Col(valias, view_sel[icol]))
+                        for oc, icol in keys
+                    ],
+                    side="left",
+                )
+            )
+            flag = Col(valias, view_sel[keys[0][1]])
+            return IsNull(flag, negated=not ex.negated)
+
+        spec.where = [
+            c if isinstance(c, Exists) else map_expr(c, lift)
+            for c in spec.where
+        ]
+        return ephemeral
+
     def _plan_subqueries(
         self,
         spec,
@@ -859,6 +1025,21 @@ class SparkSQLPlus:
             )
         ephemeral: list[str] = []
         try:
+            ephemeral += self._lift_or_exists(
+                spec, mode=mode, cyclic_strategy=cyclic_strategy,
+                count_mode=count_mode,
+            )
+            if spec.outer_joins:
+                # the OR'd-EXISTS lift added flag LEFT JOINs — route
+                # to the outer-join planner after all
+                if join_tree_hint is not None:
+                    raise UnsupportedSqlError(
+                        "join_tree_hint does not apply to an outer join"
+                    )
+                return self._run_outer(
+                    spec, mode=mode, cyclic_strategy=cyclic_strategy,
+                    count_mode=count_mode,
+                )
             ephemeral += self._lift_exists_joins(
                 spec, mode=mode, cyclic_strategy=cyclic_strategy,
                 count_mode=count_mode,
@@ -1148,21 +1329,28 @@ class SparkSQLPlus:
         ]
         for c in non_where_conds:
             map_expr(c, _probe)
-        for c in spec.where:
-            if isinstance(c, Exists):
-                continue  # top-level WHERE EXISTS composes (below)
-            map_expr(c, _probe)
         for si in spec.select:
             map_expr(si.expr, _probe)
 
         ephemeral: list[str] = []
         try:
-            # multi-table EXISTS bodies lift to composite-view form
-            # first, same as the inner-only pipeline
+            # OR'd EXISTS rewrites to LEFT-JOIN flags (appending its
+            # attachments to this spec) and multi-table EXISTS bodies
+            # lift to composite-view form — both BEFORE the WHERE
+            # probe, so only genuinely out-of-subset Exists positions
+            # fall back
+            ephemeral += self._lift_or_exists(
+                spec, mode=mode, cyclic_strategy=cyclic_strategy,
+                count_mode=count_mode,
+            )
             ephemeral += self._lift_exists_joins(
                 spec, mode=mode, cyclic_strategy=cyclic_strategy,
                 count_mode=count_mode,
             )
+            for c in spec.where:
+                if isinstance(c, Exists):
+                    continue  # top-level WHERE EXISTS composes (below)
+                map_expr(c, _probe)
             ephemeral += self._plan_subqueries(
                 spec, mode=mode, cyclic_strategy=cyclic_strategy,
                 count_mode=count_mode,

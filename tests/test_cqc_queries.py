@@ -827,3 +827,87 @@ def test_exists_with_outer_joins(engine, oracle, name, sql):
     for mode in ("cqc", "naive"):
         df = engine.sql(sql, mode=mode)
         assert_matches(df, oracle, sql)
+
+
+OR_EXISTS_CASES = [
+    # plain predicate OR correlated EXISTS
+    (
+        "or_pred_exists",
+        """SELECT c.c_custkey FROM customer AS c
+           WHERE c.c_custkey < 10
+              OR EXISTS (SELECT 1 FROM orders AS o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 200000.0)""",
+    ),
+    # two EXISTS OR'd (two independent flag joins)
+    (
+        "or_two_exists",
+        """SELECT c.c_custkey FROM customer AS c
+           WHERE EXISTS (SELECT 1 FROM orders AS o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 200000.0)
+              OR EXISTS (SELECT 1 FROM nation AS n
+                         WHERE n.n_nationkey = c.c_nationkey
+                           AND n.n_name = 'NATION_3')""",
+    ),
+    # NOT EXISTS under OR (flag IS NULL)
+    (
+        "or_not_exists",
+        """SELECT c.c_custkey FROM customer AS c
+           WHERE c.c_acctbal < -900.0
+              OR NOT EXISTS (SELECT 1 FROM orders AS o
+                             WHERE o.o_custkey = c.c_custkey)""",
+    ),
+    # uncorrelated EXISTS under OR (plan-time constant fold)
+    (
+        "or_uncorr_gate",
+        """SELECT c.c_custkey FROM customer AS c
+           WHERE c.c_custkey < 10
+              OR NOT EXISTS (SELECT 1 FROM region AS r
+                             WHERE r.r_regionkey = 99)""",
+    ),
+    # OR'd EXISTS composed with an inner join
+    (
+        "or_exists_join",
+        """SELECT c.c_custkey, n.n_name FROM customer AS c, nation AS n
+           WHERE c.c_nationkey = n.n_nationkey
+             AND (n.n_name = 'NATION_3'
+                  OR EXISTS (SELECT 1 FROM orders AS o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 200000.0))""",
+    ),
+    # OR'd EXISTS composed with an outer join
+    (
+        "or_exists_outer",
+        """SELECT c.c_custkey, o2.o_orderkey FROM customer AS c
+           LEFT JOIN orders AS o2 ON c.c_custkey = o2.o_custkey
+           WHERE c.c_custkey < 10
+              OR EXISTS (SELECT 1 FROM nation AS n
+                         WHERE n.n_nationkey = c.c_nationkey
+                           AND n.n_name = 'NATION_3')""",
+    ),
+    # EXISTS nested under AND-of-OR
+    (
+        "or_nested_in_and",
+        """SELECT c.c_custkey FROM customer AS c
+           WHERE c.c_acctbal > 0.0
+             AND (c.c_custkey < 10
+                  OR EXISTS (SELECT 1 FROM orders AS o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 200000.0))""",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,sql", OR_EXISTS_CASES, ids=[c[0] for c in OR_EXISTS_CASES]
+)
+def test_or_exists_flag_join(engine, oracle, name, sql):
+    """[NOT] EXISTS under OR (round 9) rewrites to a DISTINCT-key-view
+    LEFT-JOIN flag (uncorrelated: a plan-time constant), so the
+    disjunction evaluates row-at-a-time — vs DuckDB, cqc and naive
+    modes. The lift uses ANSI bag semantics (extension surface), so no
+    DISTINCT rewrite on the oracle side."""
+    for mode in ("cqc", "naive"):
+        df = engine.sql(sql, mode=mode)
+        assert_matches(df, oracle, sql)
