@@ -32,6 +32,7 @@ semi-joins broadcast automatically when the reduced side is small (AQE).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -109,6 +110,65 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
         return df.join(
             probe, F.lit(True), "left_anti" if sf.negated else "left_semi"
         )
+    if sf.negated and sf.null_aware and len(sf.keys) > 1:
+        # row-value NOT IN (round 9): (a, b) NOT IN S drops a row iff
+        # some inner row is pairwise non-FALSE (each pair TRUE, or
+        # UNKNOWN via a NULL on either side). The OR'd null-tolerant
+        # condition cannot hash-join, so decompose by NULL pattern:
+        #   A (all probe keys non-null — the bulk): a plain hash anti
+        #     on all keys removes exact matches scalably, then a
+        #     broadcast anti against ONLY the inner rows containing a
+        #     NULL (usually tiny) resolves the UNKNOWN cases;
+        #   B (some probe key NULL): such a row can only be dropped by
+        #     an inner row matching on its non-null positions — a
+        #     broadcast anti against the DISTINCT inner key set.
+        # Empty S keeps every row, including NULL probes. The two
+        # broadcast sides are DISTINCT key tuples: bounded by the
+        # inner key cardinality, not the table. (This mirrors how
+        # Spark itself plans null-aware anti joins — broadcast — but
+        # keeps the bulk of the work on the hash path.)
+        kc = [f"{prefix}_k{i}" for i in range(len(sf.keys))]
+        ikeys = inner.select(
+            *[F.col(ic).alias(k) for k, (_, ic) in zip(kc, sf.keys)]
+        ).distinct()
+        s_null = ikeys.filter(
+            functools.reduce(
+                lambda a, b: a | b, [F.col(k).isNull() for k in kc]
+            )
+        )
+        ovs = [ov for ov, _ in sf.keys]
+        probe_nonnull = functools.reduce(
+            lambda a, b: a & b, [F.col(ov).isNotNull() for ov in ovs]
+        )
+        part_a = df.filter(probe_nonnull)
+        part_b = df.filter(~probe_nonnull)
+        a1 = part_a.join(
+            ikeys,
+            functools.reduce(
+                lambda a, b: a & b,
+                [F.col(ov) == F.col(k) for ov, k in zip(ovs, kc)],
+            ),
+            "left_anti",
+        )
+        cond_a = functools.reduce(
+            lambda a, b: a & b,
+            [
+                F.col(k).isNull() | (F.col(ov) == F.col(k))
+                for ov, k in zip(ovs, kc)
+            ],
+        )
+        a2 = a1.join(F.broadcast(s_null), cond_a, "left_anti")
+        cond_b = functools.reduce(
+            lambda a, b: a & b,
+            [
+                F.col(ov).isNull()
+                | F.col(k).isNull()
+                | (F.col(ov) == F.col(k))
+                for ov, k in zip(ovs, kc)
+            ],
+        )
+        b2 = part_b.join(F.broadcast(ikeys), cond_b, "left_anti")
+        return a2.unionByName(b2)
     if sf.negated and sf.null_aware:
         # NOT IN (subquery) three-valued NULL semantics, scalably:
         # an OR'd null-aware join condition would force a nested-loop

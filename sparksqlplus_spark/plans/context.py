@@ -440,10 +440,9 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             raise UnsupportedSqlError(
                 "EXISTS must correlate with exactly one outer relation"
             )
-        if ex.null_aware and ex.negated and (len(keys) != 1 or extra_raw):
+        if ex.null_aware and ex.negated and extra_raw:
             raise UnsupportedSqlError(
-                "NOT IN (subquery) supports a single key and no extra "
-                "correlation"
+                "NOT IN (subquery) supports no extra correlation"
             )
         out_alias = next(iter(outer_aliases))
         rid = alias_rid[out_alias]

@@ -911,3 +911,160 @@ def test_or_exists_flag_join(engine, oracle, name, sql):
     for mode in ("cqc", "naive"):
         df = engine.sql(sql, mode=mode)
         assert_matches(df, oracle, sql)
+
+
+QUANTIFIED_ALL_CASES = [
+    # <> ALL IS NOT IN (null-aware anti)
+    (
+        "ne_all_notin",
+        """SELECT c_custkey FROM customer AS c
+           WHERE c.c_nationkey <> ALL (SELECT n_nationkey FROM nation AS n
+                                       WHERE n.n_nationkey < 3)""",
+        True,
+    ),
+    # ordering ALL against a non-empty set
+    (
+        "gt_all",
+        """SELECT o_orderkey FROM orders AS o
+           WHERE o.o_totalprice > ALL (SELECT c_acctbal FROM customer AS c
+                                       WHERE c.c_acctbal > 9000.0)""",
+        True,
+    ),
+    # ordering ALL over an EMPTY set keeps every row (vacuous truth)
+    (
+        "lt_all_empty",
+        """SELECT r_regionkey FROM region AS r
+           WHERE r.r_regionkey < ALL (SELECT n_nationkey FROM nation AS n
+                                      WHERE n.n_nationkey < -1)""",
+        True,
+    ),
+    # a NULL element makes ordering ALL unsatisfiable (UNKNOWN cap)
+    (
+        "lt_all_null_element",
+        """SELECT r_regionkey FROM region AS r
+           WHERE r.r_regionkey < ALL (SELECT CASE WHEN n_nationkey < 3
+                                                  THEN NULL
+                                                  ELSE n_nationkey + 100 END
+                                      FROM nation AS n)""",
+        True,
+    ),
+    # <> ANY: multi-element set
+    (
+        "ne_any_multi",
+        """SELECT c_custkey FROM customer AS c
+           WHERE c.c_nationkey <> ANY (SELECT n_nationkey FROM nation AS n
+                                       WHERE n.n_nationkey < 2)""",
+        True,
+    ),
+    # <> ANY: single-element set keeps only differing rows
+    (
+        "ne_any_single",
+        """SELECT c_custkey FROM customer AS c
+           WHERE c.c_nationkey <> ANY (SELECT n_nationkey FROM nation AS n
+                                       WHERE n.n_nationkey = 3)""",
+        True,
+    ),
+    # <> ANY: duplicate-element single-value set (COUNT DISTINCT guard)
+    (
+        "ne_any_dup_single",
+        """SELECT s_suppkey FROM supplier AS s
+           WHERE s.s_nationkey <> ANY (SELECT c_nationkey FROM customer AS c
+                                       WHERE c.c_nationkey = 3)""",
+        True,
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,sql,dedup",
+    QUANTIFIED_ALL_CASES,
+    ids=[c[0] for c in QUANTIFIED_ALL_CASES],
+)
+def test_quantified_all_and_ne_any(engine, oracle, name, sql, dedup):
+    """ALL-quantified comparisons (round 9): <> ALL rides the planned
+    null-aware NOT IN; ordering ALL desugars to count-guarded extreme
+    scalars (empty set keeps all rows, a NULL element caps at
+    UNKNOWN); <> ANY desugars via COUNT(DISTINCT) guards — vs DuckDB,
+    cqc and naive modes. Projections are non-full, so the oracle gets
+    the DISTINCT rewrite."""
+    osql = f"SELECT DISTINCT * FROM ({sql}) t" if dedup else sql
+    for mode in ("cqc", "naive"):
+        df = engine.sql(sql, mode=mode)
+        assert_matches(df, oracle, osql)
+
+
+def test_row_value_not_in_nullaware(engine, oracle):
+    """(a, b) NOT IN (subquery) — round 9: multi-key three-valued
+    anti join (hash anti for the non-null bulk + broadcast anti for
+    the NULL patterns). Directed NULL-pattern cases on registered
+    frames vs DuckDB, plus a parquet-backed shape in both modes."""
+    import pandas as pd
+
+    spark = engine.spark
+    probe_pdf = pd.DataFrame(
+        {
+            "pa": [1, 1, 2, None, None, 3, 4],
+            "pb": [10, 11, 20, 10, None, None, 40],
+            "pid": [0, 1, 2, 3, 4, 5, 6],
+        }
+    )
+    inner_pdf = pd.DataFrame(
+        {
+            "ia": [1, 2, None, 5],
+            "ib": [10, None, 30, 50],
+        }
+    )
+    engine.catalog.register_df(
+        "t_probe",
+        spark.createDataFrame(probe_pdf.astype(object).where(probe_pdf.notna(), None),
+                              "pa int, pb int, pid int"),
+        ("pid",),
+    )
+    engine.catalog.register_df(
+        "t_inner",
+        spark.createDataFrame(inner_pdf.astype(object).where(inner_pdf.notna(), None),
+                              "ia int, ib int"),
+        (),
+    )
+    con = oracle
+    con.execute("CREATE OR REPLACE TABLE t_probe AS SELECT * FROM probe_pdf")
+    con.execute("CREATE OR REPLACE TABLE t_inner AS SELECT * FROM inner_pdf")
+    try:
+        # DuckDB has no multi-column IN subquery — the oracle is the
+        # textbook three-valued expansion: a row is kept iff NO inner
+        # row is pairwise non-FALSE
+        q = """SELECT p.pid FROM t_probe AS p
+               WHERE (p.pa, p.pb) NOT IN (SELECT ia, ib FROM t_inner AS i)"""
+        oq = """SELECT p.pid FROM t_probe AS p
+                WHERE NOT EXISTS (SELECT 1 FROM t_inner AS i
+                  WHERE (p.pa = i.ia OR p.pa IS NULL OR i.ia IS NULL)
+                    AND (p.pb = i.ib OR p.pb IS NULL OR i.ib IS NULL))"""
+        for mode in ("cqc", "naive"):
+            df = engine.sql(q, mode=mode)
+            assert_matches(df, con, oq)
+        # empty inner set keeps every row, including NULL probes
+        q_empty = """SELECT p.pid FROM t_probe AS p
+               WHERE (p.pa, p.pb) NOT IN (SELECT ia, ib FROM t_inner AS i
+                                          WHERE i.ia > 100)"""
+        for mode in ("cqc", "naive"):
+            df = engine.sql(q_empty, mode=mode)
+            assert_matches(df, con, "SELECT pid FROM t_probe")
+    finally:
+        engine.catalog.unregister("t_probe")
+        engine.catalog.unregister("t_inner")
+        con.execute("DROP TABLE t_probe")
+        con.execute("DROP TABLE t_inner")
+
+    # parquet-backed (no NULLs — the hash-anti bulk path)
+    q2 = """SELECT c.c_custkey FROM customer AS c
+            WHERE (c.c_nationkey, c.c_custkey) NOT IN
+                  (SELECT n.n_nationkey, n.n_regionkey FROM nation AS n
+                   WHERE n.n_nationkey < 10)"""
+    oq2 = """SELECT DISTINCT c.c_custkey FROM customer AS c
+             WHERE NOT EXISTS (SELECT 1 FROM nation AS n
+                WHERE n.n_nationkey < 10
+                  AND c.c_nationkey = n.n_nationkey
+                  AND c.c_custkey = n.n_regionkey)"""
+    for mode in ("cqc", "naive"):
+        df = engine.sql(q2, mode=mode)
+        assert_matches(df, oracle, oq2)

@@ -86,7 +86,7 @@ def test_case_when_nested():
 
 def test_unsupported_raises():
     with pytest.raises(UnsupportedSqlError):
-        parse_query("SELECT a FROM t WHERE a > ALL (SELECT b FROM s)")
+        parse_query("SELECT a FROM t WHERE a = ALL (SELECT b FROM s)")
 
 
 def test_having_parses_with_group_by_only():
@@ -1120,8 +1120,8 @@ def test_row_value_in_subquery(engine):
     """Round-8: (a, b) [NOT] IN (SELECT x, y ...) — the row-value form
     desugars to the multi-key Exists/SemiFilter fold. Non-full outputs
     keep the CQ dialect DISTINCT, so the spark.sql comparator is
-    DISTINCT-rewritten. The negated multi-key form stays on the
-    fallback (three-valued NOT IN is planned single-key only), and
+    DISTINCT-rewritten. The negated multi-key form plans natively
+    since round 9 (three-valued multi-key anti join), and
     parenthesized expressions/ORs still parse after the backtracking
     row attempt."""
     q_cross = ("SELECT o.o_orderkey AS ok FROM orders AS o "
@@ -1146,17 +1146,19 @@ def test_row_value_in_subquery(engine):
     assert a2.count() == b2.count() > 0
     assert a2.exceptAll(b2).count() == 0 and b2.exceptAll(a2).count() == 0
 
-    # negated multi-key: UnsupportedSqlError in cqc, fallback in auto
+    # negated multi-key plans NATIVELY since round 9 (hash anti bulk
+    # + broadcast NULL-pattern anti); spark.sql is the comparator
     q_neg = ("SELECT o.o_orderkey AS ok FROM orders AS o "
              "WHERE (o.o_custkey, o.o_orderkey) NOT IN "
              "(SELECT l.l_suppkey, l.l_orderkey FROM lineitem AS l) "
              "AND o.o_orderkey < 100")
-    with pytest.raises(UnsupportedSqlError):
-        engine.sql(q_neg, mode="cqc")
-    assert (
-        engine.sql(q_neg, mode="auto").count()
-        == engine.sql(q_neg, mode="spark").count()
+    a3 = engine.sql(q_neg, mode="cqc")
+    b3 = engine.sql(
+        q_neg.replace("SELECT o.o_orderkey", "SELECT DISTINCT o.o_orderkey"),
+        mode="spark",
     )
+    assert a3.count() == b3.count() > 0
+    assert a3.exceptAll(b3).count() == 0 and b3.exceptAll(a3).count() == 0
 
     # backtracking regressions
     assert engine.sql(
@@ -1342,9 +1344,12 @@ def test_any_some_quantified(engine):
         engine.sql(q_eq, mode="cqc").exceptAll(
             engine.sql(q_in, mode="spark")).count() == 0
     )
+    # ordering ALL parses since round 9 (count-guarded extremes);
+    # = ALL stays out of the subset
+    parse_query("SELECT 1 FROM t WHERE a > ALL (SELECT b FROM s)")
     with pytest.raises(UnsupportedSqlError):
         parse_query(
-            "SELECT 1 FROM t WHERE a > ALL (SELECT b FROM s)"
+            "SELECT 1 FROM t WHERE a = ALL (SELECT b FROM s)"
         )
 
 
