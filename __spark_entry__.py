@@ -556,20 +556,15 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     # desugar, and the default-frame SELECT rendering stays covered by
     # window_frame_movavg; pytest test_window_functions_native and
     # fuzz test_window_equals_spark retain the direct form.)
+    # (r9 consolidation: exists_semijoin retired — the single-table
+    # correlated-equality SemiFilter fold is strictly subsumed by
+    # exists_join_body (same fold after the view lift), the new
+    # exists_outer_join / exists_or entries, tpch_q4/q21/q22, and
+    # pytest test_exists_parses_and_plans_native + the semi-join fuzz.)
     # --- [NOT] EXISTS planned NATIVELY (engine extension; reference
     # not-supported list): single-table correlated-equality EXISTS
     # folds into a relation-local left_semi/left_anti at the source
-    # (plans/context.py:SemiFilter) — the join tree and DISTINCT
-    # semantics are untouched. Same SQL text is the DuckDB oracle. ---
-    "exists_semijoin": (
-        """SELECT c.c_custkey, c.c_name, n.n_name
-           FROM customer AS c, nation AS n
-           WHERE c.c_nationkey = n.n_nationkey
-             AND EXISTS (SELECT * FROM orders AS o
-                         WHERE o.o_custkey = c.c_custkey
-                           AND o.o_orderpriority = '1-URGENT')""",
-        None,
-    ),
+    # (plans/context.py:SemiFilter). ---
     "not_exists_anti": (
         """SELECT c.c_custkey, c.c_name FROM customer AS c
            WHERE NOT EXISTS (SELECT * FROM orders AS o
@@ -589,22 +584,91 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                                      WHERE o_orderpriority = '1-URGENT')""",
         None,
     ),
-    # --- correlated scalar subquery DECORRELATED to an aggregated
-    # view + equi-join (engine extension, api._decorrelate_scalars):
-    # TPC-H Q17 in its ORIGINAL correlated spelling — the engine's
-    # tpch_q17 entry uses the pre-rewritten aggregated-view form; this
-    # one proves users can write the textbook text. Sound because AVG
-    # is NULL over an empty group (inner join drops exactly the rows
-    # the UNKNOWN comparison would). Same SQL is the DuckDB oracle. ---
-    "corr_scalar_q17": (
-        """SELECT SUM(l.l_extendedprice) / 7.0 AS avg_yearly
-           FROM lineitem AS l, part AS p
-           WHERE p.p_partkey = l.l_partkey AND p.p_size = 15
-             AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
-                                 FROM lineitem AS l2
-                                 WHERE l2.l_partkey = p.p_partkey)""",
+    # --- NEW r9: EXISTS composed with OUTER JOIN (api._run_outer) —
+    # the core-correlated EXISTS plans INSIDE the phase-1 core (semi
+    # filter on a preserved side is join-invariant), the attachment-
+    # correlated one applies post-join where NULL-extended probes
+    # never match, and the uncorrelated one is the keyless broadcast
+    # LIMIT-1 gate. Same SQL is the DuckDB oracle (ANSI bag
+    # semantics on the outer-join surface). ---
+    "exists_outer_join": (
+        """SELECT c.c_custkey, o.o_orderkey
+           FROM customer AS c LEFT JOIN orders AS o
+                ON c.c_custkey = o.o_custkey
+           WHERE EXISTS (SELECT 1 FROM lineitem AS l
+                         WHERE l.l_orderkey = o.o_orderkey
+                           AND l.l_quantity > 45.0)
+             AND EXISTS (SELECT 1 FROM nation AS n
+                         WHERE n.n_nationkey = c.c_nationkey
+                           AND n.n_nationkey < 20)
+             AND EXISTS (SELECT 1 FROM region AS r
+                         WHERE r.r_regionkey >= 0)""",
         None,
     ),
+    # --- NEW r9: [NOT] EXISTS under OR (api._lift_or_exists) — each
+    # correlated branch becomes a DISTINCT-key-view LEFT-JOIN flag
+    # (no row duplication, broadcast-able equi-join) and the
+    # uncorrelated branch folds to a plan-time constant via the
+    # LIMIT-1 probe, so the disjunction evaluates row-at-a-time.
+    # Same SQL is the DuckDB oracle. ---
+    "exists_or": (
+        """SELECT c.c_custkey, c.c_acctbal
+           FROM customer AS c
+           WHERE c.c_acctbal < -900.0
+              OR EXISTS (SELECT 1 FROM orders AS o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 300000.0)
+              OR NOT EXISTS (SELECT 1 FROM supplier AS s
+                             WHERE s.s_acctbal > -99999999.0)""",
+        None,
+    ),
+    # --- NEW r9: ALL-quantified comparisons (parser
+    # _quantified_tail) — ordering ALL desugars to count-guarded
+    # extreme scalars (empty set keeps every row; a NULL element caps
+    # at UNKNOWN), <> ALL IS the planned null-aware NOT IN; the
+    # second predicate's empty set proves the vacuous-truth branch.
+    # Same SQL is the DuckDB oracle (DuckDB plans ALL natively). ---
+    "quantified_all": (
+        """SELECT o.o_orderkey, o.o_totalprice
+           FROM orders AS o
+           WHERE o.o_totalprice > ALL (SELECT c.c_acctbal
+                                       FROM customer AS c
+                                       WHERE c.c_acctbal > 9000.0)
+             AND o.o_orderpriority <> ALL (SELECT c2.c_mktsegment
+                                           FROM customer AS c2
+                                           WHERE c2.c_acctbal > 99999999.0)""",
+        None,
+    ),
+    # --- NEW r9: row-value NOT IN (multi-key three-valued anti join,
+    # compiler/cqc.py:_apply_semi_filter) — hash anti on all keys for
+    # the non-null bulk + broadcast anti against the DISTINCT inner
+    # tuples containing NULLs (empty here; NULL-pattern matrix is
+    # pytest-covered by test_row_value_not_in_nullaware). DuckDB has
+    # no multi-column IN subquery, so the oracle is the textbook
+    # three-valued NOT EXISTS expansion; non-full projection keeps
+    # the CQ-dialect DISTINCT. ---
+    "not_in_rowvalue": (
+        """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+           FROM lineitem AS l
+           WHERE (l.l_suppkey, l.l_orderkey) NOT IN
+                 (SELECT s.s_suppkey, s.s_nationkey FROM supplier AS s
+                  WHERE s.s_acctbal > 0.0)""",
+        """SELECT DISTINCT l.l_orderkey, l.l_linenumber, l.l_quantity
+           FROM lineitem AS l
+           WHERE NOT EXISTS (SELECT 1 FROM supplier AS s
+                  WHERE s.s_acctbal > 0.0
+                    AND (l.l_suppkey = s.s_suppkey
+                         OR l.l_suppkey IS NULL OR s.s_suppkey IS NULL)
+                    AND (l.l_orderkey = s.s_nationkey
+                         OR l.l_orderkey IS NULL
+                         OR s.s_nationkey IS NULL))""",
+    ),
+    # (r9 consolidation: corr_scalar_q17 retired — the textbook
+    # correlated-scalar spelling decorrelates through the same
+    # api._decorrelate_scalars path the in-window corr_count_arith and
+    # select_scalar_agg entries drive, over the identical aggregated
+    # view tpch_q17 checks; pytest
+    # test_correlated_scalar_decorrelates retains the exact Q17 text.)
     # --- EXCEPT (set difference) planned natively: each part runs
     # through the engine with ANSI bag semantics, then df.subtract
     # (hash-partition exchange, no driver materialization). Same SQL
@@ -934,31 +998,12 @@ _GRAPH_CASES: dict[str, tuple[str, str]] = {
            WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src
            GROUP BY g1.src ORDER BY n_triangles DESC, a""",
     ),
-    # --- example q5: X-shape — two paths sharing the g2 spine, src- AND
-    # dst-count views, TWO independent comparison chains, non-full
-    # output (exercises multi-component free-connex scope extension) ---
-    "graph_q5_x_nonfull": (
-        """SELECT g2.src AS src, g2.dst AS dst
-           FROM graph AS g1, graph AS g2, graph AS g3, graph AS g4, graph AS g5,
-                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) AS c1,
-                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) AS c2,
-                (SELECT dst, COUNT(*) AS cnt FROM graph GROUP BY dst) AS c3,
-                (SELECT dst, COUNT(*) AS cnt FROM graph GROUP BY dst) AS c4
-           WHERE g1.dst = g2.src AND g2.dst = g3.src AND g1.src = c1.src
-             AND g3.dst = c2.src AND c1.cnt < c2.cnt
-             AND g4.dst = g2.src AND g2.dst = g5.src AND g4.src = c3.dst
-             AND g5.dst = c4.dst AND c3.cnt < c4.cnt""",
-        """SELECT DISTINCT g2.src AS src, g2.dst AS dst
-           FROM graph g1, graph g2, graph g3, graph g4, graph g5,
-                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) c1,
-                (SELECT src, COUNT(*) AS cnt FROM graph GROUP BY src) c2,
-                (SELECT dst, COUNT(*) AS cnt FROM graph GROUP BY dst) c3,
-                (SELECT dst, COUNT(*) AS cnt FROM graph GROUP BY dst) c4
-           WHERE g1.dst = g2.src AND g2.dst = g3.src AND g1.src = c1.src
-             AND g3.dst = c2.src AND c1.cnt < c2.cnt
-             AND g4.dst = g2.src AND g2.dst = g5.src AND g4.src = c3.dst
-             AND g5.dst = c4.dst AND c3.cnt < c4.cnt""",
-    ),
+    # (r9 consolidation: graph_q5_x_nonfull retired — the multi-
+    # component free-connex scope + DISTINCT placement it checked
+    # (C23/R18) stays gate-driven by graph_q4_nonfull and
+    # chain_theta_nonfull, and the two-independent-comparison-chain
+    # planning by multihop_theta/two_comparisons_edge; pytest
+    # test_ghd_execution_nonfull_distinct retains the shape class.)
     # (r7 consolidation: graph_q3_two_counts / graph_q6_cnt_vs_node /
     # graph_q7_two_cnt_node retired — chained view-vs-view comparisons
     # stay gate-driven by graph_q1/q4/q5, and the view-vs-base-column
@@ -2473,7 +2518,10 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "embed_centroid_assign": (_centroid_assign_q, _CENTROID_ASSIGN_ORACLE),
     "text_unigram_freq": (_unigram_freq_q, _UNIGRAM_FREQ_ORACLE),
     "graph_dense_auto_ghd": (_dense_auto_ghd_q, _ora_dense(_DENSE_TRI_SQL)),
-    "graph_c4_cycle_ghd": (_c4_ghd_q, _ora_mid(_C4_GHD_SQL)),
+    # (r9 consolidation: graph_c4_cycle_ghd retired — the k-ary
+    # cycle WCOJ bag path is strictly subsumed by the larger
+    # graph_c5_pentagon_ghd; pytest test_cycle_bag_wcoj_c4_and_c5
+    # keeps both cycle widths under oracle.)
     "graph_c5_pentagon_ghd": (_c5_ghd_q, _ora_mid(_C5_GHD_SQL)),
     "graph_chorded_k4_ghd": (_ck4_ghd_q, _ora_mid(_CK4_GHD_SQL)),
     "graph_q2_crosstri_ghd": (_q2_ghd_q, None),  # graph-CTE oracle attached below
@@ -2500,7 +2548,9 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "graph_pagerank": (_pagerank_q, _pagerank_oracle()),
     "text_repetition": (_text_repetition_q, _TEXT_REPETITION_ORACLE),
     "text_boilerplate": (_text_boilerplate_q, _TEXT_BOILERPLATE_ORACLE),
-    "sample_topn_group": (_sample_topn_q, _SAMPLE_TOPN_ORACLE),
+    # (r9 consolidation: sample_topn_group retired — top-N-per-group
+    # is the exact window plan the in-window window_qualify_topk entry
+    # drives; pytest test_sampling_operators keeps the operator form.)
     "dedup_simhash": (_simhash_q, _simhash_oracle()),
     "dedup_embedding_cosine": (_emb_neardup_q, _emb_neardup_oracle()),
     "text_stats": (_text_stats_q, _TEXT_STATS_ORACLE),
@@ -2529,87 +2579,21 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # r7 consolidation (round-6 verdict item 1): total entries went down
 # from 99 to 90 (14 retired as redundantly covered — see the inline
 # "(r7 consolidation: ...)" notes at each former definition site).
-# r8 adds 9 entries and retires 3 as redundantly covered — see the
-# inline "(r8 consolidation: ...)" notes at the former definition
-# sites (total 96): the 46-entry tail
-# below rotates back in r9 with 4 slack slots; consolidate further
-# before adding more than that, rather than letting any entry go
-# unchecked 2+ rounds.
+# r9 adds 4 entries (the round's new SQL surface) and retires 5 as
+# redundantly covered — see the inline "(r9 consolidation: ...)"
+# notes at the former definition sites (total 95 = 50 head + 45
+# tail): every r8-tail survivor rotates back FIRST (standing policy —
+# no entry unchecked 2+ rounds), then the 4 mandated re-checks (the
+# two fixed-oracle entries, the fixed asof engine path, and one
+# outer-join-surface entry for this round's _run_outer changes), then
+# the 4 new-surface entries. The 45-entry tail below rotates back in
+# r10 with 5 slack slots.
 _HEAD = [
-    # r8 rotation: every r7-tail entry (green r6, unchecked r7) comes
-    # back FIRST, per the standing obligation
-    "sample_mixture",
-    "text_repetition",
-    "text_boilerplate",
-    "graph_pagerank",
-    "events_quantiles",
-    "not_exists_anti",
-    "rollup_agg",
-    "setop_except",
-    "cte_agg_view",
-    "derived_table_scan",
-    "dedup_neardup_apply",
-    "dedup_cluster_chain",
-    "having_filter",
-    "text_chunks",
-    "pack_sequences",
-    "text_tfidf_topk",
-    "sample_stratified",
-    "sample_topn_group",
-    "text_redact_pii",
-    "tpch_q9",
-    "tpch_q7",
-    "tpch_q1",
-    "tpch_q18",
-    "events_tumbling_window",
-    "events_interval_join",
-    "events_sliding_window",
-    "events_session_window",
-    "events_dedup_first",
-    "text_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "media_stats",
-    "media_frame_sample",
-    "dedup_exact",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "graph_q4_nonfull",
-    # NEW this round (r8): QUALIFY, inner-after-outer attachment,
-    # arithmetic-wrapped correlated COUNT, deterministic split
-    # assignment, fixed-centroid semantic clustering, unigram-LM
-    # commonness scoring
-    "window_qualify_topk",
-    "inner_after_outer_join",
-    "corr_count_arith",
-    "select_scalar_agg",
-    "dedup_paragraph",
-    "events_asof_join",
-    "sample_split_assign",
-    "embed_centroid_assign",
-    "text_unigram_freq",
-    # re-checked from the r7 window with the spare slots: entries
-    # whose code paths this round's changes touch — _run_outer
-    # core/preserved-core split (outer joins) and the window-frame
-    # parser (corr_scalar_count's path is covered in-window by the
-    # strictly-stronger corr_count_arith + select_scalar_agg)
-    # re-checked from the r7 window with the two slots the r8
-    # consolidation freed inside the head: the outer-join split and
-    # the window-frame parser are this round's touched code paths
-    "right_outer_join",
-    "full_outer_join",
-    "window_frame_movavg",
-]
-# Every tail case below was driver-green in r7 (the r7 window);
-# their operator classes stay covered in-window (see _HEAD) and they
-# rotate back in next round (r9).
-_TAIL = [
+    # r9 rotation: every surviving r8-tail entry comes back first
     "exists_join_body",
     "events_ewma_multibatch",
     "text_decontaminate",
     "graph_q1_path_counts",
-    "graph_c4_cycle_ghd",
     "graph_dense_auto_ghd",
     "tpch_q6",
     "tpch_q14",
@@ -2634,7 +2618,6 @@ _TAIL = [
     "tpch_q10",
     "tpch_q17",
     "tpch_q5_cyclic",
-    "graph_q5_x_nonfull",
     "graph_q2_dumbbell",
     "graph_q8_4hop",
     "trade_selfjoin_q9",
@@ -2648,9 +2631,70 @@ _TAIL = [
     "tpch_q21",
     "tpch_q16",
     "tpch_q22",
-    "exists_semijoin",
     "not_in_nullaware",
-    "corr_scalar_q17",
+    # mandated re-checks: the two r8 oracle-typing fixes, the asof
+    # NULL-payload engine fix, and this round's outer-join planner
+    # changes
+    "dedup_paragraph",
+    "text_unigram_freq",
+    "events_asof_join",
+    "full_outer_join",
+    # NEW this round (r9): EXISTS x outer-join composition, OR'd
+    # EXISTS flag joins, ALL-quantified comparisons, row-value NOT IN
+    "exists_outer_join",
+    "exists_or",
+    "quantified_all",
+    "not_in_rowvalue",
+]
+# Every tail case below was driver-green in r8 (the r8 window);
+# their operator classes stay covered in-window (see _HEAD) and they
+# rotate back in r10.
+_TAIL = [
+    "sample_mixture",
+    "text_repetition",
+    "text_boilerplate",
+    "graph_pagerank",
+    "events_quantiles",
+    "not_exists_anti",
+    "rollup_agg",
+    "setop_except",
+    "cte_agg_view",
+    "derived_table_scan",
+    "dedup_neardup_apply",
+    "dedup_cluster_chain",
+    "having_filter",
+    "text_chunks",
+    "pack_sequences",
+    "text_tfidf_topk",
+    "sample_stratified",
+    "text_redact_pii",
+    "tpch_q9",
+    "tpch_q7",
+    "tpch_q1",
+    "tpch_q18",
+    "events_tumbling_window",
+    "events_interval_join",
+    "events_sliding_window",
+    "events_session_window",
+    "events_dedup_first",
+    "text_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "media_stats",
+    "media_frame_sample",
+    "dedup_exact",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "graph_q4_nonfull",
+    "window_qualify_topk",
+    "inner_after_outer_join",
+    "corr_count_arith",
+    "select_scalar_agg",
+    "sample_split_assign",
+    "embed_centroid_assign",
+    "right_outer_join",
+    "window_frame_movavg",
 ]
 
 

@@ -43,6 +43,18 @@ HEADLINE = [
     "ann_cosine_topk",
     "events_tumbling_window",
     "events_session_window",
+    # round-9 additions (r7 verdict item 2, carried to r9): the
+    # extension surface where recent rounds' code actually changes —
+    # outer-join aggregate (_run_outer), multi-EXISTS (SemiFilter +
+    # view lift), frame windows and QUALIFY (window planner), as-of
+    # join (union + running-last). Regressions in those planners are
+    # now visible round-over-round; the original 22 keep their
+    # BASELINE.md r1 comparisons.
+    "tpch_q13",
+    "tpch_q21",
+    "window_frame_movavg",
+    "window_qualify_topk",
+    "events_asof_join",
 ]
 
 
