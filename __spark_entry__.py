@@ -663,6 +663,31 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                          OR l.l_orderkey IS NULL
                          OR s.s_nationkey IS NULL))""",
     ),
+    # --- NEW r9 (late surface): NOT BETWEEN (De Morgan dual of the
+    # C11 BETWEEN split), NOT IN (subquery) under OR (the flag join
+    # carries a THREE-VALUED nullable boolean — matched FALSE,
+    # NULL-probe/NULL-element UNKNOWN, empty set a plan-time TRUE —
+    # so Spark's OR propagates UNKNOWN natively,
+    # api._lift_or_exists), and = ALL (single-distinct-value mirror
+    # of the count-guarded ordering-ALL desugar; the set here is many
+    # rows but ONE distinct value, proving the COUNT(DISTINCT) = 1
+    # branch). Same SQL is the DuckDB oracle; the NULL-pattern matrix
+    # is pytest-covered (test_not_in_under_or_three_valued,
+    # test_eq_all_and_not_between). Sits after _HEAD so it rotates
+    # into the r10 checked window. ---
+    "threeval_surface": (
+        """SELECT c.c_custkey, c.c_acctbal
+           FROM customer AS c
+           WHERE c.c_acctbal NOT BETWEEN -500.0 AND 5000.0
+             AND (c.c_acctbal > 9900.0
+                  OR c.c_nationkey NOT IN (SELECT s.s_nationkey
+                                           FROM supplier AS s
+                                           WHERE s.s_acctbal > 5000.0))
+             AND 'BUILDING' = ALL (SELECT c2.c_mktsegment
+                                   FROM customer AS c2
+                                   WHERE c2.c_mktsegment = 'BUILDING')""",
+        None,
+    ),
     # (r9 consolidation: corr_scalar_q17 retired — the textbook
     # correlated-scalar spelling decorrelates through the same
     # api._decorrelate_scalars path the in-window corr_count_arith and

@@ -779,6 +779,8 @@ class SparkSQLPlus:
         (fallback): EXISTS with a join body under OR, NOT IN under OR
         (its UNKNOWN can't be carried by a two-valued flag), and
         non-equality correlation. Returns ephemeral view names."""
+        from pyspark.sql import functions as F
+
         from sparksqlplus_spark.catalog import UnknownTableError
         from sparksqlplus_spark.expressions import (
             Cmp,
@@ -824,10 +826,6 @@ class SparkSQLPlus:
             if ex.body is not None:
                 raise UnsupportedSqlError(
                     "EXISTS with a join body under OR is not in the subset"
-                )
-            if ex.null_aware and ex.negated:
-                raise UnsupportedSqlError(
-                    "NOT IN (subquery) under OR is not in the subset"
                 )
             if ex.table_alias in taken:
                 raise UnsupportedSqlError(
@@ -914,6 +912,52 @@ class SparkSQLPlus:
                 )
             )
             flag = Col(valias, view_sel[keys[0][1]])
+            if ex.null_aware and ex.negated:
+                # NOT IN under OR (round 9) needs a THREE-VALUED flag —
+                # Spark's OR handles a nullable boolean natively, so
+                # UNKNOWN propagates exactly as SQL requires. The inner
+                # set is probe-independent, so its emptiness/has-NULL
+                # facts are plan-time constants (one tiny aggregate,
+                # same class as _fold_scalars):
+                #   empty set        -> TRUE for every probe
+                #   matched          -> FALSE
+                #   set has a NULL   -> every unmatched probe UNKNOWN
+                #   NULL probe       -> UNKNOWN (non-empty set)
+                #   else             -> TRUE
+                if len(keys) != 1:
+                    raise UnsupportedSqlError(
+                        "row-value NOT IN under OR is not in the subset"
+                    )
+                from sparksqlplus_spark.expressions import CaseWhen
+
+                inner = self.catalog.get(ex.table).load(self.spark)
+                imap = {("", cn): cn for cn in inner.columns}
+                imap.update(
+                    {(ex.table_alias, cn): cn for cn in inner.columns}
+                )
+                for c in inner_only:
+                    inner = inner.filter(c.to_spark(imap))
+                stats = inner.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(F.col(keys[0][1])).alias("nn"),
+                ).collect()[0]
+                if stats["n"] == 0:
+                    # the flag view is empty too — the appended LEFT
+                    # JOIN is a no-op against an empty frame
+                    return Lit(True, "boolean")
+                matched_false = (
+                    IsNull(flag, negated=True),
+                    Lit(False, "boolean"),
+                )
+                if stats["nn"] < stats["n"]:
+                    return CaseWhen((matched_false,), Lit(None, "null"))
+                return CaseWhen(
+                    (
+                        matched_false,
+                        (IsNull(keys[0][0]), Lit(None, "null")),
+                    ),
+                    Lit(True, "boolean"),
+                )
             return IsNull(flag, negated=not ex.negated)
 
         spec.where = [

@@ -1143,3 +1143,91 @@ def test_hyperedge_bag_binary_adjudication(engine, oracle):
         for t in ("r3", "s3", "t3"):
             engine.catalog.unregister(t)
         con.execute("DROP TABLE hx_base")
+
+
+def test_eq_all_and_not_between(engine, oracle):
+    """= ALL (round 9: empty set, or one distinct non-NULL value equal
+    to the probe) and NOT BETWEEN (De Morgan dual of the BETWEEN
+    desugar) — vs DuckDB in cqc and naive modes."""
+    cases = [
+        # single-value set
+        """SELECT r_regionkey FROM region AS r
+           WHERE r.r_regionkey = ALL (SELECT n_regionkey FROM nation AS n
+                                      WHERE n.n_nationkey = 3)""",
+        # empty set keeps every row
+        """SELECT r_regionkey FROM region AS r
+           WHERE r.r_regionkey = ALL (SELECT n_nationkey FROM nation AS n
+                                      WHERE n.n_nationkey < -1)""",
+        # multi-value set drops every row
+        """SELECT r_regionkey FROM region AS r
+           WHERE r.r_regionkey = ALL (SELECT n_nationkey FROM nation AS n
+                                      WHERE n.n_nationkey < 3)""",
+        # NOT BETWEEN
+        """SELECT l_orderkey, l_linenumber FROM lineitem
+           WHERE l_quantity NOT BETWEEN 5 AND 45""",
+    ]
+    for sql in cases:
+        for mode in ("cqc", "naive"):
+            df = engine.sql(sql, mode=mode)
+            assert_matches(df, oracle, f"SELECT DISTINCT * FROM ({sql}) t")
+
+
+def test_not_in_under_or_three_valued(engine, oracle):
+    """NOT IN (subquery) under OR (round 9): the flag is a THREE-VALUED
+    nullable boolean — matched FALSE, NULL-probe/NULL-element UNKNOWN,
+    else TRUE; empty set folds to a plan-time TRUE. Spark's OR then
+    propagates UNKNOWN exactly as SQL requires. NULL patterns exercised
+    on registered frames vs DuckDB."""
+    import pandas as pd
+
+    spark = engine.spark
+    probe_pdf = pd.DataFrame(
+        {"pk": [1, 2, 3, 4], "pv": [10, 20, None, 40]}
+    )
+    inner_pdf = pd.DataFrame({"iv": [10, None]})
+    engine.catalog.register_df(
+        "o_probe",
+        spark.createDataFrame(
+            probe_pdf.astype(object).where(probe_pdf.notna(), None),
+            "pk int, pv int",
+        ),
+        ("pk",),
+    )
+    engine.catalog.register_df(
+        "o_inner",
+        spark.createDataFrame(
+            inner_pdf.astype(object).where(inner_pdf.notna(), None),
+            "iv int",
+        ),
+        (),
+    )
+    con = oracle
+    con.execute("CREATE OR REPLACE TABLE o_probe AS SELECT * FROM probe_pdf")
+    con.execute("CREATE OR REPLACE TABLE o_inner AS SELECT * FROM inner_pdf")
+    try:
+        # set with a NULL element: unmatched probes are UNKNOWN, so
+        # only pk = 4 (via the other disjunct) and nothing else
+        q = """SELECT p.pk FROM o_probe AS p
+               WHERE p.pk = 4
+                  OR p.pv NOT IN (SELECT iv FROM o_inner AS i)"""
+        for mode in ("cqc", "naive"):
+            assert_matches(engine.sql(q, mode=mode), con, q)
+        # NULL-free set: unmatched non-null probes come through
+        q2 = """SELECT p.pk FROM o_probe AS p
+                WHERE p.pk = 4
+                   OR p.pv NOT IN (SELECT iv FROM o_inner AS i
+                                   WHERE i.iv IS NOT NULL)"""
+        for mode in ("cqc", "naive"):
+            assert_matches(engine.sql(q2, mode=mode), con, q2)
+        # empty set: every row comes through
+        q3 = """SELECT p.pk FROM o_probe AS p
+                WHERE p.pk = 99
+                   OR p.pv NOT IN (SELECT iv FROM o_inner AS i
+                                   WHERE i.iv > 1000)"""
+        for mode in ("cqc", "naive"):
+            assert_matches(engine.sql(q3, mode=mode), con, q3)
+    finally:
+        engine.catalog.unregister("o_probe")
+        engine.catalog.unregister("o_inner")
+        con.execute("DROP TABLE o_probe")
+        con.execute("DROP TABLE o_inner")

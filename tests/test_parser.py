@@ -86,7 +86,8 @@ def test_case_when_nested():
 
 def test_unsupported_raises():
     with pytest.raises(UnsupportedSqlError):
-        parse_query("SELECT a FROM t WHERE a = ALL (SELECT b FROM s)")
+        # quantified subqueries must be plain single-column SELECTs
+        parse_query("SELECT a FROM t WHERE a > ALL (SELECT b FROM s GROUP BY b)")
 
 
 def test_having_parses_with_group_by_only():
@@ -1344,13 +1345,10 @@ def test_any_some_quantified(engine):
         engine.sql(q_eq, mode="cqc").exceptAll(
             engine.sql(q_in, mode="spark")).count() == 0
     )
-    # ordering ALL parses since round 9 (count-guarded extremes);
-    # = ALL stays out of the subset
+    # ALL parses since round 9 (count-guarded extremes; = ALL is the
+    # single-distinct-value mirror)
     parse_query("SELECT 1 FROM t WHERE a > ALL (SELECT b FROM s)")
-    with pytest.raises(UnsupportedSqlError):
-        parse_query(
-            "SELECT 1 FROM t WHERE a = ALL (SELECT b FROM s)"
-        )
+    parse_query("SELECT 1 FROM t WHERE a = ALL (SELECT b FROM s)")
 
 
 def test_string_concat_operator(engine):
