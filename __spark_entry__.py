@@ -2537,7 +2537,135 @@ GROUP BY t.doc_id
 """
 
 
+def _heavy_hitters_q(spark, sf_dir):
+    """Exact heavy hitters via count-min prune + exact verify
+    (operators/frequency.py:heavy_hitters): pass 1 aggregates onto a
+    fixed depth x width cell grid (map-side combine; the collected
+    sketch is 4 x 512 longs — metadata-scale BY CONSTRUCTION), pass 2
+    folds the grid into a literal so the candidate test is a pure
+    projection and the exact groupBy runs only over surviving rows.
+    Count-min never undercounts, so the output is EXACT — the oracle
+    is the plain GROUP BY/HAVING."""
+    from sparksqlplus_spark.operators.frequency import heavy_hitters
+
+    eng = _engine(spark, sf_dir)
+    return heavy_hitters(
+        eng.catalog.get("events").df, "user_id", threshold=80,
+        depth=4, width=512,
+    )
+
+
+_HEAVY_HITTERS_ORACLE = """
+SELECT user_id, COUNT(*) AS n FROM events
+GROUP BY user_id HAVING COUNT(*) >= 80
+"""
+
+
+def _sessionize_q(spark, sf_dir):
+    """Batch gap-sessionization (operators/sessions.py:sessionize):
+    one exchange on the user key, two windows over the same sort, and
+    a partition-local session rollup. 120-minute gap over the events
+    log; epoch math keeps microsecond precision (UTC session tz)."""
+    from sparksqlplus_spark.operators.sessions import sessionize
+
+    eng = _engine(spark, sf_dir)
+    return sessionize(
+        eng.catalog.get("events").df, gap_minutes=120
+    )
+
+
+# session_seq: Spark's running SUM(int) window is BIGINT while
+# DuckDB's is HUGEIN T-> float64 in pandas — CAST like tpch_q12's
+# oracle (the r8 lesson, VERDICT r8 item 2)
+_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 7200.0
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+seq AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM flagged)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, SUM(value) AS sum_value
+FROM seq GROUP BY user_id, session_seq
+"""
+
+
+def _kmeans_q(spark, sf_dir):
+    """Spherical k-means fit + assignment (operators/similarity.py:
+    kmeans_fit_assign): k=8, two Lloyd rounds, deterministic init from
+    the 8 lowest vec_ids. Per round: literal-fold assignment (zero
+    shuffles) + one posexplode groupBy(cluster, dim) mean (partial
+    aggregation collapses to k x 64 cells per partition before the
+    shuffle; the k x 64 collect is metadata-scale). Means round to
+    9 dp and cosines to 6 dp so the oracle's sequential sums agree
+    bit-for-bit with Spark's partition-order sums."""
+    from sparksqlplus_spark.operators.similarity import kmeans_fit_assign
+
+    eng = _engine(spark, sf_dir)
+    return kmeans_fit_assign(
+        eng.catalog.get("embeddings").df, k=8, iterations=2
+    )
+
+
+def _kmeans_oracle() -> str:
+    # unrolled Lloyd rounds mirroring kmeans_fit_assign exactly:
+    # assign(c0) -> means -> c1, assign(c1) -> means -> c2, final
+    # assign(c2); empty clusters keep their previous centroid
+    assign = """
+s{i} AS (
+  SELECT e.vec_id, c.cid,
+         round(list_dot_product(e.ev, c.cv)
+               / (sqrt(list_dot_product(e.ev, e.ev))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cosine
+  FROM e, c{p} AS c),
+a{i} AS (
+  SELECT vec_id, cid, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, cid) AS rnk
+  FROM s{i})"""
+    update = """
+x{i} AS (
+  SELECT a.cid, unnest(e.ev) AS val, unnest(range(len(e.ev))) AS pos
+  FROM a{i} AS a JOIN e ON a.vec_id = e.vec_id WHERE a.rnk = 1),
+m{i} AS (SELECT cid, pos, round(avg(val), 9) AS m
+         FROM x{i} GROUP BY cid, pos),
+c{i} AS (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid
+  UNION ALL
+  SELECT c.cid, c.cv FROM c{p} AS c
+  WHERE c.cid NOT IN (SELECT DISTINCT cid FROM m{i}))"""
+    parts = [
+        """WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         ev AS cv
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8))"""
+    ]
+    for i in (1, 2):
+        parts.append(assign.format(i=i, p=i - 1))
+        parts.append(update.format(i=i, p=i - 1))
+    parts.append(assign.format(i=3, p=2))
+    return (
+        ",".join(parts)
+        + "\nSELECT vec_id, cid AS cluster_id, cosine FROM a3 WHERE rnk = 1"
+    )
+
+
 _OP_CASES: dict[str, tuple[Callable, str | None]] = {
+    # --- NEW r9 late additions (post-window; rotate into the r10
+    # checked window alongside threeval_surface) ---
+    "events_heavy_hitters": (_heavy_hitters_q, _HEAVY_HITTERS_ORACLE),
+    "events_sessionize": (_sessionize_q, _SESSIONIZE_ORACLE),
+    "embed_kmeans": (_kmeans_q, _kmeans_oracle()),
     "dedup_paragraph": (_paragraph_dedup_q, _PARAGRAPH_DEDUP_ORACLE),
     "sample_split_assign": (_split_assign_q, _split_assign_oracle()),
     "embed_centroid_assign": (_centroid_assign_q, _CENTROID_ASSIGN_ORACLE),

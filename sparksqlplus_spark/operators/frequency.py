@@ -1,0 +1,97 @@
+"""Frequent-item (heavy-hitter) detection: count-min prune + exact verify.
+
+Engine extension (not in the reference — its surface is join queries;
+see SURVEY.md §2). This is the standard two-pass sketch pattern a
+100 TB pipeline needs to find hot keys (spam domains, bot users,
+over-represented boilerplate) without paying a full-cardinality
+groupBy:
+
+1. **Sketch pass** — one aggregation onto ``depth x width`` count-min
+   cells. The shuffle moves at most ``partitions x depth x width``
+   pre-combined rows regardless of key cardinality (map-side combine
+   collapses each partition to the cell grid first), and the result is
+   a fixed-size summary that is collected once (metadata-scale BY
+   CONSTRUCTION — e.g. 4 x 2048 = 8k longs; same class as the k-row
+   centroid collect in operators/similarity.py).
+2. **Verify pass** — the sketch folds into a LITERAL 2-D array, so the
+   candidate test ``min_d cells[d][h_d(key)] >= threshold`` is a pure
+   projection (zero shuffles, whole-stage codegen). Count-min never
+   undercounts, so the surviving rows are a SUPERSET of the true heavy
+   hitters; the exact groupBy then runs only over those rows — a
+   shuffle bounded by the (rare) hot keys plus hash-collision noise,
+   not by the key cardinality.
+
+The output is EXACT (keys with true count >= threshold and their true
+counts) — the sketch only prunes, it never decides — which is what
+makes the operator oracle-checkable against a plain GROUP BY/HAVING.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Exact keys-with-count >= ``threshold`` via count-min pruning.
+
+    ``depth`` independent hash rows (xxhash64 seeded by the row index)
+    each map a key into ``width`` buckets; a key survives pruning iff
+    EVERY row's bucket total reaches ``threshold``. Guarantees: no
+    false negatives (count-min estimates are upper bounds); false
+    positives cost only their share of the verify groupBy and are
+    removed by the exact HAVING filter.
+    """
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    key = F.col(key_col)
+
+    def bucket(d: int):
+        return F.pmod(F.xxhash64(key, F.lit(d)), F.lit(width)).cast("int")
+
+    sketch = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"), bucket(d).alias("b")
+                        )
+                        for d in range(depth)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .groupBy("cell.d", "cell.b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cells: dict[tuple[int, int], int] = {
+        (r["d"], r["b"]): r["c"] for r in sketch.collect()
+    }
+    grid = F.array(
+        *[
+            F.array(
+                *[F.lit(int(cells.get((d, b), 0))) for b in range(width)]
+            )
+            for d in range(depth)
+        ]
+    )
+    ests = [
+        F.element_at(F.element_at(grid, d + 1), bucket(d) + 1)
+        for d in range(depth)
+    ]
+    est = ests[0] if depth == 1 else F.least(*ests)
+    return (
+        df.filter(est >= F.lit(threshold))
+        .groupBy(key.alias(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= F.lit(threshold))
+    )

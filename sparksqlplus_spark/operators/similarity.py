@@ -245,6 +245,122 @@ def lsh_cosine_topk(
     )
 
 
+def _assign_to(
+    emb_df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Max-cosine assignment against a python-side centroid list —
+    the shared literal-fold projection behind :func:`centroid_assign`
+    and :func:`kmeans_fit_assign` (zero shuffles, zero joins).
+    ``extra_cols`` ride along unchanged (e.g. the vector itself for a
+    following mean recompute, avoiding a join back)."""
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("bigint").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    scored = F.transform(
+        cents_lit,
+        lambda c: F.struct(
+            F.round(
+                cosine_similarity(vec, c["cv"]), round_digits
+            ).alias("cosine"),
+            (-c["cid"]).alias("__negid"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    best = F.array_max(scored)
+    return emb_df.select(
+        F.col(id_col),
+        best["cid"].alias("cluster_id"),
+        best["cosine"].alias("cosine"),
+        *[F.col(c) for c in extra_cols],
+    )
+
+
+def kmeans_fit_assign(
+    emb_df: DataFrame,
+    k: int,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    mean_round_digits: int = 9,
+) -> DataFrame:
+    """Spherical k-means by ``iterations`` Lloyd rounds, returning the
+    final ``(id, cluster_id, cosine)`` assignment — the fit step in
+    front of :func:`centroid_assign`'s SemDeDup-style curation.
+
+    Deterministic and oracle-reproducible by construction: centroids
+    initialize from the k LOWEST ids' vectors (no RNG); each round's
+    new centroid is the element-wise mean of its members rounded to
+    ``mean_round_digits`` (absorbing the last-ulp difference between
+    Spark's partition-order sum and a sequential oracle sum), and
+    assignment rounds cosines to ``round_digits`` with ties to the
+    smallest cluster id. Cosine is scale-invariant, so the means are
+    NOT re-normalized between rounds (spherical k-means up to the
+    per-round rounding).
+
+    Scale shape per round: assignment is a pure projection (centroids
+    fold into a literal, zero shuffles); the mean recompute is one
+    ``posexplode`` + groupBy(cluster, dim) aggregate — partial
+    aggregation collapses each partition to at most k x dim cells
+    before the shuffle, and the k x dim result is collected once per
+    round (metadata-scale, same class as the centroid collect above).
+    A cluster that loses every member keeps its previous centroid.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    init = (
+        emb_df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(init) < k:
+        raise ValueError(f"k={k} exceeds the {len(init)} input rows")
+    cents = [
+        (i, [float(x) for x in r[1]]) for i, r in enumerate(init)
+    ]
+    dim = len(cents[0][1])
+    for _ in range(iterations):
+        assigned = _assign_to(
+            emb_df, cents, id_col, vec_col, round_digits,
+            extra_cols=(vec_col,),
+        )
+        means = (
+            assigned.select(
+                "cluster_id",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "pos", "val"
+                ),
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(
+                F.round(F.avg("val"), mean_round_digits).alias("m")
+            )
+            .collect()
+        )
+        by_cid: dict[int, list[float]] = {}
+        for r in means:
+            by_cid.setdefault(int(r["cluster_id"]), [0.0] * dim)[
+                r["pos"]
+            ] = float(r["m"])
+        cents = [
+            (cid, by_cid.get(cid, cv)) for cid, cv in cents
+        ]
+    return _assign_to(emb_df, cents, id_col, vec_col, round_digits)
+
+
 def centroid_assign(
     emb_df: DataFrame,
     centroid_ids: list[int],
@@ -273,29 +389,4 @@ def centroid_assign(
     )
     if len(cents) != len(set(centroid_ids)):
         raise ValueError("some centroid_ids are missing from emb_df")
-    cents_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).cast("bigint").alias("cid"),
-                F.array(*[F.lit(x) for x in cv]).alias("cv"),
-            )
-            for cid, cv in cents
-        ]
-    )
-    vec = F.col(vec_col).cast("array<double>")
-    scored = F.transform(
-        cents_lit,
-        lambda c: F.struct(
-            F.round(
-                cosine_similarity(vec, c["cv"]), round_digits
-            ).alias("cosine"),
-            (-c["cid"]).alias("__negid"),
-            c["cid"].alias("cid"),
-        ),
-    )
-    best = F.array_max(scored)
-    return emb_df.select(
-        F.col(id_col),
-        best["cid"].alias("cluster_id"),
-        best["cosine"].alias("cosine"),
-    )
+    return _assign_to(emb_df, cents, id_col, vec_col, round_digits)

@@ -683,3 +683,147 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             # on a miss — compare payloads only (ts uniqueness per key
             # makes the matched row unambiguous)
             assert (g[1], g[2]) == (wp, wq), (trial, dict(row), g)
+
+
+# --- r9 late additions: heavy hitters / sessionize / k-means fit ---
+
+
+def test_heavy_hitters_exact_under_collisions(spark):
+    """Tiny width forces count-min collisions; the output must STILL
+    be exact (the sketch only prunes — exact verify decides)."""
+    import random
+
+    from sparksqlplus_spark.operators.frequency import heavy_hitters
+
+    rng = random.Random(42)
+    # skewed keys: a few hot, many cold
+    rows = (
+        [("hot_a",)] * 50
+        + [("hot_b",)] * 31
+        + [("warm",)] * 29
+        + [(f"cold_{rng.randrange(200)}",) for _ in range(400)]
+    )
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "key string")
+    exact = {
+        (r["key"], r["count"])
+        for r in df.groupBy("key").count().filter(F.col("count") >= 30).collect()
+    }
+    for depth, width in ((4, 4), (1, 8), (2, 4096)):
+        got = {
+            (r["key"], r["n"])
+            for r in heavy_hitters(df, "key", 30, depth=depth, width=width).collect()
+        }
+        assert got == exact, (depth, width, got, exact)
+
+
+def test_heavy_hitters_threshold_edges(spark):
+    from sparksqlplus_spark.operators.frequency import heavy_hitters
+
+    df = spark.createDataFrame([(1,)] * 3 + [(2,)] * 2 + [(3,)], "k int")
+    got = {(r["k"], r["n"]) for r in heavy_hitters(df, "k", 2, width=16).collect()}
+    assert got == {(1, 3), (2, 2)}
+    assert heavy_hitters(df, "k", 7, width=16).count() == 0
+    # threshold 1 = all distinct keys
+    got1 = {(r["k"], r["n"]) for r in heavy_hitters(df, "k", 1, width=16).collect()}
+    assert got1 == {(1, 3), (2, 2), (3, 1)}
+
+
+def test_sessionize_gap_semantics(spark):
+    """Hand-built log: boundary strictly > gap; ties and sub-second
+    precision; per-user independence; session_seq numbering."""
+    import datetime as dt
+
+    from sparksqlplus_spark.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: events at 0s, exactly gap (1800s), gap+0.000001s
+        (1, at(0), 1.0),
+        (1, at(1800), 2.0),            # exactly gap -> SAME session
+        (1, at(3600.000001), 4.0),     # 1800.000001 after -> NEW
+        # user 2: single event
+        (2, at(10), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["session_seq"], r["n_events"], r["sum_value"])
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert got == {(1, 1, 2, 3.0), (1, 2, 1, 4.0), (2, 1, 1, 8.0)}
+
+
+def test_sessionize_no_value_col(spark):
+    import datetime as dt
+
+    from sparksqlplus_spark.operators.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "user_id int, ts timestamp"
+    )
+    out = sessionize(df, gap_minutes=5, value_col=None)
+    assert out.columns == [
+        "user_id", "session_seq", "session_start", "session_end", "n_events"
+    ]
+    assert out.count() == 1
+
+
+def test_kmeans_fit_assign_matches_numpy(engine):
+    """Two Lloyd rounds vs an independent numpy implementation with
+    the same deterministic protocol (lowest-id init, 9 dp mean
+    rounding, 6 dp cosine rounding, ties to smallest cid)."""
+    import numpy as np
+
+    from sparksqlplus_spark.operators.similarity import kmeans_fit_assign
+
+    emb = engine.catalog.get("embeddings").df.filter(F.col("vec_id") < 120)
+    rows = sorted(
+        (r["vec_id"], np.array([float(x) for x in r["embedding"]]))
+        for r in emb.collect()
+    )
+    ids = [i for i, _ in rows]
+    X = np.stack([v for _, v in rows])
+    k, iters = 5, 2
+    cents = X[:k].copy()
+
+    def assign(C):
+        cos = (X @ C.T) / (
+            np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+        )
+        cos = np.round(cos, 6)
+        # argmax with ties to smallest cid: reversed argmax trick not
+        # needed — np.argmax already takes the FIRST (smallest) index
+        return np.argmax(cos, axis=1), cos
+
+    for _ in range(iters):
+        a, _ = assign(cents)
+        for c in range(k):
+            members = X[a == c]
+            if len(members):
+                cents[c] = np.round(members.mean(axis=0), 9)
+    a, cos = assign(cents)
+    want = {
+        (ids[i], int(a[i]), float(cos[i, a[i]])) for i in range(len(ids))
+    }
+    got = {
+        (r["vec_id"], r["cluster_id"], r["cosine"])
+        for r in kmeans_fit_assign(emb, k=k, iterations=iters).collect()
+    }
+    assert got == want
+
+
+def test_kmeans_k_exceeds_rows_raises(spark):
+    import pytest as _pytest
+
+    from sparksqlplus_spark.operators.similarity import kmeans_fit_assign
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError):
+        kmeans_fit_assign(df, k=3)
