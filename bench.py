@@ -55,6 +55,12 @@ HEADLINE = [
     "window_frame_movavg",
     "window_qualify_topk",
     "events_asof_join",
+    # round-10 addition (r9 verdict item 5): a GHD/WCOJ plan — the
+    # bench exercised break-path cyclic queries but never the
+    # hypercube kernel or a binary-join-in-bag GHD plan, so a
+    # regression in operators/wcoj.py or plans/cyclic.py:_eval_bag was
+    # invisible round-over-round.
+    "graph_chorded_k4_ghd",
 ]
 
 
@@ -100,6 +106,15 @@ def main() -> None:
     eng._executor.clear_cache(blocking=True)
 
     qs = entry_mod.queries()
+    # r10 (r9 verdict item 2): time the BATCH as-of plan (union + one
+    # key shuffle + running last — the form users run at scale) under
+    # the events_asof_join headline. The r9 number timed the streaming
+    # harness, where fixed stream-startup + temp-file re-slice overhead
+    # was 29% of the whole headline total and swamped every other
+    # query's round-over-round delta. The streaming multi-batch drain
+    # remains the driver CORRECTNESS entry (it proves cross-batch state
+    # carry); batch==stream equality is pytest-proven.
+    qs["events_asof_join"] = entry_mod._asof_join_batch_q
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:

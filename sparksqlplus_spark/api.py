@@ -616,117 +616,118 @@ class SparkSQLPlus:
             if not (isinstance(cond, Exists) and cond.body is not None):
                 new_where.append(cond)
                 continue
-            body = cond.body
-            inner_cols: dict[str, set[str]] = {}
-            for fi in body.from_items:
-                if fi.alias in outer_aliases:
+            rewritten, eph = self._exists_body_rewrite(
+                cond, outer_aliases, mode=mode,
+                cyclic_strategy=cyclic_strategy, count_mode=count_mode,
+            )
+            ephemeral += eph
+            new_where.append(rewritten)
+        spec.where = new_where
+        return ephemeral
+
+    def _exists_body_rewrite(
+        self,
+        cond,
+        outer_aliases: set[str],
+        mode: str = "auto",
+        cyclic_strategy: str = "auto",
+        count_mode: str = "rows",
+    ):
+        """Rewrite ONE multi-table Exists (body set) into the
+        single-table shape: the body plans recursively as a composite
+        DISTINCT view over exactly the correlated inner columns, and
+        the returned Exists semi/anti-joins that view on the same
+        (lifted) correlation conditions — equality or not. Shared by
+        _lift_exists_joins (top-level conjuncts) and _lift_or_exists
+        (round 10: EXISTS with a join body under OR). Returns
+        (rewritten Exists, ephemeral view names)."""
+        from sparksqlplus_spark.catalog import UnknownTableError
+        from sparksqlplus_spark.expressions import Cmp, Col, Exists
+        from sparksqlplus_spark.parser.sql import QuerySpec, SelectItem
+
+        ephemeral: list[str] = []
+        body = cond.body
+        inner_cols: dict[str, set[str]] = {}
+        for fi in body.from_items:
+            if fi.alias in outer_aliases:
+                raise UnsupportedSqlError(
+                    f"EXISTS alias {fi.alias!r} shadows an outer alias"
+                )
+            try:
+                inner_cols[fi.alias] = set(
+                    self.catalog.get(fi.table).column_names
+                )
+            except UnknownTableError as exc:
+                raise UnsupportedSqlError(str(exc)) from None
+
+        def inner_owner(col_ref: Col) -> str | None:
+            """Inner alias owning the ref, or None if outer-scoped.
+            Innermost scope wins for bare names, matching the
+            single-table EXISTS resolution."""
+            if col_ref.alias in inner_cols:
+                if col_ref.name not in inner_cols[col_ref.alias]:
                     raise UnsupportedSqlError(
-                        f"EXISTS alias {fi.alias!r} shadows an outer alias"
+                        f"unknown column {col_ref.alias}.{col_ref.name} "
+                        "inside EXISTS"
                     )
-                try:
-                    inner_cols[fi.alias] = set(
-                        self.catalog.get(fi.table).column_names
-                    )
-                except UnknownTableError as exc:
-                    raise UnsupportedSqlError(str(exc)) from None
-
-            def inner_owner(col_ref: Col) -> str | None:
-                """Inner alias owning the ref, or None if outer-scoped.
-                Innermost scope wins for bare names, matching the
-                single-table EXISTS resolution."""
-                if col_ref.alias in inner_cols:
-                    if col_ref.name not in inner_cols[col_ref.alias]:
-                        raise UnsupportedSqlError(
-                            f"unknown column {col_ref.alias}.{col_ref.name} "
-                            "inside EXISTS"
-                        )
-                    return col_ref.alias
-                if col_ref.alias == "":
-                    owners = [
-                        a for a, cols in inner_cols.items()
-                        if col_ref.name in cols
-                    ]
-                    if len(owners) > 1:
-                        raise UnsupportedSqlError(
-                            f"ambiguous column {col_ref.name!r} inside EXISTS"
-                        )
-                    if owners:
-                        return owners[0]
-                return None
-
-            inner_only: list = []
-            corr: list[tuple[Cmp, Col, Col, str]] = []  # (cond, outer, inner, owner)
-            for c in body.where:
-                sides = set()
-                for a, cn in c.refs():
-                    sides.add(
-                        "inner"
-                        if inner_owner(Col(a, cn)) is not None
-                        else "outer"
-                    )
-                if sides <= {"inner"}:
-                    inner_only.append(c)
-                    continue
-                ok = (
-                    isinstance(c, Cmp)
-                    and isinstance(c.left, Col)
-                    and isinstance(c.right, Col)
-                )
-                if ok:
-                    lo, ro = inner_owner(c.left), inner_owner(c.right)
-                    if (lo is None) == (ro is None):
-                        ok = False
-                if not ok:
+                return col_ref.alias
+            if col_ref.alias == "":
+                owners = [
+                    a for a, cols in inner_cols.items()
+                    if col_ref.name in cols
+                ]
+                if len(owners) > 1:
                     raise UnsupportedSqlError(
-                        "EXISTS supports inner-local predicates and "
-                        "Col-Col correlation only"
+                        f"ambiguous column {col_ref.name!r} inside EXISTS"
                     )
-                outer_c, inner_c, owner = (
-                    (c.right, c.left, lo)
-                    if lo is not None
-                    else (c.left, c.right, ro)
-                )
-                corr.append((c, outer_c, inner_c, owner))
-            if not corr:
-                # uncorrelated multi-table [NOT] EXISTS (round 9): the
-                # body plans as a one-column constant view (DISTINCT
-                # caps it at one row) and the Exists rewrites to the
-                # keyless shape build_context plans as a broadcast
-                # LIMIT-1 gate — same path as the single-table
-                # uncorrelated form.
-                from sparksqlplus_spark.expressions import Lit
+                if owners:
+                    return owners[0]
+            return None
 
-                view = QuerySpec(
-                    select=[SelectItem(Lit(1, "int"), "__x0")],
-                    distinct=True,
-                    from_items=body.from_items,
-                    where=inner_only,
+        inner_only: list = []
+        corr: list[tuple[Cmp, Col, Col, str]] = []  # (cond, outer, inner, owner)
+        for c in body.where:
+            sides = set()
+            for a, cn in c.refs():
+                sides.add(
+                    "inner"
+                    if inner_owner(Col(a, cn)) is not None
+                    else "outer"
                 )
-                df = self._plan_spec(
-                    view, mode=mode, cyclic_strategy=cyclic_strategy,
-                    count_mode=count_mode, ansi=True,
-                )
-                self._view_counter += 1
-                vname = f"__exv{self._view_counter}"
-                self.catalog.register_df(vname, df, ())
-                ephemeral.append(vname)
-                new_where.append(
-                    Exists(
-                        vname, f"{vname}_i", (),
-                        negated=cond.negated, null_aware=False,
-                    )
-                )
+            if sides <= {"inner"}:
+                inner_only.append(c)
                 continue
+            ok = (
+                isinstance(c, Cmp)
+                and isinstance(c.left, Col)
+                and isinstance(c.right, Col)
+            )
+            if ok:
+                lo, ro = inner_owner(c.left), inner_owner(c.right)
+                if (lo is None) == (ro is None):
+                    ok = False
+            if not ok:
+                raise UnsupportedSqlError(
+                    "EXISTS supports inner-local predicates and "
+                    "Col-Col correlation only"
+                )
+            outer_c, inner_c, owner = (
+                (c.right, c.left, lo)
+                if lo is not None
+                else (c.left, c.right, ro)
+            )
+            corr.append((c, outer_c, inner_c, owner))
+        if not corr:
+            # uncorrelated multi-table [NOT] EXISTS (round 9): the
+            # body plans as a one-column constant view (DISTINCT
+            # caps it at one row) and the Exists rewrites to the
+            # keyless shape build_context plans as a broadcast
+            # LIMIT-1 gate — same path as the single-table
+            # uncorrelated form.
+            from sparksqlplus_spark.expressions import Lit
 
-            # project exactly the correlated inner columns, DISTINCT
-            proj: dict[tuple[str, str], str] = {}
-            for _, _, inner_c, owner in corr:
-                proj.setdefault((owner, inner_c.name), f"__x{len(proj)}")
             view = QuerySpec(
-                select=[
-                    SelectItem(Col(a, cn), out)
-                    for (a, cn), out in proj.items()
-                ],
+                select=[SelectItem(Lit(1, "int"), "__x0")],
                 distinct=True,
                 from_items=body.from_items,
                 where=inner_only,
@@ -739,22 +740,50 @@ class SparkSQLPlus:
             vname = f"__exv{self._view_counter}"
             self.catalog.register_df(vname, df, ())
             ephemeral.append(vname)
-            valias = f"{vname}_i"
-            lifted_conds = []
-            for c, outer_c, inner_c, owner in corr:
-                vcol = Col(valias, proj[(owner, inner_c.name)])
-                if c.left is inner_c:
-                    lifted_conds.append(Cmp(c.op, vcol, outer_c))
-                else:
-                    lifted_conds.append(Cmp(c.op, outer_c, vcol))
-            new_where.append(
+            return (
                 Exists(
-                    vname, valias, tuple(lifted_conds),
+                    vname, f"{vname}_i", (),
                     negated=cond.negated, null_aware=False,
-                )
+                ),
+                ephemeral,
             )
-        spec.where = new_where
-        return ephemeral
+
+        # project exactly the correlated inner columns, DISTINCT
+        proj: dict[tuple[str, str], str] = {}
+        for _, _, inner_c, owner in corr:
+            proj.setdefault((owner, inner_c.name), f"__x{len(proj)}")
+        view = QuerySpec(
+            select=[
+                SelectItem(Col(a, cn), out)
+                for (a, cn), out in proj.items()
+            ],
+            distinct=True,
+            from_items=body.from_items,
+            where=inner_only,
+        )
+        df = self._plan_spec(
+            view, mode=mode, cyclic_strategy=cyclic_strategy,
+            count_mode=count_mode, ansi=True,
+        )
+        self._view_counter += 1
+        vname = f"__exv{self._view_counter}"
+        self.catalog.register_df(vname, df, ())
+        ephemeral.append(vname)
+        valias = f"{vname}_i"
+        lifted_conds = []
+        for c, outer_c, inner_c, owner in corr:
+            vcol = Col(valias, proj[(owner, inner_c.name)])
+            if c.left is inner_c:
+                lifted_conds.append(Cmp(c.op, vcol, outer_c))
+            else:
+                lifted_conds.append(Cmp(c.op, outer_c, vcol))
+        return (
+            Exists(
+                vname, valias, tuple(lifted_conds),
+                negated=cond.negated, null_aware=False,
+            ),
+            ephemeral,
+        )
 
     def _lift_or_exists(
         self,
@@ -775,10 +804,15 @@ class SparkSQLPlus:
         keyless SemiFilter uses (a constant, like _fold_scalars'
         literal fold). Queries using this lift get ANSI bag semantics
         (extension surface, same rationale as composite views —
-        _run_outer's phase-3 tail plans the flags). Out of subset
-        (fallback): EXISTS with a join body under OR, NOT IN under OR
-        (its UNKNOWN can't be carried by a two-valued flag), and
-        non-equality correlation. Returns ephemeral view names."""
+        _run_outer's phase-3 tail plans the flags). Round 9 added the
+        three-valued single-key NOT IN flag; round 10 added EXISTS
+        with a join body (composite-view rewrite, then this lift),
+        one non-equality correlation (_or_exists_noneq_flag), and
+        2-column row-value NOT IN (_rowvalue_not_in_or_flag). Out of
+        subset (fallback): constant-probe NOT IN, 2+ non-equality
+        conjuncts, keyless non-equality, probe-dependent NOT IN inner
+        sets, and 3+-column row-value NOT IN. Returns ephemeral view
+        names."""
         from pyspark.sql import functions as F
 
         from sparksqlplus_spark.catalog import UnknownTableError
@@ -824,9 +858,17 @@ class SparkSQLPlus:
             if not isinstance(ex, Exists):
                 return None
             if ex.body is not None:
-                raise UnsupportedSqlError(
-                    "EXISTS with a join body under OR is not in the subset"
+                # round 10: EXISTS with a join body under OR — the body
+                # plans as a composite DISTINCT view through the same
+                # rewrite the top-level conjunct path uses, then the
+                # lift continues on the returned single-table form.
+                # Non-equality correlation lifted out of the body flows
+                # into the aggregated-flag path below.
+                ex, eph = self._exists_body_rewrite(
+                    ex, taken, mode=mode,
+                    cyclic_strategy=cyclic_strategy, count_mode=count_mode,
                 )
+                ephemeral.extend(eph)
             if ex.table_alias in taken:
                 raise UnsupportedSqlError(
                     f"EXISTS alias {ex.table_alias!r} shadows an outer alias"
@@ -841,6 +883,8 @@ class SparkSQLPlus:
 
             inner_only: list = []
             keys: list[tuple] = []  # (outer Col, inner column name)
+            noneq: list[tuple] = []  # (op, outer Col, inner column name)
+            # op oriented as <inner col> op <outer col>
             for c in ex.conds:
                 sides = {
                     "inner" if is_inner(a, cn) else "outer"
@@ -851,7 +895,6 @@ class SparkSQLPlus:
                     continue
                 ok = (
                     isinstance(c, Cmp)
-                    and c.op == "="
                     and isinstance(c.left, Col)
                     and isinstance(c.right, Col)
                     and sides == {"inner", "outer"}
@@ -859,15 +902,71 @@ class SparkSQLPlus:
                 if not ok:
                     raise UnsupportedSqlError(
                         "EXISTS under OR supports inner-local predicates "
-                        "and Col-Col equality correlation only"
+                        "and Col-Col correlation only"
                     )
-                if is_inner(c.left.alias, c.left.name):
-                    keys.append((c.right, c.left.name))
+                left_inner = is_inner(c.left.alias, c.left.name)
+                if c.op == "=":
+                    if left_inner:
+                        keys.append((c.right, c.left.name))
+                    else:
+                        keys.append((c.left, c.right.name))
+                elif left_inner:
+                    noneq.append((c.op, c.right, c.left.name))
                 else:
-                    keys.append((c.left, c.right.name))
+                    from sparksqlplus_spark.expressions import CMP_FLIP
+
+                    noneq.append((CMP_FLIP[c.op], c.left, c.right.name))
+            if noneq:
+                # round 10 (r9 verdict item 8): ONE non-equality
+                # correlation composes via a per-key AGGREGATE flag
+                # view — EXISTS(i: i.c < o.e) per key group is exactly
+                # MIN(i.c) < o.e (MAX for >/>=; <> needs min+max:
+                # some value differs iff an extreme does). The view
+                # stays one row per key, so the LEFT flag join never
+                # duplicates. Out of subset (fallback): two+ non-eq
+                # conjuncts (min/max of different columns lose the
+                # single-witness requirement), keyless non-eq, and
+                # NOT IN whose inner set depends on the probe row.
+                if ex.null_aware and ex.negated:
+                    raise UnsupportedSqlError(
+                        "NOT IN under OR with correlated WHERE is not "
+                        "in the subset (the inner set is probe-"
+                        "dependent)"
+                    )
+                if len(noneq) > 1:
+                    raise UnsupportedSqlError(
+                        "at most one non-equality correlation under OR"
+                    )
+                if not keys:
+                    raise UnsupportedSqlError(
+                        "non-equality correlation under OR needs an "
+                        "equality key"
+                    )
+                return self._or_exists_noneq_flag(
+                    ex, keys, noneq[0], inner_only, spec, ephemeral
+                )
             if not keys:
                 # uncorrelated: constant gate, folded at plan time
-                # (LIMIT-1 probe — the scan short-circuits)
+                # (LIMIT-1 probe — the scan short-circuits).
+                #
+                # A constant-probe null-aware NOT IN
+                # (`P OR 5 NOT IN (SELECT x FROM t)`) lands here — its
+                # probe conjunct `5 = x` is inner-only, so keys is
+                # empty — but folding it two-valued is wrong: with a
+                # NULL in the set and no match SQL yields UNKNOWN, and
+                # `P OR UNKNOWN` must NOT keep rows where P is false.
+                # The probe equality is indistinguishable from an inner
+                # WHERE conjunct here, so the n/nn fold below (which
+                # needs the probe separated out) cannot apply; raise so
+                # mode='auto' takes the spark.sql fallback (round-10
+                # advice fix). Positive IN folds identically under OR
+                # two- or three-valued (UNKNOWN→FALSE both drop), so it
+                # stays on the fold.
+                if ex.null_aware and ex.negated:
+                    raise UnsupportedSqlError(
+                        "constant-probe NOT IN (subquery) under OR is "
+                        "three-valued; not planned natively"
+                    )
                 inner = self.catalog.get(ex.table).load(self.spark)
                 imap = {("", cn): cn for cn in inner.columns}
                 imap.update(
@@ -924,9 +1023,19 @@ class SparkSQLPlus:
                 #   set has a NULL   -> every unmatched probe UNKNOWN
                 #   NULL probe       -> UNKNOWN (non-empty set)
                 #   else             -> TRUE
+                if len(keys) == 2:
+                    # round 10 (r9 verdict item 6): row-value NOT IN
+                    # under OR via NULL-pattern-decomposed flag joins
+                    # (the M full-match join was appended above).
+                    return self._rowvalue_not_in_or_flag(
+                        ex, keys, inner_only, spec, ephemeral,
+                        matched_flag=flag,
+                    )
                 if len(keys) != 1:
                     raise UnsupportedSqlError(
-                        "row-value NOT IN under OR is not in the subset"
+                        "row-value NOT IN under OR supports at most 2 "
+                        "columns (the NULL-pattern flag decomposition "
+                        "is 3^k joins)"
                     )
                 from sparksqlplus_spark.expressions import CaseWhen
 
@@ -960,11 +1069,213 @@ class SparkSQLPlus:
                 )
             return IsNull(flag, negated=not ex.negated)
 
-        spec.where = [
-            c if isinstance(c, Exists) else map_expr(c, lift)
-            for c in spec.where
-        ]
+        try:
+            spec.where = [
+                c if isinstance(c, Exists) else map_expr(c, lift)
+                for c in spec.where
+            ]
+        except Exception:
+            # a later Exists in the same WHERE may reject after earlier
+            # ones registered flag views — unregister them here, since
+            # on a raise the caller never receives the name list
+            for n in ephemeral:
+                self.catalog.unregister(n)
+            raise
         return ephemeral
+
+    def _or_exists_noneq_flag(
+        self, ex, keys, nq, inner_only, spec, ephemeral
+    ):
+        """One non-equality correlation under OR'd [NOT] EXISTS
+        (round 10, r9 verdict item 8 — the Q21-shaped ``l2.suppkey <>
+        l1.suppkey`` predicate): plan a per-key AGGREGATE flag view.
+        ``EXISTS(i: i.c OP o.e)`` within the key group holds iff an
+        extreme value does — MIN for </<=, MAX for >/>=, and for <>
+        "some value differs" iff MIN differs or MAX differs. GROUP BY
+        keeps the view one row per key, so the LEFT flag join never
+        duplicates outer rows; the join is broadcastable like the
+        DISTINCT-key flag views. EXISTS stays two-valued: a NULL
+        extreme (all-NULL group) or a NULL outer operand means "no
+        witness" — the CASE wrapper folds UNKNOWN to the miss value."""
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import (
+            AndCond,
+            CaseWhen,
+            Cmp,
+            Col,
+            IsNull,
+            Lit,
+            OrCond,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+
+        op, oc_out, ne_col = nq
+        if op not in ("<", "<=", ">", ">=", "<>"):
+            raise UnsupportedSqlError(
+                f"correlation op {op!r} under OR is not in the subset"
+            )
+        inner = self.catalog.get(ex.table).load(self.spark)
+        imap = {("", cn): cn for cn in inner.columns}
+        imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
+        for c in inner_only:
+            inner = inner.filter(c.to_spark(imap))
+        key_sel: dict[str, str] = {}
+        for _, icol in keys:
+            key_sel.setdefault(icol, f"__f{len(key_sel)}")
+        aggs = []
+        if op in ("<", "<=", "<>"):
+            aggs.append(F.min(ne_col).alias("__mn"))
+        if op in (">", ">=", "<>"):
+            aggs.append(F.max(ne_col).alias("__mx"))
+        view = inner.groupBy(
+            *[F.col(icol).alias(out) for icol, out in key_sel.items()]
+        ).agg(*aggs)
+        self._view_counter += 1
+        vname = f"__orx{self._view_counter}"
+        self.catalog.register_df(vname, view, tuple(key_sel.values()))
+        ephemeral.append(vname)
+        valias = f"{vname}_i"
+        spec.outer_joins.append(
+            OuterJoin(
+                item=FromItem(alias=valias, table=vname),
+                conds=[
+                    Cmp("=", oc, Col(valias, key_sel[icol]))
+                    for oc, icol in keys
+                ],
+                side="left",
+            )
+        )
+        matched = IsNull(Col(valias, key_sel[keys[0][1]]), negated=True)
+        if op == "<>":
+            witness = OrCond(
+                (
+                    Cmp("<>", Col(valias, "__mn"), oc_out),
+                    Cmp("<>", Col(valias, "__mx"), oc_out),
+                )
+            )
+        elif op in ("<", "<="):
+            witness = Cmp(op, Col(valias, "__mn"), oc_out)
+        else:
+            witness = Cmp(op, Col(valias, "__mx"), oc_out)
+        raw = AndCond((matched, witness))
+        hit = Lit(not ex.negated, "boolean")
+        miss = Lit(bool(ex.negated), "boolean")
+        return CaseWhen(((raw, hit),), miss)
+
+    def _rowvalue_not_in_or_flag(
+        self, ex, keys, inner_only, spec, ephemeral, matched_flag
+    ):
+        """Two-column row-value NOT IN under OR (round 10, r9 verdict
+        item 6): a THREE-VALUED flag via NULL-pattern decomposition,
+        generalizing the single-key path. Per probe (a, b):
+
+          FALSE    iff some inner tuple fully matches (the all-key
+                   equality LEFT JOIN the caller already appended —
+                   ``matched_flag``; NULL-bearing view rows can never
+                   equi-match, so it is exactly the non-null match);
+          UNKNOWN  iff unmatched but some inner tuple is COMPATIBLE —
+                   every position is probe-NULL, inner-NULL, or equal;
+          TRUE     otherwise (incl. the empty set, folded plan-time).
+
+        Compatibility cannot hash-join directly (the per-position OR),
+        so it decomposes by the inner tuples' NULL pattern S and the
+        probe's NULL positions: positions in neither are an equi join
+        against the DISTINCT projection of the pattern's rows, probe-
+        NULL positions gate the branch with IS NULL conjuncts. Every
+        view is DISTINCT on its single join column — no duplication —
+        and an all-NULL inner tuple short-circuits (every unmatched
+        probe is UNKNOWN, no extra joins). ≤5 flag joins total for
+        k=2; the 3^k growth is why k>=3 stays on the fallback. The
+        pattern census is one metadata-scale collect (≤4 rows), same
+        class as the single-key n/nn stats."""
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import (
+            AndCond,
+            CaseWhen,
+            Cmp,
+            Col,
+            IsNull,
+            Lit,
+            OrCond,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+
+        (ov1, ic1), (ov2, ic2) = keys
+        inner = self.catalog.get(ex.table).load(self.spark)
+        imap = {("", cn): cn for cn in inner.columns}
+        imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
+        for c in inner_only:
+            inner = inner.filter(c.to_spark(imap))
+        pats = {
+            (r["n1"], r["n2"])
+            for r in inner.groupBy(
+                F.col(ic1).isNull().alias("n1"),
+                F.col(ic2).isNull().alias("n2"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        if not pats:
+            # empty inner set keeps every probe; the appended M join
+            # is a no-op against the empty view
+            return Lit(True, "boolean")
+        matched = IsNull(matched_flag, negated=True)
+        if (True, True) in pats:
+            return CaseWhen(
+                ((matched, Lit(False, "boolean")),), Lit(None, "null")
+            )
+
+        def flag_join(df_view, outer_col):
+            self._view_counter += 1
+            vname = f"__orx{self._view_counter}"
+            self.catalog.register_df(vname, df_view, ("__p",))
+            ephemeral.append(vname)
+            valias = f"{vname}_i"
+            spec.outer_joins.append(
+                OuterJoin(
+                    item=FromItem(alias=valias, table=vname),
+                    conds=[Cmp("=", outer_col, Col(valias, "__p"))],
+                    side="left",
+                )
+            )
+            return IsNull(Col(valias, "__p"), negated=True)
+
+        c1, c2 = F.col(ic1), F.col(ic2)
+        branches = []
+        if (True, False) in pats:  # inner tuples NULL at position 1
+            f = flag_join(
+                inner.filter(c1.isNull() & c2.isNotNull())
+                .select(c2.alias("__p"))
+                .distinct(),
+                ov2,
+            )
+            branches.append(OrCond((IsNull(ov2), f)))
+        if (False, True) in pats:  # inner tuples NULL at position 2
+            f = flag_join(
+                inner.filter(c1.isNotNull() & c2.isNull())
+                .select(c1.alias("__p"))
+                .distinct(),
+                ov1,
+            )
+            branches.append(OrCond((IsNull(ov1), f)))
+        if (False, False) in pats:  # fully non-NULL inner tuples
+            nn = inner.filter(c1.isNotNull() & c2.isNotNull())
+            f2 = flag_join(nn.select(c2.alias("__p")).distinct(), ov2)
+            branches.append(AndCond((IsNull(ov1), f2)))
+            f1 = flag_join(nn.select(c1.alias("__p")).distinct(), ov1)
+            branches.append(AndCond((IsNull(ov2), f1)))
+            branches.append(AndCond((IsNull(ov1), IsNull(ov2))))
+        whens = [(matched, Lit(False, "boolean"))]
+        if branches:
+            compat = (
+                branches[0]
+                if len(branches) == 1
+                else OrCond(tuple(branches))
+            )
+            whens.append((compat, Lit(None, "null")))
+        return CaseWhen(tuple(whens), Lit(True, "boolean"))
 
     def _plan_subqueries(
         self,
@@ -2233,6 +2544,15 @@ class SparkSQLPlus:
         return "\n".join(lines)
 
     def _ensure_views(self) -> None:
+        """Publish catalog tables as Spark temp views so the
+        mode='auto' spark.sql fallback resolves them: path-backed
+        scans AND user-registered DataFrames (round 10 — previously
+        register_df tables were invisible to the fallback). Internal
+        ephemeral plan views (``__``-prefixed) stay private."""
         for meta in self.catalog.tables():
-            if meta.df is None and meta.path:
+            if meta.name.startswith("__"):
+                continue
+            if meta.df is not None:
+                meta.df.createOrReplaceTempView(meta.name)
+            elif meta.path:
                 meta.load(self.spark).createOrReplaceTempView(meta.name)

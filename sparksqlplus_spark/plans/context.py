@@ -425,6 +425,24 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             # so the gate costs one metadata-scale scan regardless of
             # outer size); attachment point is arbitrary since the
             # gate keeps either every row or none.
+            #
+            # A CONSTANT-PROBE null-aware NOT IN lands here too
+            # (`5 NOT IN (SELECT x FROM t)`: the probe conjunct
+            # `5 = x` has inner-only refs, so keys is empty) — but its
+            # three-valued semantics differ from NOT EXISTS: a NULL in
+            # the inner set with no match yields UNKNOWN (drop every
+            # row), while the keyless gate would keep them. The probe
+            # equality is indistinguishable from an ordinary inner
+            # WHERE conjunct at this point, so it cannot be planned
+            # here; raise so mode='auto' routes to the spark.sql
+            # fallback (round-10 advice fix). Positive IN is
+            # two-valued-equivalent under WHERE (UNKNOWN filters like
+            # FALSE) and stays on the gate.
+            if ex.null_aware and ex.negated:
+                raise UnsupportedSqlError(
+                    "constant-probe NOT IN (subquery) is three-valued; "
+                    "not planned natively"
+                )
             semi_filters.setdefault(relations[0].rid, []).append(
                 SemiFilter(
                     negated=ex.negated,

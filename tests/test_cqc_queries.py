@@ -1231,3 +1231,208 @@ def test_not_in_under_or_three_valued(engine, oracle):
         engine.catalog.unregister("o_inner")
         con.execute("DROP TABLE o_probe")
         con.execute("DROP TABLE o_inner")
+
+
+def test_constant_probe_not_in_three_valued(engine, oracle):
+    """Constant-probe NOT IN (round-10 advice fix): `5 NOT IN (SELECT
+    x ...)` has a keyless Exists (the probe conjunct `5 = x` is
+    inner-only), and the keyless gate is two-valued — with a NULL in
+    the inner set and no match, SQL yields UNKNOWN (drop ALL rows)
+    while the gate would keep them. Native modes must now REJECT the
+    negated shape (top level and under OR) so mode='auto' falls back
+    to spark.sql with correct three-valued results; positive IN stays
+    native (two-valued-equivalent under WHERE)."""
+    import pandas as pd
+    import pytest
+
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+    spark = engine.spark
+    probe_pdf = pd.DataFrame({"pk": [1, 2, 3, 4]})
+    inner_pdf = pd.DataFrame({"iv": [10, None]})
+    engine.catalog.register_df(
+        "c_probe", spark.createDataFrame(probe_pdf, "pk int"), ("pk",)
+    )
+    engine.catalog.register_df(
+        "c_inner",
+        spark.createDataFrame(
+            inner_pdf.astype(object).where(inner_pdf.notna(), None), "iv int"
+        ),
+        (),
+    )
+    con = oracle
+    con.execute("CREATE OR REPLACE TABLE c_probe AS SELECT * FROM probe_pdf")
+    con.execute("CREATE OR REPLACE TABLE c_inner AS SELECT * FROM inner_pdf")
+    try:
+        # NULL element + no match -> UNKNOWN -> zero rows
+        q_top = """SELECT p.pk FROM c_probe AS p
+                   WHERE 5 NOT IN (SELECT iv FROM c_inner AS i)"""
+        # matched probe -> FALSE -> zero rows (no NULL ambiguity)
+        q_hit = """SELECT p.pk FROM c_probe AS p
+                   WHERE 10 NOT IN (SELECT iv FROM c_inner AS i)"""
+        # under OR: UNKNOWN must not rescue rows where pk <> 4
+        q_or = """SELECT p.pk FROM c_probe AS p
+                  WHERE p.pk = 4
+                     OR 5 NOT IN (SELECT iv FROM c_inner AS i)"""
+        for q in (q_top, q_hit, q_or):
+            with pytest.raises(UnsupportedSqlError):
+                engine.sql(q, mode="cqc")
+            assert_matches(engine.sql(q, mode="auto"), con, q)
+        # positive constant-probe IN stays native and correct
+        q_pos = """SELECT p.pk FROM c_probe AS p
+                   WHERE 10 IN (SELECT iv FROM c_inner AS i)"""
+        q_pos_or = """SELECT p.pk FROM c_probe AS p
+                      WHERE p.pk = 4
+                         OR 5 IN (SELECT iv FROM c_inner AS i)"""
+        for q in (q_pos, q_pos_or):
+            for mode in ("cqc", "auto"):
+                assert_matches(engine.sql(q, mode=mode), con, q)
+    finally:
+        engine.catalog.unregister("c_probe")
+        engine.catalog.unregister("c_inner")
+        con.execute("DROP TABLE c_probe")
+        con.execute("DROP TABLE c_inner")
+
+
+def test_exists_join_body_under_or(engine, oracle):
+    """Round 10: EXISTS with a JOIN body under OR — the body plans as
+    a composite DISTINCT view (same rewrite as the top-level conjunct
+    path), then the OR lift's LEFT-JOIN flag applies. Also the NOT
+    variant and a non-equality correlation lifted out of the body."""
+    cases = [
+        # join body, equality correlation
+        """SELECT o.o_orderkey, o.o_orderpriority FROM orders AS o
+           WHERE o.o_totalprice > 400000.0
+              OR EXISTS (SELECT 1 FROM lineitem AS l, supplier AS s
+                         WHERE l.l_suppkey = s.s_suppkey
+                           AND l.l_orderkey = o.o_orderkey
+                           AND s.s_acctbal > 9900.0)""",
+        # NOT EXISTS join body under OR
+        """SELECT o.o_orderkey FROM orders AS o
+           WHERE o.o_totalprice > 420000.0
+              OR NOT EXISTS (SELECT 1 FROM lineitem AS l, supplier AS s
+                             WHERE l.l_suppkey = s.s_suppkey
+                               AND l.l_orderkey = o.o_orderkey
+                               AND s.s_acctbal > 1000.0)""",
+        # body + NON-EQUALITY correlation (composes with the
+        # aggregated-flag path)
+        """SELECT o.o_orderkey FROM orders AS o
+           WHERE o.o_totalprice > 420000.0
+              OR EXISTS (SELECT 1 FROM lineitem AS l, part AS p
+                         WHERE l.l_partkey = p.p_partkey
+                           AND l.l_orderkey = o.o_orderkey
+                           AND p.p_retailprice > o.o_totalprice)""",
+    ]
+    for sql in cases:
+        for mode in ("cqc", "naive"):
+            df = engine.sql(sql, mode=mode)
+            # OR-lifted queries run with ANSI bag semantics
+            assert_matches(df, oracle, sql)
+
+
+def test_noneq_correlation_under_or(engine, oracle):
+    """Round 10 (r9 verdict item 8): ONE non-equality correlation
+    under OR'd [NOT] EXISTS plans as a per-key MIN/MAX aggregate flag
+    view (a <> witness exists iff an extreme differs; < iff the MIN
+    is below). Covers <>, <, > and the NOT variant."""
+    cases = [
+        # Q21-shaped <>
+        """SELECT l1.l_orderkey, l1.l_linenumber FROM lineitem AS l1
+           WHERE l1.l_quantity > 49.0
+              OR EXISTS (SELECT 1 FROM lineitem AS l2
+                         WHERE l2.l_orderkey = l1.l_orderkey
+                           AND l2.l_suppkey <> l1.l_suppkey
+                           AND l2.l_quantity > 48.0)""",
+        # NOT EXISTS with >
+        """SELECT l1.l_orderkey, l1.l_linenumber FROM lineitem AS l1
+           WHERE l1.l_quantity > 49.0
+              OR NOT EXISTS (SELECT 1 FROM lineitem AS l2
+                             WHERE l2.l_orderkey = l1.l_orderkey
+                               AND l2.l_shipdate > l1.l_shipdate)""",
+        # EXISTS with <
+        """SELECT s.s_suppkey, s.s_name FROM supplier AS s
+           WHERE s.s_acctbal > 9990.0
+              OR EXISTS (SELECT 1 FROM lineitem AS l
+                         WHERE l.l_suppkey = s.s_suppkey
+                           AND l.l_extendedprice < s.s_acctbal
+                           AND l.l_quantity > 49.0)""",
+    ]
+    for sql in cases:
+        for mode in ("cqc", "naive"):
+            df = engine.sql(sql, mode=mode)
+            # OR-lifted queries run with ANSI bag semantics
+            assert_matches(df, oracle, sql)
+
+
+def test_rowvalue_not_in_under_or_null_matrix(engine, oracle):
+    """Round 10 (r9 verdict item 6): 2-column row-value NOT IN under
+    OR — three-valued flag via NULL-pattern-decomposed joins. The
+    DuckDB oracle is the NOT-EXISTS compatibility expansion (UNKNOWN
+    and FALSE filter identically at the top level, so it is
+    WHERE-context equivalent). Probe rows cover every probe NULL
+    pattern; inner sets cover every inner pattern combination."""
+    import pandas as pd
+
+    spark = engine.spark
+    probe = [(i, a, b) for i, (a, b) in enumerate(
+        [(1, 1), (1, 2), (2, 9), (None, 1), (None, 9),
+         (1, None), (9, None), (None, None), (3, 3), (9, 9)])]
+    inner_sets = {
+        "empty": [],
+        "nonull": [(1, 1), (2, 2)],
+        "null1": [(None, 1), (2, 2)],
+        "null2": [(1, None), (3, 3)],
+        "bothnull": [(None, None), (1, 1)],
+        "mixed": [(None, 1), (1, None), (2, 2)],
+        "null1_only": [(None, 2)],
+    }
+    ppdf = pd.DataFrame(probe, columns=["pk", "pa", "pb"])
+    engine.catalog.register_df(
+        "rv_probe",
+        spark.createDataFrame(
+            ppdf.astype(object).where(ppdf.notna(), None),
+            "pk int, pa int, pb int",
+        ),
+        ("pk",),
+    )
+    con = oracle
+    con.execute("CREATE OR REPLACE TABLE rv_probe AS SELECT * FROM ppdf")
+    q = """SELECT p.pk FROM rv_probe AS p
+           WHERE p.pk = 0
+              OR (p.pa, p.pb) NOT IN (SELECT ia, ib FROM rv_inner AS i
+                                      WHERE i.ib IS NULL OR i.ib < 100)"""
+    ora = """SELECT p.pk FROM rv_probe AS p
+             WHERE p.pk = 0
+                OR NOT EXISTS (SELECT 1 FROM rv_inner AS i
+                     WHERE (i.ib IS NULL OR i.ib < 100)
+                       AND (p.pa = i.ia OR p.pa IS NULL OR i.ia IS NULL)
+                       AND (p.pb = i.ib OR p.pb IS NULL OR i.ib IS NULL))"""
+    try:
+        for name, rows in inner_sets.items():
+            if rows:
+                ipdf = pd.DataFrame(rows, columns=["ia", "ib"])
+            else:
+                ipdf = pd.DataFrame(
+                    {"ia": pd.Series([], dtype="Int64"),
+                     "ib": pd.Series([], dtype="Int64")}
+                )
+            engine.catalog.register_df(
+                "rv_inner",
+                spark.createDataFrame(
+                    ipdf.astype(object).where(ipdf.notna(), None),
+                    "ia int, ib int",
+                ),
+                (),
+            )
+            con.execute(
+                "CREATE OR REPLACE TABLE rv_inner AS SELECT * FROM ipdf"
+            )
+            try:
+                for mode in ("cqc", "naive"):
+                    assert_matches(engine.sql(q, mode=mode), con, ora)
+            finally:
+                engine.catalog.unregister("rv_inner")
+            con.execute("DROP TABLE rv_inner")
+    finally:
+        engine.catalog.unregister("rv_probe")
+        con.execute("DROP TABLE rv_probe")
