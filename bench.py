@@ -59,8 +59,14 @@ HEADLINE = [
     # bench exercised break-path cyclic queries but never the
     # hypercube kernel or a binary-join-in-bag GHD plan, so a
     # regression in operators/wcoj.py or plans/cyclic.py:_eval_bag was
-    # invisible round-over-round.
-    "graph_chorded_k4_ghd",
+    # invisible round-over-round. Pentagon chosen over chorded-k4:
+    # auto ITSELF routes C5 to the GHD+WCOJ plan (measured r10:
+    # c5 auto==ghd ~3.5-5.8 s warm vs break-dominated alternatives),
+    # so the benched number is the plan users actually get — while
+    # chorded-k4's auto choice is break (~1.4-2.0 s; forced GHD 5.4 s
+    # would time a strategy auto correctly avoids, the asof-style
+    # measurement mistake r9 flagged).
+    "graph_c5_pentagon_ghd",
 ]
 
 
