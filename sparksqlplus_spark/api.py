@@ -954,19 +954,52 @@ class SparkSQLPlus:
                 # probe conjunct `5 = x` is inner-only, so keys is
                 # empty — but folding it two-valued is wrong: with a
                 # NULL in the set and no match SQL yields UNKNOWN, and
-                # `P OR UNKNOWN` must NOT keep rows where P is false.
-                # The probe equality is indistinguishable from an inner
-                # WHERE conjunct here, so the n/nn fold below (which
-                # needs the probe separated out) cannot apply; raise so
-                # mode='auto' takes the spark.sql fallback (round-10
-                # advice fix). Positive IN folds identically under OR
-                # two- or three-valued (UNKNOWN→FALSE both drop), so it
-                # stays on the fold.
+                # `P OR UNKNOWN` must NOT keep rows where P is false
+                # (round-10 advice fix). The parser marks probe
+                # conjuncts (Exists.n_probe), so a LITERAL probe folds
+                # three-valued at plan time from the set's stats —
+                # empty TRUE, matched FALSE, has-NULL/NULL-probe
+                # UNKNOWN, else TRUE; non-literal probes raise so
+                # mode='auto' takes the spark.sql fallback. Positive
+                # IN folds identically under OR two- or three-valued
+                # (UNKNOWN→FALSE both drop), so it stays on the
+                # LIMIT-1 fold.
                 if ex.null_aware and ex.negated:
-                    raise UnsupportedSqlError(
-                        "constant-probe NOT IN (subquery) under OR is "
-                        "three-valued; not planned natively"
+                    probe = ex.conds[0] if ex.n_probe == 1 else None
+                    ok = (
+                        isinstance(probe, Cmp)
+                        and probe.op == "="
+                        and isinstance(probe.left, Col)
+                        and isinstance(probe.right, Lit)
                     )
+                    if not ok:
+                        raise UnsupportedSqlError(
+                            "non-literal constant-probe NOT IN "
+                            "(subquery) under OR is three-valued; not "
+                            "planned natively"
+                        )
+                    inner = self.catalog.get(ex.table).load(self.spark)
+                    imap = {("", cn): cn for cn in inner.columns}
+                    imap.update(
+                        {(ex.table_alias, cn): cn for cn in inner.columns}
+                    )
+                    for c in inner_only:
+                        if c is not probe:
+                            inner = inner.filter(c.to_spark(imap))
+                    pl = probe.right.to_spark({})
+                    ic = probe.left.name
+                    st = inner.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.count(F.col(ic)).alias("nn"),
+                        F.count(F.when(F.col(ic) == pl, 1)).alias("m"),
+                    ).collect()[0]
+                    if st["n"] == 0:
+                        return Lit(True, "boolean")
+                    if st["m"] > 0:
+                        return Lit(False, "boolean")
+                    if st["nn"] < st["n"] or probe.right.value is None:
+                        return Lit(None, "null")
+                    return Lit(True, "boolean")
                 inner = self.catalog.get(ex.table).load(self.spark)
                 imap = {("", cn): cn for cn in inner.columns}
                 imap.update(

@@ -98,6 +98,32 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
     imap = {("", c): c for c in inner.columns}
     for cond in sf.inner_filters:
         inner = inner.filter(cond.to_spark(imap))
+    if sf.const_probe is not None:
+        # CONSTANT-probe NOT IN (round 10): `5 NOT IN (SELECT x ...)`
+        # — no correlation keys, but full three-valued semantics:
+        #   empty set               -> keep every row
+        #   probe matched           -> drop every row
+        #   set has NULL / probe    -> UNKNOWN -> drop every row
+        #     NULL (non-empty set)
+        #   else                    -> keep every row
+        # One broadcast one-row stats aggregate decides the gate —
+        # same zero-collect shape as the single-key null-aware path.
+        probe_lit, ic = sf.const_probe
+        pl = probe_lit.to_spark({})
+        stats = inner.agg(
+            F.count(F.lit(1)).alias(f"{prefix}_n"),
+            F.count(F.col(ic)).alias(f"{prefix}_nn"),
+            F.count(F.when(F.col(ic) == pl, 1)).alias(f"{prefix}_m"),
+        )
+        out = df.join(F.broadcast(stats), how="cross")
+        keep = (F.col(f"{prefix}_n") == 0) | (
+            (F.col(f"{prefix}_m") == 0)
+            & (F.col(f"{prefix}_n") == F.col(f"{prefix}_nn"))
+            & pl.isNotNull()
+        )
+        return out.filter(keep).drop(
+            f"{prefix}_n", f"{prefix}_nn", f"{prefix}_m"
+        )
     if not sf.keys and not sf.extra:
         # uncorrelated [NOT] EXISTS: a constant gate. LIMIT 1 bounds
         # the probe (EXISTS only needs >= 1 row, so the scan

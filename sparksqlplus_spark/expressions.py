@@ -529,6 +529,14 @@ class Exists(Cond):
     # view and rewrites this node to the single-table shape above;
     # table/table_alias/conds are empty placeholders while body is set.
     body: object | None = None
+    # set by the IN (subquery) desugar: the FIRST n_probe conds are the
+    # probe equalities (`probe_expr = inner_col`, one per row-value
+    # position). Lets the keyless planners tell a CONSTANT probe
+    # (`5 NOT IN (SELECT x ...)` — inner-only refs, so it otherwise
+    # looks like an ordinary inner WHERE conjunct) apart from genuine
+    # inner filters, which NOT IN's three-valued logic requires
+    # (round 10). 0 for genuine EXISTS.
+    n_probe: int = 0
 
     def refs(self):
         if self.body is not None:
@@ -640,6 +648,7 @@ def map_expr(node, fn):
             node.negated,
             node.null_aware,
             node.body,
+            node.n_probe,
         )
     raise TypeError(f"unknown node {type(node)}")
 
@@ -700,5 +709,6 @@ def rewrite_refs(node, mapping: dict[tuple[str, str], tuple[str, str]]):
             node.negated,
             node.null_aware,
             node.body,
+            node.n_probe,
         )
     raise TypeError(f"unknown node {type(node)}")

@@ -20,6 +20,7 @@ from sparksqlplus_spark.expressions import (
     Cond,
     Exists,
     Expr,
+    Lit,
     Star,
     rewrite_refs,
 )
@@ -136,6 +137,13 @@ class SemiFilter:
     # Only the single-key, no-extra shape is admitted (build_context
     # validates); ignored when negated=False.
     null_aware: bool = False
+    # CONSTANT-probe NOT IN (round 10): `5 NOT IN (SELECT x ...)` has
+    # no correlation keys (the probe conjunct is inner-only), but its
+    # three-valued gate still needs the probe separated from genuine
+    # inner filters — (probe Lit, inner column name). The executor
+    # plans a broadcast one-row stats gate (empty set / matched /
+    # has-NULL), zero collects. None for every other shape.
+    const_probe: tuple | None = None
 
 
 @dataclass
@@ -428,21 +436,53 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             #
             # A CONSTANT-PROBE null-aware NOT IN lands here too
             # (`5 NOT IN (SELECT x FROM t)`: the probe conjunct
-            # `5 = x` has inner-only refs, so keys is empty) — but its
+            # `5 = x` has inner-only refs, so keys is empty) — and its
             # three-valued semantics differ from NOT EXISTS: a NULL in
             # the inner set with no match yields UNKNOWN (drop every
-            # row), while the keyless gate would keep them. The probe
-            # equality is indistinguishable from an ordinary inner
-            # WHERE conjunct at this point, so it cannot be planned
-            # here; raise so mode='auto' routes to the spark.sql
-            # fallback (round-10 advice fix). Positive IN is
+            # row), while the keyless gate would keep them. The parser
+            # marks probe conjuncts (Exists.n_probe), so a LITERAL
+            # probe separates from genuine inner filters and plans as
+            # a const-probe SemiFilter (broadcast one-row stats gate,
+            # round 10); a non-literal inner-scoped probe stays
+            # unsupported — raise so mode='auto' routes to the
+            # spark.sql fallback (the r10 advice fix: this shape was
+            # silently two-valued before). Positive IN is
             # two-valued-equivalent under WHERE (UNKNOWN filters like
             # FALSE) and stays on the gate.
             if ex.null_aware and ex.negated:
-                raise UnsupportedSqlError(
-                    "constant-probe NOT IN (subquery) is three-valued; "
-                    "not planned natively"
+                # the probe is conds[0] (parser contract, n_probe) and
+                # — keyless means it has no outer refs — lands as the
+                # FIRST inner_only element, resolved to ("", col) refs
+                probe = (
+                    inner_only[0]
+                    if ex.n_probe == 1 and inner_only
+                    else None
                 )
+                lit_side = icol_side = None
+                if (
+                    isinstance(probe, Cmp)
+                    and probe.op == "="
+                    and isinstance(probe.right, Lit)
+                    and isinstance(probe.left, Col)
+                ):
+                    lit_side, icol_side = probe.right, probe.left
+                if lit_side is None:
+                    raise UnsupportedSqlError(
+                        "non-literal constant-probe NOT IN (subquery) "
+                        "is three-valued; not planned natively"
+                    )
+                semi_filters.setdefault(relations[0].rid, []).append(
+                    SemiFilter(
+                        negated=True,
+                        table=ex.table,
+                        keys=(),
+                        inner_filters=tuple(inner_only[1:]),
+                        extra=(),
+                        null_aware=True,
+                        const_probe=(lit_side, icol_side.name),
+                    )
+                )
+                continue
             semi_filters.setdefault(relations[0].rid, []).append(
                 SemiFilter(
                     negated=ex.negated,
@@ -541,7 +581,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             # percentile(value, 0.5) (an aggregate this subset doesn't
             # model) must be rejected HERE so mode='auto' can fall back
             # to spark.sql instead of dying mid-plan.
-            from sparksqlplus_spark.expressions import Lit, map_expr
+            from sparksqlplus_spark.expressions import map_expr
 
             for sub in _agg_subcalls(expr):
                 aggregations.append((f"__agg_{len(aggregations)}", sub))
@@ -630,7 +670,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
     # aggregate calls, nothing may still reference a base column (a
     # non-grouped reference would be ambiguous per group) ----------------
     if having:
-        from sparksqlplus_spark.expressions import Lit, map_expr
+        from sparksqlplus_spark.expressions import map_expr
 
         known_keys = {e.key() for e in group_by}
 

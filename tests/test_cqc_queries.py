@@ -1236,16 +1236,14 @@ def test_not_in_under_or_three_valued(engine, oracle):
 def test_constant_probe_not_in_three_valued(engine, oracle):
     """Constant-probe NOT IN (round-10 advice fix): `5 NOT IN (SELECT
     x ...)` has a keyless Exists (the probe conjunct `5 = x` is
-    inner-only), and the keyless gate is two-valued — with a NULL in
-    the inner set and no match, SQL yields UNKNOWN (drop ALL rows)
-    while the gate would keep them. Native modes must now REJECT the
-    negated shape (top level and under OR) so mode='auto' falls back
-    to spark.sql with correct three-valued results; positive IN stays
-    native (two-valued-equivalent under WHERE)."""
+    inner-only), and the old keyless gate was two-valued — with a NULL
+    in the inner set and no match, SQL yields UNKNOWN (drop ALL rows)
+    while the gate kept them. The parser now marks probe conjuncts
+    (Exists.n_probe) so LITERAL probes plan natively three-valued: the
+    top-level form as a const-probe SemiFilter (broadcast stats gate),
+    the under-OR form as a plan-time three-valued fold. Positive IN
+    stays on the two-valued gate (WHERE-equivalent)."""
     import pandas as pd
-    import pytest
-
-    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
 
     spark = engine.spark
     probe_pdf = pd.DataFrame({"pk": [1, 2, 3, 4]})
@@ -1274,10 +1272,13 @@ def test_constant_probe_not_in_three_valued(engine, oracle):
         q_or = """SELECT p.pk FROM c_probe AS p
                   WHERE p.pk = 4
                      OR 5 NOT IN (SELECT iv FROM c_inner AS i)"""
-        for q in (q_top, q_hit, q_or):
-            with pytest.raises(UnsupportedSqlError):
-                engine.sql(q, mode="cqc")
-            assert_matches(engine.sql(q, mode="auto"), con, q)
+        # NULL-free set, unmatched probe -> TRUE -> all rows
+        q_free = """SELECT p.pk FROM c_probe AS p
+                    WHERE 99 NOT IN (SELECT iv FROM c_inner AS i
+                                     WHERE i.iv IS NOT NULL)"""
+        for q in (q_top, q_hit, q_or, q_free):
+            for mode in ("cqc", "naive", "auto"):
+                assert_matches(engine.sql(q, mode=mode), con, q)
         # positive constant-probe IN stays native and correct
         q_pos = """SELECT p.pk FROM c_probe AS p
                    WHERE 10 IN (SELECT iv FROM c_inner AS i)"""
