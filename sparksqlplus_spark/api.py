@@ -843,11 +843,14 @@ class SparkSQLPlus:
             map_expr(c, probe)
             return hit
 
+        # round 10: EXISTS also appears in SELECT items (the parser
+        # wraps it in a two-valued CaseWhen) — the same flag-join lift
+        # turns it into a projectable boolean
         if not any(
             has_nested_exists(c)
             for c in spec.where
             if not isinstance(c, Exists)
-        ):
+        ) and not any(has_nested_exists(si.expr) for si in spec.select):
             return []
         taken = {fi.alias for fi in spec.from_items} | {
             oj.item.alias for oj in spec.outer_joins
@@ -1107,6 +1110,8 @@ class SparkSQLPlus:
                 c if isinstance(c, Exists) else map_expr(c, lift)
                 for c in spec.where
             ]
+            for si in spec.select:
+                si.expr = map_expr(si.expr, lift)
         except Exception:
             # a later Exists in the same WHERE may reject after earlier
             # ones registered flag views — unregister them here, since
@@ -1592,6 +1597,7 @@ class SparkSQLPlus:
                 distinct=False,
                 order_by=[],
                 limit=None,
+                offset=None,
                 qualify=[],
             )
             mid = QuerySpec(
@@ -1611,6 +1617,7 @@ class SparkSQLPlus:
                 group_by=[],
                 order_by=spec.order_by,
                 limit=spec.limit,
+                offset=spec.offset,
             )
             return self._plan_spec(
                 outer, mode=mode, cyclic_strategy=cyclic_strategy,
@@ -1624,6 +1631,7 @@ class SparkSQLPlus:
             distinct=False,
             order_by=[],
             limit=None,
+            offset=None,
             qualify=[],
         )
         outer = QuerySpec(
@@ -1634,6 +1642,7 @@ class SparkSQLPlus:
             group_by=[],
             order_by=spec.order_by,
             limit=spec.limit,
+            offset=spec.offset,
         )
         return self._plan_spec(
             outer, mode=mode, cyclic_strategy=cyclic_strategy,
@@ -1990,10 +1999,11 @@ class SparkSQLPlus:
                 where=[rewrite_refs(c, remap) for c in post_where],
                 group_by=[rewrite_refs(qualify(e), remap) for e in spec.group_by],
                 order_by=[
-                    OrderItem(fix_order(oi.expr), oi.desc)
+                    OrderItem(fix_order(oi.expr), oi.desc, oi.nulls)
                     for oi in spec.order_by
                 ],
                 limit=spec.limit,
+                offset=spec.offset,
                 having=[rewrite_refs(qualify(c), remap) for c in spec.having],
                 group_mode=spec.group_mode,
                 grouping_sets=list(spec.grouping_sets),
@@ -2087,8 +2097,16 @@ class SparkSQLPlus:
                         "compound ORDER BY must name output columns"
                     )
                 col = F.col(e.name)
-                sort_exprs.append(col.desc() if oi.desc else col.asc())
+                if oi.nulls == "first":
+                    col = col.desc_nulls_first() if oi.desc else col.asc_nulls_first()
+                elif oi.nulls == "last":
+                    col = col.desc_nulls_last() if oi.desc else col.asc_nulls_last()
+                else:
+                    col = col.desc() if oi.desc else col.asc()
+                sort_exprs.append(col)
             acc = acc.orderBy(*sort_exprs)
+        if comp.offset is not None:
+            acc = acc.offset(comp.offset)
         if comp.limit is not None:
             acc = acc.limit(comp.limit)
         return acc

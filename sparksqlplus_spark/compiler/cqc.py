@@ -516,7 +516,7 @@ class CqcExecutor:
         for e in ctx.group_by:
             for a, c in e.refs():
                 needed.add(vm[(a, c)])
-        for e, _ in ctx.order_by:
+        for e, *_ in ctx.order_by:
             for a, c in e.refs():
                 if (a, c) in vm:
                     needed.add(vm[(a, c)])
@@ -789,7 +789,7 @@ class CqcExecutor:
         # ORDER BY: output aliases or exact output expressions only
         # (those are what _order_limit can resolve on the shaped frame)
         out_names = {n for n, _ in ctx.output}
-        for e, _ in ctx.order_by:
+        for e, *_ in ctx.order_by:
             if isinstance(e, Col) and e.alias == "" and e.name in out_names:
                 continue
             if any(oe.key() == e.key() for _, oe in ctx.output):
@@ -1099,7 +1099,7 @@ def finalize(result: DataFrame, ctx: Context) -> DataFrame:
                 name = n if oe.key() == sub.key() else f"__agg_{len(agg_cols)}"
                 phys[sub.key()] = name
                 agg_cols.append(mk_agg(sub).alias(name))
-        for e, _ in ctx.order_by:
+        for e, *_ in ctx.order_by:
             for sub in _agg_subcalls_of(e):
                 if sub.key() not in phys:
                     name = f"__agg_{len(agg_cols)}"
@@ -1158,7 +1158,7 @@ def finalize(result: DataFrame, ctx: Context) -> DataFrame:
             reb = _replace_known(oe, phys)
             out_cols.append(reb.to_spark(post_map).alias(n))
         keep_sorts = []
-        for i, (e, desc) in enumerate(ctx.order_by):
+        for i, (e, desc, nulls) in enumerate(ctx.order_by):
             if isinstance(e, Col) and e.alias == "":
                 continue  # resolved by output alias below
             reb = _replace_known(e, phys)
@@ -1170,7 +1170,7 @@ def finalize(result: DataFrame, ctx: Context) -> DataFrame:
         sort_cols: list[Column] = []
         helper_sorts: list[tuple[int, bool]] = []  # (order_by idx, desc)
         out_names = {n for n, _ in ctx.output}
-        for i, (e, desc) in enumerate(ctx.order_by):
+        for i, (e, desc, nulls) in enumerate(ctx.order_by):
             if isinstance(e, Col) and e.alias == "" and e.name in out_names:
                 continue  # sorts on an output alias; handled post-projection
             sort_cols.append(e.to_spark(var_map).alias(f"__sort_{i}"))
@@ -1197,10 +1197,21 @@ def finalize(result: DataFrame, ctx: Context) -> DataFrame:
     return result
 
 
+def _sort_col(col: Column, desc: bool, nulls: str | None) -> Column:
+    """ORDER BY direction + NULLS FIRST/LAST (round 10); None keeps
+    the Spark default (ASC nulls first, DESC nulls last — DuckDB
+    agrees, so oracles match without an explicit spec)."""
+    if nulls == "first":
+        return col.desc_nulls_first() if desc else col.asc_nulls_first()
+    if nulls == "last":
+        return col.desc_nulls_last() if desc else col.asc_nulls_last()
+    return col.desc() if desc else col.asc()
+
+
 def _order_limit(result: DataFrame, ctx: Context, post_agg: bool) -> DataFrame:
     if ctx.order_by:
         sort_exprs: list[Column] = []
-        for i, (e, desc) in enumerate(ctx.order_by):
+        for i, (e, desc, nulls) in enumerate(ctx.order_by):
             col = None
             if isinstance(e, Col) and e.alias == "":
                 if e.name in result.columns:
@@ -1218,8 +1229,12 @@ def _order_limit(result: DataFrame, ctx: Context, post_agg: bool) -> DataFrame:
                     col = e.to_spark(ctx.var_map)
                 else:
                     raise UnsupportedSqlError(f"cannot resolve ORDER BY expr {e.key()}")
-            sort_exprs.append(col.desc() if desc else col.asc())
+            sort_exprs.append(_sort_col(col, desc, nulls))
         result = result.orderBy(*sort_exprs)
+    if ctx.offset is not None:
+        # skip-then-take: Spark's offset composes with the sorted
+        # child; applying limit first would truncate the wrong rows
+        result = result.offset(ctx.offset)
     if ctx.limit is not None:
         result = result.limit(ctx.limit)
     return result

@@ -313,6 +313,8 @@ class WindowCall(Expr):
 
         if self.func in WINDOW_RANK_FUNCS:
             col = getattr(F, self.func)()
+        elif self.func == "ntile":
+            col = F.ntile(int(self.args[0].value))  # validated Lit
         elif self.func == "count" and isinstance(self.args[0], Star):
             col = F.count(F.lit(1))  # COUNT(*) OVER (...)
         elif self.func in ("lag", "lead"):

@@ -158,10 +158,13 @@ class Context:
     output: list[tuple[str, Expr]]  # (out name, expression over refs)
     group_by: list[Expr]
     aggregations: list[tuple[str, AggCall]]
-    order_by: list[tuple[Expr, bool]]  # (expr, desc)
+    order_by: list[tuple[Expr, bool, str | None]]  # (expr, desc, nulls)
     limit: int | None
     distinct: bool
     is_full: bool
+    # LIMIT n OFFSET m (round 10) — rows skipped after the sort,
+    # before the limit
+    offset: int | None = None
     # post-aggregation filters (HAVING conjunction — engine extension;
     # validated so every non-aggregate subexpression matches a GROUP BY
     # expression)
@@ -290,7 +293,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             return e
         return qualify(e)
 
-    order_by = [(qualify_order(oi.expr), oi.desc) for oi in spec.order_by]
+    order_by = [(qualify_order(oi.expr), oi.desc, oi.nulls) for oi in spec.order_by]
 
     # ---- natural-join normalization (union-find) --------------------------
     ds = DisjointSet()
@@ -609,7 +612,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             raise UnsupportedSqlError(
                 "window functions are only valid in the SELECT list"
             )
-    for e in [*group_by, *[e for e, _ in order_by]]:
+    for e in [*group_by, *[e for e, *_ in order_by]]:
         if contains_window(e):
             raise UnsupportedSqlError(
                 "window functions are only valid in the SELECT list"
@@ -639,7 +642,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
         *where,
         *having,
         *group_by,
-        *[e for e, _ in order_by],
+        *[e for e, *_ in order_by],
     ]:
         if _has_scalar(e):
             raise UnsupportedSqlError(
@@ -704,7 +707,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
         for a in (
             [a for _, a in aggregations]
             + [s for c in having for s in _agg_subcalls(c)]
-            + [s for e, _ in order_by for s in _agg_subcalls(e)]
+            + [s for e, *_ in order_by for s in _agg_subcalls(e)]
         )
         if a.func == "grouping"
     ]
@@ -729,6 +732,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
         group_by=group_by,
         aggregations=aggregations,
         order_by=order_by,
+        offset=spec.offset,
         limit=spec.limit,
         distinct=spec.distinct,
         is_full=is_full,

@@ -1366,3 +1366,115 @@ def test_string_concat_operator(engine):
     from sparksqlplus_spark.expressions import Func
     assert isinstance(spec.select[0].expr, Func)
     assert spec.select[0].expr.name == "concat"
+
+
+def test_limit_offset_nulls_ordering(engine, oracle):
+    """Round 10: LIMIT n OFFSET m (skip-then-take after the sort) and
+    ORDER BY ... NULLS FIRST|LAST plan natively; soft keywords keep
+    columns named offset/nulls/first/last usable."""
+    cases = [
+        "SELECT n_name FROM nation AS n ORDER BY n_name LIMIT 5 OFFSET 3",
+        # offset past the end -> empty
+        "SELECT n_name FROM nation AS n ORDER BY n_name LIMIT 5 OFFSET 100",
+        ("SELECT n_nationkey FROM nation AS n "
+         "ORDER BY n_nationkey DESC LIMIT 100 OFFSET 20"),
+        ("SELECT n_name FROM nation AS n ORDER BY n_regionkey DESC "
+         "NULLS FIRST, n_name ASC NULLS LAST LIMIT 6"),
+        # compound tail LIMIT/OFFSET
+        ("SELECT n_regionkey AS k FROM nation AS n UNION "
+         "SELECT r_regionkey + 10 AS k FROM region AS r "
+         "ORDER BY k LIMIT 8 OFFSET 2"),
+    ]
+    for q in cases:
+        for mode in ("cqc", "naive"):
+            got = [tuple(r) for r in engine.sql(q, mode=mode).collect()]
+            want = [tuple(r) for r in oracle.execute(q).fetchall()]
+            assert got == want, (q, mode, got, want)
+
+
+def test_cross_join_sugar(engine, oracle):
+    from tests.helpers import assert_matches
+
+    """Round 10: CROSS JOIN parses as the comma cartesian the planner
+    already handles (WHERE conjuncts still become join conditions)."""
+    q = ("SELECT r.r_name AS rn, n.n_name AS nn FROM region AS r "
+         "CROSS JOIN nation AS n "
+         "WHERE n.n_regionkey = r.r_regionkey AND r.r_regionkey < 2")
+    for mode in ("cqc", "naive"):
+        assert_matches(engine.sql(q, mode=mode), oracle, q)
+    q2 = "SELECT COUNT(*) AS c FROM region AS r CROSS JOIN nation AS n"
+    for mode in ("cqc", "naive"):
+        assert_matches(engine.sql(q2, mode=mode), oracle, q2)
+
+
+def test_aggregate_filter_clause(engine, oracle):
+    from tests.helpers import assert_matches
+
+    """Round 10: agg(x) FILTER (WHERE c) — parse-time desugar to the
+    NULL-skipping CASE form (COUNT(*) -> CASE 1 END). Exact FILTER
+    semantics including DISTINCT and grouped aggregates."""
+    cases = [
+        ("SELECT COUNT(*) FILTER (WHERE n_regionkey = 1) AS c, "
+         "SUM(n_nationkey) FILTER (WHERE n_regionkey > 2) AS s "
+         "FROM nation AS n"),
+        ("SELECT o_orderpriority AS p, "
+         "COUNT(*) FILTER (WHERE o_totalprice > 100000.0) AS big, "
+         "AVG(o_totalprice) FILTER (WHERE o_totalprice <= 100000.0) AS sm "
+         "FROM orders AS o GROUP BY o_orderpriority"),
+        ("SELECT COUNT(DISTINCT l_suppkey) "
+         "FILTER (WHERE l_quantity > 25.0) AS c FROM lineitem AS l"),
+    ]
+    for q in cases:
+        for mode in ("cqc", "naive"):
+            assert_matches(engine.sql(q, mode=mode), oracle, q)
+
+
+def test_window_ntile_first_last_value(engine, oracle):
+    from tests.helpers import assert_matches
+
+    """Round 10: NTILE(n), FIRST_VALUE, LAST_VALUE — incl. LAST_VALUE
+    under the ANSI default frame (current row's value, same as DuckDB)
+    and under an explicit unbounded frame."""
+    cases = [
+        ("SELECT n_name, NTILE(4) OVER (ORDER BY n_nationkey) AS q "
+         "FROM nation AS n"),
+        ("SELECT n_name, "
+         "FIRST_VALUE(n_name) OVER (PARTITION BY n_regionkey "
+         "ORDER BY n_nationkey) AS f, "
+         "LAST_VALUE(n_name) OVER (PARTITION BY n_regionkey "
+         "ORDER BY n_nationkey) AS l FROM nation AS n"),
+        ("SELECT n_name, LAST_VALUE(n_name) OVER (PARTITION BY "
+         "n_regionkey ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED "
+         "PRECEDING AND UNBOUNDED FOLLOWING) AS l FROM nation AS n"),
+    ]
+    for q in cases:
+        for mode in ("cqc", "naive"):
+            assert_matches(engine.sql(q, mode=mode), oracle, q)
+
+
+def test_exists_in_select_list(engine, oracle):
+    """Round 10: [NOT] EXISTS in expression position — the parser
+    wraps it in a two-valued CASE and api._lift_or_exists (which maps
+    SELECT items too) plans the same flag LEFT JOIN, so the boolean
+    projects natively. Covers the correlated, negated, CASE-nested,
+    join-body, and uncorrelated (plan-time fold) shapes."""
+    from tests.helpers import assert_matches
+
+    cases = [
+        ("SELECT n_name, EXISTS (SELECT 1 FROM supplier AS s "
+         "WHERE s.s_nationkey = n.n_nationkey) AS hs FROM nation AS n"),
+        ("SELECT n_name, NOT EXISTS (SELECT 1 FROM supplier AS s "
+         "WHERE s.s_nationkey = n.n_nationkey) AS nh FROM nation AS n"),
+        ("SELECT n_name, CASE WHEN EXISTS (SELECT 1 FROM supplier AS s "
+         "WHERE s.s_nationkey = n.n_nationkey) THEN 'yes' ELSE 'no' END "
+         "AS tag FROM nation AS n"),
+        ("SELECT n_name, EXISTS (SELECT 1 FROM supplier AS s, "
+         "customer AS c WHERE s.s_nationkey = c.c_nationkey AND "
+         "s.s_nationkey = n.n_nationkey AND c.c_acctbal > 9000.0) AS hs "
+         "FROM nation AS n"),
+        ("SELECT n_name, EXISTS (SELECT 1 FROM supplier AS s "
+         "WHERE s.s_acctbal > 99999.0) AS any_rich FROM nation AS n"),
+    ]
+    for q in cases:
+        for mode in ("cqc", "naive"):
+            assert_matches(engine.sql(q, mode=mode), oracle, q)
