@@ -537,9 +537,12 @@ class SparkSQLPlus:
         # Decorrelate BEFORE folding: a correlated scalar inside the
         # subquery must rewrite to its aggregated-view join here, or
         # the fold attempt dies on the unresolvable outer alias before
-        # the subquery ever reaches its own _plan_spec
+        # the subquery ever reaches its own _plan_spec. Compound
+        # subqueries skip this — their parts fold inside _run_compound
+        from sparksqlplus_spark.parser.sql import QuerySpec
+
         for fi in spec.from_items:
-            if fi.subquery is not None:
+            if isinstance(fi.subquery, QuerySpec):
                 fi.subquery = self._fold_scalars(
                     self._decorrelate_scalars(fi.subquery)
                 )
@@ -1340,9 +1343,28 @@ class SparkSQLPlus:
         from sparksqlplus_spark.expressions import Col
         from sparksqlplus_spark.plans.context import _make_relation
 
+        from sparksqlplus_spark.parser.sql import CompoundSpec
+
         ephemeral: list[str] = []
         for i, fi in enumerate(spec.from_items):
             if fi.subquery is None:
+                continue
+            if isinstance(fi.subquery, CompoundSpec):
+                # compound (UNION/INTERSECT/EXCEPT) FROM subquery or
+                # CTE body (round 10): plan through the compound
+                # runner and register the result as an ephemeral view
+                import copy
+
+                df = self._run_compound(
+                    copy.deepcopy(fi.subquery), mode=mode,
+                    cyclic_strategy=cyclic_strategy, count_mode=count_mode,
+                )
+                self._view_counter += 1
+                name = f"__view{self._view_counter}_{fi.alias}"
+                self.catalog.register_df(name, df, ())
+                ephemeral.append(name)
+                fi.table = name
+                fi.subquery = None
                 continue
             try:
                 _make_relation(i, fi, self.catalog)
@@ -1754,11 +1776,22 @@ class SparkSQLPlus:
             )
             for oj in spec.outer_joins:
                 if oj.item.subquery is not None:
-                    sub = copy.deepcopy(oj.item.subquery)
-                    df = self._plan_spec(
-                        sub, mode=mode, cyclic_strategy=cyclic_strategy,
-                        count_mode=count_mode, ansi=True,
+                    from sparksqlplus_spark.parser.sql import (
+                        CompoundSpec as _CSpec,
                     )
+
+                    sub = copy.deepcopy(oj.item.subquery)
+                    if isinstance(sub, _CSpec):
+                        df = self._run_compound(
+                            sub, mode=mode,
+                            cyclic_strategy=cyclic_strategy,
+                            count_mode=count_mode,
+                        )
+                    else:
+                        df = self._plan_spec(
+                            sub, mode=mode, cyclic_strategy=cyclic_strategy,
+                            count_mode=count_mode, ansi=True,
+                        )
                     self._view_counter += 1
                     name = f"__view{self._view_counter}_{oj.item.alias}"
                     self.catalog.register_df(name, df, ())

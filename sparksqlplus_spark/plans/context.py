@@ -961,6 +961,12 @@ def _make_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation:
         return rel
     sub = fi.subquery
     assert sub is not None
+    if not isinstance(sub, QuerySpec):
+        # a compound (UNION/...) subquery has no narrow native shape —
+        # api._plan_subqueries plans it via _run_compound as a view
+        raise UnsupportedSqlError(
+            "compound FROM subquery needs recursive planning"
+        )
     if sub.outer_joins:
         raise UnsupportedSqlError(
             "FROM subquery with outer joins needs recursive planning"

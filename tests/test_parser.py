@@ -1478,3 +1478,73 @@ def test_exists_in_select_list(engine, oracle):
     for q in cases:
         for mode in ("cqc", "naive"):
             assert_matches(engine.sql(q, mode=mode), oracle, q)
+
+
+def test_compound_subqueries_and_ctes(engine, oracle):
+    """Round 10: UNION/INTERSECT/EXCEPT chains compose in FROM-subquery
+    and CTE position — the compound plans through _run_compound and
+    registers as an ephemeral view the outer query scans. Covers
+    grouped scans over the view, a join against it, an inner
+    ORDER BY/LIMIT/OFFSET tail, and a CTE referenced twice."""
+    from tests.helpers import assert_matches
+
+    cases = [
+        ("SELECT t.k, COUNT(*) AS c FROM "
+         "(SELECT n_regionkey AS k FROM nation AS n UNION ALL "
+         "SELECT r_regionkey AS k FROM region AS r) AS t GROUP BY t.k"),
+        ("WITH u AS (SELECT n_regionkey AS k FROM nation AS n "
+         "UNION SELECT r_regionkey AS k FROM region AS r) "
+         "SELECT COUNT(*) AS c FROM u AS u"),
+        ("SELECT COUNT(*) AS c FROM "
+         "(SELECT n_regionkey AS k FROM nation AS n EXCEPT "
+         "SELECT r_regionkey AS k FROM region AS r "
+         "WHERE r_regionkey < 2) AS t"),
+        ("SELECT r.r_name AS rn, t.k AS k FROM region AS r, "
+         "(SELECT n_regionkey AS k FROM nation AS n WHERE n_nationkey < 5 "
+         "UNION SELECT r_regionkey AS k FROM region AS r2) AS t "
+         "WHERE t.k = r.r_regionkey"),
+        ("SELECT t.k FROM (SELECT n_regionkey AS k FROM nation AS n "
+         "UNION SELECT r_regionkey + 2 AS k FROM region AS r "
+         "ORDER BY k LIMIT 4 OFFSET 1) AS t"),
+        ("WITH u AS (SELECT n_regionkey AS k FROM nation AS n "
+         "UNION ALL SELECT r_regionkey AS k FROM region AS r) "
+         "SELECT a.k, COUNT(*) AS c FROM u AS a, u AS b "
+         "WHERE a.k = b.k GROUP BY a.k"),
+    ]
+    for q in cases:
+        for mode in ("cqc", "naive"):
+            assert_matches(engine.sql(q, mode=mode), oracle, q)
+
+
+def test_count_distinct_multi_column(engine, oracle):
+    """Round 10: COUNT(DISTINCT a, b) — desugars to a NULL-guarded
+    struct so rows with ANY NULL position are excluded (ANSI). DuckDB
+    has no multi-arg form, so the oracle is the equivalent DISTINCT
+    subquery count."""
+    import pandas as pd
+
+    from tests.helpers import assert_matches
+
+    q = ("SELECT l_returnflag AS f, "
+         "COUNT(DISTINCT l_suppkey, l_linenumber) AS c "
+         "FROM lineitem AS l GROUP BY l_returnflag")
+    o = ("SELECT f, COUNT(*) AS c FROM (SELECT DISTINCT l_returnflag "
+         "AS f, l_suppkey, l_linenumber FROM lineitem) GROUP BY f")
+    for mode in ("cqc", "naive"):
+        assert_matches(engine.sql(q, mode=mode), oracle, o)
+    # NULL exclusion on a registered frame
+    pdf = pd.DataFrame({"a": [1, 1, None, 2, 2], "b": [1, 1, 2, None, 2]})
+    engine.catalog.register_df(
+        "cdm2",
+        engine.spark.createDataFrame(
+            pdf.astype(object).where(pdf.notna(), None), "a int, b int"
+        ),
+        (),
+    )
+    try:
+        got = engine.sql(
+            "SELECT COUNT(DISTINCT a, b) AS c FROM cdm2 AS t"
+        ).collect()[0]["c"]
+        assert got == 2  # (1,1) and (2,2); NULL-bearing rows excluded
+    finally:
+        engine.catalog.unregister("cdm2")
