@@ -243,8 +243,13 @@ class SparkSQLPlus:
         correlation, several aggregates, ...)."""
         from sparksqlplus_spark.catalog import UnknownTableError
         from sparksqlplus_spark.expressions import Cmp, Col
+        from sparksqlplus_spark.parser.sql import CompoundSpec
         from sparksqlplus_spark.plans.context import _agg_subcalls
 
+        if isinstance(sub, CompoundSpec):
+            # a compound scalar subquery is necessarily uncorrelated in
+            # our subset — _fold_scalars runs it through _run_compound
+            return None
         if (
             len(sub.from_items) != 1
             or sub.from_items[0].table is None
@@ -511,10 +516,30 @@ class SparkSQLPlus:
         def fold(node):
             if not isinstance(node, ScalarSubquery):
                 return None
-            ctx = build_context(
-                self._fold_scalars(node.spec), self.catalog
-            )
-            rows = self._run_context(ctx).collect()
+            from sparksqlplus_spark.parser.sql import CompoundSpec
+
+            if isinstance(node.spec, CompoundSpec):
+                # compound scalar body (round 10): plan through the
+                # compound runner — still a one-value collect
+                import copy
+
+                rows = self._run_compound(copy.deepcopy(node.spec)).collect()
+            else:
+                try:
+                    ctx = build_context(
+                        self._fold_scalars(node.spec), self.catalog
+                    )
+                    rows = self._run_context(ctx).collect()
+                except UnsupportedSqlError:
+                    # bodies the narrow context build rejects (compound
+                    # FROM-subqueries, windows, ...) get the full
+                    # pipeline; a genuinely unsupported or correlated
+                    # body re-raises from there and auto falls back
+                    import copy
+
+                    rows = self._plan_spec(
+                        copy.deepcopy(node.spec), ansi=True
+                    ).collect()
             if len(rows) != 1 or len(rows[0]) != 1:
                 raise UnsupportedSqlError(
                     "scalar subquery must return exactly one value"
@@ -899,29 +924,51 @@ class SparkSQLPlus:
                 if sides <= {"inner"}:
                     inner_only.append(c)
                     continue
-                ok = (
-                    isinstance(c, Cmp)
-                    and isinstance(c.left, Col)
-                    and isinstance(c.right, Col)
-                    and sides == {"inner", "outer"}
-                )
-                if not ok:
+                if not (isinstance(c, Cmp) and sides == {"inner", "outer"}):
                     raise UnsupportedSqlError(
                         "EXISTS under OR supports inner-local predicates "
-                        "and Col-Col correlation only"
+                        "and binary correlation comparisons only"
                     )
-                left_inner = is_inner(c.left.alias, c.left.name)
+
+                def _inner_col(side) -> bool:
+                    return isinstance(side, Col) and is_inner(
+                        side.alias, side.name
+                    )
+
+                def _outer_only(side) -> bool:
+                    return all(
+                        not is_inner(a, cn) for a, cn in side.refs()
+                    )
+
+                left_inner = _inner_col(c.left)
                 if c.op == "=":
+                    # equality keys stay Col-Col (they become the flag
+                    # view's join columns)
+                    if not (
+                        isinstance(c.left, Col) and isinstance(c.right, Col)
+                    ):
+                        raise UnsupportedSqlError(
+                            "equality correlation under OR must be "
+                            "column = column"
+                        )
                     if left_inner:
                         keys.append((c.right, c.left.name))
                     else:
                         keys.append((c.left, c.right.name))
-                elif left_inner:
+                elif left_inner and _outer_only(c.right):
+                    # the OUTER side may be any outer-only expression —
+                    # it only ever appears inside the witness Cmp
+                    # against a per-key or global extreme (late r10)
                     noneq.append((c.op, c.right, c.left.name))
-                else:
+                elif _inner_col(c.right) and _outer_only(c.left):
                     from sparksqlplus_spark.expressions import CMP_FLIP
 
                     noneq.append((CMP_FLIP[c.op], c.left, c.right.name))
+                else:
+                    raise UnsupportedSqlError(
+                        "correlation under OR needs a bare inner column "
+                        "on one side and an outer-only term on the other"
+                    )
             if noneq:
                 # round 10 (r9 verdict item 8): ONE non-equality
                 # correlation composes via a per-key AGGREGATE flag
@@ -944,9 +991,75 @@ class SparkSQLPlus:
                         "at most one non-equality correlation under OR"
                     )
                 if not keys:
-                    raise UnsupportedSqlError(
-                        "non-equality correlation under OR needs an "
-                        "equality key"
+                    # keyless non-equality correlation (late round 10):
+                    # EXISTS(i: i.c OP o.e) over the WHOLE filtered
+                    # inner table reduces to a comparison against the
+                    # GLOBAL extreme — a witness below o.e exists iff
+                    # MIN(i.c) is one (MAX for >/>=, both for <>).
+                    # One scalar aggregate at plan time, the same
+                    # metadata-scale class as the const-probe stats;
+                    # a NULL outer operand folds to the miss value
+                    # through the CASE (EXISTS is two-valued).
+                    from decimal import Decimal
+
+                    from sparksqlplus_spark.expressions import (
+                        CaseWhen,
+                        OrCond,
+                    )
+
+                    op, oc_out, ne_col = noneq[0]
+                    if op not in ("<", "<=", ">", ">=", "<>"):
+                        raise UnsupportedSqlError(
+                            f"correlation op {op!r} under OR is not in "
+                            "the subset"
+                        )
+                    inner = self.catalog.get(ex.table).load(self.spark)
+                    imap = {("", cn): cn for cn in inner.columns}
+                    imap.update(
+                        {(ex.table_alias, cn): cn for cn in inner.columns}
+                    )
+                    for c in inner_only:
+                        inner = inner.filter(c.to_spark(imap))
+                    row = inner.agg(
+                        F.min(ne_col).alias("mn"),
+                        F.max(ne_col).alias("mx"),
+                    ).collect()[0]
+                    mn, mx = row["mn"], row["mx"]
+                    if mn is None:
+                        # empty / all-NULL inner: no witness exists
+                        return Lit(ex.negated, "boolean")
+
+                    def lit_of(v):
+                        if isinstance(v, Decimal):
+                            v = float(v)
+                        if isinstance(v, bool):
+                            return Lit(v, "boolean")
+                        if isinstance(v, float):
+                            return Lit(v, "double")
+                        if isinstance(v, int):
+                            return Lit(v, "bigint")
+                        return Lit(v, "str")
+
+                    if op in ("<", "<="):
+                        cmp = Cmp(
+                            ">" if op == "<" else ">=", oc_out, lit_of(mn)
+                        )
+                    elif op in (">", ">="):
+                        cmp = Cmp(
+                            "<" if op == ">" else "<=", oc_out, lit_of(mx)
+                        )
+                    elif mn == mx:
+                        cmp = Cmp("<>", oc_out, lit_of(mn))
+                    else:
+                        cmp = OrCond(
+                            (
+                                Cmp("<>", oc_out, lit_of(mn)),
+                                Cmp("<>", oc_out, lit_of(mx)),
+                            )
+                        )
+                    return CaseWhen(
+                        ((cmp, Lit(not ex.negated, "boolean")),),
+                        Lit(ex.negated, "boolean"),
                     )
                 return self._or_exists_noneq_flag(
                     ex, keys, noneq[0], inner_only, spec, ephemeral
@@ -971,16 +1084,18 @@ class SparkSQLPlus:
                 # (UNKNOWN→FALSE both drop), so it stays on the
                 # LIMIT-1 fold.
                 if ex.null_aware and ex.negated:
+                    from sparksqlplus_spark.expressions import const_expr
+
                     probe = ex.conds[0] if ex.n_probe == 1 else None
                     ok = (
                         isinstance(probe, Cmp)
                         and probe.op == "="
                         and isinstance(probe.left, Col)
-                        and isinstance(probe.right, Lit)
+                        and const_expr(probe.right)
                     )
                     if not ok:
                         raise UnsupportedSqlError(
-                            "non-literal constant-probe NOT IN "
+                            "non-constant probe NOT IN "
                             "(subquery) under OR is three-valued; not "
                             "planned natively"
                         )
@@ -998,12 +1113,18 @@ class SparkSQLPlus:
                         F.count(F.lit(1)).alias("n"),
                         F.count(F.col(ic)).alias("nn"),
                         F.count(F.when(F.col(ic) == pl, 1)).alias("m"),
+                        # probe NULL-ness evaluated plan-side — the
+                        # probe may be any constant expression, not
+                        # just a bare literal (round 10)
+                        F.max(
+                            F.when(pl.isNull(), 1).otherwise(0)
+                        ).alias("pn"),
                     ).collect()[0]
                     if st["n"] == 0:
                         return Lit(True, "boolean")
                     if st["m"] > 0:
                         return Lit(False, "boolean")
-                    if st["nn"] < st["n"] or probe.right.value is None:
+                    if st["nn"] < st["n"] or st["pn"] == 1:
                         return Lit(None, "null")
                     return Lit(True, "boolean")
                 inner = self.catalog.get(ex.table).load(self.spark)
@@ -1318,6 +1439,206 @@ class SparkSQLPlus:
             whens.append((compat, Lit(None, "null")))
         return CaseWhen(tuple(whens), Lit(True, "boolean"))
 
+    def _expand_using(self, spec) -> None:
+        """Resolve `JOIN ... USING (cols)` markers against the catalog
+        (round 10; ANSI surface the reference's Calcite parser accepts
+        but its planner never sees — our planner subset takes it
+        natively). For each using column:
+
+        - ONE qualified equi cond joins its unique owner in the left
+          scope (everything joined before the item) to the joined item
+          — the parser is schema-free, so owner election happens here;
+        - an unqualified reference to the column elsewhere resolves to
+          the join's PRESERVED side (left for inner/LEFT, right for
+          RIGHT), which IS the ANSI coalesced column's value for those
+          join types (matched rows carry equal values, unmatched
+          preserved rows carry the preserved side's). FULL USING — a
+          genuine two-sided coalesce — is rejected at parse time.
+
+        Mutates the spec in place. Conjuncts containing EXISTS or
+        scalar subqueries are left untouched (their bodies open inner
+        scopes this flat mapping must not reach); paths that bypass
+        this pass leave markers behind and build_context rejects them,
+        so auto mode falls back to spark.sql, which parses USING
+        natively."""
+        if not spec.using_joins and not any(
+            oj.using is not None or oj.natural for oj in spec.outer_joins
+        ):
+            return
+        from sparksqlplus_spark.catalog import UnknownTableError
+        from sparksqlplus_spark.expressions import (
+            Cmp,
+            Col,
+            Exists,
+            ScalarSubquery,
+            map_expr,
+            rewrite_refs,
+        )
+        from sparksqlplus_spark.parser.sql import CompoundSpec, QuerySpec
+
+        def out_cols(fi) -> list[str]:
+            if fi.values is not None:
+                return list(fi.val_cols)
+            if fi.col_aliases is not None:
+                return list(fi.col_aliases)
+            if fi.table is not None:
+                try:
+                    return list(self.catalog.get(fi.table).column_names)
+                except UnknownTableError:
+                    raise UnsupportedSqlError(
+                        f"USING cannot resolve columns of {fi.table!r}"
+                    ) from None
+            sub = fi.subquery
+            if isinstance(sub, CompoundSpec):
+                sub = sub.parts[0]
+            if not isinstance(sub, QuerySpec):
+                raise UnsupportedSqlError(
+                    "USING next to an opaque FROM item"
+                )
+            names: list[str] = []
+            for si in sub.select:
+                if si.alias:
+                    names.append(si.alias)
+                elif isinstance(si.expr, Col):
+                    names.append(si.expr.name)
+                else:
+                    raise UnsupportedSqlError(
+                        "USING next to a derived table with an unnamed "
+                        "output column"
+                    )
+            return names
+
+        scope: list[tuple[str, list[str]]] = []
+        resolved: dict[str, str] = {}
+
+        def resolve(
+            cols: list[str],
+            right_alias: str,
+            right_cols: list[str],
+            preserved: str,
+        ) -> list:
+            conds = []
+            for c in cols:
+                if c not in right_cols:
+                    raise UnsupportedSqlError(
+                        f"USING column {c!r} missing from {right_alias!r}"
+                    )
+                owners = [a for a, cs in scope if c in cs]
+                if len(owners) != 1:
+                    raise UnsupportedSqlError(
+                        f"USING column {c!r} is ambiguous or missing on "
+                        "the left side"
+                    )
+                conds.append(
+                    Cmp("=", Col(owners[0], c), Col(right_alias, c))
+                )
+                owner = owners[0] if preserved == "left" else right_alias
+                if resolved.setdefault(c, owner) != owner:
+                    raise UnsupportedSqlError(
+                        f"USING column {c!r} resolves differently across "
+                        "joins"
+                    )
+            return conds
+
+        using_by_alias: dict[str, list[list[str]]] = {}
+        for ra, cols in spec.using_joins:
+            using_by_alias.setdefault(ra, []).append(cols)
+        # same placement rule the parser applies to ON conjuncts:
+        # merged into WHERE unless a RIGHT/FULL outer join follows
+        # (then they belong inside the outer join's left operand)
+        merge_inner = all(
+            oj.side in ("left", "inner") for oj in spec.outer_joins
+        )
+        def common_cols(right_cols: list[str]) -> list[str]:
+            # NATURAL JOIN: every right column whose NAME appears
+            # anywhere in the left scope (per-column uniqueness is then
+            # enforced by resolve). Zero common names is rejected like
+            # DuckDB/Spark do — the ANSI cross-join degenerate silently
+            # rewards a typo'd table with a cartesian product
+            out = [
+                c
+                for c in right_cols
+                if any(c in cs for _, cs in scope)
+            ]
+            if not out:
+                raise UnsupportedSqlError(
+                    "NATURAL JOIN has no common columns"
+                )
+            return out
+
+        for fi in spec.from_items:
+            fcols = out_cols(fi)
+            for cols in using_by_alias.get(fi.alias, []):
+                if cols is None:
+                    cols = common_cols(fcols)
+                conds = resolve(cols, fi.alias, fcols, "left")
+                (spec.where if merge_inner else spec.inner_on).extend(conds)
+            scope.append((fi.alias, fcols))
+        for oj in spec.outer_joins:
+            ocols = out_cols(oj.item)
+            if oj.using is not None or oj.natural:
+                cols = (
+                    common_cols(ocols) if oj.natural else oj.using
+                )
+                preserved = "left" if oj.side in ("left", "inner") else "right"
+                oj.conds.extend(
+                    resolve(cols, oj.item.alias, ocols, preserved)
+                )
+                oj.using = None
+                oj.natural = False
+            scope.append((oj.item.alias, ocols))
+        spec.using_joins = []
+
+        mapping = {("", c): (a, c) for c, a in resolved.items()}
+
+        def opaque(node) -> bool:
+            hit = False
+
+            def probe(n):
+                nonlocal hit
+                if isinstance(n, (Exists, ScalarSubquery)):
+                    hit = True
+                return None
+
+            map_expr(node, probe)
+            return hit
+
+        def rw(node):
+            return node if opaque(node) else rewrite_refs(node, mapping)
+
+        for si in spec.select:
+            si.expr = rw(si.expr)
+        spec.where = [rw(c) for c in spec.where]
+        spec.inner_on = [rw(c) for c in spec.inner_on]
+        spec.having = [rw(c) for c in spec.having]
+        spec.qualify = [rw(c) for c in spec.qualify]
+        spec.group_by = [rw(e) for e in spec.group_by]
+        out_aliases = {si.alias for si in spec.select if si.alias}
+        for oi in spec.order_by:
+            if (
+                isinstance(oi.expr, Col)
+                and oi.expr.alias == ""
+                and oi.expr.name in out_aliases
+            ):
+                continue  # output-alias ref — not a column of any scope
+            oi.expr = rw(oi.expr)
+        for oj in spec.outer_joins:
+            oj.conds = [rw(c) for c in oj.conds]
+
+    @staticmethod
+    def _apply_col_aliases(df: DataFrame, fi) -> DataFrame:
+        """Positional <derived column list> renames: `(SELECT ...) AS
+        t(a, b)` (round 10). A pure projection rename — Catalyst still
+        sees through the view for pushdown."""
+        if fi.col_aliases is None:
+            return df
+        if len(fi.col_aliases) != len(df.columns):
+            raise UnsupportedSqlError(
+                f"derived column list of {fi.alias} has "
+                f"{len(fi.col_aliases)} names for {len(df.columns)} columns"
+            )
+        return df.toDF(*fi.col_aliases)
+
     def _plan_subqueries(
         self,
         spec,
@@ -1347,6 +1668,36 @@ class SparkSQLPlus:
 
         ephemeral: list[str] = []
         for i, fi in enumerate(spec.from_items):
+            if fi.values is not None:
+                # inline VALUES table (round 10): literal rows live in
+                # the statement text — build ONE array-of-structs
+                # literal and F.inline it (a single LocalRelation leaf
+                # after constant folding; no driver-side type
+                # inference, Spark's own array coercion unifies the
+                # row types exactly as a SQL inline table would)
+                from pyspark.sql import functions as F
+
+                structs = [
+                    F.struct(
+                        *[
+                            e.to_spark({}).alias(c)
+                            for e, c in zip(row, fi.val_cols)
+                        ]
+                    )
+                    for row in fi.values
+                ]
+                df = self.spark.range(1).select(
+                    F.inline(F.array(*structs))
+                )
+                self._view_counter += 1
+                name = f"__view{self._view_counter}_{fi.alias}"
+                self.catalog.register_df(
+                    name, df, (), cardinality=len(fi.values)
+                )
+                ephemeral.append(name)
+                fi.table = name
+                fi.values = None
+                continue
             if fi.subquery is None:
                 continue
             if isinstance(fi.subquery, CompoundSpec):
@@ -1359,6 +1710,7 @@ class SparkSQLPlus:
                     copy.deepcopy(fi.subquery), mode=mode,
                     cyclic_strategy=cyclic_strategy, count_mode=count_mode,
                 )
+                df = self._apply_col_aliases(df, fi)
                 self._view_counter += 1
                 name = f"__view{self._view_counter}_{fi.alias}"
                 self.catalog.register_df(name, df, ())
@@ -1366,11 +1718,12 @@ class SparkSQLPlus:
                 fi.table = name
                 fi.subquery = None
                 continue
-            try:
-                _make_relation(i, fi, self.catalog)
-                continue  # narrow native shape — tighter integration
-            except (UnsupportedSqlError, UnknownTableError):
-                pass
+            if fi.col_aliases is None:
+                try:
+                    _make_relation(i, fi, self.catalog)
+                    continue  # narrow native shape — tighter integration
+                except (UnsupportedSqlError, UnknownTableError):
+                    pass
             # CTE substitution can alias ONE QuerySpec object into
             # several FROM items, and recursive planning mutates the
             # spec in place — plan a private copy
@@ -1381,12 +1734,14 @@ class SparkSQLPlus:
                 sub, mode=mode, cyclic_strategy=cyclic_strategy,
                 count_mode=count_mode, ansi=True,
             )
+            df = self._apply_col_aliases(df, fi)
             # PK inference from the sub-spec's shape
             pk: tuple[str, ...] = ()
             out_names: dict[str, str] = {}
-            for si in sub.select:
-                if isinstance(si.expr, Col):
-                    out_names[si.expr.key()] = si.alias or si.expr.name
+            if fi.col_aliases is None:
+                for si in sub.select:
+                    if isinstance(si.expr, Col):
+                        out_names[si.expr.key()] = si.alias or si.expr.name
             if sub.distinct:
                 pk = tuple(df.columns)
             elif sub.group_by and sub.group_mode == "plain":
@@ -1421,6 +1776,7 @@ class SparkSQLPlus:
         ANSI bag semantics apply when requested (compound parts,
         composite views, the outer-join tail) or whenever the statement
         uses a composite view (pure-SQL extension surface)."""
+        self._expand_using(spec)
         if spec.qualify:
             return self._plan_qualify(
                 spec, mode=mode, cyclic_strategy=cyclic_strategy,
@@ -1647,6 +2003,16 @@ class SparkSQLPlus:
             )
 
         outer_where = [remap(c) for c in spec.qualify]
+        # ORDER BY may reference base columns the output does not
+        # project (e.g. the DISTINCT ON desugar ordering by a
+        # tie-break column) — route them through the same hidden
+        # projection the QUALIFY conjunction uses (late round 10)
+        from sparksqlplus_spark.parser.sql import OrderItem
+
+        outer_order = [
+            OrderItem(remap(oi.expr), oi.desc, oi.nulls)
+            for oi in spec.order_by
+        ]
         inner = dc_replace(
             spec,
             select=[*spec.select, *hidden],
@@ -1662,7 +2028,7 @@ class SparkSQLPlus:
             from_items=[FromItem(alias="__qual", subquery=inner)],
             where=outer_where,
             group_by=[],
-            order_by=spec.order_by,
+            order_by=outer_order,
             limit=spec.limit,
             offset=spec.offset,
         )

@@ -289,7 +289,7 @@ class WindowCall(Expr):
     func: str
     args: tuple[Expr, ...]
     partition_by: tuple[Expr, ...]
-    order_by: tuple[tuple[Expr, bool], ...]  # (expr, desc)
+    order_by: tuple[tuple[Expr, bool, str | None], ...]  # (expr, desc, nulls)
     # explicit frame spec: (kind, start, end) with kind 'rows'|'range'
     # and bounds already in Spark's Window convention
     # (Window.unboundedPreceding / -n / 0=CURRENT ROW / +n /
@@ -304,7 +304,7 @@ class WindowCall(Expr):
             out |= a.refs()
         for e in self.partition_by:
             out |= e.refs()
-        for e, _ in self.order_by:
+        for e, *_ in self.order_by:
             out |= e.refs()
         return out
 
@@ -327,12 +327,15 @@ class WindowCall(Expr):
             *[e.to_spark(colmap) for e in self.partition_by]
         )
         if self.order_by:
-            w = w.orderBy(
-                *[
-                    e.to_spark(colmap).desc() if d else e.to_spark(colmap).asc()
-                    for e, d in self.order_by
-                ]
-            )
+            def _ord(e, d, nulls):
+                c = e.to_spark(colmap)
+                if nulls == "first":
+                    return c.desc_nulls_first() if d else c.asc_nulls_first()
+                if nulls == "last":
+                    return c.desc_nulls_last() if d else c.asc_nulls_last()
+                return c.desc() if d else c.asc()
+
+            w = w.orderBy(*[_ord(e, d, n) for e, d, n in self.order_by])
         if self.frame is not None:
             kind, start, end = self.frame
             w = (
@@ -345,7 +348,10 @@ class WindowCall(Expr):
     def key(self):
         a = ",".join(x.key() for x in self.args)
         p = ",".join(e.key() for e in self.partition_by)
-        o = ",".join(f"{e.key()}{' desc' if d else ''}" for e, d in self.order_by)
+        o = ",".join(
+            f"{e.key()}{' desc' if d else ''}{' nulls ' + n if n else ''}"
+            for e, d, n in self.order_by
+        )
         f = (
             f" {self.frame[0]} {self.frame[1]}..{self.frame[2]}"
             if self.frame is not None
@@ -627,7 +633,7 @@ def map_expr(node, fn):
             node.func,
             tuple(map_expr(a, fn) for a in node.args),
             tuple(map_expr(e, fn) for e in node.partition_by),
-            tuple((map_expr(e, fn), d) for e, d in node.order_by),
+            tuple((map_expr(e, fn), d, n) for e, d, n in node.order_by),
             node.frame,
         )
     if isinstance(node, Cmp):
@@ -653,6 +659,25 @@ def map_expr(node, fn):
             node.n_probe,
         )
     raise TypeError(f"unknown node {type(node)}")
+
+
+def const_expr(e) -> bool:
+    """True when `e` is a constant EXPRESSION the planner can evaluate
+    plan-side via to_spark({}): no column refs, no subqueries, no
+    aggregate/window calls (round 10 — widens the const-probe NOT IN
+    gates from bare literals to e.g. `1 + 4`, `CAST('5' AS INT)`)."""
+    if e.refs():
+        return False
+    bad = False
+
+    def probe(n):
+        nonlocal bad
+        if isinstance(n, (AggCall, WindowCall, ScalarSubquery)):
+            bad = True
+        return None
+
+    map_expr(e, probe)
+    return not bad
 
 
 def rewrite_refs(node, mapping: dict[tuple[str, str], tuple[str, str]]):
@@ -684,7 +709,7 @@ def rewrite_refs(node, mapping: dict[tuple[str, str], tuple[str, str]]):
             node.func,
             tuple(rewrite_refs(a, mapping) for a in node.args),
             tuple(rewrite_refs(e, mapping) for e in node.partition_by),
-            tuple((rewrite_refs(e, mapping), d) for e, d in node.order_by),
+            tuple((rewrite_refs(e, mapping), d, n) for e, d, n in node.order_by),
             node.frame,
         )
     if isinstance(node, Cmp):

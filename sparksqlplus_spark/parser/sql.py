@@ -46,6 +46,36 @@ class UnsupportedSqlError(Exception):
     """Query is outside the planner subset — caller should fall back."""
 
 
+def _has_agg_or_window(e: Expr) -> bool:
+    from sparksqlplus_spark.expressions import AggCall, WindowCall, map_expr
+
+    hit = False
+
+    def probe(n):
+        nonlocal hit
+        if isinstance(n, (AggCall, WindowCall)):
+            hit = True
+        return None
+
+    map_expr(e, probe)
+    return hit
+
+
+def _has_subquery(e: Expr) -> bool:
+    from sparksqlplus_spark.expressions import ScalarSubquery, map_expr
+
+    hit = False
+
+    def probe(n):
+        nonlocal hit
+        if isinstance(n, ScalarSubquery):
+            hit = True
+        return None
+
+    map_expr(e, probe)
+    return hit
+
+
 # ---------------------------------------------------------------------------
 # AST containers
 # ---------------------------------------------------------------------------
@@ -62,6 +92,17 @@ class FromItem:
     alias: str
     table: str | None = None
     subquery: "QuerySpec | None" = None
+    # inline constant table (round 10): `(VALUES (1,'a'), (2,'b')) AS
+    # t(x, y)` — literal-only expression rows; api._plan_subqueries
+    # materializes them as a one-off DataFrame at metadata scale (the
+    # rows live in the statement text, never in data). val_cols is the
+    # REQUIRED alias column list.
+    values: "list[list[Expr]] | None" = None
+    val_cols: "list[str] | None" = None
+    # positional column-alias list on a derived table: `(SELECT ...)
+    # AS t(a, b)` — api._plan_subqueries renames the planned view's
+    # output columns positionally (ANSI <derived column list>)
+    col_aliases: "list[str] | None" = None
 
 
 @dataclass
@@ -87,6 +128,15 @@ class OuterJoin:
     item: FromItem
     conds: list[Cond]
     side: str = "left"  # 'left' | 'right' | 'full'
+    # JOIN ... USING (c1, c2) — column names to expand into qualified
+    # equi conds once schemas are known (api._expand_using; the parser
+    # is schema-free so it cannot pick the left owner). FULL USING is
+    # rejected at parse time (its coalesced output column has no
+    # single-side resolution).
+    using: list[str] | None = None
+    # NATURAL [LEFT|RIGHT] JOIN — USING over every common column name,
+    # computed schema-aware in api._expand_using
+    natural: bool = False
 
 
 @dataclass
@@ -139,6 +189,15 @@ class QuerySpec:
     # LIMIT n OFFSET m (round 10): rows skipped after the sort, before
     # the limit — df.offset(m).limit(n) in Spark's convention.
     offset: int | None = None
+    # INNER JOIN ... USING (cols) markers: (right_alias, cols), one
+    # per USING join in the FROM block; cols=None marks a NATURAL JOIN
+    # (using every common column name). api._expand_using resolves
+    # them against the catalog into qualified equi conds (and rewrites
+    # unqualified refs of the using columns to their ANSI owner);
+    # build_context rejects specs still carrying them.
+    using_joins: list[tuple[str, list[str] | None]] = field(
+        default_factory=list
+    )
 
 
 @dataclass
@@ -345,6 +404,20 @@ class _Parser:
     def _select_stmt(self) -> QuerySpec:
         self.expect("kw", "select")
         distinct = self.accept("kw", "distinct")
+        distinct_on: list[Expr] | None = None
+        if distinct and self.at("kw", "on") and self.at("op", "(", k=1):
+            # SELECT DISTINCT ON (keys) — Postgres/DuckDB surface
+            # (round 10; Spark SQL has no equivalent, so there is no
+            # fallback for it): keep the FIRST row per key group under
+            # the statement's ORDER BY. Desugared below into a QUALIFY
+            # ROW_NUMBER() = 1 over PARTITION BY keys.
+            self.take()
+            self.expect("op", "(")
+            distinct_on = [self._expr()]
+            while self.accept("op", ","):
+                distinct_on.append(self._expr())
+            self.expect("op", ")")
+            distinct = False
         items = [self._select_item()]
         while self.accept("op", ","):
             items.append(self._select_item())
@@ -352,6 +425,7 @@ class _Parser:
         from_items = [self._from_item()]
         where: list[Cond] = []
         inner_on: list[Cond] = []
+        using_joins: list[tuple[str, list[str]]] = []
         outer_joins: list[OuterJoin] = []
         while True:
             t = self.peek()
@@ -372,16 +446,19 @@ class _Parser:
                     # outer-joined frame — same three-phase planner,
                     # join type 'inner' (side='inner' below)
                     item = self._from_item()
-                    self.expect("kw", "on")
+                    conds, using = self._join_condition()
                     outer_joins.append(
-                        OuterJoin(item, self._conjunction(), "inner")
+                        OuterJoin(item, conds, "inner", using=using)
                     )
                 else:
                     # INNER JOIN t AS a ON cond in the FROM block —
                     # desugar to comma + condition
-                    from_items.append(self._from_item())
-                    self.expect("kw", "on")
-                    inner_on.extend(self._conjunction())
+                    item = self._from_item()
+                    from_items.append(item)
+                    conds, using = self._join_condition()
+                    inner_on.extend(conds)
+                    if using is not None:
+                        using_joins.append((item.alias, using))
             elif (
                 t is not None
                 and t.kind == "id"
@@ -402,6 +479,46 @@ class _Parser:
             elif (
                 t is not None
                 and t.kind == "id"
+                and t.text.lower() == "natural"
+            ):
+                # NATURAL [INNER|LEFT|RIGHT] JOIN (round 10) — USING
+                # over every common column name; the common set is
+                # schema-dependent, so api._expand_using computes it
+                self.take()
+                side = None
+                t2 = self.peek()
+                if (
+                    t2 is not None
+                    and t2.kind == "id"
+                    and t2.text.lower() in ("left", "right", "full")
+                ):
+                    side = self.take().text.lower()
+                    if side == "full":
+                        raise UnsupportedSqlError(
+                            "NATURAL FULL JOIN needs coalesced output "
+                            "columns; not in the subset"
+                        )
+                    t3 = self.peek()
+                    if (
+                        t3 is not None
+                        and t3.kind == "id"
+                        and t3.text.lower() == "outer"
+                    ):
+                        self.take()
+                else:
+                    self.accept("kw", "inner")
+                self.expect("kw", "join")
+                item = self._from_item()
+                if side is None and not outer_joins:
+                    from_items.append(item)
+                    using_joins.append((item.alias, None))
+                else:
+                    outer_joins.append(
+                        OuterJoin(item, [], side or "inner", natural=True)
+                    )
+            elif (
+                t is not None
+                and t.kind == "id"
                 and t.text.lower() in ("left", "right", "full")
             ):
                 side = self.take().text.lower()
@@ -410,8 +527,13 @@ class _Parser:
                     self.take()
                 self.expect("kw", "join")
                 item = self._from_item()
-                self.expect("kw", "on")
-                outer_joins.append(OuterJoin(item, self._conjunction(), side))
+                conds, using = self._join_condition()
+                if using is not None and side == "full":
+                    raise UnsupportedSqlError(
+                        "FULL JOIN USING needs a coalesced output "
+                        "column; not in the subset"
+                    )
+                outer_joins.append(OuterJoin(item, conds, side, using=using))
             else:
                 break
         if self.accept("kw", "where"):
@@ -586,6 +708,75 @@ class _Parser:
             ):
                 self.take()
                 offset = int(self.expect("num").text)
+        # ordinal GROUP BY / ORDER BY (round 10): `GROUP BY 1` /
+        # `ORDER BY 2 DESC` mean select-list POSITIONS in every engine
+        # this repo oracles against (DuckDB always, Spark under the
+        # default groupByOrdinal/orderByOrdinal) — reading them as
+        # constant literals would group everything into one bucket /
+        # no-op the sort SILENTLY. Desugar to the item's expression.
+        def ordinal(e: Expr, grouping: bool = False) -> Expr | None:
+            if (
+                isinstance(e, Lit)
+                and e.kind in ("int", "long")
+                and isinstance(e.value, int)
+            ):
+                if not 1 <= e.value <= len(items):
+                    raise UnsupportedSqlError(
+                        f"ordinal {e.value} out of select-list range"
+                    )
+                it = items[e.value - 1]
+                if isinstance(it.expr, Star):
+                    raise UnsupportedSqlError("ordinal cannot target *")
+                if grouping and _has_agg_or_window(it.expr):
+                    raise UnsupportedSqlError(
+                        "GROUP BY ordinal targets an aggregate item"
+                    )
+                return it.expr
+            return None
+
+        group_by = [ordinal(e, grouping=True) or e for e in group_by]
+        order_by = [
+            OrderItem(ordinal(oi.expr) or oi.expr, oi.desc, oi.nulls)
+            for oi in order_by
+        ]
+        if distinct_on is not None:
+            # DISTINCT ON desugar: QUALIFY ROW_NUMBER() OVER
+            # (PARTITION BY keys ORDER BY <statement order>) = 1.
+            # Output-alias refs in the ORDER BY swap back to their
+            # item expressions (a window cannot see output aliases);
+            # without an ORDER BY the picked row would be arbitrary —
+            # rejected, and Spark SQL cannot take it either, so the
+            # error surfaces instead of a nondeterministic answer.
+            from sparksqlplus_spark.expressions import WindowCall
+
+            if not order_by:
+                raise UnsupportedSqlError(
+                    "DISTINCT ON needs ORDER BY to pick a "
+                    "deterministic row per group"
+                )
+            alias_map = {
+                si.alias: si.expr for si in items if si.alias
+            }
+
+            def deref(e: Expr) -> Expr:
+                if isinstance(e, Col) and e.alias == "" and e.name in alias_map:
+                    return alias_map[e.name]
+                return e
+
+            distinct_on = [ordinal(e) or deref(e) for e in distinct_on]
+            win_order = tuple(
+                (deref(oi.expr), oi.desc, oi.nulls) for oi in order_by
+            )
+            qualify.append(
+                Cmp(
+                    "=",
+                    WindowCall(
+                        "row_number", (), tuple(distinct_on), win_order,
+                        None,
+                    ),
+                    Lit(1, "int"),
+                )
+            )
         return QuerySpec(
             items, distinct, from_items, where, group_by, order_by, limit,
             having=having, group_mode=group_mode, grouping_sets=grouping_sets,
@@ -593,6 +784,7 @@ class _Parser:
             inner_on=inner_on,
             qualify=qualify,
             offset=offset,
+            using_joins=using_joins,
         )
 
     def _select_item(self) -> SelectItem:
@@ -609,10 +801,17 @@ class _Parser:
     # 'left' as an alias and silently degrade to an inner join)
     _SOFT_AFTER_FROM = {
         "left", "right", "full", "outer", "intersect", "except", "qualify",
+        # round 10: "JOIN t USING (...)" / "t NATURAL JOIN u" must not
+        # read using/natural as t's implicit alias (explicit AS still
+        # allows them as aliases)
+        "using", "natural", "cross",
     }
 
     def _from_item(self) -> FromItem:
         if self.accept("op", "("):
+            t = self.peek()
+            if t is not None and t.kind == "id" and t.text.lower() == "values":
+                return self._values_item()
             sub = self._compound_after(self._select_stmt())
             self.expect("op", ")")
             explicit_as = self.accept("kw", "as")
@@ -629,7 +828,12 @@ class _Parser:
                     "derived table needs an alias before a join keyword"
                 )
             alias = self.expect("id").text
-            return FromItem(alias=alias, subquery=sub)
+            col_aliases = None
+            if self.at("op", "("):
+                # ANSI <derived column list>: (SELECT ...) AS t(a, b)
+                # — positional renames of the derived table's output
+                col_aliases = self._alias_col_list()
+            return FromItem(alias=alias, subquery=sub, col_aliases=col_aliases)
         name = self.expect("id").text
         alias = name
         if self.accept("kw", "as"):
@@ -637,6 +841,70 @@ class _Parser:
         elif self.at("id") and self.peek().text.lower() not in self._SOFT_AFTER_FROM:
             alias = self.take().text
         return FromItem(alias=alias, table=name)
+
+    def _join_condition(self) -> tuple[list[Cond], list[str] | None]:
+        """ON conjunction | USING (cols) after a JOIN item (round 10).
+        'using' is a soft id — a column named using stays usable."""
+        t = self.peek()
+        if (
+            t is not None
+            and t.kind == "id"
+            and t.text.lower() == "using"
+            and self.at("op", "(", k=1)
+        ):
+            self.take()
+            return [], self._alias_col_list()
+        self.expect("kw", "on")
+        return self._conjunction(), None
+
+    def _alias_col_list(self) -> list[str]:
+        self.expect("op", "(")
+        cols = [self.expect("id").text]
+        while self.accept("op", ","):
+            cols.append(self.expect("id").text)
+        self.expect("op", ")")
+        return cols
+
+    def _values_item(self) -> FromItem:
+        """`(VALUES (1, 'a'), (2, 'b')) AS t(x, y)` — inline constant
+        table (engine extension, round 10; the reference parses table
+        scans only). Rows are literal-only expressions (no column
+        refs, no subqueries); the alias column list is REQUIRED so the
+        output schema never depends on engine default naming (Spark
+        says col1/col2, DuckDB col0/col1 — requiring the list keeps
+        one portable meaning)."""
+        self.take()  # 'values'
+        rows: list[list[Expr]] = []
+        while True:
+            self.expect("op", "(")
+            row = [self._expr()]
+            while self.accept("op", ","):
+                row.append(self._expr())
+            self.expect("op", ")")
+            rows.append(row)
+            if not self.accept("op", ","):
+                break
+        self.expect("op", ")")
+        for row in rows:
+            for e in row:
+                if e.refs() or _has_subquery(e):
+                    raise UnsupportedSqlError(
+                        "VALUES rows must be literal expressions"
+                    )
+            if len(row) != len(rows[0]):
+                raise UnsupportedSqlError("VALUES rows differ in arity")
+        self.accept("kw", "as")
+        alias = self.expect("id").text
+        if not self.at("op", "("):
+            raise UnsupportedSqlError(
+                "VALUES needs an alias column list: AS t(c1, ...)"
+            )
+        cols = self._alias_col_list()
+        if len(cols) != len(rows[0]):
+            raise UnsupportedSqlError(
+                "VALUES column list arity does not match the rows"
+            )
+        return FromItem(alias=alias, values=rows, val_cols=cols)
 
     # -- boolean grammar ----------------------------------------------------
     def _conjunction(self) -> list[Cond]:
@@ -1166,9 +1434,11 @@ class _Parser:
             return ExtractYear(inner, fld)
         if self.at("op", "(") and self.at("kw", "select", k=1):
             # uncorrelated scalar subquery — folded to a Lit by
-            # api._fold_scalars before planning (engine extension)
+            # api._fold_scalars before planning (engine extension).
+            # Compound bodies (round 10: `x = (SELECT ... UNION ...)`)
+            # run through the compound runner inside the fold.
             self.take()
-            sub = self._select_stmt()
+            sub = self._compound_after(self._select_stmt())
             self.expect("op", ")")
             return ScalarSubquery(sub)
         if self.accept("op", "("):
@@ -1200,10 +1470,41 @@ class _Parser:
             if self.at("op", "("):
                 self.take()
                 low = name.lower()
+                # ANSI special argument syntax (round 10):
+                #   SUBSTRING(x FROM i [FOR n]) -> substring(x, i[, n])
+                #   POSITION(a IN b)            -> instr(b, a)
+                # (both 1-based, 0 for no match — Spark and DuckDB
+                # agree; the comma call forms already worked)
+                if low == "position":
+                    a = self._expr()
+                    self.expect("kw", "in")
+                    b = self._expr()
+                    self.expect("op", ")")
+                    return Func("instr", (b, a))
                 distinct = self.accept("kw", "distinct")
                 args: list[Expr] = []
                 if not self.at("op", ")"):
                     args.append(self._expr())
+                    if (
+                        low in ("substring", "substr")
+                        and self.at("kw", "from")
+                    ):
+                        self.take()
+                        args.append(self._expr())
+                        t_for = self.peek()
+                        if (
+                            t_for is not None
+                            and t_for.kind == "id"
+                            and t_for.text.lower() == "for"
+                        ):
+                            self.take()
+                            args.append(self._expr())
+                        else:
+                            # no FOR: rest of string (F.substring
+                            # needs an explicit length)
+                            args.append(Lit(2147483647, "int"))
+                        self.expect("op", ")")
+                        return Func("substring", tuple(args))
                     while self.accept("op", ","):
                         args.append(self._expr())
                 self.expect("op", ")")
@@ -1328,7 +1629,7 @@ class _Parser:
         self.take()  # 'over'
         self.expect("op", "(")
         partition: list[Expr] = []
-        order: list[tuple[Expr, bool]] = []
+        order: list[tuple[Expr, bool, str | None]] = []
         t = self.peek()
         if t is not None and t.kind == "id" and t.text.lower() == "partition":
             self.take()
@@ -1345,7 +1646,24 @@ class _Parser:
                     desc = True
                 else:
                     self.accept("kw", "asc")
-                order.append((e, desc))
+                # NULLS FIRST | LAST inside the window ORDER BY
+                # (round 10, same soft-id parse as the main clause)
+                nulls = None
+                t_n = self.peek()
+                if (
+                    t_n is not None
+                    and t_n.kind == "id"
+                    and t_n.text.lower() == "nulls"
+                ):
+                    t_w = self.peek(1)
+                    if (
+                        t_w is not None
+                        and t_w.kind == "id"
+                        and t_w.text.lower() in ("first", "last")
+                    ):
+                        self.take()
+                        nulls = self.take().text.lower()
+                order.append((e, desc, nulls))
                 if not self.accept("op", ","):
                     break
         frame = None
@@ -1442,6 +1760,24 @@ class _Parser:
 
     def _case_when(self) -> Expr:
         self.expect("kw", "case")
+        if not self.at("kw", "when"):
+            # simple CASE (round 10): `CASE x WHEN v THEN r ...`
+            # desugars to the searched form `CASE WHEN x = v THEN r`
+            # — exact ANSI semantics (equality per branch; a NULL
+            # operand matches no branch and falls to ELSE)
+            operand = self._expr()
+            branches: list[tuple[Cond, Expr]] = []
+            while self.accept("kw", "when"):
+                v = self._expr()
+                self.expect("kw", "then")
+                branches.append((Cmp("=", operand, v), self._expr()))
+            if not branches:
+                raise UnsupportedSqlError("CASE needs at least one WHEN")
+            otherwise: Expr = Lit(None, "null")
+            if self.accept("kw", "else"):
+                otherwise = self._expr()
+            self.expect("kw", "end")
+            return CaseWhen(tuple(branches), otherwise)
         branches: list[tuple[Cond, Expr]] = []
         while self.accept("kw", "when"):
             conds = self._conjunction()

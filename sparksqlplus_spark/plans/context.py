@@ -22,6 +22,7 @@ from sparksqlplus_spark.expressions import (
     Expr,
     Lit,
     Star,
+    const_expr,
     rewrite_refs,
 )
 from sparksqlplus_spark.parser.sql import FromItem, QuerySpec, UnsupportedSqlError
@@ -227,6 +228,11 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
     comparisons when they are binary inequalities between two relations,
     and kept as residual otherwise.
     """
+    if spec.using_joins:
+        # JOIN USING resolves against the catalog in api._expand_using
+        # (the left owner of each using column needs schemas); a spec
+        # still carrying markers cannot build directly
+        raise UnsupportedSqlError("JOIN USING plans via api._expand_using")
     if spec.outer_joins or spec.inner_on:
         # OUTER JOIN attachments (and the inner-ON conjuncts a
         # RIGHT/FULL statement keeps separate) are planned by
@@ -465,13 +471,16 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 if (
                     isinstance(probe, Cmp)
                     and probe.op == "="
-                    and isinstance(probe.right, Lit)
                     and isinstance(probe.left, Col)
+                    and const_expr(probe.right)
                 ):
+                    # any refs-free constant EXPRESSION works — the
+                    # gate evaluates it via to_spark({}) (round 10
+                    # widened from bare literals: `1 + 4 NOT IN ...`)
                     lit_side, icol_side = probe.right, probe.left
                 if lit_side is None:
                     raise UnsupportedSqlError(
-                        "non-literal constant-probe NOT IN (subquery) "
+                        "non-constant probe NOT IN (subquery) "
                         "is three-valued; not planned natively"
                     )
                 semi_filters.setdefault(relations[0].rid, []).append(
@@ -947,6 +956,13 @@ def _make_derived_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation
 
 
 def _make_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation:
+    if fi.values is not None or fi.col_aliases is not None:
+        # inline VALUES tables and derived column lists materialize in
+        # api._plan_subqueries (which rewrites the item to a view
+        # scan); a direct context build cannot express them
+        raise UnsupportedSqlError(
+            "VALUES / derived column list plans via api._plan_subqueries"
+        )
     if fi.table is not None:
         meta = catalog.get(fi.table)
         rel = Relation(

@@ -587,7 +587,7 @@ def execute_ghd(
         output=[(n, rw(e)) for n, e in ctx.output],
         group_by=[rw(e) for e in ctx.group_by],
         aggregations=[(n, rw(e)) for n, e in ctx.aggregations],
-        order_by=[(rw(e), d) for e, d in ctx.order_by],
+        order_by=[(rw(e), d, n) for e, d, n in ctx.order_by],
     )
     ghd_exec = CqcExecutor(spark, scratch)
     if parent_executor is not None:

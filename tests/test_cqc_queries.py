@@ -1288,6 +1288,19 @@ def test_constant_probe_not_in_three_valued(engine, oracle):
         for q in (q_pos, q_pos_or):
             for mode in ("cqc", "auto"):
                 assert_matches(engine.sql(q, mode=mode), con, q)
+        # late round 10: non-literal constant EXPRESSIONS probe too —
+        # `1 + 4` / CAST forms evaluate plan-side via to_spark({})
+        q_expr = """SELECT p.pk FROM c_probe AS p
+                    WHERE 1 + 4 NOT IN (SELECT iv FROM c_inner AS i)"""
+        q_expr_hit = """SELECT p.pk FROM c_probe AS p
+                        WHERE 2 * 5 NOT IN (SELECT iv FROM c_inner AS i)"""
+        q_expr_or = """SELECT p.pk FROM c_probe AS p
+                       WHERE p.pk = 4
+                          OR CAST('5' AS INTEGER) NOT IN
+                             (SELECT iv FROM c_inner AS i)"""
+        for q in (q_expr, q_expr_hit, q_expr_or):
+            for mode in ("cqc", "naive", "auto"):
+                assert_matches(engine.sql(q, mode=mode), con, q)
     finally:
         engine.catalog.unregister("c_probe")
         engine.catalog.unregister("c_inner")
@@ -1363,6 +1376,47 @@ def test_noneq_correlation_under_or(engine, oracle):
             df = engine.sql(sql, mode=mode)
             # OR-lifted queries run with ANSI bag semantics
             assert_matches(df, oracle, sql)
+
+
+def test_keyless_noneq_under_or(engine, oracle):
+    """Late round 10: a KEYLESS non-equality correlation under OR'd
+    [NOT] EXISTS folds to a comparison against the global MIN/MAX of
+    the filtered inner table (one plan-time scalar aggregate) — no
+    equality key needed. Covers >, <, <>, NOT EXISTS, and the
+    empty-inner fold."""
+    cases = [
+        # > : witness iff outer expr below the global MAX
+        """SELECT o.o_orderkey FROM orders AS o
+           WHERE o.o_orderpriority = '1-URGENT'
+              OR EXISTS (SELECT 1 FROM lineitem AS l
+                         WHERE l.l_quantity > o.o_totalprice / 1000.0)""",
+        # < with an inner filter; NOT EXISTS
+        """SELECT s.s_suppkey, s.s_name FROM supplier AS s
+           WHERE s.s_acctbal > 9990.0
+              OR NOT EXISTS (SELECT 1 FROM lineitem AS l
+                             WHERE l.l_quantity > 49.0
+                               AND l.l_extendedprice < s.s_acctbal)""",
+        # <> : witness iff an extreme differs
+        """SELECT r.r_regionkey, r.r_name FROM region AS r
+           WHERE r.r_regionkey = 4
+              OR EXISTS (SELECT 1 FROM nation AS n
+                         WHERE n.n_nationkey < 2
+                           AND n.n_regionkey <> r.r_regionkey)""",
+        # empty inner set -> EXISTS folds FALSE, NOT EXISTS TRUE
+        """SELECT r.r_regionkey FROM region AS r
+           WHERE r.r_regionkey = 4
+              OR EXISTS (SELECT 1 FROM nation AS n
+                         WHERE n.n_nationkey < 0
+                           AND n.n_regionkey <> r.r_regionkey)""",
+        """SELECT r.r_regionkey FROM region AS r
+           WHERE r.r_regionkey = 4
+              OR NOT EXISTS (SELECT 1 FROM nation AS n
+                             WHERE n.n_nationkey < 0
+                               AND n.n_regionkey < r.r_regionkey)""",
+    ]
+    for sql in cases:
+        for mode in ("cqc", "naive"):
+            assert_matches(engine.sql(sql, mode=mode), oracle, sql)
 
 
 def test_rowvalue_not_in_under_or_null_matrix(engine, oracle):

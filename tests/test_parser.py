@@ -1446,6 +1446,9 @@ def test_window_ntile_first_last_value(engine, oracle):
         ("SELECT n_name, LAST_VALUE(n_name) OVER (PARTITION BY "
          "n_regionkey ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED "
          "PRECEDING AND UNBOUNDED FOLLOWING) AS l FROM nation AS n"),
+        # NULLS FIRST/LAST inside the window ORDER BY (round 10)
+        ("SELECT n_name, ROW_NUMBER() OVER (ORDER BY n_regionkey DESC "
+         "NULLS LAST, n_name NULLS FIRST) AS rn FROM nation AS n"),
     ]
     for q in cases:
         for mode in ("cqc", "naive"):
@@ -1548,3 +1551,268 @@ def test_count_distinct_multi_column(engine, oracle):
         assert got == 2  # (1,1) and (2,2); NULL-bearing rows excluded
     finally:
         engine.catalog.unregister("cdm2")
+
+
+def test_values_inline_table(engine, oracle):
+    """Round 10: (VALUES ...) AS t(cols) plans as ONE array-of-structs
+    literal inlined into the plan (a LocalRelation leaf — the rows live
+    in the statement text, never on executors), joins natively against
+    catalog tables, and requires the alias column list."""
+    from tests.helpers import assert_matches
+
+    cases = [
+        # plain scan with NULL and mixed literal expressions
+        ("SELECT t.x, t.y FROM (VALUES (1, 'a'), (2, 'b'), (3, NULL)) "
+         "AS t(x, y) ORDER BY t.x"),
+        # join against a catalog table (the VALUES side is tiny ->
+        # broadcast by AQE; the plan is a normal equi join)
+        ("SELECT v.tag, n.n_name FROM (VALUES (0, 'zero'), (2, 'two')) "
+         "AS v(rk, tag), nation AS n WHERE n.n_regionkey = v.rk "
+         "AND n.n_nationkey < 8 ORDER BY n.n_name"),
+        # literal arithmetic folds inside the rows
+        ("SELECT t.a, t.b FROM (VALUES (1 + 1, 2 * 3), (10 - 1, 8 / 2)) "
+         "AS t(a, b) ORDER BY t.a"),
+    ]
+    for q in cases:
+        for mode in ("cqc", "naive"):
+            got = [tuple(r) for r in engine.sql(q, mode=mode).collect()]
+            want = [tuple(r) for r in oracle.execute(q).fetchall()]
+            assert [sorted(map(str, got))] == [sorted(map(str, want))], (
+                q, mode, got, want)
+    # arity mismatch and a missing column list are parse errors (auto
+    # mode would fall back to spark.sql; cqc surfaces them)
+    import pytest
+
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+    with pytest.raises(UnsupportedSqlError):
+        engine.sql(
+            "SELECT t.x FROM (VALUES (1, 2), (3)) AS t(x, y)", mode="cqc"
+        )
+    with pytest.raises(UnsupportedSqlError):
+        engine.sql("SELECT t.x FROM (VALUES (1, 2)) AS t", mode="cqc")
+    with pytest.raises(UnsupportedSqlError):
+        # non-literal rows are outside the subset
+        engine.sql(
+            "SELECT t.x FROM (VALUES (n_nationkey)) AS t(x)", mode="cqc"
+        )
+
+
+def test_join_using(engine, oracle):
+    """Round 10: JOIN ... USING (cols) resolves against the catalog —
+    one qualified equi cond per column, and unqualified references to a
+    using column resolve to the join's preserved side (ANSI merged
+    column) for inner/LEFT/RIGHT joins."""
+    derived_n = ("(SELECT n_regionkey AS rk, n_name AS nname "
+                 "FROM nation AS xx) AS n")
+    derived_r = ("(SELECT r_regionkey AS rk, r_name AS rname "
+                 "FROM region AS yy) AS r")
+    cases = [
+        # inner USING over derived tables; qualified refs
+        (f"SELECT n.nname, r.rname FROM {derived_n} JOIN {derived_r} "
+         "USING (rk) WHERE n.nname LIKE 'NATION_1%' ORDER BY n.nname"),
+        # unqualified using-col in SELECT and WHERE
+        (f"SELECT rk, n.nname FROM {derived_n} JOIN {derived_r} "
+         "USING (rk) WHERE rk < 3 ORDER BY n.nname"),
+        # LEFT JOIN USING: unqualified col resolves to the LEFT side
+        ("SELECT ck, c.cname, o.okey FROM (SELECT c_custkey AS ck, "
+         "c_name AS cname FROM customer AS xx WHERE xx.c_custkey < 8) "
+         "AS c LEFT JOIN (SELECT o_custkey AS ck, o_orderkey AS okey "
+         "FROM orders AS yy) AS o USING (ck) ORDER BY ck, o.okey"),
+        # VALUES + USING compose
+        ("SELECT rk, v.tag FROM (VALUES (0, 'zero'), (2, 'two')) "
+         f"AS v(rk, tag) JOIN {derived_n} USING (rk) "
+         "ORDER BY rk, v.tag, n.nname"),
+    ]
+    for q in cases:
+        for mode in ("cqc", "naive"):
+            got = [tuple(r) for r in engine.sql(q, mode=mode).collect()]
+            want = [tuple(r) for r in oracle.execute(q).fetchall()]
+            assert sorted(map(str, got)) == sorted(map(str, want)), (
+                q, mode, got, want)
+    # a column missing from one side is rejected (auto falls back)
+    import pytest
+
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+    with pytest.raises(UnsupportedSqlError):
+        engine.sql(
+            f"SELECT n.nname FROM {derived_n} JOIN region AS r USING (rk)",
+            mode="cqc",
+        )
+
+
+def test_derived_column_list(engine, oracle):
+    """Round 10: ANSI <derived column list> `(SELECT ...) AS t(a, b)`
+    renames the view's output positionally; arity mismatches raise."""
+    cases = [
+        ("SELECT d.a, d.b FROM (SELECT n_nationkey, n_name FROM nation "
+         "AS x WHERE x.n_nationkey < 5) AS d(a, b) ORDER BY d.a"),
+        # renamed compound subquery
+        ("SELECT d.k FROM (SELECT n_regionkey FROM nation AS x UNION "
+         "SELECT r_regionkey FROM region AS y) AS d(k) ORDER BY d.k"),
+    ]
+    for q in cases:
+        got = [tuple(r) for r in engine.sql(q, mode="auto").collect()]
+        want = [tuple(r) for r in oracle.execute(q).fetchall()]
+        assert got == want, (q, got, want)
+    import pytest
+
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+    with pytest.raises(UnsupportedSqlError):
+        engine.sql(
+            "SELECT d.a FROM (SELECT n_nationkey, n_name FROM nation "
+            "AS x) AS d(a)",
+            mode="cqc",
+        )
+
+
+def test_natural_join(engine, oracle):
+    """Round 10: NATURAL [LEFT] JOIN = USING over every common column
+    name, computed schema-aware in api._expand_using."""
+    derived_n = ("(SELECT n_regionkey AS rk, n_name AS nname "
+                 "FROM nation AS xx) AS n")
+    derived_r = ("(SELECT r_regionkey AS rk, r_name AS rname "
+                 "FROM region AS yy) AS r")
+    cases = [
+        (f"SELECT rk, n.nname, r.rname FROM {derived_n} NATURAL JOIN "
+         f"{derived_r} WHERE rk < 3 ORDER BY n.nname"),
+        # NATURAL LEFT JOIN; unqualified common col = left side
+        ("SELECT ck, c.cname, o.okey FROM (SELECT c_custkey AS ck, "
+         "c_name AS cname FROM customer AS xx WHERE xx.c_custkey < 8) "
+         "AS c NATURAL LEFT JOIN (SELECT o_custkey AS ck, o_orderkey "
+         "AS okey FROM orders AS yy) AS o ORDER BY ck, o.okey"),
+    ]
+    for q in cases:
+        for mode in ("cqc", "naive"):
+            got = [tuple(r) for r in engine.sql(q, mode=mode).collect()]
+            want = [tuple(r) for r in oracle.execute(q).fetchall()]
+            assert sorted(map(str, got)) == sorted(map(str, want)), (
+                q, mode, got, want)
+    # zero common columns is rejected (DuckDB/Spark agree; the ANSI
+    # cross-join degenerate would reward a typo with a cartesian)
+    import pytest
+
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+    with pytest.raises(UnsupportedSqlError):
+        engine.sql(
+            "SELECT COUNT(*) AS cnt FROM region AS a NATURAL JOIN "
+            "(SELECT n_name AS nm FROM nation AS xx) AS b",
+            mode="cqc",
+        )
+
+
+def test_scalar_subquery_compound(engine, oracle):
+    """Round 10: a scalar subquery whose body is a set-operator
+    compound folds through the compound runner (one-value collect,
+    the same metadata-scale class as the other scalar folds)."""
+    cases = [
+        # MAX over a UNION of two key spaces
+        ("SELECT n_name FROM nation AS n WHERE n_nationkey > "
+         "(SELECT MAX(k) FROM (SELECT r_regionkey AS k FROM region AS r"
+         " UNION SELECT n_regionkey AS k FROM nation AS x) AS u) "
+         "ORDER BY n_name"),
+        # compound directly in scalar position (ORDER BY + LIMIT 1
+        # squeeze the two-part union to one value)
+        ("SELECT n_name FROM nation AS n WHERE n_nationkey < "
+         "(SELECT MIN(r_regionkey) + 2 AS k FROM region AS r UNION "
+         "SELECT MAX(n_regionkey) AS k FROM nation AS x "
+         "ORDER BY k LIMIT 1) ORDER BY n_name"),
+    ]
+    for q in cases:
+        for mode in ("cqc", "naive"):
+            got = [tuple(r) for r in engine.sql(q, mode=mode).collect()]
+            want = [tuple(r) for r in oracle.execute(q).fetchall()]
+            assert got == want, (q, mode, got, want)
+
+
+def test_ordinal_group_order_by(engine, oracle):
+    """Round 10: `GROUP BY 1` / `ORDER BY 2 DESC` are select-list
+    ordinals (DuckDB always; Spark under the default
+    groupByOrdinal/orderByOrdinal) — previously they parsed as
+    constant literals, which would group everything into one bucket
+    or no-op the sort SILENTLY."""
+    cases = [
+        ("SELECT n_regionkey, COUNT(*) AS c FROM nation AS n "
+         "GROUP BY 1 ORDER BY 1"),
+        # ordinal pointing at an expression item; ordinal ORDER BY on
+        # the aggregate column
+        ("SELECT n_regionkey + 100 AS k, COUNT(*) AS c FROM nation "
+         "AS n GROUP BY 1 ORDER BY 2 DESC, 1"),
+        # mixed ordinal + named
+        ("SELECT n_regionkey, n_name FROM nation AS n "
+         "ORDER BY 1 DESC, n_name LIMIT 7"),
+    ]
+    for q in cases:
+        for mode in ("cqc", "naive"):
+            got = [tuple(r) for r in engine.sql(q, mode=mode).collect()]
+            want = [tuple(r) for r in oracle.execute(q).fetchall()]
+            assert got == want, (q, mode, got, want)
+    import pytest
+
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+    # out-of-range and aggregate-target ordinals are rejected
+    with pytest.raises(UnsupportedSqlError):
+        engine.sql(
+            "SELECT n_name FROM nation AS n ORDER BY 3", mode="cqc"
+        )
+    with pytest.raises(UnsupportedSqlError):
+        engine.sql(
+            "SELECT n_regionkey, COUNT(*) AS c FROM nation AS n "
+            "GROUP BY 2",
+            mode="cqc",
+        )
+
+
+def test_simple_case_substring_position(engine, oracle):
+    """Round 10: simple CASE (`CASE x WHEN v THEN r`) desugars to the
+    searched form; SUBSTRING(x FROM i [FOR n]) and POSITION(a IN b)
+    parse their ANSI argument syntax (comma forms already worked)."""
+    cases = [
+        ("SELECT n_name, CASE n_regionkey WHEN 0 THEN 'africa' "
+         "WHEN 1 THEN 'america' ELSE 'other' END AS rg "
+         "FROM nation AS n ORDER BY n_name"),
+        # NULL operand falls to ELSE (searched-form equality)
+        ("SELECT n_name, CASE NULLIF(n_regionkey, 0) WHEN 1 THEN 'one' "
+         "ELSE 'rest' END AS tag FROM nation AS n ORDER BY n_name"),
+        ("SELECT SUBSTRING(n_name FROM 1 FOR 6) AS pre, "
+         "SUBSTRING(n_name FROM 8) AS tail6 "
+         "FROM nation AS n ORDER BY n_name"),
+        ("SELECT n_name, POSITION('_' IN n_name) AS p "
+         "FROM nation AS n ORDER BY n_name"),
+    ]
+    for q in cases:
+        for mode in ("cqc", "naive"):
+            got = [tuple(r) for r in engine.sql(q, mode=mode).collect()]
+            want = [tuple(r) for r in oracle.execute(q).fetchall()]
+            assert got == want, (q, mode, got, want)
+
+
+def test_distinct_on(engine, oracle):
+    """Round 10: SELECT DISTINCT ON (keys) — Postgres/DuckDB surface
+    Spark SQL lacks entirely — desugars to QUALIFY ROW_NUMBER() = 1
+    over the statement ORDER BY (deterministic row per key group)."""
+    cases = [
+        # first nation per region by name
+        ("SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name "
+         "FROM nation AS n ORDER BY n_regionkey, n_name"),
+        # DESC pick + extra order column
+        ("SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name "
+         "FROM nation AS n ORDER BY n_regionkey, n_nationkey DESC"),
+    ]
+    for q in cases:
+        got = [tuple(r) for r in engine.sql(q, mode="auto").collect()]
+        want = [tuple(r) for r in oracle.execute(q).fetchall()]
+        assert got == want, (q, got, want)
+    import pytest
+
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+    with pytest.raises(UnsupportedSqlError):
+        engine.sql(
+            "SELECT DISTINCT ON (n_regionkey) n_name FROM nation AS n",
+            mode="cqc",
+        )
