@@ -1452,8 +1452,11 @@ class SparkSQLPlus:
           the join's PRESERVED side (left for inner/LEFT, right for
           RIGHT), which IS the ANSI coalesced column's value for those
           join types (matched rows carry equal values, unmatched
-          preserved rows carry the preserved side's). FULL USING — a
-          genuine two-sided coalesce — is rejected at parse time.
+          preserved rows carry the preserved side's). FULL USING /
+          NATURAL FULL — where BOTH sides are preserved — resolves the
+          unqualified column to a genuine two-sided
+          COALESCE(left.c, right.c) (late round 10; matches
+          DuckDB/Spark's merged-column output).
 
         Mutates the spec in place. Conjuncts containing EXISTS or
         scalar subqueries are left untouched (their bodies open inner
@@ -1470,9 +1473,9 @@ class SparkSQLPlus:
             Cmp,
             Col,
             Exists,
+            Func,
             ScalarSubquery,
             map_expr,
-            rewrite_refs,
         )
         from sparksqlplus_spark.parser.sql import CompoundSpec, QuerySpec
 
@@ -1509,7 +1512,7 @@ class SparkSQLPlus:
             return names
 
         scope: list[tuple[str, list[str]]] = []
-        resolved: dict[str, str] = {}
+        resolved: dict[str, object] = {}  # col -> replacement Expr
 
         def resolve(
             cols: list[str],
@@ -1532,8 +1535,17 @@ class SparkSQLPlus:
                 conds.append(
                     Cmp("=", Col(owners[0], c), Col(right_alias, c))
                 )
-                owner = owners[0] if preserved == "left" else right_alias
-                if resolved.setdefault(c, owner) != owner:
+                if preserved == "full":
+                    # both sides preserved — the ANSI merged column is a
+                    # true two-sided coalesce
+                    expr = Func(
+                        "coalesce",
+                        (Col(owners[0], c), Col(right_alias, c)),
+                    )
+                else:
+                    owner = owners[0] if preserved == "left" else right_alias
+                    expr = Col(owner, c)
+                if resolved.setdefault(c, expr).key() != expr.key():
                     raise UnsupportedSqlError(
                         f"USING column {c!r} resolves differently across "
                         "joins"
@@ -1580,7 +1592,11 @@ class SparkSQLPlus:
                 cols = (
                     common_cols(ocols) if oj.natural else oj.using
                 )
-                preserved = "left" if oj.side in ("left", "inner") else "right"
+                preserved = (
+                    "left"
+                    if oj.side in ("left", "inner")
+                    else "right" if oj.side == "right" else "full"
+                )
                 oj.conds.extend(
                     resolve(cols, oj.item.alias, ocols, preserved)
                 )
@@ -1588,8 +1604,6 @@ class SparkSQLPlus:
                 oj.natural = False
             scope.append((oj.item.alias, ocols))
         spec.using_joins = []
-
-        mapping = {("", c): (a, c) for c, a in resolved.items()}
 
         def opaque(node) -> bool:
             hit = False
@@ -1603,8 +1617,17 @@ class SparkSQLPlus:
             map_expr(node, probe)
             return hit
 
+        def sub(n):
+            if (
+                isinstance(n, Col)
+                and n.alias == ""
+                and n.name in resolved
+            ):
+                return resolved[n.name]
+            return None
+
         def rw(node):
-            return node if opaque(node) else rewrite_refs(node, mapping)
+            return node if opaque(node) else map_expr(node, sub)
 
         for si in spec.select:
             si.expr = rw(si.expr)

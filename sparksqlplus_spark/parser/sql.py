@@ -130,11 +130,11 @@ class OuterJoin:
     side: str = "left"  # 'left' | 'right' | 'full'
     # JOIN ... USING (c1, c2) — column names to expand into qualified
     # equi conds once schemas are known (api._expand_using; the parser
-    # is schema-free so it cannot pick the left owner). FULL USING is
-    # rejected at parse time (its coalesced output column has no
-    # single-side resolution).
+    # is schema-free so it cannot pick the left owner). Under FULL the
+    # merged column is a genuine two-sided coalesce — _expand_using
+    # rewrites unqualified refs to COALESCE(l.c, r.c).
     using: list[str] | None = None
-    # NATURAL [LEFT|RIGHT] JOIN — USING over every common column name,
+    # NATURAL [LEFT|RIGHT|FULL] JOIN — USING over every common column name,
     # computed schema-aware in api._expand_using
     natural: bool = False
 
@@ -493,11 +493,6 @@ class _Parser:
                     and t2.text.lower() in ("left", "right", "full")
                 ):
                     side = self.take().text.lower()
-                    if side == "full":
-                        raise UnsupportedSqlError(
-                            "NATURAL FULL JOIN needs coalesced output "
-                            "columns; not in the subset"
-                        )
                     t3 = self.peek()
                     if (
                         t3 is not None
@@ -528,11 +523,6 @@ class _Parser:
                 self.expect("kw", "join")
                 item = self._from_item()
                 conds, using = self._join_condition()
-                if using is not None and side == "full":
-                    raise UnsupportedSqlError(
-                        "FULL JOIN USING needs a coalesced output "
-                        "column; not in the subset"
-                    )
                 outer_joins.append(OuterJoin(item, conds, side, using=using))
             else:
                 break

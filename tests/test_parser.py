@@ -1623,6 +1623,20 @@ def test_join_using(engine, oracle):
         ("SELECT rk, v.tag FROM (VALUES (0, 'zero'), (2, 'two')) "
          f"AS v(rk, tag) JOIN {derived_n} USING (rk) "
          "ORDER BY rk, v.tag, n.nname"),
+        # FULL JOIN USING: the unqualified col is the two-sided
+        # COALESCE merged column (late round 10) — offset key spaces
+        # so both sides have unmatched rows
+        ("SELECT rk, n.nname, r.rname FROM (SELECT n_regionkey AS rk, "
+         "n_name AS nname FROM nation AS xx WHERE xx.n_nationkey < 3) "
+         "AS n FULL JOIN (SELECT r_regionkey + 2 AS rk, r_name AS "
+         "rname FROM region AS yy) AS r USING (rk) "
+         "ORDER BY rk, n.nname, r.rname"),
+        # merged column in WHERE applies post-join (drops null-keyed
+        # unmatched rows from neither side wrongly)
+        ("SELECT rk, n.nname FROM (SELECT n_regionkey AS rk, n_name "
+         "AS nname FROM nation AS xx WHERE xx.n_nationkey < 3) AS n "
+         "FULL OUTER JOIN (SELECT r_regionkey + 2 AS rk FROM region "
+         "AS yy) AS r USING (rk) WHERE rk >= 2 ORDER BY rk, n.nname"),
     ]
     for q in cases:
         for mode in ("cqc", "naive"):
@@ -1683,6 +1697,10 @@ def test_natural_join(engine, oracle):
          "c_name AS cname FROM customer AS xx WHERE xx.c_custkey < 8) "
          "AS c NATURAL LEFT JOIN (SELECT o_custkey AS ck, o_orderkey "
          "AS okey FROM orders AS yy) AS o ORDER BY ck, o.okey"),
+        # NATURAL FULL JOIN: common col is the two-sided coalesce
+        (f"SELECT rk, n.nname, r.rname FROM {derived_n} NATURAL FULL "
+         "JOIN (SELECT r_regionkey + 2 AS rk, r_name AS rname FROM "
+         "region AS yy) AS r ORDER BY rk, n.nname, r.rname"),
     ]
     for q in cases:
         for mode in ("cqc", "naive"):
