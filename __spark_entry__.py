@@ -720,8 +720,8 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     # rows but ONE distinct value, proving the COUNT(DISTINCT) = 1
     # branch). Same SQL is the DuckDB oracle; the NULL-pattern matrix
     # is pytest-covered (test_not_in_under_or_three_valued,
-    # test_eq_all_and_not_between). Added post-rotation in r9; leads
-    # the r10 _HEAD for its first driver row. ---
+    # test_eq_all_and_not_between). Added post-rotation in r9; led
+    # the r10 _HEAD (driver-green in CORRECTNESS_r10.json). ---
     "threeval_surface": (
         """SELECT c.c_custkey, c.c_acctbal
            FROM customer AS c
@@ -2822,75 +2822,15 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # embed_kmeans) sat outside both lists and got no driver row — the
 # r10 window leads with them (r9 verdict item 1).
 #
-# r10 layout (total 99 = 50 head + 49 tail): the 2 NEW r10 surface
-# entries first, then the 4 driver-unchecked r9 additions, then
-# exists_or as the mandated re-check for this round's _lift_or_exists
-# changes (keyless null-aware gate + join-body lift), then every
-# surviving r9-tail entry (43 — right_outer_join and media_stats
-# retired as redundantly covered, see their "(r10 consolidation:...)"
-# notes). The 49-entry tail below = the r9 head minus exists_or; it
-# rotates back in r11.
+# r11 layout (total 99 = 50 head + 49 tail): the full 49-entry r10
+# tail rotates back into the head (standing policy — no entry sits
+# driver-unchecked 2+ rounds), with the 50th slack slot holding
+# exists_or_join as a re-check until a NEW r11 entry displaces it
+# into the tail. The 49-entry tail below = the r10 head minus
+# exists_or_join; every tail entry was driver-green in r10
+# (CORRECTNESS_r10.json: 50/50 green) and rotates back in r12.
 _HEAD = [
-    # NEW this round (r10): EXISTS with a join body (+ non-equality
-    # correlation) under OR; row-value NOT IN under OR
-    "exists_or_join",
-    "not_in_rowvalue_or",
-    # r9 post-rotation additions — first driver rows
-    "threeval_surface",
-    "events_heavy_hitters",
-    "events_sessionize",
-    "embed_kmeans",
-    # mandated re-check: _lift_or_exists changed this round
-    "exists_or",
-    # r9-tail survivors rotate back (standing policy)
-    "sample_mixture",
-    "text_repetition",
-    "text_boilerplate",
-    "graph_pagerank",
-    "events_quantiles",
-    "not_exists_anti",
-    "rollup_agg",
-    "setop_except",
-    "cte_agg_view",
-    "derived_table_scan",
-    "dedup_neardup_apply",
-    "dedup_cluster_chain",
-    "having_filter",
-    "text_chunks",
-    "pack_sequences",
-    "text_tfidf_topk",
-    "sample_stratified",
-    "text_redact_pii",
-    "tpch_q9",
-    "tpch_q7",
-    "tpch_q1",
-    "tpch_q18",
-    "events_tumbling_window",
-    "events_interval_join",
-    "events_sliding_window",
-    "events_session_window",
-    "events_dedup_first",
-    "text_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "media_frame_sample",
-    "dedup_exact",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "graph_q4_nonfull",
-    "window_qualify_topk",
-    "inner_after_outer_join",
-    "corr_count_arith",
-    "select_scalar_agg",
-    "sample_split_assign",
-    "embed_centroid_assign",
-    "window_frame_movavg",
-]
-# Every tail case below was driver-green in r9 (the r9 window);
-# their operator classes stay covered in-window (see _HEAD) and they
-# rotate back in r11.
-_TAIL = [
+    # r10-tail entries rotate back (standing policy)
     "exists_join_body",
     "events_ewma_multibatch",
     "text_decontaminate",
@@ -2940,6 +2880,62 @@ _TAIL = [
     "exists_outer_join",
     "quantified_all",
     "not_in_rowvalue",
+    # slack slot: re-check of r10's newest surface entry
+    "exists_or_join",
+]
+# Every tail case below was driver-green in r10 (the r10 window);
+# their operator classes stay covered in-window (see _HEAD) and they
+# rotate back in r12.
+_TAIL = [
+    "not_in_rowvalue_or",
+    "threeval_surface",
+    "events_heavy_hitters",
+    "events_sessionize",
+    "embed_kmeans",
+    "exists_or",
+    "sample_mixture",
+    "text_repetition",
+    "text_boilerplate",
+    "graph_pagerank",
+    "events_quantiles",
+    "not_exists_anti",
+    "rollup_agg",
+    "setop_except",
+    "cte_agg_view",
+    "derived_table_scan",
+    "dedup_neardup_apply",
+    "dedup_cluster_chain",
+    "having_filter",
+    "text_chunks",
+    "pack_sequences",
+    "text_tfidf_topk",
+    "sample_stratified",
+    "text_redact_pii",
+    "tpch_q9",
+    "tpch_q7",
+    "tpch_q1",
+    "tpch_q18",
+    "events_tumbling_window",
+    "events_interval_join",
+    "events_sliding_window",
+    "events_session_window",
+    "events_dedup_first",
+    "text_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "media_frame_sample",
+    "dedup_exact",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "graph_q4_nonfull",
+    "window_qualify_topk",
+    "inner_after_outer_join",
+    "corr_count_arith",
+    "select_scalar_agg",
+    "sample_split_assign",
+    "embed_centroid_assign",
+    "window_frame_movavg",
 ]
 
 
