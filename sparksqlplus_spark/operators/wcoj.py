@@ -35,6 +35,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Tasks per hypercube cell target: the cell frame is repartitioned to
+# n_cells * _CELL_FANOUT partitions BEFORE the groupBy so (a) two heavy
+# cells rarely hash-collide into one task (32 cells into 32 buckets
+# leaves ~37% of buckets empty and stacks the rest) and (b) AQE's
+# post-shuffle coalescing cannot merge several heavy pandas cells into
+# one serial task (measured r11: the pentagon kernel stage ran 20
+# AQE-coalesced tasks for 32 cells on local[32]; with the explicit
+# REPARTITION_BY_NUM exchange — which AQE never coalesces — median
+# wall-clock dropped ~2x under load and the single exchange still
+# satisfies the groupBy's clustering, so no second shuffle appears).
+_CELL_FANOUT = 5
+
+
+def _cell_repartition(cells: DataFrame, ccols: list[str], n_cells: int) -> DataFrame:
+    return cells.repartition(n_cells * _CELL_FANOUT, *[F.col(c) for c in ccols])
+
+
 def _empty_abc() -> pd.DataFrame:
     return pd.DataFrame(
         {
@@ -172,6 +189,7 @@ def triangle_join(
     t_ = t_.select("rel", "x", "y", "ca", F.col("z").alias("cb"), "cc")
 
     cells = r_.unionByName(s_).unionByName(t_)
+    cells = _cell_repartition(cells, ["ca", "cb", "cc"], p**3)
     return (
         cells.groupBy("ca", "cb", "cc")
         .applyInPandas(
@@ -344,8 +362,10 @@ def cycle_join(
     cells = parts[0]
     for d in parts[1:]:
         cells = cells.unionByName(d)
+    ccols = [f"c{j}" for j in range(k)]
+    cells = _cell_repartition(cells, ccols, p**k)
     schema = ", ".join(f"x{i} long" for i in range(1, k + 1))
-    return cells.groupBy(*[f"c{j}" for j in range(k)]).applyInPandas(
+    return cells.groupBy(*ccols).applyInPandas(
         lambda pdf: _cycle_in_cell(pdf, k, reduce_edges), schema=schema
     )
 
@@ -530,8 +550,10 @@ def pattern_join(
     cells = parts[0]
     for d in parts[1:]:
         cells = cells.unionByName(d)
+    ccols = [f"c{j}" for j in range(n)]
+    cells = _cell_repartition(cells, ccols, p**n)
     schema = ", ".join(f"{v} long" for v in all_vars)
-    return cells.groupBy(*[f"c{j}" for j in range(n)]).applyInPandas(
+    return cells.groupBy(*ccols).applyInPandas(
         lambda pdf: _pattern_in_cell(pdf, edge_vars, e0, init_verify, steps, all_vars),
         schema=schema,
     )
