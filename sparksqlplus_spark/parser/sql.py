@@ -514,10 +514,32 @@ class _Parser:
             elif (
                 t is not None
                 and t.kind == "id"
+                and t.text.lower() in ("semi", "anti")
+                and self.at("kw", "join", k=1)
+            ):
+                # [LEFT] SEMI/ANTI JOIN t ON cond (round 11) — pure
+                # sugar for [NOT] EXISTS (SELECT 1 FROM t WHERE cond):
+                # the planner's SemiFilter fold plans both as a
+                # relation-local left_semi/left_anti, exactly Spark's
+                # join types of the same name. 'semi'/'anti' stay soft
+                # ids (only JOIN right after triggers this arm).
+                where.append(self._semi_anti_join_tail(outer_joins))
+            elif (
+                t is not None
+                and t.kind == "id"
                 and t.text.lower() in ("left", "right", "full")
             ):
                 side = self.take().text.lower()
                 t2 = self.peek()
+                if (
+                    side == "left"
+                    and t2 is not None
+                    and t2.kind == "id"
+                    and t2.text.lower() in ("semi", "anti")
+                    and self.at("kw", "join", k=1)
+                ):
+                    where.append(self._semi_anti_join_tail(outer_joins))
+                    continue
                 if t2 is not None and t2.kind == "id" and t2.text.lower() == "outer":
                     self.take()
                 self.expect("kw", "join")
@@ -1038,6 +1060,31 @@ class _Parser:
             fi.table, fi.alias,
             (*[Cmp("=", s, l) for s, l in zip(sels, row)], *conds),
             negated=negated, null_aware=True, n_probe=len(row),
+        )
+
+    def _semi_anti_join_tail(self, outer_joins: list) -> "Exists":
+        """SEMI/ANTI JOIN t [AS a] ON cond — desugared to the same
+        Exists node as [NOT] EXISTS (SELECT 1 FROM t WHERE cond), so
+        the SemiFilter planner folds it into a relation-local
+        left_semi/left_anti (Spark's own semantics for these join
+        types: left rows kept/dropped by match, never multiplied, no
+        right columns). Caller sits at the 'semi'/'anti' token."""
+        kind = self.take().text.lower()
+        self.expect("kw", "join")
+        if outer_joins:
+            raise UnsupportedSqlError(
+                "SEMI/ANTI JOIN after an OUTER JOIN is not in the "
+                "subset"
+            )
+        item = self._from_item()
+        if item.subquery is not None:
+            raise UnsupportedSqlError(
+                "SEMI/ANTI JOIN over a subquery is not in the subset"
+            )
+        self.expect("kw", "on")
+        conds = self._conjunction()
+        return Exists(
+            item.table, item.alias, tuple(conds), negated=(kind == "anti")
         )
 
     def _exists_tail(self) -> "Exists":

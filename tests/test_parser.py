@@ -1834,3 +1834,68 @@ def test_distinct_on(engine, oracle):
             "SELECT DISTINCT ON (n_regionkey) n_name FROM nation AS n",
             mode="cqc",
         )
+
+
+def test_semi_anti_join_desugar(engine, oracle):
+    """[LEFT] SEMI/ANTI JOIN t ON cond (round 11) desugars to the same
+    Exists node as [NOT] EXISTS and plans as a relation-local
+    left_semi/left_anti — Spark's own semantics for these join types
+    (left rows kept/dropped by match, never multiplied, no right
+    columns). 'semi'/'anti' stay usable as identifiers."""
+    from sparksqlplus_spark.parser.sql import parse_query
+
+    q = parse_query(
+        "SELECT n.n_name FROM nation AS n "
+        "SEMI JOIN region AS r ON n.n_regionkey = r.r_regionkey"
+    )
+    assert len(q.where) == 1 and not q.where[0].negated
+    assert q.where[0].table == "region"
+    q2 = parse_query(
+        "SELECT n.n_name FROM nation AS n "
+        "LEFT ANTI JOIN region AS r ON n.n_regionkey = r.r_regionkey"
+    )
+    assert q2.where[0].negated
+
+    from tests.helpers import assert_matches
+
+    cases = [
+        (
+            """SELECT n.n_name FROM nation AS n
+               SEMI JOIN region AS r
+                 ON n.n_regionkey = r.r_regionkey AND r.r_regionkey > 2""",
+            """SELECT DISTINCT n.n_name FROM nation n
+               WHERE EXISTS (SELECT 1 FROM region r
+                             WHERE n.n_regionkey = r.r_regionkey
+                               AND r.r_regionkey > 2)""",
+        ),
+        (
+            """SELECT c.c_name FROM customer AS c
+               LEFT ANTI JOIN orders AS o ON c.c_custkey = o.o_custkey""",
+            """SELECT DISTINCT c.c_name FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE c.c_custkey = o.o_custkey)""",
+        ),
+        # composes with inner joins + WHERE; unqualified ON columns
+        (
+            """SELECT c.c_name, n.n_name
+               FROM customer AS c
+               INNER JOIN nation AS n ON c.c_nationkey = n.n_nationkey
+               SEMI JOIN orders AS o
+                 ON c.c_custkey = o.o_custkey AND o.o_totalprice > 100000.0
+               WHERE n.n_regionkey = 1""",
+            """SELECT DISTINCT c.c_name, n.n_name FROM customer c
+               JOIN nation n ON c.c_nationkey = n.n_nationkey
+               WHERE n.n_regionkey = 1
+                 AND EXISTS (SELECT 1 FROM orders o
+                             WHERE c.c_custkey = o.o_custkey
+                               AND o.o_totalprice > 100000.0)""",
+        ),
+        (
+            "SELECT n_name FROM nation SEMI JOIN region "
+            "ON n_regionkey = r_regionkey",
+            "SELECT DISTINCT n_name FROM nation WHERE EXISTS "
+            "(SELECT 1 FROM region WHERE n_regionkey = r_regionkey)",
+        ),
+    ]
+    for sql, ora in cases:
+        assert_matches(engine.sql(sql, mode="cqc"), oracle, ora)
