@@ -1617,6 +1617,19 @@ class _Parser:
                     if len(args) != 1:
                         raise UnsupportedSqlError(f"{low} needs 1 arg")
                     return AggCall(low, args[0], distinct)
+                # Func.to_spark resolves via getattr(pyspark.sql.F,
+                # name); validate HERE so a SQL function with no
+                # same-named DataFrame twin (e.g. map -> F.create_map)
+                # raises UnsupportedSqlError at parse time and rides
+                # the mode='auto' spark.sql fallback instead of
+                # escaping as a ValueError mid-execution (round 11).
+                from pyspark.sql import functions as _F
+
+                if getattr(_F, low, None) is None:
+                    raise UnsupportedSqlError(
+                        f"function {low} has no DataFrame twin; "
+                        "not in the subset"
+                    )
                 return Func(low, tuple(args))
             # dotted column ref
             if self.accept("op", "."):
