@@ -682,6 +682,29 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                            AND p.p_retailprice > o.o_totalprice)""",
         None,
     ),
+    # --- NEW r11: [LEFT] SEMI/ANTI JOIN syntax (Spark's own join
+    # types; previously crashed the parser). Both arms desugar in
+    # parser/sql.py:_semi_anti_join_tail to the same Exists node as
+    # [NOT] EXISTS, so the SemiFilter planner folds them into
+    # relation-local left_semi/left_anti joins — two filters on one
+    # customer scan, no row multiplication. Oracle is the EXISTS
+    # expansion (DISTINCT for the engine's non-full semantics; a
+    # no-op here since c_custkey is the customer PK). ---
+    "semi_anti_join": (
+        """SELECT c.c_custkey, c.c_name
+           FROM customer AS c
+           SEMI JOIN orders AS o
+             ON c.c_custkey = o.o_custkey AND o.o_totalprice > 150000.0
+           ANTI JOIN nation AS n
+             ON c.c_nationkey = n.n_nationkey AND n.n_regionkey = 0""",
+        """SELECT DISTINCT c.c_custkey, c.c_name FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE c.c_custkey = o.o_custkey
+                           AND o.o_totalprice > 150000.0)
+             AND NOT EXISTS (SELECT 1 FROM nation n
+                             WHERE c.c_nationkey = n.n_nationkey
+                               AND n.n_regionkey = 0)""",
+    ),
     # --- NEW r10: 2-column row-value NOT IN under OR (r9 verdict
     # item 6): the three-valued flag generalizes to key tuples via
     # NULL-pattern-decomposed DISTINCT-projection joins
@@ -2822,13 +2845,16 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # embed_kmeans) sat outside both lists and got no driver row — the
 # r10 window leads with them (r9 verdict item 1).
 #
-# r11 layout (total 99 = 50 head + 49 tail): the full 49-entry r10
+# r11 layout (total 100 = 50 head + 50 tail): the full 49-entry r10
 # tail rotates back into the head (standing policy — no entry sits
-# driver-unchecked 2+ rounds), with the 50th slack slot holding
-# exists_or_join as a re-check until a NEW r11 entry displaces it
-# into the tail. The 49-entry tail below = the r10 head minus
-# exists_or_join; every tail entry was driver-green in r10
-# (CORRECTNESS_r10.json: 50/50 green) and rotates back in r12.
+# driver-unchecked 2+ rounds), with the 50th slot taken by the NEW
+# semi_anti_join entry (which displaced the exists_or_join slack
+# re-check into the tail, as planned at rotation time). The 50-entry
+# tail below = the r10 head; every tail entry was driver-green in r10
+# (CORRECTNESS_r10.json: 50/50 green) and rotates back in r12. At
+# 100 entries the 2-round rotation invariant is exactly saturated:
+# r12+ additions MUST be paired with a retirement (the r7/r9
+# consolidation discipline).
 _HEAD = [
     # r10-tail entries rotate back (standing policy)
     "exists_join_body",
@@ -2880,13 +2906,15 @@ _HEAD = [
     "exists_outer_join",
     "quantified_all",
     "not_in_rowvalue",
-    # slack slot: re-check of r10's newest surface entry
-    "exists_or_join",
+    # NEW r11: SEMI/ANTI JOIN surface (displaces the exists_or_join
+    # slack re-check into the tail, as planned at rotation time)
+    "semi_anti_join",
 ]
 # Every tail case below was driver-green in r10 (the r10 window);
 # their operator classes stay covered in-window (see _HEAD) and they
 # rotate back in r12.
 _TAIL = [
+    "exists_or_join",
     "not_in_rowvalue_or",
     "threeval_surface",
     "events_heavy_hitters",
