@@ -1899,3 +1899,56 @@ def test_semi_anti_join_desugar(engine, oracle):
     ]
     for sql, ora in cases:
         assert_matches(engine.sql(sql, mode="cqc"), oracle, ora)
+
+
+FALLBACK_CONTRACT_QUERIES = [
+    # Valid-Spark shapes OUTSIDE the native subset: mode='auto' must
+    # complete through the spark.sql fallback (any in-subset ones
+    # simply plan natively) — never escape a raw parser/planner error.
+    # Round 11: 'SEMI JOIN' crashed the star expander with ValueError,
+    # and map() escaped Func.to_spark's getattr miss mid-execution.
+    "SELECT n_regionkey, n_nationkey, COUNT(*) AS n FROM nation "
+    "  GROUP BY GROUPING SETS ((n_regionkey), (n_nationkey), ())",
+    "SELECT n_regionkey, COUNT(*) AS n FROM nation "
+    "  GROUP BY CUBE (n_regionkey)",
+    "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM t "
+    "  WHERE n < 5) SELECT n FROM t",
+    "SELECT r.r_name, x.cnt FROM region r, LATERAL "
+    "  (SELECT COUNT(*) AS cnt FROM nation n "
+    "   WHERE n.n_regionkey = r.r_regionkey) x",
+    "SELECT * FROM (SELECT n_regionkey, n_nationkey FROM nation) "
+    "  PIVOT (COUNT(*) FOR n_regionkey IN (0, 1, 2))",
+    "SELECT * FROM (SELECT n_nationkey, n_regionkey FROM nation) "
+    "  UNPIVOT (val FOR col IN (n_regionkey))",
+    "SELECT n_nationkey, SUM(n_regionkey) OVER w AS s FROM nation "
+    "  WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_nationkey)",
+    "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY n_nationkey) "
+    "  AS med FROM nation",
+    "SELECT map('k', n_nationkey) AS m FROM nation LIMIT 1",
+    "SELECT r_name, e FROM region "
+    "  LATERAL VIEW explode(ARRAY(1,2)) t AS e",
+    "SELECT COUNT(*) AS n FROM lineitem TABLESAMPLE (10 PERCENT)",
+    "SELECT n_nationkey FROM nation DISTRIBUTE BY n_regionkey",
+    "SELECT /*+ BROADCAST(r) */ n_name FROM nation n "
+    "  JOIN region r ON n_regionkey = r_regionkey",
+    "SELECT TRY_CAST(n_name AS INT) AS x FROM nation",
+    "SELECT n_name FROM nation WHERE n_name ILIKE '%a%'",
+    "SELECT OVERLAY('hello' PLACING 'XX' FROM 2) AS o FROM region "
+    "  LIMIT 1",
+    "SELECT n_regionkey, LISTAGG(n_name, ',') "
+    "  WITHIN GROUP (ORDER BY n_name) AS names FROM nation "
+    "  GROUP BY n_regionkey",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", FALLBACK_CONTRACT_QUERIES,
+    ids=[q.strip()[:40] for q in FALLBACK_CONTRACT_QUERIES],
+)
+def test_auto_fallback_contract(engine, sql):
+    """Every valid-Spark query must COMPLETE under mode='auto': either
+    planned natively or routed to spark.sql via UnsupportedSqlError.
+    A raw ValueError/KeyError escaping the parser or planner breaks
+    the contract (users see a crash on SQL Spark itself accepts)."""
+    df = engine.sql(sql)
+    assert df.count() >= 0
