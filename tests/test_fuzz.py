@@ -687,3 +687,54 @@ def test_qualify_equals_naive(engine, fn, part, k, filt, tail):
     assert a.count() == b.count(), sql
     assert a.exceptAll(b).count() == 0, sql
     assert b.exceptAll(a).count() == 0, sql
+
+
+# round-11: the SEMI/ANTI JOIN spelling of the same predicates
+SEMI_JOIN_CLAUSES = [
+    ("c", "SEMI JOIN orders AS xo ON xo.o_custkey = c.c_custkey"
+          " AND xo.o_totalprice > 150000.0",
+     "EXISTS (SELECT * FROM orders AS xo WHERE xo.o_custkey = c.c_custkey"
+     " AND xo.o_totalprice > 150000.0)"),
+    ("s", "LEFT SEMI JOIN lineitem AS xl ON xl.l_suppkey = s.s_suppkey"
+          " AND xl.l_quantity > 40",
+     "EXISTS (SELECT * FROM lineitem AS xl WHERE xl.l_suppkey = s.s_suppkey"
+     " AND xl.l_quantity > 40)"),
+    ("n", "ANTI JOIN supplier AS xs ON xs.s_nationkey = n.n_nationkey"
+          " AND xs.s_acctbal < -900.0",
+     "NOT EXISTS (SELECT * FROM supplier AS xs"
+     " WHERE xs.s_nationkey = n.n_nationkey AND xs.s_acctbal < -900.0)"),
+]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(case=query_case(), join_mask=st.integers(min_value=0, max_value=7))
+def test_semi_anti_join_syntax_equals_exists(engine, case, join_mask):
+    """Random conjunctive queries with a random subset of SEMI/ANTI
+    JOIN clauses attached (round-11 surface): the join-syntax spelling
+    must plan the same SemiFilters and match the EXISTS spelling run
+    through verbatim spark.sql (deduped — non-full projections)."""
+    aliases, edges, comps, filts, out = case
+    picked = [
+        (j, e)
+        for i, (a, j, e) in enumerate(SEMI_JOIN_CLAUSES)
+        if a in aliases and (join_mask >> i) & 1
+    ]
+    if not picked:
+        picked = [(j, e) for a, j, e in SEMI_JOIN_CLAUSES if a in aliases][:1]
+    base = build_sql(aliases, edges, comps, filts, out)
+    join_sql = base.replace(
+        " WHERE ", " " + " ".join(j for j, _ in picked) + " WHERE ", 1
+    )
+    exists_sql = base + " AND " + " AND ".join(e for _, e in picked)
+    ctx = engine.context(join_sql)
+    assert ctx.semi_filters, f"no semi filter planned for: {join_sql}"
+    a = engine.sql(join_sql)
+    b = engine.sql(exists_sql, mode="spark").distinct()
+    ca, cb = a.count(), b.count()
+    assert ca == cb, f"count mismatch {ca} vs {cb} for: {join_sql}"
+    assert a.exceptAll(b).count() == 0, f"rows differ for: {join_sql}"
+    assert b.exceptAll(a).count() == 0, f"rows differ for: {join_sql}"
