@@ -70,7 +70,38 @@ class SparkSQLPlus:
     # -- registration --------------------------------------------------------
     def ddl(self, ddl_str: str) -> None:
         """Register tables from CREATE TABLE ... WITH('path'=...) DDL;
-        views for the spark.sql fallback are created lazily."""
+        views for the spark.sql fallback are created lazily.
+
+        Also accepts CREATE [OR REPLACE] TABLE|VIEW name AS <select>
+        (round 11): the select plans through the normal engine
+        pipeline and registers as a DataFrame-backed catalog table —
+        TABLE persists the frame (materialized once, reused by later
+        queries), VIEW stays lazy (re-planned per use). DDL matching
+        neither shape raises instead of silently registering nothing
+        (previously CTAS fell through the column-list regex and later
+        queries failed with table-not-found)."""
+        import re as _re
+
+        ctas = _re.match(
+            r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?P<kind>TABLE|VIEW)\s+"
+            r"(?P<name>\w+)\s+AS\s+(?P<body>.+)$",
+            ddl_str,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if ctas:
+            df = self.sql(ctas.group("body"))
+            if ctas.group("kind").upper() == "TABLE":
+                df = df.persist()
+            self.register(ctas.group("name"), df)
+            return
+        if not _re.search(
+            r"CREATE\s+TABLE\s+\w+\s*\(", ddl_str, _re.IGNORECASE
+        ):
+            raise ValueError(
+                "unrecognized DDL: expected CREATE TABLE name (cols...) "
+                "WITH ('path'=...) or CREATE [OR REPLACE] TABLE|VIEW "
+                "name AS SELECT ..."
+            )
         parse_ddl(ddl_str, self.catalog)
 
     def register(

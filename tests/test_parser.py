@@ -1952,3 +1952,41 @@ def test_auto_fallback_contract(engine, sql):
     the contract (users see a crash on SQL Spark itself accepts)."""
     df = engine.sql(sql)
     assert df.count() >= 0
+
+
+def test_ctas_and_create_view(engine, oracle):
+    """CREATE [OR REPLACE] TABLE|VIEW name AS <select> (round 11):
+    plans through the engine pipeline and registers a DataFrame-backed
+    catalog table usable by later queries (TABLE persisted, VIEW
+    lazy). Unrecognized DDL raises instead of silently registering
+    nothing (the pre-fix CTAS behavior)."""
+    import pytest as _pytest
+
+    engine.ddl(
+        "CREATE TABLE t_ctas AS SELECT n_nationkey, n_regionkey "
+        "FROM nation WHERE n_nationkey > 10"
+    )
+    try:
+        from tests.helpers import assert_matches
+
+        assert_matches(
+            engine.sql(
+                "SELECT t.n_nationkey, r.r_name FROM t_ctas AS t, "
+                "region AS r WHERE t.n_regionkey = r.r_regionkey"
+            ),
+            oracle,
+            "SELECT n_nationkey, r_name FROM nation JOIN region "
+            "ON n_regionkey = r_regionkey WHERE n_nationkey > 10",
+        )
+        engine.ddl(
+            "CREATE OR REPLACE VIEW v_ctas AS "
+            "SELECT n_nationkey FROM t_ctas WHERE n_nationkey > 20"
+        )
+        try:
+            assert engine.sql("SELECT COUNT(*) AS n FROM v_ctas").collect()[0][0] == 4
+        finally:
+            engine.catalog.unregister("v_ctas")
+        with _pytest.raises(ValueError, match="unrecognized DDL"):
+            engine.ddl("DROP TABLE t_ctas")
+    finally:
+        engine.catalog.unregister("t_ctas")
