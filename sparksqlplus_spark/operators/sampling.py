@@ -178,3 +178,52 @@ def split_assign(
         else expr.otherwise(F.lit(names[-1]))
     )
     return df.withColumn("split", expr)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weight-proportional sample WITHOUT replacement of
+    ``k`` rows (per ``group_col`` group if given) — the quality-scored
+    subsampling step (keep the best-ish k docs, higher weight = higher
+    inclusion odds, but not a hard top-k by weight: low-weight rows
+    still win occasionally, preserving diversity).
+
+    Efraimidis–Spirakis A-Res: each row draws u = hash-uniform(0,1]
+    and scores key = u^(1/w) (equivalently log(u)/w, monotone — we use
+    the log form to stay in stable double range); the k LARGEST keys
+    are exactly a weight-proportional draw without replacement. The
+    hash makes it reproducible row-for-row (same id + seed -> same
+    key), so a SQL oracle can replay it bit-for-bit with the same
+    md5/log arithmetic.
+
+    One window shuffle on the group key (or a single global sort when
+    ungrouped — for global top-k over very large inputs Spark's sort
+    is a partial top-k per partition + merge, not a full sort).
+    Non-positive weights are excluded (their inclusion probability
+    is 0).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    # u in (0, 1]: (h + 1) / SCALE over the 2^20 bucket space —
+    # exactly representable in doubles, reproducible in ANSI SQL
+    u = (_bucket(id_col, seed) + F.lit(1)).cast("double") / F.lit(float(SCALE))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    out = df.filter(F.col(weight_col) > 0).withColumn("__akey", key)
+    w = Window.orderBy(F.col("__akey").desc(), F.col(id_col))
+    if group_col is not None:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("__akey").desc(), F.col(id_col)
+        )
+    return (
+        out.withColumn("__arank", F.row_number().over(w))
+        .filter(F.col("__arank") <= k)
+        .drop("__akey", "__arank")
+    )

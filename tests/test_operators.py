@@ -886,3 +886,61 @@ def test_media_stats_metadata_scan(spark):
         assert r["mime"] == "application/octet-stream"
         assert r["width"] == len(b) % 640
         assert r["height"] == len(b) % 480
+
+
+def test_weighted_sample_topk(spark):
+    """weighted_sample_topk (round 11, Efraimidis-Spirakis A-Res):
+    the kept set equals an independent numpy replay of the same
+    md5/log arithmetic (bit-for-bit reproducible), grouping yields
+    exactly k per group, weights drive inclusion odds (a 50x-weight
+    stratum dominates but does not monopolize a diverse draw), and
+    non-positive weights never win."""
+    import hashlib
+    import math
+
+    import pytest as _pytest
+
+    from sparksqlplus_spark.operators.sampling import (
+        SCALE,
+        weighted_sample_topk,
+    )
+
+    rows = [
+        (i, float(50.0 if i % 10 == 0 else 1.0), "g%d" % (i % 3))
+        for i in range(600)
+    ] + [(600, 0.0, "g0"), (601, -2.0, "g1")]
+    df = spark.createDataFrame(rows, "id long, w double, grp string")
+
+    def replay_key(i: int, seed: str = "") -> float:
+        h = int(hashlib.md5(f"{seed}{i}".encode()).hexdigest()[:13], 16)
+        u = ((h % SCALE) + 1) / SCALE
+        return math.log(u)
+
+    # ungrouped: kept set == numpy replay's top-k keys
+    k = 40
+    kept = {r["id"] for r in weighted_sample_topk(df, "id", "w", k).collect()}
+    keys = sorted(
+        ((replay_key(i) / w, i) for i, w, _ in rows if w > 0),
+        key=lambda t: (-t[0], t[1]),
+    )
+    expect = {i for _, i in keys[:k]}
+    assert kept == expect
+    assert 600 not in kept and 601 not in kept
+    # weight-proportional, not hard top-k: heavy ids (10% of rows,
+    # 50x weight) dominate but light rows still appear
+    heavy = sum(1 for i in kept if i % 10 == 0)
+    assert k * 0.5 < heavy < k
+    # grouped: exactly k per group, deterministic across runs
+    g = weighted_sample_topk(df, "id", "w", 5, group_col="grp")
+    per = {r["grp"]: r["count"] for r in g.groupBy("grp").count().collect()}
+    assert per == {"g0": 5, "g1": 5, "g2": 5}
+    again = {r["id"] for r in weighted_sample_topk(df, "id", "w", k).collect()}
+    assert again == kept
+    # a different seed draws a different (but valid) sample
+    other = {
+        r["id"]
+        for r in weighted_sample_topk(df, "id", "w", k, seed="s2").collect()
+    }
+    assert other != kept
+    with _pytest.raises(ValueError):
+        weighted_sample_topk(df, "id", "w", 0)
