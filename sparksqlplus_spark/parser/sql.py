@@ -819,6 +819,20 @@ class _Parser:
         "using", "natural", "cross",
     }
 
+    def _at_soft_join_word(self) -> bool:
+        """True when the CURRENT id token is a join-prefix soft keyword
+        rather than an implicit alias: unconditional for the
+        _SOFT_AFTER_FROM set, and for semi/anti ONLY when JOIN follows
+        (round 11 — "FROM t semi JOIN u" must read SEMI JOIN like
+        Spark, while "FROM t semi WHERE ..." keeps semi as an alias)."""
+        t = self.peek()
+        if t is None or t.kind != "id":
+            return False
+        low = t.text.lower()
+        if low in self._SOFT_AFTER_FROM:
+            return True
+        return low in ("semi", "anti") and self.at("kw", "join", k=1)
+
     def _from_item(self) -> FromItem:
         if self.accept("op", "("):
             t = self.peek()
@@ -827,11 +841,7 @@ class _Parser:
             sub = self._compound_after(self._select_stmt())
             self.expect("op", ")")
             explicit_as = self.accept("kw", "as")
-            if (
-                not explicit_as
-                and self.at("id")
-                and self.peek().text.lower() in self._SOFT_AFTER_FROM
-            ):
+            if not explicit_as and self._at_soft_join_word():
                 # "(SELECT ...) LEFT JOIN ..." — the id is a join
                 # keyword, NOT an implicit alias; an unaliased derived
                 # table is outside the subset (silently reading 'left'
@@ -850,7 +860,7 @@ class _Parser:
         alias = name
         if self.accept("kw", "as"):
             alias = self.take().text
-        elif self.at("id") and self.peek().text.lower() not in self._SOFT_AFTER_FROM:
+        elif self.at("id") and not self._at_soft_join_word():
             alias = self.take().text
         return FromItem(alias=alias, table=name)
 

@@ -1990,3 +1990,33 @@ def test_ctas_and_create_view(engine, oracle):
             engine.ddl("DROP TABLE t_ctas")
     finally:
         engine.catalog.unregister("t_ctas")
+
+
+def test_semi_join_without_explicit_alias(engine, oracle):
+    """'FROM t semi JOIN u' must read SEMI JOIN (Spark's grammar), not
+    an implicit alias 'semi' that degrades the join to inner — while
+    'FROM t semi WHERE ...' (no JOIN after) keeps semi as an alias."""
+    from tests.helpers import assert_matches
+
+    assert_matches(
+        engine.sql(
+            "SELECT n_name FROM nation semi JOIN region "
+            "ON n_regionkey = r_regionkey AND r_regionkey > 2"
+        ),
+        oracle,
+        "SELECT DISTINCT n_name FROM nation WHERE EXISTS (SELECT 1 "
+        "FROM region WHERE n_regionkey = r_regionkey AND r_regionkey > 2)",
+    )
+    assert (
+        engine.sql(
+            "SELECT semi.n_name FROM nation semi WHERE semi.n_regionkey = 1"
+        ).count()
+        == 5
+    )
+    assert (
+        engine.sql(
+            "SELECT anti.n_name FROM nation AS anti "
+            "WHERE anti.n_regionkey = 1"
+        ).count()
+        == 5
+    )
