@@ -222,3 +222,125 @@ def ewma_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: bounded-state SpaceSaving per hash bucket
+# ---------------------------------------------------------------------------
+
+HH_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("key", T.LongType()),
+        T.StructField("est", T.LongType()),
+        T.StructField("err", T.LongType()),
+        T.StructField("n_total", T.LongType()),
+    ]
+)
+
+HH_STATE_SCHEMA = (
+    "keys array<bigint>, counts array<bigint>, errs array<bigint>, n long"
+)
+
+
+def _space_saving_insert(
+    summary: dict[int, tuple[int, int]], key: int, c: int, capacity: int
+) -> None:
+    """Fold ``c`` occurrences of ``key`` into a SpaceSaving summary
+    (key -> (count, err)). Batched form of the classic per-item insert:
+    present keys accumulate, free slots open exact, otherwise the
+    minimum-count slot is evicted and charged as the new key's error.
+    Invariants: true <= est <= true + err; min count <= N/capacity."""
+    if key in summary:
+        cnt, err = summary[key]
+        summary[key] = (cnt + c, err)
+    elif len(summary) < capacity:
+        summary[key] = (c, 0)
+    else:
+        kmin = min(summary, key=lambda k: (summary[k][0], k))
+        cmin = summary[kmin][0]
+        del summary[kmin]
+        summary[key] = (cmin + c, cmin)
+
+
+def heavy_hitters_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    capacity: int = 64,
+    n_buckets: int = 8,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state — the stream form of
+    operators/frequency.py's batch count-min prune.
+
+    Keys hash into ``n_buckets`` state groups; each group carries a
+    SpaceSaving summary of ``capacity`` slots (Metwally et al. 2005 —
+    mergeable, deterministic, and unlike count-min it stores the
+    candidate KEYS, so no second pass over the data is needed). Each
+    micro-batch folds its per-key counts in descending-count order
+    (key tiebreak) into the carried summary and emits the bucket's
+    full snapshot stamped with n_total, so the LAST snapshot per
+    bucket (max n_total) is the final answer.
+
+    Guarantees per bucket with N items seen: every key with true
+    count > N/capacity is present, and true <= est <= true + err with
+    err <= N/capacity. State is O(n_buckets * capacity) at ANY input
+    size — the whole point vs. a per-key running count, whose state
+    grows with key cardinality.
+    """
+    if capacity <= 0 or n_buckets <= 0:
+        raise ValueError("capacity and n_buckets must be positive")
+
+    def fold(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            keys, counts, errs, n = state.get
+            summary = {
+                int(k): (int(c), int(e))
+                for k, c, e in zip(keys, counts, errs)
+            }
+        else:
+            summary, n = {}, 0
+        events = pd.concat(list(batches), ignore_index=True)
+        batch_counts = events.groupby("__key").size()
+        n += int(batch_counts.sum())
+        for k, c in sorted(
+            batch_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        ):
+            _space_saving_insert(summary, int(k), int(c), capacity)
+        ks = sorted(summary)
+        state.update(
+            (
+                [int(k) for k in ks],
+                [int(summary[k][0]) for k in ks],
+                [int(summary[k][1]) for k in ks],
+                int(n),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": [int(key[0])] * len(ks),
+                "key": ks,
+                "est": [summary[k][0] for k in ks],
+                "err": [summary[k][1] for k in ks],
+                "n_total": [n] * len(ks),
+            }
+        )
+
+    keyed = stream.withWatermark("ts", watermark).select(
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+        .cast("int")
+        .alias("__bucket"),
+        F.col(key_col).cast("long").alias("__key"),
+        F.col("ts"),
+    )
+    return keyed.groupBy("__bucket").applyInPandasWithState(
+        fold,
+        outputStructType=HH_OUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -493,3 +493,82 @@ def test_asof_stream_null_payload_row_atomic(spark, tmp_path):
     want = asof_join(*sides(src), "ts", "ts", by=["user_id"])
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_heavy_hitters_stream_bounded_state(spark, tmp_path):
+    """Streaming SpaceSaving heavy hitters (round 11,
+    applyInPandasWithState with ARRAY state): a multi-batch drain over
+    planted skew must surface every true-heavy key with
+    true <= est <= true + err and err <= n_total/capacity, while state
+    stays at capacity slots per bucket regardless of key cardinality."""
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.streaming.stateful import heavy_hitters_stream
+    from sparksqlplus_spark.streaming.windows import (
+        run_stream_to_memory_counted,
+        slice_to_files,
+        stream_from_slices,
+    )
+
+    # planted skew: keys 1..3 heavy (1200/900/600 rows), 400 light keys
+    # with 1-3 rows each; deterministic timestamps
+    rows = []
+    eid = 0
+    for k, c in [(1, 1200), (2, 900), (3, 600)]:
+        for _ in range(c):
+            rows.append((eid, k)); eid += 1
+    for k in range(100, 500):
+        for _ in range(1 + k % 3):
+            rows.append((eid, k)); eid += 1
+    src = (
+        spark.createDataFrame(rows, "event_id long, user_id long")
+        .withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("event_id")))
+        .select("user_id", "event_id", "ts")
+    )
+    path = str(tmp_path / "hh_slices")
+    slice_to_files(src, path, n_slices=3)
+    stream = stream_from_slices(spark, path, src.schema)
+    capacity, n_buckets = 32, 4
+    got, n_batches = run_stream_to_memory_counted(
+        heavy_hitters_stream(
+            stream, key_col="user_id", capacity=capacity, n_buckets=n_buckets
+        ),
+        "t_hh_stream",
+    )
+    assert n_batches >= 2  # cross-batch state carry genuinely ran
+    # final snapshot per bucket = rows at that bucket's max n_total
+    import pandas as pd
+
+    pdf = got.toPandas()
+    finals = []
+    for b, grp in pdf.groupby("bucket"):
+        finals.append(grp[grp["n_total"] == grp["n_total"].max()])
+    final = pd.concat(finals, ignore_index=True)
+    # bounded state: at most `capacity` slots per bucket survived
+    assert final.groupby("bucket").size().max() <= capacity
+    exact = {
+        r["user_id"]: r["count"]
+        for r in src.groupBy("user_id").count().collect()
+    }
+    bucket_totals = final.groupby("bucket")["n_total"].max().to_dict()
+    est = {int(r.key): (int(r.est), int(r.err), int(r.bucket))
+           for r in final.itertuples()}
+    # every true-heavy key (count > its bucket's N/capacity) survives
+    from pyspark.sql.functions import xxhash64
+
+    bucket_of = {
+        r["user_id"]: r["b"]
+        for r in src.select("user_id")
+        .distinct()
+        .withColumn("b", F.pmod(xxhash64(F.col("user_id")), F.lit(n_buckets)).cast("int"))
+        .collect()
+    }
+    for k in (1, 2, 3):
+        b = bucket_of[k]
+        assert exact[k] > bucket_totals[b] / capacity
+        assert k in est, f"heavy key {k} missing from final snapshot"
+    # estimate bounds for EVERY surviving key; err <= N_bucket/capacity
+    for k, (e, err, b) in est.items():
+        true = exact[k]
+        assert true <= e <= true + err, (k, true, e, err)
+        assert err <= bucket_totals[b] / capacity + 1e-9
