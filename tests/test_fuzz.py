@@ -8,7 +8,7 @@ restricted to integer key columns so exceptAll comparison is exact.
 """
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 # join graph: alias -> (table, {neighbor: (left_col, right_col)})
@@ -703,6 +703,10 @@ SEMI_JOIN_CLAUSES = [
           " AND xs.s_acctbal < -900.0",
      "NOT EXISTS (SELECT * FROM supplier AS xs"
      " WHERE xs.s_nationkey = n.n_nationkey AND xs.s_acctbal < -900.0)"),
+    ("l", "SEMI JOIN orders AS xo2 ON xo2.o_orderkey = l.l_orderkey"
+          " AND xo2.o_totalprice > 200000.0",
+     "EXISTS (SELECT * FROM orders AS xo2 WHERE xo2.o_orderkey ="
+     " l.l_orderkey AND xo2.o_totalprice > 200000.0)"),
 ]
 
 
@@ -725,6 +729,7 @@ def test_semi_anti_join_syntax_equals_exists(engine, case, join_mask):
     ]
     if not picked:
         picked = [(j, e) for a, j, e in SEMI_JOIN_CLAUSES if a in aliases][:1]
+    assume(picked)  # a case over aliases none of the clauses target
     base = build_sql(aliases, edges, comps, filts, out)
     join_sql = base.replace(
         " WHERE ", " " + " ".join(j for j, _ in picked) + " WHERE ", 1
