@@ -106,6 +106,19 @@ def main() -> None:
            WHERE g1.dst = g2.src AND g2.dst = v.dst
            GROUP BY g1.src"""
     ).count()
+    # r11: warm the CQC theta path too — the min/max extreme reduce +
+    # window machinery the chain/multihop/two-comparison entries run
+    # first. Measured: in an unlucky session the FIRST timed theta
+    # query pays its C2 compilation (~2.4x: chain_theta 2.535 vs the
+    # 1.0-1.1 steady band) and the early-entry block inflates the
+    # headline total ~25%. Small inputs (supplier x nation), same
+    # operator classes.
+    eng.sql(
+        """SELECT s.s_suppkey, n.n_nationkey
+           FROM supplier AS s, nation AS n
+           WHERE s.s_nationkey = n.n_nationkey
+             AND s.s_acctbal > n.n_regionkey"""
+    ).count()
     # release the agg views the warm-up queries persisted through the
     # executor ledger (blocking, so no residual cache overlaps the
     # first timed run) — only deliberately-cached SOURCE tables stay
