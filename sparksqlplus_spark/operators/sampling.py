@@ -202,11 +202,12 @@ def weighted_sample_topk(
     key), so a SQL oracle can replay it bit-for-bit with the same
     md5/log arithmetic.
 
-    One window shuffle on the group key (or a single global sort when
-    ungrouped — for global top-k over very large inputs Spark's sort
-    is a partial top-k per partition + merge, not a full sort).
-    Non-positive weights are excluded (their inclusion probability
-    is 0).
+    Grouped: one window shuffle on the group key. Ungrouped: sort +
+    limit, which Spark executes as TakeOrderedAndProject — a per-
+    partition top-k merged on the driver side, NEVER a global sort or
+    a single-partition window (the ungrouped-window anti-pattern moves
+    every row to one task at 100 TB). Non-positive weights are
+    excluded (their inclusion probability is 0).
     """
     if k <= 0:
         raise ValueError("k must be positive")
@@ -217,11 +218,15 @@ def weighted_sample_topk(
     u = (_bucket(id_col, seed) + F.lit(1)).cast("double") / F.lit(float(SCALE))
     key = F.log(u) / F.col(weight_col).cast("double")
     out = df.filter(F.col(weight_col) > 0).withColumn("__akey", key)
-    w = Window.orderBy(F.col("__akey").desc(), F.col(id_col))
-    if group_col is not None:
-        w = Window.partitionBy(group_col).orderBy(
-            F.col("__akey").desc(), F.col(id_col)
+    if group_col is None:
+        return (
+            out.orderBy(F.col("__akey").desc(), F.col(id_col))
+            .limit(k)
+            .drop("__akey")
         )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__akey").desc(), F.col(id_col)
+    )
     return (
         out.withColumn("__arank", F.row_number().over(w))
         .filter(F.col("__arank") <= k)
