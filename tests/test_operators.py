@@ -944,3 +944,37 @@ def test_weighted_sample_topk(spark):
     assert other != kept
     with _pytest.raises(ValueError):
         weighted_sample_topk(df, "id", "w", 0)
+
+
+def test_weighted_sample_duckdb_oracle(spark, oracle):
+    """The A-Res weighted sample replays bit-for-bit in ANSI SQL: the
+    same md5-hash uniform and ln(u)/w key, ranked per lang group —
+    the oracle form an r12 driver entry can reuse verbatim."""
+    from sparksqlplus_spark.operators.sampling import weighted_sample_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in weighted_sample_topk(
+            docs, "doc_id", "n_chars", 20, group_col="lang"
+        ).collect()
+    }
+    want = {
+        (r[0], r[1])
+        for r in oracle.execute(
+            """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY ln( ( (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                                        % 1048576) + 1 ) / 1048576.0 )
+                                / n_chars DESC,
+                                doc_id
+                     ) AS rk
+              FROM documents WHERE n_chars > 0
+            ) WHERE rk <= 20
+            """
+        ).fetchall()
+    }
+    assert got == want
