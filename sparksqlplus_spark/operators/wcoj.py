@@ -199,6 +199,72 @@ def triangle_join(
     )
 
 
+def cycle_semi_reduce(
+    sides: list[DataFrame],
+    min_rows: int = 2_000_000,
+    selectivity: float = 0.25,
+) -> list[DataFrame]:
+    """Global (pre-shuffle) neighbor-consistency sweep for a k-cycle:
+    one forward pass (E_i.x must appear in E_{i-1}.y, ring-closed) and
+    one backward pass (E_i.y in E_{i+1}.x) of Spark left_semi joins —
+    Yannakakis BEFORE the hypercube.
+
+    Why this exists (round 11, measured at 10x sf0.1): the hypercube
+    shuffles every edge cube_side^(k-2)-replicated regardless of how
+    selective a pushed filter made ONE relation, and the in-cell
+    reduction only prunes after that shuffle + Arrow conversion have
+    been paid — the pentagon entry went SUPERLINEAR (alpha 1.71,
+    198 s) at 6M edges because ~240M replicated rows hit pandas. The
+    filter's reach decays with distance around the ring (adjacent
+    relations shrink ~d x the filtered size, the middle saturates), so
+    one forward + one backward pass captures the wins at 2k semi-join
+    stages; key sets are DISTINCT projections, broadcast when small.
+
+    ADAPTIVE: k count jobs size the sides first. The sweep only runs
+    when the largest side reaches ``min_rows`` (below that the
+    replicated shuffle is affordable and the sweep's fixed stage cost
+    is a net loss — measured +14 s on the 600 k-edge sf0.1 pentagon
+    vs -140 s at 6 M) AND some side is under ``selectivity`` x the
+    largest (nothing selective to propagate otherwise). Passes chain
+    OUTWARD from the smallest side (argmin anchor) so its selectivity
+    reaches the far side of the ring in one pass each way; every
+    reduced side is lazily localCheckpoint-ed — without lineage
+    truncation the chained plan recomputes earlier semi-joins O(k^2)
+    times (the 18 s-at-sf0.1 first cut).
+    """
+    k = len(sides)
+    sides = list(sides)
+    counts = [s.count() for s in sides]
+    big = max(counts)
+    if big < min_rows or min(counts) > selectivity * big:
+        return sides
+    anchor = counts.index(min(counts))
+
+    def semi(i: int, col_idx: int, neighbor: DataFrame, n_idx: int) -> None:
+        cols = sides[i].columns[:2]
+        key_name = cols[col_idx]
+        keys = neighbor.select(
+            F.col(neighbor.columns[n_idx]).alias(key_name)
+        ).distinct()
+        # string-key join puts the key column first — re-select the
+        # original (x, y) order so downstream columns[:2] reads stay
+        # oriented (the silent edge-flip bug this comment guards)
+        sides[i] = (
+            sides[i]
+            .join(keys, key_name, "left_semi")
+            .select(*cols)
+            .localCheckpoint(eager=False)
+        )
+
+    for step in range(1, k + 1):  # forward from the anchor, ring-closed
+        i = (anchor + step) % k
+        semi(i, 0, sides[(i - 1) % k], 1)
+    for step in range(1, k + 1):  # backward from the anchor
+        i = (anchor - step) % k
+        semi(i, 1, sides[(i + 1) % k], 0)
+    return sides
+
+
 def _empty_cycle(k: int) -> pd.DataFrame:
     return pd.DataFrame(
         {f"x{i}": pd.Series(dtype="int64") for i in range(1, k + 1)}

@@ -200,7 +200,10 @@ last_bag_kinds: list[str] = []
 
 
 def _eval_bag(
-    bag_rels: list[Relation], dfs: dict[int, DataFrame], vars_sorted: list[str]
+    bag_rels: list[Relation],
+    dfs: dict[int, DataFrame],
+    vars_sorted: list[str],
+    filtered_rids: frozenset[int] = frozenset(),
 ) -> DataFrame:
     """Evaluate one GHD bag to a DataFrame over its variables.
 
@@ -209,10 +212,22 @@ def _eval_bag(
     SqlPlusCompiler.scala:155-168); anything else joins members
     pairwise in connected order. Set semantics over the bag variables
     (the GHD path assumes duplicate-free inputs — see execute_ghd).
+
+    ``filtered_rids``: bag members carrying pushed local/semi filters.
+    When a cycle/triangle bag contains one, the edge frames run a
+    GLOBAL neighbor-consistency sweep (wcoj.cycle_semi_reduce) before
+    the hypercube shuffle — the filter's selectivity then shrinks the
+    replicated shuffle instead of being discovered per-cell after
+    cube_side^(k-2)x replication has been paid (round 11: the filtered
+    pentagon went superlinear at 10x sf0.1 without this).
     """
     from pyspark.sql import functions as F
 
-    from sparksqlplus_spark.operators.wcoj import cycle_join, triangle_join
+    from sparksqlplus_spark.operators.wcoj import (
+        cycle_join,
+        cycle_semi_reduce,
+        triangle_join,
+    )
 
     if len(bag_rels) == 1:
         # dropDuplicates keeps bag evaluation uniformly set-semantics
@@ -228,6 +243,11 @@ def _eval_bag(
         sides = [dfs[R.rid].select(a, b), dfs[S.rid].select(b, c), dfs[T.rid].select(c, a)]
         if all(_integral_types(s, s.columns) for s in sides):
             last_bag_kinds.append("wcoj-triangle")
+            if any(r.rid in filtered_rids for r in (R, S, T)):
+                # T is stored (c, a) but participates as the 3-cycle
+                # edge (a-side = c): the orientation above already
+                # ordered each side (v_i, v_{i+1})
+                sides = cycle_semi_reduce(sides)
             out = triangle_join(*sides)
             renamed = out.select(
                 F.col("a").alias(a), F.col("b").alias(b), F.col("c").alias(c)
@@ -242,6 +262,8 @@ def _eval_bag(
             # instead of binary joins materializing the wedge blowup
             # (round-4 verdict item 6)
             last_bag_kinds.append("wcoj-cycle")
+            if any(r.rid in filtered_rids for r, _ in cyc):
+                sides = cycle_semi_reduce(sides)
             out = cycle_join(sides)
             renamed = out.select(
                 *[
@@ -499,6 +521,14 @@ def execute_ghd(
             df.unpersist()
         return None
 
+    # relations whose frames carry a pushed local filter or semi
+    # filter — the cycle/triangle bag evaluator runs a global
+    # neighbor-consistency sweep for bags containing one (see
+    # _eval_bag docstring; round 11)
+    filtered_rids = frozenset(
+        rid for rid, fl in ctx.local_filters.items() if fl
+    ) | frozenset(rid for rid, sf in ctx.semi_filters.items() if sf)
+
     # ---- evaluate bags, mint bag relations --------------------------------
     last_bag_kinds.clear()
     bag_relations: list[Relation] = []
@@ -509,7 +539,7 @@ def execute_ghd(
     for i, bag in enumerate(decomp.bags):
         members = [by_id[rid] for rid in sorted(bag.rids)]
         vars_sorted = sorted(bag.variables)
-        bdf = _eval_bag(members, dfs, vars_sorted)
+        bdf = _eval_bag(members, dfs, vars_sorted, filtered_rids=filtered_rids)
         alias = f"__bag{i}"
         rel = Relation(
             rid=i,

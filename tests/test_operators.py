@@ -978,3 +978,40 @@ def test_weighted_sample_duckdb_oracle(spark, oracle):
         ).fetchall()
     }
     assert got == want
+
+
+def test_cycle_semi_reduce_equivalence(spark):
+    """cycle_semi_reduce (round 11): the forced global sweep never
+    changes the cycle join's result on a filtered C5, only shrinks the
+    inputs; the adaptive gate skips small/unselective inputs (same
+    frame objects back)."""
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.operators.wcoj import (
+        cycle_join,
+        cycle_semi_reduce,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    g = (
+        li.selectExpr(
+            "1 + (l_orderkey % 997) AS src", "1 + (l_partkey % 997) AS dst"
+        )
+        .distinct()
+        .persist()
+    )
+    sides = [g.filter(F.col("src") <= 5)] + [g] * 4
+    plain = cycle_join(sides).groupBy("x1").count()
+    swept = cycle_join(cycle_semi_reduce(sides, min_rows=0)).groupBy(
+        "x1"
+    ).count()
+    assert plain.exceptAll(swept).count() == 0
+    assert swept.exceptAll(plain).count() == 0
+    assert plain.count() == swept.count() > 0
+    # forced sweep genuinely shrinks the unfiltered neighbors
+    red = cycle_semi_reduce(sides, min_rows=0)
+    assert red[1].count() < g.count()
+    assert red[4].count() < g.count()
+    # adaptive gate: tiny inputs come back untouched (no plan change)
+    gated = cycle_semi_reduce(sides)  # default min_rows=2M >> |g|
+    assert gated[1] is sides[1]
