@@ -265,6 +265,70 @@ def cycle_semi_reduce(
     return sides
 
 
+def pattern_semi_reduce(
+    sides: list[DataFrame],
+    edge_vars: list[tuple[str, str]],
+    min_rows: int = 2_000_000,
+    selectivity: float = 0.25,
+) -> list[DataFrame]:
+    """:func:`cycle_semi_reduce` generalized to ANY connected binary
+    pattern (the pattern_join input shape): two passes over the edges
+    in BFS-from-smallest order — each edge semi-joined, per shared
+    variable, against the smallest already-visited neighbor — so a
+    pushed filter's selectivity reaches every edge before the
+    hypercube replication is paid. Same adaptive gate and lazy
+    localCheckpoint chaining as the cycle form (see its docstring for
+    the measured rationale). Column names ARE the variable names in
+    pattern_join's input contract, so key projections join by name.
+    """
+    n = len(sides)
+    sides = list(sides)
+    counts = [s.count() for s in sides]
+    big = max(counts)
+    if big < min_rows or min(counts) > selectivity * big:
+        return sides
+
+    # BFS order over the edge-adjacency (shared-variable) graph,
+    # anchored at the smallest edge
+    anchor = counts.index(min(counts))
+    order = [anchor]
+    seen = {anchor}
+    frontier = [anchor]
+    while frontier:
+        nxt: list[int] = []
+        for i in frontier:
+            for j in range(n):
+                if j not in seen and set(edge_vars[i]) & set(edge_vars[j]):
+                    seen.add(j)
+                    order.append(j)
+                    nxt.append(j)
+        frontier = nxt
+    if len(order) < n:  # disconnected pattern — caller's problem
+        return sides
+
+    def reduce_edge(i: int, visited: list[int]) -> None:
+        for v in edge_vars[i]:
+            cands = [j for j in visited if v in edge_vars[j]]
+            if not cands:
+                continue
+            j = min(cands, key=lambda j_: counts[j_])
+            cols = sides[i].columns[:2]
+            keys = sides[j].select(v).distinct()
+            sides[i] = (
+                sides[i]
+                .join(keys, v, "left_semi")
+                .select(*cols)
+                .localCheckpoint(eager=False)
+            )
+
+    for idx in range(1, len(order)):
+        reduce_edge(order[idx], order[:idx])
+    rev = list(reversed(order))
+    for idx in range(1, len(rev)):
+        reduce_edge(rev[idx], rev[:idx])
+    return sides
+
+
 def _empty_cycle(k: int) -> pd.DataFrame:
     return pd.DataFrame(
         {f"x{i}": pd.Series(dtype="int64") for i in range(1, k + 1)}

@@ -292,6 +292,12 @@ def _eval_bag(
             evars.append((vs[0], vs[1]))
         if all(_integral_types(s, s.columns) for s in sides):
             last_bag_kinds.append("wcoj-pattern")
+            if any(r.rid in filtered_rids for r in bag_rels):
+                from sparksqlplus_spark.operators.wcoj import (
+                    pattern_semi_reduce,
+                )
+
+                sides = pattern_semi_reduce(sides, evars)
             return pattern_join(sides, evars).select(*vars_sorted)
 
     # general bag: greedy connected natural joins over the members,

@@ -1015,3 +1015,40 @@ def test_cycle_semi_reduce_equivalence(spark):
     # adaptive gate: tiny inputs come back untouched (no plan change)
     gated = cycle_semi_reduce(sides)  # default min_rows=2M >> |g|
     assert gated[1] is sides[1]
+
+
+def test_pattern_semi_reduce_equivalence(spark):
+    """pattern_semi_reduce (round 11): the forced global sweep never
+    changes pattern_join's result on a filtered chorded C4 and shrinks
+    the unfiltered edges; the adaptive gate returns small inputs
+    untouched."""
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.operators.wcoj import (
+        pattern_join,
+        pattern_semi_reduce,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    g = (
+        li.selectExpr(
+            "1 + (l_orderkey % 997) AS src", "1 + (l_partkey % 997) AS dst"
+        )
+        .distinct()
+        .persist()
+    )
+    evars = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+    sides = [g.filter(F.col("src") <= 5)] + [g] * 4
+    sides = [
+        s.select(F.col("src").alias(u), F.col("dst").alias(v))
+        for s, (u, v) in zip(sides, evars)
+    ]
+    plain = pattern_join(sides, evars).groupBy("a").count()
+    red = pattern_semi_reduce(sides, evars, min_rows=0)
+    swept = pattern_join(red, evars).groupBy("a").count()
+    assert plain.exceptAll(swept).count() == 0
+    assert swept.exceptAll(plain).count() == 0
+    assert plain.count() == swept.count()
+    assert red[2].count() < g.count()  # far edge shrank through BFS
+    gated = pattern_semi_reduce(sides, evars)  # default gate: untouched
+    assert gated[1] is sides[1]
