@@ -285,14 +285,49 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
     # columns), so they skip the flat qualifier and resolve below
     exists_conds = [c for c in spec.where if isinstance(c, Exists)]
     where = [qualify(c) for c in spec.where if not isinstance(c, Exists)]
-    select = [(si.alias, qualify(si.expr)) for si in spec.select]
+    # ---- expand SELECT * / alias.* (round 11) -----------------------------
+    # The parser leaves `*` as a Star item and `a.*` as Col(a, "*");
+    # expand both here against alias_cols, in FROM order — previously
+    # a bare star escaped to Star.to_spark's raw ValueError mid-plan,
+    # breaking the auto-fallback contract for the most common SQL
+    # statement there is. COUNT(*) keeps its Star (it sits inside the
+    # AggCall arg, never as a select item).
+    sel_items: list = []
+    for si in spec.select:
+        e = si.expr
+        is_bare = isinstance(e, Star)
+        is_qual = isinstance(e, Col) and e.name == "*"
+        if not (is_bare or is_qual):
+            sel_items.append(si)
+            continue
+        if si.alias:
+            raise UnsupportedSqlError("cannot alias *")
+        if is_qual:
+            if e.alias not in alias_cols:
+                raise UnsupportedSqlError(f"unknown alias {e.alias!r}")
+            targets = [e.alias]
+        else:
+            targets = [r.alias for r in relations]
+        cols = [(a, c) for a in targets for c in alias_cols[a]]
+        names = [c for _, c in cols]
+        if len(set(names)) != len(names):
+            # duplicate output names across FROM items — Spark allows
+            # them, the planner's variable naming does not; fall back
+            raise UnsupportedSqlError(
+                "SELECT * with duplicate column names across FROM "
+                "items; not in the subset"
+            )
+        sel_items.extend(
+            type(si)(Col(a, c), None) for a, c in cols
+        )
+    select = [(si.alias, qualify(si.expr)) for si in sel_items]
     group_by = [qualify(e) for e in spec.group_by]
     # HAVING must qualify like everything else: finalize renders its
     # aggregate helper columns through var_map, whose keys are
     # (alias, col) — an unqualified ref would KeyError at to_spark
     having = [qualify(c) for c in spec.having]
     # ORDER BY may reference an output alias — keep those unqualified
-    out_aliases = {si.alias for si in spec.select if si.alias}
+    out_aliases = {si.alias for si in sel_items if si.alias}
 
     def qualify_order(e: Expr) -> Expr:
         if isinstance(e, Col) and e.alias == "" and e.name in out_aliases:

@@ -2020,3 +2020,38 @@ def test_semi_join_without_explicit_alias(engine, oracle):
         ).count()
         == 5
     )
+
+
+def test_select_star_native(engine, oracle):
+    """SELECT * / alias.* expand natively in build_context (round 11)
+    — previously a bare star escaped to Star.to_spark's raw ValueError
+    mid-plan, so the single most common SQL statement crashed instead
+    of planning (or falling back). Mixed items, derived tables,
+    DISTINCT, ORDER BY+LIMIT, and multi-relation joins all expand;
+    duplicate output names across FROM items ride the fallback."""
+    from tests.helpers import assert_matches
+
+    cases = [
+        "SELECT * FROM nation",
+        "SELECT * FROM nation WHERE n_regionkey = 1",
+        "SELECT * FROM nation AS n, region AS r "
+        "  WHERE n.n_regionkey = r.r_regionkey",
+        "SELECT n.*, r.r_name FROM nation AS n, region AS r "
+        "  WHERE n.n_regionkey = r.r_regionkey",
+        "SELECT * FROM (SELECT n_nationkey AS k FROM nation) a "
+        "  WHERE k > 2",
+        "SELECT * FROM (SELECT * FROM (SELECT n_nationkey AS k "
+        "  FROM nation) a) b",
+        "SELECT DISTINCT * FROM region",
+        "SELECT * FROM nation ORDER BY n_nationkey DESC LIMIT 3",
+    ]
+    for sql in cases:
+        assert_matches(engine.sql(sql, mode="cqc"), oracle, sql)
+    # duplicate names across FROM items: planner rejects, auto answers
+    assert (
+        engine.sql(
+            "SELECT * FROM region AS a, region AS b "
+            "WHERE a.r_regionkey = b.r_regionkey"
+        ).count()
+        == 5
+    )
