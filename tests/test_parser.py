@@ -1938,6 +1938,26 @@ FALLBACK_CONTRACT_QUERIES = [
     "SELECT n_regionkey, LISTAGG(n_name, ',') "
     "  WITHIN GROUP (ORDER BY n_name) AS names FROM nation "
     "  GROUP BY n_regionkey",
+    # round-11 batch 3: window FILTER, IGNORE/RESPECT NULLS, nested
+    # agg-in-window, CASE-wrapped EXISTS projection, interval
+    # arithmetic, deep * nesting, UNION inside IN
+    "SELECT n_regionkey, COUNT(*) FILTER (WHERE n_nationkey > 10) "
+    "  AS n FROM nation GROUP BY n_regionkey",
+    "SELECT n_nationkey, LAST_VALUE(n_name) IGNORE NULLS "
+    "  OVER (ORDER BY n_nationkey) AS lv FROM nation",
+    "SELECT n_regionkey, SUM(COUNT(*)) OVER () AS tot FROM nation "
+    "  GROUP BY n_regionkey",
+    "SELECT CASE WHEN EXISTS (SELECT 1 FROM region r "
+    "  WHERE r.r_regionkey = n.n_regionkey) THEN 1 ELSE 0 END AS f "
+    "  FROM nation n",
+    "SELECT DATE '1995-01-01' + INTERVAL '3' MONTH AS d FROM region "
+    "  LIMIT 1",
+    "SELECT * FROM (SELECT * FROM (SELECT n_nationkey AS k "
+    "  FROM nation WHERE n_nationkey > 2) a WHERE k < 20) b "
+    "  WHERE k % 2 = 0",
+    "SELECT COUNT(*) AS n FROM nation WHERE n_regionkey IN "
+    "  (SELECT r_regionkey FROM region WHERE r_regionkey < 2 "
+    "   UNION SELECT 4)",
 ]
 
 
