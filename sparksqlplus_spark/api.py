@@ -1830,6 +1830,32 @@ class SparkSQLPlus:
         ANSI bag semantics apply when requested (compound parts,
         composite views, the outer-join tail) or whenever the statement
         uses a composite view (pure-SQL extension surface)."""
+        from sparksqlplus_spark.expressions import Col, Star as _Star
+        from sparksqlplus_spark.plans.context import expand_select_stars
+
+        if any(
+            isinstance(si.expr, _Star)
+            or (isinstance(si.expr, Col) and si.expr.name == "*")
+            for si in spec.select
+        ):
+            # must precede _expand_using: ANSI star-expansion shows a
+            # USING/NATURAL merged column ONCE, which the flat
+            # expansion cannot express — those ride the fallback
+            if spec.using_joins or any(
+                oj.natural or oj.using for oj in spec.outer_joins
+            ):
+                raise UnsupportedSqlError(
+                    "SELECT * with USING/NATURAL joins is not in the "
+                    "subset"
+                )
+            try:
+                spec = expand_select_stars(spec, self.catalog)
+            except UnsupportedSqlError:
+                # FROM shapes the early expansion cannot resolve yet
+                # (nested/compound subqueries, VALUES) — defer to the
+                # build_context expansion, which runs AFTER
+                # _plan_subqueries rewrites them to view scans
+                pass
         self._expand_using(spec)
         if spec.qualify:
             return self._plan_qualify(

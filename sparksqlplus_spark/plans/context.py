@@ -219,6 +219,60 @@ def contains_window(node) -> bool:
     return hit
 
 
+def expand_select_stars(spec: QuerySpec, catalog: Catalog) -> QuerySpec:
+    """Return ``spec`` with SELECT ``*`` / ``a.*`` items expanded to
+    explicit columns against the catalog, in FROM order (outer-join
+    attachments included, ANSI left-to-right). Used by api._plan_spec
+    BEFORE the USING rewrite and the QUALIFY/outer-join desugars — the
+    desugars project named items, so an unexpanded star either crashed
+    mid-plan or died in a fallback Spark cannot parse (QUALIFY,
+    DISTINCT ON). Callers must reject USING/NATURAL joins first: ANSI
+    star-expansion shows a merged join column ONCE, which this flat
+    expansion cannot express (the spark.sql fallback handles those).
+    No-op (same object) when no item is a star.
+    """
+    def is_star(e) -> bool:
+        return isinstance(e, Star) or (isinstance(e, Col) and e.name == "*")
+
+    if not any(is_star(si.expr) for si in spec.select):
+        return spec
+    from dataclasses import replace as dc_replace
+
+    items = list(spec.from_items) + [oj.item for oj in spec.outer_joins]
+    alias_cols: dict[str, list[str]] = {}
+    order: list[str] = []
+    for i, fi in enumerate(items):
+        try:
+            rel = _make_relation(i, fi, catalog)
+        except UnknownTableError as exc:
+            raise UnsupportedSqlError(str(exc)) from None
+        alias_cols[fi.alias] = list(rel.col_to_var.keys())
+        order.append(fi.alias)
+    sel_items: list = []
+    for si in spec.select:
+        e = si.expr
+        if not is_star(e):
+            sel_items.append(si)
+            continue
+        if si.alias:
+            raise UnsupportedSqlError("cannot alias *")
+        if isinstance(e, Col):
+            if e.alias not in alias_cols:
+                raise UnsupportedSqlError(f"unknown alias {e.alias!r}")
+            targets = [e.alias]
+        else:
+            targets = order
+        cols = [(a, c) for a in targets for c in alias_cols[a]]
+        names = [c for _, c in cols]
+        if len(set(names)) != len(names):
+            raise UnsupportedSqlError(
+                "SELECT * with duplicate column names across FROM "
+                "items; not in the subset"
+            )
+        sel_items.extend(type(si)(Col(a, c), None) for a, c in cols)
+    return dc_replace(spec, select=sel_items)
+
+
 def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
     """Normalize a parsed query against the catalog.
 
@@ -287,39 +341,14 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
     where = [qualify(c) for c in spec.where if not isinstance(c, Exists)]
     # ---- expand SELECT * / alias.* (round 11) -----------------------------
     # The parser leaves `*` as a Star item and `a.*` as Col(a, "*");
-    # expand both here against alias_cols, in FROM order — previously
-    # a bare star escaped to Star.to_spark's raw ValueError mid-plan,
+    # expand both against the catalog, in FROM order — previously a
+    # bare star escaped to Star.to_spark's raw ValueError mid-plan,
     # breaking the auto-fallback contract for the most common SQL
-    # statement there is. COUNT(*) keeps its Star (it sits inside the
-    # AggCall arg, never as a select item).
-    sel_items: list = []
-    for si in spec.select:
-        e = si.expr
-        is_bare = isinstance(e, Star)
-        is_qual = isinstance(e, Col) and e.name == "*"
-        if not (is_bare or is_qual):
-            sel_items.append(si)
-            continue
-        if si.alias:
-            raise UnsupportedSqlError("cannot alias *")
-        if is_qual:
-            if e.alias not in alias_cols:
-                raise UnsupportedSqlError(f"unknown alias {e.alias!r}")
-            targets = [e.alias]
-        else:
-            targets = [r.alias for r in relations]
-        cols = [(a, c) for a in targets for c in alias_cols[a]]
-        names = [c for _, c in cols]
-        if len(set(names)) != len(names):
-            # duplicate output names across FROM items — Spark allows
-            # them, the planner's variable naming does not; fall back
-            raise UnsupportedSqlError(
-                "SELECT * with duplicate column names across FROM "
-                "items; not in the subset"
-            )
-        sel_items.extend(
-            type(si)(Col(a, c), None) for a, c in cols
-        )
+    # statement there is. api._plan_spec expands BEFORE its USING
+    # rewrite and desugars; this call covers direct build_context
+    # users (engine.context, EXISTS/derived sub-builds). COUNT(*)'s
+    # Star sits inside the AggCall arg and is untouched.
+    sel_items = expand_select_stars(spec, catalog).select
     select = [(si.alias, qualify(si.expr)) for si in sel_items]
     group_by = [qualify(e) for e in spec.group_by]
     # HAVING must qualify like everything else: finalize renders its

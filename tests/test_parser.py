@@ -2067,6 +2067,31 @@ def test_select_star_native(engine, oracle):
     ]
     for sql in cases:
         assert_matches(engine.sql(sql, mode="cqc"), oracle, sql)
+    # star + QUALIFY / DISTINCT ON (NO Spark fallback exists — native
+    # expansion is the only support) and star over outer joins
+    assert (
+        engine.sql(
+            "SELECT * FROM region QUALIFY "
+            "ROW_NUMBER() OVER (ORDER BY r_regionkey) <= 2"
+        ).count()
+        == 2
+    )
+    assert (
+        engine.sql(
+            "SELECT DISTINCT ON (n_regionkey) * FROM nation "
+            "ORDER BY n_nationkey"
+        ).count()
+        == 5
+    )
+    assert_matches(
+        engine.sql(
+            "SELECT c.c_name, o.* FROM customer AS c LEFT JOIN orders "
+            "AS o ON c.c_custkey = o.o_custkey WHERE c.c_custkey <= 20"
+        ),
+        oracle,
+        "SELECT c.c_name, o.* FROM customer c LEFT JOIN orders o "
+        "ON c.c_custkey = o.o_custkey WHERE c.c_custkey <= 20",
+    )
     # duplicate names across FROM items: planner rejects, auto answers
     assert (
         engine.sql(
