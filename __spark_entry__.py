@@ -1363,28 +1363,13 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash, n_tok AS n_tokens FROM agg
 """
 
 
-def _text_stats_q(spark, sf_dir):
-    from sparksqlplus_spark.operators.text import text_stats
-
-    eng = _engine(spark, sf_dir)
-    return text_stats(eng.catalog.get("documents").df, "text", "doc_id")
-
-
-_TEXT_STATS_ORACLE = """
-SELECT doc_id,
-  CAST(length(text) AS DOUBLE) AS n_chars,
-  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_tokens,
-  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
-  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
-  length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(length(text) AS DOUBLE) AS digit_ratio,
-  (length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-               - length(regexp_replace(text, '[^0-9]', '', 'g'))
-               - length(regexp_replace(text, '[^ \t\n]', '', 'g')))
-    / CAST(length(text) AS DOUBLE) AS punct_ratio,
-  (length(text) - length(regexp_replace(text, '[^ \t\n]', '', 'g')))
-    / greatest(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS DOUBLE), 1.0) AS avg_word_len
-FROM documents
-"""
+# (r12 consolidation, round-11 verdict item 1: the text_stats driver
+# entry retired to free a window slot for heavy_hitters_stream — its
+# counters (char/token/word counts, alpha/digit/punct ratios) are the
+# exact inputs the surviving text_quality entry recomputes through the
+# same expressions, and tests/test_operators.py keeps the operator's
+# own coverage every pytest pass. operators/text.py:text_stats is
+# unchanged.)
 
 
 def _quality_q(spark, sf_dir):
@@ -1624,40 +1609,14 @@ WHERE rn <= 40
 """
 
 
-def _sample_mixture_q(spark, sf_dir):
-    """Target-mixture sampler (operators/sampling.py:mixture_sample):
-    rebalance three sources to a 60/20/20 mixture. The per-source keep
-    rates derive from one count aggregate (T = min n_g/p_g, rate =
-    p_g*T/n_g), broadcast-joined back; the keep decision is the same
-    md5 Bernoulli as hash_sample — fully distributed, no driver
-    collect, bit-reproducible in DuckDB."""
-    from sparksqlplus_spark.operators.sampling import mixture_sample
-
-    eng = _engine(spark, sf_dir)
-    docs = eng.catalog.get("documents").df
-    kept = mixture_sample(
-        docs, "source", "doc_id", {"src0": 3.0, "src1": 1.0, "src2": 1.0}
-    )
-    return kept.select("doc_id", "source")
-
-
-_SAMPLE_MIXTURE_ORACLE = f"""
-WITH listed AS (
-  SELECT doc_id, source FROM documents
-  WHERE source IN ('src0', 'src1', 'src2')),
-p AS (
-  SELECT source,
-         CASE source WHEN 'src0' THEN CAST(0.6 AS DOUBLE)
-                     ELSE CAST(0.2 AS DOUBLE) END AS p,
-         count(*) AS n
-  FROM listed GROUP BY source),
-t AS (SELECT min(n / p) AS T FROM p),
-r AS (SELECT source, least(CAST(1.0 AS DOUBLE), p * T / n) AS rate FROM p, t)
-SELECT d.doc_id, d.source
-FROM listed d JOIN r ON d.source = r.source
-WHERE {_D_H52.format(s="CAST(doc_id AS VARCHAR)")} % 1048576
-      < CAST(floor(rate * 1048576) AS BIGINT)
-"""
+# (r12 consolidation, round-11 verdict item 1: the sample_mixture
+# driver entry retired to free a window slot for weighted_sample_topk
+# — its md5-Bernoulli keep decision is the same _bucket arithmetic the
+# surviving sample_stratified entry oracle-checks (the mixture layer
+# on top is one count aggregate + broadcast join), and
+# tests/test_operators.py::test_mixture_sample_targets keeps the
+# operator's own coverage every pytest pass.
+# operators/sampling.py:mixture_sample is unchanged.)
 
 
 def _text_repetition_q(spark, sf_dir):
@@ -2323,6 +2282,105 @@ _EWMA_ORACLE = (
 )
 
 
+def _weighted_sample_q(spark, sf_dir):
+    """Weight-proportional sample WITHOUT replacement (round 11,
+    operators/sampling.py:weighted_sample_topk — Efraimidis-Spirakis
+    A-Res): keep the 20 docs per language with the largest
+    log(u)/n_chars keys, u = md5-hash uniform over the 2^20 bucket
+    space. Grouped plan = ONE window shuffle on the group key (the
+    ungrouped form is TakeOrderedAndProject — per-partition top-k,
+    never a one-partition window). The md5/log arithmetic is exactly
+    representable in doubles, so the DuckDB oracle replays the draw
+    bit-for-bit (same replay as
+    tests/test_operators.py::test_weighted_sample_duckdb_oracle)."""
+    from sparksqlplus_spark.operators.sampling import weighted_sample_topk
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.catalog.get("documents").df
+    return weighted_sample_topk(
+        docs, "doc_id", "n_chars", 20, group_col="lang"
+    ).select("doc_id", "lang")
+
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ln( (({_D_H52.format(s="CAST(doc_id AS VARCHAR)")}
+                          % 1048576) + 1) / 1048576.0 )
+                    / n_chars DESC,
+                    doc_id
+         ) AS rk
+  FROM documents WHERE n_chars > 0)
+WHERE rk <= 20
+"""
+
+
+def _heavy_hitters_stream_q(spark, sf_dir):
+    """Streaming SpaceSaving heavy hitters (round 11,
+    streaming/stateful.py:heavy_hitters_stream), drained across >= 2
+    micro-batches like events_ewma_multibatch (the entry RAISES on a
+    single-batch drain, so a green row proves the cross-batch
+    ARRAY-state carry). Run in the EXACT regime — capacity 4096 per
+    bucket exceeds the distinct-key count at every test SF — where
+    SpaceSaving provably stores every key with est = true count and
+    err = 0, so the final snapshot (max n_total per bucket) equals a
+    plain GROUP BY count and the oracle checks it bit-for-bit. The
+    lossy eviction regime (capacity << keys: bounded state, est
+    within N/capacity) is pytest-proven with planted skew in
+    tests/test_streaming.py::test_heavy_hitters_stream_bounded_state."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.streaming.stateful import heavy_hitters_stream
+    from sparksqlplus_spark.streaming.windows import (
+        run_stream_to_memory_counted,
+        slice_to_files,
+        stream_from_slices,
+    )
+
+    eng = _engine(spark, sf_dir)
+    events = eng.catalog.get("events").df.select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    tag = "".join(c for c in sf_dir if c.isalnum())
+    path = os.path.join(tempfile.gettempdir(), f"hh_slices_{tag}")
+    slice_to_files(events, path, n_slices=3)
+    stream = stream_from_slices(spark, path, events.schema)
+    out, n_batches = run_stream_to_memory_counted(
+        heavy_hitters_stream(
+            stream, key_col="user_id", capacity=4096, n_buckets=4
+        ),
+        f"hh_mb_{tag}",
+    )
+    if n_batches < 2:
+        raise AssertionError(f"drain used {n_batches} micro-batch(es)")
+    # final snapshot per bucket = the rows stamped with that bucket's
+    # max n_total (n strictly increases per fold); the bucket column
+    # itself is xxhash64 routing, not replayable in ANSI SQL — project
+    # it away once the last snapshot is isolated
+    w = Window.partitionBy("bucket")
+    return (
+        out.withColumn("__mx", F.max("n_total").over(w))
+        .filter(F.col("n_total") == F.col("__mx"))
+        .select(
+            F.col("key").alias("user_id"),
+            F.col("est"),
+            F.col("err"),
+        )
+    )
+
+
+_HH_STREAM_ORACLE = """
+SELECT user_id, count(*) AS est, CAST(0 AS BIGINT) AS err
+FROM events GROUP BY user_id
+"""
+
+
 # (r7 consolidation: the events_ewma_scalable driver entry retired —
 # its check was a verification join against the exact recursion, which
 # tests/test_streaming.py::test_ewma_scalable_matches_exact (and the
@@ -2801,7 +2859,10 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "text_tfidf_topk": (_tfidf_topk_q, _TFIDF_ORACLE),
     "text_redact_pii": (_redact_pii_q, _REDACT_PII_ORACLE),
     "sample_stratified": (_sample_stratified_q, _SAMPLE_STRATIFIED_ORACLE),
-    "sample_mixture": (_sample_mixture_q, _SAMPLE_MIXTURE_ORACLE),
+    # (r12 consolidation: sample_mixture retired — see the note at its
+    # former definition site; slot freed for weighted_sample_topk.)
+    "weighted_sample_topk": (_weighted_sample_q, _WEIGHTED_SAMPLE_ORACLE),
+    "heavy_hitters_stream": (_heavy_hitters_stream_q, _HH_STREAM_ORACLE),
     "graph_pagerank": (_pagerank_q, _pagerank_oracle()),
     "text_repetition": (_text_repetition_q, _TEXT_REPETITION_ORACLE),
     "text_boilerplate": (_text_boilerplate_q, _TEXT_BOILERPLATE_ORACLE),
@@ -2810,7 +2871,8 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     # drives; pytest test_sampling_operators keeps the operator form.)
     "dedup_simhash": (_simhash_q, _simhash_oracle()),
     "dedup_embedding_cosine": (_emb_neardup_q, _emb_neardup_oracle()),
-    "text_stats": (_text_stats_q, _TEXT_STATS_ORACLE),
+    # (r12 consolidation: text_stats retired — see the note at its
+    # former definition site; slot freed for heavy_hitters_stream.)
     "text_quality": (_quality_q, _QUALITY_ORACLE),
     "text_lang_id": (_lang_id_q, _lang_id_oracle()),
     "text_fingerprint": (_fingerprint_q, _FINGERPRINT_ORACLE),
@@ -2845,18 +2907,76 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # embed_kmeans) sat outside both lists and got no driver row — the
 # r10 window leads with them (r9 verdict item 1).
 #
-# r11 layout (total 100 = 50 head + 50 tail): the full 49-entry r10
-# tail rotates back into the head (standing policy — no entry sits
-# driver-unchecked 2+ rounds), with the 50th slot taken by the NEW
-# semi_anti_join entry (which displaced the exists_or_join slack
-# re-check into the tail, as planned at rotation time). The 50-entry
-# tail below = the r10 head; every tail entry was driver-green in r10
-# (CORRECTNESS_r10.json: 50/50 green) and rotates back in r12. At
-# 100 entries the 2-round rotation invariant is exactly saturated:
-# r12+ additions MUST be paired with a retirement (the r7/r9
-# consolidation discipline).
+# r12 layout (total 100 = 50 head + 50 tail): the full r11 tail
+# rotates back into the head (standing policy — no entry sits
+# driver-unchecked 2+ rounds), with TWO slots freed by the r12
+# consolidation (sample_mixture, text_stats — see the inline notes at
+# their former definition sites) and taken by the two r11 operators
+# that had no driver row yet (round-11 verdict item 1):
+# weighted_sample_topk and heavy_hitters_stream. The 50-entry tail
+# below = the r11 head; every tail entry was driver-green in r11
+# (CORRECTNESS_r11.json: 50/50 green) and rotates back in r13. The
+# window stays exactly saturated at 100: r13+ additions MUST be
+# paired with a retirement (the r7/r9/r12 consolidation discipline).
 _HEAD = [
-    # r10-tail entries rotate back (standing policy)
+    # r11-tail entries rotate back (standing policy)
+    "exists_or_join",
+    "not_in_rowvalue_or",
+    "threeval_surface",
+    "events_heavy_hitters",
+    "events_sessionize",
+    "embed_kmeans",
+    "exists_or",
+    # NEW r12: the two r11 operators without a driver row yet, in the
+    # slots freed by the sample_mixture / text_stats retirements
+    "weighted_sample_topk",
+    "heavy_hitters_stream",
+    "text_repetition",
+    "text_boilerplate",
+    "graph_pagerank",
+    "events_quantiles",
+    "not_exists_anti",
+    "rollup_agg",
+    "setop_except",
+    "cte_agg_view",
+    "derived_table_scan",
+    "dedup_neardup_apply",
+    "dedup_cluster_chain",
+    "having_filter",
+    "text_chunks",
+    "pack_sequences",
+    "text_tfidf_topk",
+    "sample_stratified",
+    "text_redact_pii",
+    "tpch_q9",
+    "tpch_q7",
+    "tpch_q1",
+    "tpch_q18",
+    "events_tumbling_window",
+    "events_interval_join",
+    "events_sliding_window",
+    "events_session_window",
+    "events_dedup_first",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "media_frame_sample",
+    "dedup_exact",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "graph_q4_nonfull",
+    "window_qualify_topk",
+    "inner_after_outer_join",
+    "corr_count_arith",
+    "select_scalar_agg",
+    "sample_split_assign",
+    "embed_centroid_assign",
+    "window_frame_movavg",
+]
+# Every tail case below was driver-green in r11 (the r11 window);
+# their operator classes stay covered in-window (see _HEAD) and they
+# rotate back in r13.
+_TAIL = [
     "exists_join_body",
     "events_ewma_multibatch",
     "text_decontaminate",
@@ -2906,64 +3026,7 @@ _HEAD = [
     "exists_outer_join",
     "quantified_all",
     "not_in_rowvalue",
-    # NEW r11: SEMI/ANTI JOIN surface (displaces the exists_or_join
-    # slack re-check into the tail, as planned at rotation time)
     "semi_anti_join",
-]
-# Every tail case below was driver-green in r10 (the r10 window);
-# their operator classes stay covered in-window (see _HEAD) and they
-# rotate back in r12.
-_TAIL = [
-    "exists_or_join",
-    "not_in_rowvalue_or",
-    "threeval_surface",
-    "events_heavy_hitters",
-    "events_sessionize",
-    "embed_kmeans",
-    "exists_or",
-    "sample_mixture",
-    "text_repetition",
-    "text_boilerplate",
-    "graph_pagerank",
-    "events_quantiles",
-    "not_exists_anti",
-    "rollup_agg",
-    "setop_except",
-    "cte_agg_view",
-    "derived_table_scan",
-    "dedup_neardup_apply",
-    "dedup_cluster_chain",
-    "having_filter",
-    "text_chunks",
-    "pack_sequences",
-    "text_tfidf_topk",
-    "sample_stratified",
-    "text_redact_pii",
-    "tpch_q9",
-    "tpch_q7",
-    "tpch_q1",
-    "tpch_q18",
-    "events_tumbling_window",
-    "events_interval_join",
-    "events_sliding_window",
-    "events_session_window",
-    "events_dedup_first",
-    "text_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "media_frame_sample",
-    "dedup_exact",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "graph_q4_nonfull",
-    "window_qualify_topk",
-    "inner_after_outer_join",
-    "corr_count_arith",
-    "select_scalar_agg",
-    "sample_split_assign",
-    "embed_centroid_assign",
-    "window_frame_movavg",
 ]
 
 

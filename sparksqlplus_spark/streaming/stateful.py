@@ -269,6 +269,7 @@ def heavy_hitters_stream(
     capacity: int = 64,
     n_buckets: int = 8,
     watermark: str = "1 hour",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Streaming heavy hitters with BOUNDED state — the stream form of
     operators/frequency.py's batch count-min prune.
@@ -287,6 +288,11 @@ def heavy_hitters_stream(
     err <= N/capacity. State is O(n_buckets * capacity) at ANY input
     size — the whole point vs. a per-key running count, whose state
     grows with key cardinality.
+
+    ``ts_col`` names the event-time column used for the watermark
+    (default ``ts``). NULL keys are dropped before bucketing — a NULL
+    cannot be a heavy-hitter candidate (pmod/xxhash of NULL is NULL,
+    which would otherwise route to a phantom bucket).
     """
     if capacity <= 0 or n_buckets <= 0:
         raise ValueError("capacity and n_buckets must be positive")
@@ -330,12 +336,16 @@ def heavy_hitters_stream(
             }
         )
 
-    keyed = stream.withWatermark("ts", watermark).select(
-        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
-        .cast("int")
-        .alias("__bucket"),
-        F.col(key_col).cast("long").alias("__key"),
-        F.col("ts"),
+    keyed = (
+        stream.withWatermark(ts_col, watermark)
+        .filter(F.col(key_col).isNotNull())
+        .select(
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+            .cast("int")
+            .alias("__bucket"),
+            F.col(key_col).cast("long").alias("__key"),
+            F.col(ts_col).alias("ts"),
+        )
     )
     return keyed.groupBy("__bucket").applyInPandasWithState(
         fold,
