@@ -1363,37 +1363,37 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash, n_tok AS n_tokens FROM agg
 """
 
 
-# (r12 consolidation, round-11 verdict item 1: the text_stats driver
-# entry retired to free a window slot for heavy_hitters_stream — its
-# counters (char/token/word counts, alpha/digit/punct ratios) are the
-# exact inputs the surviving text_quality entry recomputes through the
-# same expressions, and tests/test_operators.py keeps the operator's
-# own coverage every pytest pass. operators/text.py:text_stats is
-# unchanged.)
-
-
-def _quality_q(spark, sf_dir):
-    from sparksqlplus_spark.operators.text import quality_score
+def _text_stats_q(spark, sf_dir):
+    from sparksqlplus_spark.operators.text import text_stats
 
     eng = _engine(spark, sf_dir)
-    return quality_score(eng.catalog.get("documents").df, "text", "doc_id")
+    return text_stats(eng.catalog.get("documents").df, "text", "doc_id")
 
 
-_QUALITY_ORACLE = """
-WITH stats AS (
-  SELECT doc_id,
-    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS DOUBLE) AS n_words,
-    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
-    (length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                 - length(regexp_replace(text, '[^0-9]', '', 'g'))
-                 - length(regexp_replace(text, '[^ \t\n]', '', 'g')))
-      / CAST(length(text) AS DOUBLE) AS punct_ratio
-  FROM documents)
+_TEXT_STATS_ORACLE = """
 SELECT doc_id,
-  (least(n_words / 50.0, 1.0) + alpha_ratio
-   + greatest(0.0, 1.0 - punct_ratio * 5.0)) / 3.0 AS quality
-FROM stats
+  CAST(length(text) AS DOUBLE) AS n_chars,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+  length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(length(text) AS DOUBLE) AS digit_ratio,
+  (length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               - length(regexp_replace(text, '[^0-9]', '', 'g'))
+               - length(regexp_replace(text, '[^ \t\n]', '', 'g')))
+    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+  (length(text) - length(regexp_replace(text, '[^ \t\n]', '', 'g')))
+    / greatest(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS DOUBLE), 1.0) AS avg_word_len
+FROM documents
 """
+
+
+# (r12 consolidation, round-11 verdict item 1: the text_quality driver
+# entry retired to free a window slot for heavy_hitters_stream — its
+# formula is a fixed arithmetic blend of exactly the expressions the
+# surviving text_stats entry oracle-checks, and
+# tests/test_operators.py::test_quality_score_oracle (new r12) keeps
+# the blend itself under a DuckDB oracle every pytest pass.
+# operators/text.py:quality_score is unchanged.)
 
 
 def _lang_id_q(spark, sf_dir):
@@ -2871,9 +2871,9 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     # drives; pytest test_sampling_operators keeps the operator form.)
     "dedup_simhash": (_simhash_q, _simhash_oracle()),
     "dedup_embedding_cosine": (_emb_neardup_q, _emb_neardup_oracle()),
-    # (r12 consolidation: text_stats retired — see the note at its
+    "text_stats": (_text_stats_q, _TEXT_STATS_ORACLE),
+    # (r12 consolidation: text_quality retired — see the note at its
     # former definition site; slot freed for heavy_hitters_stream.)
-    "text_quality": (_quality_q, _QUALITY_ORACLE),
     "text_lang_id": (_lang_id_q, _lang_id_oracle()),
     "text_fingerprint": (_fingerprint_q, _FINGERPRINT_ORACLE),
     "ann_cosine_topk": (_ann_topk_q, _ANN_TOPK_ORACLE),
@@ -2910,8 +2910,8 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # r12 layout (total 100 = 50 head + 50 tail): the full r11 tail
 # rotates back into the head (standing policy — no entry sits
 # driver-unchecked 2+ rounds), with TWO slots freed by the r12
-# consolidation (sample_mixture, text_stats — see the inline notes at
-# their former definition sites) and taken by the two r11 operators
+# consolidation (sample_mixture, text_quality — see the inline notes
+# at their former definition sites) and taken by the two r11 operators
 # that had no driver row yet (round-11 verdict item 1):
 # weighted_sample_topk and heavy_hitters_stream. The 50-entry tail
 # below = the r11 head; every tail entry was driver-green in r11
@@ -2928,7 +2928,7 @@ _HEAD = [
     "embed_kmeans",
     "exists_or",
     # NEW r12: the two r11 operators without a driver row yet, in the
-    # slots freed by the sample_mixture / text_stats retirements
+    # slots freed by the sample_mixture / text_quality retirements
     "weighted_sample_topk",
     "heavy_hitters_stream",
     "text_repetition",
@@ -2957,7 +2957,7 @@ _HEAD = [
     "events_sliding_window",
     "events_session_window",
     "events_dedup_first",
-    "text_quality",
+    "text_stats",
     "text_lang_id",
     "text_fingerprint",
     "media_frame_sample",

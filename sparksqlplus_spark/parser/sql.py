@@ -427,6 +427,7 @@ class _Parser:
         inner_on: list[Cond] = []
         using_joins: list[tuple[str, list[str]]] = []
         outer_joins: list[OuterJoin] = []
+        semi_join_emitted = False
         while True:
             t = self.peek()
             if self.at("op", ","):
@@ -524,6 +525,7 @@ class _Parser:
                 # join types of the same name. 'semi'/'anti' stay soft
                 # ids (only JOIN right after triggers this arm).
                 where.append(self._semi_anti_join_tail(outer_joins))
+                semi_join_emitted = True
             elif (
                 t is not None
                 and t.kind == "id"
@@ -539,6 +541,7 @@ class _Parser:
                     and self.at("kw", "join", k=1)
                 ):
                     where.append(self._semi_anti_join_tail(outer_joins))
+                    semi_join_emitted = True
                     continue
                 if t2 is not None and t2.kind == "id" and t2.text.lower() == "outer":
                     self.take()
@@ -548,6 +551,19 @@ class _Parser:
                 outer_joins.append(OuterJoin(item, conds, side, using=using))
             else:
                 break
+        if semi_join_emitted and any(
+            oj.side in ("right", "full") for oj in outer_joins
+        ):
+            # the semi/anti sugar desugars to a WHERE-level Exists that
+            # _run_outer applies POST-join; Spark applies the semi/anti
+            # BEFORE a subsequent RIGHT/FULL join and keeps the
+            # null-extended preserved rows, so that composition must
+            # ride the spark.sql fallback (round 12, r11 ADVICE;
+            # mirrors _semi_anti_join_tail's outer-BEFORE-semi reject)
+            raise UnsupportedSqlError(
+                "SEMI/ANTI JOIN followed by a RIGHT/FULL JOIN is not "
+                "in the subset"
+            )
         if self.accept("kw", "where"):
             where.extend(self._conjunction())
         if all(oj.side in ("left", "inner") for oj in outer_joins):
@@ -1087,12 +1103,21 @@ class _Parser:
                 "subset"
             )
         item = self._from_item()
-        if item.subquery is not None:
-            raise UnsupportedSqlError(
-                "SEMI/ANTI JOIN over a subquery is not in the subset"
-            )
         self.expect("kw", "on")
         conds = self._conjunction()
+        if item.subquery is not None:
+            # SEMI/ANTI JOIN (SELECT ...) AS a ON cond (round 12, r11
+            # verdict item 6): same desugar, carried as an Exists BODY
+            # so api._exists_body_rewrite plans the derived table as a
+            # composite view and folds the single-table semi/anti
+            return Exists(
+                "", "", (),
+                negated=(kind == "anti"),
+                body=QuerySpec(
+                    select=[], distinct=False,
+                    from_items=[item], where=list(conds),
+                ),
+            )
         return Exists(
             item.table, item.alias, tuple(conds), negated=(kind == "anti")
         )
@@ -1127,11 +1152,6 @@ class _Parser:
                 conds.extend(self._conjunction())
             else:
                 break
-        for fi in items:
-            if fi.subquery is not None:
-                raise UnsupportedSqlError(
-                    "EXISTS over a subquery is not in the subset"
-                )
         if self.accept("kw", "where"):
             conds.extend(self._conjunction())
         if not self.at("op", ")"):
@@ -1139,10 +1159,13 @@ class _Parser:
                 "EXISTS subquery supports only FROM tables + WHERE"
             )
         self.expect("op", ")")
-        if len(items) == 1:
+        if len(items) == 1 and items[0].subquery is None:
             return Exists(items[0].table, items[0].alias, tuple(conds))
         if len({fi.alias for fi in items}) != len(items):
             raise UnsupportedSqlError("duplicate alias inside EXISTS")
+        # derived-table FROM items (round 12) ride the same body lift
+        # as the multi-table shape: api._exists_body_rewrite plans the
+        # body as a composite view and folds the single-table semi/anti
         return Exists(
             "", "", (),
             body=QuerySpec(

@@ -462,7 +462,8 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 return rw.left, rw.right
             return None
 
-        for c in ex.conds:
+        n_corr_keys = 0  # equality keys NOT from the probe conjuncts
+        for idx, c in enumerate(ex.conds):
             sides, rw = _resolve(c)
             if sides <= {"inner"}:
                 inner_only.append(rw)
@@ -492,8 +493,24 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             outer_aliases.add(outer_col.alias)
             if rw.op == "=":
                 keys.append((outer_col, inner_col.name))
+                if idx >= ex.n_probe:
+                    n_corr_keys += 1
             else:
                 extra_raw.append(rw)
+        if ex.null_aware and ex.negated and n_corr_keys:
+            # correlated NOT IN: `o.x NOT IN (SELECT y FROM t WHERE
+            # t.k = o.k)` — the inner SET varies per outer row, so its
+            # three-valued NULL facts (empty? has a NULL?) are
+            # PER-GROUP, not the probe-column facts the row-value /
+            # single-key paths compute. Conflating the correlation key
+            # into the probe row-value silently changed NULL semantics
+            # (round-12 fix: engine returned 1 of DuckDB's 4 rows on
+            # the probe query in test_not_in_correlated_where) — raise
+            # so mode='auto' rides the spark.sql fallback.
+            raise UnsupportedSqlError(
+                "NOT IN (subquery) with a correlated WHERE is "
+                "probe-dependent; not planned natively"
+            )
         if not keys and extra_raw:
             raise UnsupportedSqlError(
                 "EXISTS needs at least one equality correlation"
@@ -931,7 +948,8 @@ def _make_derived_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation
         keys: list[tuple[str, str]] = []
         inner_only: list[Cond] = []
         extra: list[Cond] = []
-        for c in ex.conds:
+        n_corr_keys = 0  # equality keys NOT from the probe conjuncts
+        for cidx, c in enumerate(ex.conds):
             mapping: dict[tuple[str, str], tuple[str, str]] = {}
             sides: set[str] = set()
             for a, col in c.refs():
@@ -974,6 +992,8 @@ def _make_derived_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation
                 )
             if rw.op == "=":
                 keys.append((outer_c, inner_c))
+                if cidx >= ex.n_probe:
+                    n_corr_keys += 1
             else:
                 # SemiFilter.extra convention: inner ("", col)
                 extra.append(
@@ -986,7 +1006,10 @@ def _make_derived_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation
             raise UnsupportedSqlError(
                 "uncorrelated EXISTS inside a derived table is not in the subset"
             )
-        if ex.null_aware and ex.negated and (len(keys) != 1 or extra):
+        if ex.null_aware and ex.negated and (len(keys) != 1 or extra or n_corr_keys):
+            # n_corr_keys guards the const-probe + correlated-WHERE
+            # shape, where the single equality key is the GROUP key,
+            # not the probe (round-12 fix, see build_context)
             raise UnsupportedSqlError(
                 "NOT IN (subquery) supports a single key and no extra "
                 "correlation"

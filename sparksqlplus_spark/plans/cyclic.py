@@ -246,8 +246,11 @@ def _eval_bag(
             if any(r.rid in filtered_rids for r in (R, S, T)):
                 # T is stored (c, a) but participates as the 3-cycle
                 # edge (a-side = c): the orientation above already
-                # ordered each side (v_i, v_{i+1})
-                sides = cycle_semi_reduce(sides)
+                # ordered each side (v_i, v_{i+1}); catalog upper
+                # bounds let the gate decline small inputs job-free
+                sides = cycle_semi_reduce(
+                    sides, est_rows=[r.cardinality for r in (R, S, T)]
+                )
             out = triangle_join(*sides)
             renamed = out.select(
                 F.col("a").alias(a), F.col("b").alias(b), F.col("c").alias(c)
@@ -263,7 +266,9 @@ def _eval_bag(
             # (round-4 verdict item 6)
             last_bag_kinds.append("wcoj-cycle")
             if any(r.rid in filtered_rids for r, _ in cyc):
-                sides = cycle_semi_reduce(sides)
+                sides = cycle_semi_reduce(
+                    sides, est_rows=[r.cardinality for r, _ in cyc]
+                )
             out = cycle_join(sides)
             renamed = out.select(
                 *[
@@ -297,7 +302,10 @@ def _eval_bag(
                     pattern_semi_reduce,
                 )
 
-                sides = pattern_semi_reduce(sides, evars)
+                sides = pattern_semi_reduce(
+                    sides, evars,
+                    est_rows=[r.cardinality for r in bag_rels],
+                )
             return pattern_join(sides, evars).select(*vars_sorted)
 
     # general bag: greedy connected natural joins over the members,

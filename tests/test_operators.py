@@ -229,6 +229,38 @@ def test_embedding_neardup_multiband_recall(engine):
     assert four_band == planted  # full recall on the planted set
 
 
+def test_quality_score_oracle(spark, oracle):
+    """quality_score vs the DuckDB replay of its blend (r12: keeps the
+    operator under oracle after its driver row was consolidated into
+    text_stats, which checks the underlying expressions — see
+    __spark_entry__.py's r12 consolidation note)."""
+    from tests.helpers import assert_matches
+
+    from sparksqlplus_spark.operators.text import quality_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert_matches(
+        quality_score(docs, "text", "doc_id"),
+        oracle,
+        """
+        WITH stats AS (
+          SELECT doc_id,
+            CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS DOUBLE) AS n_words,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+            (length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         - length(regexp_replace(text, '[^ \t\n]', '', 'g')))
+              / CAST(length(text) AS DOUBLE) AS punct_ratio
+          FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))
+        SELECT doc_id,
+          (least(n_words / 50.0, 1.0) + alpha_ratio
+           + greatest(0.0, 1.0 - punct_ratio * 5.0)) / 3.0 AS quality
+        FROM stats
+        """,
+        tol=1e-9,
+    )
+
+
 def test_repetition_stats_planted(spark):
     """Gopher repetition rules on planted docs: an all-same-word doc
     maxes every fraction; a no-repeat doc zeroes them; a one-word doc
@@ -978,6 +1010,52 @@ def test_weighted_sample_duckdb_oracle(spark, oracle):
         ).fetchall()
     }
     assert got == want
+
+
+def test_semi_reduce_gate_stats_first(spark):
+    """Round 12 (r11 verdict item 3): when every side carries a known
+    catalog upper bound below min_rows, the sweep gate declines with
+    ZERO Spark jobs (the old gate priced every filtered cyclic bag
+    with k blocking count() jobs even when it then declined). A
+    missing bound still falls back to exact counts."""
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.operators.wcoj import (
+        cycle_semi_reduce,
+        pattern_semi_reduce,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    g = li.selectExpr(
+        "1 + (l_orderkey % 97) AS src", "1 + (l_partkey % 97) AS dst"
+    ).distinct()
+    sides = [g.filter(F.col("src") <= 5)] + [g] * 4
+    sc = spark.sparkContext
+    sc.setJobGroup("sweep_gate_probe", "stats-first gate probe")
+    try:
+        out = cycle_semi_reduce(sides, est_rows=[6000] * 5)
+        out2 = pattern_semi_reduce(
+            sides[:3],
+            [("a", "b"), ("b", "c"), ("c", "a")],
+            est_rows=[6000] * 3,
+        )
+    finally:
+        sc.setJobGroup("", "")
+    # declined: same frame objects back, and NO job ran in the group
+    assert all(a is b for a, b in zip(sides, out))
+    assert all(a is b for a, b in zip(sides[:3], out2))
+    jobs = sc.statusTracker().getJobIdsForGroup("sweep_gate_probe")
+    assert list(jobs) == [], f"gate ran Spark jobs: {jobs}"
+    # a missing bound falls back to exact counts (jobs DO run), and
+    # the small input still declines on the measured sizes
+    sc.setJobGroup("sweep_gate_counts", "fallback count probe")
+    try:
+        out3 = cycle_semi_reduce(sides, est_rows=[6000, None, 6000, 6000, 6000])
+    finally:
+        sc.setJobGroup("", "")
+    assert all(a is b for a, b in zip(sides, out3))
+    jobs = sc.statusTracker().getJobIdsForGroup("sweep_gate_counts")
+    assert len(jobs) > 0, "missing bound must fall back to count()"
 
 
 def test_cycle_semi_reduce_equivalence(spark):
