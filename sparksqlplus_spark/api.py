@@ -1093,15 +1093,27 @@ class SparkSQLPlus:
                         "on one side and an outer-only term on the other"
                     )
             if ex.null_aware and ex.negated and n_corr_keys:
-                # correlated NOT IN under OR — same round-12 fix as
+                # correlated NOT IN under OR — same round-12 split as
                 # build_context: the correlated-WHERE equality is a
                 # GROUP key, not a probe column; folding it into the
                 # row-value/single-key flag silently changed the NULL
-                # semantics (the inner set must be per-group). Raise
-                # so mode='auto' rides the spark.sql fallback.
-                raise UnsupportedSqlError(
-                    "NOT IN (subquery) with a correlated WHERE under "
-                    "OR is probe-dependent; not planned natively"
+                # semantics (the inner set must be per-group). A
+                # single-column probe plans natively through the
+                # grouped-stats flag; wider shapes ride the fallback.
+                if noneq or ex.n_probe != 1 or len(keys) - n_corr_keys > 1:
+                    raise UnsupportedSqlError(
+                        "row-value / non-equality NOT IN with a "
+                        "correlated WHERE under OR is not planned "
+                        "natively"
+                    )
+                n_probe_keys = len(keys) - n_corr_keys
+                return self._correlated_not_in_or_flag(
+                    ex,
+                    keys[0] if n_probe_keys == 1 else None,
+                    keys[n_probe_keys:],
+                    inner_only,
+                    spec,
+                    ephemeral,
                 )
             if noneq:
                 # round 10 (r9 verdict item 8): ONE non-equality
@@ -1458,6 +1470,128 @@ class SparkSQLPlus:
         hit = Lit(not ex.negated, "boolean")
         miss = Lit(bool(ex.negated), "boolean")
         return CaseWhen(((raw, hit),), miss)
+
+    def _correlated_not_in_or_flag(
+        self, ex, probe_pair, corr, inner_only, spec, ephemeral
+    ):
+        """Correlated NOT IN under OR (round 12, r11 verdict item 7):
+        ``P OR o.x NOT IN (SELECT y FROM t WHERE t.k = o.k AND ...)``
+        — the inner SET is per-GROUP, so the three-valued flag derives
+        from per-group stats, not the probe row-value:
+
+          TRUE     iff the group is EMPTY (stats-join miss — a NULL
+                   group key matches nothing, so it misses too);
+          FALSE    iff some group row equals the probe (match join);
+          UNKNOWN  iff unmatched and (the group has a NULL y, or the
+                   probe is NULL against a non-empty group);
+          TRUE     otherwise.
+
+        Two LEFT joins: a GROUP BY stats view (one row per group — no
+        duplication) and a DISTINCT (group, y) match view with every
+        column pinned by the join condition (≤1 row). Both shuffle on
+        the group key (exchange reused); no collect, no broadcast
+        assumption. ``probe_pair`` is (outer Col, inner col) for an
+        outer-column probe, or None when the probe is the constant
+        conjunct sitting first in ``inner_only`` (parser contract)."""
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import (
+            CaseWhen,
+            Cmp,
+            Col,
+            IsNull,
+            Lit,
+            const_expr,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+
+        inner_rest = list(inner_only)
+        if probe_pair is None:
+            probe_c = inner_rest[0] if inner_rest else None
+            if not (
+                isinstance(probe_c, Cmp)
+                and probe_c.op == "="
+                and isinstance(probe_c.left, Col)
+                and const_expr(probe_c.right)
+            ):
+                raise UnsupportedSqlError(
+                    "non-constant probe NOT IN with a correlated "
+                    "WHERE under OR is not planned natively"
+                )
+            probe_outer, probe_icol = probe_c.right, probe_c.left.name
+            inner_rest = inner_rest[1:]
+        else:
+            probe_outer, probe_icol = probe_pair
+        inner = self.catalog.get(ex.table).load(self.spark)
+        imap = {("", cn): cn for cn in inner.columns}
+        imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
+        for c in inner_rest:
+            inner = inner.filter(c.to_spark(imap))
+        gsel: dict[str, str] = {}
+        for _, icol in corr:
+            gsel.setdefault(icol, f"__cg{len(gsel)}")
+        stats = inner.groupBy(
+            *[F.col(icol).alias(out) for icol, out in gsel.items()]
+        ).agg(
+            F.count(F.lit(1)).alias("__cn"),
+            F.count(F.col(probe_icol)).alias("__cnn"),
+        )
+        self._view_counter += 1
+        sname = f"__corrs{self._view_counter}"
+        self.catalog.register_df(sname, stats, tuple(gsel.values()))
+        ephemeral.append(sname)
+        salias = f"{sname}_i"
+        spec.outer_joins.append(
+            OuterJoin(
+                item=FromItem(alias=salias, table=sname),
+                conds=[
+                    Cmp("=", oc, Col(salias, gsel[icol]))
+                    for oc, icol in corr
+                ],
+                side="left",
+            )
+        )
+        match = (
+            inner.filter(F.col(probe_icol).isNotNull())
+            .select(
+                *[F.col(icol).alias(out) for icol, out in gsel.items()],
+                F.col(probe_icol).alias("__cmp"),
+            )
+            .distinct()
+        )
+        self._view_counter += 1
+        mname = f"__corrm{self._view_counter}"
+        self.catalog.register_df(
+            mname, match, (*gsel.values(), "__cmp")
+        )
+        ephemeral.append(mname)
+        malias = f"{mname}_i"
+        spec.outer_joins.append(
+            OuterJoin(
+                item=FromItem(alias=malias, table=mname),
+                conds=[
+                    Cmp("=", oc, Col(malias, gsel[icol]))
+                    for oc, icol in corr
+                ]
+                + [Cmp("=", probe_outer, Col(malias, "__cmp"))],
+                side="left",
+            )
+        )
+        return CaseWhen(
+            (
+                (IsNull(Col(salias, "__cn")), Lit(True, "boolean")),
+                (
+                    IsNull(Col(malias, "__cmp"), negated=True),
+                    Lit(False, "boolean"),
+                ),
+                (
+                    Cmp("<", Col(salias, "__cnn"), Col(salias, "__cn")),
+                    Lit(None, "null"),
+                ),
+                (IsNull(probe_outer), Lit(None, "null")),
+            ),
+            Lit(True, "boolean"),
+        )
 
     def _rowvalue_not_in_or_flag(
         self, ex, keys, inner_only, spec, ephemeral, matched_flag

@@ -98,6 +98,83 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
     imap = {("", c): c for c in inner.columns}
     for cond in sf.inner_filters:
         inner = inner.filter(cond.to_spark(imap))
+    if sf.corr_keys:
+        # CORRELATED NOT IN (round 12): o.x NOT IN (SELECT y FROM t
+        # WHERE t.k = o.k AND ...) — the inner SET is per-GROUP, so
+        # the NULL facts are per-group aggregates, NOT the row-value
+        # reading (which silently changes the semantics — see
+        # plans/context.py). Keep a row iff
+        #   its group is EMPTY (left-join miss; a NULL group key can
+        #     match nothing, so it misses too — correct), or
+        #   no group row matches the probe AND the group has no NULL
+        #     y AND the probe itself is non-NULL.
+        # Plan: one groupBy(corr) shuffle for (n, nn[, m]) stats +
+        # one LEFT join per side — stats is one row per group and the
+        # match view is DISTINCT on (group, y) with every column
+        # pinned by the join condition, so neither join duplicates.
+        # Both joins shuffle on the group key (the exchange is
+        # reused); no collect, no broadcast assumption — scale-safe.
+        corr = sf.corr_keys
+        gref = [
+            F.col(ic).alias(f"{prefix}_g{i}")
+            for i, (_, ic) in enumerate(corr)
+        ]
+        gcols = [f"{prefix}_g{i}" for i in range(len(corr))]
+        on = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(ov) == F.col(g) for (ov, _), g in zip(corr, gcols)],
+        )
+        helper = [f"{prefix}_n", f"{prefix}_nn", *gcols]
+        if sf.const_probe is not None:
+            probe_lit, ic = sf.const_probe
+            pl = probe_lit.to_spark({})
+            stats = inner.groupBy(*gref).agg(
+                F.count(F.lit(1)).alias(f"{prefix}_n"),
+                F.count(F.col(ic)).alias(f"{prefix}_nn"),
+                F.count(F.when(F.col(ic) == pl, 1)).alias(f"{prefix}_m"),
+            )
+            out = df.join(stats, on, "left")
+            no_match = F.col(f"{prefix}_m").isNull() | (
+                F.col(f"{prefix}_m") == 0
+            )
+            probe_ok = pl.isNotNull()
+            helper.append(f"{prefix}_m")
+        else:
+            (ov_p, ic), = sf.keys  # single-column probe (validated)
+            stats = inner.groupBy(*gref).agg(
+                F.count(F.lit(1)).alias(f"{prefix}_n"),
+                F.count(F.col(ic)).alias(f"{prefix}_nn"),
+            )
+            out = df.join(stats, on, "left")
+            mcols = [f"{prefix}_m{i}" for i in range(len(corr))]
+            match = (
+                inner.select(
+                    *[
+                        F.col(icg).alias(m)
+                        for (_, icg), m in zip(corr, mcols)
+                    ],
+                    F.col(ic).alias(f"{prefix}_mp"),
+                )
+                .filter(F.col(ic).isNotNull())
+                .distinct()
+            )
+            mon = functools.reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(ov) == F.col(m)
+                    for (ov, _), m in zip(corr, mcols)
+                ],
+            ) & (F.col(ov_p) == F.col(f"{prefix}_mp"))
+            out = out.join(match, mon, "left")
+            no_match = F.col(f"{prefix}_mp").isNull()
+            probe_ok = F.col(ov_p).isNotNull()
+            helper += [f"{prefix}_mp", *mcols]
+        keep = F.col(f"{prefix}_n").isNull() | (
+            no_match
+            & (F.col(f"{prefix}_n") == F.col(f"{prefix}_nn"))
+            & probe_ok
+        )
+        return out.filter(keep).drop(*helper)
     if sf.const_probe is not None:
         # CONSTANT-probe NOT IN (round 10): `5 NOT IN (SELECT x ...)`
         # — no correlation keys, but full three-valued semantics:

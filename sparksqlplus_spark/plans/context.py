@@ -145,6 +145,14 @@ class SemiFilter:
     # plans a broadcast one-row stats gate (empty set / matched /
     # has-NULL), zero collects. None for every other shape.
     const_probe: tuple | None = None
+    # CORRELATED NOT IN (round 12): `o.x NOT IN (SELECT y FROM t WHERE
+    # t.k = o.k)` — equality keys from the subquery's correlated WHERE,
+    # kept apart from the probe (keys / const_probe): the inner SET is
+    # per-GROUP, so the executor joins per-group (n, nn) stats and a
+    # (group, y) match view instead of folding the group key into the
+    # probe row-value (which silently changes NULL semantics).
+    # Same (outer variable, inner column) convention as keys.
+    corr_keys: tuple[tuple[str, str], ...] = ()
 
 
 @dataclass
@@ -447,6 +455,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             return sides, (rewrite_refs(c, mapping) if mapping else c)
 
         keys: list[tuple[Col, str]] = []
+        key_is_probe: list[bool] = []  # parallel to keys (Exists.n_probe)
         inner_only: list[Cond] = []
         extra_raw: list[Cmp] = []  # correlated non-equality Cmp (Col vs Col)
         outer_aliases: set[str] = set()
@@ -493,29 +502,55 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             outer_aliases.add(outer_col.alias)
             if rw.op == "=":
                 keys.append((outer_col, inner_col.name))
+                key_is_probe.append(idx < ex.n_probe)
                 if idx >= ex.n_probe:
                     n_corr_keys += 1
             else:
                 extra_raw.append(rw)
+        corr_keys: list[tuple[Col, str]] = []
+        corr_const_probe = None
         if ex.null_aware and ex.negated and n_corr_keys:
-            # correlated NOT IN: `o.x NOT IN (SELECT y FROM t WHERE
-            # t.k = o.k)` — the inner SET varies per outer row, so its
-            # three-valued NULL facts (empty? has a NULL?) are
+            # correlated NOT IN (round 12): `o.x NOT IN (SELECT y FROM
+            # t WHERE t.k = o.k)` — the inner SET varies per outer row,
+            # so its three-valued NULL facts (empty? has a NULL?) are
             # PER-GROUP, not the probe-column facts the row-value /
-            # single-key paths compute. Conflating the correlation key
+            # single-key paths compute (conflating the correlation key
             # into the probe row-value silently changed NULL semantics
-            # (round-12 fix: engine returned 1 of DuckDB's 4 rows on
-            # the probe query in test_not_in_correlated_where) — raise
-            # so mode='auto' rides the spark.sql fallback.
-            raise UnsupportedSqlError(
-                "NOT IN (subquery) with a correlated WHERE is "
-                "probe-dependent; not planned natively"
-            )
-        if not keys and extra_raw:
+            # — the pre-fix engine returned 1 of DuckDB's 4 rows on
+            # test_not_in_correlated_where's data). Split the keys by
+            # probe provenance; the executor plans per-group stats.
+            # Supported: a single-column probe (outer Col or constant)
+            # and no non-equality correlation — wider shapes raise and
+            # ride the spark.sql fallback.
+            if ex.n_probe != 1 or extra_raw or len(keys) - n_corr_keys > 1:
+                raise UnsupportedSqlError(
+                    "row-value NOT IN with a correlated WHERE is not "
+                    "planned natively"
+                )
+            corr_keys = [k for k, p in zip(keys, key_is_probe) if not p]
+            keys = [k for k, p in zip(keys, key_is_probe) if p]
+            if not keys:
+                # the probe never reached keys — it must be the
+                # constant-probe conjunct sitting first in inner_only
+                # (parser contract: conds[0] is the probe)
+                probe = inner_only[0] if inner_only else None
+                if not (
+                    isinstance(probe, Cmp)
+                    and probe.op == "="
+                    and isinstance(probe.left, Col)
+                    and const_expr(probe.right)
+                ):
+                    raise UnsupportedSqlError(
+                        "non-constant probe NOT IN with a correlated "
+                        "WHERE is not planned natively"
+                    )
+                corr_const_probe = (probe.right, probe.left.name)
+                inner_only = inner_only[1:]
+        if not keys and not corr_keys and extra_raw:
             raise UnsupportedSqlError(
                 "EXISTS needs at least one equality correlation"
             )
-        if not keys:
+        if not keys and not corr_keys:
             # uncorrelated [NOT] EXISTS (round 9): a constant gate —
             # true iff the filtered inner table has >= 1 row. Planned
             # as a keyless SemiFilter on the first relation
@@ -619,6 +654,10 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 inner_filters=tuple(inner_only),
                 extra=extra,
                 null_aware=ex.null_aware,
+                const_probe=corr_const_probe,
+                corr_keys=tuple(
+                    (var_map[(k.alias, k.name)], ic) for k, ic in corr_keys
+                ),
             )
         )
     comparisons: list[Comparison] = []

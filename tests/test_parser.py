@@ -2188,7 +2188,11 @@ def test_not_in_correlated_where(engine, spark):
         "t_corr", spark.createDataFrame(t_rows, "y int, k int")
     )
     try:
-        fallback_cases = [
+        # single-column probes (outer Col or constant) now plan
+        # NATIVELY through the per-group stats paths (top level:
+        # SemiFilter.corr_keys in compiler/cqc.py; under OR:
+        # api._correlated_not_in_or_flag)
+        corr_cases = [
             # top-level correlated NOT IN
             """SELECT o.id FROM o_corr AS o WHERE o.x NOT IN
                (SELECT t.y FROM t_corr AS t WHERE t.k = o.k)""",
@@ -2198,11 +2202,16 @@ def test_not_in_correlated_where(engine, spark):
             # const probe + correlated WHERE under OR
             """SELECT o.id FROM o_corr AS o WHERE o.p = 1 OR 10 NOT IN
                (SELECT t.y FROM t_corr AS t WHERE t.k = o.k)""",
+            # const probe + correlated WHERE at top level, with an
+            # extra inner-local filter
+            """SELECT o.id FROM o_corr AS o WHERE 10 NOT IN
+               (SELECT t.y FROM t_corr AS t WHERE t.k = o.k
+                AND t.y IS NOT NULL)""",
         ]
-        for q in fallback_cases:
-            with _pytest.raises(UnsupportedSqlError):
-                engine.sql(q, mode="cqc")
-            got = sorted(r[0] for r in engine.sql(q).collect())
+        for q in corr_cases:
+            got = sorted(
+                r[0] for r in engine.sql(q, mode="cqc").collect()
+            )
             want = sorted(
                 r[0] for r in engine.sql(q, mode="spark").collect()
             )
@@ -2210,9 +2219,20 @@ def test_not_in_correlated_where(engine, spark):
         # the first case is the documented wrong-answer repro: the old
         # row-value reading kept ONLY id=4
         got = sorted(
-            r[0] for r in engine.sql(fallback_cases[0]).collect()
+            r[0] for r in engine.sql(corr_cases[0], mode="cqc").collect()
         )
         assert got == [2, 3, 4, 6], got
+        # a row-value probe WITH correlation stays on the fallback
+        # (per-group row-value NULL patterns are out of subset)
+        q_rv = """SELECT o.id FROM o_corr AS o WHERE (o.x, o.p) NOT IN
+                  (SELECT t.y, 0 FROM t_corr AS t WHERE t.k = o.k)"""
+        with _pytest.raises(UnsupportedSqlError):
+            engine.sql(q_rv, mode="cqc")
+        got = sorted(r[0] for r in engine.sql(q_rv).collect())
+        want = sorted(
+            r[0] for r in engine.sql(q_rv, mode="spark").collect()
+        )
+        assert got == want, (q_rv, got, want)
         # probe-independent forms stay NATIVE and correct
         native_cases = [
             # positive IN with correlation is two-valued EXISTS — fine
