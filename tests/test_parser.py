@@ -2207,6 +2207,10 @@ def test_not_in_correlated_where(engine, spark):
             """SELECT o.id FROM o_corr AS o WHERE 10 NOT IN
                (SELECT t.y FROM t_corr AS t WHERE t.k = o.k
                 AND t.y IS NOT NULL)""",
+            # TWO correlation keys (the group is a composite key)
+            """SELECT o.id FROM o_corr AS o WHERE o.x NOT IN
+               (SELECT t.y FROM t_corr AS t WHERE t.k = o.k
+                AND t.y = o.x)""",
         ]
         for q in corr_cases:
             got = sorted(
