@@ -1120,8 +1120,15 @@ def _make_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation:
     if not sub.group_by and not any(contains_agg(si.expr) for si in sub.select):
         return _make_derived_relation(rid, fi, catalog)
     # aggregated subquery (SURVEY C21): SELECT g..., FUNC(arg) FROM t GROUP BY g...
+    # HAVING included in the reject list (round-12 correctness fix:
+    # this narrow shape silently DROPPED a subquery's HAVING — e.g.
+    # `FROM (... GROUP BY k HAVING COUNT(*) > 1) v` returned every
+    # group); rejecting routes it to the recursive composite-view
+    # planner, which applies HAVING correctly
     if (
         sub.where
+        or sub.having
+        or sub.qualify
         or sub.order_by
         or sub.limit is not None
         or sub.distinct

@@ -2034,6 +2034,20 @@ FALLBACK_CONTRACT_QUERIES = [
     "SELECT COUNT(*) AS n FROM nation WHERE n_regionkey IN "
     "  (SELECT r_regionkey FROM region WHERE r_regionkey < 2 "
     "   UNION SELECT 4)",
+    # round-12 batch: the shapes this round ROUTES to the fallback
+    # must complete under auto (row-value NOT IN over a correlated
+    # set; SEMI JOIN composed with a later FULL JOIN; EXISTS whose
+    # derived-table body aggregates)
+    "SELECT c_name FROM customer c WHERE (c_custkey, c_nationkey) "
+    "  NOT IN (SELECT o_orderkey, 1 FROM orders o "
+    "          WHERE o_custkey = c_custkey)",
+    "SELECT n.n_name, r.r_name FROM nation n SEMI JOIN supplier s "
+    "  ON n.n_nationkey = s.s_nationkey "
+    "  FULL JOIN region r ON n.n_regionkey = r.r_regionkey",
+    "SELECT n_name FROM nation n WHERE EXISTS "
+    "  (SELECT 1 FROM (SELECT s_nationkey AS sk, COUNT(*) AS c "
+    "   FROM supplier GROUP BY s_nationkey HAVING COUNT(*) > 1) v "
+    "   WHERE v.sk = n.n_nationkey)",
 ]
 
 
@@ -2161,6 +2175,38 @@ def test_semi_join_without_explicit_alias(engine, oracle):
         ).count()
         == 5
     )
+
+
+def test_subquery_having_not_dropped(engine, oracle):
+    """Round 12 correctness fix: a FROM-subquery's HAVING was silently
+    DROPPED by the narrow C21 agg-relation shape (`FROM (... GROUP BY
+    k HAVING COUNT(*) > 1) v` returned every group). The shape now
+    rejects into the recursive composite-view planner, which applies
+    HAVING; plain agg views (no HAVING) stay on the C21 fast path."""
+    cases = [
+        # the repro: HAVING filters every group out at sf0.001
+        ("SELECT v.sk, v.c FROM (SELECT s_nationkey AS sk, COUNT(*) "
+         "AS c FROM supplier GROUP BY s_nationkey HAVING COUNT(*) > 1"
+         ") AS v"),
+        # HAVING keeps all groups — counts must match too
+        ("SELECT v.sk, v.c FROM (SELECT s_nationkey AS sk, COUNT(*) "
+         "AS c FROM supplier GROUP BY s_nationkey HAVING COUNT(*) >= "
+         "1) AS v ORDER BY v.sk"),
+        # EXISTS over the grouped+HAVING body (the round-12 body lift)
+        ("SELECT n_name FROM nation AS n WHERE EXISTS (SELECT 1 FROM "
+         "(SELECT s_nationkey AS sk, COUNT(*) AS c FROM supplier "
+         "GROUP BY s_nationkey HAVING COUNT(*) > 1) AS v "
+         "WHERE v.sk = n.n_nationkey)"),
+    ]
+    for q in cases:
+        got = sorted(
+            str(tuple(r)) for r in engine.sql(q, mode="cqc").collect()
+        )
+        ora = q if "EXISTS" not in q else q.replace(
+            "SELECT n_name", "SELECT DISTINCT n_name"
+        )
+        want = sorted(str(tuple(r)) for r in oracle.execute(ora).fetchall())
+        assert got == want, (q, got, want)
 
 
 def test_not_in_correlated_where(engine, spark):
