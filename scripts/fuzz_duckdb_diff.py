@@ -1,0 +1,199 @@
+"""Differential fuzz vs DuckDB over the EXTENSION surface (round 12).
+
+The CI fuzz (tests/test_fuzz.py) checks CQC-vs-naive equivalence —
+internal consistency — which cannot catch the silent-clause-drop
+class found this round (a FROM-subquery's HAVING/QUALIFY dropped by a
+narrow planning shape drops identically in BOTH modes). This harness
+generates template-randomized queries across the surfaces where the
+engine has its own planning paths (derived tables with
+HAVING/QUALIFY/LIMIT, EXISTS/NOT IN in all correlation shapes,
+USING/NATURAL stars, scalar subqueries, outer joins, set ops) and
+compares mode='auto' against DuckDB on the same parquet. Every
+generated query is SELECT DISTINCT so the engine's CQ non-full =>
+DISTINCT dialect agrees with ANSI by construction; only integer-ish
+columns are aggregated, so no float tolerance is needed.
+
+Run: python scripts/fuzz_duckdb_diff.py [seed] [n_cases]
+Exit 1 on any mismatch; prints each failing SQL.
+"""
+
+import random
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+from sparksqlplus_spark import SparkSQLPlus, get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "orders"]
+
+# (table, int-ish columns, name column, key column)
+COLS = {
+    "region": (["r_regionkey"], "r_name", "r_regionkey"),
+    "nation": (["n_nationkey", "n_regionkey"], "n_name", "n_nationkey"),
+    "customer": (["c_custkey", "c_nationkey"], "c_name", "c_custkey"),
+    "supplier": (["s_suppkey", "s_nationkey"], "s_name", "s_suppkey"),
+    "orders": (["o_orderkey", "o_custkey"], "o_orderpriority", "o_orderkey"),
+}
+CMPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+def gen(rng: random.Random) -> str:
+    t = rng.choice(TABLES)
+    ints, name, key = COLS[t]
+    g = rng.choice(ints)
+    c1 = rng.choice(CMPS)
+    n1 = rng.randint(0, 12)
+    n2 = rng.randint(1, 5)
+    kind = rng.randrange(9)
+    if kind == 0:
+        # derived GROUP BY + HAVING
+        return (
+            f"SELECT DISTINCT v.g, v.c FROM (SELECT {g} AS g, COUNT(*) AS c "
+            f"FROM {t} GROUP BY {g} HAVING COUNT(*) {c1} {n2}) AS v"
+        )
+    if kind == 1:
+        # derived QUALIFY
+        o = rng.choice(ints + [name])
+        return (
+            f"SELECT DISTINCT v.nm FROM (SELECT {name} AS nm, {g} AS g "
+            f"FROM {t} AS x QUALIFY ROW_NUMBER() OVER (PARTITION BY {g} "
+            f"ORDER BY {o}, {key}) <= {n2}) AS v"
+        )
+    if kind == 2:
+        # derived ORDER BY + LIMIT [+ OFFSET]
+        off = f" OFFSET {rng.randint(0, 3)}" if rng.random() < 0.5 else ""
+        return (
+            f"SELECT DISTINCT v.k FROM (SELECT {key} AS k FROM {t} "
+            f"ORDER BY {key} LIMIT {5 + n1}{off}) AS v"
+        )
+    if kind == 3:
+        # [NOT] EXISTS with correlation + inner filter
+        inner_t = rng.choice([x for x in TABLES if x != t])
+        i_ints, _, i_key = COLS[inner_t]
+        ic = rng.choice(i_ints)
+        neg = rng.choice(["", "NOT "])
+        return (
+            f"SELECT DISTINCT {name} FROM {t} AS o WHERE {neg}EXISTS "
+            f"(SELECT 1 FROM {inner_t} AS i WHERE i.{ic} = o.{g} "
+            f"AND i.{i_key} {c1} {n1 * 3})"
+        )
+    if kind == 4:
+        # NOT IN: correlated / uncorrelated / const probe; maybe under OR
+        inner_t = rng.choice([x for x in TABLES if x != t])
+        i_ints, _, i_key = COLS[inner_t]
+        ic = rng.choice(i_ints)
+        probe = rng.choice([f"o.{g}", str(n1)])
+        corr = (
+            f" WHERE i.{rng.choice(i_ints)} = o.{rng.choice(ints)}"
+            if rng.random() < 0.6
+            else f" WHERE i.{i_key} {c1} {n1 * 2}"
+        )
+        pred = f"{probe} NOT IN (SELECT i.{ic} FROM {inner_t} AS i{corr})"
+        if rng.random() < 0.4:
+            pred = f"o.{g} {c1} {n1} OR {pred}"
+        return f"SELECT DISTINCT {name} FROM {t} AS o WHERE {pred}"
+    if kind == 5:
+        # USING / NATURAL join + star (derived sides share one column)
+        t2 = rng.choice([x for x in TABLES if x != t])
+        g2 = rng.choice(COLS[t2][0])
+        j = rng.choice(["JOIN", "LEFT JOIN", "FULL JOIN", "NATURAL JOIN"])
+        using = "" if j == "NATURAL JOIN" else " USING (k)"
+        return (
+            f"SELECT DISTINCT * FROM (SELECT {g} AS k, {name} AS a_nm "
+            f"FROM {t} AS x) AS a {j} (SELECT {g2} AS k, "
+            f"{COLS[t2][1]} AS b_nm FROM {t2} AS y) AS b{using}"
+        )
+    if kind == 6:
+        # correlated scalar-aggregate comparison
+        inner_t = rng.choice([x for x in TABLES if x != t])
+        i_ints, _, i_key = COLS[inner_t]
+        ic = rng.choice(i_ints)
+        agg = rng.choice(["MIN", "MAX", "SUM"])
+        return (
+            f"SELECT DISTINCT {name} FROM {t} AS o WHERE o.{g} "
+            f"{rng.choice(['<', '>', '='])} (SELECT {agg}(i.{i_key}) "
+            f"FROM {inner_t} AS i WHERE i.{ic} = o.{g})"
+        )
+    if kind == 7:
+        # outer join + aggregate + HAVING at the top level
+        t2 = rng.choice([x for x in TABLES if x != t])
+        g2 = rng.choice(COLS[t2][0])
+        j = rng.choice(["LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+        return (
+            f"SELECT DISTINCT o.{g} AS g, COUNT(*) AS c FROM {t} AS o "
+            f"{j} {t2} AS p ON o.{g} = p.{g2} GROUP BY o.{g} "
+            f"HAVING COUNT(*) {c1} {n2}"
+        )
+    # set operators over aligned single columns
+    t2 = rng.choice([x for x in TABLES if x != t])
+    g2 = rng.choice(COLS[t2][0])
+    op = rng.choice(["UNION", "INTERSECT", "EXCEPT"])
+    return (
+        f"SELECT DISTINCT k FROM (SELECT {g} AS k FROM {t} "
+        f"{op} SELECT {g2} AS k FROM {t2}) AS u"
+    )
+
+
+def rows_of_duck(con, q):
+    cur = con.execute(q)
+    cols = [d[0] for d in cur.description]
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(cols), sorted(
+        str(tuple(r[i] for i in idx)) for r in cur.fetchall()
+    )
+
+
+def rows_of_spark(df):
+    cols = list(df.columns)
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(cols), sorted(
+        str(tuple(r[i] for i in idx)) for r in df.collect()
+    )
+
+
+def main() -> None:
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 20260815
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 150
+    rng = random.Random(seed)
+    spark = get_spark(
+        app_name="fuzz_duckdb_diff", master="local[16]",
+        shuffle_partitions=16,
+    )
+    eng = SparkSQLPlus(spark)
+    eng.register_testdata(SF_DIR)
+    con = duckdb.connect()
+    for tb in TABLES:
+        con.execute(
+            f"CREATE VIEW {tb} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{tb}.parquet')"
+        )
+    failures = []
+    for i in range(n):
+        q = gen(rng)
+        try:
+            want = rows_of_duck(con, q)
+        except Exception:
+            continue  # template produced DuckDB-invalid SQL; skip
+        try:
+            got = rows_of_spark(eng.sql(q))
+        except Exception as exc:  # engine must COMPLETE on valid SQL
+            failures.append((q, f"raised {type(exc).__name__}: {exc}"))
+            print(f"[{i}] RAISED  {q}\n      {exc}", flush=True)
+            continue
+        if got != want:
+            failures.append((q, f"{got} != {want}"))
+            print(
+                f"[{i}] MISMATCH  {q}\n  engine={got}\n  duck  ={want}",
+                flush=True,
+            )
+        elif i % 25 == 0:
+            print(f"[{i}] ok", flush=True)
+    print(f"\n{n} cases, {len(failures)} failures")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

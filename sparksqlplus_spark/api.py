@@ -344,11 +344,16 @@ class SparkSQLPlus:
             or sub.group_by
             or sub.order_by
             or sub.limit is not None
+            or sub.offset is not None
             or sub.distinct
             or sub.having
+            or sub.qualify
             or sub.outer_joins
             or len(sub.select) != 1
         ):
+            # qualify/offset included (round-12 silent-drop audit):
+            # declining keeps the ScalarSubquery intact for
+            # _fold_scalars, which plans it through the FULL pipeline
             return None
         sel = sub.select[0].expr
         aggs = _agg_subcalls(sel)

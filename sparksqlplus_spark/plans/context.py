@@ -914,7 +914,18 @@ def _make_derived_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation
     variables. The base PK survives only if every PK column is
     projected as a plain column."""
     sub = fi.subquery
-    if sub.order_by or sub.limit is not None or sub.distinct or sub.having:
+    # qualify/offset in the reject list (round-12 correctness fix,
+    # same class as the C21 HAVING drop): a derived table carrying
+    # QUALIFY silently returned every row; rejecting routes it to the
+    # recursive composite-view planner, which desugars QUALIFY
+    if (
+        sub.order_by
+        or sub.limit is not None
+        or sub.offset is not None
+        or sub.distinct
+        or sub.having
+        or sub.qualify
+    ):
         raise UnsupportedSqlError(
             "derived table supports only SELECT exprs FROM t WHERE conds"
         )
@@ -1131,6 +1142,7 @@ def _make_relation(rid: int, fi: FromItem, catalog: Catalog) -> Relation:
         or sub.qualify
         or sub.order_by
         or sub.limit is not None
+        or sub.offset is not None
         or sub.distinct
     ):
         raise UnsupportedSqlError("subquery must be a simple GROUP BY aggregate over one table")

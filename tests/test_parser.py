@@ -2197,6 +2197,11 @@ def test_subquery_having_not_dropped(engine, oracle):
          "(SELECT s_nationkey AS sk, COUNT(*) AS c FROM supplier "
          "GROUP BY s_nationkey HAVING COUNT(*) > 1) AS v "
          "WHERE v.sk = n.n_nationkey)"),
+        # QUALIFY inside a derived table (same silent-drop class: the
+        # narrow derived-scan shape returned every row)
+        ("SELECT v.nm FROM (SELECT n_name AS nm, n_regionkey AS rk "
+         "FROM nation AS x QUALIFY ROW_NUMBER() OVER "
+         "(PARTITION BY n_regionkey ORDER BY n_name) = 1) AS v"),
     ]
     for q in cases:
         got = sorted(
