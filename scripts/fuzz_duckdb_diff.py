@@ -47,7 +47,7 @@ def gen(rng: random.Random) -> str:
     c1 = rng.choice(CMPS)
     n1 = rng.randint(0, 12)
     n2 = rng.randint(1, 5)
-    kind = rng.randrange(9)
+    kind = rng.randrange(15)
     if kind == 0:
         # derived GROUP BY + HAVING
         return (
@@ -127,13 +127,85 @@ def gen(rng: random.Random) -> str:
             f"{j} {t2} AS p ON o.{g} = p.{g2} GROUP BY o.{g} "
             f"HAVING COUNT(*) {c1} {n2}"
         )
-    # set operators over aligned single columns
+    if kind == 8:
+        # set operators over aligned single columns
+        t2 = rng.choice([x for x in TABLES if x != t])
+        g2 = rng.choice(COLS[t2][0])
+        op = rng.choice(["UNION", "INTERSECT", "EXCEPT"])
+        return (
+            f"SELECT DISTINCT k FROM (SELECT {g} AS k FROM {t} "
+            f"{op} SELECT {g2} AS k FROM {t2}) AS u"
+        )
+    if kind == 9:
+        # SEMI/ANTI JOIN (DuckDB parses both), optionally over a
+        # derived right side
+        t2 = rng.choice([x for x in TABLES if x != t])
+        i_ints, _, i_key = COLS[t2]
+        ic = rng.choice(i_ints)
+        sj = rng.choice(["SEMI", "ANTI"])
+        if rng.random() < 0.5:
+            right = f"{t2} AS i"
+            on = f"o.{g} = i.{ic} AND i.{i_key} {c1} {n1 * 3}"
+        else:
+            right = (
+                f"(SELECT {ic} AS jk FROM {t2} AS z "
+                f"WHERE z.{i_key} {c1} {n1 * 3}) AS i"
+            )
+            on = f"o.{g} = i.jk"
+        return (
+            f"SELECT DISTINCT {name} FROM {t} AS o "
+            f"{sj} JOIN {right} ON {on}"
+        )
+    if kind == 10:
+        # top-level QUALIFY over a window frame / ranking
+        o = rng.choice(ints + [name])
+        w = rng.choice(
+            [
+                f"ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {o}, {key})",
+                f"RANK() OVER (PARTITION BY {g} ORDER BY {o})",
+                f"COUNT(*) OVER (PARTITION BY {g})",
+            ]
+        )
+        return (
+            f"SELECT DISTINCT {name}, {g} FROM {t} "
+            f"QUALIFY {w} <= {n2}"
+        )
+    if kind == 11:
+        # GROUP BY ROLLUP (NULL grouping rows exercise three-valued
+        # compare paths in the harness too)
+        return (
+            f"SELECT DISTINCT {g} AS g, COUNT(*) AS c FROM {t} "
+            f"GROUP BY ROLLUP ({g})"
+        )
+    if kind == 12:
+        # nested derived tables (two levels, filter at each)
+        return (
+            f"SELECT DISTINCT b.k FROM (SELECT a.k AS k FROM "
+            f"(SELECT {key} AS k FROM {t} WHERE {key} {c1} {n1 * 4}) "
+            f"AS a WHERE a.k % {n2 + 1} = 0) AS b"
+        )
+    if kind == 13:
+        # VALUES join + IN-list / BETWEEN / LIKE filter mix
+        vals = ", ".join(f"({rng.randint(0, 6)})" for _ in range(3))
+        f2 = rng.choice(
+            [
+                f"o.{g} BETWEEN {n1} AND {n1 + 8}",
+                f"{name} LIKE '%{rng.randint(0, 9)}%'",
+                f"o.{g} IN ({n1}, {n1 + 2}, {n1 + 4})",
+            ]
+        )
+        return (
+            f"SELECT DISTINCT {name} FROM {t} AS o "
+            f"JOIN (VALUES {vals}) AS v(k) ON o.{g} = v.k WHERE {f2}"
+        )
+    # CASE projection + chained USING join
     t2 = rng.choice([x for x in TABLES if x != t])
     g2 = rng.choice(COLS[t2][0])
-    op = rng.choice(["UNION", "INTERSECT", "EXCEPT"])
     return (
-        f"SELECT DISTINCT k FROM (SELECT {g} AS k FROM {t} "
-        f"{op} SELECT {g2} AS k FROM {t2}) AS u"
+        f"SELECT DISTINCT k, CASE WHEN a_nm < b_nm THEN a_nm "
+        f"ELSE b_nm END AS nm FROM (SELECT {g} AS k, {name} AS a_nm "
+        f"FROM {t} AS x) AS a JOIN (SELECT {g2} AS k, {COLS[t2][1]} "
+        f"AS b_nm FROM {t2} AS y) AS b USING (k)"
     )
 
 
