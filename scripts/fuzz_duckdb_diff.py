@@ -47,7 +47,26 @@ def gen(rng: random.Random) -> str:
     c1 = rng.choice(CMPS)
     n1 = rng.randint(0, 12)
     n2 = rng.randint(1, 5)
-    kind = rng.randrange(15)
+    kind = rng.randrange(17)
+    if kind >= 15:
+        # temporal templates over orders.o_orderdate (TIMESTAMP):
+        # EXTRACT buckets + date-literal ranges through aggregation
+        y = rng.randint(1992, 1998)
+        m = rng.randint(1, 12)
+        if kind == 15:
+            return (
+                "SELECT DISTINCT EXTRACT(YEAR FROM o_orderdate) AS y, "
+                "COUNT(*) AS c FROM orders "
+                f"WHERE o_orderpriority LIKE '%{rng.randint(1, 5)}%' "
+                "GROUP BY EXTRACT(YEAR FROM o_orderdate) "
+                f"HAVING COUNT(*) {rng.choice(CMPS)} {rng.randint(1, 8)}"
+            )
+        return (
+            "SELECT DISTINCT o_orderkey FROM orders AS o WHERE "
+            f"o.o_orderdate >= DATE '{y}-{m:02d}-01' AND o.o_orderdate "
+            f"< DATE '{y}-{m:02d}-01' + INTERVAL '{rng.randint(1, 6)}' MONTH "
+            f"AND o.o_custkey % {rng.randint(2, 5)} = 0"
+        )
     if kind == 0:
         # derived GROUP BY + HAVING
         return (
