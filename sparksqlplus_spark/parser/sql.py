@@ -1362,25 +1362,56 @@ class _Parser:
     def _in_subquery_tail(self, left: Expr, negated: bool = False) -> "Exists":
         """expr [NOT] IN (SELECT col FROM t [WHERE conj]) — desugared
         to the same Exists node as a correlated-equality EXISTS
-        (semi/anti join) with null_aware=True; identical subset limits
-        apply (one table, no nesting)."""
+        (semi/anti join) with null_aware=True. Round 12: a POSITIVE IN
+        whose body has joins or a derived table rides the Exists BODY
+        form (composite-view lift) — positive IN is two-valued-
+        equivalent under WHERE/OR, so the lift's two-valued rewrite is
+        exact; NOT IN keeps the single-plain-table limit (the lift
+        would drop its three-valued NULL semantics) and wider shapes
+        ride the fallback."""
         self.expect("op", "(")
         self.expect("kw", "select")
         sel = self._expr()
         if self.accept("kw", "as"):
             self.take()
         self.expect("kw", "from")
-        fi = self._from_item()
-        if fi.subquery is not None:
-            raise UnsupportedSqlError("IN over a nested subquery is not in the subset")
+        items = [self._from_item()]
         conds: list[Cond] = []
+        while True:
+            if self.accept("op", ","):
+                items.append(self._from_item())
+            elif self.at("kw", "inner") or self.at("kw", "join"):
+                self.accept("kw", "inner")
+                self.expect("kw", "join")
+                items.append(self._from_item())
+                self.expect("kw", "on")
+                conds.extend(self._conjunction())
+            else:
+                break
         if self.accept("kw", "where"):
-            conds = self._conjunction()
+            conds.extend(self._conjunction())
         if not self.at("op", ")"):
             raise UnsupportedSqlError(
-                "IN subquery supports only FROM one table + WHERE"
+                "IN subquery supports only FROM tables + WHERE"
             )
         self.expect("op", ")")
+        wide = len(items) > 1 or items[0].subquery is not None
+        if wide and negated:
+            raise UnsupportedSqlError(
+                "NOT IN over a join/derived subquery is not in the "
+                "subset"
+            )
+        if wide:
+            if len({fi.alias for fi in items}) != len(items):
+                raise UnsupportedSqlError("duplicate alias inside IN")
+            return Exists(
+                "", "", (),
+                body=QuerySpec(
+                    select=[], distinct=False, from_items=items,
+                    where=[Cmp("=", sel, left), *conds],
+                ),
+            )
+        fi = items[0]
         return Exists(
             fi.table, fi.alias, (Cmp("=", sel, left), *conds),
             negated=negated, null_aware=True, n_probe=1,
@@ -1877,15 +1908,21 @@ class _Parser:
 def _substitute_ctes(spec, ctes: dict) -> None:
     """Replace CTE references in FROM with inline subqueries (in
     place), recursing into FROM-subqueries (compound or plain), scalar
-    subqueries, and EXISTS bodies. An EXISTS over a CTE is rejected
-    (its planner path loads the inner table from the catalog) so
-    mode='auto' falls back."""
+    subqueries, and EXISTS bodies. Round 12: [NOT] EXISTS and positive
+    IN over a CTE now rewrite to the Exists BODY form (a derived-table
+    FROM item the composite-view lift plans — the same machinery as
+    SEMI/ANTI over a subquery); positive IN is two-valued-equivalent
+    under WHERE/OR, so the body rewrite's null_aware=False is exact.
+    NOT IN over a CTE stays rejected (the body lift would drop the
+    three-valued NULL semantics) so mode='auto' falls back."""
     if not ctes:
         return
     if isinstance(spec, CompoundSpec):
         for p in spec.parts:
             _substitute_ctes(p, ctes)
         return
+    import copy
+
     from sparksqlplus_spark.expressions import Exists, ScalarSubquery, map_expr
 
     for fi in [*spec.from_items, *[oj.item for oj in spec.outer_joins]]:
@@ -1895,26 +1932,40 @@ def _substitute_ctes(spec, ctes: dict) -> None:
         elif fi.subquery is not None:
             _substitute_ctes(fi.subquery, ctes)
 
-    def probe(node):
+    def xform(node):
         if isinstance(node, ScalarSubquery):
             _substitute_ctes(node.spec, ctes)
-        if isinstance(node, Exists) and node.table and node.table.lower() in ctes:
-            raise UnsupportedSqlError(
-                "EXISTS over a CTE is not in the subset"
+            return None
+        if not isinstance(node, Exists):
+            return None
+        if node.body is not None:
+            _substitute_ctes(node.body, ctes)
+            return node  # body handled; stop descent
+        if node.table and node.table.lower() in ctes:
+            if node.null_aware and node.negated:
+                raise UnsupportedSqlError(
+                    "NOT IN over a CTE is not in the subset"
+                )
+            item = FromItem(
+                alias=node.table_alias,
+                subquery=copy.deepcopy(ctes[node.table.lower()]),
             )
-        if isinstance(node, Exists) and node.body is not None and any(
-            fi.table and fi.table.lower() in ctes
-            for fi in node.body.from_items
-        ):
-            raise UnsupportedSqlError(
-                "EXISTS over a CTE is not in the subset"
+            _substitute_ctes(item.subquery, ctes)  # chained CTEs
+            return Exists(
+                "", "", (),
+                negated=node.negated,
+                body=QuerySpec(
+                    select=[], distinct=False,
+                    from_items=[item], where=list(node.conds),
+                ),
             )
         return None
 
-    for c in [*spec.where, *spec.inner_on, *spec.having]:
-        map_expr(c, probe)
+    spec.where = [map_expr(c, xform) for c in spec.where]
+    spec.inner_on = [map_expr(c, xform) for c in spec.inner_on]
+    spec.having = [map_expr(c, xform) for c in spec.having]
     for si in spec.select:
-        map_expr(si.expr, probe)
+        si.expr = map_expr(si.expr, xform)
 
 
 def parse_query(sql: str) -> QuerySpec:

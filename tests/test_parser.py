@@ -2177,6 +2177,77 @@ def test_semi_join_without_explicit_alias(engine, oracle):
     )
 
 
+def test_exists_over_cte(engine, oracle):
+    """Round 12: [NOT] EXISTS and positive IN over a CTE plan natively
+    — the CTE substitutes into the Exists BODY as a derived-table FROM
+    item (the same composite-view lift as SEMI/ANTI over a subquery).
+    NOT IN over a CTE stays on the fallback (the body lift is
+    two-valued and would drop the three-valued NULL semantics)."""
+    import pytest as _pytest
+
+    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+    cases = [
+        (
+            "WITH big AS (SELECT s_nationkey AS sk FROM supplier AS s "
+            "WHERE s.s_acctbal > 5000.0) SELECT n_name FROM nation AS n "
+            "WHERE EXISTS (SELECT 1 FROM big AS b "
+            "WHERE b.sk = n.n_nationkey)",
+            "SELECT DISTINCT n_name FROM nation n WHERE EXISTS "
+            "(SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey "
+            "AND s_acctbal > 5000.0)",
+        ),
+        (
+            "WITH big AS (SELECT s_nationkey AS sk FROM supplier AS s "
+            "WHERE s.s_acctbal > 5000.0) SELECT n_name FROM nation AS n "
+            "WHERE NOT EXISTS (SELECT 1 FROM big AS b "
+            "WHERE b.sk = n.n_nationkey)",
+            "SELECT DISTINCT n_name FROM nation n WHERE NOT EXISTS "
+            "(SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey "
+            "AND s_acctbal > 5000.0)",
+        ),
+        (
+            # positive IN over a CTE (two-valued-equivalent)
+            "WITH ks AS (SELECT o_custkey AS k FROM orders AS o WHERE "
+            "o.o_totalprice > 150000.0) SELECT c_name FROM customer AS "
+            "c WHERE c.c_custkey IN (SELECT k FROM ks AS x) AND "
+            "c.c_custkey < 300",
+            "SELECT DISTINCT c_name FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > "
+            "150000.0) AND c_custkey < 300",
+        ),
+        (
+            # chained CTEs inside the EXISTS body
+            "WITH a AS (SELECT s_nationkey AS sk, s_acctbal AS b FROM "
+            "supplier AS s), big AS (SELECT sk FROM a AS aa WHERE "
+            "aa.b > 5000.0) SELECT n_name FROM nation AS n WHERE "
+            "EXISTS (SELECT 1 FROM big AS b WHERE b.sk = n.n_nationkey)",
+            "SELECT DISTINCT n_name FROM nation n WHERE EXISTS "
+            "(SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey "
+            "AND s_acctbal > 5000.0)",
+        ),
+    ]
+    for q, ora in cases:
+        got = sorted(
+            str(tuple(r)) for r in engine.sql(q, mode="cqc").collect()
+        )
+        want = sorted(str(tuple(r)) for r in oracle.execute(ora).fetchall())
+        assert got == want, (q, got[:3], want[:3])
+    # NOT IN over a CTE: rejected natively, correct via fallback
+    q = (
+        "WITH ks AS (SELECT o_custkey AS k FROM orders AS o) "
+        "SELECT c_name FROM customer AS c WHERE c.c_custkey NOT IN "
+        "(SELECT k FROM ks AS x) AND c.c_custkey < 100"
+    )
+    with _pytest.raises(UnsupportedSqlError):
+        engine.sql(q, mode="cqc")
+    got = sorted(str(tuple(r)) for r in engine.sql(q).collect())
+    want = sorted(
+        str(tuple(r)) for r in engine.sql(q, mode="spark").collect()
+    )
+    assert got == want
+
+
 def test_subquery_having_not_dropped(engine, oracle):
     """Round 12 correctness fix: a FROM-subquery's HAVING was silently
     DROPPED by the narrow C21 agg-relation shape (`FROM (... GROUP BY
@@ -2356,6 +2427,27 @@ def test_semi_anti_exists_over_subquery(engine, oracle):
                (SELECT 1 FROM supplier s JOIN lineitem l
                 ON s.s_suppkey = l.l_suppkey
                 WHERE s.s_nationkey = n_nationkey AND l.l_quantity > 49)""",
+        ),
+        (
+            # positive IN over a JOINED body (round 12: rides the same
+            # lift; two-valued-equivalent, so exact)
+            """SELECT n.n_name FROM nation AS n WHERE n.n_nationkey IN
+               (SELECT s.s_nationkey FROM supplier AS s
+                INNER JOIN lineitem AS l ON s.s_suppkey = l.l_suppkey
+                WHERE l.l_quantity > 49)""",
+            """SELECT DISTINCT n_name FROM nation WHERE n_nationkey IN
+               (SELECT s_nationkey FROM supplier s JOIN lineitem l
+                ON s.s_suppkey = l.l_suppkey WHERE l.l_quantity > 49)""",
+        ),
+        (
+            # positive IN over a derived body
+            """SELECT c.c_name FROM customer AS c WHERE c.c_custkey IN
+               (SELECT v.ck FROM (SELECT o_custkey AS ck FROM orders
+                AS o WHERE o.o_totalprice > 150000.0) AS v)
+               AND c.c_custkey < 300""",
+            """SELECT DISTINCT c_name FROM customer WHERE c_custkey IN
+               (SELECT o_custkey FROM orders WHERE o_totalprice >
+                150000.0) AND c_custkey < 300""",
         ),
     ]
     for q, ora in cases:
