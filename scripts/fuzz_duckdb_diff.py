@@ -47,7 +47,37 @@ def gen(rng: random.Random) -> str:
     c1 = rng.choice(CMPS)
     n1 = rng.randint(0, 12)
     n2 = rng.randint(1, 5)
-    kind = rng.randrange(17)
+    kind = rng.randrange(19)
+    if kind == 17:
+        # EXISTS / positive IN over a CTE (round-12 body lift)
+        inner_t = rng.choice([x for x in TABLES if x != t])
+        i_ints, _, i_key = COLS[inner_t]
+        ic = rng.choice(i_ints)
+        g2 = rng.choice(COLS[t][0])
+        if rng.random() < 0.5:
+            pred = (
+                f"{rng.choice(['', 'NOT '])}EXISTS (SELECT 1 FROM cte "
+                f"AS b WHERE b.k = o.{g2})"
+            )
+        else:
+            pred = f"o.{g2} IN (SELECT k FROM cte AS b)"
+        return (
+            f"WITH cte AS (SELECT {ic} AS k FROM {inner_t} AS z "
+            f"WHERE z.{i_key} {rng.choice(CMPS)} {rng.randint(0, 30)}) "
+            f"SELECT DISTINCT {name} FROM {t} AS o WHERE {pred}"
+        )
+    if kind == 18:
+        # positive IN over a joined body
+        t2, t3 = rng.sample([x for x in TABLES if x != t], 2)
+        a = rng.choice(COLS[t2][0])
+        b = rng.choice(COLS[t3][0])
+        g2 = rng.choice(COLS[t][0])
+        return (
+            f"SELECT DISTINCT {name} FROM {t} AS o WHERE o.{g2} IN "
+            f"(SELECT x.{a} FROM {t2} AS x INNER JOIN {t3} AS y "
+            f"ON x.{a} = y.{b} WHERE y.{b} {rng.choice(CMPS)} "
+            f"{rng.randint(0, 20)})"
+        )
     if kind >= 15:
         # temporal templates over orders.o_orderdate (TIMESTAMP):
         # EXTRACT buckets + date-literal ranges through aggregation
