@@ -1914,7 +1914,19 @@ class SparkSQLPlus:
             return node if opaque(node) else map_expr(node, sub)
 
         for si in spec.select:
+            old = si.expr
             si.expr = rw(si.expr)
+            if (
+                si.alias is None
+                and isinstance(old, Col)
+                and old.alias == ""
+                and old.name in resolved
+                and not isinstance(si.expr, Col)
+            ):
+                # a bare merged-column ref rewritten to COALESCE(l, r)
+                # (FULL join) must keep its ANSI output NAME — without
+                # the alias Spark synthesizes col0 (round-12 fix)
+                si.alias = old.name
         spec.where = [rw(c) for c in spec.where]
         spec.inner_on = [rw(c) for c in spec.inner_on]
         spec.having = [rw(c) for c in spec.having]

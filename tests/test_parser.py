@@ -1773,6 +1773,10 @@ def test_star_using_merged(engine, spark, oracle):
         # star + mixed explicit items
         f"SELECT *, n.nname AS again FROM {derived_n} JOIN {derived_r} "
         "USING (rk)",
+        # bare merged column under FULL keeps its output NAME through
+        # the COALESCE rewrite (round-12 fix: Spark synthesized col0)
+        f"SELECT rk, COUNT(*) AS c FROM {derived_n} FULL JOIN "
+        f"{derived_r_off} USING (rk) GROUP BY rk HAVING COUNT(*) >= 1",
     ]
     for q in cases:
         got = by_name(engine.sql(q, mode="cqc"))
