@@ -229,6 +229,50 @@ def test_embedding_neardup_multiband_recall(engine):
     assert four_band == planted  # full recall on the planted set
 
 
+def test_approx_quantiles_scale_path(spark):
+    """The documented 100 TB swap for events_quantiles (README /
+    SCALING.md / the entry's inline note): `percentile` ->
+    `approx_percentile` with everything else unchanged. The swap's
+    contract is a bounded RANK error (<= n/accuracy per group, from
+    the Greenwald-Khanna-style mergeable sketch); assert the swapped
+    query's p50/p90 land within that rank window of the exact
+    sort-based answer, per event_type group."""
+    import bisect
+
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    acc = 1000
+    approx = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.expr(f"approx_percentile(value, 0.5, {acc})").alias("p50"),
+            F.expr(f"approx_percentile(value, 0.9, {acc})").alias("p90"),
+        )
+        .collect()
+    }
+    groups = {
+        r["event_type"]: sorted(r["vals"])
+        for r in events.groupBy("event_type")
+        .agg(F.collect_list("value").alias("vals"))
+        .collect()
+    }
+    assert set(approx) == set(groups) and len(groups) >= 2
+    for etype, vals in groups.items():
+        n = len(vals)
+        tol = n / acc + 1
+        for q, got in zip((0.5, 0.9), approx[etype]):
+            # rank window: the returned value's rank must sit within
+            # n/accuracy of the target rank
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            target = q * n
+            assert lo - tol <= target <= hi + tol, (
+                etype, q, got, lo, hi, target, n
+            )
+
+
 def test_quality_score_oracle(spark, oracle):
     """quality_score vs the DuckDB replay of its blend (r12: keeps the
     operator under oracle after its driver row was consolidated into
