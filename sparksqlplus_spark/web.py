@@ -15,6 +15,16 @@ Endpoints (JSON over POST unless noted):
     -> {"plan": explain_tree text}
 - ``POST /api/v1/run``     {"ddl": ..., "query": ..., "limit"? = 20}
     -> {"n_rows": total, "rows": first <= limit rows as JSON objects}
+- Experiment manager (reference ExperimentController.java:31-66 /
+  ExperimentManager.java — see experiments.py for the jar-build →
+  plan / spark-submit → job-group mapping):
+  - ``GET  /api/v1/experiment/queries``  -> registered base names
+  - ``POST /api/v1/experiment/register`` {"name", "ddl", "query"}
+  - ``POST /api/v1/experiment/start``    {"experiments": [
+      "<Name>-SparkSQLPlus" | "<Name>-SparkSQL", ...], "timeout"?}
+  - ``GET  /api/v1/experiment/status``   -> {experimentState,
+      experimentTaskNames, experimentTaskStates, experimentTaskResults}
+  - ``POST /api/v1/experiment/stop``
 - ``GET /``                -> endpoint index (text)
 
 One SparkSession is shared; each request registers its DDL in a fresh
@@ -37,6 +47,11 @@ _INDEX = (
     "POST /api/v1/parse   {ddl, query}\n"
     "POST /api/v1/explain {ddl, query, cyclic_strategy?}\n"
     "POST /api/v1/run     {ddl, query, limit?}\n"
+    "GET  /api/v1/experiment/queries\n"
+    "POST /api/v1/experiment/register {name, ddl, query}\n"
+    "POST /api/v1/experiment/start    {experiments, timeout?}\n"
+    "GET  /api/v1/experiment/status\n"
+    "POST /api/v1/experiment/stop\n"
 )
 
 
@@ -49,7 +64,27 @@ def _engine_for(spark: SparkSession, ddl: str):
     return eng
 
 
-def _handle(spark: SparkSession, path: str, body: dict) -> dict:
+def _handle_experiment(manager, path: str, body: dict) -> dict:
+    if path == "/api/v1/experiment/register":
+        manager.register(body["name"], body.get("ddl", ""), body["query"])
+        return {"registered": body["name"],
+                "experiments": manager.experiment_names()}
+    if path == "/api/v1/experiment/start":
+        if "timeout" in body:
+            manager.timeout = float(body["timeout"])
+        manager.start(list(body["experiments"]))
+        return manager.status()
+    if path == "/api/v1/experiment/stop":
+        manager.stop()
+        return manager.status()
+    raise KeyError(path)
+
+
+def _handle(spark: SparkSession, path: str, body: dict, manager=None) -> dict:
+    if path.startswith("/api/v1/experiment/"):
+        if manager is None:
+            raise KeyError(path)
+        return _handle_experiment(manager, path, body)
     eng = _engine_for(spark, body.get("ddl", ""))
     query = body["query"]
     if path == "/api/v1/parse":
@@ -105,6 +140,10 @@ def make_server(
             f"host {host!r}; pass allow_remote=True to opt in"
         )
 
+    from sparksqlplus_spark.experiments import ExperimentManager, builtin_pairs
+
+    manager = ExperimentManager(spark, pairs=builtin_pairs())
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet: surface errors via responses
             pass
@@ -120,6 +159,16 @@ def make_server(
         def do_GET(self):
             if self.path == "/":
                 self._send(200, _INDEX, "text/plain")
+            elif self.path == "/api/v1/experiment/status":
+                self._send(200, json.dumps(manager.status()),
+                           "application/json")
+            elif self.path == "/api/v1/experiment/queries":
+                self._send(
+                    200,
+                    json.dumps({"queries": manager.queries(),
+                                "experiments": manager.experiment_names()}),
+                    "application/json",
+                )
             else:
                 self._send(404, "not found\n", "text/plain")
 
@@ -127,7 +176,7 @@ def make_server(
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(n) or b"{}")
-                result = _handle(spark, self.path, body)
+                result = _handle(spark, self.path, body, manager=manager)
                 self._send(200, json.dumps(result), "application/json")
             except KeyError:
                 self._send(404, json.dumps({"error": "unknown endpoint"}),

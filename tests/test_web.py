@@ -77,6 +77,53 @@ def test_error_paths(server):
     assert code == 400 and "error" in res
 
 
+def _get(base: str, path: str) -> tuple[int, dict]:
+    with urllib.request.urlopen(base + path) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_experiment_endpoints(server):
+    """HTTP round-trip over the ExperimentController surface
+    (reference /experiment/queries + /start + /status; register is
+    the custom-query /compile/persist role)."""
+    import time
+
+    code, res = _get(server, "/api/v1/experiment/queries")
+    assert code == 200
+    assert {"Query1", "Query2", "Query3"} <= set(res["queries"])
+
+    code, res = _post(
+        server,
+        "/api/v1/experiment/register",
+        {"name": "WebQ", "ddl": DDL, "query": QUERY},
+    )
+    assert code == 200 and "WebQ-SparkSQL" in res["experiments"]
+
+    code, res = _post(
+        server,
+        "/api/v1/experiment/start",
+        {"experiments": ["WebQ-SparkSQLPlus", "WebQ-SparkSQL"]},
+    )
+    assert code == 200 and res["experimentState"] in ("Running", "Stopped")
+
+    deadline = time.monotonic() + 300
+    while time.monotonic() < deadline:
+        code, st = _get(server, "/api/v1/experiment/status")
+        if st["experimentState"] == "Stopped":
+            break
+        time.sleep(0.2)
+    assert st["experimentState"] == "Stopped"
+    assert st["experimentTaskStates"] == {
+        "WebQ-SparkSQL": "Finished",
+        "WebQ-SparkSQLPlus": "Finished",
+    }
+    assert all(v > 0 for v in st["experimentTaskResults"].values())
+
+    # stop on a Stopped manager is a client error, not a 500
+    code, res = _post(server, "/api/v1/experiment/stop", {})
+    assert code == 400 and "error" in res
+
+
 def test_non_loopback_bind_requires_opt_in(spark):
     with pytest.raises(ValueError, match="allow_remote"):
         make_server(spark, host="0.0.0.0", port=0)
