@@ -39,8 +39,44 @@ BOUNDS = {
 
 
 def shuffle_count(df) -> int:
+    """Shuffle exchanges ABOVE any cache boundary. Once an
+    InMemoryRelation is materialized (any earlier test ran an action
+    on the shared engine's persisted frames), the plan string embeds
+    the cached relation's own plan — initial AND final — so a naive
+    substring count double-counts exchanges that execution never
+    re-runs (the cache is read, not recomputed). Skip every line
+    printed below an InMemoryRelation node. Shared scalar subqueries
+    are printed once PER REFERENCE with the same plan_id, so count
+    DISTINCT plan_ids — execution runs each exchange once."""
+    import re
+
     phys = df._jdf.queryExecution().executedPlan().toString()
-    return phys.count("Exchange") - phys.count("BroadcastExchange")
+
+    def depth(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " :+-|":
+            i += 1
+        return i
+
+    ids: set[str] = set()
+    extra = 0
+    skip_below: int | None = None
+    for line in phys.splitlines():
+        d = depth(line)
+        if skip_below is not None:
+            if d > skip_below:
+                continue
+            skip_below = None
+        if "InMemoryRelation" in line:
+            skip_below = d
+            continue
+        if line.count("Exchange") > line.count("BroadcastExchange"):
+            m = re.search(r"plan_id=(\d+)", line)
+            if m:
+                ids.add(m.group(1))
+            else:
+                extra += 1
+    return len(ids) + extra
 
 
 @pytest.mark.parametrize("name", sorted(BOUNDS))
