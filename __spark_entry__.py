@@ -682,6 +682,27 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                            AND p.p_retailprice > o.o_totalprice)""",
         None,
     ),
+    # --- NEW r12: TWO order comparisons under OR'd EXISTS plan
+    # natively via the per-key Pareto-STAIRCASE flag view
+    # (api._or_exists_pair_flag + expressions.PairWitness — the first
+    # SURVEY remaining-fallback item closed this round). Per-column
+    # extremes lose the single-witness requirement (the order
+    # attaining MIN(o_totalprice) need not attain MAX(o_orderkey));
+    # the flag view keeps the per-customer Pareto frontier's change
+    # points as ONE array column — one row per key, so the LEFT flag
+    # join never duplicates — and the witness is an F.exists probe
+    # over the array, JVM-side. ANSI bag semantics (OR lift); same
+    # SQL is the DuckDB oracle. ---
+    "exists_two_comparisons": (
+        """SELECT c.c_custkey, c.c_acctbal
+           FROM customer AS c
+           WHERE c.c_acctbal < 0.0
+              OR EXISTS (SELECT 1 FROM orders AS o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice < c.c_acctbal * 40.0
+                           AND o.o_orderkey >= c.c_nationkey * 300)""",
+        None,
+    ),
     # --- NEW r11: [LEFT] SEMI/ANTI JOIN syntax (Spark's own join
     # types; previously crashed the parser). Both arms desugar in
     # parser/sql.py:_semi_anti_join_tail to the same Exists node as
@@ -1425,18 +1446,13 @@ SELECT doc_id, CASE {cases} ELSE 'und' END AS pred_lang FROM scored
 """
 
 
-def _fingerprint_q(spark, sf_dir):
-    from sparksqlplus_spark.operators.text import fingerprint
-
-    eng = _engine(spark, sf_dir)
-    return fingerprint(eng.catalog.get("documents").df, "text", "doc_id")
-
-
-_FINGERPRINT_ORACLE = """
-SELECT doc_id,
-  substr(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))), 1, 16) AS fingerprint
-FROM documents
-"""
+# (r12 consolidation, paired with the exists_two_comparisons addition:
+# the text_fingerprint driver entry retired — a pure expression-level
+# md5-of-normalized-text plan whose expression class stays covered by
+# the surviving text_stats / text_lang_id entries, and
+# tests/test_operators.py::test_fingerprint_oracle_and_normalization
+# keeps the operator itself under the DuckDB oracle every pytest pass.
+# operators/text.py:fingerprint is unchanged.)
 
 
 def _pack_sequences_q(spark, sf_dir):
@@ -2875,7 +2891,9 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     # (r12 consolidation: text_quality retired — see the note at its
     # former definition site; slot freed for heavy_hitters_stream.)
     "text_lang_id": (_lang_id_q, _lang_id_oracle()),
-    "text_fingerprint": (_fingerprint_q, _FINGERPRINT_ORACLE),
+    # (r12 consolidation: text_fingerprint retired — see the note at
+    # its former definition site; slot freed for the
+    # exists_two_comparisons staircase-flag entry in _SQL_CASES.)
     "ann_cosine_topk": (_ann_topk_q, _ANN_TOPK_ORACLE),
     "ann_lsh_topk": (_ann_lsh_q, _ann_lsh_oracle()),
     "ann_ivf_topk": (_ann_ivf_q, _ANN_IVF_ORACLE),
@@ -2959,7 +2977,11 @@ _HEAD = [
     "events_dedup_first",
     "text_stats",
     "text_lang_id",
-    "text_fingerprint",
+    # exists_two_comparisons takes the slot freed by the
+    # text_fingerprint retirement (r12 in-round consolidation): the
+    # round's staircase-flag planner surface gets its driver row the
+    # same round it lands.
+    "exists_two_comparisons",
     "media_frame_sample",
     "dedup_exact",
     "dedup_simhash",

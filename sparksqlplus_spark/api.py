@@ -1137,9 +1137,24 @@ class SparkSQLPlus:
                         "in the subset (the inner set is probe-"
                         "dependent)"
                     )
+                if len(noneq) == 2 and keys:
+                    # round 12: TWO order comparisons compose via a
+                    # per-key Pareto-STAIRCASE flag (the single-witness
+                    # requirement that per-column min/max loses is
+                    # restored by keeping the frontier, not the
+                    # extremes) — see _or_exists_pair_flag. <> and
+                    # keyless pairs stay on the fallback.
+                    if all(
+                        nq[0] in ("<", "<=", ">", ">=") for nq in noneq
+                    ):
+                        return self._or_exists_pair_flag(
+                            ex, keys, noneq, inner_only, spec, ephemeral
+                        )
                 if len(noneq) > 1:
                     raise UnsupportedSqlError(
-                        "at most one non-equality correlation under OR"
+                        "at most one non-equality correlation under OR "
+                        "(two compose via the staircase flag only when "
+                        "keyed and both ops are order comparisons)"
                     )
                 if not keys:
                     # keyless non-equality correlation (late round 10):
@@ -1471,6 +1486,113 @@ class SparkSQLPlus:
             witness = Cmp(op, Col(valias, "__mn"), oc_out)
         else:
             witness = Cmp(op, Col(valias, "__mx"), oc_out)
+        raw = AndCond((matched, witness))
+        hit = Lit(not ex.negated, "boolean")
+        miss = Lit(bool(ex.negated), "boolean")
+        return CaseWhen(((raw, hit),), miss)
+
+    def _or_exists_pair_flag(
+        self, ex, keys, noneq, inner_only, spec, ephemeral
+    ):
+        """TWO non-equality correlations under OR'd [NOT] EXISTS
+        (round 12 — closes the first SURVEY remaining-fallback item):
+        ``P OR EXISTS(i: i.k = o.k AND i.a < o.x AND i.b > o.y)``.
+
+        Per-column extremes lose the SINGLE-WITNESS requirement (the
+        row attaining MIN(a) need not attain MAX(b)), so the flag view
+        carries the per-key PARETO STAIRCASE instead: orient each
+        dimension so "smaller is better" per its op, reduce to the
+        best second-dim value per (key, first-dim) point, take the
+        running best along the first dimension, and keep only the
+        change points. A raw witness row exists for (o.x, o.y) iff a
+        staircase point satisfies both comparisons (the change point
+        at-or-before the witness's first-dim value dominates it), so
+        the array probe F.exists(pts, ...) is exact — this is the
+        reference's TreeLikeArray (SURVEY R9/R12) re-expressed as a
+        one-row-per-key ARRAY column on a flag view, probed JVM-side.
+
+        Scale: one (key, u) pre-reduction shuffle, one key-partitioned
+        window sharing the sort with the final collect — and the LEFT
+        flag join never duplicates outer rows (one row per key). The
+        array holds only the frontier's change points; worst case
+        (a sorted anti-chain) equals the reference's own per-key
+        sorted-array bound, typical case is tiny. NULLs in a compared
+        inner column cannot witness an order comparison and are
+        filtered before the frontier; EXISTS stays two-valued through
+        the CaseWhen fold."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import (
+            AndCond,
+            CaseWhen,
+            Cmp,
+            Col,
+            IsNull,
+            Lit,
+            PairWitness,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+
+        (op1, out1, col1), (op2, out2, col2) = noneq
+        inner = self.catalog.get(ex.table).load(self.spark)
+        imap = {("", cn): cn for cn in inner.columns}
+        imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
+        for c in inner_only:
+            inner = inner.filter(c.to_spark(imap))
+        key_sel: dict[str, str] = {}
+        for _, icol in keys:
+            key_sel.setdefault(icol, f"__f{len(key_sel)}")
+        kcols = [F.col(icol).alias(out) for icol, out in key_sel.items()]
+        outs = list(key_sel.values())
+        pts = (
+            inner.filter(
+                F.col(col1).isNotNull() & F.col(col2).isNotNull()
+            )
+            .select(*kcols, F.col(col1).alias("u"), F.col(col2).alias("v"))
+            # best v per (key, u): the only candidate the probe can use
+            .groupBy(*outs, "u")
+            .agg(
+                (F.min if op2 in ("<", "<=") else F.max)("v").alias("v")
+            )
+        )
+        w = (
+            Window.partitionBy(*outs)
+            .orderBy(F.col("u").asc() if op1 in ("<", "<=") else F.col("u").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        run = (F.min if op2 in ("<", "<=") else F.max)("v").over(w)
+        lag_w = Window.partitionBy(*outs).orderBy(
+            F.col("u").asc() if op1 in ("<", "<=") else F.col("u").desc()
+        )
+        pts = pts.select(*outs, "u", run.alias("vbest"))
+        pts = pts.withColumn("__prev", F.lag("vbest").over(lag_w)).filter(
+            F.col("__prev").isNull() | (F.col("vbest") != F.col("__prev"))
+        )
+        view = pts.groupBy(*outs).agg(
+            F.collect_list(
+                F.struct(F.col("u").alias("u"), F.col("vbest").alias("v"))
+            ).alias("__pts")
+        )
+        self._view_counter += 1
+        vname = f"__orx{self._view_counter}"
+        self.catalog.register_df(vname, view, tuple(key_sel.values()))
+        ephemeral.append(vname)
+        valias = f"{vname}_i"
+        spec.outer_joins.append(
+            OuterJoin(
+                item=FromItem(alias=valias, table=vname),
+                conds=[
+                    Cmp("=", oc, Col(valias, key_sel[icol]))
+                    for oc, icol in keys
+                ],
+                side="left",
+            )
+        )
+        matched = IsNull(Col(valias, key_sel[keys[0][1]]), negated=True)
+        witness = PairWitness(
+            Col(valias, "__pts"), op1, out1, op2, out2
+        )
         raw = AndCond((matched, witness))
         hit = Lit(not ex.negated, "boolean")
         miss = Lit(bool(ex.negated), "boolean")

@@ -467,6 +467,47 @@ class IsNull(Cond):
 
 
 @dataclass(frozen=True)
+class PairWitness(Cond):
+    """Witness probe over a per-key Pareto-staircase ARRAY column
+    (round 12 — the 2-comparison OR'd-EXISTS flag): TRUE iff some
+    struct element ``e`` of ``arr`` satisfies ``e.u OP1 outer1 AND
+    e.v OP2 outer2``. The staircase is built so this holds exactly
+    when some raw inner row satisfies both comparisons (see
+    api._or_exists_pair_flag). Ops are order comparisons only; a NULL
+    outer operand or NULL array never yields TRUE — callers wrap in
+    CaseWhen so UNKNOWN folds to the EXISTS miss value."""
+
+    arr: Expr  # array<struct<u, v>> column on the flag view
+    op1: str
+    outer1: Expr
+    op2: str
+    outer2: Expr
+
+    _OPS = {
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+    }
+
+    def refs(self):
+        return self.arr.refs() | self.outer1.refs() | self.outer2.refs()
+
+    def to_spark(self, colmap):
+        a = self.arr.to_spark(colmap)
+        o1 = self.outer1.to_spark(colmap)
+        o2 = self.outer2.to_spark(colmap)
+        c1, c2 = self._OPS[self.op1], self._OPS[self.op2]
+        return F.exists(a, lambda e: c1(e["u"], o1) & c2(e["v"], o2))
+
+    def key(self):
+        return (
+            f"(witness {self.arr.key()} {self.op1} {self.outer1.key()} "
+            f"{self.op2} {self.outer2.key()})"
+        )
+
+
+@dataclass(frozen=True)
 class OrCond(Cond):
     """OR of conditions (SURVEY C12) — pushed into one relation when all
     columns co-locate, else kept as a post-join residual."""
@@ -658,6 +699,14 @@ def map_expr(node, fn):
             node.body,
             node.n_probe,
         )
+    if isinstance(node, PairWitness):
+        return PairWitness(
+            map_expr(node.arr, fn),
+            node.op1,
+            map_expr(node.outer1, fn),
+            node.op2,
+            map_expr(node.outer2, fn),
+        )
     raise TypeError(f"unknown node {type(node)}")
 
 
@@ -737,5 +786,13 @@ def rewrite_refs(node, mapping: dict[tuple[str, str], tuple[str, str]]):
             node.null_aware,
             node.body,
             node.n_probe,
+        )
+    if isinstance(node, PairWitness):
+        return PairWitness(
+            rewrite_refs(node.arr, mapping),
+            node.op1,
+            rewrite_refs(node.outer1, mapping),
+            node.op2,
+            rewrite_refs(node.outer2, mapping),
         )
     raise TypeError(f"unknown node {type(node)}")

@@ -1378,6 +1378,123 @@ def test_noneq_correlation_under_or(engine, oracle):
             assert_matches(df, oracle, sql)
 
 
+def test_two_noneq_correlations_under_or(engine, oracle):
+    """Round 12: TWO order comparisons under OR'd [NOT] EXISTS plan
+    natively via the per-key Pareto-STAIRCASE flag view
+    (api._or_exists_pair_flag) — per-column extremes lose the
+    single-witness requirement, the frontier restores it. Covers all
+    four op orientations, NOT EXISTS, an inner-local filter, and both
+    comparisons on the same inner column."""
+    cases = [
+        # < and >= mixed
+        """SELECT c.c_custkey, c.c_acctbal FROM customer AS c
+           WHERE c.c_acctbal < 0
+              OR EXISTS (SELECT 1 FROM orders AS o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice < c.c_acctbal * 40
+                           AND o.o_orderkey >= c.c_nationkey * 300)""",
+        # NOT EXISTS with > and <=
+        """SELECT c.c_custkey FROM customer AS c
+           WHERE c.c_mktsegment = 'BUILDING'
+              OR NOT EXISTS (SELECT 1 FROM orders AS o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > c.c_acctbal * 10
+                               AND o.o_totalprice <= c.c_acctbal * 500)""",
+        # inner-local filter + < and >
+        """SELECT s.s_suppkey FROM supplier AS s
+           WHERE s.s_acctbal < 100
+              OR EXISTS (SELECT 1 FROM lineitem AS l
+                         WHERE l.l_suppkey = s.s_suppkey
+                           AND l.l_returnflag = 'R'
+                           AND l.l_quantity < s.s_acctbal / 100
+                           AND l.l_extendedprice > s.s_acctbal)""",
+        # both comparisons over DIFFERENT inner columns of one row —
+        # the exact shape per-column min/max gets wrong
+        """SELECT o.o_orderkey FROM orders AS o
+           WHERE o.o_orderstatus = 'P'
+              OR EXISTS (SELECT 1 FROM lineitem AS l
+                         WHERE l.l_orderkey = o.o_orderkey
+                           AND l.l_extendedprice >= o.o_totalprice / 4
+                           AND l.l_discount <= o.o_totalprice / 1000000)""",
+    ]
+    for sql in cases:
+        for mode in ("cqc", "naive"):
+            assert_matches(engine.sql(sql, mode=mode), oracle, sql)
+
+
+def test_two_noneq_under_or_null_matrix(engine, oracle):
+    """NULL matrix for the staircase flag: NULLs in the outer key,
+    each outer operand, the inner key, and each compared inner column
+    can never produce a witness (EXISTS stays two-valued); all-NULL
+    and empty groups miss."""
+    import pandas as pd
+
+    spark = engine.spark
+    outer = [
+        (i, k, x, y)
+        for i, (k, x, y) in enumerate(
+            [
+                (1, 10, 0), (1, 3, 0), (1, 10, 9), (1, None, 0),
+                (1, 10, None), (None, 10, 0), (2, 10, 0), (3, 10, 0),
+                (4, 10, 0), (1, 4, 1),
+            ]
+        )
+    ]
+    opdf = pd.DataFrame(outer, columns=["pk", "k", "ox", "oy"])
+    inner = [
+        # key 1: witness (3, 5) dominated checks; the MIN(a) row and
+        # MAX(b) row are DIFFERENT rows — extremes alone would lie
+        (1, 3, 5), (1, 9, 8), (1, 5, 1),
+        # key 2: NULLs in compared columns cannot witness
+        (2, None, 5), (2, 3, None),
+        # key 3: all-NULL group
+        (3, None, None),
+        # NULL inner key matches nothing
+        (None, 1, 9),
+    ]
+    ipdf = pd.DataFrame(inner, columns=["ik", "ia", "ib"])
+    engine.catalog.register_df(
+        "pw_outer",
+        spark.createDataFrame(
+            opdf.astype(object).where(opdf.notna(), None),
+            "pk int, k int, ox int, oy int",
+        ),
+        ("pk",),
+    )
+    engine.catalog.register_df(
+        "pw_inner",
+        spark.createDataFrame(
+            ipdf.astype(object).where(ipdf.notna(), None),
+            "ik int, ia int, ib int",
+        ),
+        (),
+    )
+    con = oracle
+    con.execute("CREATE OR REPLACE TABLE pw_outer AS SELECT * FROM opdf")
+    con.execute("CREATE OR REPLACE TABLE pw_inner AS SELECT * FROM ipdf")
+    qs = [
+        """SELECT p.pk FROM pw_outer AS p
+           WHERE p.pk = 0
+              OR EXISTS (SELECT 1 FROM pw_inner AS i
+                         WHERE i.ik = p.k AND i.ia < p.ox
+                           AND i.ib > p.oy)""",
+        """SELECT p.pk FROM pw_outer AS p
+           WHERE p.pk = 0
+              OR NOT EXISTS (SELECT 1 FROM pw_inner AS i
+                             WHERE i.ik = p.k AND i.ia <= p.ox
+                               AND i.ib >= p.oy)""",
+    ]
+    try:
+        for q in qs:
+            for mode in ("cqc", "naive"):
+                assert_matches(engine.sql(q, mode=mode), con, q)
+    finally:
+        engine.catalog.unregister("pw_outer")
+        engine.catalog.unregister("pw_inner")
+        con.execute("DROP TABLE pw_outer")
+        con.execute("DROP TABLE pw_inner")
+
+
 def test_keyless_noneq_under_or(engine, oracle):
     """Late round 10: a KEYLESS non-equality correlation under OR'd
     [NOT] EXISTS folds to a comparison against the global MIN/MAX of

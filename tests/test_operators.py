@@ -305,6 +305,47 @@ def test_quality_score_oracle(spark, oracle):
     )
 
 
+def test_fingerprint_oracle_and_normalization(spark, oracle):
+    """fingerprint vs the DuckDB md5 replay (r12: keeps the operator
+    under oracle after its driver row was retired to free a window
+    slot for exists_two_comparisons — see __spark_entry__.py's r12
+    consolidation note), plus the planted normalization property:
+    case/punctuation/whitespace variants of the same content must
+    collide, different content must not."""
+    from tests.helpers import assert_matches
+
+    from sparksqlplus_spark.operators.text import fingerprint
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert_matches(
+        fingerprint(docs, "text", "doc_id"),
+        oracle,
+        """
+        SELECT doc_id,
+          substr(md5(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))), 1, 16)
+            AS fingerprint
+        FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+        """,
+    )
+    planted = spark.createDataFrame(
+        [
+            (1, "Hello,   World!"),
+            (2, "hello world"),
+            (3, "HELLO... WORLD"),
+            (4, "goodbye world"),
+        ],
+        "doc_id int, text string",
+    )
+    fps = {
+        r["doc_id"]: r["fingerprint"]
+        for r in fingerprint(planted, "text", "doc_id").collect()
+    }
+    assert fps[1] == fps[2] == fps[3]
+    assert fps[4] != fps[1]
+    assert all(len(v) == 16 for v in fps.values())
+
+
 def test_repetition_stats_planted(spark):
     """Gopher repetition rules on planted docs: an all-same-word doc
     maxes every fraction; a no-repeat doc zeroes them; a one-word doc
