@@ -47,7 +47,30 @@ def gen(rng: random.Random) -> str:
     c1 = rng.choice(CMPS)
     n1 = rng.randint(0, 12)
     n2 = rng.randint(1, 5)
-    kind = rng.randrange(19)
+    kind = rng.randrange(20)
+    if kind == 19:
+        # OR'd [NOT] EXISTS with 1-3 correlation comparisons, mixed
+        # ops (round 12: exactly two order comparisons plan natively
+        # via the Pareto-staircase flag; <>/keyless/3+ shapes ride the
+        # fallback — both paths must agree with DuckDB)
+        inner_t = rng.choice([x for x in TABLES if x != t])
+        i_ints, _, i_key = COLS[inner_t]
+        neg = rng.choice(["", "NOT "])
+        conds = []
+        if rng.random() < 0.85:  # keyed most of the time
+            conds.append(f"i.{rng.choice(i_ints)} = o.{g}")
+        for _ in range(rng.randint(1, 3)):
+            op = rng.choice(["<", "<=", ">", ">=", "<>"])
+            conds.append(
+                f"i.{rng.choice(i_ints + [i_key])} {op} "
+                f"o.{rng.choice(ints)} {rng.choice(['+', '*'])} "
+                f"{rng.randint(1, 4)}"
+            )
+        return (
+            f"SELECT DISTINCT {name} FROM {t} AS o WHERE "
+            f"o.{g} {c1} {n1} OR {neg}EXISTS (SELECT 1 FROM {inner_t} "
+            f"AS i WHERE {' AND '.join(conds)})"
+        )
     if kind == 17:
         # EXISTS / positive IN over a CTE (round-12 body lift)
         inner_t = rng.choice([x for x in TABLES if x != t])
