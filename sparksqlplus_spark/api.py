@@ -1137,13 +1137,15 @@ class SparkSQLPlus:
                         "in the subset (the inner set is probe-"
                         "dependent)"
                     )
-                if len(noneq) == 2 and keys:
+                if len(noneq) == 2:
                     # round 12: TWO order comparisons compose via a
                     # per-key Pareto-STAIRCASE flag (the single-witness
                     # requirement that per-column min/max loses is
                     # restored by keeping the frontier, not the
-                    # extremes) — see _or_exists_pair_flag. <> and
-                    # keyless pairs stay on the fallback.
+                    # extremes) — see _or_exists_pair_flag; the keyless
+                    # form inlines a bounded GLOBAL frontier as a
+                    # one-row broadcast view. <> pairs stay on the
+                    # fallback.
                     if all(
                         nq[0] in ("<", "<=", ">", ">=") for nq in noneq
                     ):
@@ -1540,6 +1542,10 @@ class SparkSQLPlus:
         imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
         for c in inner_only:
             inner = inner.filter(c.to_spark(imap))
+        if not keys:
+            return self._keyless_pair_flag(
+                ex, inner, noneq, spec, ephemeral
+            )
         key_sel: dict[str, str] = {}
         for _, icol in keys:
             key_sel.setdefault(icol, f"__f{len(key_sel)}")
@@ -1597,6 +1603,143 @@ class SparkSQLPlus:
         hit = Lit(not ex.negated, "boolean")
         miss = Lit(bool(ex.negated), "boolean")
         return CaseWhen(((raw, hit),), miss)
+
+    _KEYLESS_FRONTIER_CAP = 65536
+
+    def _keyless_pair_flag(self, ex, inner, noneq, spec, ephemeral):
+        """Keyless 2-comparison OR'd [NOT] EXISTS (round 12): the
+        GLOBAL Pareto staircase, inlined as a ONE-ROW broadcast view
+        joined on a literal key (the keyless sibling of
+        _or_exists_pair_flag, and the 2-D generalization of the
+        keyless single-comparison global-MIN/MAX fold above).
+
+        Built WITHOUT the single-group window the keyed path would
+        degenerate to here (one window partition = the whole inner
+        table — a scale-killer): (1) groupBy(u) pre-reduction with
+        map-side combine, (2) per-Arrow-batch frontier via mapInPandas
+        (each batch's staircase is a superset-reduction, vectorized
+        cummin), (3) bounded plan-time merge of the batch frontiers on
+        the driver — the same metadata-scale-collect class as the
+        const-probe stats gates, capped at _KEYLESS_FRONTIER_CAP
+        points (a frontier is tiny unless the data is a deliberate
+        anti-chain; above the cap we raise and mode='auto' rides the
+        spark.sql fallback).
+
+        Supported dtypes: integral, date, timestamp — totally ordered
+        with identical semantics in Spark, pandas, and Python, so the
+        driver-side merge is exact. Float (NaN's order-last rule has
+        no pandas cummin analogue), decimal, and string columns raise
+        and ride the fallback instead of risking a semantic skew."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from sparksqlplus_spark.expressions import (
+            Cmp,
+            CaseWhen,
+            Col,
+            Lit,
+            PairWitness,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+
+        (op1, out1, col1), (op2, out2, col2) = noneq
+        asc1 = op1 in ("<", "<=")
+        best2 = F.min if op2 in ("<", "<=") else F.max
+        reduced = (
+            inner.filter(F.col(col1).isNotNull() & F.col(col2).isNotNull())
+            .select(F.col(col1).alias("u"), F.col(col2).alias("v"))
+            .groupBy("u")
+            .agg(best2("v").alias("v"))
+        )
+        schema = reduced.schema
+        ok_types = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.DateType, T.TimestampType,
+        )
+        for f in schema.fields:
+            if not isinstance(f.dataType, ok_types):
+                raise UnsupportedSqlError(
+                    "keyless 2-comparison EXISTS supports integral/"
+                    f"date/timestamp columns only (got {f.dataType})"
+                )
+        take_min2 = op2 in ("<", "<=")
+
+        def batch_frontier(it):
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                pdf = pdf.sort_values("u", ascending=asc1)
+                run = (
+                    pdf["v"].cummin() if take_min2 else pdf["v"].cummax()
+                )
+                keep = run.ne(run.shift())
+                yield pd.DataFrame(
+                    {"u": pdf["u"][keep], "v": run[keep]}
+                )
+
+        rows = reduced.mapInPandas(batch_frontier, schema).take(
+            self._KEYLESS_FRONTIER_CAP + 1
+        )
+        if len(rows) > self._KEYLESS_FRONTIER_CAP:
+            raise UnsupportedSqlError(
+                "keyless 2-comparison EXISTS frontier exceeds the "
+                f"{self._KEYLESS_FRONTIER_CAP}-point inline cap"
+            )
+        pts = sorted(
+            ((r["u"], r["v"]) for r in rows), reverse=not asc1
+        )
+        merged: list[tuple] = []
+        best = None
+        for u, v in pts:
+            if best is None or (v < best if take_min2 else v > best):
+                best = v
+                merged.append((u, v))
+        view = self.spark.createDataFrame(
+            [(1, merged)],
+            T.StructType(
+                [
+                    T.StructField("__k0", T.IntegerType(), False),
+                    T.StructField(
+                        "__pts",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "u", schema["u"].dataType
+                                    ),
+                                    T.StructField(
+                                        "v", schema["v"].dataType
+                                    ),
+                                ]
+                            )
+                        ),
+                        False,
+                    ),
+                ]
+            ),
+        )
+        self._view_counter += 1
+        vname = f"__orx{self._view_counter}"
+        self.catalog.register_df(vname, view, ("__k0",))
+        ephemeral.append(vname)
+        valias = f"{vname}_i"
+        spec.outer_joins.append(
+            OuterJoin(
+                item=FromItem(alias=valias, table=vname),
+                conds=[],
+                side="left",
+                allow_uncorrelated=True,
+            )
+        )
+        # the one-row view always attaches, so raw
+        # reduces to the witness probe; an EMPTY frontier (empty /
+        # all-NULL inner) makes F.exists false -> the miss value,
+        # exactly the EXISTS fold
+        witness = PairWitness(Col(valias, "__pts"), op1, out1, op2, out2)
+        hit = Lit(not ex.negated, "boolean")
+        miss = Lit(bool(ex.negated), "boolean")
+        return CaseWhen(((witness, hit),), miss)
 
     def _correlated_not_in_or_flag(
         self, ex, probe_pair, corr, inner_only, spec, ephemeral
@@ -2906,9 +3049,13 @@ class SparkSQLPlus:
                     cc = cond.to_spark(m)
                     join_cond = cc if join_cond is None else (join_cond & cc)
                 if join_cond is None:
-                    raise UnsupportedSqlError(
-                        "OUTER JOIN needs a correlated ON condition"
-                    )
+                    if not oj.allow_uncorrelated:
+                        raise UnsupportedSqlError(
+                            "OUTER JOIN needs a correlated ON condition"
+                        )
+                    # planner-built one-row flag view (keyless
+                    # staircase): unconditioned broadcast attach
+                    join_cond = F.lit(True)
                 joined = joined.join(right, join_cond, oj.side)
                 known.update({(a, c): ren[c] for c in ren})
 

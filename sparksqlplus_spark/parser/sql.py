@@ -137,6 +137,12 @@ class OuterJoin:
     # NATURAL [LEFT|RIGHT|FULL] JOIN — USING over every common column name,
     # computed schema-aware in api._expand_using
     natural: bool = False
+    # INTERNAL (never set by the parser): the right side is a
+    # planner-built ONE-ROW flag view joined unconditionally (the
+    # keyless staircase flag, api._keyless_pair_flag) — the "needs a
+    # correlated ON condition" validation does not apply, the join is
+    # a broadcast against a single row.
+    allow_uncorrelated: bool = False
 
 
 @dataclass

@@ -1422,6 +1422,57 @@ def test_two_noneq_correlations_under_or(engine, oracle):
             assert_matches(engine.sql(sql, mode=mode), oracle, sql)
 
 
+def test_keyless_pair_under_or(engine, oracle):
+    """Round 12: the KEYLESS 2-comparison form — a bounded GLOBAL
+    Pareto frontier inlined as a one-row broadcast view (no
+    single-partition window; api._keyless_pair_flag). Covers EXISTS /
+    NOT EXISTS, an inner filter, the empty-inner fold in both
+    polarities, and the typed-column fallback contract (double
+    columns must still answer through spark.sql in auto mode)."""
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    cases = [
+        """SELECT c.c_custkey FROM customer AS c
+           WHERE c.c_acctbal < 0
+              OR EXISTS (SELECT 1 FROM orders AS o
+                         WHERE o.o_orderkey < c.c_custkey * 7
+                           AND o.o_custkey > c.c_nationkey * 50)""",
+        """SELECT n.n_nationkey FROM nation AS n
+           WHERE n.n_regionkey = 0
+              OR NOT EXISTS (SELECT 1 FROM supplier AS s
+                             WHERE s.s_suppkey >= n.n_nationkey * 8
+                               AND s.s_nationkey <= n.n_regionkey)""",
+        # empty inner set: EXISTS folds to the miss value, NOT EXISTS
+        # to the hit value
+        """SELECT n.n_nationkey FROM nation AS n
+           WHERE n.n_regionkey = 9
+              OR EXISTS (SELECT 1 FROM supplier AS s
+                         WHERE s.s_suppkey < -1
+                           AND s.s_suppkey < n.n_nationkey
+                           AND s.s_nationkey > n.n_regionkey)""",
+        """SELECT n.n_nationkey FROM nation AS n
+           WHERE n.n_regionkey = 9
+              OR NOT EXISTS (SELECT 1 FROM supplier AS s
+                             WHERE s.s_suppkey < -1
+                               AND s.s_suppkey < n.n_nationkey
+                               AND s.s_nationkey > n.n_regionkey)""",
+    ]
+    for sql in cases:
+        for mode in ("cqc", "naive"):
+            assert_matches(engine.sql(sql, mode=mode), oracle, sql)
+    # double-typed compared column: not in the keyless subset (NaN
+    # ordering has no exact driver-side merge) — raises in cqc mode,
+    # answers correctly through the fallback in auto
+    dbl = """SELECT c.c_custkey FROM customer AS c
+             WHERE c.c_acctbal < 0
+                OR EXISTS (SELECT 1 FROM orders AS o
+                           WHERE o.o_totalprice < c.c_acctbal * 40
+                             AND o.o_orderkey > c.c_nationkey * 50)"""
+    with pytest.raises(UnsupportedSqlError):
+        engine.sql(dbl, mode="cqc")
+    assert_matches(engine.sql(dbl, mode="auto"), oracle, dbl)
+
+
 def test_two_noneq_under_or_null_matrix(engine, oracle):
     """NULL matrix for the staircase flag: NULLs in the outer key,
     each outer operand, the inner key, and each compared inner column

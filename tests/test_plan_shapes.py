@@ -35,6 +35,9 @@ BOUNDS = {
     "pack_sequences": 3,
     "text_tfidf_topk": 5,
     "events_sessionize": 1,
+    # staircase flag view: (key,u) pre-reduction + key window/collect
+    # sharing one exchange; the flag join itself broadcasts (round 12)
+    "exists_two_comparisons": 2,
 }
 
 
