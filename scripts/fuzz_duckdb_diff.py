@@ -49,18 +49,30 @@ def gen(rng: random.Random) -> str:
     n2 = rng.randint(1, 5)
     kind = rng.randrange(20)
     if kind == 19:
-        # OR'd [NOT] EXISTS with 1-3 correlation comparisons, mixed
-        # ops (round 12: exactly two order comparisons plan natively
-        # via the Pareto-staircase flag; <>/keyless/3+ shapes ride the
-        # fallback — both paths must agree with DuckDB)
+        # OR'd [NOT] EXISTS with 1-3 correlation comparisons (round
+        # 12: two order comparisons plan natively via the Pareto-
+        # staircase flag, <>+order via the 3-stat argmax flag;
+        # keyless/3+ shapes ride the fallback — both paths must agree
+        # with DuckDB). ORACLE CAVEAT: DuckDB 1.0.0 DECORRELATES A
+        # CORRELATED EXISTS WITH <> PLUS ANOTHER CORRELATED INEQUALITY
+        # WRONGLY (repro pinned in tests/test_cqc_queries.py::
+        # test_neq_order_pair_under_or), so <> is only drawn for the
+        # single-comparison shape where DuckDB is correct; the multi-
+        # comparison <> shapes are covered by the join-form-oracle and
+        # brute-force pytests instead.
         inner_t = rng.choice([x for x in TABLES if x != t])
         i_ints, _, i_key = COLS[inner_t]
         neg = rng.choice(["", "NOT "])
         conds = []
         if rng.random() < 0.85:  # keyed most of the time
             conds.append(f"i.{rng.choice(i_ints)} = o.{g}")
-        for _ in range(rng.randint(1, 3)):
-            op = rng.choice(["<", "<=", ">", ">=", "<>"])
+        n_cmp = rng.randint(1, 3)
+        op_pool = (
+            ["<", "<=", ">", ">=", "<>"] if n_cmp == 1
+            else ["<", "<=", ">", ">="]
+        )
+        for _ in range(n_cmp):
+            op = rng.choice(op_pool)
             conds.append(
                 f"i.{rng.choice(i_ints + [i_key])} {op} "
                 f"o.{rng.choice(ints)} {rng.choice(['+', '*'])} "

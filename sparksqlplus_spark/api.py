@@ -1144,13 +1144,23 @@ class SparkSQLPlus:
                     # restored by keeping the frontier, not the
                     # extremes) — see _or_exists_pair_flag; the keyless
                     # form inlines a bounded GLOBAL frontier as a
-                    # one-row broadcast view. <> pairs stay on the
-                    # fallback.
-                    if all(
-                        nq[0] in ("<", "<=", ">", ">=") for nq in noneq
-                    ):
+                    # one-row broadcast view. A <> paired with an
+                    # order comparison composes via the 3-stat
+                    # argmax/runner-up flag (_or_exists_neq_order_flag,
+                    # keyed only); <> with <> stays on the fallback.
+                    ops = sorted(nq[0] for nq in noneq)
+                    if all(o in ("<", "<=", ">", ">=") for o in ops):
                         return self._or_exists_pair_flag(
                             ex, keys, noneq, inner_only, spec, ephemeral
+                        )
+                    if keys and ops.count("<>") == 1 and all(
+                        o in ("<", "<=", ">", ">=", "<>") for o in ops
+                    ):
+                        neq = next(n for n in noneq if n[0] == "<>")
+                        order = next(n for n in noneq if n[0] != "<>")
+                        return self._or_exists_neq_order_flag(
+                            ex, keys, neq, order, inner_only, spec,
+                            ephemeral,
                         )
                 if len(noneq) > 1:
                     raise UnsupportedSqlError(
@@ -1598,6 +1608,135 @@ class SparkSQLPlus:
         matched = IsNull(Col(valias, key_sel[keys[0][1]]), negated=True)
         witness = PairWitness(
             Col(valias, "__pts"), op1, out1, op2, out2
+        )
+        raw = AndCond((matched, witness))
+        hit = Lit(not ex.negated, "boolean")
+        miss = Lit(bool(ex.negated), "boolean")
+        return CaseWhen(((raw, hit),), miss)
+
+    def _or_exists_neq_order_flag(
+        self, ex, keys, neq, order, inner_only, spec, ephemeral
+    ):
+        """``<>`` paired with an ORDER comparison under OR'd [NOT]
+        EXISTS (round 12): ``P OR EXISTS(i: i.k = o.k AND i.a <> o.x
+        AND i.b > o.y)``. The sufficient per-key statistic is THREE
+        values — b1 = the best b, a1 = its argmax a (NULL sentinel
+        when the best b is attained by 2+ DISTINCT a values), b2 =
+        the best b among rows with a <> a1:
+
+          witness(x, y) = (b1 OP y AND (a1 IS NULL OR a1 <> x))
+                          OR (a1 = x AND b2 OP y)
+
+        Exactness: if a witness row (a, b) exists (a <> x, b OP y):
+        when the argmax is non-unique some argmax has a <> x, so
+        b1 >= b gives the first term; when it is unique and a1 <> x
+        the first term again; when a1 = x the witness has a <> a1, so
+        b2 >= b gives the second. Conversely each term names a real
+        row satisfying both conjuncts. A NULL outer operand makes both
+        terms UNKNOWN — the CaseWhen folds to the EXISTS miss value;
+        NULL inner a/b rows cannot witness and are filtered.
+
+        Scale: one (key, a) pre-reduction shuffle (map-side combine
+        bounds skew), one key window that keeps only the top-2 rows,
+        one-row-per-key view — the LEFT flag join never duplicates
+        and broadcasts when small."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import (
+            AndCond,
+            CaseWhen,
+            Cmp,
+            Col,
+            IsNull,
+            Lit,
+            OrCond,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+
+        _, x_out, a_col = neq
+        op_b, y_out, b_col = order
+        inner = self.catalog.get(ex.table).load(self.spark)
+        imap = {("", cn): cn for cn in inner.columns}
+        imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
+        for c in inner_only:
+            inner = inner.filter(c.to_spark(imap))
+        key_sel: dict[str, str] = {}
+        for _, icol in keys:
+            key_sel.setdefault(icol, f"__f{len(key_sel)}")
+        outs = list(key_sel.values())
+        best = F.max if op_b in (">", ">=") else F.min
+        pre = (
+            inner.filter(
+                F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+            )
+            .select(
+                *[F.col(icol).alias(out) for icol, out in key_sel.items()],
+                F.col(a_col).alias("__a"),
+                F.col(b_col).alias("__b"),
+            )
+            .groupBy(*outs, "__a")
+            .agg(best("__b").alias("__ab"))
+        )
+        order_col = (
+            F.col("__ab").desc() if op_b in (">", ">=")
+            else F.col("__ab").asc()
+        )
+        w = Window.partitionBy(*outs).orderBy(order_col, F.col("__a"))
+        top2 = pre.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= 2
+        )
+        view = top2.groupBy(*outs).agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("__ab"))).alias("__b1"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__a"))).alias("__a1r"),
+            F.max(F.when(F.col("__rn") == 2, F.col("__ab"))).alias("__b2"),
+        )
+        # non-unique argmax (the runner-up DISTINCT a ties on b) ->
+        # NULL sentinel: the first witness term then fires on b1 alone
+        view = view.select(
+            *outs,
+            "__b1",
+            "__b2",
+            F.when(F.col("__b2") == F.col("__b1"), F.lit(None))
+            .otherwise(F.col("__a1r"))
+            .alias("__a1"),
+        )
+        self._view_counter += 1
+        vname = f"__orx{self._view_counter}"
+        self.catalog.register_df(vname, view, tuple(outs))
+        ephemeral.append(vname)
+        valias = f"{vname}_i"
+        spec.outer_joins.append(
+            OuterJoin(
+                item=FromItem(alias=valias, table=vname),
+                conds=[
+                    Cmp("=", oc, Col(valias, key_sel[icol]))
+                    for oc, icol in keys
+                ],
+                side="left",
+            )
+        )
+        matched = IsNull(Col(valias, key_sel[keys[0][1]]), negated=True)
+        witness = OrCond(
+            (
+                AndCond(
+                    (
+                        Cmp(op_b, Col(valias, "__b1"), y_out),
+                        OrCond(
+                            (
+                                IsNull(Col(valias, "__a1")),
+                                Cmp("<>", Col(valias, "__a1"), x_out),
+                            )
+                        ),
+                    )
+                ),
+                AndCond(
+                    (
+                        Cmp("=", Col(valias, "__a1"), x_out),
+                        Cmp(op_b, Col(valias, "__b2"), y_out),
+                    )
+                ),
+            )
         )
         raw = AndCond((matched, witness))
         hit = Lit(not ex.negated, "boolean")

@@ -1422,6 +1422,141 @@ def test_two_noneq_correlations_under_or(engine, oracle):
             assert_matches(engine.sql(sql, mode=mode), oracle, sql)
 
 
+def test_neq_order_pair_under_or(engine, oracle):
+    """Round 12: ``<>`` paired with an ORDER comparison under OR'd
+    [NOT] EXISTS plans natively via the 3-stat argmax/runner-up flag
+    (api._or_exists_neq_order_flag).
+
+    ORACLE WARNING (pinned discovery, round 12): DuckDB 1.0.0's
+    decorrelation of a correlated EXISTS with ``<>`` PLUS another
+    correlated inequality returns WRONG rows — minimal repro: inner
+    {(k,a,b)} = {(2,5,9),(2,6,7),(2,5,8)}, probe (k=2,x=5,y=8):
+    ``EXISTS(i: ik=k AND ia<>x AND ib>y)`` must be FALSE (no row has
+    a<>5 and b>8), DuckDB's correlated form says TRUE (the literal-
+    substituted form and the join form both say FALSE). So these
+    tests use the JOIN-form oracle over a duplicate-free projection /
+    a Python brute force — NEVER the correlated form. Do not 'fix'
+    the engine against the correlated-DuckDB answer."""
+    # testdata cases: join-form oracle; project enough columns to be
+    # duplicate-free ((l_orderkey, l_linenumber) is NOT unique in
+    # this synthetic lineitem — include l_suppkey)
+    cases = [
+        (
+            """SELECT DISTINCT l1.l_orderkey, l1.l_suppkey, l1.l_extendedprice
+               FROM lineitem AS l1
+               WHERE l1.l_quantity > 49.0
+                  OR EXISTS (SELECT 1 FROM lineitem AS l2
+                             WHERE l2.l_orderkey = l1.l_orderkey
+                               AND l2.l_suppkey <> l1.l_suppkey
+                               AND l2.l_extendedprice > l1.l_extendedprice)""",
+            """SELECT l_orderkey, l_suppkey, l_extendedprice
+               FROM lineitem WHERE l_quantity > 49.0
+               UNION
+               SELECT l1.l_orderkey, l1.l_suppkey, l1.l_extendedprice
+               FROM lineitem l1 JOIN lineitem l2
+                 ON l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+                AND l2.l_extendedprice > l1.l_extendedprice""",
+        ),
+        (
+            """SELECT DISTINCT l1.l_orderkey, l1.l_suppkey, l1.l_quantity
+               FROM lineitem AS l1
+               WHERE l1.l_quantity > 49.0
+                  OR NOT EXISTS (SELECT 1 FROM lineitem AS l2
+                                 WHERE l2.l_orderkey = l1.l_orderkey
+                                   AND l2.l_suppkey <> l1.l_suppkey
+                                   AND l2.l_quantity <= l1.l_quantity)""",
+            """SELECT l_orderkey, l_suppkey, l_quantity
+               FROM lineitem WHERE l_quantity > 49.0
+               UNION
+               (SELECT l_orderkey, l_suppkey, l_quantity FROM lineitem
+                EXCEPT
+                SELECT l1.l_orderkey, l1.l_suppkey, l1.l_quantity
+                FROM lineitem l1 JOIN lineitem l2
+                  ON l2.l_orderkey = l1.l_orderkey
+                 AND l2.l_suppkey <> l1.l_suppkey
+                 AND l2.l_quantity <= l1.l_quantity)""",
+        ),
+    ]
+    for sql, osql in cases:
+        for mode in ("cqc", "naive"):
+            assert_matches(engine.sql(sql, mode=mode), oracle, osql)
+
+
+def test_neq_order_pair_brute_force(engine):
+    """Planted matrix for the 3-stat flag, Python brute force as the
+    oracle (see the DuckDB correlated-EXISTS warning above): argmax
+    ties across distinct a, unique argmax with runner-up, single
+    distinct a, NULL inner a/b, NULL outer operands, all four order
+    ops, both polarities."""
+    import operator
+
+    import pandas as pd
+
+    spark = engine.spark
+    inner = [
+        (1, 1, 9), (1, 2, 9), (1, 3, 1),          # argmax tie at b=9
+        (2, 5, 9), (2, 6, 7), (2, 5, 8),           # unique argmax a=5
+        (3, 7, 9),                                  # single distinct a
+        (4, None, 9), (4, 7, None),                 # NULL a / NULL b
+    ]
+    outer = [
+        (0, 1, 1, 8), (1, 1, 9, 8), (2, 2, 5, 8), (3, 2, 5, 6),
+        (4, 2, 6, 8), (5, 2, 9, 8), (6, 3, 7, 0), (7, 3, 8, 0),
+        (8, 4, 7, 0), (9, 9, 1, 1), (10, 2, None, 0), (11, 2, 5, None),
+        (12, None, 1, 1),
+    ]
+    ipdf = pd.DataFrame(inner, columns=["ik", "ia", "ib"])
+    opdf = pd.DataFrame(outer, columns=["pk", "k", "x", "y"])
+    engine.catalog.register_df(
+        "nq_inner",
+        spark.createDataFrame(
+            ipdf.astype(object).where(ipdf.notna(), None),
+            "ik int, ia int, ib int",
+        ),
+        (),
+    )
+    engine.catalog.register_df(
+        "nq_outer",
+        spark.createDataFrame(
+            opdf.astype(object).where(opdf.notna(), None),
+            "pk int, k int, x int, y int",
+        ),
+        ("pk",),
+    )
+    ops = {
+        "<": operator.lt, "<=": operator.le,
+        ">": operator.gt, ">=": operator.ge,
+    }
+    try:
+        for op, fn in ops.items():
+            for neg in ("", "NOT "):
+                q = f"""SELECT p.pk FROM nq_outer AS p
+                        WHERE p.pk = -1 OR {neg}EXISTS (
+                          SELECT 1 FROM nq_inner AS i
+                          WHERE i.ik = p.k AND i.ia <> p.x
+                            AND i.ib {op} p.y)"""
+                mine = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
+                )
+                truth = []
+                for pk, k, x, y in outer:
+                    w = any(
+                        ik == k
+                        and None not in (ia, ib, x, y)
+                        and ia != x
+                        and fn(ib, y)
+                        for ik, ia, ib in inner
+                        if ik is not None and k is not None
+                    )
+                    if (not w) if neg else w:
+                        truth.append(pk)
+                assert mine == sorted(truth), (op, neg, mine, truth)
+    finally:
+        engine.catalog.unregister("nq_inner")
+        engine.catalog.unregister("nq_outer")
+
+
 def test_keyless_pair_under_or(engine, oracle):
     """Round 12: the KEYLESS 2-comparison form — a bounded GLOBAL
     Pareto frontier inlined as a one-row broadcast view (no
