@@ -691,8 +691,13 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     # the flag view keeps the per-customer Pareto frontier's change
     # points as ONE array column — one row per key, so the LEFT flag
     # join never duplicates — and the witness is an F.exists probe
-    # over the array, JVM-side. ANSI bag semantics (OR lift); same
-    # SQL is the DuckDB oracle. ---
+    # over the array, JVM-side. ANSI bag semantics (OR lift; customer
+    # rows are PK-unique, so bag = set here). The oracle is the
+    # JOIN-FORM expansion, NOT the correlated EXISTS: DuckDB 1.0.0
+    # mis-decorrelates correlated EXISTS with <> plus another
+    # correlated inequality (SURVEY "ORACLE WARNING"), and while the
+    # order-order shape measured correct, the driver gate should not
+    # depend on the buggy decorrelator at all. ---
     "exists_two_comparisons": (
         """SELECT c.c_custkey, c.c_acctbal
            FROM customer AS c
@@ -701,7 +706,13 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                          WHERE o.o_custkey = c.c_custkey
                            AND o.o_totalprice < c.c_acctbal * 40.0
                            AND o.o_orderkey >= c.c_nationkey * 300)""",
-        None,
+        """SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0.0
+           UNION
+           SELECT c.c_custkey, c.c_acctbal
+           FROM customer AS c JOIN orders AS o
+             ON o.o_custkey = c.c_custkey
+            AND o.o_totalprice < c.c_acctbal * 40.0
+            AND o.o_orderkey >= c.c_nationkey * 300""",
     ),
     # --- NEW r11: [LEFT] SEMI/ANTI JOIN syntax (Spark's own join
     # types; previously crashed the parser). Both arms desugar in
