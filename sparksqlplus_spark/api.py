@@ -1153,14 +1153,18 @@ class SparkSQLPlus:
                         return self._or_exists_pair_flag(
                             ex, keys, noneq, inner_only, spec, ephemeral
                         )
-                    if keys and ops.count("<>") == 1 and all(
+                    if ops.count("<>") == 1 and all(
                         o in ("<", "<=", ">", ">=", "<>") for o in ops
                     ):
                         neq = next(n for n in noneq if n[0] == "<>")
                         order = next(n for n in noneq if n[0] != "<>")
-                        return self._or_exists_neq_order_flag(
-                            ex, keys, neq, order, inner_only, spec,
-                            ephemeral,
+                        if keys:
+                            return self._or_exists_neq_order_flag(
+                                ex, keys, neq, order, inner_only, spec,
+                                ephemeral,
+                            )
+                        return self._keyless_neq_order_fold(
+                            ex, neq, order, inner_only
                         )
                 if len(noneq) > 1:
                     raise UnsupportedSqlError(
@@ -1724,7 +1728,15 @@ class SparkSQLPlus:
                         Cmp(op_b, Col(valias, "__b1"), y_out),
                         OrCond(
                             (
-                                IsNull(Col(valias, "__a1")),
+                                # multi-argmax: some argmax differs
+                                # from any NON-NULL x (NULL x makes
+                                # a <> x UNKNOWN for every row)
+                                AndCond(
+                                    (
+                                        IsNull(Col(valias, "__a1")),
+                                        IsNull(x_out, negated=True),
+                                    )
+                                ),
                                 Cmp("<>", Col(valias, "__a1"), x_out),
                             )
                         ),
@@ -1742,6 +1754,111 @@ class SparkSQLPlus:
         hit = Lit(not ex.negated, "boolean")
         miss = Lit(bool(ex.negated), "boolean")
         return CaseWhen(((raw, hit),), miss)
+
+    def _keyless_neq_order_fold(self, ex, neq, order, inner_only):
+        """KEYLESS ``<>`` + order comparison under OR'd [NOT] EXISTS
+        (round 12): the global 3-stat fold — the keyless sibling of
+        _or_exists_neq_order_flag and the 2-D analogue of the keyless
+        single-comparison global-MIN/MAX fold. One plan-time
+        TakeOrderedAndProject job (top-2 distinct-a groups by best b)
+        gives b1/a1/multi/b2; the witness folds to a literal
+        comparison tree evaluated per outer row:
+
+          (b1 OP y AND (multi OR a1 <> x)) OR (a1 = x AND b2 OP y)
+
+        Same metadata-scale-collect class as the const-probe stats
+        gates. Dtypes are restricted like the keyless pair (integral/
+        date/timestamp for BOTH columns) — Spark's NaN-is-largest tie
+        rule has no exact Python analogue for the argmax-uniqueness
+        check."""
+        import datetime
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from sparksqlplus_spark.expressions import (
+            AndCond,
+            CaseWhen,
+            Cmp,
+            Lit,
+            OrCond,
+        )
+
+        _, x_out, a_col = neq
+        op_b, y_out, b_col = order
+        inner = self.catalog.get(ex.table).load(self.spark)
+        imap = {("", cn): cn for cn in inner.columns}
+        imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
+        for c in inner_only:
+            inner = inner.filter(c.to_spark(imap))
+        pre = (
+            inner.filter(
+                F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+            )
+            .select(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+            .groupBy("__a")
+            .agg(
+                (F.max if op_b in (">", ">=") else F.min)("__b").alias(
+                    "__ab"
+                )
+            )
+        )
+        ok_types = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.DateType, T.TimestampType,
+        )
+        for f in pre.schema.fields:
+            if not isinstance(f.dataType, ok_types):
+                raise UnsupportedSqlError(
+                    "keyless <>+order EXISTS supports integral/date/"
+                    f"timestamp columns only (got {f.dataType})"
+                )
+        order_col = (
+            F.col("__ab").desc() if op_b in (">", ">=")
+            else F.col("__ab").asc()
+        )
+        rows = pre.orderBy(order_col, F.col("__a")).limit(2).collect()
+        if not rows:
+            return Lit(bool(ex.negated), "boolean")
+
+        def lit_of(v):
+            if isinstance(v, bool):
+                return Lit(v, "boolean")
+            if isinstance(v, int):
+                return Lit(v, "bigint")
+            if isinstance(v, datetime.datetime):
+                return Lit(v, "timestamp")
+            if isinstance(v, datetime.date):
+                return Lit(v, "date")
+            return Lit(v, "str")
+
+        from sparksqlplus_spark.expressions import IsNull
+
+        b1, a1 = rows[0]["__ab"], rows[0]["__a"]
+        multi = len(rows) > 1 and rows[1]["__ab"] == b1
+        b2 = rows[1]["__ab"] if len(rows) > 1 else None
+        first = Cmp(op_b, lit_of(b1), y_out)
+        if multi:
+            # some argmax differs from any NON-NULL x — but a NULL x
+            # makes `a <> x` UNKNOWN for EVERY row, so the witness
+            # must still require x IS NOT NULL
+            first = AndCond((first, IsNull(x_out, negated=True)))
+        else:
+            first = AndCond((first, Cmp("<>", lit_of(a1), x_out)))
+        terms = [first]
+        if not multi and b2 is not None:
+            terms.append(
+                AndCond(
+                    (
+                        Cmp("=", lit_of(a1), x_out),
+                        Cmp(op_b, lit_of(b2), y_out),
+                    )
+                )
+            )
+        witness = terms[0] if len(terms) == 1 else OrCond(tuple(terms))
+        hit = Lit(not ex.negated, "boolean")
+        miss = Lit(bool(ex.negated), "boolean")
+        return CaseWhen(((witness, hit),), miss)
 
     _KEYLESS_FRONTIER_CAP = 65536
 

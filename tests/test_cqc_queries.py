@@ -1505,6 +1505,10 @@ def test_neq_order_pair_brute_force(engine):
         (4, 2, 6, 8), (5, 2, 9, 8), (6, 3, 7, 0), (7, 3, 8, 0),
         (8, 4, 7, 0), (9, 9, 1, 1), (10, 2, None, 0), (11, 2, 5, None),
         (12, None, 1, 1),
+        # NULL x against the argmax-TIE key: `a <> NULL` is UNKNOWN
+        # for every row, so no witness even though some argmax would
+        # differ from any non-NULL x (the round-12 multi-branch fix)
+        (13, 1, None, 0),
     ]
     ipdf = pd.DataFrame(inner, columns=["ik", "ia", "ib"])
     opdf = pd.DataFrame(outer, columns=["pk", "k", "x", "y"])
@@ -1555,6 +1559,98 @@ def test_neq_order_pair_brute_force(engine):
     finally:
         engine.catalog.unregister("nq_inner")
         engine.catalog.unregister("nq_outer")
+
+
+def test_keyless_neq_order_brute_force(engine):
+    """Keyless ``<>``+order fold (api._keyless_neq_order_fold):
+    Python brute force over argmax-tie / unique-argmax / single-value
+    inners, every order op, both polarities, the empty-inner fold,
+    and the dtype fallback contract."""
+    import operator
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    spark = engine.spark
+    inners = {
+        "tie": [(1, 9), (2, 9), (3, 1)],
+        "unique": [(5, 9), (6, 7), (5, 8)],
+        "single": [(7, 9)],
+        "withnull": [(None, 9), (7, None), (4, 5)],
+        "empty": [],
+    }
+    outer = [(i, x, y) for i, (x, y) in enumerate(
+        [(1, 8), (9, 8), (5, 8), (5, 6), (6, 8), (7, 0), (8, 0),
+         (None, 0), (4, None), (4, 4)]
+    )]
+    opdf = pd.DataFrame(outer, columns=["pk", "x", "y"])
+    engine.catalog.register_df(
+        "kq_outer",
+        spark.createDataFrame(
+            opdf.astype(object).where(opdf.notna(), None),
+            "pk int, x int, y int",
+        ),
+        ("pk",),
+    )
+    ops = {
+        "<": operator.lt, "<=": operator.le,
+        ">": operator.gt, ">=": operator.ge,
+    }
+    try:
+        for iname, rows in inners.items():
+            ipdf = pd.DataFrame(rows, columns=["ia", "ib"])
+            if not rows:
+                ipdf = pd.DataFrame(
+                    {"ia": pd.Series([], dtype="Int64"),
+                     "ib": pd.Series([], dtype="Int64")}
+                )
+            engine.catalog.register_df(
+                "kq_inner",
+                spark.createDataFrame(
+                    ipdf.astype(object).where(ipdf.notna(), None),
+                    "ia int, ib int",
+                ),
+                (),
+            )
+            try:
+                for op, fn in ops.items():
+                    for neg in ("", "NOT "):
+                        q = f"""SELECT p.pk FROM kq_outer AS p
+                                WHERE p.pk = -1 OR {neg}EXISTS (
+                                  SELECT 1 FROM kq_inner AS i
+                                  WHERE i.ia <> p.x AND i.ib {op} p.y)"""
+                        mine = sorted(
+                            r["pk"]
+                            for r in engine.sql(q, mode="cqc").collect()
+                        )
+                        truth = []
+                        for pk, x, y in outer:
+                            w = any(
+                                None not in (ia, ib, x, y)
+                                and ia != x and fn(ib, y)
+                                for ia, ib in rows
+                            )
+                            if (not w) if neg else w:
+                                truth.append(pk)
+                        assert mine == sorted(truth), (
+                            iname, op, neg, mine, truth,
+                        )
+            finally:
+                engine.catalog.unregister("kq_inner")
+    finally:
+        engine.catalog.unregister("kq_outer")
+    # double column -> fallback contract
+    with _pytest.raises(UnsupportedSqlError):
+        engine.sql(
+            """SELECT c.c_custkey FROM customer AS c
+               WHERE c.c_custkey = 0 OR EXISTS (
+                 SELECT 1 FROM orders AS o
+                 WHERE o.o_totalprice <> c.c_acctbal
+                   AND o.o_orderkey > c.c_nationkey)""",
+            mode="cqc",
+        )
 
 
 def test_keyless_pair_under_or(engine, oracle):
