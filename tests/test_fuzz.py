@@ -743,3 +743,65 @@ def test_semi_anti_join_syntax_equals_exists(engine, case, join_mask):
     assert ca == cb, f"count mismatch {ca} vs {cb} for: {join_sql}"
     assert a.exceptAll(b).count() == 0, f"rows differ for: {join_sql}"
     assert b.exceptAll(a).count() == 0, f"rows differ for: {join_sql}"
+
+
+# ---------------------------------------------------------------------------
+# round-12 fuzz: OR'd [NOT] EXISTS with 1-3 correlation comparisons
+# ---------------------------------------------------------------------------
+
+# inner orders columns x outer customer expressions; mixing integral and
+# double columns exercises the native flags (staircase / 3-stat) AND the
+# typed fallback contracts on the same grammar. spark.sql is the oracle
+# here deliberately: DuckDB 1.0.0 mis-decorrelates correlated EXISTS
+# with <> plus another correlated inequality (SURVEY "ORACLE WARNING").
+ORX_INNER = ["o.o_orderkey", "o.o_custkey", "o.o_totalprice"]
+ORX_OUTER = ["c.c_custkey * 3", "c.c_nationkey * 40", "c.c_acctbal * 25.0"]
+ORX_DISJ = [
+    "c.c_mktsegment = 'BUILDING'",
+    "c.c_acctbal < 0.0",
+    "c.c_custkey % 7 = 0",
+]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    keyed=st.booleans(),
+    neg=st.booleans(),
+    n_cmp=st.integers(min_value=1, max_value=3),
+    ops=st.lists(
+        st.sampled_from(["<", "<=", ">", ">=", "<>"]),
+        min_size=3,
+        max_size=3,
+    ),
+    icols=st.lists(st.integers(0, 2), min_size=3, max_size=3),
+    ocols=st.lists(st.integers(0, 2), min_size=3, max_size=3),
+    disj=st.integers(0, 2),
+)
+def test_or_exists_multicomparison_equals_spark(
+    engine, keyed, neg, n_cmp, ops, icols, ocols, disj
+):
+    """The whole OR'd-EXISTS comparison grammar — keyed/keyless x 1-3
+    comparisons x all five ops x both polarities — must match verbatim
+    spark.sql whichever path (staircase flag, 3-stat flag, keyless
+    folds, or the auto fallback) plans it. Bag-exact compare: OR-lifted
+    queries keep ANSI bag semantics on both sides."""
+    conds = []
+    if keyed:
+        conds.append("o.o_custkey = c.c_custkey")
+    for i in range(n_cmp):
+        conds.append(f"{ORX_INNER[icols[i]]} {ops[i]} {ORX_OUTER[ocols[i]]}")
+    sql = (
+        f"SELECT c.c_custkey, c.c_acctbal FROM customer AS c "
+        f"WHERE {ORX_DISJ[disj]} OR {'NOT ' if neg else ''}EXISTS "
+        f"(SELECT 1 FROM orders AS o WHERE {' AND '.join(conds)})"
+    )
+    a = engine.sql(sql)  # auto: native flag plans or the fallback
+    b = engine.sql(sql, mode="spark")
+    ca, cb = a.count(), b.count()
+    assert ca == cb, f"count mismatch {ca} vs {cb} for: {sql}"
+    assert a.exceptAll(b).count() == 0, f"rows differ for: {sql}"
+    assert b.exceptAll(a).count() == 0, f"rows differ for: {sql}"
