@@ -98,6 +98,125 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
     imap = {("", c): c for c in inner.columns}
     for cond in sf.inner_filters:
         inner = inner.filter(cond.to_spark(imap))
+    if sf.corr_threshold is not None:
+        # CORRELATED NOT IN with an ORDER-comparison correlation
+        # (round 12): o.x NOT IN (SELECT y FROM t WHERE [t.k = o.k
+        # AND] t.c OP o.d) — the group's membership depends on the
+        # outer row through the threshold, but each three-valued fact
+        # is monotone in it, so ONE extreme per fact decides:
+        #   set nonempty(o)  <=> best(c)            OP o.d
+        #   has NULL y(o)    <=> best(c | y NULL)   OP o.d
+        #   probe matched(o) <=> best(c | y = x)    OP o.d
+        # (best = MIN for </<=, MAX for >/>=; rows with NULL c can
+        # never satisfy c OP d and are filtered). Keep a row iff its
+        # set is empty (group miss, or best outside the threshold, or
+        # a NULL d — c OP NULL is UNKNOWN for every row), else iff
+        # unmatched AND no in-threshold NULL y AND the probe is
+        # non-NULL. Same view shapes as the plain corr_keys branch
+        # (one row per group; match DISTINCT per (group, y) with every
+        # column pinned) — no join duplicates; with no group keys the
+        # stats view is ONE global row, broadcast.
+        t_op, t_outer, t_col = sf.corr_threshold
+        cmpfn = {
+            "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b,
+        }[t_op]
+        best = F.min if t_op in ("<", "<=") else F.max
+
+        def within(name):
+            return F.coalesce(
+                cmpfn(F.col(name), F.col(t_outer)), F.lit(False)
+            )
+
+        corr = sf.corr_keys
+        gref = [
+            F.col(ic).alias(f"{prefix}_g{i}")
+            for i, (_, ic) in enumerate(corr)
+        ]
+        gcols = [f"{prefix}_g{i}" for i in range(len(corr))]
+        inner_t = inner.filter(F.col(t_col).isNotNull())
+        ba, bn, bm = f"{prefix}_ba", f"{prefix}_bn", f"{prefix}_bm"
+        helper = [ba, bn, *gcols]
+        if sf.const_probe is not None:
+            probe_lit, ic = sf.const_probe
+            pl = probe_lit.to_spark({})
+            stats = inner_t.groupBy(*gref).agg(
+                best(t_col).alias(ba),
+                best(
+                    F.when(F.col(ic).isNull(), F.col(t_col))
+                ).alias(bn),
+                best(F.when(F.col(ic) == pl, F.col(t_col))).alias(bm),
+            )
+            out = (
+                df.join(
+                    stats,
+                    functools.reduce(
+                        lambda a, b: a & b,
+                        [
+                            F.col(ov) == F.col(g)
+                            for (ov, _), g in zip(corr, gcols)
+                        ],
+                    ),
+                    "left",
+                )
+                if gcols
+                else df.join(F.broadcast(stats), how="cross")
+            )
+            probe_ok = pl.isNotNull()
+            helper.append(bm)
+        else:
+            (ov_p, ic), = sf.keys  # single-column probe (validated)
+            stats = inner_t.groupBy(*gref).agg(
+                best(t_col).alias(ba),
+                best(
+                    F.when(F.col(ic).isNull(), F.col(t_col))
+                ).alias(bn),
+            )
+            out = (
+                df.join(
+                    stats,
+                    functools.reduce(
+                        lambda a, b: a & b,
+                        [
+                            F.col(ov) == F.col(g)
+                            for (ov, _), g in zip(corr, gcols)
+                        ],
+                    ),
+                    "left",
+                )
+                if gcols
+                else df.join(F.broadcast(stats), how="cross")
+            )
+            mcols = [f"{prefix}_m{i}" for i in range(len(corr))]
+            match = (
+                inner_t.filter(F.col(ic).isNotNull())
+                .groupBy(
+                    *[
+                        F.col(icg).alias(m)
+                        for (_, icg), m in zip(corr, mcols)
+                    ],
+                    F.col(ic).alias(f"{prefix}_mp"),
+                )
+                .agg(best(t_col).alias(bm))
+            )
+            mon = functools.reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(ov) == F.col(m)
+                    for (ov, _), m in zip(corr, mcols)
+                ]
+                + [F.col(ov_p) == F.col(f"{prefix}_mp")],
+            )
+            out = out.join(match, mon, "left")
+            probe_ok = F.col(ov_p).isNotNull()
+            helper += [bm, f"{prefix}_mp", *mcols]
+        set_empty = F.col(ba).isNull() | ~within(ba)
+        no_null = F.col(bn).isNull() | ~within(bn)
+        no_match = F.col(bm).isNull() | ~within(bm)
+        keep = set_empty | (no_match & no_null & probe_ok)
+        return out.filter(keep).drop(*helper)
     if sf.corr_keys:
         # CORRELATED NOT IN (round 12): o.x NOT IN (SELECT y FROM t
         # WHERE t.k = o.k AND ...) — the inner SET is per-GROUP, so

@@ -153,6 +153,15 @@ class SemiFilter:
     # probe row-value (which silently changes NULL semantics).
     # Same (outer variable, inner column) convention as keys.
     corr_keys: tuple[tuple[str, str], ...] = ()
+    # CORRELATED NOT IN whose inner set is ALSO filtered by one order
+    # comparison against the outer row (round 12): `o.x NOT IN (SELECT
+    # y FROM t WHERE [t.k = o.k AND] t.c < o.d)`. The three per-group
+    # facts the three-valued gate needs (set empty? has NULL y? probe
+    # matched?) each reduce to a threshold test against a per-group
+    # MIN/MAX of c (the executor's corr-threshold branch). Stored as
+    # (op, outer variable, inner column), op oriented
+    # <inner c> op <outer d>, op in < <= > >=. None otherwise.
+    corr_threshold: tuple[str, str, str] | None = None
 
 
 @dataclass
@@ -507,8 +516,28 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                     n_corr_keys += 1
             else:
                 extra_raw.append(rw)
+        def _threshold_of(rw: Cmp):
+            """(op, outer Col, inner col name) for an order-comparison
+            correlated Cmp, op oriented <inner> op <outer>; None when
+            not that shape (<>/equality, or non-Col sides)."""
+            from sparksqlplus_spark.expressions import CMP_FLIP
+
+            if rw.op not in ("<", "<=", ">", ">="):
+                return None
+            pair = _col_sides(rw)
+            if pair is None:
+                return None
+            outer_col, inner_col = pair
+            op = (
+                rw.op
+                if isinstance(rw.left, Col) and rw.left.alias == ""
+                else CMP_FLIP[rw.op]
+            )
+            return (op, outer_col, inner_col.name)
+
         corr_keys: list[tuple[Col, str]] = []
         corr_const_probe = None
+        corr_threshold_raw = None
         if ex.null_aware and ex.negated and n_corr_keys:
             # correlated NOT IN (round 12): `o.x NOT IN (SELECT y FROM
             # t WHERE t.k = o.k)` — the inner SET varies per outer row,
@@ -520,13 +549,28 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             # test_not_in_correlated_where's data). Split the keys by
             # probe provenance; the executor plans per-group stats.
             # Supported: a single-column probe (outer Col or constant)
-            # and no non-equality correlation — wider shapes raise and
-            # ride the spark.sql fallback.
-            if ex.n_probe != 1 or extra_raw or len(keys) - n_corr_keys > 1:
+            # and at most ONE order-comparison correlation (round 12:
+            # `AND t.c < o.d` filters the group per outer row — the
+            # three-valued facts become threshold tests against
+            # per-group extremes, SemiFilter.corr_threshold) — wider
+            # shapes raise and ride the spark.sql fallback.
+            if ex.n_probe != 1 or len(keys) - n_corr_keys > 1:
                 raise UnsupportedSqlError(
                     "row-value NOT IN with a correlated WHERE is not "
                     "planned natively"
                 )
+            if extra_raw:
+                corr_threshold_raw = (
+                    _threshold_of(extra_raw[0])
+                    if len(extra_raw) == 1
+                    else None
+                )
+                if corr_threshold_raw is None:
+                    raise UnsupportedSqlError(
+                        "correlated NOT IN supports at most one "
+                        "order-comparison correlation"
+                    )
+                extra_raw = []
             corr_keys = [k for k, p in zip(keys, key_is_probe) if not p]
             keys = [k for k, p in zip(keys, key_is_probe) if p]
             if not keys:
@@ -627,9 +671,21 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 "EXISTS must correlate with exactly one outer relation"
             )
         if ex.null_aware and ex.negated and extra_raw:
-            raise UnsupportedSqlError(
-                "NOT IN (subquery) supports no extra correlation"
+            # NOT IN whose only extra correlation is one ORDER
+            # comparison (round 12): `o.x NOT IN (SELECT y FROM t
+            # WHERE t.c < o.d)` — the inner set is per-outer-row via
+            # the threshold, so the three-valued facts fold to
+            # threshold tests against GLOBAL extremes (the
+            # corr_keys=() case of the executor's threshold branch).
+            corr_threshold_raw = (
+                _threshold_of(extra_raw[0]) if len(extra_raw) == 1 else None
             )
+            if corr_threshold_raw is None or len(keys) != 1:
+                raise UnsupportedSqlError(
+                    "NOT IN (subquery) supports at most one "
+                    "order-comparison extra correlation"
+                )
+            extra_raw = []
         out_alias = next(iter(outer_aliases))
         rid = alias_rid[out_alias]
         # mark extra conds: outer refs -> ("@o", variable), inner stay ("", col)
@@ -657,6 +713,20 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 const_probe=corr_const_probe,
                 corr_keys=tuple(
                     (var_map[(k.alias, k.name)], ic) for k, ic in corr_keys
+                ),
+                corr_threshold=(
+                    (
+                        corr_threshold_raw[0],
+                        var_map[
+                            (
+                                corr_threshold_raw[1].alias,
+                                corr_threshold_raw[1].name,
+                            )
+                        ],
+                        corr_threshold_raw[2],
+                    )
+                    if corr_threshold_raw is not None
+                    else None
                 ),
             )
         )

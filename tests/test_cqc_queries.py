@@ -1818,6 +1818,104 @@ def test_keyless_noneq_under_or(engine, oracle):
             assert_matches(engine.sql(sql, mode=mode), oracle, sql)
 
 
+def test_correlated_not_in_with_threshold(engine):
+    """Round 12: correlated NOT IN whose inner set is ALSO filtered by
+    one order comparison against the outer row — `o.x NOT IN (SELECT y
+    FROM t WHERE [t.k = o.k AND] t.c OP o.d)` — plans natively via
+    threshold tests against per-group extremes
+    (SemiFilter.corr_threshold; compiler/cqc.py threshold branch).
+    Python brute force as the oracle over a NULL matrix: NULL inner
+    key / y / c, NULL outer key / probe / threshold, empty groups,
+    keyed and keyless-group forms, all four order ops. A <> extra
+    correlation must still raise (fallback contract)."""
+    import operator
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    spark = engine.spark
+    inner = [
+        (1, 1, 1), (1, 2, 5), (1, None, 3),
+        (2, 4, 2), (2, 4, None),
+        (3, None, 1),
+        (None, 9, 1),
+    ]
+    outer = [(i, k, x, d) for i, (k, x, d) in enumerate([
+        (1, 1, 2), (1, 1, 4), (1, 3, 2), (1, 3, 6), (1, None, 2),
+        (1, None, 0), (2, 4, 3), (2, 4, 1), (2, 5, 3), (3, 7, 2),
+        (3, 7, 0), (9, 1, 9), (1, 1, None), (None, 1, 9),
+    ])]
+    ipdf = pd.DataFrame(inner, columns=["ik", "iy", "ic"])
+    opdf = pd.DataFrame(outer, columns=["pk", "k", "x", "d"])
+    engine.catalog.register_df(
+        "ct_inner",
+        spark.createDataFrame(
+            ipdf.astype(object).where(ipdf.notna(), None),
+            "ik int, iy int, ic int",
+        ),
+        (),
+    )
+    engine.catalog.register_df(
+        "ct_outer",
+        spark.createDataFrame(
+            opdf.astype(object).where(opdf.notna(), None),
+            "pk int, k int, x int, d int",
+        ),
+        ("pk",),
+    )
+    ops = {
+        "<": operator.lt, "<=": operator.le,
+        ">": operator.gt, ">=": operator.ge,
+    }
+    try:
+        for op, fn in ops.items():
+            for keyed in (True, False):
+                kc = "i.ik = p.k AND " if keyed else ""
+                q = f"""SELECT p.pk FROM ct_outer AS p
+                        WHERE p.x NOT IN (SELECT i.iy FROM ct_inner AS i
+                                          WHERE {kc}i.ic {op} p.d)"""
+                mine = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
+                )
+                truth = []
+                for pk, k, x, d in outer:
+                    grp = [
+                        iy
+                        for ik, iy, ic in inner
+                        if (
+                            not keyed
+                            or (ik is not None and k is not None and ik == k)
+                        )
+                        and ic is not None
+                        and d is not None
+                        and fn(ic, d)
+                    ]
+                    if not grp:
+                        truth.append(pk)          # empty set -> TRUE
+                    elif x is not None and any(
+                        iy == x for iy in grp if iy is not None
+                    ):
+                        pass                      # matched -> FALSE
+                    elif any(iy is None for iy in grp) or x is None:
+                        pass                      # UNKNOWN
+                    else:
+                        truth.append(pk)
+                assert mine == sorted(truth), (op, keyed, mine, truth)
+        # <> extra correlation stays on the fallback
+        with _pytest.raises(UnsupportedSqlError):
+            engine.sql(
+                """SELECT p.pk FROM ct_outer AS p
+                   WHERE p.x NOT IN (SELECT i.iy FROM ct_inner AS i
+                                     WHERE i.ik = p.k AND i.ic <> p.d)""",
+                mode="cqc",
+            )
+    finally:
+        engine.catalog.unregister("ct_inner")
+        engine.catalog.unregister("ct_outer")
+
+
 def test_rowvalue_not_in_under_or_null_matrix(engine, oracle):
     """Round 10 (r9 verdict item 6): 2-column row-value NOT IN under
     OR — three-valued flag via NULL-pattern-decomposed joins. The
