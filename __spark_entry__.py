@@ -714,6 +714,25 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
             AND o.o_totalprice < c.c_acctbal * 40.0
             AND o.o_orderkey >= c.c_nationkey * 300""",
     ),
+    # --- NEW r12: correlated NOT IN whose inner set is ALSO filtered
+    # by an order comparison against the outer row — each three-valued
+    # fact (set empty / has NULL y / matched) is monotone in the
+    # threshold, so one per-group MIN/MAX per fact decides it
+    # (SemiFilter.corr_threshold; compiler/cqc.py threshold branch;
+    # NULL matrix pytest test_correlated_not_in_with_threshold). Same
+    # SQL is the DuckDB oracle — DuckDB's correlated NOT IN
+    # decorrelation verified correct on the brute-force matrix for
+    # this shape (unlike its <>-EXISTS decorrelation, see the SURVEY
+    # ORACLE WARNING). ---
+    "not_in_threshold": (
+        """SELECT s.s_suppkey, s.s_nationkey
+           FROM supplier AS s
+           WHERE s.s_nationkey NOT IN (
+             SELECT l.l_linenumber FROM lineitem AS l
+             WHERE l.l_suppkey = s.s_suppkey
+               AND l.l_quantity < s.s_acctbal / 200.0)""",
+        None,
+    ),
     # --- NEW r11: [LEFT] SEMI/ANTI JOIN syntax (Spark's own join
     # types; previously crashed the parser). Both arms desugar in
     # parser/sql.py:_semi_anti_join_tail to the same Exists node as
@@ -2637,35 +2656,13 @@ FROM ranked GROUP BY doc_id
 """
 
 
-def _split_assign_q(spark, sf_dir):
-    """Deterministic disjoint train/val/test split (operators/
-    sampling.py:split_assign): h52(seed || id) bucket vs cumulative
-    fraction boundaries in sorted-name order — map-only, stable under
-    corpus growth, bit-reproducible in DuckDB."""
-    from sparksqlplus_spark.operators.sampling import split_assign
-
-    eng = _engine(spark, sf_dir)
-    docs = eng.catalog.get("documents").df
-    return split_assign(
-        docs, "doc_id", {"test": 0.1, "train": 0.8, "val": 0.1}, seed="r8"
-    ).select("doc_id", "lang", "split")
-
-
-def _split_assign_oracle() -> str:
-    # mirror split_assign's boundary arithmetic EXACTLY (int(cum*SCALE)
-    # over float-accumulated cums) so the thresholds match bit-for-bit
-    from sparksqlplus_spark.operators.sampling import SCALE
-
-    splits = {"test": 0.1, "train": 0.8, "val": 0.1}
-    names = sorted(splits)
-    h = _D_H52.format(s="('r8' || CAST(doc_id AS VARCHAR))")
-    cum = 0.0
-    whens = []
-    for name in names[:-1]:
-        cum += splits[name]
-        whens.append(f"WHEN {h} % {SCALE} < {int(cum * SCALE)} THEN '{name}'")
-    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
-    return f"SELECT doc_id, lang, {case} AS split FROM documents"
+# (r12 consolidation, paired with the not_in_threshold addition: the
+# sample_split_assign driver entry retired — its md5-bucket-vs-boundary
+# arithmetic is the same _bucket expression class the surviving
+# sample_stratified and weighted_sample_topk entries oracle-check, and
+# tests/test_operators.py::test_split_assign_partition keeps the
+# operator itself covered (disjointness, determinism, fraction targets)
+# every pytest pass. operators/sampling.py:split_assign is unchanged.)
 
 
 def _centroid_assign_q(spark, sf_dir):
@@ -2856,7 +2853,9 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "events_sessionize": (_sessionize_q, _SESSIONIZE_ORACLE),
     "embed_kmeans": (_kmeans_q, _kmeans_oracle()),
     "dedup_paragraph": (_paragraph_dedup_q, _PARAGRAPH_DEDUP_ORACLE),
-    "sample_split_assign": (_split_assign_q, _split_assign_oracle()),
+    # (r12 consolidation: sample_split_assign retired — see the note
+    # at its former definition site; slot freed for the
+    # not_in_threshold entry in _SQL_CASES.)
     "embed_centroid_assign": (_centroid_assign_q, _CENTROID_ASSIGN_ORACLE),
     "text_unigram_freq": (_unigram_freq_q, _UNIGRAM_FREQ_ORACLE),
     "graph_dense_auto_ghd": (_dense_auto_ghd_q, _ora_dense(_DENSE_TRI_SQL)),
@@ -3002,7 +3001,10 @@ _HEAD = [
     "inner_after_outer_join",
     "corr_count_arith",
     "select_scalar_agg",
-    "sample_split_assign",
+    # not_in_threshold takes the slot freed by the sample_split_assign
+    # retirement (r12 in-round consolidation): the threshold-correlated
+    # NOT IN planner surface gets its driver row the same round it lands.
+    "not_in_threshold",
     "embed_centroid_assign",
     "window_frame_movavg",
 ]

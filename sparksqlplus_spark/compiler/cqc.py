@@ -124,11 +124,12 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
             ">=": lambda a, b: a >= b,
         }[t_op]
         best = F.min if t_op in ("<", "<=") else F.max
+        # the outer threshold is an outer-only EXPRESSION whose
+        # ("@o", variable) refs resolve against the outer frame
+        thr = t_outer.to_spark({r: r[1] for r in t_outer.refs()})
 
         def within(name):
-            return F.coalesce(
-                cmpfn(F.col(name), F.col(t_outer)), F.lit(False)
-            )
+            return F.coalesce(cmpfn(F.col(name), thr), F.lit(False))
 
         corr = sf.corr_keys
         gref = [

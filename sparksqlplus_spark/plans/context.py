@@ -159,9 +159,10 @@ class SemiFilter:
     # facts the three-valued gate needs (set empty? has NULL y? probe
     # matched?) each reduce to a threshold test against a per-group
     # MIN/MAX of c (the executor's corr-threshold branch). Stored as
-    # (op, outer variable, inner column), op oriented
-    # <inner c> op <outer d>, op in < <= > >=. None otherwise.
-    corr_threshold: tuple[str, str, str] | None = None
+    # (op, outer-only Expr with ("@o", variable) refs, inner column),
+    # op oriented <inner c> op <outer d>, op in < <= > >=. None
+    # otherwise.
+    corr_threshold: tuple | None = None
 
 
 @dataclass
@@ -481,6 +482,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             return None
 
         n_corr_keys = 0  # equality keys NOT from the probe conjuncts
+        corr_conds: list[tuple[int, Cond, set]] = []
         for idx, c in enumerate(ex.conds):
             sides, rw = _resolve(c)
             if sides <= {"inner"}:
@@ -497,12 +499,54 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 # ride the fallback
                 rest.append(rw)
                 continue
+            corr_conds.append((idx, rw, sides))
+
+        def _threshold_of(rw):
+            """(op, outer-only Expr, inner col name) for an
+            order-comparison correlated Cmp with a BARE inner column
+            on one side and an outer-only expression on the other, op
+            oriented <inner> op <outer>; None when not that shape
+            (<>/equality, expression inner side)."""
+            from sparksqlplus_spark.expressions import CMP_FLIP
+
+            if not isinstance(rw, Cmp) or rw.op not in ("<", "<=", ">", ">="):
+                return None
+
+            def _inner_col(side):
+                return isinstance(side, Col) and side.alias == ""
+
+            def _outer_only(side):
+                refs = side.refs()
+                return bool(refs) and all(a != "" for a, _ in refs)
+
+            if _inner_col(rw.left) and _outer_only(rw.right):
+                return (rw.op, rw.right, rw.left.name)
+            if _inner_col(rw.right) and _outer_only(rw.left):
+                return (CMP_FLIP[rw.op], rw.left, rw.right.name)
+            return None
+
+        for idx, rw, sides in corr_conds:
             pair = (
                 _col_sides(rw)
                 if isinstance(rw, Cmp) and sides == {"inner", "outer"}
                 else None
             )
             if pair is None:
+                # an order comparison against an outer-only EXPRESSION
+                # is admissible for the NOT IN threshold path (round
+                # 12) — keep it raw for the gate sites below; every
+                # other non-Col-Col correlation raises (fallback)
+                if (
+                    ex.null_aware
+                    and ex.negated
+                    and sides == {"inner", "outer"}
+                    and _threshold_of(rw) is not None
+                ):
+                    outer_aliases.update(
+                        a for a, _ in rw.refs() if a != ""
+                    )
+                    extra_raw.append(rw)
+                    continue
                 raise UnsupportedSqlError(
                     "EXISTS supports inner-local predicates and Col-Col "
                     "correlation only"
@@ -516,24 +560,6 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                     n_corr_keys += 1
             else:
                 extra_raw.append(rw)
-        def _threshold_of(rw: Cmp):
-            """(op, outer Col, inner col name) for an order-comparison
-            correlated Cmp, op oriented <inner> op <outer>; None when
-            not that shape (<>/equality, or non-Col sides)."""
-            from sparksqlplus_spark.expressions import CMP_FLIP
-
-            if rw.op not in ("<", "<=", ">", ">="):
-                return None
-            pair = _col_sides(rw)
-            if pair is None:
-                return None
-            outer_col, inner_col = pair
-            op = (
-                rw.op
-                if isinstance(rw.left, Col) and rw.left.alias == ""
-                else CMP_FLIP[rw.op]
-            )
-            return (op, outer_col, inner_col.name)
 
         corr_keys: list[tuple[Col, str]] = []
         corr_const_probe = None
@@ -717,12 +743,13 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 corr_threshold=(
                     (
                         corr_threshold_raw[0],
-                        var_map[
-                            (
-                                corr_threshold_raw[1].alias,
-                                corr_threshold_raw[1].name,
-                            )
-                        ],
+                        rewrite_refs(
+                            corr_threshold_raw[1],
+                            {
+                                (a, c): ("@o", var_map[(a, c)])
+                                for a, c in corr_threshold_raw[1].refs()
+                            },
+                        ),
                         corr_threshold_raw[2],
                     )
                     if corr_threshold_raw is not None

@@ -1903,6 +1903,31 @@ def test_correlated_not_in_with_threshold(engine):
                     else:
                         truth.append(pk)
                 assert mine == sorted(truth), (op, keyed, mine, truth)
+        # the outer threshold side may be any outer-only EXPRESSION
+        q = """SELECT p.pk FROM ct_outer AS p
+               WHERE p.x NOT IN (SELECT i.iy FROM ct_inner AS i
+                                 WHERE i.ik = p.k
+                                   AND i.ic < p.d * 2 - 1)"""
+        mine = sorted(r["pk"] for r in engine.sql(q, mode="cqc").collect())
+        truth = []
+        for pk, k, x, d in outer:
+            grp = [
+                iy
+                for ik, iy, ic in inner
+                if ik is not None and k is not None and ik == k
+                and ic is not None and d is not None and ic < d * 2 - 1
+            ]
+            if not grp:
+                truth.append(pk)
+            elif x is not None and any(
+                iy == x for iy in grp if iy is not None
+            ):
+                pass
+            elif any(iy is None for iy in grp) or x is None:
+                pass
+            else:
+                truth.append(pk)
+        assert mine == sorted(truth), (mine, truth)
         # <> extra correlation stays on the fallback
         with _pytest.raises(UnsupportedSqlError):
             engine.sql(
