@@ -1105,11 +1105,26 @@ class SparkSQLPlus:
                 # semantics (the inner set must be per-group). A
                 # single-column probe plans natively through the
                 # grouped-stats flag; wider shapes ride the fallback.
-                if noneq or ex.n_probe != 1 or len(keys) - n_corr_keys > 1:
+                threshold = None
+                if noneq:
+                    # round 12 (mirrors build_context's top-level
+                    # threshold path): at most ONE order comparison —
+                    # the three-valued facts fold to threshold tests
+                    # against per-group extremes
+                    if len(noneq) == 1 and noneq[0][0] in (
+                        "<", "<=", ">", ">=",
+                    ):
+                        threshold = noneq[0]
+                    else:
+                        raise UnsupportedSqlError(
+                            "row-value / non-equality NOT IN with a "
+                            "correlated WHERE under OR is not planned "
+                            "natively"
+                        )
+                if ex.n_probe != 1 or len(keys) - n_corr_keys > 1:
                     raise UnsupportedSqlError(
-                        "row-value / non-equality NOT IN with a "
-                        "correlated WHERE under OR is not planned "
-                        "natively"
+                        "row-value NOT IN with a correlated WHERE "
+                        "under OR is not planned natively"
                     )
                 n_probe_keys = len(keys) - n_corr_keys
                 return self._correlated_not_in_or_flag(
@@ -1119,6 +1134,7 @@ class SparkSQLPlus:
                     inner_only,
                     spec,
                     ephemeral,
+                    threshold=threshold,
                 )
             if noneq:
                 # round 10 (r9 verdict item 8): ONE non-equality
@@ -1998,7 +2014,8 @@ class SparkSQLPlus:
         return CaseWhen(((witness, hit),), miss)
 
     def _correlated_not_in_or_flag(
-        self, ex, probe_pair, corr, inner_only, spec, ephemeral
+        self, ex, probe_pair, corr, inner_only, spec, ephemeral,
+        threshold=None,
     ):
         """Correlated NOT IN under OR (round 12, r11 verdict item 7):
         ``P OR o.x NOT IN (SELECT y FROM t WHERE t.k = o.k AND ...)``
@@ -2056,6 +2073,11 @@ class SparkSQLPlus:
         gsel: dict[str, str] = {}
         for _, icol in corr:
             gsel.setdefault(icol, f"__cg{len(gsel)}")
+        if threshold is not None:
+            return self._corr_not_in_threshold_or(
+                inner, gsel, corr, probe_outer, probe_icol, threshold,
+                spec, ephemeral,
+            )
         stats = inner.groupBy(
             *[F.col(icol).alias(out) for icol, out in gsel.items()]
         ).agg(
@@ -2114,6 +2136,120 @@ class SparkSQLPlus:
                     Cmp("<", Col(salias, "__cnn"), Col(salias, "__cn")),
                     Lit(None, "null"),
                 ),
+                (IsNull(probe_outer), Lit(None, "null")),
+            ),
+            Lit(True, "boolean"),
+        )
+
+    def _corr_not_in_threshold_or(
+        self, inner, gsel, corr, probe_outer, probe_icol, threshold,
+        spec, ephemeral,
+    ):
+        """Correlated NOT IN under OR whose inner set is ALSO filtered
+        by one order comparison against the outer row (round 12 — the
+        OR sibling of the top-level SemiFilter.corr_threshold branch):
+        ``P OR o.x NOT IN (SELECT y FROM t WHERE t.k = o.k AND
+        t.c OP o.d)``. Each three-valued fact is monotone in the
+        threshold, so the flag views carry extremes instead of counts:
+
+          set empty(o)   <=> group miss, best(c) outside OP o.d, or a
+                             NULL o.d (c OP NULL is UNKNOWN rowwise)
+          has NULL y(o)  <=> best(c | y NULL)  OP o.d
+          matched(o)     <=> best(c | y = x)   OP o.d
+
+        Flag order: empty -> TRUE; matched -> FALSE; in-threshold NULL
+        y or NULL probe -> UNKNOWN; else TRUE. Views stay one row per
+        key / per (key, y) — the LEFT joins never duplicate."""
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import (
+            CaseWhen,
+            Cmp,
+            Col,
+            IsNull,
+            Lit,
+            OrCond,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+
+        t_op, d_expr, c_col = threshold
+        complement = {"<": ">=", "<=": ">", ">": "<=", ">=": "<"}[t_op]
+        best = F.min if t_op in ("<", "<=") else F.max
+        inner_t = inner.filter(F.col(c_col).isNotNull())
+        const_probe = not probe_outer.refs()
+        gcols = [F.col(icol).alias(out) for icol, out in gsel.items()]
+        aggs = [
+            best(c_col).alias("__ba"),
+            best(
+                F.when(F.col(probe_icol).isNull(), F.col(c_col))
+            ).alias("__bn"),
+        ]
+        if const_probe:
+            pl = probe_outer.to_spark({})
+            aggs.append(
+                best(
+                    F.when(F.col(probe_icol) == pl, F.col(c_col))
+                ).alias("__bm")
+            )
+        stats = inner_t.groupBy(*gcols).agg(*aggs)
+        self._view_counter += 1
+        sname = f"__corrs{self._view_counter}"
+        self.catalog.register_df(sname, stats, tuple(gsel.values()))
+        ephemeral.append(sname)
+        salias = f"{sname}_i"
+        spec.outer_joins.append(
+            OuterJoin(
+                item=FromItem(alias=salias, table=sname),
+                conds=[
+                    Cmp("=", oc, Col(salias, gsel[icol]))
+                    for oc, icol in corr
+                ],
+                side="left",
+            )
+        )
+        if const_probe:
+            bm_col = Col(salias, "__bm")
+        else:
+            match = (
+                inner_t.filter(F.col(probe_icol).isNotNull())
+                .groupBy(
+                    *[F.col(icol).alias(out) for icol, out in gsel.items()],
+                    F.col(probe_icol).alias("__cmp"),
+                )
+                .agg(best(c_col).alias("__bm"))
+            )
+            self._view_counter += 1
+            mname = f"__corrm{self._view_counter}"
+            self.catalog.register_df(
+                mname, match, (*gsel.values(), "__cmp")
+            )
+            ephemeral.append(mname)
+            malias = f"{mname}_i"
+            spec.outer_joins.append(
+                OuterJoin(
+                    item=FromItem(alias=malias, table=mname),
+                    conds=[
+                        Cmp("=", oc, Col(malias, gsel[icol]))
+                        for oc, icol in corr
+                    ]
+                    + [Cmp("=", probe_outer, Col(malias, "__cmp"))],
+                    side="left",
+                )
+            )
+            bm_col = Col(malias, "__bm")
+        ba = Col(salias, "__ba")
+        bn = Col(salias, "__bn")
+        return CaseWhen(
+            (
+                (IsNull(ba), Lit(True, "boolean")),
+                (
+                    OrCond(
+                        (Cmp(complement, ba, d_expr), IsNull(d_expr))
+                    ),
+                    Lit(True, "boolean"),
+                ),
+                (Cmp(t_op, bm_col, d_expr), Lit(False, "boolean")),
+                (Cmp(t_op, bn, d_expr), Lit(None, "null")),
                 (IsNull(probe_outer), Lit(None, "null")),
             ),
             Lit(True, "boolean"),

@@ -1941,6 +1941,90 @@ def test_correlated_not_in_with_threshold(engine):
         engine.catalog.unregister("ct_outer")
 
 
+def test_correlated_not_in_threshold_under_or(engine):
+    """Round 12: the OR composition of the threshold-correlated NOT IN
+    (api._corr_not_in_threshold_or) — extreme-carrying flag views with
+    a three-valued CaseWhen. Python brute force as the oracle; column
+    AND constant probes, all four order ops, the same NULL matrix as
+    the top-level test."""
+    import operator
+
+    import pandas as pd
+
+    spark = engine.spark
+    inner = [
+        (1, 1, 1), (1, 2, 5), (1, None, 3),
+        (2, 4, 2), (2, 4, None),
+        (3, None, 1),
+        (None, 9, 1),
+    ]
+    outer = [(i, k, x, d) for i, (k, x, d) in enumerate([
+        (1, 1, 2), (1, 1, 4), (1, 3, 2), (1, 3, 6), (1, None, 2),
+        (1, None, 0), (2, 4, 3), (2, 4, 1), (2, 5, 3), (3, 7, 2),
+        (3, 7, 0), (9, 1, 9), (1, 1, None), (None, 1, 9),
+    ])]
+    ipdf = pd.DataFrame(inner, columns=["ik", "iy", "ic"])
+    opdf = pd.DataFrame(outer, columns=["pk", "k", "x", "d"])
+    engine.catalog.register_df(
+        "ot_inner",
+        spark.createDataFrame(
+            ipdf.astype(object).where(ipdf.notna(), None),
+            "ik int, iy int, ic int",
+        ),
+        (),
+    )
+    engine.catalog.register_df(
+        "ot_outer",
+        spark.createDataFrame(
+            opdf.astype(object).where(opdf.notna(), None),
+            "pk int, k int, x int, d int",
+        ),
+        ("pk",),
+    )
+    ops = {
+        "<": operator.lt, "<=": operator.le,
+        ">": operator.gt, ">=": operator.ge,
+    }
+    try:
+        for op, fn in ops.items():
+            for probe_kind in ("col", "const"):
+                px = "p.x" if probe_kind == "col" else "4"
+                q = f"""SELECT p.pk FROM ot_outer AS p
+                        WHERE p.pk = 0 OR {px} NOT IN (
+                          SELECT i.iy FROM ot_inner AS i
+                          WHERE i.ik = p.k AND i.ic {op} p.d)"""
+                mine = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
+                )
+                truth = []
+                for pk, k, x, d in outer:
+                    xval = x if probe_kind == "col" else 4
+                    grp = [
+                        iy
+                        for ik, iy, ic in inner
+                        if ik is not None and k is not None and ik == k
+                        and ic is not None and d is not None and fn(ic, d)
+                    ]
+                    if not grp:
+                        flag = True
+                    elif xval is not None and any(
+                        iy == xval for iy in grp if iy is not None
+                    ):
+                        flag = False
+                    elif any(iy is None for iy in grp) or xval is None:
+                        flag = None
+                    else:
+                        flag = True
+                    if pk == 0 or flag is True:
+                        truth.append(pk)
+                assert mine == sorted(truth), (
+                    op, probe_kind, mine, truth,
+                )
+    finally:
+        engine.catalog.unregister("ot_inner")
+        engine.catalog.unregister("ot_outer")
+
+
 def test_rowvalue_not_in_under_or_null_matrix(engine, oracle):
     """Round 10 (r9 verdict item 6): 2-column row-value NOT IN under
     OR — three-valued flag via NULL-pattern-decomposed joins. The
