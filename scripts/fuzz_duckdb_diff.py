@@ -165,7 +165,11 @@ def gen(rng: random.Random) -> str:
             f"AND i.{i_key} {c1} {n1 * 3})"
         )
     if kind == 4:
-        # NOT IN: correlated / uncorrelated / const probe; maybe under OR
+        # NOT IN: correlated / uncorrelated / const probe; maybe under
+        # OR; maybe with an ORDER-comparison threshold filtering the
+        # correlated inner set (round 12 native path — DuckDB's
+        # correlated NOT IN decorrelation verified correct for this
+        # shape on the brute-force matrix, unlike its <>-EXISTS form)
         inner_t = rng.choice([x for x in TABLES if x != t])
         i_ints, _, i_key = COLS[inner_t]
         ic = rng.choice(i_ints)
@@ -175,6 +179,13 @@ def gen(rng: random.Random) -> str:
             if rng.random() < 0.6
             else f" WHERE i.{i_key} {c1} {n1 * 2}"
         )
+        if rng.random() < 0.35:
+            thr_op = rng.choice(["<", "<=", ">", ">="])
+            corr += (
+                f" AND i.{rng.choice(i_ints)} {thr_op} "
+                f"o.{rng.choice(ints)} {rng.choice(['+', '*'])} "
+                f"{rng.randint(1, 5)}"
+            )
         pred = f"{probe} NOT IN (SELECT i.{ic} FROM {inner_t} AS i{corr})"
         if rng.random() < 0.4:
             pred = f"o.{g} {c1} {n1} OR {pred}"
