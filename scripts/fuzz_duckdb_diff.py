@@ -180,7 +180,10 @@ def gen(rng: random.Random) -> str:
             else f" WHERE i.{i_key} {c1} {n1 * 2}"
         )
         if rng.random() < 0.35:
-            thr_op = rng.choice(["<", "<=", ">", ">="])
+            # <> included: DuckDB's correlated NOT IN decorrelation is
+            # correct for the <>-filtered shape too (matrix-verified),
+            # unlike its <>-EXISTS decorrelation
+            thr_op = rng.choice(["<", "<=", ">", ">=", "<>"])
             corr += (
                 f" AND i.{rng.choice(i_ints)} {thr_op} "
                 f"o.{rng.choice(ints)} {rng.choice(['+', '*'])} "

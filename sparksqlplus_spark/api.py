@@ -1108,18 +1108,19 @@ class SparkSQLPlus:
                 threshold = None
                 if noneq:
                     # round 12 (mirrors build_context's top-level
-                    # threshold path): at most ONE order comparison —
-                    # the three-valued facts fold to threshold tests
-                    # against per-group extremes
+                    # threshold path): at most ONE non-equality
+                    # comparison — order ops fold the three-valued
+                    # facts to per-group extreme tests, <> to a
+                    # distinct-count + unique-value test
                     if len(noneq) == 1 and noneq[0][0] in (
-                        "<", "<=", ">", ">=",
+                        "<", "<=", ">", ">=", "<>",
                     ):
                         threshold = noneq[0]
                     else:
                         raise UnsupportedSqlError(
-                            "row-value / non-equality NOT IN with a "
-                            "correlated WHERE under OR is not planned "
-                            "natively"
+                            "row-value / multi-comparison NOT IN with "
+                            "a correlated WHERE under OR is not "
+                            "planned natively"
                         )
                 if ex.n_probe != 1 or len(keys) - n_corr_keys > 1:
                     raise UnsupportedSqlError(
@@ -2173,24 +2174,42 @@ class SparkSQLPlus:
         from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
 
         t_op, d_expr, c_col = threshold
-        complement = {"<": ">=", "<=": ">", ">": "<=", ">=": "<"}[t_op]
-        best = F.min if t_op in ("<", "<=") else F.max
+        neq = t_op == "<>"
+        if neq:
+            # c <> d facts: the subset qualifies iff it has >= 2
+            # DISTINCT c values (one must differ from any non-NULL d)
+            # or its unique c differs — per subset carry
+            # (count_distinct(c), min(c))
+            def aggs_of(pred, tag):
+                cval = (
+                    F.when(pred, F.col(c_col)) if pred is not None
+                    else F.col(c_col)
+                )
+                return [
+                    F.count_distinct(cval).alias(f"{tag}c"),
+                    F.min(cval).alias(f"{tag}v"),
+                ]
+
+        else:
+            best = F.min if t_op in ("<", "<=") else F.max
+
+            def aggs_of(pred, tag):
+                cval = (
+                    F.when(pred, F.col(c_col)) if pred is not None
+                    else F.col(c_col)
+                )
+                return [best(cval).alias(f"{tag}v")]
+
         inner_t = inner.filter(F.col(c_col).isNotNull())
         const_probe = not probe_outer.refs()
         gcols = [F.col(icol).alias(out) for icol, out in gsel.items()]
         aggs = [
-            best(c_col).alias("__ba"),
-            best(
-                F.when(F.col(probe_icol).isNull(), F.col(c_col))
-            ).alias("__bn"),
+            *aggs_of(None, "__a"),
+            *aggs_of(F.col(probe_icol).isNull(), "__n"),
         ]
         if const_probe:
             pl = probe_outer.to_spark({})
-            aggs.append(
-                best(
-                    F.when(F.col(probe_icol) == pl, F.col(c_col))
-                ).alias("__bm")
-            )
+            aggs += aggs_of(F.col(probe_icol) == pl, "__m")
         stats = inner_t.groupBy(*gcols).agg(*aggs)
         self._view_counter += 1
         sname = f"__corrs{self._view_counter}"
@@ -2208,7 +2227,7 @@ class SparkSQLPlus:
             )
         )
         if const_probe:
-            bm_col = Col(salias, "__bm")
+            m_alias = salias
         else:
             match = (
                 inner_t.filter(F.col(probe_icol).isNotNull())
@@ -2216,7 +2235,7 @@ class SparkSQLPlus:
                     *[F.col(icol).alias(out) for icol, out in gsel.items()],
                     F.col(probe_icol).alias("__cmp"),
                 )
-                .agg(best(c_col).alias("__bm"))
+                .agg(*aggs_of(None, "__m"))
             )
             self._view_counter += 1
             mname = f"__corrm{self._view_counter}"
@@ -2236,20 +2255,60 @@ class SparkSQLPlus:
                     side="left",
                 )
             )
-            bm_col = Col(malias, "__bm")
-        ba = Col(salias, "__ba")
-        bn = Col(salias, "__bn")
+            m_alias = malias
+
+        from sparksqlplus_spark.expressions import AndCond
+
+        if neq:
+            def fact(alias, tag):
+                # subset qualifies vs a non-NULL d (earlier branches
+                # handle NULL d); join-miss columns yield UNKNOWN,
+                # which CaseWhen skips
+                return OrCond(
+                    (
+                        Cmp(
+                            ">=",
+                            Col(alias, f"{tag}c"),
+                            Lit(2, "int"),
+                        ),
+                        Cmp("<>", Col(alias, f"{tag}v"), d_expr),
+                    )
+                )
+
+            empty = OrCond(
+                (
+                    IsNull(d_expr),
+                    Cmp("=", Col(salias, "__ac"), Lit(0, "int")),
+                    AndCond(
+                        (
+                            Cmp("=", Col(salias, "__ac"), Lit(1, "int")),
+                            Cmp("=", Col(salias, "__av"), d_expr),
+                        )
+                    ),
+                )
+            )
+            group_probe = Col(salias, "__ac")
+        else:
+            complement = {
+                "<": ">=", "<=": ">", ">": "<=", ">=": "<",
+            }[t_op]
+
+            def fact(alias, tag):
+                return Cmp(t_op, Col(alias, f"{tag}v"), d_expr)
+
+            empty = OrCond(
+                (
+                    Cmp(complement, Col(salias, "__av"), d_expr),
+                    IsNull(d_expr),
+                )
+            )
+            group_probe = Col(salias, "__av")
         return CaseWhen(
             (
-                (IsNull(ba), Lit(True, "boolean")),
-                (
-                    OrCond(
-                        (Cmp(complement, ba, d_expr), IsNull(d_expr))
-                    ),
-                    Lit(True, "boolean"),
-                ),
-                (Cmp(t_op, bm_col, d_expr), Lit(False, "boolean")),
-                (Cmp(t_op, bn, d_expr), Lit(None, "null")),
+                (IsNull(group_probe), Lit(True, "boolean")),
+                (empty, Lit(True, "boolean")),
+                (fact(m_alias, "__m"), Lit(False, "boolean")),
+                (fact(salias, "__n"), Lit(None, "null")),
                 (IsNull(probe_outer), Lit(None, "null")),
             ),
             Lit(True, "boolean"),

@@ -117,19 +117,65 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
         # column pinned) — no join duplicates; with no group keys the
         # stats view is ONE global row, broadcast.
         t_op, t_outer, t_col = sf.corr_threshold
-        cmpfn = {
-            "<": lambda a, b: a < b,
-            "<=": lambda a, b: a <= b,
-            ">": lambda a, b: a > b,
-            ">=": lambda a, b: a >= b,
-        }[t_op]
-        best = F.min if t_op in ("<", "<=") else F.max
         # the outer threshold is an outer-only EXPRESSION whose
         # ("@o", variable) refs resolve against the outer frame
         thr = t_outer.to_spark({r: r[1] for r in t_outer.refs()})
+        neq = t_op == "<>"
+        if neq:
+            # c <> d: the subset contains a qualifying row iff it has
+            # >= 2 DISTINCT c values (one must differ from any d) or
+            # its unique c differs; a NULL d qualifies nothing
+            def aggs_of(pred, tag):
+                cval = (
+                    F.when(pred, F.col(t_col)) if pred is not None
+                    else F.col(t_col)
+                )
+                return [
+                    F.count_distinct(cval).alias(f"{tag}c"),
+                    F.min(cval).alias(f"{tag}v"),
+                ]
 
-        def within(name):
-            return F.coalesce(cmpfn(F.col(name), thr), F.lit(False))
+            def within(tag):
+                return F.coalesce(
+                    thr.isNotNull()
+                    & (
+                        (F.col(f"{tag}c") >= 2)
+                        | (F.col(f"{tag}v") != thr)
+                    ),
+                    F.lit(False),
+                )
+
+            def miss(tag):
+                return F.col(f"{tag}c").isNull() | ~within(tag)
+
+            def cols_of(tag):
+                return [f"{tag}c", f"{tag}v"]
+        else:
+            cmpfn = {
+                "<": lambda a, b: a < b,
+                "<=": lambda a, b: a <= b,
+                ">": lambda a, b: a > b,
+                ">=": lambda a, b: a >= b,
+            }[t_op]
+            best = F.min if t_op in ("<", "<=") else F.max
+
+            def aggs_of(pred, tag):
+                cval = (
+                    F.when(pred, F.col(t_col)) if pred is not None
+                    else F.col(t_col)
+                )
+                return [best(cval).alias(f"{tag}v")]
+
+            def within(tag):
+                return F.coalesce(
+                    cmpfn(F.col(f"{tag}v"), thr), F.lit(False)
+                )
+
+            def miss(tag):
+                return F.col(f"{tag}v").isNull() | ~within(tag)
+
+            def cols_of(tag):
+                return [f"{tag}v"]
 
         corr = sf.corr_keys
         gref = [
@@ -138,17 +184,15 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
         ]
         gcols = [f"{prefix}_g{i}" for i in range(len(corr))]
         inner_t = inner.filter(F.col(t_col).isNotNull())
-        ba, bn, bm = f"{prefix}_ba", f"{prefix}_bn", f"{prefix}_bm"
-        helper = [ba, bn, *gcols]
+        ta, tn, tm = f"{prefix}_a", f"{prefix}_nl", f"{prefix}_mt"
+        helper = cols_of(ta) + cols_of(tn) + gcols
         if sf.const_probe is not None:
             probe_lit, ic = sf.const_probe
             pl = probe_lit.to_spark({})
             stats = inner_t.groupBy(*gref).agg(
-                best(t_col).alias(ba),
-                best(
-                    F.when(F.col(ic).isNull(), F.col(t_col))
-                ).alias(bn),
-                best(F.when(F.col(ic) == pl, F.col(t_col))).alias(bm),
+                *aggs_of(None, ta),
+                *aggs_of(F.col(ic).isNull(), tn),
+                *aggs_of(F.col(ic) == pl, tm),
             )
             out = (
                 df.join(
@@ -166,14 +210,12 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
                 else df.join(F.broadcast(stats), how="cross")
             )
             probe_ok = pl.isNotNull()
-            helper.append(bm)
+            helper += cols_of(tm)
         else:
             (ov_p, ic), = sf.keys  # single-column probe (validated)
             stats = inner_t.groupBy(*gref).agg(
-                best(t_col).alias(ba),
-                best(
-                    F.when(F.col(ic).isNull(), F.col(t_col))
-                ).alias(bn),
+                *aggs_of(None, ta),
+                *aggs_of(F.col(ic).isNull(), tn),
             )
             out = (
                 df.join(
@@ -200,7 +242,7 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
                     ],
                     F.col(ic).alias(f"{prefix}_mp"),
                 )
-                .agg(best(t_col).alias(bm))
+                .agg(*aggs_of(None, tm))
             )
             mon = functools.reduce(
                 lambda a, b: a & b,
@@ -212,10 +254,10 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
             )
             out = out.join(match, mon, "left")
             probe_ok = F.col(ov_p).isNotNull()
-            helper += [bm, f"{prefix}_mp", *mcols]
-        set_empty = F.col(ba).isNull() | ~within(ba)
-        no_null = F.col(bn).isNull() | ~within(bn)
-        no_match = F.col(bm).isNull() | ~within(bm)
+            helper += cols_of(tm) + [f"{prefix}_mp", *mcols]
+        set_empty = miss(ta)
+        no_null = miss(tn)
+        no_match = miss(tm)
         keep = set_empty | (no_match & no_null & probe_ok)
         return out.filter(keep).drop(*helper)
     if sf.corr_keys:

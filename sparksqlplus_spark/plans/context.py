@@ -160,8 +160,9 @@ class SemiFilter:
     # matched?) each reduce to a threshold test against a per-group
     # MIN/MAX of c (the executor's corr-threshold branch). Stored as
     # (op, outer-only Expr with ("@o", variable) refs, inner column),
-    # op oriented <inner c> op <outer d>, op in < <= > >=. None
-    # otherwise.
+    # op oriented <inner c> op <outer d>, op in < <= > >= <> (order
+    # ops test a MIN/MAX per fact; <> tests a distinct-count +
+    # unique-value pair). None otherwise.
     corr_threshold: tuple | None = None
 
 
@@ -502,14 +503,18 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             corr_conds.append((idx, rw, sides))
 
         def _threshold_of(rw):
-            """(op, outer-only Expr, inner col name) for an
-            order-comparison correlated Cmp with a BARE inner column
-            on one side and an outer-only expression on the other, op
-            oriented <inner> op <outer>; None when not that shape
-            (<>/equality, expression inner side)."""
+            """(op, outer-only Expr, inner col name) for a correlated
+            non-equality Cmp with a BARE inner column on one side and
+            an outer-only expression on the other, op oriented
+            <inner> op <outer>; None when not that shape (equality,
+            expression inner side). Order ops reduce the three-valued
+            facts to per-group MIN/MAX tests; <> to a distinct-count +
+            unique-value test (compiler/cqc.py threshold branch)."""
             from sparksqlplus_spark.expressions import CMP_FLIP
 
-            if not isinstance(rw, Cmp) or rw.op not in ("<", "<=", ">", ">="):
+            if not isinstance(rw, Cmp) or rw.op not in (
+                "<", "<=", ">", ">=", "<>",
+            ):
                 return None
 
             def _inner_col(side):

@@ -1868,6 +1868,8 @@ def test_correlated_not_in_with_threshold(engine):
     ops = {
         "<": operator.lt, "<=": operator.le,
         ">": operator.gt, ">=": operator.ge,
+        # <> folds to a distinct-count + unique-value fact (round 12)
+        "<>": operator.ne,
     }
     try:
         for op, fn in ops.items():
@@ -1928,12 +1930,13 @@ def test_correlated_not_in_with_threshold(engine):
             else:
                 truth.append(pk)
         assert mine == sorted(truth), (mine, truth)
-        # <> extra correlation stays on the fallback
+        # TWO extra correlations stay on the fallback
         with _pytest.raises(UnsupportedSqlError):
             engine.sql(
                 """SELECT p.pk FROM ct_outer AS p
                    WHERE p.x NOT IN (SELECT i.iy FROM ct_inner AS i
-                                     WHERE i.ik = p.k AND i.ic <> p.d)""",
+                                     WHERE i.ik = p.k AND i.ic <> p.d
+                                       AND i.ic < p.d + 10)""",
                 mode="cqc",
             )
     finally:
@@ -1984,6 +1987,7 @@ def test_correlated_not_in_threshold_under_or(engine):
     ops = {
         "<": operator.lt, "<=": operator.le,
         ">": operator.gt, ">=": operator.ge,
+        "<>": operator.ne,
     }
     try:
         for op, fn in ops.items():
