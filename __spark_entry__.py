@@ -2937,15 +2937,18 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 #
 # r12 layout (total 100 = 50 head + 50 tail): the full r11 tail
 # rotates back into the head (standing policy — no entry sits
-# driver-unchecked 2+ rounds), with TWO slots freed by the r12
-# consolidation (sample_mixture, text_quality — see the inline notes
-# at their former definition sites) and taken by the two r11 operators
-# that had no driver row yet (round-11 verdict item 1):
-# weighted_sample_topk and heavy_hitters_stream. The 50-entry tail
-# below = the r11 head; every tail entry was driver-green in r11
-# (CORRECTNESS_r11.json: 50/50 green) and rotates back in r13. The
-# window stays exactly saturated at 100: r13+ additions MUST be
-# paired with a retirement (the r7/r9/r12 consolidation discipline).
+# driver-unchecked 2+ rounds), with FOUR slots freed by the r12
+# consolidations (sample_mixture, text_quality at round start for the
+# two r11 operators without a driver row — weighted_sample_topk,
+# heavy_hitters_stream, round-11 verdict item 1; text_fingerprint and
+# sample_split_assign in-round for the two round-12 planner surfaces —
+# exists_two_comparisons, not_in_threshold; see the inline notes at
+# each former definition site, every retired operator stays
+# pytest-oracle-covered). The 50-entry tail below = the r11 head;
+# every tail entry was driver-green in r11 (CORRECTNESS_r11.json:
+# 50/50 green) and rotates back in r13. The window stays exactly
+# saturated at 100: r13+ additions MUST be paired with a retirement
+# (the r7/r9/r12 consolidation discipline).
 _HEAD = [
     # r11-tail entries rotate back (standing policy)
     "exists_or_join",
