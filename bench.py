@@ -119,6 +119,21 @@ def main() -> None:
            WHERE s.s_nationkey = n.n_nationkey
              AND s.s_acctbal > n.n_regionkey"""
     ).count()
+    # r12: warm the GHD/WCOJ hypercube path too — the pentagon is the
+    # only timed query through the applyInPandas cell kernel, and the
+    # session's FIRST runs through it pay Python-worker pool startup +
+    # Arrow codec init on top of the plan (measured on a quiet
+    # machine: 10.4 -> 5.9 -> 4.4 s over consecutive runs; without
+    # this warm-up the best-of-2 window can sit entirely inside that
+    # startup tail — protocol noise, not plan). A triangle count over
+    # a small edge slice spins the pool up through the same kernel;
+    # shares no cached state or results with any timed query.
+    from sparksqlplus_spark.operators.wcoj import triangles_wcoj
+
+    warm_edges = eng.sql(
+        "SELECT src, dst FROM graph WHERE src % 97 = 0", mode="spark"
+    )
+    triangles_wcoj(warm_edges, "src", "dst").count()
     # release the agg views the warm-up queries persisted through the
     # executor ledger (blocking, so no residual cache overlaps the
     # first timed run) — only deliberately-cached SOURCE tables stay
