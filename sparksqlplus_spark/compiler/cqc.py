@@ -35,7 +35,7 @@ from __future__ import annotations
 import functools
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparksqlplus_spark.catalog import Catalog
@@ -86,6 +86,144 @@ def agg_signature(rel: Relation) -> tuple | None:
     )
 
 
+_CMPF = {
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _apply_pair_threshold_not_in(df, inner, sf, prefix: str):
+    """Correlated NOT IN whose inner set is filtered by TWO order
+    comparisons against the outer row (round 12): ``o.x NOT IN
+    (SELECT y FROM t WHERE t.k = o.k AND t.c1 OP1 o.d1 AND
+    t.c2 OP2 o.d2)``. One extreme per fact no longer decides (the row
+    attaining best c1 need not satisfy the c2 bound), but each fact is
+    a 2-D DOMINANCE query, so the per-subset Pareto STAIRCASE does —
+    the same frontier argument as the OR'd-EXISTS pair flag
+    (api._or_exists_pair_flag): a qualifying row exists for (d1, d2)
+    iff some staircase point satisfies both comparisons.
+
+    Views: per-group staircase of the whole subset (set nonempty), of
+    the NULL-y rows (has NULL element), and per (group, y) (probe
+    matched; the probe-constant form folds the y = probe filter into
+    a group-keyed staircase instead). Build = one (part, u)
+    pre-reduction + one part-keyed window + one collect per view —
+    one ROW per part either way, so the LEFT joins never duplicate;
+    array size is the frontier's change points (the reference's
+    TreeLikeArray bound, SURVEY R9/R12). Rows with a NULL compared
+    column can never qualify and are filtered; a NULL d1/d2 makes
+    F.exists non-TRUE -> coalesce FALSE -> the set folds empty
+    (c OP NULL is UNKNOWN for every row). Keyed groups only —
+    build_context rejects the keyless pair (its global staircase
+    would need a single-partition window)."""
+    (op1, e1, c1), (op2, e2, c2) = sf.corr_threshold
+    thr1 = e1.to_spark({r: r[1] for r in e1.refs()})
+    thr2 = e2.to_spark({r: r[1] for r in e2.refs()})
+    cmp1, cmp2 = _CMPF[op1], _CMPF[op2]
+    asc1 = op1 in ("<", "<=")
+    bestv = F.min if op2 in ("<", "<=") else F.max
+    corr = sf.corr_keys
+    inner_t = inner.filter(F.col(c1).isNotNull() & F.col(c2).isNotNull())
+
+    def staircase(src, part_pairs, out):
+        """part_pairs: [(source col, view col name)] — one array row
+        per distinct part tuple."""
+        names = [n for _, n in part_pairs]
+        pre = (
+            src.select(
+                *[F.col(c).alias(n) for c, n in part_pairs],
+                F.col(c1).alias("u"),
+                F.col(c2).alias("v"),
+            )
+            .groupBy(*names, "u")
+            .agg(bestv("v").alias("v"))
+        )
+        order = F.col("u").asc() if asc1 else F.col("u").desc()
+        w = (
+            Window.partitionBy(*names)
+            .orderBy(order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        lw = Window.partitionBy(*names).orderBy(order)
+        pre = pre.select(*names, "u", bestv("v").over(w).alias("vb"))
+        pre = pre.withColumn("__pv", F.lag("vb").over(lw)).filter(
+            F.col("__pv").isNull() | (F.col("vb") != F.col("__pv"))
+        )
+        return pre.groupBy(*names).agg(
+            F.collect_list(
+                F.struct(F.col("u").alias("u"), F.col("vb").alias("v"))
+            ).alias(out)
+        )
+
+    def attach(view, names, extra_cond=None):
+        on = functools.reduce(
+            lambda a, b: a & b,
+            [
+                F.col(ov) == F.col(n)
+                for (ov, _), n in zip(corr, names)
+            ]
+            + ([extra_cond] if extra_cond is not None else []),
+        )
+        return df.join(view, on, "left"), list(names)
+
+    def within(arr):
+        return F.coalesce(
+            F.exists(
+                F.col(arr),
+                lambda e: cmp1(e["u"], thr1) & cmp2(e["v"], thr2),
+            ),
+            F.lit(False),
+        )
+
+    ga = [(ic, f"{prefix}_ga{i}") for i, (_, ic) in enumerate(corr)]
+    gn = [(ic, f"{prefix}_gn{i}") for i, (_, ic) in enumerate(corr)]
+    gm = [(ic, f"{prefix}_gm{i}") for i, (_, ic) in enumerate(corr)]
+    helper: list[str] = [f"{prefix}_pa", f"{prefix}_pn", f"{prefix}_pm"]
+    v_all = staircase(inner_t, ga, f"{prefix}_pa")
+    df, used = attach(v_all, [n for _, n in ga])
+    helper += used
+    if sf.const_probe is not None:
+        probe_lit, ic = sf.const_probe
+        pl = probe_lit.to_spark({})
+        probe_ok = pl.isNotNull()
+        v_null = staircase(
+            inner_t.filter(F.col(ic).isNull()), gn, f"{prefix}_pn"
+        )
+        v_match = staircase(
+            inner_t.filter(F.col(ic) == pl), gm, f"{prefix}_pm"
+        )
+        df, used = attach(v_null, [n for _, n in gn])
+        helper += used
+        df, used = attach(v_match, [n for _, n in gm])
+        helper += used
+    else:
+        (ov_p, ic), = sf.keys  # single-column probe (validated)
+        probe_ok = F.col(ov_p).isNotNull()
+        v_null = staircase(
+            inner_t.filter(F.col(ic).isNull()), gn, f"{prefix}_pn"
+        )
+        mp = f"{prefix}_mp"
+        v_match = staircase(
+            inner_t.filter(F.col(ic).isNotNull()),
+            gm + [(ic, mp)],
+            f"{prefix}_pm",
+        )
+        df, used = attach(v_null, [n for _, n in gn])
+        helper += used
+        df, used = attach(
+            v_match,
+            [n for _, n in gm],
+            extra_cond=(F.col(ov_p) == F.col(mp)),
+        )
+        helper += used + [mp]
+    keep = ~within(f"{prefix}_pa") | (
+        ~within(f"{prefix}_pm") & ~within(f"{prefix}_pn") & probe_ok
+    )
+    return df.filter(keep).drop(*helper)
+
+
 def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
     """Apply one planned [NOT] EXISTS (plans/context.py:SemiFilter):
     left_semi/left_anti of ``df`` against the filtered inner table.
@@ -116,7 +254,9 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
         # (one row per group; match DISTINCT per (group, y) with every
         # column pinned) — no join duplicates; with no group keys the
         # stats view is ONE global row, broadcast.
-        t_op, t_outer, t_col = sf.corr_threshold
+        if len(sf.corr_threshold) == 2:
+            return _apply_pair_threshold_not_in(df, inner, sf, prefix)
+        (t_op, t_outer, t_col), = sf.corr_threshold
         # the outer threshold is an outer-only EXPRESSION whose
         # ("@o", variable) refs resolve against the outer frame
         thr = t_outer.to_spark({r: r[1] for r in t_outer.refs()})

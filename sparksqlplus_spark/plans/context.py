@@ -158,11 +158,13 @@ class SemiFilter:
     # y FROM t WHERE [t.k = o.k AND] t.c < o.d)`. The three per-group
     # facts the three-valued gate needs (set empty? has NULL y? probe
     # matched?) each reduce to a threshold test against a per-group
-    # MIN/MAX of c (the executor's corr-threshold branch). Stored as
-    # (op, outer-only Expr with ("@o", variable) refs, inner column),
-    # op oriented <inner c> op <outer d>, op in < <= > >= <> (order
-    # ops test a MIN/MAX per fact; <> tests a distinct-count +
-    # unique-value pair). None otherwise.
+    # MIN/MAX of c (the executor's corr-threshold branch). A TUPLE of
+    # one or two triples (op, outer-only Expr with ("@o", variable)
+    # refs, inner column), op oriented <inner c> op <outer d>. One
+    # triple: op in < <= > >= <> (order ops test a MIN/MAX per fact;
+    # <> a distinct-count + unique-value pair). Two triples (keyed
+    # groups only): both order ops — each fact becomes a 2-D dominance
+    # test against a per-group Pareto staircase. None otherwise.
     corr_threshold: tuple | None = None
 
 
@@ -591,16 +593,25 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                     "planned natively"
                 )
             if extra_raw:
-                corr_threshold_raw = (
-                    _threshold_of(extra_raw[0])
-                    if len(extra_raw) == 1
-                    else None
-                )
-                if corr_threshold_raw is None:
-                    raise UnsupportedSqlError(
-                        "correlated NOT IN supports at most one "
-                        "order-comparison correlation"
+                thrs = [_threshold_of(rw) for rw in extra_raw]
+                ok = (len(thrs) == 1 and thrs[0] is not None) or (
+                    # a PAIR of order comparisons (round 12): the
+                    # facts become 2-D dominance tests — per-group
+                    # Pareto staircases in the executor. <> pairs and
+                    # 3+ stay on the fallback (the keyed group is
+                    # guaranteed here, so no single-partition window).
+                    len(thrs) == 2
+                    and all(
+                        t is not None and t[0] in ("<", "<=", ">", ">=")
+                        for t in thrs
                     )
+                )
+                if not ok:
+                    raise UnsupportedSqlError(
+                        "correlated NOT IN supports one non-equality "
+                        "correlation or a pair of order comparisons"
+                    )
+                corr_threshold_raw = thrs
                 extra_raw = []
             corr_keys = [k for k, p in zip(keys, key_is_probe) if not p]
             keys = [k for k, p in zip(keys, key_is_probe) if p]
@@ -708,14 +719,17 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             # the threshold, so the three-valued facts fold to
             # threshold tests against GLOBAL extremes (the
             # corr_keys=() case of the executor's threshold branch).
-            corr_threshold_raw = (
+            one = (
                 _threshold_of(extra_raw[0]) if len(extra_raw) == 1 else None
             )
-            if corr_threshold_raw is None or len(keys) != 1:
+            if one is None or len(keys) != 1:
+                # a keyless-GROUP pair would need a single-partition
+                # window for its global staircases — fallback
                 raise UnsupportedSqlError(
                     "NOT IN (subquery) supports at most one "
                     "order-comparison extra correlation"
                 )
+            corr_threshold_raw = [one]
             extra_raw = []
         out_alias = next(iter(outer_aliases))
         rid = alias_rid[out_alias]
@@ -746,16 +760,19 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                     (var_map[(k.alias, k.name)], ic) for k, ic in corr_keys
                 ),
                 corr_threshold=(
-                    (
-                        corr_threshold_raw[0],
-                        rewrite_refs(
-                            corr_threshold_raw[1],
-                            {
-                                (a, c): ("@o", var_map[(a, c)])
-                                for a, c in corr_threshold_raw[1].refs()
-                            },
-                        ),
-                        corr_threshold_raw[2],
+                    tuple(
+                        (
+                            op,
+                            rewrite_refs(
+                                oexpr,
+                                {
+                                    (a, c): ("@o", var_map[(a, c)])
+                                    for a, c in oexpr.refs()
+                                },
+                            ),
+                            icol,
+                        )
+                        for op, oexpr, icol in corr_threshold_raw
                     )
                     if corr_threshold_raw is not None
                     else None

@@ -1944,6 +1944,122 @@ def test_correlated_not_in_with_threshold(engine):
         engine.catalog.unregister("ct_outer")
 
 
+def test_correlated_not_in_two_thresholds(engine):
+    """Round 12: correlated NOT IN filtered by TWO order comparisons —
+    each three-valued fact is a 2-D dominance query, answered by
+    per-subset Pareto staircases (compiler/cqc.py
+    _apply_pair_threshold_not_in). Randomized NULL-heavy brute force:
+    every op pair, column and constant probes; plus the fallback
+    contract for a <> in the pair and for the keyless-group pair."""
+    import operator
+    import random
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    spark = engine.spark
+    rng = random.Random(9)
+    ops = {
+        "<": operator.lt, "<=": operator.le,
+        ">": operator.gt, ">=": operator.ge,
+    }
+    for trial in range(2):
+        inner = [
+            (
+                rng.randint(1, 3),
+                rng.choice([None] + list(range(1, 5))),
+                rng.choice([None] + list(range(1, 5))),
+                rng.choice([None] + list(range(1, 5))),
+            )
+            for _ in range(rng.randint(2, 14))
+        ]
+        outer = [
+            (
+                i,
+                rng.choice([None, 1, 2, 3]),
+                rng.choice([None] + list(range(1, 5))),
+                rng.choice([None] + list(range(1, 5))),
+                rng.choice([None] + list(range(1, 5))),
+            )
+            for i in range(12)
+        ]
+        ipdf = pd.DataFrame(inner, columns=["ik", "iy", "c1", "c2"])
+        opdf = pd.DataFrame(outer, columns=["pk", "k", "x", "d1", "d2"])
+        engine.catalog.register_df(
+            "pt_inner",
+            spark.createDataFrame(
+                ipdf.astype(object).where(ipdf.notna(), None),
+                "ik int, iy int, c1 int, c2 int",
+            ),
+            (),
+        )
+        engine.catalog.register_df(
+            "pt_outer",
+            spark.createDataFrame(
+                opdf.astype(object).where(opdf.notna(), None),
+                "pk int, k int, x int, d1 int, d2 int",
+            ),
+            ("pk",),
+        )
+        try:
+            for op1, f1 in ops.items():
+                for op2, f2 in ops.items():
+                    for probe in ("p.x", "2"):
+                        q = f"""SELECT p.pk FROM pt_outer AS p
+                                WHERE {probe} NOT IN (
+                                  SELECT i.iy FROM pt_inner AS i
+                                  WHERE i.ik = p.k
+                                    AND i.c1 {op1} p.d1
+                                    AND i.c2 {op2} p.d2)"""
+                        mine = sorted(
+                            r["pk"]
+                            for r in engine.sql(q, mode="cqc").collect()
+                        )
+                        truth = []
+                        for pk, k, x, d1, d2 in outer:
+                            xv = x if probe == "p.x" else 2
+                            grp = [
+                                iy
+                                for ik, iy, c1, c2 in inner
+                                if None not in (ik, k, c1, c2, d1, d2)
+                                and ik == k and f1(c1, d1) and f2(c2, d2)
+                            ]
+                            if not grp:
+                                truth.append(pk)
+                            elif xv is not None and any(
+                                iy == xv for iy in grp if iy is not None
+                            ):
+                                pass
+                            elif any(iy is None for iy in grp) or xv is None:
+                                pass
+                            else:
+                                truth.append(pk)
+                        assert mine == sorted(truth), (
+                            trial, op1, op2, probe, mine, truth,
+                        )
+            # fallback contracts: <> in the pair; keyless-group pair
+            with _pytest.raises(UnsupportedSqlError):
+                engine.sql(
+                    """SELECT p.pk FROM pt_outer AS p
+                       WHERE p.x NOT IN (SELECT i.iy FROM pt_inner AS i
+                         WHERE i.ik = p.k AND i.c1 <> p.d1
+                           AND i.c2 < p.d2)""",
+                    mode="cqc",
+                )
+            with _pytest.raises(UnsupportedSqlError):
+                engine.sql(
+                    """SELECT p.pk FROM pt_outer AS p
+                       WHERE p.x NOT IN (SELECT i.iy FROM pt_inner AS i
+                         WHERE i.c1 < p.d1 AND i.c2 < p.d2)""",
+                    mode="cqc",
+                )
+        finally:
+            engine.catalog.unregister("pt_inner")
+            engine.catalog.unregister("pt_outer")
+
+
 def test_correlated_not_in_threshold_under_or(engine):
     """Round 12: the OR composition of the threshold-correlated NOT IN
     (api._corr_not_in_threshold_or) — extreme-carrying flag views with
