@@ -182,7 +182,11 @@ def gen(rng: random.Random) -> str:
         if rng.random() < 0.35:
             # <> included: DuckDB's correlated NOT IN decorrelation is
             # correct for the <>-filtered shape too (matrix-verified),
-            # unlike its <>-EXISTS decorrelation
+            # unlike its <>-EXISTS decorrelation. At most ONE
+            # threshold here: DuckDB returns EMPTY for correlated
+            # NOT IN with TWO inequality filters (SURVEY ORACLE
+            # WARNING) — the pair-threshold path is brute-force
+            # pytest-covered instead.
             thr_op = rng.choice(["<", "<=", ">", ">=", "<>"])
             corr += (
                 f" AND i.{rng.choice(i_ints)} {thr_op} "
