@@ -2935,86 +2935,15 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # embed_kmeans) sat outside both lists and got no driver row — the
 # r10 window leads with them (r9 verdict item 1).
 #
-# r12 layout (total 100 = 50 head + 50 tail): the full r11 tail
-# rotates back into the head (standing policy — no entry sits
-# driver-unchecked 2+ rounds), with FOUR slots freed by the r12
-# consolidations (sample_mixture, text_quality at round start for the
-# two r11 operators without a driver row — weighted_sample_topk,
-# heavy_hitters_stream, round-11 verdict item 1; text_fingerprint and
-# sample_split_assign in-round for the two round-12 planner surfaces —
-# exists_two_comparisons, not_in_threshold; see the inline notes at
-# each former definition site, every retired operator stays
-# pytest-oracle-covered). The 50-entry tail below = the r11 head;
-# every tail entry was driver-green in r11 (CORRECTNESS_r11.json:
-# 50/50 green) and rotates back in r13. The window stays exactly
-# saturated at 100: r13+ additions MUST be paired with a retirement
-# (the r7/r9/r12 consolidation discipline).
+# r13 layout (total 100 = 50 head + 50 tail): the full r12 tail
+# (all r11-green, CORRECTNESS_r11.json 50/50) rotates back into the
+# head per the standing no-entry-unchecked-2+-rounds policy; the r12
+# head (all r12-green, CORRECTNESS_r12.json 50/50) becomes the tail
+# and rotates back in r14. r13 in-round additions are swapped into
+# the head with paired retirements at their definition sites (the
+# r7/r9/r12 consolidation discipline; every retired operator keeps a
+# named pytest oracle).
 _HEAD = [
-    # r11-tail entries rotate back (standing policy)
-    "exists_or_join",
-    "not_in_rowvalue_or",
-    "threeval_surface",
-    "events_heavy_hitters",
-    "events_sessionize",
-    "embed_kmeans",
-    "exists_or",
-    # NEW r12: the two r11 operators without a driver row yet, in the
-    # slots freed by the sample_mixture / text_quality retirements
-    "weighted_sample_topk",
-    "heavy_hitters_stream",
-    "text_repetition",
-    "text_boilerplate",
-    "graph_pagerank",
-    "events_quantiles",
-    "not_exists_anti",
-    "rollup_agg",
-    "setop_except",
-    "cte_agg_view",
-    "derived_table_scan",
-    "dedup_neardup_apply",
-    "dedup_cluster_chain",
-    "having_filter",
-    "text_chunks",
-    "pack_sequences",
-    "text_tfidf_topk",
-    "sample_stratified",
-    "text_redact_pii",
-    "tpch_q9",
-    "tpch_q7",
-    "tpch_q1",
-    "tpch_q18",
-    "events_tumbling_window",
-    "events_interval_join",
-    "events_sliding_window",
-    "events_session_window",
-    "events_dedup_first",
-    "text_stats",
-    "text_lang_id",
-    # exists_two_comparisons takes the slot freed by the
-    # text_fingerprint retirement (r12 in-round consolidation): the
-    # round's staircase-flag planner surface gets its driver row the
-    # same round it lands.
-    "exists_two_comparisons",
-    "media_frame_sample",
-    "dedup_exact",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "graph_q4_nonfull",
-    "window_qualify_topk",
-    "inner_after_outer_join",
-    "corr_count_arith",
-    "select_scalar_agg",
-    # not_in_threshold takes the slot freed by the sample_split_assign
-    # retirement (r12 in-round consolidation): the threshold-correlated
-    # NOT IN planner surface gets its driver row the same round it lands.
-    "not_in_threshold",
-    "embed_centroid_assign",
-    "window_frame_movavg",
-]
-# Every tail case below was driver-green in r11 (the r11 window);
-# their operator classes stay covered in-window (see _HEAD) and they
-# rotate back in r13.
-_TAIL = [
     "exists_join_body",
     "events_ewma_multibatch",
     "text_decontaminate",
@@ -3065,6 +2994,61 @@ _TAIL = [
     "quantified_all",
     "not_in_rowvalue",
     "semi_anti_join",
+]
+# Every tail case below was driver-green in r12 (the r12 head);
+# their operator classes stay covered in-window and they rotate back
+# in r14.
+_TAIL = [
+    "exists_or_join",
+    "not_in_rowvalue_or",
+    "threeval_surface",
+    "events_heavy_hitters",
+    "events_sessionize",
+    "embed_kmeans",
+    "exists_or",
+    "weighted_sample_topk",
+    "heavy_hitters_stream",
+    "text_repetition",
+    "text_boilerplate",
+    "graph_pagerank",
+    "events_quantiles",
+    "not_exists_anti",
+    "rollup_agg",
+    "setop_except",
+    "cte_agg_view",
+    "derived_table_scan",
+    "dedup_neardup_apply",
+    "dedup_cluster_chain",
+    "having_filter",
+    "text_chunks",
+    "pack_sequences",
+    "text_tfidf_topk",
+    "sample_stratified",
+    "text_redact_pii",
+    "tpch_q9",
+    "tpch_q7",
+    "tpch_q1",
+    "tpch_q18",
+    "events_tumbling_window",
+    "events_interval_join",
+    "events_sliding_window",
+    "events_session_window",
+    "events_dedup_first",
+    "text_stats",
+    "text_lang_id",
+    "exists_two_comparisons",
+    "media_frame_sample",
+    "dedup_exact",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "graph_q4_nonfull",
+    "window_qualify_topk",
+    "inner_after_outer_join",
+    "corr_count_arith",
+    "select_scalar_agg",
+    "not_in_threshold",
+    "embed_centroid_assign",
+    "window_frame_movavg",
 ]
 
 
