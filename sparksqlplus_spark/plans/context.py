@@ -166,6 +166,18 @@ class SemiFilter:
     # groups only): both order ops — each fact becomes a 2-D dominance
     # test against a per-group Pareto staircase. None otherwise.
     corr_threshold: tuple | None = None
+    # Probe-DEPENDENT probe EXPRESSION (round 13): `o.a + 1 NOT IN
+    # (SELECT y ...)` — the probe side is an outer-only EXPRESSION
+    # rather than a bare outer Col (which rides `keys`) or a refs-free
+    # constant (`const_probe`). Tuple (outer-only Expr with
+    # ("@o", variable) refs, inner column name). The executor
+    # materializes the expression as a temp outer column and re-enters
+    # the single-key machinery — every downstream branch (plain
+    # null-aware anti, corr_keys stats views, corr_threshold extremes,
+    # pair staircases) is reused unchanged, so the three-valued gate
+    # (a NULL probe expression is UNKNOWN) is inherited, not redone.
+    # None for every other shape.
+    expr_probe: tuple | None = None
 
 
 @dataclass
@@ -485,6 +497,9 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             return None
 
         n_corr_keys = 0  # equality keys NOT from the probe conjuncts
+        # probe-dependent probe EXPRESSION (round 13): (outer-only
+        # Expr, inner col) when the NOT IN probe is e.g. `o.a + 1`
+        expr_probe_raw: tuple | None = None
         corr_conds: list[tuple[int, Cond, set]] = []
         for idx, c in enumerate(ex.conds):
             sides, rw = _resolve(c)
@@ -539,6 +554,43 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 else None
             )
             if pair is None:
+                # the PROBE conjunct of a NOT IN whose probe side is an
+                # outer-only EXPRESSION (round 13: `o.a + 1 NOT IN
+                # (SELECT y ...)` — parser contract: probe conjuncts
+                # sit at idx < n_probe as `<probe expr> = <inner col>`).
+                # Recorded apart from keys; the executor materializes
+                # the expression as a temp outer column and re-enters
+                # the single-key machinery (SemiFilter.expr_probe).
+                if (
+                    ex.null_aware
+                    and ex.negated
+                    and idx < ex.n_probe
+                    and isinstance(rw, Cmp)
+                    and rw.op == "="
+                    and sides == {"inner", "outer"}
+                    and expr_probe_raw is None
+                ):
+
+                    def _probe_of(lhs, rhs):
+                        refs = lhs.refs()
+                        if (
+                            isinstance(rhs, Col)
+                            and rhs.alias == ""
+                            and refs
+                            and all(a != "" for a, _ in refs)
+                        ):
+                            return (lhs, rhs.name)
+                        return None
+
+                    pr = _probe_of(rw.left, rw.right) or _probe_of(
+                        rw.right, rw.left
+                    )
+                    if pr is not None:
+                        outer_aliases.update(
+                            a for a, _ in pr[0].refs() if a != ""
+                        )
+                        expr_probe_raw = pr
+                        continue
                 # an order comparison against an outer-only EXPRESSION
                 # is admissible for the NOT IN threshold path (round
                 # 12) — keep it raw for the gate sites below; every
@@ -615,7 +667,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 extra_raw = []
             corr_keys = [k for k, p in zip(keys, key_is_probe) if not p]
             keys = [k for k, p in zip(keys, key_is_probe) if p]
-            if not keys:
+            if not keys and expr_probe_raw is None:
                 # the probe never reached keys — it must be the
                 # constant-probe conjunct sitting first in inner_only
                 # (parser contract: conds[0] is the probe)
@@ -632,11 +684,16 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                     )
                 corr_const_probe = (probe.right, probe.left.name)
                 inner_only = inner_only[1:]
-        if not keys and not corr_keys and extra_raw:
+        if (
+            not keys
+            and not corr_keys
+            and extra_raw
+            and expr_probe_raw is None
+        ):
             raise UnsupportedSqlError(
                 "EXISTS needs at least one equality correlation"
             )
-        if not keys and not corr_keys:
+        if not keys and not corr_keys and expr_probe_raw is None:
             # uncorrelated [NOT] EXISTS (round 9): a constant gate —
             # true iff the filtered inner table has >= 1 row. Planned
             # as a keyless SemiFilter on the first relation
@@ -722,7 +779,9 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             one = (
                 _threshold_of(extra_raw[0]) if len(extra_raw) == 1 else None
             )
-            if one is None or len(keys) != 1:
+            if one is None or len(keys) + (
+                1 if expr_probe_raw is not None else 0
+            ) != 1:
                 # a keyless-GROUP pair would need a single-partition
                 # window for its global staircases — fallback
                 raise UnsupportedSqlError(
@@ -775,6 +834,20 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                         for op, oexpr, icol in corr_threshold_raw
                     )
                     if corr_threshold_raw is not None
+                    else None
+                ),
+                expr_probe=(
+                    (
+                        rewrite_refs(
+                            expr_probe_raw[0],
+                            {
+                                (a, c): ("@o", var_map[(a, c)])
+                                for a, c in expr_probe_raw[0].refs()
+                            },
+                        ),
+                        expr_probe_raw[1],
+                    )
+                    if expr_probe_raw is not None
                     else None
                 ),
             )

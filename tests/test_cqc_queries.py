@@ -2217,3 +2217,170 @@ def test_rowvalue_not_in_under_or_null_matrix(engine, oracle):
     finally:
         engine.catalog.unregister("rv_probe")
         con.execute("DROP TABLE rv_probe")
+
+
+def test_not_in_expr_probe(engine):
+    """Round 13 (r12 verdict item 3): probe-DEPENDENT probe EXPRESSIONS
+    — `o.a + 1 NOT IN (SELECT y ...)` — plan natively via
+    SemiFilter.expr_probe: the executor materializes the outer-only
+    expression as a temp column and re-enters the single-key machinery,
+    so every existing branch (plain null-aware anti, corr_keys stats
+    views, corr_threshold extremes, pair staircases) composes with it.
+    Randomized NULL-heavy brute force across all five shapes; the
+    three-valued contract includes a NULL probe EXPRESSION (any NULL
+    operand) being UNKNOWN. Positive IN with an expression probe stays
+    on the fallback (raise contract)."""
+    import random
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    spark = engine.spark
+    rng = random.Random(13)
+    for trial in range(2):
+        inner = [
+            (
+                rng.choice([None, 1, 2, 3]),
+                rng.choice([None] + list(range(1, 8))),
+                rng.choice([None] + list(range(1, 5))),
+                rng.choice([None] + list(range(1, 5))),
+            )
+            for _ in range(rng.randint(2, 14))
+        ]
+        outer = [
+            (
+                i,
+                rng.choice([None, 1, 2, 3]),
+                rng.choice([None] + list(range(1, 6))),
+                rng.choice([None] + list(range(1, 5))),
+                rng.choice([None] + list(range(1, 5))),
+            )
+            for i in range(12)
+        ]
+        ipdf = pd.DataFrame(inner, columns=["ik", "iy", "c1", "c2"])
+        opdf = pd.DataFrame(outer, columns=["pk", "k", "x", "d1", "d2"])
+        engine.catalog.register_df(
+            "ep_inner",
+            spark.createDataFrame(
+                ipdf.astype(object).where(ipdf.notna(), None),
+                "ik int, iy int, c1 int, c2 int",
+            ),
+            (),
+        )
+        engine.catalog.register_df(
+            "ep_outer",
+            spark.createDataFrame(
+                opdf.astype(object).where(opdf.notna(), None),
+                "pk int, k int, x int, d1 int, d2 int",
+            ),
+            ("pk",),
+        )
+
+        def xv_plus1(x, d1):
+            return None if x is None else x + 1
+
+        def xv_xd(x, d1):
+            return None if x is None or d1 is None else x + d1
+
+        def brute(probe_fn, grp_fn):
+            out = []
+            for pk, k, x, d1, d2 in outer:
+                xv = probe_fn(x, d1)
+                grp = grp_fn(k, d1, d2)
+                if not grp:
+                    out.append(pk)
+                elif xv is not None and any(
+                    iy == xv for iy in grp if iy is not None
+                ):
+                    pass
+                elif any(iy is None for iy in grp) or xv is None:
+                    pass
+                else:
+                    out.append(pk)
+            return sorted(out)
+
+        cases = [
+            # uncorrelated inner set (plain null-aware anti)
+            (
+                "p.x + 1 NOT IN (SELECT i.iy FROM ep_inner AS i)",
+                xv_plus1,
+                lambda k, d1, d2: [iy for ik, iy, c1, c2 in inner],
+            ),
+            # equality-correlated group (corr_keys stats views)
+            (
+                "p.x + 1 NOT IN (SELECT i.iy FROM ep_inner AS i "
+                "WHERE i.ik = p.k)",
+                xv_plus1,
+                lambda k, d1, d2: [
+                    iy
+                    for ik, iy, c1, c2 in inner
+                    if ik is not None and k is not None and ik == k
+                ],
+            ),
+            # multi-column probe expression
+            (
+                "p.x + p.d1 NOT IN (SELECT i.iy FROM ep_inner AS i "
+                "WHERE i.ik = p.k)",
+                xv_xd,
+                lambda k, d1, d2: [
+                    iy
+                    for ik, iy, c1, c2 in inner
+                    if ik is not None and k is not None and ik == k
+                ],
+            ),
+            # keyed threshold (corr_threshold extremes)
+            (
+                "p.x + 1 NOT IN (SELECT i.iy FROM ep_inner AS i "
+                "WHERE i.ik = p.k AND i.c1 < p.d1)",
+                xv_plus1,
+                lambda k, d1, d2: [
+                    iy
+                    for ik, iy, c1, c2 in inner
+                    if None not in (ik, k, c1, d1) and ik == k and c1 < d1
+                ],
+            ),
+            # keyless threshold (global extremes)
+            (
+                "p.x + 1 NOT IN (SELECT i.iy FROM ep_inner AS i "
+                "WHERE i.c1 >= p.d1)",
+                xv_plus1,
+                lambda k, d1, d2: [
+                    iy
+                    for ik, iy, c1, c2 in inner
+                    if None not in (c1, d1) and c1 >= d1
+                ],
+            ),
+            # keyed threshold PAIR (Pareto staircases)
+            (
+                "p.x + 1 NOT IN (SELECT i.iy FROM ep_inner AS i "
+                "WHERE i.ik = p.k AND i.c1 < p.d1 AND i.c2 > p.d2)",
+                xv_plus1,
+                lambda k, d1, d2: [
+                    iy
+                    for ik, iy, c1, c2 in inner
+                    if None not in (ik, k, c1, c2, d1, d2)
+                    and ik == k and c1 < d1 and c2 > d2
+                ],
+            ),
+        ]
+        try:
+            for body, probe_fn, grp_fn in cases:
+                q = f"SELECT p.pk FROM ep_outer AS p WHERE {body}"
+                mine = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
+                )
+                truth = brute(probe_fn, grp_fn)
+                assert mine == truth, (trial, body, mine, truth)
+            # positive IN with an expression probe: fallback contract
+            with _pytest.raises(UnsupportedSqlError):
+                engine.sql(
+                    """SELECT p.pk FROM ep_outer AS p
+                       WHERE p.x + 1 IN (SELECT i.iy FROM ep_inner AS i
+                                         WHERE i.ik = p.k)""",
+                    mode="cqc",
+                )
+        finally:
+            engine.catalog.unregister("ep_inner")
+            engine.catalog.unregister("ep_outer")
