@@ -654,29 +654,31 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                                            WHERE c2.c_acctbal > 99999999.0)""",
         None,
     ),
-    # --- NEW r9: row-value NOT IN (multi-key three-valued anti join,
-    # compiler/cqc.py:_apply_semi_filter) — hash anti on all keys for
-    # the non-null bulk + broadcast anti against the DISTINCT inner
-    # tuples containing NULLs (empty here; NULL-pattern matrix is
-    # pytest-covered by test_row_value_not_in_nullaware). DuckDB has
-    # no multi-column IN subquery, so the oracle is the textbook
-    # three-valued NOT EXISTS expansion; non-full projection keeps
-    # the CQ-dialect DISTINCT. ---
-    "not_in_rowvalue": (
-        """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
-           FROM lineitem AS l
-           WHERE (l.l_suppkey, l.l_orderkey) NOT IN
-                 (SELECT s.s_suppkey, s.s_nationkey FROM supplier AS s
-                  WHERE s.s_acctbal > 0.0)""",
-        """SELECT DISTINCT l.l_orderkey, l.l_linenumber, l.l_quantity
-           FROM lineitem AS l
-           WHERE NOT EXISTS (SELECT 1 FROM supplier AS s
-                  WHERE s.s_acctbal > 0.0
-                    AND (l.l_suppkey = s.s_suppkey
-                         OR l.l_suppkey IS NULL OR s.s_suppkey IS NULL)
-                    AND (l.l_orderkey = s.s_nationkey
-                         OR l.l_orderkey IS NULL
-                         OR s.s_nationkey IS NULL))""",
+    # (r13 consolidation: the not_in_rowvalue entry — multi-key
+    # three-valued anti join — retired to free the slot for
+    # not_in_cte. Its planned path stays driver-covered in-window:
+    # not_in_rowvalue_or (tail) runs the row-value three-valued flag
+    # decomposition over the same multi-key facts. The NULL-pattern
+    # matrix keeps the named pytest oracle
+    # tests/test_parser.py:test_row_value_not_in_nullaware.)
+    #
+    # --- NEW r13 (r12 verdict item 4): NOT IN over a CTE — the parser
+    # carries the substituted CTE body on Exists.cte_body and
+    # api._lift_cte_not_in plans it as an ephemeral view, re-entering
+    # the plain single-table THREE-VALUED path (the two-valued body
+    # lift is never involved; NULL-matrix pytest
+    # test_not_in_over_cte_null_matrix covers plain/correlated/
+    # threshold/expr-probe/under-OR compositions). ANSI bag semantics
+    # (composite-view surface); same SQL is the DuckDB oracle. ---
+    "not_in_cte": (
+        """WITH bigorders AS (
+             SELECT o_custkey AS k FROM orders
+             WHERE o_totalprice > 350000.0)
+           SELECT c.c_custkey, c.c_name
+           FROM customer AS c
+           WHERE c.c_custkey NOT IN (SELECT b.k FROM bigorders AS b)
+             AND c.c_acctbal > 9000.0""",
+        None,
     ),
     # --- NEW r10: EXISTS with a JOIN body under OR, composed with a
     # NON-EQUALITY correlation (r9 verdict items 4+8 in one shape).
@@ -3010,7 +3012,9 @@ _HEAD = [
     "full_outer_join",
     "exists_outer_join",
     "quantified_all",
-    "not_in_rowvalue",
+    # r13: not_in_cte takes the slot freed by the not_in_rowvalue
+    # retirement (see the inline note at its former definition site).
+    "not_in_cte",
     "semi_anti_join",
 ]
 # Every tail case below was driver-green in r12 (the r12 head);

@@ -203,10 +203,17 @@ def gen(rng: random.Random) -> str:
                 f"o.{rng.choice(ints)} {rng.choice(['+', '*'])} "
                 f"{rng.randint(1, 5)}"
             )
+        # round 13: sometimes route the inner table through a CTE —
+        # api._lift_cte_not_in plans the body as an ephemeral view and
+        # the same three-valued machinery runs against it
+        cte = ""
+        if rng.random() < 0.3:
+            cte = f"WITH w_cte AS (SELECT * FROM {inner_t}) "
+            inner_t = "w_cte"
         pred = f"{probe} NOT IN (SELECT i.{ic} FROM {inner_t} AS i{corr})"
         if rng.random() < 0.4:
             pred = f"o.{g} {c1} {n1} OR {pred}"
-        return f"SELECT DISTINCT {name} FROM {t} AS o WHERE {pred}"
+        return f"{cte}SELECT DISTINCT {name} FROM {t} AS o WHERE {pred}"
     if kind == 5:
         # USING / NATURAL join + star (derived sides share one column)
         t2 = rng.choice([x for x in TABLES if x != t])

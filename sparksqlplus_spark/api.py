@@ -2872,7 +2872,89 @@ class SparkSQLPlus:
             fi.subquery = None
         return ephemeral
 
+    def _lift_cte_not_in(
+        self,
+        spec,
+        mode: str = "auto",
+        cyclic_strategy: str = "auto",
+        count_mode: str = "rows",
+    ) -> list[str]:
+        """NOT IN over a CTE (round 13, r12 verdict item 4): the parser
+        carries the substituted CTE body on Exists.cte_body (it cannot
+        register views); plan that body as an ephemeral catalog view
+        and rewrite the node to the plain single-table null-aware form
+        — so build_context routes it through the THREE-VALUED
+        SemiFilter exactly like a base-table NOT IN, in every position
+        (top-level conjunct, under OR, SELECT item). The two-valued
+        Exists.body lift is never involved (it would silently drop the
+        NULL semantics — the hazard test_exists_over_cte pins).
+        Returns ephemeral view names for the caller to unregister."""
+        import dataclasses
+
+        from sparksqlplus_spark.expressions import Exists, map_expr
+
+        ephemeral: list[str] = []
+
+        def xform(node):
+            if not (isinstance(node, Exists) and node.cte_body is not None):
+                return None
+            df = self._plan_spec(
+                node.cte_body, mode=mode, cyclic_strategy=cyclic_strategy,
+                count_mode=count_mode, ansi=True,
+            )
+            self._view_counter += 1
+            vname = f"__ctv{self._view_counter}"
+            self.catalog.register_df(vname, df, ())
+            ephemeral.append(vname)
+            return dataclasses.replace(node, table=vname, cte_body=None)
+
+        try:
+            spec.where = [map_expr(c, xform) for c in spec.where]
+            spec.having = [map_expr(c, xform) for c in spec.having]
+            spec.inner_on = [map_expr(c, xform) for c in spec.inner_on]
+            for si in spec.select:
+                si.expr = map_expr(si.expr, xform)
+        except Exception:
+            for n in ephemeral:
+                self.catalog.unregister(n)
+            raise
+        return ephemeral
+
     def _plan_spec(
+        self,
+        spec,
+        mode: str = "auto",
+        cyclic_strategy: str = "auto",
+        count_mode: str = "rows",
+        ansi: bool = False,
+        root_hint: str | None = None,
+        join_tree_hint=None,
+    ) -> DataFrame:
+        """Entry wrapper: lift NOT IN-over-CTE bodies into ephemeral
+        views first (they can sit in any clause and on every planner
+        route — qualify, outer, main), then plan. Queries using the
+        lift get ANSI bag semantics like every composite-view surface."""
+        eph = self._lift_cte_not_in(
+            spec, mode=mode, cyclic_strategy=cyclic_strategy,
+            count_mode=count_mode,
+        )
+        if not eph:
+            return self._plan_spec_inner(
+                spec, mode=mode, cyclic_strategy=cyclic_strategy,
+                count_mode=count_mode, ansi=ansi, root_hint=root_hint,
+                join_tree_hint=join_tree_hint,
+            )
+        try:
+            return self._plan_spec_inner(
+                spec, mode=mode, cyclic_strategy=cyclic_strategy,
+                count_mode=count_mode, ansi=True, root_hint=root_hint,
+                join_tree_hint=join_tree_hint,
+            )
+        finally:
+            for n in eph:
+                self.catalog.unregister(n)
+
+    def _plan_spec_inner(
         self,
         spec,
         mode: str = "auto",

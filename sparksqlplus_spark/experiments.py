@@ -186,14 +186,27 @@ class ExperimentManager:
 
     def start(self, experiments: list[str]) -> None:
         """Queue + run the named experiments (POST /experiment/start).
-        Sorted like the reference controller (ExperimentController.java:40);
-        raises on an unknown name or a non-startable state."""
+        Accepts BASE names — expanded to both ``-SparkSQLPlus`` /
+        ``-SparkSQL`` variants like the reference controller
+        (ExperimentManager.java:273-290 enqueues both per base) — as
+        well as pre-expanded ``<Name>-<Variant>`` names. Sorted like
+        the reference (ExperimentController.java:40); name validation
+        raises synchronously, but COMPILATION runs in the worker
+        thread so this returns promptly with state=Compiling,
+        observable via status() polling (the reference compiles the
+        jar asynchronously too — r12 ADVICE)."""
         with self._lock:
             if self._state not in (STOPPED, COMPILATION_FAILED):
                 raise RuntimeError(f"start on state {self._state}")
             if not experiments:
                 raise ValueError("no experiments requested")
-            todo = sorted(experiments)
+            expanded: list[str] = []
+            for name in experiments:
+                if name in self._pairs:
+                    expanded.extend(f"{name}-{v}" for v in VARIANTS)
+                else:
+                    expanded.append(name)
+            todo = sorted(dict.fromkeys(expanded))
             plans = []
             self._state = COMPILING
             self._tasks = {}
@@ -215,31 +228,42 @@ class ExperimentManager:
             self._stop_requested.clear()
             self._seq += 1
             seq = self._seq
-        # Compile (plan) outside the lock — planning runs Catalyst
-        # analysis and may take a moment; status() stays responsive.
+            self._worker = threading.Thread(
+                target=self._compile_and_run, args=(plans, seq),
+                daemon=True, name=f"sqlplusx-experiments-{seq}",
+            )
+            self._worker.start()
+
+    def _compile_and_run(self, plans: list, seq: int) -> None:
+        """Worker entry: compile every plan (Compiling), then run
+        (Running). Compilation failure lands COMPILATION_FAILED with
+        every task Failed — the reference's jar-build failure path."""
         compiled = []
         try:
             for full, base, variant, pair in plans:
+                with self._lock:
+                    if self._seq != seq:
+                        return  # superseded
                 compiled.append((full, self._compile(pair, variant)))
         except Exception as exc:
             with self._lock:
+                if self._seq != seq:
+                    return
                 self._state = COMPILATION_FAILED
                 for t in self._tasks.values():
                     t.state = T_FAILED
                     t.error = f"compilation failed: {exc}"
             return
         with self._lock:
+            if self._seq != seq:
+                return
             if self._stop_requested.is_set():
                 for t in self._tasks.values():
                     t.state = T_CANCELLED
                 self._state = STOPPED
                 return
             self._state = RUNNING
-            self._worker = threading.Thread(
-                target=self._run_all, args=(compiled, seq), daemon=True,
-                name=f"sqlplusx-experiments-{seq}",
-            )
-            self._worker.start()
+        self._run_all(compiled, seq)
 
     def _compile(self, pair: _QueryPair, variant: str):
         """The jar-build equivalent: construct the lazy DataFrame."""

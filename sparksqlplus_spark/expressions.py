@@ -586,6 +586,14 @@ class Exists(Cond):
     # inner filters, which NOT IN's three-valued logic requires
     # (round 10). 0 for genuine EXISTS.
     n_probe: int = 0
+    # NOT IN over a CTE (round 13): the parser can't register views,
+    # so it carries the substituted CTE body here (a QuerySpec; table
+    # keeps the CTE name for messages). api._lift_cte_not_in plans the
+    # body as an ephemeral catalog view and rewrites this node to the
+    # plain single-table null-aware form — the THREE-VALUED SemiFilter
+    # path, unlike the two-valued Exists.body lift (which is why NOT
+    # IN never rides body). None everywhere else.
+    cte_body: object | None = None
 
     def refs(self):
         if self.body is not None:

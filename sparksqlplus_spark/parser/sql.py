@@ -1949,9 +1949,23 @@ def _substitute_ctes(spec, ctes: dict) -> None:
             return node  # body handled; stop descent
         if node.table and node.table.lower() in ctes:
             if node.null_aware and node.negated:
-                raise UnsupportedSqlError(
-                    "NOT IN over a CTE is not in the subset"
-                )
+                # NOT IN over a CTE (round 13): the two-valued body
+                # lift below would drop the three-valued NULL
+                # semantics, so instead carry the substituted body on
+                # the node — api._lift_cte_not_in plans it as an
+                # ephemeral view and re-enters the plain single-table
+                # null-aware path. Compound bodies stay rejected
+                # (fallback) per the standing containment.
+                body = ctes[node.table.lower()]
+                if not isinstance(body, QuerySpec):
+                    raise UnsupportedSqlError(
+                        "NOT IN over a compound CTE is not in the subset"
+                    )
+                body = copy.deepcopy(body)
+                _substitute_ctes(body, ctes)  # chained CTEs
+                import dataclasses
+
+                return dataclasses.replace(node, cte_body=body)
             item = FromItem(
                 alias=node.table_alias,
                 subquery=copy.deepcopy(ctes[node.table.lower()]),

@@ -55,6 +55,12 @@ _INDEX = (
 )
 
 
+class UnknownEndpoint(Exception):
+    """Path-dispatch sentinel: 404. Distinct from KeyError so a missing
+    body field in a VALID endpoint surfaces as a 400 with the field
+    name instead of a misleading 404 (r12 ADVICE)."""
+
+
 def _engine_for(spark: SparkSession, ddl: str):
     from sparksqlplus_spark.api import SparkSQLPlus
 
@@ -77,13 +83,13 @@ def _handle_experiment(manager, path: str, body: dict) -> dict:
     if path == "/api/v1/experiment/stop":
         manager.stop()
         return manager.status()
-    raise KeyError(path)
+    raise UnknownEndpoint(path)
 
 
 def _handle(spark: SparkSession, path: str, body: dict, manager=None) -> dict:
     if path.startswith("/api/v1/experiment/"):
         if manager is None:
-            raise KeyError(path)
+            raise UnknownEndpoint(path)
         return _handle_experiment(manager, path, body)
     eng = _engine_for(spark, body.get("ddl", ""))
     query = body["query"]
@@ -112,7 +118,7 @@ def _handle(spark: SparkSession, path: str, body: dict, manager=None) -> dict:
             return {"n_rows": df.count(), "rows": rows}
         finally:
             df.unpersist()
-    raise KeyError(path)
+    raise UnknownEndpoint(path)
 
 
 def make_server(
@@ -178,9 +184,15 @@ def make_server(
                 body = json.loads(self.rfile.read(n) or b"{}")
                 result = _handle(spark, self.path, body, manager=manager)
                 self._send(200, json.dumps(result), "application/json")
-            except KeyError:
+            except UnknownEndpoint:
                 self._send(404, json.dumps({"error": "unknown endpoint"}),
                            "application/json")
+            except KeyError as exc:  # missing body field on a valid endpoint
+                self._send(
+                    400,
+                    json.dumps({"error": f"missing field: {exc.args[0]}"}),
+                    "application/json",
+                )
             except Exception as exc:  # surface planner errors to the client
                 self._send(400, json.dumps({"error": str(exc)}),
                            "application/json")

@@ -112,3 +112,45 @@ def test_timeout_marks_task(spark):
     assert st["experimentState"] == STOPPED
     assert st["experimentTaskStates"]["Query2-SparkSQLPlus"] == "Timeout"
     assert "Query2-SparkSQLPlus" not in st["experimentTaskResults"]
+
+
+def test_base_name_expansion(manager):
+    """r13 (r12 ADVICE): start() accepts BASE names and enqueues both
+    variants itself, matching the reference controller contract
+    (ExperimentManager.java:273-290) — a reference-shaped payload
+    {"experiments": ["Query1"]} now works; mixed/pre-expanded forms and
+    duplicates collapse to one task per pair name."""
+    manager.start(["Query1", "Query1-SparkSQL", "Query3"])
+    assert manager.wait(300)
+    st = manager.status()
+    assert st["experimentState"] == STOPPED
+    assert sorted(st["experimentTaskStates"]) == [
+        "Query1-SparkSQL", "Query1-SparkSQLPlus",
+        "Query3-SparkSQL", "Query3-SparkSQLPlus",
+    ]
+    assert set(st["experimentTaskStates"].values()) == {"Finished"}
+
+
+def test_start_returns_promptly_compiling(spark):
+    """r13 (r12 ADVICE): compilation happens in the worker thread —
+    start() returns without waiting for planning, and Compiling is an
+    observable state via status() polling (the reference compiles the
+    jar asynchronously and the SPA polls)."""
+    import time
+
+    from sparksqlplus_spark.experiments import COMPILING, RUNNING
+
+    m = ExperimentManager(spark, pairs=builtin_pairs(SF), timeout=600.0)
+    t0 = time.monotonic()
+    m.start([f"Query{i}-{v}" for i in (1, 2, 3)
+             for v in ("SparkSQLPlus", "SparkSQL")])
+    elapsed = time.monotonic() - t0
+    st0 = m.status()["experimentState"]
+    # start returned while work remained (compile of 6 plans takes
+    # longer than the validation the caller thread does)
+    assert st0 in (COMPILING, RUNNING, STOPPED)
+    assert elapsed < 5.0
+    assert m.wait(300)
+    st = m.status()
+    assert st["experimentState"] == STOPPED
+    assert set(st["experimentTaskStates"].values()) == {"Finished"}

@@ -2237,17 +2237,36 @@ def test_exists_over_cte(engine, oracle):
         )
         want = sorted(str(tuple(r)) for r in oracle.execute(ora).fetchall())
         assert got == want, (q, got[:3], want[:3])
-    # NOT IN over a CTE: rejected natively, correct via fallback
+    # NOT IN over a CTE: round 13 plans it NATIVELY (Exists.cte_body
+    # carried by the parser, api._lift_cte_not_in registers the body
+    # as an ephemeral view and re-enters the three-valued single-table
+    # path); ANSI bag semantics like every composite-view surface, so
+    # mode='spark' is the exact comparator. NULL-matrix coverage lives
+    # in test_not_in_over_cte_null_matrix.
     q = (
-        "WITH ks AS (SELECT o_custkey AS k FROM orders AS o) "
+        "WITH ks AS (SELECT o_custkey AS k FROM orders AS o "
+        "WHERE o.o_totalprice > 450000.0) "
         "SELECT c_name FROM customer AS c WHERE c.c_custkey NOT IN "
         "(SELECT k FROM ks AS x) AND c.c_custkey < 100"
     )
-    with _pytest.raises(UnsupportedSqlError):
-        engine.sql(q, mode="cqc")
-    got = sorted(str(tuple(r)) for r in engine.sql(q).collect())
+    got = sorted(
+        str(tuple(r)) for r in engine.sql(q, mode="cqc").collect()
+    )
     want = sorted(
         str(tuple(r)) for r in engine.sql(q, mode="spark").collect()
+    )
+    assert got == want and got
+    # compound CTE bodies stay on the fallback (containment)
+    qc = (
+        "WITH ks AS (SELECT o_custkey AS k FROM orders AS o UNION "
+        "SELECT 1 AS k) SELECT c_name FROM customer AS c WHERE "
+        "c.c_custkey NOT IN (SELECT k FROM ks AS x)"
+    )
+    with _pytest.raises(UnsupportedSqlError):
+        engine.sql(qc, mode="cqc")
+    got = sorted(str(tuple(r)) for r in engine.sql(qc).collect())
+    want = sorted(
+        str(tuple(r)) for r in engine.sql(qc, mode="spark").collect()
     )
     assert got == want
 
@@ -2558,3 +2577,155 @@ def test_select_star_native(engine, oracle):
         ).count()
         == 5
     )
+
+
+def test_not_in_over_cte_null_matrix(engine):
+    """Round 13 (r12 verdict item 4): NOT IN over a CTE plans natively
+    through the three-valued SemiFilter (the CTE body becomes an
+    ephemeral view — api._lift_cte_not_in). Brute-force NULL matrix on
+    synthetic data: plain, correlated (corr_keys against the view),
+    threshold-filtered, probe-expression, and under-OR compositions,
+    each against a Python brute force with the full three-valued
+    contract. Also pins the compound-CTE fallback contract."""
+    import random
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    spark = engine.spark
+    rng = random.Random(131)
+    for trial in range(2):
+        base = [
+            (
+                rng.choice([None, 1, 2, 3]),
+                rng.choice([None] + list(range(1, 7))),
+                rng.choice([None] + list(range(1, 5))),
+            )
+            for _ in range(rng.randint(3, 15))
+        ]
+        outer = [
+            (
+                i,
+                rng.choice([None, 1, 2, 3]),
+                rng.choice([None] + list(range(1, 8))),
+                rng.choice([None] + list(range(1, 5))),
+            )
+            for i in range(12)
+        ]
+        bpdf = pd.DataFrame(base, columns=["bk", "by", "bc"])
+        opdf = pd.DataFrame(outer, columns=["pk", "k", "x", "d"])
+        engine.catalog.register_df(
+            "cnb_base",
+            spark.createDataFrame(
+                bpdf.astype(object).where(bpdf.notna(), None),
+                "bk int, by int, bc int",
+            ),
+            (),
+        )
+        engine.catalog.register_df(
+            "cnb_outer",
+            spark.createDataFrame(
+                opdf.astype(object).where(opdf.notna(), None),
+                "pk int, k int, x int, d int",
+            ),
+            ("pk",),
+        )
+        # the CTE body filters the base table (pushdown inside the view)
+        cte = (
+            "WITH v AS (SELECT b.bk AS vk, b.by AS vy, b.bc AS vc "
+            "FROM cnb_base AS b WHERE b.bc IS NOT NULL) "
+        )
+        vrows = [(bk, by, bc) for bk, by, bc in base if bc is not None]
+
+        def brute(probe_fn, grp_fn, pre=None):
+            out = []
+            for pk, k, x, d in outer:
+                if pre is not None and pre(pk, k, x, d):
+                    out.append(pk)
+                    continue
+                xv = probe_fn(x, d)
+                grp = grp_fn(k, d)
+                if not grp:
+                    out.append(pk)
+                elif xv is not None and any(
+                    vy == xv for vy in grp if vy is not None
+                ):
+                    pass
+                elif any(vy is None for vy in grp) or xv is None:
+                    pass
+                else:
+                    out.append(pk)
+            return sorted(out)
+
+        cases = [
+            # plain (uncorrelated set)
+            (
+                "p.x NOT IN (SELECT w.vy FROM v AS w)",
+                lambda x, d: x,
+                lambda k, d: [vy for vk, vy, vc in vrows],
+                None,
+            ),
+            # correlated against the view (corr_keys)
+            (
+                "p.x NOT IN (SELECT w.vy FROM v AS w WHERE w.vk = p.k)",
+                lambda x, d: x,
+                lambda k, d: [
+                    vy
+                    for vk, vy, vc in vrows
+                    if vk is not None and k is not None and vk == k
+                ],
+                None,
+            ),
+            # threshold-filtered view set (corr_threshold)
+            (
+                "p.x NOT IN (SELECT w.vy FROM v AS w "
+                "WHERE w.vk = p.k AND w.vc < p.d)",
+                lambda x, d: x,
+                lambda k, d: [
+                    vy
+                    for vk, vy, vc in vrows
+                    if None not in (vk, k, vc, d) and vk == k and vc < d
+                ],
+                None,
+            ),
+            # probe EXPRESSION over a CTE (expr_probe composition)
+            (
+                "p.x + 1 NOT IN (SELECT w.vy FROM v AS w "
+                "WHERE w.vk = p.k)",
+                lambda x, d: None if x is None else x + 1,
+                lambda k, d: [
+                    vy
+                    for vk, vy, vc in vrows
+                    if vk is not None and k is not None and vk == k
+                ],
+                None,
+            ),
+            # under OR (single-key three-valued flag lift)
+            (
+                "p.d = 1 OR p.x NOT IN (SELECT w.vy FROM v AS w)",
+                lambda x, d: x,
+                lambda k, d: [vy for vk, vy, vc in vrows],
+                lambda pk, k, x, d: d == 1,
+            ),
+        ]
+        try:
+            for body, probe_fn, grp_fn, pre in cases:
+                q = f"{cte}SELECT p.pk FROM cnb_outer AS p WHERE {body}"
+                mine = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
+                )
+                truth = brute(probe_fn, grp_fn, pre)
+                assert mine == truth, (trial, body, mine, truth)
+            # compound CTE body: fallback contract
+            with _pytest.raises(UnsupportedSqlError):
+                engine.sql(
+                    "WITH v AS (SELECT bk FROM cnb_base AS a UNION "
+                    "SELECT 9 AS bk) SELECT p.pk FROM cnb_outer AS p "
+                    "WHERE p.x NOT IN (SELECT w.bk FROM v AS w)",
+                    mode="cqc",
+                )
+        finally:
+            engine.catalog.unregister("cnb_base")
+            engine.catalog.unregister("cnb_outer")

@@ -75,6 +75,16 @@ def test_error_paths(server):
     assert code == 404
     code, res = _post(server, "/api/v1/parse", {"ddl": "", "query": "SELEC nope"})
     assert code == 400 and "error" in res
+    # r13 (r12 ADVICE): a missing body field on a VALID endpoint is a
+    # 400 naming the field, not a misleading 404 "unknown endpoint"
+    code, res = _post(server, "/api/v1/experiment/start", {})
+    assert code == 400 and "experiments" in res["error"]
+    code, res = _post(server, "/api/v1/experiment/register", {"name": "X"})
+    assert code == 400 and "query" in res["error"]
+    code, res = _post(server, "/api/v1/run", {})
+    assert code == 400 and "query" in res["error"]
+    code, res = _post(server, "/api/v1/experiment/nope", {})
+    assert code == 404
 
 
 def _get(base: str, path: str) -> tuple[int, dict]:
@@ -104,7 +114,11 @@ def test_experiment_endpoints(server):
         "/api/v1/experiment/start",
         {"experiments": ["WebQ-SparkSQLPlus", "WebQ-SparkSQL"]},
     )
-    assert code == 200 and res["experimentState"] in ("Running", "Stopped")
+    # r13: compilation is async (worker thread) — start returns
+    # promptly with Compiling observable, like the reference
+    assert code == 200 and res["experimentState"] in (
+        "Compiling", "Running", "Stopped",
+    )
 
     deadline = time.monotonic() + 300
     while time.monotonic() < deadline:
