@@ -3325,7 +3325,11 @@ class SparkSQLPlus:
             return None
 
         non_where_conds = [
-            *spec.inner_on,
+            # a TOP-LEVEL Exists in inner_on is the semi/anti-join
+            # desugar routed pre-join by the parser (round 13 —
+            # SEMI/ANTI followed by RIGHT/FULL); it plans inside the
+            # phase-1 core below. Nested positions still fall back.
+            *[c for c in spec.inner_on if not isinstance(c, Exists)],
             *[c for oj in spec.outer_joins for c in oj.conds],
             *spec.having,
         ]
@@ -3471,6 +3475,18 @@ class SparkSQLPlus:
             inner_aliases = set(alias_cols)
             core_where: list = []
             for c in spec.inner_on:  # non-empty only with RIGHT/FULL
+                if isinstance(c, Exists):
+                    # semi/anti-join desugar routed pre-join (round 13):
+                    # it filters the core BEFORE the RIGHT/FULL join,
+                    # exactly Spark's left-to-right evaluation
+                    cq = qualify_exists(c)
+                    if exists_outer_aliases(cq) - inner_aliases:
+                        raise UnsupportedSqlError(
+                            "SEMI/ANTI JOIN may not correlate with "
+                            "outer-joined tables"
+                        )
+                    core_where.append(cq)
+                    continue
                 cq = qualify(c)
                 if {a for a, _ in cq.refs()} - inner_aliases:
                     raise UnsupportedSqlError(

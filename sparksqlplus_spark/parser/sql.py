@@ -433,7 +433,7 @@ class _Parser:
         inner_on: list[Cond] = []
         using_joins: list[tuple[str, list[str]]] = []
         outer_joins: list[OuterJoin] = []
-        semi_join_emitted = False
+        semi_conds: list[Cond] = []  # semi/anti-desugared Exists
         while True:
             t = self.peek()
             if self.at("op", ","):
@@ -530,8 +530,9 @@ class _Parser:
                 # relation-local left_semi/left_anti, exactly Spark's
                 # join types of the same name. 'semi'/'anti' stay soft
                 # ids (only JOIN right after triggers this arm).
-                where.append(self._semi_anti_join_tail(outer_joins))
-                semi_join_emitted = True
+                sj = self._semi_anti_join_tail(outer_joins)
+                where.append(sj)
+                semi_conds.append(sj)
             elif (
                 t is not None
                 and t.kind == "id"
@@ -546,8 +547,9 @@ class _Parser:
                     and t2.text.lower() in ("semi", "anti")
                     and self.at("kw", "join", k=1)
                 ):
-                    where.append(self._semi_anti_join_tail(outer_joins))
-                    semi_join_emitted = True
+                    sj = self._semi_anti_join_tail(outer_joins)
+                    where.append(sj)
+                    semi_conds.append(sj)
                     continue
                 if t2 is not None and t2.kind == "id" and t2.text.lower() == "outer":
                     self.take()
@@ -557,19 +559,23 @@ class _Parser:
                 outer_joins.append(OuterJoin(item, conds, side, using=using))
             else:
                 break
-        if semi_join_emitted and any(
+        if semi_conds and any(
             oj.side in ("right", "full") for oj in outer_joins
         ):
-            # the semi/anti sugar desugars to a WHERE-level Exists that
-            # _run_outer applies POST-join; Spark applies the semi/anti
-            # BEFORE a subsequent RIGHT/FULL join and keeps the
-            # null-extended preserved rows, so that composition must
-            # ride the spark.sql fallback (round 12, r11 ADVICE;
-            # mirrors _semi_anti_join_tail's outer-BEFORE-semi reject)
-            raise UnsupportedSqlError(
-                "SEMI/ANTI JOIN followed by a RIGHT/FULL JOIN is not "
-                "in the subset"
-            )
+            # SEMI/ANTI followed by a RIGHT/FULL JOIN (round 13, r12
+            # verdict item 8): ANSI applies the semi/anti to the
+            # accumulated LEFT BLOCK before the outer join — a
+            # WHERE-level placement would run POST-join and drop the
+            # null-extended preserved rows Spark keeps. Route the
+            # desugared Exists through inner_on (the pre-join clause
+            # RIGHT/FULL already uses for INNER-JOIN ON conjuncts):
+            # _run_outer plans it inside the phase-1 core. The Exists
+            # can only correlate with FROM-block aliases here
+            # (_semi_anti_join_tail rejects semi AFTER an outer join,
+            # so it parsed before any attachment existed).
+            sem_ids = {id(c) for c in semi_conds}
+            inner_on.extend(semi_conds)
+            where = [c for c in where if id(c) not in sem_ids]
         if self.accept("kw", "where"):
             where.extend(self._conjunction())
         if all(oj.side in ("left", "inner") for oj in outer_joins):

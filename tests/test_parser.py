@@ -2482,36 +2482,41 @@ def test_semi_anti_exists_over_subquery(engine, oracle):
 
 
 def test_semi_join_then_right_full_join(engine):
-    """Round 12 (r11 ADVICE, medium): SEMI/ANTI JOIN followed by a
-    RIGHT/FULL JOIN used to desugar to a WHERE-level Exists that
-    _run_outer applied POST-join, silently dropping the null-extended
-    preserved rows Spark keeps (it applies the semi/anti first). The
-    parser now rejects the composition so auto rides the spark.sql
-    fallback; results must equal mode='spark' exactly."""
-    import pytest as _pytest
-
-    from sparksqlplus_spark.parser.sql import UnsupportedSqlError
-
+    """Round 12 (r11 ADVICE, medium) found the hazard: SEMI/ANTI JOIN
+    followed by a RIGHT/FULL JOIN desugared to a WHERE-level Exists
+    that _run_outer applied POST-join, silently dropping the
+    null-extended preserved rows Spark keeps (it applies the semi/anti
+    first). Round 13 (r12 verdict item 8) plans it NATIVELY: the
+    parser routes the desugared Exists through inner_on (the pre-join
+    clause RIGHT/FULL already uses) and _run_outer folds it into the
+    phase-1 core — semi-filter-then-join, Spark's left-to-right order.
+    Results must equal mode='spark' exactly, null-extended rows
+    included; both SEMI and ANTI arms covered."""
     q = (
         "SELECT n.n_name, r.r_name FROM nation AS n "
-        "SEMI JOIN supplier AS s ON n.n_nationkey = s.s_nationkey "
+        "{semi} JOIN supplier AS s ON n.n_nationkey = s.s_nationkey "
         "AND s.s_acctbal > 5000.0 "
         "{join} region AS r ON n.n_regionkey = r.r_regionkey"
     )
-    for join in ("RIGHT JOIN", "FULL JOIN"):
-        sql = q.format(join=join)
-        with _pytest.raises(UnsupportedSqlError):
-            engine.sql(sql, mode="cqc")
-        got = sorted(str(tuple(r)) for r in engine.sql(sql).collect())
-        want = sorted(
-            str(tuple(r)) for r in engine.sql(sql, mode="spark").collect()
-        )
-        assert got == want, (join, got[:5], want[:5])
-        # the fallback keeps region's unmatched (null-extended) rows
-        assert any(s.startswith("(None") for s in got), join
+    for semi in ("SEMI", "ANTI"):
+        for join in ("RIGHT JOIN", "FULL JOIN"):
+            sql = q.format(semi=semi, join=join)
+            got = sorted(
+                str(tuple(r))
+                for r in engine.sql(sql, mode="cqc").collect()
+            )
+            want = sorted(
+                str(tuple(r))
+                for r in engine.sql(sql, mode="spark").collect()
+            )
+            assert got == want, (semi, join, got[:5], want[:5])
+            if semi == "SEMI":
+                # the native plan keeps region's unmatched
+                # (null-extended) rows — the r12 hazard
+                assert any(s.startswith("(None") for s in got), join
     # semi + LEFT JOIN stays native (semi-first == post-join when the
     # preserved core is the left block) and agrees with Spark
-    sql = q.format(join="LEFT JOIN")
+    sql = q.format(semi="SEMI", join="LEFT JOIN")
     got = sorted(str(tuple(r)) for r in engine.sql(sql, mode="cqc").collect())
     want = sorted(
         str(tuple(r)) for r in engine.sql(sql, mode="spark").collect()

@@ -38,6 +38,24 @@ BOUNDS = {
     # staircase flag view: (key,u) pre-reduction + key window/collect
     # sharing one exchange; the flag join itself broadcasts (round 12)
     "exists_two_comparisons": 2,
+    # r13 (r12 verdict item 6): the GHD/WCOJ hypercube plan. Counting
+    # caveat: the persisted graph sources sit above a cache boundary
+    # (shuffle_count already skips below InMemoryRelation), so this
+    # pins exactly the LIVE exchanges — the explicit n_cells*5 cell
+    # repartition (never AQE-coalesced, the r11 pinning fix) plus the
+    # stats-gated pre-hypercube semi-reduce sweep's key exchanges.
+    # Measured 6 at pin time (sf0.001).
+    "graph_c5_pentagon_ghd": 6,
+    # r13: the WCOJ triangle kernel — ONE live exchange: the cell
+    # repartition feeding applyInPandas (same caveat as the pentagon).
+    "graph_triangle_wcoj": 1,
+    # r13: the interval join's BATCH plan (the driver entry's form;
+    # stream==batch is pytest-proven). Counting caveat: at sf0.001 AQE
+    # broadcasts the purchase side, so the measured live count is 0;
+    # the bound is 1 so a legitimate threshold flip to a single
+    # shuffled equi-join still passes — a regression (extra groupBy /
+    # double exchange) lands at 2+.
+    "events_interval_join": 1,
 }
 
 
