@@ -1106,16 +1106,26 @@ class SparkSQLPlus:
                 # single-column probe plans natively through the
                 # grouped-stats flag; wider shapes ride the fallback.
                 threshold = None
+                pair_threshold = None
                 if noneq:
                     # round 12 (mirrors build_context's top-level
-                    # threshold path): at most ONE non-equality
-                    # comparison — order ops fold the three-valued
-                    # facts to per-group extreme tests, <> to a
-                    # distinct-count + unique-value test
+                    # threshold path): ONE non-equality comparison —
+                    # order ops fold the three-valued facts to
+                    # per-group extreme tests, <> to a distinct-count
+                    # + unique-value test. Round 13: a PAIR of order
+                    # comparisons composes too — each fact becomes a
+                    # 2-D dominance probe against per-group Pareto
+                    # staircases (the OR sibling of
+                    # _apply_pair_threshold_not_in); <> pairs and 3+
+                    # stay on the fallback.
                     if len(noneq) == 1 and noneq[0][0] in (
                         "<", "<=", ">", ">=", "<>",
                     ):
                         threshold = noneq[0]
+                    elif len(noneq) == 2 and all(
+                        n[0] in ("<", "<=", ">", ">=") for n in noneq
+                    ):
+                        pair_threshold = noneq
                     else:
                         raise UnsupportedSqlError(
                             "row-value / multi-comparison NOT IN with "
@@ -1136,6 +1146,7 @@ class SparkSQLPlus:
                     spec,
                     ephemeral,
                     threshold=threshold,
+                    pair=pair_threshold,
                 )
             if noneq:
                 # round 10 (r9 verdict item 8): ONE non-equality
@@ -2016,7 +2027,7 @@ class SparkSQLPlus:
 
     def _correlated_not_in_or_flag(
         self, ex, probe_pair, corr, inner_only, spec, ephemeral,
-        threshold=None,
+        threshold=None, pair=None,
     ):
         """Correlated NOT IN under OR (round 12, r11 verdict item 7):
         ``P OR o.x NOT IN (SELECT y FROM t WHERE t.k = o.k AND ...)``
@@ -2077,6 +2088,11 @@ class SparkSQLPlus:
         if threshold is not None:
             return self._corr_not_in_threshold_or(
                 inner, gsel, corr, probe_outer, probe_icol, threshold,
+                spec, ephemeral,
+            )
+        if pair is not None:
+            return self._corr_not_in_pair_threshold_or(
+                inner, gsel, corr, probe_outer, probe_icol, pair,
                 spec, ephemeral,
             )
         stats = inner.groupBy(
@@ -2309,6 +2325,144 @@ class SparkSQLPlus:
                 (empty, Lit(True, "boolean")),
                 (fact(m_alias, "__m"), Lit(False, "boolean")),
                 (fact(salias, "__n"), Lit(None, "null")),
+                (IsNull(probe_outer), Lit(None, "null")),
+            ),
+            Lit(True, "boolean"),
+        )
+
+    def _corr_not_in_pair_threshold_or(
+        self, inner, gsel, corr, probe_outer, probe_icol, pair,
+        spec, ephemeral,
+    ):
+        """Correlated NOT IN under OR whose inner set is filtered by
+        TWO order comparisons against the outer row (round 13 — the OR
+        sibling of compiler/cqc.py:_apply_pair_threshold_not_in):
+        ``P OR o.x NOT IN (SELECT y FROM t WHERE t.k = o.k AND
+        t.c1 OP1 o.d1 AND t.c2 OP2 o.d2)``. One extreme per fact no
+        longer decides (the row attaining best c1 need not satisfy the
+        c2 bound), but each three-valued fact is a 2-D DOMINANCE query,
+        so per-group Pareto STAIRCASES do — the same frontier argument
+        as _or_exists_pair_flag, carried on flag views:
+
+          set empty(o)  <=> group miss, NO staircase point of the whole
+                            subset within (OP1 o.d1, OP2 o.d2), or a
+                            NULL d1/d2 (c OP NULL is UNKNOWN rowwise)
+          has NULL y(o) <=> a point of the NULL-y staircase within
+          matched(o)    <=> a point of the (y = x)-staircase within
+
+        Flag order: miss/empty -> TRUE; matched -> FALSE; in-threshold
+        NULL y or NULL probe -> UNKNOWN; else TRUE. Every view is one
+        row per group (or per (group, y) for the column-probe match
+        view, pinned by the join condition) — the LEFT joins never
+        duplicate; arrays hold only the frontier's change points (the
+        reference's TreeLikeArray bound, SURVEY R9/R12), probed
+        JVM-side via F.exists. Rows with a NULL compared column can
+        never qualify and are filtered before the frontier. DuckDB
+        CANNOT oracle this shape (its decorrelation returns empty on
+        two-inequality correlated NOT IN — SURVEY ORACLE WARNING), so
+        coverage is the brute-force NULL-matrix pytest."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import (
+            CaseWhen,
+            Cmp,
+            Col,
+            IsNull,
+            Lit,
+            OrCond,
+            PairWitness,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+
+        (op1, d1, c1), (op2, d2, c2) = pair
+        best2 = F.min if op2 in ("<", "<=") else F.max
+        u_order = (
+            F.col("u").asc() if op1 in ("<", "<=") else F.col("u").desc()
+        )
+        inner_t = inner.filter(
+            F.col(c1).isNotNull() & F.col(c2).isNotNull()
+        )
+
+        def staircase_view(src, extra_part=None, extra_conds=()):
+            """Register a per-part staircase view and LEFT-join it;
+            parts are the group columns (+ the probe column for the
+            column-probe match view). Returns the join alias."""
+            part = [F.col(icol).alias(out) for icol, out in gsel.items()]
+            outs = list(gsel.values())
+            if extra_part is not None:
+                part.append(F.col(extra_part).alias("__cmp"))
+                outs = outs + ["__cmp"]
+            pts = (
+                src.select(*part, F.col(c1).alias("u"), F.col(c2).alias("v"))
+                .groupBy(*outs, "u")
+                .agg(best2("v").alias("v"))
+            )
+            w = (
+                Window.partitionBy(*outs)
+                .orderBy(u_order)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            lw = Window.partitionBy(*outs).orderBy(u_order)
+            pts = pts.select(*outs, "u", best2("v").over(w).alias("vb"))
+            pts = pts.withColumn("__pv", F.lag("vb").over(lw)).filter(
+                F.col("__pv").isNull() | (F.col("vb") != F.col("__pv"))
+            )
+            view = pts.groupBy(*outs).agg(
+                F.collect_list(
+                    F.struct(F.col("u").alias("u"), F.col("vb").alias("v"))
+                ).alias("__pts")
+            )
+            self._view_counter += 1
+            name = f"__corrp{self._view_counter}"
+            self.catalog.register_df(name, view, tuple(outs))
+            ephemeral.append(name)
+            alias = f"{name}_i"
+            spec.outer_joins.append(
+                OuterJoin(
+                    item=FromItem(alias=alias, table=name),
+                    conds=[
+                        Cmp("=", oc, Col(alias, gsel[icol]))
+                        for oc, icol in corr
+                    ]
+                    + list(extra_conds(alias) if extra_conds else []),
+                    side="left",
+                )
+            )
+            return alias
+
+        a_alias = staircase_view(inner_t)
+        n_alias = staircase_view(inner_t.filter(F.col(probe_icol).isNull()))
+        if not probe_outer.refs():
+            # constant probe: fold y = probe into a group-keyed view
+            pl = probe_outer.to_spark({})
+            m_alias = staircase_view(inner_t.filter(F.col(probe_icol) == pl))
+        else:
+            m_alias = staircase_view(
+                inner_t.filter(F.col(probe_icol).isNotNull()),
+                extra_part=probe_icol,
+                extra_conds=lambda alias: [
+                    Cmp("=", probe_outer, Col(alias, "__cmp"))
+                ],
+            )
+
+        def wit(alias, negated=False):
+            return PairWitness(
+                Col(alias, "__pts"), op1, d1, op2, d2, negated=negated
+            )
+
+        return CaseWhen(
+            (
+                # group miss (or every group row NULL-c): set empty
+                (IsNull(Col(a_alias, "__pts")), Lit(True, "boolean")),
+                # NULL threshold: c OP NULL is UNKNOWN for every row
+                (OrCond((IsNull(d1), IsNull(d2))), Lit(True, "boolean")),
+                # no staircase point within: set empty. The array and
+                # both outer operands are non-NULL here (branches
+                # above), so the negated witness is two-valued.
+                (wit(a_alias, negated=True), Lit(True, "boolean")),
+                (wit(m_alias), Lit(False, "boolean")),
+                (wit(n_alias), Lit(None, "null")),
                 (IsNull(probe_outer), Lit(None, "null")),
             ),
             Lit(True, "boolean"),

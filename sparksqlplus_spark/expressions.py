@@ -482,6 +482,11 @@ class PairWitness(Cond):
     outer1: Expr
     op2: str
     outer2: Expr
+    # round 13: negated form for the OR'd pair-threshold NOT IN flag
+    # ("set empty" = NO staircase point within). Callers must have
+    # already branched on a NULL array / NULL outer operand — with
+    # both non-NULL the F.exists is two-valued and ~ is exact.
+    negated: bool = False
 
     _OPS = {
         "<": lambda a, b: a < b,
@@ -498,11 +503,13 @@ class PairWitness(Cond):
         o1 = self.outer1.to_spark(colmap)
         o2 = self.outer2.to_spark(colmap)
         c1, c2 = self._OPS[self.op1], self._OPS[self.op2]
-        return F.exists(a, lambda e: c1(e["u"], o1) & c2(e["v"], o2))
+        e = F.exists(a, lambda e: c1(e["u"], o1) & c2(e["v"], o2))
+        return ~e if self.negated else e
 
     def key(self):
+        n = "not " if self.negated else ""
         return (
-            f"(witness {self.arr.key()} {self.op1} {self.outer1.key()} "
+            f"({n}witness {self.arr.key()} {self.op1} {self.outer1.key()} "
             f"{self.op2} {self.outer2.key()})"
         )
 
@@ -706,6 +713,7 @@ def map_expr(node, fn):
             node.null_aware,
             node.body,
             node.n_probe,
+            node.cte_body,
         )
     if isinstance(node, PairWitness):
         return PairWitness(
@@ -714,6 +722,7 @@ def map_expr(node, fn):
             map_expr(node.outer1, fn),
             node.op2,
             map_expr(node.outer2, fn),
+            node.negated,
         )
     raise TypeError(f"unknown node {type(node)}")
 
@@ -794,6 +803,7 @@ def rewrite_refs(node, mapping: dict[tuple[str, str], tuple[str, str]]):
             node.null_aware,
             node.body,
             node.n_probe,
+            node.cte_body,
         )
     if isinstance(node, PairWitness):
         return PairWitness(
@@ -802,5 +812,6 @@ def rewrite_refs(node, mapping: dict[tuple[str, str], tuple[str, str]]):
             rewrite_refs(node.outer1, mapping),
             node.op2,
             rewrite_refs(node.outer2, mapping),
+            node.negated,
         )
     raise TypeError(f"unknown node {type(node)}")

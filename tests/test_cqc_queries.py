@@ -2384,3 +2384,129 @@ def test_not_in_expr_probe(engine):
         finally:
             engine.catalog.unregister("ep_inner")
             engine.catalog.unregister("ep_outer")
+
+
+def test_correlated_not_in_two_thresholds_under_or(engine):
+    """Round 13: the OR composition of the r12 pair-threshold NOT IN —
+    ``P OR o.x NOT IN (SELECT y FROM t WHERE t.k = o.k AND t.c1 OP1
+    o.d1 AND t.c2 OP2 o.d2)`` plans natively via per-group Pareto
+    STAIRCASE flag views probed with PairWitness
+    (api._corr_not_in_pair_threshold_or). DuckDB cannot oracle the
+    shape (two-inequality correlated NOT IN decorrelation returns
+    empty — SURVEY ORACLE WARNING), so this is the brute-force NULL
+    matrix: all 16 op pairs x column/constant probes, with the OR
+    guard exercising TRUE/FALSE/UNKNOWN flag propagation. Also pins
+    the regression that motivated it: map_expr/rewrite_refs must
+    preserve PairWitness.negated (the set-empty branch silently
+    became set-NONEMPTY -> every row kept)."""
+    import operator
+    import random
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    spark = engine.spark
+    rng = random.Random(77)
+    ops = {
+        "<": operator.lt, "<=": operator.le,
+        ">": operator.gt, ">=": operator.ge,
+    }
+    inner = [
+        (
+            rng.choice([None, 1, 2, 3]),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+        )
+        for _ in range(12)
+    ]
+    outer = [
+        (
+            i,
+            rng.choice([None, 1, 2, 3]),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+        )
+        for i in range(12)
+    ]
+    ipdf = pd.DataFrame(inner, columns=["ik", "iy", "c1", "c2"])
+    opdf = pd.DataFrame(outer, columns=["pk", "k", "x", "d1", "d2"])
+    engine.catalog.register_df(
+        "opt_inner",
+        spark.createDataFrame(
+            ipdf.astype(object).where(ipdf.notna(), None),
+            "ik int, iy int, c1 int, c2 int",
+        ),
+        (),
+    )
+    engine.catalog.register_df(
+        "opt_outer",
+        spark.createDataFrame(
+            opdf.astype(object).where(opdf.notna(), None),
+            "pk int, k int, x int, d1 int, d2 int",
+        ),
+        ("pk",),
+    )
+    try:
+        for op1, f1 in ops.items():
+            for op2, f2 in ops.items():
+                for probe in ("p.x", "2"):
+                    q = f"""SELECT p.pk FROM opt_outer AS p
+                            WHERE p.d1 = 9 OR {probe} NOT IN (
+                              SELECT i.iy FROM opt_inner AS i
+                              WHERE i.ik = p.k
+                                AND i.c1 {op1} p.d1
+                                AND i.c2 {op2} p.d2)"""
+                    mine = sorted(
+                        r["pk"]
+                        for r in engine.sql(q, mode="cqc").collect()
+                    )
+                    truth = []
+                    for pk, k, x, d1, d2 in outer:
+                        if d1 == 9:
+                            truth.append(pk)
+                            continue
+                        xv = x if probe == "p.x" else 2
+                        grp = [
+                            iy
+                            for ik, iy, c1, c2 in inner
+                            if None not in (ik, k, c1, c2, d1, d2)
+                            and ik == k and f1(c1, d1) and f2(c2, d2)
+                        ]
+                        if not grp:
+                            truth.append(pk)
+                        elif xv is not None and any(
+                            iy == xv for iy in grp if iy is not None
+                        ):
+                            pass
+                        elif any(iy is None for iy in grp) or xv is None:
+                            pass
+                        else:
+                            truth.append(pk)
+                    assert mine == sorted(truth), (
+                        op1, op2, probe, mine, truth,
+                    )
+        # fallback contracts: <> in the pair under OR; keyless pair
+        with _pytest.raises(UnsupportedSqlError):
+            engine.sql(
+                """SELECT p.pk FROM opt_outer AS p
+                   WHERE p.d1 = 9 OR p.x NOT IN (
+                     SELECT i.iy FROM opt_inner AS i
+                     WHERE i.ik = p.k AND i.c1 <> p.d1
+                       AND i.c2 < p.d2)""",
+                mode="cqc",
+            )
+        with _pytest.raises(UnsupportedSqlError):
+            engine.sql(
+                """SELECT p.pk FROM opt_outer AS p
+                   WHERE p.d1 = 9 OR p.x NOT IN (
+                     SELECT i.iy FROM opt_inner AS i
+                     WHERE i.c1 < p.d1 AND i.c2 < p.d2)""",
+                mode="cqc",
+            )
+    finally:
+        engine.catalog.unregister("opt_inner")
+        engine.catalog.unregister("opt_outer")
