@@ -750,28 +750,51 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                AND l.l_quantity < s.s_acctbal / 200.0)""",
         None,
     ),
-    # --- NEW r11: [LEFT] SEMI/ANTI JOIN syntax (Spark's own join
-    # types; previously crashed the parser). Both arms desugar in
-    # parser/sql.py:_semi_anti_join_tail to the same Exists node as
-    # [NOT] EXISTS, so the SemiFilter planner folds them into
-    # relation-local left_semi/left_anti joins — two filters on one
-    # customer scan, no row multiplication. Oracle is the EXISTS
-    # expansion (DISTINCT for the engine's non-full semantics; a
-    # no-op here since c_custkey is the customer PK). ---
-    "semi_anti_join": (
-        """SELECT c.c_custkey, c.c_name
-           FROM customer AS c
-           SEMI JOIN orders AS o
-             ON c.c_custkey = o.o_custkey AND o.o_totalprice > 150000.0
-           ANTI JOIN nation AS n
-             ON c.c_nationkey = n.n_nationkey AND n.n_regionkey = 0""",
-        """SELECT DISTINCT c.c_custkey, c.c_name FROM customer c
-           WHERE EXISTS (SELECT 1 FROM orders o
-                         WHERE c.c_custkey = o.o_custkey
-                           AND o.o_totalprice > 150000.0)
-             AND NOT EXISTS (SELECT 1 FROM nation n
-                             WHERE c.c_nationkey = n.n_nationkey
-                               AND n.n_regionkey = 0)""",
+    # (r13 consolidation: the semi_anti_join entry — [LEFT] SEMI/ANTI
+    # JOIN sugar — retired to free the slot for not_in_pair_or. Both
+    # arms desugar to the same Exists/SemiFilter fold the in-window
+    # EXISTS entries (not_exists_anti, exists_or, exists_join_body)
+    # drive, and the parser desugar keeps the named pytest oracle
+    # tests/test_parser.py:test_semi_join_then_right_full_join —
+    # extended this round to assert native == mode='spark' across
+    # SEMI and ANTI x LEFT/RIGHT/FULL compositions.)
+    #
+    # --- NEW r13: pair-threshold correlated NOT IN under OR — the
+    # round's planner surface (api._corr_not_in_pair_threshold_or):
+    # each three-valued fact is a 2-D dominance probe against
+    # per-supplier Pareto-staircase flag views (PairWitness over array
+    # columns, JVM-side). DuckDB CANNOT oracle the correlated form
+    # (its decorrelation returns empty on two-inequality correlated
+    # NOT IN — SURVEY ORACLE WARNING), so the oracle is the JOIN-FORM
+    # stats expansion: one grouped join computes (n, nn, m) per
+    # supplier and the WHERE replays the three-valued gate (UNKNOWN
+    # filters like FALSE under WHERE). NULL-matrix coverage:
+    # test_correlated_not_in_two_thresholds_under_or. ---
+    "not_in_pair_or": (
+        """SELECT s.s_suppkey, s.s_nationkey
+           FROM supplier AS s
+           WHERE s.s_acctbal < 0.0
+              OR s.s_nationkey NOT IN (
+                SELECT l.l_linenumber FROM lineitem AS l
+                WHERE l.l_suppkey = s.s_suppkey
+                  AND l.l_quantity < s.s_acctbal / 100.0
+                  AND l.l_extendedprice > s.s_acctbal * 2.0)""",
+        """SELECT s.s_suppkey, s.s_nationkey
+           FROM supplier AS s
+           LEFT JOIN (
+             SELECT s2.s_suppkey AS k, COUNT(*) AS n,
+                    COUNT(l.l_linenumber) AS nn,
+                    SUM(CASE WHEN l.l_linenumber = s2.s_nationkey
+                             THEN 1 ELSE 0 END) AS m
+             FROM supplier AS s2 JOIN lineitem AS l
+               ON l.l_suppkey = s2.s_suppkey
+              AND l.l_quantity < s2.s_acctbal / 100.0
+              AND l.l_extendedprice > s2.s_acctbal * 2.0
+             GROUP BY s2.s_suppkey) AS st ON st.k = s.s_suppkey
+           WHERE s.s_acctbal < 0.0
+              OR st.n IS NULL
+              OR (st.m = 0 AND st.nn = st.n
+                  AND s.s_nationkey IS NOT NULL)""",
     ),
     # --- NEW r10: 2-column row-value NOT IN under OR (r9 verdict
     # item 6): the three-valued flag generalizes to key tuples via
@@ -3015,7 +3038,9 @@ _HEAD = [
     # r13: not_in_cte takes the slot freed by the not_in_rowvalue
     # retirement (see the inline note at its former definition site).
     "not_in_cte",
-    "semi_anti_join",
+    # r13: not_in_pair_or takes the slot freed by the semi_anti_join
+    # retirement (see the inline note at its former definition site).
+    "not_in_pair_or",
 ]
 # Every tail case below was driver-green in r12 (the r12 head);
 # their operator classes stay covered in-window and they rotate back
