@@ -699,6 +699,33 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                            AND p.p_retailprice > o.o_totalprice)""",
         None,
     ),
+    # --- NEW r13: TWO <> correlations under OR'd EXISTS — the
+    # round's diagonal-witness flag (api._or_exists_neq_pair_flag):
+    # per supplier group the witness question has a BOUNDED statistic
+    # (single-a/-b folds to distinct counts + unique values; otherwise
+    # a diagonal pair exists and only its two cross points can fail,
+    # each decided by a precomputed bit). DuckDB CANNOT oracle the
+    # correlated form (its decorrelation of multi-inequality EXISTS is
+    # wrong — SURVEY ORACLE WARNING), so the oracle is the JOIN-FORM
+    # expansion; ANSI bag semantics (OR lift; supplier PK-unique so
+    # bag = set). NULL-matrix coverage: test_or_exists_neq_pair. ---
+    "exists_neq_pair": (
+        """SELECT s.s_suppkey, s.s_acctbal
+           FROM supplier AS s
+           WHERE s.s_acctbal < -900.0
+              OR EXISTS (SELECT 1 FROM lineitem AS l
+                         WHERE l.l_suppkey = s.s_suppkey
+                           AND l.l_linenumber <> s.s_nationkey
+                           AND l.l_quantity <> s.s_acctbal)""",
+        """SELECT s_suppkey, s_acctbal FROM supplier
+           WHERE s_acctbal < -900.0
+           UNION
+           SELECT s.s_suppkey, s.s_acctbal
+           FROM supplier AS s JOIN lineitem AS l
+             ON l.l_suppkey = s.s_suppkey
+            AND l.l_linenumber <> s.s_nationkey
+            AND l.l_quantity <> s.s_acctbal""",
+    ),
     # --- NEW r12: TWO order comparisons under OR'd EXISTS plan
     # natively via the per-key Pareto-STAIRCASE flag view
     # (api._or_exists_pair_flag + expressions.PairWitness — the first
@@ -2897,7 +2924,11 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     # at its former definition site; slot freed for the
     # not_in_threshold entry in _SQL_CASES.)
     "embed_centroid_assign": (_centroid_assign_q, _CENTROID_ASSIGN_ORACLE),
-    "text_unigram_freq": (_unigram_freq_q, _UNIGRAM_FREQ_ORACLE),
+    # (r13 consolidation: the text_unigram_freq entry retired to free
+    # the slot for exists_neq_pair — the token-frequency machinery
+    # stays driver-covered in-window by text_tfidf_topk (head) and the
+    # operator keeps the named pytest oracle
+    # tests/test_operators.py:test_unigram_freq_planted.)
     "graph_dense_auto_ghd": (_dense_auto_ghd_q, _ora_dense(_DENSE_TRI_SQL)),
     # (r9 consolidation: graph_c4_cycle_ghd retired — the k-ary
     # cycle WCOJ bag path is strictly subsumed by the larger
@@ -3030,7 +3061,10 @@ _HEAD = [
     # definition site).
     "not_in_expr_probe",
     "dedup_paragraph",
-    "text_unigram_freq",
+    # r13: exists_neq_pair takes the slot freed by the
+    # text_unigram_freq retirement (see the inline note at its former
+    # definition site).
+    "exists_neq_pair",
     "events_asof_join",
     "full_outer_join",
     "exists_outer_join",

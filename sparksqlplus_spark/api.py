@@ -1194,6 +1194,15 @@ class SparkSQLPlus:
                         return self._keyless_neq_order_fold(
                             ex, neq, order, inner_only
                         )
+                    if ops == ["<>", "<>"] and keys:
+                        # round 13: <>-with-<> pairs compose via the
+                        # diagonal-witness flag (see the method for
+                        # the exactness argument); keyless stays on
+                        # the fallback (its stats would need global
+                        # single-row aggregation passes — rare shape)
+                        return self._or_exists_neq_pair_flag(
+                            ex, keys, noneq, inner_only, spec, ephemeral
+                        )
                 if len(noneq) > 1:
                     raise UnsupportedSqlError(
                         "at most one non-equality correlation under OR "
@@ -1889,6 +1898,211 @@ class SparkSQLPlus:
         return CaseWhen(((witness, hit),), miss)
 
     _KEYLESS_FRONTIER_CAP = 65536
+
+    def _or_exists_neq_pair_flag(
+        self, ex, keys, noneq, inner_only, spec, ephemeral
+    ):
+        """TWO ``<>`` correlations under OR'd [NOT] EXISTS (round 13 —
+        closes the SURVEY '<>-with-<> pairs' fallback cell, keyed
+        groups): ``P OR EXISTS(i: i.k = o.k AND i.a <> o.x AND
+        i.b <> o.y)``.
+
+        Per key group (rows with NULL a or b filtered — a <> NULL is
+        UNKNOWN, such a row can never witness), the witness question
+        "∃ row: a ≠ x ∧ b ≠ y" has a BOUNDED sufficient statistic:
+
+        * if all rows share one a value (da = 1): witness ⟺ ua ≠ x and
+          some b differs from y (db ≥ 2 or ub ≠ y); symmetric for
+          db = 1;
+        * otherwise a DIAGONAL pair (two rows differing in BOTH
+          coordinates) exists — lemma: da ≥ 2 ∧ db ≥ 2 forces one
+          among r1 = lexmin(a,b), s = lexmin among a ≠ r1.a,
+          t = lexmin among b ≠ r1.b (if s is not diagonal to r1 then
+          s.b = r1.b, if t is not diagonal then t.a = r1.a, and then
+          (t, s) differ in both coordinates). For a diagonal pair
+          (P, Q), any probe (x, y) fails BOTH rows only at the two
+          CROSS POINTS (P.a, Q.b) and (Q.a, P.b) — everywhere else
+          one of P/Q is itself a witness. Each cross point needs one
+          precomputed bit: w1 = ∃ row a ≠ P.a ∧ b ≠ Q.b,
+          w2 = ∃ row a ≠ Q.a ∧ b ≠ P.b.
+
+        Build: three grouped passes (stats + lexmin; s/t under the
+        joined r1; w1/w2 under the chosen pair), each one key exchange
+        with the join reusing it; the flag view stays ONE row per key
+        (scalars only), so the LEFT join never duplicates, and the
+        probe is pure row-side expression logic. EXISTS is two-valued
+        through the CaseWhen fold (a NULL x or y can never witness).
+        Keyless groups ride the fallback. NOT IN with a <> pair keeps
+        its fallback too (the three-valued gate adds the probe-column
+        dimension this statistic does not carry)."""
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import (
+            AndCond,
+            CaseWhen,
+            Cmp,
+            Col,
+            IsNull,
+            Lit,
+            OrCond,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+
+        (_, out1, col_a), (_, out2, col_b) = noneq
+        inner = self.catalog.get(ex.table).load(self.spark)
+        imap = {("", cn): cn for cn in inner.columns}
+        imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
+        for c in inner_only:
+            inner = inner.filter(c.to_spark(imap))
+        inner_t = inner.filter(
+            F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+        )
+        key_sel: dict[str, str] = {}
+        for _, icol in keys:
+            key_sel.setdefault(icol, f"__f{len(key_sel)}")
+        kcols = [F.col(icol).alias(out) for icol, out in key_sel.items()]
+        outs = list(key_sel.values())
+        rows = inner_t.select(
+            *kcols, F.col(col_a).alias("a"), F.col(col_b).alias("b")
+        )
+        g1 = rows.groupBy(*outs).agg(
+            F.count_distinct("a").alias("da"),
+            F.count_distinct("b").alias("db"),
+            F.min("a").alias("ua"),
+            F.min("b").alias("ub"),
+            F.min(F.struct("a", "b")).alias("r1"),
+        )
+        j2 = rows.join(g1.select(*outs, "r1"), outs)
+        g2 = j2.groupBy(*outs).agg(
+            F.min(
+                F.when(F.col("a") != F.col("r1.a"), F.struct("a", "b"))
+            ).alias("s"),
+            F.min(
+                F.when(F.col("b") != F.col("r1.b"), F.struct("a", "b"))
+            ).alias("t"),
+        )
+        v2 = g1.join(g2, outs)
+        diag_s = F.col("s").isNotNull() & (
+            F.col("s.b") != F.col("r1.b")
+        )
+        diag_t = F.col("t").isNotNull() & (
+            F.col("t.a") != F.col("r1.a")
+        )
+        p = (
+            F.when(diag_s | diag_t, F.col("r1")).otherwise(F.col("t"))
+        )
+        q = F.when(diag_s, F.col("s")).otherwise(
+            F.when(diag_t, F.col("t")).otherwise(F.col("s"))
+        )
+        v2 = v2.select(
+            *outs, "da", "db", "ua", "ub",
+            p["a"].alias("pa"), p["b"].alias("pb"),
+            q["a"].alias("qa"), q["b"].alias("qb"),
+        )
+        j3 = rows.join(
+            v2.select(*outs, "pa", "pb", "qa", "qb"), outs
+        )
+        g3 = j3.groupBy(*outs).agg(
+            F.max(
+                F.when(
+                    (F.col("a") != F.col("pa"))
+                    & (F.col("b") != F.col("qb")),
+                    1,
+                ).otherwise(0)
+            ).alias("w1"),
+            F.max(
+                F.when(
+                    (F.col("a") != F.col("qa"))
+                    & (F.col("b") != F.col("pb")),
+                    1,
+                ).otherwise(0)
+            ).alias("w2"),
+        )
+        view = v2.join(g3, outs)
+        self._view_counter += 1
+        vname = f"__orx{self._view_counter}"
+        self.catalog.register_df(vname, view, tuple(outs))
+        ephemeral.append(vname)
+        valias = f"{vname}_i"
+        spec.outer_joins.append(
+            OuterJoin(
+                item=FromItem(alias=valias, table=vname),
+                conds=[
+                    Cmp("=", oc, Col(valias, key_sel[icol]))
+                    for oc, icol in keys
+                ],
+                side="left",
+            )
+        )
+        hit = Lit(not ex.negated, "boolean")
+        miss = Lit(bool(ex.negated), "boolean")
+
+        def vc(name):
+            return Col(valias, name)
+
+        one = Lit(1, "int")
+        zero = Lit(0, "int")
+        return CaseWhen(
+            (
+                # group miss (incl. all rows NULL-a/b): no witness
+                (IsNull(vc("da")), miss),
+                # a NULL probe operand can never witness (<> UNKNOWN)
+                (OrCond((IsNull(out1), IsNull(out2))), miss),
+                # single-a group: witness iff ua differs AND some b
+                # differs (db >= 2 or the unique b differs)
+                (
+                    AndCond(
+                        (
+                            Cmp("=", vc("da"), one),
+                            Cmp("<>", vc("ua"), out1),
+                            OrCond(
+                                (
+                                    Cmp(">=", vc("db"), Lit(2, "int")),
+                                    Cmp("<>", vc("ub"), out2),
+                                )
+                            ),
+                        )
+                    ),
+                    hit,
+                ),
+                (Cmp("=", vc("da"), one), miss),
+                # single-b group (da >= 2 here, so some a differs)
+                (
+                    AndCond(
+                        (
+                            Cmp("=", vc("db"), one),
+                            Cmp("<>", vc("ub"), out2),
+                        )
+                    ),
+                    hit,
+                ),
+                (Cmp("=", vc("db"), one), miss),
+                # diagonal case: only the two cross points can fail,
+                # each decided by its precomputed witness bit
+                (
+                    OrCond(
+                        (
+                            AndCond(
+                                (
+                                    Cmp("=", out1, vc("pa")),
+                                    Cmp("=", out2, vc("qb")),
+                                    Cmp("=", vc("w1"), zero),
+                                )
+                            ),
+                            AndCond(
+                                (
+                                    Cmp("=", out1, vc("qa")),
+                                    Cmp("=", out2, vc("pb")),
+                                    Cmp("=", vc("w2"), zero),
+                                )
+                            ),
+                        )
+                    ),
+                    miss,
+                ),
+            ),
+            hit,
+        )
 
     def _keyless_pair_flag(self, ex, inner, noneq, spec, ephemeral):
         """Keyless 2-comparison OR'd [NOT] EXISTS (round 12): the

@@ -2510,3 +2510,141 @@ def test_correlated_not_in_two_thresholds_under_or(engine):
     finally:
         engine.catalog.unregister("opt_inner")
         engine.catalog.unregister("opt_outer")
+
+
+def test_or_exists_neq_pair(engine):
+    """Round 13: TWO <> correlations under OR'd [NOT] EXISTS plan
+    natively via the diagonal-witness flag
+    (api._or_exists_neq_pair_flag). Crafted groups pin every branch of
+    the bounded statistic — single-a, single-b, the no-direct-diagonal
+    shape {(1,1),(1,2),(2,1)} whose pair must come from (t, s), and
+    both cross points (w-bit 0 and 1) — plus a randomized NULL-heavy
+    sweep for EXISTS and NOT EXISTS. DuckDB cannot oracle the shape
+    (its decorrelation of multi-inequality correlated EXISTS is wrong
+    — SURVEY ORACLE WARNING), so truth is Python brute force. Keyless
+    groups keep the fallback contract."""
+    import random
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    spark = engine.spark
+
+    def run_case(inner, outer, tag):
+        ipdf = pd.DataFrame(inner, columns=["ik", "a", "b"])
+        opdf = pd.DataFrame(outer, columns=["pk", "k", "x", "y"])
+        engine.catalog.register_df(
+            "np_i",
+            spark.createDataFrame(
+                ipdf.astype(object).where(ipdf.notna(), None),
+                "ik int, a int, b int",
+            ),
+            (),
+        )
+        engine.catalog.register_df(
+            "np_o",
+            spark.createDataFrame(
+                opdf.astype(object).where(opdf.notna(), None),
+                "pk int, k int, x int, y int",
+            ),
+            ("pk",),
+        )
+        try:
+            for neg in ("", "NOT "):
+                q = f"""SELECT p.pk FROM np_o AS p
+                        WHERE p.y = 99 OR {neg}EXISTS (
+                          SELECT 1 FROM np_i AS i
+                          WHERE i.ik = p.k AND i.a <> p.x
+                            AND i.b <> p.y)"""
+                mine = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
+                )
+                truth = []
+                for pk, k, x, y in outer:
+                    if y == 99:
+                        truth.append(pk)
+                        continue
+                    wit = any(
+                        None not in (ik, k, a, b, x, y)
+                        and ik == k and a != x and b != y
+                        for ik, a, b in inner
+                    )
+                    if (wit if neg == "" else not wit):
+                        truth.append(pk)
+                assert mine == sorted(truth), (tag, neg, mine, truth)
+        finally:
+            engine.catalog.unregister("np_i")
+            engine.catalog.unregister("np_o")
+
+    # crafted: group 1 = the cross shape {(1,1),(1,2),(2,1)} — no row
+    # is diagonal to lexmin (1,1); the pair must be (t,s) = ((1,2),
+    # (2,1)); cross point (1,1) has NO witness (w-bit 0), cross point
+    # (2,2) is witnessed by (1,1) (w-bit 1). group 2 = single row;
+    # group 3 = single-a; no group for k=4 (miss).
+    inner = [
+        (1, 1, 1), (1, 1, 2), (1, 2, 1),
+        (2, 5, 5),
+        (3, 7, 1), (3, 7, 2), (3, 7, 3),
+    ]
+    outer = [
+        (0, 1, 1, 1),   # cross point w1=0 -> no witness
+        (1, 1, 2, 2),   # cross point w2=1 -> witnessed
+        (2, 1, 3, 3),   # off the cross points -> witnessed
+        (3, 2, 5, 5),   # single row equal on both -> no witness
+        (4, 2, 5, 6),   # single row: a matches -> no witness
+        (5, 2, 6, 5),   # single row: b matches -> no witness
+        (6, 2, 6, 6),   # single row differs on both -> witness
+        (7, 3, 7, 1),   # single-a: a matches -> no witness
+        (8, 3, 8, 1),   # single-a: a differs, db>=2 -> witness
+        (9, 4, 1, 1),   # group miss -> no witness
+        (10, 1, None, 1),  # NULL probe operand -> no witness
+        (11, None, 3, 3),  # NULL key -> group miss
+    ]
+    run_case(inner, outer, "crafted")
+
+    rng = random.Random(1313)
+    for trial in range(3):
+        inner = [
+            (
+                rng.choice([None, 1, 2, 3]),
+                rng.choice([None] + list(range(1, 4))),
+                rng.choice([None] + list(range(1, 4))),
+            )
+            for _ in range(rng.randint(1, 12))
+        ]
+        outer = [
+            (
+                i,
+                rng.choice([None, 1, 2, 3]),
+                rng.choice([None] + list(range(1, 4))),
+                rng.choice([None] + list(range(1, 4))),
+            )
+            for i in range(14)
+        ]
+        run_case(inner, outer, f"random{trial}")
+
+    # keyless <>-pair stays on the fallback
+    engine.catalog.register_df(
+        "np_i",
+        spark.createDataFrame([(1, 2)], "a int, b int"),
+        (),
+    )
+    engine.catalog.register_df(
+        "np_o",
+        spark.createDataFrame([(0, 1, 1)], "pk int, x int, y int"),
+        ("pk",),
+    )
+    try:
+        with _pytest.raises(UnsupportedSqlError):
+            engine.sql(
+                """SELECT p.pk FROM np_o AS p
+                   WHERE p.y = 99 OR EXISTS (
+                     SELECT 1 FROM np_i AS i
+                     WHERE i.a <> p.x AND i.b <> p.y)""",
+                mode="cqc",
+            )
+    finally:
+        engine.catalog.unregister("np_i")
+        engine.catalog.unregister("np_o")
