@@ -1194,14 +1194,20 @@ class SparkSQLPlus:
                         return self._keyless_neq_order_fold(
                             ex, neq, order, inner_only
                         )
-                    if ops == ["<>", "<>"] and keys:
+                    if ops == ["<>", "<>"]:
                         # round 13: <>-with-<> pairs compose via the
-                        # diagonal-witness flag (see the method for
-                        # the exactness argument); keyless stays on
-                        # the fallback (its stats would need global
-                        # single-row aggregation passes — rare shape)
-                        return self._or_exists_neq_pair_flag(
-                            ex, keys, noneq, inner_only, spec, ephemeral
+                        # diagonal-witness statistic (see the flag
+                        # method for the exactness argument); the
+                        # keyless form folds the same statistic from
+                        # 1-3 plan-time scalar jobs (metadata-scale
+                        # collects, the _keyless_neq_order_fold class)
+                        if keys:
+                            return self._or_exists_neq_pair_flag(
+                                ex, keys, noneq, inner_only, spec,
+                                ephemeral,
+                            )
+                        return self._keyless_neq_pair_fold(
+                            ex, noneq, inner_only
                         )
                 if len(noneq) > 1:
                     raise UnsupportedSqlError(
@@ -2103,6 +2109,139 @@ class SparkSQLPlus:
             ),
             hit,
         )
+
+    def _keyless_neq_pair_fold(self, ex, noneq, inner_only):
+        """KEYLESS ``<>``-with-``<>`` under OR'd [NOT] EXISTS (round
+        13): the global fold of _or_exists_neq_pair_flag's
+        diagonal-witness statistic. 1-3 plan-time scalar aggregate
+        jobs (metadata-scale collects — the _keyless_neq_order_fold
+        class) compute (da, db, ua, ub) and, in the diagonal case, the
+        chosen pair's cross points and witness bits; the Exists then
+        folds to a literal comparison tree evaluated per outer row.
+        Dtypes restricted like the sibling folds (integral/date/
+        timestamp both columns)."""
+        import datetime
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from sparksqlplus_spark.expressions import (
+            AndCond,
+            CaseWhen,
+            Cmp,
+            IsNull,
+            Lit,
+            OrCond,
+        )
+
+        (_, x_out, a_col), (_, y_out, b_col) = noneq
+        inner = self.catalog.get(ex.table).load(self.spark)
+        imap = {("", cn): cn for cn in inner.columns}
+        imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
+        for c in inner_only:
+            inner = inner.filter(c.to_spark(imap))
+        rows = inner.filter(
+            F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+        ).select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        ok_types = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.DateType, T.TimestampType,
+        )
+        for f in rows.schema.fields:
+            if not isinstance(f.dataType, ok_types):
+                raise UnsupportedSqlError(
+                    "keyless <>-pair EXISTS supports integral/date/"
+                    f"timestamp columns only (got {f.dataType})"
+                )
+
+        def lit_of(v):
+            if isinstance(v, bool):
+                return Lit(v, "boolean")
+            if isinstance(v, int):
+                return Lit(v, "bigint")
+            if isinstance(v, datetime.datetime):
+                return Lit(v, "timestamp")
+            if isinstance(v, datetime.date):
+                return Lit(v, "date")
+            return Lit(v, "str")
+
+        hit = Lit(not ex.negated, "boolean")
+        miss = Lit(bool(ex.negated), "boolean")
+        g = rows.agg(
+            F.count_distinct("a").alias("da"),
+            F.count_distinct("b").alias("db"),
+            F.min("a").alias("ua"),
+            F.min("b").alias("ub"),
+            F.min(F.struct("a", "b")).alias("r1"),
+        ).collect()[0]
+        if g["da"] == 0:
+            return Lit(bool(ex.negated), "boolean")
+        if g["da"] == 1 or g["db"] == 1:
+            # single-a: witness iff ua <> x (forces x non-NULL) and
+            # some b differs — db >= 2 needs only y non-NULL, db == 1
+            # needs ub <> y (which forces it). Symmetric single-b
+            # (da >= 2 there, so a <> x is free given x non-NULL).
+            conds = []
+            if g["da"] == 1:
+                conds.append(Cmp("<>", lit_of(g["ua"]), x_out))
+            else:
+                conds.append(IsNull(x_out, negated=True))
+            if g["db"] == 1:
+                conds.append(Cmp("<>", lit_of(g["ub"]), y_out))
+            else:
+                conds.append(IsNull(y_out, negated=True))
+            return CaseWhen(((AndCond(tuple(conds)), hit),), miss)
+        r1a, r1b = g["r1"]["a"], g["r1"]["b"]
+        g2 = rows.agg(
+            F.min(
+                F.when(F.col("a") != F.lit(r1a), F.struct("a", "b"))
+            ).alias("s"),
+            F.min(
+                F.when(F.col("b") != F.lit(r1b), F.struct("a", "b"))
+            ).alias("t"),
+        ).collect()[0]
+        s, t = g2["s"], g2["t"]
+        if s["b"] != r1b:
+            pa, pb, qa, qb = r1a, r1b, s["a"], s["b"]
+        elif t["a"] != r1a:
+            pa, pb, qa, qb = r1a, r1b, t["a"], t["b"]
+        else:
+            pa, pb, qa, qb = t["a"], t["b"], s["a"], s["b"]
+        g3 = rows.agg(
+            F.max(
+                F.when(
+                    (F.col("a") != F.lit(pa)) & (F.col("b") != F.lit(qb)),
+                    1,
+                ).otherwise(0)
+            ).alias("w1"),
+            F.max(
+                F.when(
+                    (F.col("a") != F.lit(qa)) & (F.col("b") != F.lit(pb)),
+                    1,
+                ).otherwise(0)
+            ).alias("w2"),
+        ).collect()[0]
+        cross = []
+        if g3["w1"] == 0:
+            cross.append(
+                AndCond(
+                    (Cmp("=", x_out, lit_of(pa)), Cmp("=", y_out, lit_of(qb)))
+                )
+            )
+        if g3["w2"] == 0:
+            cross.append(
+                AndCond(
+                    (Cmp("=", x_out, lit_of(qa)), Cmp("=", y_out, lit_of(pb)))
+                )
+            )
+        branches = [
+            (OrCond((IsNull(x_out), IsNull(y_out))), miss),
+        ]
+        if cross:
+            branches.append(
+                (cross[0] if len(cross) == 1 else OrCond(tuple(cross)), miss)
+            )
+        return CaseWhen(tuple(branches), hit)
 
     def _keyless_pair_flag(self, ex, inner, noneq, spec, ephemeral):
         """Keyless 2-comparison OR'd [NOT] EXISTS (round 12): the

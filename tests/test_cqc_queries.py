@@ -2625,22 +2625,68 @@ def test_or_exists_neq_pair(engine):
         ]
         run_case(inner, outer, f"random{trial}")
 
-    # keyless <>-pair stays on the fallback
+    # keyless <>-pair folds the same statistic from plan-time scalar
+    # jobs (api._keyless_neq_pair_fold) — crafted sets pin every
+    # branch; non-integral dtypes keep the fallback contract
+    def run_keyless(inner, tag):
+        engine.catalog.register_df(
+            "np_i",
+            spark.createDataFrame(inner or [], "a int, b int"),
+            (),
+        )
+        probes = [
+            (i, x, y)
+            for i, (x, y) in enumerate(
+                [(a, b) for a in [None, 1, 2, 5, 7] for b in [None, 1, 2, 5, 9]]
+            )
+        ]
+        engine.catalog.register_df(
+            "np_o",
+            spark.createDataFrame(probes, "pk int, x int, y int"),
+            ("pk",),
+        )
+        try:
+            for neg in ("", "NOT "):
+                q = f"""SELECT p.pk FROM np_o AS p
+                        WHERE p.y = 99 OR {neg}EXISTS (
+                          SELECT 1 FROM np_i AS i
+                          WHERE i.a <> p.x AND i.b <> p.y)"""
+                mine = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
+                )
+                truth = []
+                for pk, x, y in probes:
+                    wit = any(
+                        None not in (a, b, x, y) and a != x and b != y
+                        for a, b in (inner or [])
+                    )
+                    if (wit if neg == "" else not wit):
+                        truth.append(pk)
+                assert mine == sorted(truth), (tag, neg, mine, truth)
+        finally:
+            engine.catalog.unregister("np_i")
+            engine.catalog.unregister("np_o")
+
+    run_keyless([(1, 1), (1, 2), (2, 1)], "keyless-cross")
+    run_keyless([(5, 5)], "keyless-single")
+    run_keyless([(7, 1), (7, 2)], "keyless-single-a")
+    run_keyless([(1, 2), (2, 5)], "keyless-diagonal")
+    run_keyless([], "keyless-empty")
     engine.catalog.register_df(
         "np_i",
-        spark.createDataFrame([(1, 2)], "a int, b int"),
+        spark.createDataFrame([(1.5, 2.5)], "a double, b double"),
         (),
     )
     engine.catalog.register_df(
         "np_o",
-        spark.createDataFrame([(0, 1, 1)], "pk int, x int, y int"),
+        spark.createDataFrame([(0, 1.0, 1.0)], "pk int, x double, y double"),
         ("pk",),
     )
     try:
         with _pytest.raises(UnsupportedSqlError):
             engine.sql(
                 """SELECT p.pk FROM np_o AS p
-                   WHERE p.y = 99 OR EXISTS (
+                   WHERE p.y = 99.0 OR EXISTS (
                      SELECT 1 FROM np_i AS i
                      WHERE i.a <> p.x AND i.b <> p.y)""",
                 mode="cqc",
