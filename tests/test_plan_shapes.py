@@ -49,6 +49,20 @@ BOUNDS = {
     # r13: the WCOJ triangle kernel — ONE live exchange: the cell
     # repartition feeding applyInPandas (same caveat as the pentagon).
     "graph_triangle_wcoj": 1,
+    # r13: the round's new NOT-IN/EXISTS planner surfaces. All their
+    # exchanges hash on the correlation key (or the md5 digest), so
+    # the counts are per-key agg/join rounds, not data explosions:
+    # exists_neq_pair = the diagonal-witness flag's three grouped
+    # passes (stats, s/t under joined r1, w-bits under the chosen
+    # pair) + the flag LEFT join; not_in_pair_or = three staircase
+    # views (all / NULL-y / match) at ~2 exchanges each;
+    # not_in_cte = the ephemeral CTE-body view + the null-aware anti;
+    # not_in_expr_probe = the corr_keys stats + match views (the
+    # probe materialization itself is a pure projection).
+    "exists_neq_pair": 7,
+    "not_in_pair_or": 6,
+    "not_in_cte": 2,
+    "not_in_expr_probe": 3,
     # r13: the interval join's BATCH plan (the driver entry's form;
     # stream==batch is pytest-proven). Counting caveat: at sf0.001 AQE
     # broadcasts the purchase side, so the measured live count is 0;
