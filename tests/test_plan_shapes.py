@@ -21,6 +21,22 @@ import pytest
 import __spark_entry__ as em
 from tests.conftest import SF_DIR
 
+
+@pytest.fixture(scope="module", autouse=True)
+def fresh_engine(spark):
+    """Pin the MEASUREMENT REGIME, not just the counts: the WCOJ-family
+    plans are session-state-dependent — once earlier suite files have
+    materialized the persisted graph cache, size estimates shift the
+    adaptive semi-reduce gate and broadcast decisions, and the pentagon
+    plans 9 exchanges where a fresh engine plans 6 (full-suite
+    discovery, round 13). Dropping the memoized engine forces a fresh
+    catalog with unmaterialized persists, so every bound below is
+    measured in the same deterministic regime regardless of test
+    order. The rebuilt engine is left in place for later files (same
+    semantics, just cold caches)."""
+    em._ENGINES.pop((id(spark), SF_DIR), None)
+    yield
+
 # name -> max shuffle exchanges (measured at pin time, round 12)
 BOUNDS = {
     "chain_theta_nonfull": 1,
