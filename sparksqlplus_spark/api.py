@@ -1118,12 +1118,24 @@ class SparkSQLPlus:
                     # staircases (the OR sibling of
                     # _apply_pair_threshold_not_in); <> pairs and 3+
                     # stay on the fallback.
+                    pops = sorted(n[0] for n in noneq)
                     if len(noneq) == 1 and noneq[0][0] in (
                         "<", "<=", ">", ">=", "<>",
                     ):
                         threshold = noneq[0]
-                    elif len(noneq) == 2 and all(
-                        n[0] in ("<", "<=", ">", ">=") for n in noneq
+                    elif len(noneq) == 2 and (
+                        all(o in ("<", "<=", ">", ">=") for o in pops)
+                        or (
+                            # round 13: <> paired with an order
+                            # comparison — argmin/runner-up triple
+                            # flag views (the NOT-IN mirror of
+                            # _or_exists_neq_order_flag)
+                            pops.count("<>") == 1
+                            and all(
+                                o in ("<", "<=", ">", ">=", "<>")
+                                for o in pops
+                            )
+                        )
                     ):
                         pair_threshold = noneq
                     else:
@@ -2444,6 +2456,11 @@ class SparkSQLPlus:
                 spec, ephemeral,
             )
         if pair is not None:
+            if any(t[0] == "<>" for t in pair):
+                return self._corr_not_in_neq_order_threshold_or(
+                    inner, gsel, corr, probe_outer, probe_icol, pair,
+                    spec, ephemeral,
+                )
             return self._corr_not_in_pair_threshold_or(
                 inner, gsel, corr, probe_outer, probe_icol, pair,
                 spec, ephemeral,
@@ -2817,6 +2834,163 @@ class SparkSQLPlus:
                 (wit(m_alias), Lit(False, "boolean")),
                 (wit(n_alias), Lit(None, "null")),
                 (IsNull(probe_outer), Lit(None, "null")),
+            ),
+            Lit(True, "boolean"),
+        )
+
+    def _corr_not_in_neq_order_threshold_or(
+        self, inner, gsel, corr, probe_outer, probe_icol, pair,
+        spec, ephemeral,
+    ):
+        """Correlated NOT IN under OR whose inner set is filtered by a
+        ``<>`` PAIRED with an order comparison (round 13 — the OR
+        sibling of compiler/cqc.py:_apply_neq_order_threshold_not_in):
+        ``P OR o.x NOT IN (SELECT y FROM t WHERE t.k = o.k AND
+        t.a <> o.d1 AND t.b OP o.d2)``. Each three-valued fact carries
+        the argmin/runner-up TRIPLE view (b1 / sentinel-NULLed a1 /
+        b2 — the _or_exists_neq_order_flag statistic per fact
+        population); with the b1-non-null and NULL-threshold guards
+        folded in, the within() test is two-valued, so the flag
+        CaseWhen needs no negation node:
+
+          miss / NULL d1 / NULL d2 -> TRUE (set empty)
+          within(match view)       -> FALSE
+          within(NULL-y view)      -> UNKNOWN
+          NULL probe AND within(all) -> UNKNOWN
+          else                     -> TRUE (unmatched or empty)
+
+        Views one row per group (per (group, y) for a column probe,
+        pinned by the join condition) — the LEFT joins never
+        duplicate."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import (
+            AndCond,
+            CaseWhen,
+            Cmp,
+            Col,
+            IsNull,
+            Lit,
+            OrCond,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+
+        (_, d1e, a_col) = next(t for t in pair if t[0] == "<>")
+        (op_b, d2e, b_col) = next(t for t in pair if t[0] != "<>")
+        best = F.max if op_b in (">", ">=") else F.min
+        inner_t = inner.filter(
+            F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+        )
+
+        def triple_view(src, extra_part=None, extra_conds=None):
+            part = [F.col(icol).alias(out) for icol, out in gsel.items()]
+            outs = list(gsel.values())
+            if extra_part is not None:
+                part.append(F.col(extra_part).alias("__cmp"))
+                outs = outs + ["__cmp"]
+            pre = (
+                src.select(
+                    *part,
+                    F.col(a_col).alias("__a"),
+                    F.col(b_col).alias("__b"),
+                )
+                .groupBy(*outs, "__a")
+                .agg(best("__b").alias("__ab"))
+            )
+            order_col = (
+                F.col("__ab").desc() if op_b in (">", ">=")
+                else F.col("__ab").asc()
+            )
+            w = Window.partitionBy(*outs).orderBy(
+                order_col, F.col("__a")
+            )
+            top2 = pre.withColumn(
+                "__rn", F.row_number().over(w)
+            ).filter(F.col("__rn") <= 2)
+            view = top2.groupBy(*outs).agg(
+                F.max(F.when(F.col("__rn") == 1, F.col("__ab"))).alias(
+                    "__b1"
+                ),
+                F.max(F.when(F.col("__rn") == 1, F.col("__a"))).alias(
+                    "__a1r"
+                ),
+                F.max(F.when(F.col("__rn") == 2, F.col("__ab"))).alias(
+                    "__b2"
+                ),
+            )
+            view = view.select(
+                *outs,
+                "__b1",
+                "__b2",
+                F.when(F.col("__b2") == F.col("__b1"), F.lit(None))
+                .otherwise(F.col("__a1r"))
+                .alias("__a1"),
+            )
+            self._view_counter += 1
+            name = f"__corrq{self._view_counter}"
+            self.catalog.register_df(name, view, tuple(outs))
+            ephemeral.append(name)
+            alias = f"{name}_i"
+            spec.outer_joins.append(
+                OuterJoin(
+                    item=FromItem(alias=alias, table=name),
+                    conds=[
+                        Cmp("=", oc, Col(alias, gsel[icol]))
+                        for oc, icol in corr
+                    ]
+                    + (extra_conds(alias) if extra_conds else []),
+                    side="left",
+                )
+            )
+            return alias
+
+        a_alias = triple_view(inner_t)
+        n_alias = triple_view(inner_t.filter(F.col(probe_icol).isNull()))
+        if not probe_outer.refs():
+            pl = probe_outer.to_spark({})
+            m_alias = triple_view(inner_t.filter(F.col(probe_icol) == pl))
+        else:
+            m_alias = triple_view(
+                inner_t.filter(F.col(probe_icol).isNotNull()),
+                extra_part=probe_icol,
+                extra_conds=lambda alias: [
+                    Cmp("=", probe_outer, Col(alias, "__cmp"))
+                ],
+            )
+
+        def within(alias):
+            b1 = Col(alias, "__b1")
+            b2 = Col(alias, "__b2")
+            a1 = Col(alias, "__a1")
+            first = AndCond(
+                (
+                    IsNull(b1, negated=True),
+                    Cmp(op_b, b1, d2e),
+                    OrCond((IsNull(a1), Cmp("<>", a1, d1e))),
+                )
+            )
+            second = AndCond(
+                (
+                    IsNull(b2, negated=True),
+                    Cmp("=", a1, d1e),
+                    Cmp(op_b, b2, d2e),
+                )
+            )
+            return OrCond((first, second))
+
+        return CaseWhen(
+            (
+                # group miss (or all rows NULL-a/b): set empty
+                (IsNull(Col(a_alias, "__b1")), Lit(True, "boolean")),
+                # NULL threshold: the filter is UNKNOWN rowwise
+                (OrCond((IsNull(d1e), IsNull(d2e))), Lit(True, "boolean")),
+                (within(m_alias), Lit(False, "boolean")),
+                (within(n_alias), Lit(None, "null")),
+                (
+                    AndCond((IsNull(probe_outer), within(a_alias))),
+                    Lit(None, "null"),
+                ),
             ),
             Lit(True, "boolean"),
         )

@@ -94,6 +94,153 @@ _CMPF = {
 }
 
 
+def _apply_neq_order_threshold_not_in(df, inner, sf, prefix: str):
+    """Correlated NOT IN whose inner set is filtered by a ``<>`` PAIRED
+    with an order comparison against the outer row (round 13):
+    ``o.x NOT IN (SELECT y FROM t WHERE t.k = o.k AND t.a <> o.d1 AND
+    t.b OP o.d2)``. Each three-valued fact (set nonempty / has NULL y /
+    probe matched) asks "∃ row in the fact population with a <> d1 AND
+    b OP d2" — exactly the OR'd-EXISTS neq-order witness
+    (api._or_exists_neq_order_flag), so each fact carries the same
+    THREE-stat view per group: b1 = best b, a1 = its arg a (NULL
+    sentinel when 2+ distinct a attain b1), b2 = best b among a <> a1:
+
+      within(d1, d2) = d1 NOT NULL AND (
+          (b1 OP d2 AND (a1 sentinel-NULL OR a1 <> d1))
+          OR (a1 = d1 AND b2 OP d2))
+
+    NULL b1/b2 (view miss / no runner-up) and NULL d2 coalesce the
+    comparisons to FALSE. Views: per group (set / NULL-y) and per
+    (group, y) for a column probe (the constant form folds y = probe
+    into a group-keyed view). Build per view = one (part, a)
+    pre-reduction + one top-2 window sharing the part key — one row
+    per part, so the LEFT joins never duplicate. Keyed groups only
+    (build_context guarantees corr_keys non-empty here)."""
+    thrs = sf.corr_threshold
+    (_, d1e, a_col) = next(t for t in thrs if t[0] == "<>")
+    (op_b, d2e, b_col) = next(t for t in thrs if t[0] != "<>")
+    d1 = d1e.to_spark({r: r[1] for r in d1e.refs()})
+    d2 = d2e.to_spark({r: r[1] for r in d2e.refs()})
+    best = F.max if op_b in (">", ">=") else F.min
+    cmpb = _CMPF[op_b]
+    corr = sf.corr_keys
+    inner_t = inner.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    )
+
+    def triple_view(src, part_pairs, tagp):
+        names = [n for _, n in part_pairs]
+        pre = (
+            src.select(
+                *[F.col(c).alias(n) for c, n in part_pairs],
+                F.col(a_col).alias("__a"),
+                F.col(b_col).alias("__b"),
+            )
+            .groupBy(*names, "__a")
+            .agg(best("__b").alias("__ab"))
+        )
+        order_col = (
+            F.col("__ab").desc() if op_b in (">", ">=")
+            else F.col("__ab").asc()
+        )
+        w = Window.partitionBy(*names).orderBy(order_col, F.col("__a"))
+        top2 = pre.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= 2
+        )
+        view = top2.groupBy(*names).agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("__ab"))).alias(
+                f"{tagp}b1"
+            ),
+            F.max(F.when(F.col("__rn") == 1, F.col("__a"))).alias(
+                f"{tagp}a1r"
+            ),
+            F.max(F.when(F.col("__rn") == 2, F.col("__ab"))).alias(
+                f"{tagp}b2"
+            ),
+        )
+        return view.select(
+            *names,
+            f"{tagp}b1",
+            f"{tagp}b2",
+            F.when(
+                F.col(f"{tagp}b2") == F.col(f"{tagp}b1"), F.lit(None)
+            )
+            .otherwise(F.col(f"{tagp}a1r"))
+            .alias(f"{tagp}a1"),
+        )
+
+    def attach(view, names, extra_cond=None):
+        on = functools.reduce(
+            lambda a, b: a & b,
+            [
+                F.col(ov) == F.col(n)
+                for (ov, _), n in zip(corr, names)
+            ]
+            + ([extra_cond] if extra_cond is not None else []),
+        )
+        return df.join(view, on, "left")
+
+    def within(tagp):
+        b1, b2 = F.col(f"{tagp}b1"), F.col(f"{tagp}b2")
+        a1 = F.col(f"{tagp}a1")
+        first = F.coalesce(cmpb(b1, d2), F.lit(False)) & (
+            a1.isNull() | F.coalesce(a1 != d1, F.lit(False))
+        )
+        second = F.coalesce((a1 == d1) & cmpb(b2, d2), F.lit(False))
+        return d1.isNotNull() & (first | second)
+
+    ga = [(ic, f"{prefix}_ga{i}") for i, (_, ic) in enumerate(corr)]
+    gn = [(ic, f"{prefix}_gn{i}") for i, (_, ic) in enumerate(corr)]
+    gm = [(ic, f"{prefix}_gm{i}") for i, (_, ic) in enumerate(corr)]
+    helper: list[str] = []
+    for tagp, names in (
+        (f"{prefix}_A", ga), (f"{prefix}_N", gn), (f"{prefix}_M", gm),
+    ):
+        helper += [f"{tagp}b1", f"{tagp}b2", f"{tagp}a1"]
+        helper += [n for _, n in names]
+    df = attach(triple_view(inner_t, ga, f"{prefix}_A"), [n for _, n in ga])
+    if sf.const_probe is not None:
+        probe_lit, ic = sf.const_probe
+        pl = probe_lit.to_spark({})
+        probe_ok = pl.isNotNull()
+        df = attach(
+            triple_view(
+                inner_t.filter(F.col(ic).isNull()), gn, f"{prefix}_N"
+            ),
+            [n for _, n in gn],
+        )
+        df = attach(
+            triple_view(
+                inner_t.filter(F.col(ic) == pl), gm, f"{prefix}_M"
+            ),
+            [n for _, n in gm],
+        )
+    else:
+        (ov_p, ic), = sf.keys  # single-column probe (validated)
+        probe_ok = F.col(ov_p).isNotNull()
+        df = attach(
+            triple_view(
+                inner_t.filter(F.col(ic).isNull()), gn, f"{prefix}_N"
+            ),
+            [n for _, n in gn],
+        )
+        mp = f"{prefix}_mp"
+        df = attach(
+            triple_view(
+                inner_t.filter(F.col(ic).isNotNull()),
+                gm + [(ic, mp)],
+                f"{prefix}_M",
+            ),
+            [n for _, n in gm],
+            extra_cond=(F.col(ov_p) == F.col(mp)),
+        )
+        helper.append(mp)
+    keep = ~within(f"{prefix}_A") | (
+        ~within(f"{prefix}_M") & ~within(f"{prefix}_N") & probe_ok
+    )
+    return df.filter(keep).drop(*helper)
+
+
 def _apply_pair_threshold_not_in(df, inner, sf, prefix: str):
     """Correlated NOT IN whose inner set is filtered by TWO order
     comparisons against the outer row (round 12): ``o.x NOT IN
@@ -277,6 +424,12 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
         # column pinned) — no join duplicates; with no group keys the
         # stats view is ONE global row, broadcast.
         if len(sf.corr_threshold) == 2:
+            if any(t[0] == "<>" for t in sf.corr_threshold):
+                # round 13: <> paired with an order comparison — each
+                # fact folds to the argmin/runner-up triple
+                return _apply_neq_order_threshold_not_in(
+                    df, inner, sf, prefix
+                )
             return _apply_pair_threshold_not_in(df, inner, sf, prefix)
         (t_op, t_outer, t_col), = sf.corr_threshold
         # the outer threshold is an outer-only EXPRESSION whose

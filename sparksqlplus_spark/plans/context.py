@@ -164,7 +164,9 @@ class SemiFilter:
     # triple: op in < <= > >= <> (order ops test a MIN/MAX per fact;
     # <> a distinct-count + unique-value pair). Two triples (keyed
     # groups only): both order ops — each fact becomes a 2-D dominance
-    # test against a per-group Pareto staircase. None otherwise.
+    # test against a per-group Pareto staircase; round 13: one <> +
+    # one order op — each fact folds to the argmin/runner-up triple
+    # (b1 / sentinel-NULLed a1 / b2). None otherwise.
     corr_threshold: tuple | None = None
     # Probe-DEPENDENT probe EXPRESSION (round 13): `o.a + 1 NOT IN
     # (SELECT y ...)` — the probe side is an outer-only EXPRESSION
@@ -646,16 +648,28 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 )
             if extra_raw:
                 thrs = [_threshold_of(rw) for rw in extra_raw]
+                pair_ops = sorted(t[0] for t in thrs if t is not None)
                 ok = (len(thrs) == 1 and thrs[0] is not None) or (
                     # a PAIR of order comparisons (round 12): the
                     # facts become 2-D dominance tests — per-group
-                    # Pareto staircases in the executor. <> pairs and
-                    # 3+ stay on the fallback (the keyed group is
-                    # guaranteed here, so no single-partition window).
+                    # Pareto staircases in the executor. Round 13: a
+                    # <> PAIRED with an order comparison — each fact
+                    # folds to the argmin/runner-up triple (the
+                    # _or_exists_neq_order_flag statistic, per fact
+                    # population). <>-with-<> pairs and 3+ stay on
+                    # the fallback (the keyed group is guaranteed
+                    # here, so no single-partition window).
                     len(thrs) == 2
-                    and all(
-                        t is not None and t[0] in ("<", "<=", ">", ">=")
-                        for t in thrs
+                    and all(t is not None for t in thrs)
+                    and (
+                        all(o in ("<", "<=", ">", ">=") for o in pair_ops)
+                        or (
+                            pair_ops.count("<>") == 1
+                            and all(
+                                o in ("<", "<=", ">", ">=", "<>")
+                                for o in pair_ops
+                            )
+                        )
                     )
                 )
                 if not ok:

@@ -1930,13 +1930,40 @@ def test_correlated_not_in_with_threshold(engine):
             else:
                 truth.append(pk)
         assert mine == sorted(truth), (mine, truth)
-        # TWO extra correlations stay on the fallback
+        # TWO extra correlations: round 13 plans the <>+order pair
+        # natively (argmin/runner-up triples); brute-force matched
+        q = """SELECT p.pk FROM ct_outer AS p
+               WHERE p.x NOT IN (SELECT i.iy FROM ct_inner AS i
+                                 WHERE i.ik = p.k AND i.ic <> p.d
+                                   AND i.ic < p.d + 10)"""
+        mine = sorted(r["pk"] for r in engine.sql(q, mode="cqc").collect())
+        truth = []
+        for pk, k, x, d in outer:
+            grp = [
+                iy
+                for ik, iy, ic in inner
+                if None not in (ik, k, ic, d) and ik == k
+                and ic != d and ic < d + 10
+            ]
+            if not grp:
+                truth.append(pk)
+            elif x is not None and any(
+                iy == x for iy in grp if iy is not None
+            ):
+                pass
+            elif any(iy is None for iy in grp) or x is None:
+                pass
+            else:
+                truth.append(pk)
+        assert mine == sorted(truth), (mine, truth)
+        # THREE extra correlations stay on the fallback
         with _pytest.raises(UnsupportedSqlError):
             engine.sql(
                 """SELECT p.pk FROM ct_outer AS p
                    WHERE p.x NOT IN (SELECT i.iy FROM ct_inner AS i
                                      WHERE i.ik = p.k AND i.ic <> p.d
-                                       AND i.ic < p.d + 10)""",
+                                       AND i.ic < p.d + 10
+                                       AND i.ic > p.d - 10)""",
                 mode="cqc",
             )
     finally:
@@ -2039,13 +2066,15 @@ def test_correlated_not_in_two_thresholds(engine):
                         assert mine == sorted(truth), (
                             trial, op1, op2, probe, mine, truth,
                         )
-            # fallback contracts: <> in the pair; keyless-group pair
+            # <> in the pair plans natively as of round 13
+            # (test_correlated_not_in_neq_order_threshold is its
+            # brute-force matrix); <>-with-<> stays on the fallback
             with _pytest.raises(UnsupportedSqlError):
                 engine.sql(
                     """SELECT p.pk FROM pt_outer AS p
                        WHERE p.x NOT IN (SELECT i.iy FROM pt_inner AS i
                          WHERE i.ik = p.k AND i.c1 <> p.d1
-                           AND i.c2 < p.d2)""",
+                           AND i.c2 <> p.d2)""",
                     mode="cqc",
                 )
             with _pytest.raises(UnsupportedSqlError):
@@ -2489,14 +2518,16 @@ def test_correlated_not_in_two_thresholds_under_or(engine):
                     assert mine == sorted(truth), (
                         op1, op2, probe, mine, truth,
                     )
-        # fallback contracts: <> in the pair under OR; keyless pair
+        # <> in the pair under OR plans natively as of round 13
+        # (test_correlated_not_in_neq_order_threshold covers it);
+        # <>-with-<> NOT IN stays on the fallback
         with _pytest.raises(UnsupportedSqlError):
             engine.sql(
                 """SELECT p.pk FROM opt_outer AS p
                    WHERE p.d1 = 9 OR p.x NOT IN (
                      SELECT i.iy FROM opt_inner AS i
                      WHERE i.ik = p.k AND i.c1 <> p.d1
-                       AND i.c2 < p.d2)""",
+                       AND i.c2 <> p.d2)""",
                 mode="cqc",
             )
         with _pytest.raises(UnsupportedSqlError):
@@ -2694,3 +2725,111 @@ def test_or_exists_neq_pair(engine):
     finally:
         engine.catalog.unregister("np_i")
         engine.catalog.unregister("np_o")
+
+
+def test_correlated_not_in_neq_order_threshold(engine):
+    """Round 13: correlated NOT IN whose inner set is filtered by a
+    <> PAIRED with an order comparison — top level
+    (compiler/cqc.py:_apply_neq_order_threshold_not_in) and under OR
+    (api._corr_not_in_neq_order_threshold_or). Each three-valued fact
+    folds to the argmin/runner-up triple (b1 / sentinel-NULLed a1 /
+    b2 — the _or_exists_neq_order_flag statistic per fact population).
+    DuckDB cannot oracle multi-inequality correlated NOT IN (SURVEY
+    ORACLE WARNING), so truth is Python brute force: all 4 order ops x
+    column/constant probes x conjunct orientations x top-level/OR on
+    NULL-heavy randomized data."""
+    import operator
+    import random
+
+    import pandas as pd
+
+    spark = engine.spark
+    ops = {
+        "<": operator.lt, "<=": operator.le,
+        ">": operator.gt, ">=": operator.ge,
+    }
+    rng = random.Random(555)
+    for trial in range(2):
+        inner = [
+            (
+                rng.choice([None, 1, 2, 3]),
+                rng.choice([None] + list(range(1, 5))),
+                rng.choice([None] + list(range(1, 4))),
+                rng.choice([None] + list(range(1, 5))),
+            )
+            for _ in range(rng.randint(2, 14))
+        ]
+        outer = [
+            (
+                i,
+                rng.choice([None, 1, 2, 3]),
+                rng.choice([None] + list(range(1, 5))),
+                rng.choice([None] + list(range(1, 4))),
+                rng.choice([None] + list(range(1, 5))),
+            )
+            for i in range(12)
+        ]
+        ipdf = pd.DataFrame(inner, columns=["ik", "iy", "a", "b"])
+        opdf = pd.DataFrame(outer, columns=["pk", "k", "x", "d1", "d2"])
+        engine.catalog.register_df(
+            "nt_inner",
+            spark.createDataFrame(
+                ipdf.astype(object).where(ipdf.notna(), None),
+                "ik int, iy int, a int, b int",
+            ),
+            (),
+        )
+        engine.catalog.register_df(
+            "nt_outer",
+            spark.createDataFrame(
+                opdf.astype(object).where(opdf.notna(), None),
+                "pk int, k int, x int, d1 int, d2 int",
+            ),
+            ("pk",),
+        )
+        try:
+            for opb, fb in ops.items():
+                for probe in ("p.x", "2"):
+                    for guard, orient in (
+                        ("", f"i.a <> p.d1 AND i.b {opb} p.d2"),
+                        ("", f"i.b {opb} p.d2 AND i.a <> p.d1"),
+                        ("p.d2 = 99 OR ", f"i.a <> p.d1 AND i.b {opb} p.d2"),
+                    ):
+                        q = f"""SELECT p.pk FROM nt_outer AS p
+                                WHERE {guard}{probe} NOT IN (
+                                  SELECT i.iy FROM nt_inner AS i
+                                  WHERE i.ik = p.k AND {orient})"""
+                        mine = sorted(
+                            r["pk"]
+                            for r in engine.sql(q, mode="cqc").collect()
+                        )
+                        truth = []
+                        for pk, k, x, d1, d2 in outer:
+                            if guard and d2 == 99:
+                                truth.append(pk)
+                                continue
+                            xv = x if probe == "p.x" else 2
+                            grp = [
+                                iy
+                                for ik, iy, a, b in inner
+                                if None not in (ik, k, a, b, d1, d2)
+                                and ik == k and a != d1 and fb(b, d2)
+                            ]
+                            if not grp:
+                                truth.append(pk)
+                            elif xv is not None and any(
+                                iy == xv for iy in grp if iy is not None
+                            ):
+                                pass
+                            elif any(
+                                iy is None for iy in grp
+                            ) or xv is None:
+                                pass
+                            else:
+                                truth.append(pk)
+                        assert mine == sorted(truth), (
+                            trial, opb, probe, guard, orient, mine, truth,
+                        )
+        finally:
+            engine.catalog.unregister("nt_inner")
+            engine.catalog.unregister("nt_outer")
