@@ -1123,20 +1123,13 @@ class SparkSQLPlus:
                         "<", "<=", ">", ">=", "<>",
                     ):
                         threshold = noneq[0]
-                    elif len(noneq) == 2 and (
-                        all(o in ("<", "<=", ">", ">=") for o in pops)
-                        or (
-                            # round 13: <> paired with an order
-                            # comparison — argmin/runner-up triple
-                            # flag views (the NOT-IN mirror of
-                            # _or_exists_neq_order_flag)
-                            pops.count("<>") == 1
-                            and all(
-                                o in ("<", "<=", ">", ">=", "<>")
-                                for o in pops
-                            )
-                        )
+                    elif len(noneq) == 2 and all(
+                        o in ("<", "<=", ">", ">=", "<>") for o in pops
                     ):
+                        # round 13: any pair mix — both order ops
+                        # (staircase flag views), <> + order
+                        # (argmin/runner-up triples), <> + <>
+                        # (diagonal-witness stats)
                         pair_threshold = noneq
                     else:
                         raise UnsupportedSqlError(
@@ -2456,7 +2449,13 @@ class SparkSQLPlus:
                 spec, ephemeral,
             )
         if pair is not None:
-            if any(t[0] == "<>" for t in pair):
+            n_neq = sum(1 for t in pair if t[0] == "<>")
+            if n_neq == 2:
+                return self._corr_not_in_neq_pair_threshold_or(
+                    inner, gsel, corr, probe_outer, probe_icol, pair,
+                    spec, ephemeral,
+                )
+            if n_neq == 1:
                 return self._corr_not_in_neq_order_threshold_or(
                     inner, gsel, corr, probe_outer, probe_icol, pair,
                     spec, ephemeral,
@@ -2983,6 +2982,141 @@ class SparkSQLPlus:
             (
                 # group miss (or all rows NULL-a/b): set empty
                 (IsNull(Col(a_alias, "__b1")), Lit(True, "boolean")),
+                # NULL threshold: the filter is UNKNOWN rowwise
+                (OrCond((IsNull(d1e), IsNull(d2e))), Lit(True, "boolean")),
+                (within(m_alias), Lit(False, "boolean")),
+                (within(n_alias), Lit(None, "null")),
+                (
+                    AndCond((IsNull(probe_outer), within(a_alias))),
+                    Lit(None, "null"),
+                ),
+            ),
+            Lit(True, "boolean"),
+        )
+
+    def _corr_not_in_neq_pair_threshold_or(
+        self, inner, gsel, corr, probe_outer, probe_icol, pair,
+        spec, ephemeral,
+    ):
+        """Correlated NOT IN under OR whose inner set is filtered by
+        TWO ``<>`` comparisons (round 13 — the OR sibling of
+        compiler/cqc.py:_apply_neq_pair_threshold_not_in): each
+        three-valued fact asks the diagonal-witness question over its
+        population, carried on _diagonal_stats_view flag views
+        (da/db/ua/ub + the chosen diagonal pair's coordinates + its
+        two cross-point witness bits; the _or_exists_neq_pair_flag
+        statistic per fact population). The within() Cond is
+        two-valued given the NULL-threshold guard branch, and a
+        view-miss leaves it UNKNOWN — which every CaseWhen branch
+        skips, exactly the miss semantics each fact needs. Views one
+        row per group (per (group, y) for a column probe)."""
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.compiler.cqc import _diagonal_stats_view
+        from sparksqlplus_spark.expressions import (
+            AndCond,
+            CaseWhen,
+            Cmp,
+            Col,
+            IsNull,
+            Lit,
+            OrCond,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+
+        (_, d1e, a_col), (_, d2e, b_col) = pair
+        inner_t = inner.filter(
+            F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+        )
+
+        def stats_view(src, extra_part=None, extra_conds=None):
+            part = [(icol, out) for icol, out in gsel.items()]
+            if extra_part is not None:
+                part.append((extra_part, "__cmp"))
+            view = _diagonal_stats_view(src, part, a_col, b_col)
+            self._view_counter += 1
+            name = f"__corrd{self._view_counter}"
+            self.catalog.register_df(
+                name, view, tuple(n for _, n in part)
+            )
+            ephemeral.append(name)
+            alias = f"{name}_i"
+            spec.outer_joins.append(
+                OuterJoin(
+                    item=FromItem(alias=alias, table=name),
+                    conds=[
+                        Cmp("=", oc, Col(alias, gsel[icol]))
+                        for oc, icol in corr
+                    ]
+                    + (extra_conds(alias) if extra_conds else []),
+                    side="left",
+                )
+            )
+            return alias
+
+        a_alias = stats_view(inner_t)
+        n_alias = stats_view(inner_t.filter(F.col(probe_icol).isNull()))
+        if not probe_outer.refs():
+            pl = probe_outer.to_spark({})
+            m_alias = stats_view(inner_t.filter(F.col(probe_icol) == pl))
+        else:
+            m_alias = stats_view(
+                inner_t.filter(F.col(probe_icol).isNotNull()),
+                extra_part=probe_icol,
+                extra_conds=lambda alias: [
+                    Cmp("=", probe_outer, Col(alias, "__cmp"))
+                ],
+            )
+
+        one = Lit(1, "int")
+        two = Lit(2, "int")
+
+        def within(alias):
+            def vc(name):
+                return Col(alias, name)
+
+            single_a = AndCond(
+                (
+                    Cmp("=", vc("da"), one),
+                    Cmp("<>", vc("ua"), d1e),
+                    OrCond(
+                        (Cmp(">=", vc("db"), two), Cmp("<>", vc("ub"), d2e))
+                    ),
+                )
+            )
+            single_b = AndCond(
+                (
+                    Cmp(">=", vc("da"), two),
+                    Cmp("=", vc("db"), one),
+                    Cmp("<>", vc("ub"), d2e),
+                )
+            )
+            diag = AndCond(
+                (
+                    Cmp(">=", vc("da"), two),
+                    Cmp(">=", vc("db"), two),
+                    OrCond(
+                        (
+                            Cmp("<>", d1e, vc("pa")),
+                            Cmp("<>", d2e, vc("qb")),
+                            Cmp("=", vc("w1"), one),
+                        )
+                    ),
+                    OrCond(
+                        (
+                            Cmp("<>", d1e, vc("qa")),
+                            Cmp("<>", d2e, vc("pb")),
+                            Cmp("=", vc("w2"), one),
+                        )
+                    ),
+                )
+            )
+            return OrCond((single_a, single_b, diag))
+
+        return CaseWhen(
+            (
+                # group miss (or all rows NULL-a/b): set empty
+                (IsNull(Col(a_alias, "da")), Lit(True, "boolean")),
                 # NULL threshold: the filter is UNKNOWN rowwise
                 (OrCond((IsNull(d1e), IsNull(d2e))), Lit(True, "boolean")),
                 (within(m_alias), Lit(False, "boolean")),

@@ -94,6 +94,202 @@ _CMPF = {
 }
 
 
+def _diagonal_stats_view(src, part_pairs, a_col, b_col):
+    """Per-part DIAGONAL-WITNESS statistic for "∃ row: a <> d1 AND
+    b <> d2" probes (round 13 — the api._or_exists_neq_pair_flag
+    statistic, shared with the NOT IN threshold executor): columns
+    (part..., da, db, ua, ub, pa, pb, qa, qb, w1, w2) — distinct
+    counts + unique values for the single-a/-b folds, the chosen
+    diagonal pair's coordinates, and its two cross-point witness bits.
+    Rows with NULL a/b must be pre-filtered by the caller. Three
+    grouped passes, each one part-key exchange with the joins reusing
+    it; ONE row per part."""
+    names = [n for _, n in part_pairs]
+    rows = src.select(
+        *[F.col(c).alias(n) for c, n in part_pairs],
+        F.col(a_col).alias("__a"),
+        F.col(b_col).alias("__b"),
+    )
+    g1 = rows.groupBy(*names).agg(
+        F.count_distinct("__a").alias("da"),
+        F.count_distinct("__b").alias("db"),
+        F.min("__a").alias("ua"),
+        F.min("__b").alias("ub"),
+        F.min(F.struct(F.col("__a").alias("a"), F.col("__b").alias("b"))).alias(
+            "r1"
+        ),
+    )
+    j2 = rows.join(g1.select(*names, "r1"), names)
+    g2 = j2.groupBy(*names).agg(
+        F.min(
+            F.when(
+                F.col("__a") != F.col("r1.a"),
+                F.struct(F.col("__a").alias("a"), F.col("__b").alias("b")),
+            )
+        ).alias("s"),
+        F.min(
+            F.when(
+                F.col("__b") != F.col("r1.b"),
+                F.struct(F.col("__a").alias("a"), F.col("__b").alias("b")),
+            )
+        ).alias("t"),
+    )
+    v2 = g1.join(g2, names)
+    diag_s = F.col("s").isNotNull() & (F.col("s.b") != F.col("r1.b"))
+    diag_t = F.col("t").isNotNull() & (F.col("t.a") != F.col("r1.a"))
+    p = F.when(diag_s | diag_t, F.col("r1")).otherwise(F.col("t"))
+    q = F.when(diag_s, F.col("s")).otherwise(
+        F.when(diag_t, F.col("t")).otherwise(F.col("s"))
+    )
+    v2 = v2.select(
+        *names, "da", "db", "ua", "ub",
+        p["a"].alias("pa"), p["b"].alias("pb"),
+        q["a"].alias("qa"), q["b"].alias("qb"),
+    )
+    j3 = rows.join(v2.select(*names, "pa", "pb", "qa", "qb"), names)
+    g3 = j3.groupBy(*names).agg(
+        F.max(
+            F.when(
+                (F.col("__a") != F.col("pa"))
+                & (F.col("__b") != F.col("qb")),
+                1,
+            ).otherwise(0)
+        ).alias("w1"),
+        F.max(
+            F.when(
+                (F.col("__a") != F.col("qa"))
+                & (F.col("__b") != F.col("pb")),
+                1,
+            ).otherwise(0)
+        ).alias("w2"),
+    )
+    return v2.join(g3, names)
+
+
+def _apply_neq_pair_threshold_not_in(df, inner, sf, prefix: str):
+    """Correlated NOT IN whose inner set is filtered by TWO ``<>``
+    comparisons against the outer row (round 13): ``o.x NOT IN (SELECT
+    y FROM t WHERE t.k = o.k AND t.a <> o.d1 AND t.b <> o.d2)``. Each
+    three-valued fact asks the diagonal-witness question over its
+    population, so each fact carries a _diagonal_stats_view and the
+    within test is pure row-side logic:
+
+      within(d1, d2) = d1/d2 non-NULL AND (
+        da = 1: ua <> d1 AND (db >= 2 OR ub <> d2)
+        db = 1 (da >= 2): ub <> d2
+        else: (d1 <> pa OR d2 <> qb OR w1 = 1)
+          AND (d1 <> qa OR d2 <> pb OR w2 = 1))
+
+    Views one row per group (per (group, y) for the column-probe match
+    view, pinned by the join condition) — no duplication. Keyed groups
+    only (build_context guarantees corr_keys non-empty here)."""
+    thrs = sf.corr_threshold
+    (_, d1e, a_col), (_, d2e, b_col) = thrs
+    d1 = d1e.to_spark({r: r[1] for r in d1e.refs()})
+    d2 = d2e.to_spark({r: r[1] for r in d2e.refs()})
+    corr = sf.corr_keys
+    inner_t = inner.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    )
+    stat_cols = ["da", "db", "ua", "ub", "pa", "pb", "qa", "qb", "w1", "w2"]
+
+    def attach(view, names, tagp, extra_cond=None):
+        view = view.select(
+            *names, *[F.col(c).alias(f"{tagp}{c}") for c in stat_cols]
+        )
+        on = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(ov) == F.col(n) for (ov, _), n in zip(corr, names)]
+            + ([extra_cond] if extra_cond is not None else []),
+        )
+        return df.join(view, on, "left")
+
+    def within(tagp):
+        def c(name):
+            return F.col(f"{tagp}{name}")
+
+        # da=1: witness needs ua <> d1 plus SOME b <> d2 (db >= 2
+        # guarantees one; db = 1 needs the unique b to differ).
+        # db=1 (da >= 2 there): some a always differs from a non-NULL
+        # d1, so only the unique b must differ.
+        single_a = (c("ua") != d1) & ((c("db") >= 2) | (c("ub") != d2))
+        single_b = c("ub") != d2
+        diag = (
+            ((d1 != c("pa")) | (d2 != c("qb")) | (c("w1") == 1))
+            & ((d1 != c("qa")) | (d2 != c("pb")) | (c("w2") == 1))
+        )
+        return (
+            d1.isNotNull()
+            & d2.isNotNull()
+            & F.coalesce(
+                F.when(c("da") == 1, single_a)
+                .when(c("db") == 1, single_b)
+                .otherwise(diag),
+                F.lit(False),
+            )
+        )
+
+    ga = [(ic, f"{prefix}_ga{i}") for i, (_, ic) in enumerate(corr)]
+    gn = [(ic, f"{prefix}_gn{i}") for i, (_, ic) in enumerate(corr)]
+    gm = [(ic, f"{prefix}_gm{i}") for i, (_, ic) in enumerate(corr)]
+    helper: list[str] = []
+    for tagp, names in (
+        (f"{prefix}_A", ga), (f"{prefix}_N", gn), (f"{prefix}_M", gm),
+    ):
+        helper += [f"{tagp}{c}" for c in stat_cols]
+        helper += [n for _, n in names]
+    df = attach(
+        _diagonal_stats_view(inner_t, ga, a_col, b_col),
+        [n for _, n in ga],
+        f"{prefix}_A",
+    )
+    if sf.const_probe is not None:
+        probe_lit, ic = sf.const_probe
+        pl = probe_lit.to_spark({})
+        probe_ok = pl.isNotNull()
+        df = attach(
+            _diagonal_stats_view(
+                inner_t.filter(F.col(ic).isNull()), gn, a_col, b_col
+            ),
+            [n for _, n in gn],
+            f"{prefix}_N",
+        )
+        df = attach(
+            _diagonal_stats_view(
+                inner_t.filter(F.col(ic) == pl), gm, a_col, b_col
+            ),
+            [n for _, n in gm],
+            f"{prefix}_M",
+        )
+    else:
+        (ov_p, ic), = sf.keys  # single-column probe (validated)
+        probe_ok = F.col(ov_p).isNotNull()
+        df = attach(
+            _diagonal_stats_view(
+                inner_t.filter(F.col(ic).isNull()), gn, a_col, b_col
+            ),
+            [n for _, n in gn],
+            f"{prefix}_N",
+        )
+        mp = f"{prefix}_mp"
+        df = attach(
+            _diagonal_stats_view(
+                inner_t.filter(F.col(ic).isNotNull()),
+                gm + [(ic, mp)],
+                a_col,
+                b_col,
+            ),
+            [n for _, n in gm] + [mp],
+            f"{prefix}_M",
+            extra_cond=(F.col(ov_p) == F.col(mp)),
+        )
+        helper.append(mp)
+    keep = ~within(f"{prefix}_A") | (
+        ~within(f"{prefix}_M") & ~within(f"{prefix}_N") & probe_ok
+    )
+    return df.filter(keep).drop(*helper)
+
+
 def _apply_neq_order_threshold_not_in(df, inner, sf, prefix: str):
     """Correlated NOT IN whose inner set is filtered by a ``<>`` PAIRED
     with an order comparison against the outer row (round 13):
@@ -424,7 +620,14 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
         # column pinned) — no join duplicates; with no group keys the
         # stats view is ONE global row, broadcast.
         if len(sf.corr_threshold) == 2:
-            if any(t[0] == "<>" for t in sf.corr_threshold):
+            n_neq = sum(1 for t in sf.corr_threshold if t[0] == "<>")
+            if n_neq == 2:
+                # round 13: a <>-with-<> pair — each fact asks the
+                # diagonal-witness question over its population
+                return _apply_neq_pair_threshold_not_in(
+                    df, inner, sf, prefix
+                )
+            if n_neq == 1:
                 # round 13: <> paired with an order comparison — each
                 # fact folds to the argmin/runner-up triple
                 return _apply_neq_order_threshold_not_in(

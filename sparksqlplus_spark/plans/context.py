@@ -661,16 +661,13 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                     # here, so no single-partition window).
                     len(thrs) == 2
                     and all(t is not None for t in thrs)
-                    and (
-                        all(o in ("<", "<=", ">", ">=") for o in pair_ops)
-                        or (
-                            pair_ops.count("<>") == 1
-                            and all(
-                                o in ("<", "<=", ">", ">=", "<>")
-                                for o in pair_ops
-                            )
-                        )
+                    and all(
+                        o in ("<", "<=", ">", ">=", "<>")
+                        for o in pair_ops
                     )
+                    # round 13: any pair mix plans — both order ops
+                    # (Pareto staircase), <> + order (argmin/runner-up
+                    # triples), <> + <> (diagonal-witness stats)
                 )
                 if not ok:
                     raise UnsupportedSqlError(

@@ -2066,15 +2066,17 @@ def test_correlated_not_in_two_thresholds(engine):
                         assert mine == sorted(truth), (
                             trial, op1, op2, probe, mine, truth,
                         )
-            # <> in the pair plans natively as of round 13
-            # (test_correlated_not_in_neq_order_threshold is its
-            # brute-force matrix); <>-with-<> stays on the fallback
+            # <> in the pair AND <>-with-<> both plan natively as
+            # of round 13 (test_correlated_not_in_neq_order_threshold
+            # and test_correlated_not_in_neq_pair_threshold are their
+            # brute-force matrices); THREE comparisons stay on the
+            # fallback
             with _pytest.raises(UnsupportedSqlError):
                 engine.sql(
                     """SELECT p.pk FROM pt_outer AS p
                        WHERE p.x NOT IN (SELECT i.iy FROM pt_inner AS i
                          WHERE i.ik = p.k AND i.c1 <> p.d1
-                           AND i.c2 <> p.d2)""",
+                           AND i.c2 <> p.d2 AND i.c1 < p.d2)""",
                     mode="cqc",
                 )
             with _pytest.raises(UnsupportedSqlError):
@@ -2518,16 +2520,17 @@ def test_correlated_not_in_two_thresholds_under_or(engine):
                     assert mine == sorted(truth), (
                         op1, op2, probe, mine, truth,
                     )
-        # <> in the pair under OR plans natively as of round 13
-        # (test_correlated_not_in_neq_order_threshold covers it);
-        # <>-with-<> NOT IN stays on the fallback
+        # every pair mix under OR plans natively as of round 13
+        # (order+order here; <>+order and <>+<> have their own
+        # brute-force matrices); THREE comparisons stay on the
+        # fallback
         with _pytest.raises(UnsupportedSqlError):
             engine.sql(
                 """SELECT p.pk FROM opt_outer AS p
                    WHERE p.d1 = 9 OR p.x NOT IN (
                      SELECT i.iy FROM opt_inner AS i
                      WHERE i.ik = p.k AND i.c1 <> p.d1
-                       AND i.c2 <> p.d2)""",
+                       AND i.c2 <> p.d2 AND i.c1 < p.d2)""",
                 mode="cqc",
             )
         with _pytest.raises(UnsupportedSqlError):
@@ -2833,3 +2836,101 @@ def test_correlated_not_in_neq_order_threshold(engine):
         finally:
             engine.catalog.unregister("nt_inner")
             engine.catalog.unregister("nt_outer")
+
+
+def test_correlated_not_in_neq_pair_threshold(engine):
+    """Round 13: correlated NOT IN whose inner set is filtered by TWO
+    <> comparisons — top level
+    (compiler/cqc.py:_apply_neq_pair_threshold_not_in) and under OR
+    (api._corr_not_in_neq_pair_threshold_or). Each three-valued fact
+    asks the diagonal-witness question over its population
+    (_diagonal_stats_view — distinct counts / unique values / the
+    chosen diagonal pair's cross points + witness bits). DuckDB cannot
+    oracle multi-inequality correlated NOT IN (SURVEY ORACLE WARNING),
+    so truth is Python brute force on NULL-heavy randomized data with
+    the crafted cross shape {(1,1),(1,2),(2,1)} planted in group 1."""
+    import random
+
+    import pandas as pd
+
+    spark = engine.spark
+    rng = random.Random(888)
+    for trial in range(2):
+        inner = [
+            (
+                rng.choice([None, 1, 2, 3]),
+                rng.choice([None] + list(range(1, 5))),
+                rng.choice([None] + list(range(1, 4))),
+                rng.choice([None] + list(range(1, 4))),
+            )
+            for _ in range(rng.randint(2, 14))
+        ]
+        inner += [(1, 4, 1, 1), (1, 4, 1, 2), (1, 4, 2, 1)]
+        outer = [
+            (
+                i,
+                rng.choice([None, 1, 2, 3]),
+                rng.choice([None] + list(range(1, 5))),
+                rng.choice([None] + list(range(1, 4))),
+                rng.choice([None] + list(range(1, 4))),
+            )
+            for i in range(12)
+        ]
+        ipdf = pd.DataFrame(inner, columns=["ik", "iy", "a", "b"])
+        opdf = pd.DataFrame(outer, columns=["pk", "k", "x", "d1", "d2"])
+        engine.catalog.register_df(
+            "dp_inner",
+            spark.createDataFrame(
+                ipdf.astype(object).where(ipdf.notna(), None),
+                "ik int, iy int, a int, b int",
+            ),
+            (),
+        )
+        engine.catalog.register_df(
+            "dp_outer",
+            spark.createDataFrame(
+                opdf.astype(object).where(opdf.notna(), None),
+                "pk int, k int, x int, d1 int, d2 int",
+            ),
+            ("pk",),
+        )
+        try:
+            for probe in ("p.x", "2"):
+                for guard in ("", "p.d2 = 99 OR "):
+                    q = f"""SELECT p.pk FROM dp_outer AS p
+                            WHERE {guard}{probe} NOT IN (
+                              SELECT i.iy FROM dp_inner AS i
+                              WHERE i.ik = p.k AND i.a <> p.d1
+                                AND i.b <> p.d2)"""
+                    mine = sorted(
+                        r["pk"]
+                        for r in engine.sql(q, mode="cqc").collect()
+                    )
+                    truth = []
+                    for pk, k, x, d1, d2 in outer:
+                        if guard and d2 == 99:
+                            truth.append(pk)
+                            continue
+                        xv = x if probe == "p.x" else 2
+                        grp = [
+                            iy
+                            for ik, iy, a, b in inner
+                            if None not in (ik, k, a, b, d1, d2)
+                            and ik == k and a != d1 and b != d2
+                        ]
+                        if not grp:
+                            truth.append(pk)
+                        elif xv is not None and any(
+                            iy == xv for iy in grp if iy is not None
+                        ):
+                            pass
+                        elif any(iy is None for iy in grp) or xv is None:
+                            pass
+                        else:
+                            truth.append(pk)
+                    assert mine == sorted(truth), (
+                        trial, probe, guard, mine, truth,
+                    )
+        finally:
+            engine.catalog.unregister("dp_inner")
+            engine.catalog.unregister("dp_outer")
