@@ -699,6 +699,39 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                            AND p.p_retailprice > o.o_totalprice)""",
         None,
     ),
+    # --- NEW r13: <> PAIRED with an order comparison filtering a
+    # correlated NOT IN set, TOP LEVEL — the executor's mixed-pair
+    # branch (compiler/cqc.py:_apply_neq_order_threshold_not_in): each
+    # three-valued fact folds to the argmin/runner-up triple view.
+    # DuckDB CANNOT oracle the correlated form (two-inequality NOT IN
+    # decorrelation returns empty — SURVEY ORACLE WARNING), so the
+    # oracle is the JOIN-FORM stats expansion, like not_in_pair_or.
+    # NULL-matrix pytest: test_correlated_not_in_neq_order_threshold.
+    # ---
+    "not_in_neq_order": (
+        """SELECT s.s_suppkey, s.s_nationkey
+           FROM supplier AS s
+           WHERE s.s_nationkey NOT IN (
+             SELECT l.l_linenumber FROM lineitem AS l
+             WHERE l.l_suppkey = s.s_suppkey
+               AND l.l_linenumber <> s.s_nationkey - 10
+               AND l.l_quantity < s.s_acctbal / 100.0)""",
+        """SELECT s.s_suppkey, s.s_nationkey
+           FROM supplier AS s
+           LEFT JOIN (
+             SELECT s2.s_suppkey AS k, COUNT(*) AS n,
+                    COUNT(l.l_linenumber) AS nn,
+                    SUM(CASE WHEN l.l_linenumber = s2.s_nationkey
+                             THEN 1 ELSE 0 END) AS m
+             FROM supplier AS s2 JOIN lineitem AS l
+               ON l.l_suppkey = s2.s_suppkey
+              AND l.l_linenumber <> s2.s_nationkey - 10
+              AND l.l_quantity < s2.s_acctbal / 100.0
+             GROUP BY s2.s_suppkey) AS st ON st.k = s.s_suppkey
+           WHERE st.n IS NULL
+              OR (st.m = 0 AND st.nn = st.n
+                  AND s.s_nationkey IS NOT NULL)""",
+    ),
     # --- NEW r13: TWO <> correlations under OR'd EXISTS — the
     # round's diagonal-witness flag (api._or_exists_neq_pair_flag):
     # per supplier group the witness question has a BOUNDED statistic
@@ -2976,7 +3009,14 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     # its former definition site; slot freed for the
     # exists_two_comparisons staircase-flag entry in _SQL_CASES.)
     "ann_cosine_topk": (_ann_topk_q, _ANN_TOPK_ORACLE),
-    "ann_lsh_topk": (_ann_lsh_q, _ann_lsh_oracle()),
+    # (r13 consolidation: the ann_lsh_topk entry retired to free the
+    # slot for not_in_neq_order. The LSH bucketing machinery stays
+    # driver-covered in-window — dedup_embedding_cosine (head) runs
+    # the same hyperplane-LSH blocking and ann_ivf_topk/ann_cosine_topk
+    # keep the ANN family — and the operator gains the named pytest
+    # oracle tests/test_operators.py:test_lsh_topk_bucket_replay
+    # (NumPy replay of the quantized bucketing + bucket-local top-k,
+    # row-exact).)
     "ann_ivf_topk": (_ann_ivf_q, _ANN_IVF_ORACLE),
     # (r10 consolidation: media_stats retired — its expression-level
     # metadata projection is the ingest step of BOTH surviving
@@ -3025,7 +3065,9 @@ _HEAD = [
     "tpch_q12",
     "tpch_q15",
     "tpch_q4",
-    "ann_lsh_topk",
+    # r13: not_in_neq_order takes the slot freed by the ann_lsh_topk
+    # retirement (see the inline note at its former definition site).
+    "not_in_neq_order",
     "hint_join_tree",
     "graph_triangle_wcoj",
     "tpch_q2",

@@ -1215,3 +1215,68 @@ def test_pattern_semi_reduce_equivalence(spark):
     assert red[2].count() < g.count()  # far edge shrank through BFS
     gated = pattern_semi_reduce(sides, evars)  # default gate: untouched
     assert gated[1] is sides[1]
+
+
+def test_lsh_topk_bucket_replay(engine):
+    """Named pytest oracle for lsh_cosine_topk (r13 — backs the
+    ann_lsh_topk driver-entry retirement): replay the quantized
+    integer hyperplane bucketing and the bucket-local cosine top-k in
+    NumPy on the sf0.001 embeddings and compare row-for-row. The
+    integer quantization (LSH_QUANT + hyperplane_int) makes the sign
+    decision bit-identical across engines, so the candidate sets must
+    agree exactly, not just in recall."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sparksqlplus_spark.operators.similarity import (
+        LSH_QUANT,
+        hyperplane_int,
+        lsh_cosine_topk,
+    )
+
+    emb = engine.catalog.get("embeddings").df
+    dim, k, n_planes = 64, 5, 8
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in lsh_cosine_topk(
+            emb, queries_df, dim=dim, k=k, n_planes=n_planes
+        ).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    planes = np.array(
+        [hyperplane_int(dim, j) for j in range(n_planes)], dtype=np.float64
+    )
+    qv = np.floor(vecs * float(LSH_QUANT))
+    proj = qv @ planes.T  # exact integer-valued doubles
+    buckets = ((proj >= 0).astype(np.int64) * (2 ** np.arange(n_planes))).sum(
+        axis=1
+    )
+    bucket_of = dict(zip(ids.tolist(), buckets.tolist()))
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    want = {}
+    for qi in [i for i in ids if i < 10]:
+        q = vecs[ids == qi][0]
+        qb = bucket_of[qi]
+        cand = [
+            (int(i), float(vecs[j] @ q / (norms[j] * math.sqrt(q @ q))))
+            for j, i in enumerate(ids)
+            if bucket_of[int(i)] == qb and int(i) != qi
+        ]
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (nid, cos) in enumerate(cand[:k], 1):
+            want[(int(qi), rank)] = (nid, cos)
+    assert set(got) == set(want), (
+        sorted(set(got) ^ set(want))[:5],
+    )
+    for key, (nid, cos) in want.items():
+        gn, gc = got[key]
+        assert gn == nid and abs(gc - cos) < 1e-6, (key, got[key], (nid, cos))
