@@ -76,6 +76,10 @@ BOUNDS = {
     # not_in_expr_probe = the corr_keys stats + match views (the
     # probe materialization itself is a pure projection).
     "exists_neq_pair": 7,
+    # not_in_neq_order = three argmin/runner-up triple views (all /
+    # NULL-y / match), each a (part, a) pre-reduction + top-2 window
+    # sharing the part key, + the one-row-per-part LEFT joins
+    "not_in_neq_order": 7,
     "not_in_pair_or": 6,
     "not_in_cte": 2,
     "not_in_expr_probe": 3,
