@@ -637,22 +637,49 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                              WHERE s.s_acctbal > -99999999.0)""",
         None,
     ),
-    # --- NEW r9: ALL-quantified comparisons (parser
-    # _quantified_tail) — ordering ALL desugars to count-guarded
-    # extreme scalars (empty set keeps every row; a NULL element caps
-    # at UNKNOWN), <> ALL IS the planned null-aware NOT IN; the
-    # second predicate's empty set proves the vacuous-truth branch.
-    # Same SQL is the DuckDB oracle (DuckDB plans ALL natively). ---
-    "quantified_all": (
-        """SELECT o.o_orderkey, o.o_totalprice
-           FROM orders AS o
-           WHERE o.o_totalprice > ALL (SELECT c.c_acctbal
-                                       FROM customer AS c
-                                       WHERE c.c_acctbal > 9000.0)
-             AND o.o_orderpriority <> ALL (SELECT c2.c_mktsegment
-                                           FROM customer AS c2
-                                           WHERE c2.c_acctbal > 99999999.0)""",
-        None,
+    # (r13 consolidation: the quantified_all entry — ALL-quantified
+    # comparisons — retired to free the slot for not_in_pair_keyless.
+    # Both desugar arms stay covered: <> ALL IS the planned null-aware
+    # NOT IN the in-window NOT IN entries drive, and the count-guarded
+    # ordering-ALL desugar keeps the named parameterized DuckDB-oracle
+    # pytest tests/test_cqc_queries.py:test_quantified_all_and_ne_any,
+    # which sweeps MORE shapes than the driver entry did — <>/</> ALL,
+    # the CASE-bodied set, and <> ANY.)
+    #
+    # --- NEW r13: KEYLESS pair-filtered correlated NOT IN — no
+    # equality correlation, so the set/NULL-y facts fold to GLOBAL
+    # Pareto staircases via the bounded frontier helper
+    # (plans/frontier.py: groupBy(u) pre-reduction -> per-Arrow-batch
+    # frontier -> capped plan-time merge, never a single-partition
+    # window), inlined as one-row broadcast crossJoins; the match fact
+    # is a per-y staircase (compiler/cqc.py:
+    # _apply_pair_threshold_not_in_keyless). DuckDB CANNOT oracle the
+    # correlated form (two-inequality NOT IN decorrelation returns
+    # empty — SURVEY ORACLE WARNING), so the oracle is the JOIN-FORM
+    # stats expansion. NULL-matrix pytest:
+    # test_correlated_not_in_pair_keyless (+ the under-OR matrix
+    # test_correlated_not_in_keyless_under_or). ---
+    "not_in_pair_keyless": (
+        """SELECT s.s_suppkey, s.s_nationkey
+           FROM supplier AS s
+           WHERE s.s_nationkey NOT IN (
+             SELECT l.l_linenumber FROM lineitem AS l
+             WHERE l.l_partkey < s.s_suppkey * 20
+               AND l.l_suppkey > s.s_suppkey - 5)""",
+        """SELECT s.s_suppkey, s.s_nationkey
+           FROM supplier AS s
+           LEFT JOIN (
+             SELECT s2.s_suppkey AS k, COUNT(*) AS n,
+                    COUNT(l.l_linenumber) AS nn,
+                    SUM(CASE WHEN l.l_linenumber = s2.s_nationkey
+                             THEN 1 ELSE 0 END) AS m
+             FROM supplier AS s2 JOIN lineitem AS l
+               ON l.l_partkey < s2.s_suppkey * 20
+              AND l.l_suppkey > s2.s_suppkey - 5
+             GROUP BY s2.s_suppkey) AS st ON st.k = s.s_suppkey
+           WHERE st.n IS NULL
+              OR (st.m = 0 AND st.nn = st.n
+                  AND s.s_nationkey IS NOT NULL)""",
     ),
     # (r13 consolidation: the not_in_rowvalue entry — multi-key
     # three-valued anti join — retired to free the slot for
@@ -3110,7 +3137,10 @@ _HEAD = [
     "events_asof_join",
     "full_outer_join",
     "exists_outer_join",
-    "quantified_all",
+    # r13: not_in_pair_keyless takes the slot freed by the
+    # quantified_all retirement (see the inline note at its former
+    # definition site).
+    "not_in_pair_keyless",
     # r13: not_in_cte takes the slot freed by the not_in_rowvalue
     # retirement (see the inline note at its former definition site).
     "not_in_cte",

@@ -1097,7 +1097,7 @@ class SparkSQLPlus:
                         "correlation under OR needs a bare inner column "
                         "on one side and an outer-only term on the other"
                     )
-            if ex.null_aware and ex.negated and n_corr_keys:
+            if ex.null_aware and ex.negated and (n_corr_keys or noneq):
                 # correlated NOT IN under OR — same round-12 split as
                 # build_context: the correlated-WHERE equality is a
                 # GROUP key, not a probe column; folding it into the
@@ -1105,6 +1105,11 @@ class SparkSQLPlus:
                 # semantics (the inner set must be per-group). A
                 # single-column probe plans natively through the
                 # grouped-stats flag; wider shapes ride the fallback.
+                # Round 13: KEYLESS groups (no equality correlation,
+                # only thresholds) plan too — single thresholds fold
+                # to one GLOBAL stats row, order-pair staircases to
+                # bounded global frontiers (plans/frontier.py);
+                # <>-containing keyless pairs stay on the fallback.
                 threshold = None
                 pair_threshold = None
                 if noneq:
@@ -2271,8 +2276,9 @@ class SparkSQLPlus:
         with identical semantics in Spark, pandas, and Python, so the
         driver-side merge is exact. Float (NaN's order-last rule has
         no pandas cummin analogue), decimal, and string columns raise
-        and ride the fallback instead of risking a semantic skew."""
-        import pandas as pd
+        and ride the fallback instead of risking a semantic skew.
+        Round 13: the fold itself lives in plans/frontier.py, shared
+        with the keyless pair-filtered NOT IN executor."""
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
@@ -2284,59 +2290,15 @@ class SparkSQLPlus:
             PairWitness,
         )
         from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+        from sparksqlplus_spark.plans.frontier import global_frontier_points
 
         (op1, out1, col1), (op2, out2, col2) = noneq
         asc1 = op1 in ("<", "<=")
-        best2 = F.min if op2 in ("<", "<=") else F.max
-        reduced = (
-            inner.filter(F.col(col1).isNotNull() & F.col(col2).isNotNull())
-            .select(F.col(col1).alias("u"), F.col(col2).alias("v"))
-            .groupBy("u")
-            .agg(best2("v").alias("v"))
-        )
-        schema = reduced.schema
-        ok_types = (
-            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-            T.DateType, T.TimestampType,
-        )
-        for f in schema.fields:
-            if not isinstance(f.dataType, ok_types):
-                raise UnsupportedSqlError(
-                    "keyless 2-comparison EXISTS supports integral/"
-                    f"date/timestamp columns only (got {f.dataType})"
-                )
         take_min2 = op2 in ("<", "<=")
-
-        def batch_frontier(it):
-            for pdf in it:
-                if pdf.empty:
-                    continue
-                pdf = pdf.sort_values("u", ascending=asc1)
-                run = (
-                    pdf["v"].cummin() if take_min2 else pdf["v"].cummax()
-                )
-                keep = run.ne(run.shift())
-                yield pd.DataFrame(
-                    {"u": pdf["u"][keep], "v": run[keep]}
-                )
-
-        rows = reduced.mapInPandas(batch_frontier, schema).take(
-            self._KEYLESS_FRONTIER_CAP + 1
+        merged, u_type, v_type = global_frontier_points(
+            inner, col1, col2, asc1, take_min2,
+            self._KEYLESS_FRONTIER_CAP,
         )
-        if len(rows) > self._KEYLESS_FRONTIER_CAP:
-            raise UnsupportedSqlError(
-                "keyless 2-comparison EXISTS frontier exceeds the "
-                f"{self._KEYLESS_FRONTIER_CAP}-point inline cap"
-            )
-        pts = sorted(
-            ((r["u"], r["v"]) for r in rows), reverse=not asc1
-        )
-        merged: list[tuple] = []
-        best = None
-        for u, v in pts:
-            if best is None or (v < best if take_min2 else v > best):
-                best = v
-                merged.append((u, v))
         view = self.spark.createDataFrame(
             [(1, merged)],
             T.StructType(
@@ -2347,12 +2309,8 @@ class SparkSQLPlus:
                         T.ArrayType(
                             T.StructType(
                                 [
-                                    T.StructField(
-                                        "u", schema["u"].dataType
-                                    ),
-                                    T.StructField(
-                                        "v", schema["v"].dataType
-                                    ),
+                                    T.StructField("u", u_type),
+                                    T.StructField("v", v_type),
                                 ]
                             )
                         ),
@@ -2450,6 +2408,14 @@ class SparkSQLPlus:
             )
         if pair is not None:
             n_neq = sum(1 for t in pair if t[0] == "<>")
+            if n_neq and not corr:
+                # keyless <>-containing pairs would need the keyless
+                # triple/diagonal fold machinery — fallback (mirrors
+                # the top-level build_context gate)
+                raise UnsupportedSqlError(
+                    "keyless <>-containing NOT IN pairs under OR are "
+                    "not planned natively"
+                )
             if n_neq == 2:
                 return self._corr_not_in_neq_pair_threshold_or(
                     inner, gsel, corr, probe_outer, probe_icol, pair,
@@ -2609,6 +2575,9 @@ class SparkSQLPlus:
                     for oc, icol in corr
                 ],
                 side="left",
+                # keyless groups (round 13): the stats view is ONE
+                # global row — attach unconditionally
+                allow_uncorrelated=not corr,
             )
         )
         if const_probe:
@@ -2756,12 +2725,43 @@ class SparkSQLPlus:
         def staircase_view(src, extra_part=None, extra_conds=()):
             """Register a per-part staircase view and LEFT-join it;
             parts are the group columns (+ the probe column for the
-            column-probe match view). Returns the join alias."""
+            column-probe match view). Returns the join alias. With NO
+            parts (keyless groups, round 13) the staircase is GLOBAL
+            — folded via the bounded frontier helper
+            (plans/frontier.py; never a single-partition window) and
+            registered as a one-row view attached unconditionally."""
+            from sparksqlplus_spark.plans.frontier import (
+                frontier_one_row_df,
+                global_frontier_points,
+            )
+
             part = [F.col(icol).alias(out) for icol, out in gsel.items()]
             outs = list(gsel.values())
             if extra_part is not None:
                 part.append(F.col(extra_part).alias("__cmp"))
                 outs = outs + ["__cmp"]
+            if not outs:
+                merged, ut, vt = global_frontier_points(
+                    src, c1, c2, op1 in ("<", "<="), op2 in ("<", "<="),
+                    self._KEYLESS_FRONTIER_CAP,
+                )
+                view = frontier_one_row_df(self.spark, merged, ut, vt)
+                self._view_counter += 1
+                name = f"__corrp{self._view_counter}"
+                self.catalog.register_df(name, view, ())
+                ephemeral.append(name)
+                alias = f"{name}_i"
+                spec.outer_joins.append(
+                    OuterJoin(
+                        item=FromItem(alias=alias, table=name),
+                        conds=list(
+                            extra_conds(alias) if extra_conds else []
+                        ),
+                        side="left",
+                        allow_uncorrelated=True,
+                    )
+                )
+                return alias
             pts = (
                 src.select(*part, F.col(c1).alias("u"), F.col(c2).alias("v"))
                 .groupBy(*outs, "u")

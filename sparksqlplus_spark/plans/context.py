@@ -695,16 +695,45 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                     )
                 corr_const_probe = (probe.right, probe.left.name)
                 inner_only = inner_only[1:]
+        keyless_const_notin_thr = False
         if (
             not keys
             and not corr_keys
             and extra_raw
             and expr_probe_raw is None
         ):
-            raise UnsupportedSqlError(
-                "EXISTS needs at least one equality correlation"
-            )
-        if not keys and not corr_keys and expr_probe_raw is None:
+            if ex.null_aware and ex.negated and ex.n_probe == 1:
+                # keyless threshold-filtered NOT IN with a CONSTANT
+                # probe (round 13): `2 NOT IN (SELECT y FROM t WHERE
+                # t.c1 OP o.d1 ...)` — the probe conjunct sits first
+                # in inner_only (parser contract); extract it here so
+                # the keyless-threshold gate below plans the facts
+                # (the executor's const_probe branches fold them from
+                # global views/frontiers).
+                probe = inner_only[0] if inner_only else None
+                if not (
+                    isinstance(probe, Cmp)
+                    and probe.op == "="
+                    and isinstance(probe.left, Col)
+                    and const_expr(probe.right)
+                ):
+                    raise UnsupportedSqlError(
+                        "non-constant probe NOT IN with a correlated "
+                        "WHERE is not planned natively"
+                    )
+                corr_const_probe = (probe.right, probe.left.name)
+                inner_only = inner_only[1:]
+                keyless_const_notin_thr = True
+            else:
+                raise UnsupportedSqlError(
+                    "EXISTS needs at least one equality correlation"
+                )
+        if (
+            not keys
+            and not corr_keys
+            and expr_probe_raw is None
+            and not keyless_const_notin_thr
+        ):
             # uncorrelated [NOT] EXISTS (round 9): a constant gate —
             # true iff the filtered inner table has >= 1 row. Planned
             # as a keyless SemiFilter on the first relation
@@ -787,19 +816,30 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             # the threshold, so the three-valued facts fold to
             # threshold tests against GLOBAL extremes (the
             # corr_keys=() case of the executor's threshold branch).
-            one = (
-                _threshold_of(extra_raw[0]) if len(extra_raw) == 1 else None
+            thrs = [_threshold_of(rw) for rw in extra_raw]
+            ok = (len(thrs) == 1 and thrs[0] is not None) or (
+                # round 13: a keyless PAIR of order comparisons plans
+                # too — its global staircases fold via the bounded
+                # frontier helper (plans/frontier.py; never a
+                # single-partition window). <>-containing keyless
+                # pairs stay on the fallback: their per-fact folds
+                # would need the keyless triple/diagonal machinery,
+                # and a NULL-heavy brute-force pytest pins the raise.
+                len(thrs) == 2
+                and all(t is not None and t[0] != "<>" for t in thrs)
             )
-            if one is None or len(keys) + (
-                1 if expr_probe_raw is not None else 0
-            ) != 1:
-                # a keyless-GROUP pair would need a single-partition
-                # window for its global staircases — fallback
+            n_probe_slots = (
+                len(keys)
+                + (1 if expr_probe_raw is not None else 0)
+                + (1 if corr_const_probe is not None else 0)
+            )
+            if not ok or n_probe_slots != 1:
                 raise UnsupportedSqlError(
-                    "NOT IN (subquery) supports at most one "
-                    "order-comparison extra correlation"
+                    "NOT IN (subquery) supports one non-equality "
+                    "extra correlation or a keyless pair of order "
+                    "comparisons"
                 )
-            corr_threshold_raw = [one]
+            corr_threshold_raw = thrs
             extra_raw = []
         out_alias = next(iter(outer_aliases))
         rid = alias_rid[out_alias]

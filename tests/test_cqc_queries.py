@@ -2079,16 +2079,314 @@ def test_correlated_not_in_two_thresholds(engine):
                            AND i.c2 <> p.d2 AND i.c1 < p.d2)""",
                     mode="cqc",
                 )
-            with _pytest.raises(UnsupportedSqlError):
-                engine.sql(
-                    """SELECT p.pk FROM pt_outer AS p
-                       WHERE p.x NOT IN (SELECT i.iy FROM pt_inner AS i
-                         WHERE i.c1 < p.d1 AND i.c2 < p.d2)""",
-                    mode="cqc",
-                )
+            # the KEYLESS pair plans natively as of round 13
+            # (test_correlated_not_in_pair_keyless is its matrix)
         finally:
             engine.catalog.unregister("pt_inner")
             engine.catalog.unregister("pt_outer")
+
+
+def test_correlated_not_in_pair_keyless(engine):
+    """Round 13: KEYLESS pair-filtered correlated NOT IN — ``o.x NOT
+    IN (SELECT y FROM t WHERE t.c1 OP1 o.d1 AND t.c2 OP2 o.d2)`` with
+    no equality correlation. The set/NULL-y facts fold to global
+    Pareto staircases via the bounded frontier helper
+    (compiler/cqc.py:_apply_pair_threshold_not_in_keyless); the match
+    fact is a per-y staircase (column probe) or a third global fold
+    (constant probe). Randomized NULL-heavy brute force over all 16
+    op pairs x column/constant probes; plus the fallback contract for
+    <>-containing keyless pairs and non-exact dtypes."""
+    import operator
+    import random
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    spark = engine.spark
+    rng = random.Random(31)
+    ops = {
+        "<": operator.lt, "<=": operator.le,
+        ">": operator.gt, ">=": operator.ge,
+    }
+    for trial in range(2):
+        inner = [
+            (
+                rng.choice([None] + list(range(1, 5))),
+                rng.choice([None] + list(range(1, 5))),
+                rng.choice([None] + list(range(1, 5))),
+            )
+            for _ in range(rng.randint(2, 14))
+        ]
+        outer = [
+            (
+                i,
+                rng.choice([None] + list(range(1, 5))),
+                rng.choice([None] + list(range(1, 5))),
+                rng.choice([None] + list(range(1, 5))),
+            )
+            for i in range(12)
+        ]
+        ipdf = pd.DataFrame(inner, columns=["iy", "c1", "c2"])
+        opdf = pd.DataFrame(outer, columns=["pk", "x", "d1", "d2"])
+        engine.catalog.register_df(
+            "kp_inner",
+            spark.createDataFrame(
+                ipdf.astype(object).where(ipdf.notna(), None),
+                "iy int, c1 int, c2 int",
+            ),
+            (),
+        )
+        engine.catalog.register_df(
+            "kp_outer",
+            spark.createDataFrame(
+                opdf.astype(object).where(opdf.notna(), None),
+                "pk int, x int, d1 int, d2 int",
+            ),
+            ("pk",),
+        )
+        try:
+            for op1, f1 in ops.items():
+                for op2, f2 in ops.items():
+                    for probe in ("p.x", "2"):
+                        q = f"""SELECT p.pk FROM kp_outer AS p
+                                WHERE {probe} NOT IN (
+                                  SELECT i.iy FROM kp_inner AS i
+                                  WHERE i.c1 {op1} p.d1
+                                    AND i.c2 {op2} p.d2)"""
+                        mine = sorted(
+                            r["pk"]
+                            for r in engine.sql(q, mode="cqc").collect()
+                        )
+                        truth = []
+                        for pk, x, d1, d2 in outer:
+                            xv = x if probe == "p.x" else 2
+                            grp = [
+                                iy
+                                for iy, c1, c2 in inner
+                                if None not in (c1, c2, d1, d2)
+                                and f1(c1, d1) and f2(c2, d2)
+                            ]
+                            if not grp:
+                                truth.append(pk)
+                            elif xv is not None and any(
+                                iy == xv for iy in grp if iy is not None
+                            ):
+                                pass
+                            elif any(iy is None for iy in grp) or xv is None:
+                                pass
+                            else:
+                                truth.append(pk)
+                        assert mine == sorted(truth), (
+                            trial, op1, op2, probe, mine, truth,
+                        )
+            # a probe EXPRESSION composes (temp-column re-entry)
+            q = """SELECT p.pk FROM kp_outer AS p
+                   WHERE p.x + 1 NOT IN (SELECT i.iy FROM kp_inner AS i
+                                         WHERE i.c1 < p.d1
+                                           AND i.c2 >= p.d2)"""
+            mine = sorted(
+                r["pk"] for r in engine.sql(q, mode="cqc").collect()
+            )
+            truth = []
+            for pk, x, d1, d2 in outer:
+                xv = x + 1 if x is not None else None
+                grp = [
+                    iy
+                    for iy, c1, c2 in inner
+                    if None not in (c1, c2, d1, d2)
+                    and c1 < d1 and c2 >= d2
+                ]
+                if not grp:
+                    truth.append(pk)
+                elif xv is not None and any(
+                    iy == xv for iy in grp if iy is not None
+                ):
+                    pass
+                elif any(iy is None for iy in grp) or xv is None:
+                    pass
+                else:
+                    truth.append(pk)
+            assert mine == sorted(truth), (mine, truth)
+            # <>-containing keyless pairs stay on the fallback
+            with _pytest.raises(UnsupportedSqlError):
+                engine.sql(
+                    """SELECT p.pk FROM kp_outer AS p
+                       WHERE p.x NOT IN (SELECT i.iy FROM kp_inner AS i
+                         WHERE i.c1 <> p.d1 AND i.c2 < p.d2)""",
+                    mode="cqc",
+                )
+        finally:
+            engine.catalog.unregister("kp_inner")
+            engine.catalog.unregister("kp_outer")
+    # non-exact dtypes (float frontier) raise into the fallback
+    engine.catalog.register_df(
+        "kpf_inner",
+        spark.createDataFrame(
+            [(1, 1.5, 2.5)], "iy int, c1 double, c2 double"
+        ),
+        (),
+    )
+    engine.catalog.register_df(
+        "kpf_outer",
+        spark.createDataFrame(
+            [(1, 1, 2.0, 3.0)], "pk int, x int, d1 double, d2 double"
+        ),
+        ("pk",),
+    )
+    try:
+        with _pytest.raises(UnsupportedSqlError):
+            engine.sql(
+                """SELECT p.pk FROM kpf_outer AS p
+                   WHERE p.x NOT IN (SELECT i.iy FROM kpf_inner AS i
+                     WHERE i.c1 < p.d1 AND i.c2 < p.d2)""",
+                mode="cqc",
+            )
+    finally:
+        engine.catalog.unregister("kpf_inner")
+        engine.catalog.unregister("kpf_outer")
+
+
+def test_correlated_not_in_keyless_under_or(engine):
+    """Round 13: KEYLESS threshold-filtered NOT IN under OR —
+    ``P OR o.x NOT IN (SELECT y FROM t WHERE t.c1 OP1 o.d1 [AND
+    t.c2 OP2 o.d2])`` with no equality correlation. Single thresholds
+    fold to ONE global stats row (api._corr_not_in_threshold_or with
+    an unconditionally-attached one-row view); order pairs to bounded
+    global frontiers (api._corr_not_in_pair_threshold_or keyless
+    branch). Brute-force NULL matrix: all 4 single ops + <> and all 16
+    op pairs, column and constant probes; <>-containing keyless pairs
+    pin the fallback raise."""
+    import operator
+    import random
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    spark = engine.spark
+    rng = random.Random(53)
+    ops = {
+        "<": operator.lt, "<=": operator.le,
+        ">": operator.gt, ">=": operator.ge,
+    }
+    inner = [
+        (
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+        )
+        for _ in range(12)
+    ]
+    outer = [
+        (
+            i,
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+        )
+        for i in range(12)
+    ]
+    ipdf = pd.DataFrame(inner, columns=["iy", "c1", "c2"])
+    opdf = pd.DataFrame(outer, columns=["pk", "x", "d1", "d2"])
+    engine.catalog.register_df(
+        "kpo_inner",
+        spark.createDataFrame(
+            ipdf.astype(object).where(ipdf.notna(), None),
+            "iy int, c1 int, c2 int",
+        ),
+        (),
+    )
+    engine.catalog.register_df(
+        "kpo_outer",
+        spark.createDataFrame(
+            opdf.astype(object).where(opdf.notna(), None),
+            "pk int, x int, d1 int, d2 int",
+        ),
+        ("pk",),
+    )
+
+    def brute(guard_pk, set_of, probe_of):
+        truth = []
+        for pk, x, d1, d2 in outer:
+            if guard_pk(pk):
+                truth.append(pk)
+                continue
+            grp = set_of(d1, d2)
+            xv = probe_of(x)
+            if not grp:
+                truth.append(pk)
+            elif xv is not None and any(
+                iy == xv for iy in grp if iy is not None
+            ):
+                pass
+            elif any(iy is None for iy in grp) or xv is None:
+                pass
+            else:
+                truth.append(pk)
+        return sorted(truth)
+
+    try:
+        # single thresholds (order ops + <>), keyless, under OR
+        singles = dict(ops)
+        singles["<>"] = operator.ne
+        for op1, f1 in singles.items():
+            for probe in ("p.x", "2"):
+                q = f"""SELECT p.pk FROM kpo_outer AS p
+                        WHERE p.d2 = 9 OR {probe} NOT IN (
+                          SELECT i.iy FROM kpo_inner AS i
+                          WHERE i.c1 {op1} p.d1)"""
+                mine = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
+                )
+                truth = brute(
+                    lambda pk: outer[pk][3] == 9,
+                    lambda d1, d2: [
+                        iy
+                        for iy, c1, _ in inner
+                        if None not in (c1, d1) and f1(c1, d1)
+                    ],
+                    (lambda x: x) if probe == "p.x" else (lambda x: 2),
+                )
+                assert mine == truth, (op1, probe, mine, truth)
+        # order pairs, keyless, under OR
+        for op1, f1 in ops.items():
+            for op2, f2 in ops.items():
+                for probe in ("p.x", "2"):
+                    q = f"""SELECT p.pk FROM kpo_outer AS p
+                            WHERE p.d2 = 9 OR {probe} NOT IN (
+                              SELECT i.iy FROM kpo_inner AS i
+                              WHERE i.c1 {op1} p.d1
+                                AND i.c2 {op2} p.d2)"""
+                    mine = sorted(
+                        r["pk"]
+                        for r in engine.sql(q, mode="cqc").collect()
+                    )
+                    truth = brute(
+                        lambda pk: outer[pk][3] == 9,
+                        lambda d1, d2: [
+                            iy
+                            for iy, c1, c2 in inner
+                            if None not in (c1, c2, d1, d2)
+                            and f1(c1, d1) and f2(c2, d2)
+                        ],
+                        (lambda x: x) if probe == "p.x" else (lambda x: 2),
+                    )
+                    assert mine == truth, (op1, op2, probe, mine, truth)
+        # <>-containing keyless pairs under OR stay on the fallback
+        with _pytest.raises(UnsupportedSqlError):
+            engine.sql(
+                """SELECT p.pk FROM kpo_outer AS p
+                   WHERE p.d2 = 9 OR p.x NOT IN (
+                     SELECT i.iy FROM kpo_inner AS i
+                     WHERE i.c1 <> p.d1 AND i.c2 < p.d2)""",
+                mode="cqc",
+            )
+    finally:
+        engine.catalog.unregister("kpo_inner")
+        engine.catalog.unregister("kpo_outer")
 
 
 def test_correlated_not_in_threshold_under_or(engine):
@@ -2533,14 +2831,8 @@ def test_correlated_not_in_two_thresholds_under_or(engine):
                        AND i.c2 <> p.d2 AND i.c1 < p.d2)""",
                 mode="cqc",
             )
-        with _pytest.raises(UnsupportedSqlError):
-            engine.sql(
-                """SELECT p.pk FROM opt_outer AS p
-                   WHERE p.d1 = 9 OR p.x NOT IN (
-                     SELECT i.iy FROM opt_inner AS i
-                     WHERE i.c1 < p.d1 AND i.c2 < p.d2)""",
-                mode="cqc",
-            )
+        # the KEYLESS pair under OR plans natively as of round 13
+        # (test_correlated_not_in_keyless_under_or is its matrix)
     finally:
         engine.catalog.unregister("opt_inner")
         engine.catalog.unregister("opt_outer")
