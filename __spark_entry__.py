@@ -883,22 +883,28 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
               OR (st.m = 0 AND st.nn = st.n
                   AND s.s_nationkey IS NOT NULL)""",
     ),
-    # --- NEW r10: 2-column row-value NOT IN under OR (r9 verdict
-    # item 6): the three-valued flag generalizes to key tuples via
+    # --- NEW r10: row-value NOT IN under OR (r9 verdict item 6): the
+    # three-valued flag generalizes to key tuples via
     # NULL-pattern-decomposed DISTINCT-projection joins
-    # (api._rowvalue_not_in_or_flag; <=5 flag joins for k=2, none
-    # duplicating). DuckDB cannot parse the row-value IN-subquery
-    # form, so the oracle is the NOT-EXISTS compatibility expansion —
+    # (api._rowvalue_not_in_or_flag; census-pruned, none duplicating).
+    # r13 widened the decomposition from k=2 to k<=3 and this entry's
+    # probe from 2 to 3 columns to drive the new surface (<=18 flag
+    # joins worst case; 6 here — the supplier side has no NULLs).
+    # DuckDB cannot parse the row-value IN-subquery form, so the
+    # oracle is the NOT-EXISTS compatibility expansion —
     # WHERE-context equivalent since UNKNOWN and FALSE filter
     # identically at the top level. ANSI bag semantics (OR lift);
-    # the full NULL matrix is pytest-covered
-    # (test_rowvalue_not_in_under_or_null_matrix). ---
+    # the full NULL matrices are pytest-covered
+    # (test_rowvalue_not_in_under_or_null_matrix k=2,
+    # test_rowvalue3_not_in_under_or_null_matrix k=3 + the k=4
+    # fallback raise). ---
     "not_in_rowvalue_or": (
         """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
            FROM lineitem AS l
            WHERE l.l_quantity > 49.0
-              OR (l.l_suppkey, l.l_orderkey) NOT IN
-                 (SELECT s.s_suppkey, s.s_nationkey FROM supplier AS s
+              OR (l.l_suppkey, l.l_orderkey, l.l_linenumber) NOT IN
+                 (SELECT s.s_suppkey, s.s_nationkey, s.s_suppkey
+                  FROM supplier AS s
                   WHERE s.s_acctbal > 0.0)""",
         """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
            FROM lineitem AS l
@@ -909,7 +915,10 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                           OR l.l_suppkey IS NULL OR s.s_suppkey IS NULL)
                      AND (l.l_orderkey = s.s_nationkey
                           OR l.l_orderkey IS NULL
-                          OR s.s_nationkey IS NULL))""",
+                          OR s.s_nationkey IS NULL)
+                     AND (l.l_linenumber = s.s_suppkey
+                          OR l.l_linenumber IS NULL
+                          OR s.s_suppkey IS NULL))""",
     ),
     # --- NEW r9 (late surface): NOT BETWEEN (De Morgan dual of the
     # C11 BETWEEN split), NOT IN (subquery) under OR (the flag join

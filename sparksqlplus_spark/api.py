@@ -1418,19 +1418,21 @@ class SparkSQLPlus:
                 #   set has a NULL   -> every unmatched probe UNKNOWN
                 #   NULL probe       -> UNKNOWN (non-empty set)
                 #   else             -> TRUE
-                if len(keys) == 2:
+                if len(keys) in (2, 3):
                     # round 10 (r9 verdict item 6): row-value NOT IN
                     # under OR via NULL-pattern-decomposed flag joins
-                    # (the M full-match join was appended above).
+                    # (the M full-match join was appended above);
+                    # round 13 extended the decomposition to k=3
+                    # (census-pruned, <=18 flag joins worst case).
                     return self._rowvalue_not_in_or_flag(
                         ex, keys, inner_only, spec, ephemeral,
                         matched_flag=flag,
                     )
                 if len(keys) != 1:
                     raise UnsupportedSqlError(
-                        "row-value NOT IN under OR supports at most 2 "
+                        "row-value NOT IN under OR supports at most 3 "
                         "columns (the NULL-pattern flag decomposition "
-                        "is 3^k joins)"
+                        "grows as 2^k branches per census pattern)"
                     )
                 from sparksqlplus_spark.expressions import CaseWhen
 
@@ -3132,9 +3134,10 @@ class SparkSQLPlus:
     def _rowvalue_not_in_or_flag(
         self, ex, keys, inner_only, spec, ephemeral, matched_flag
     ):
-        """Two-column row-value NOT IN under OR (round 10, r9 verdict
-        item 6): a THREE-VALUED flag via NULL-pattern decomposition,
-        generalizing the single-key path. Per probe (a, b):
+        """Row-value NOT IN under OR (round 10 for k=2, r9 verdict
+        item 6; round 13 generalized to k<=3): a THREE-VALUED flag via
+        NULL-pattern decomposition, generalizing the single-key path.
+        Per probe tuple:
 
           FALSE    iff some inner tuple fully matches (the all-key
                    equality LEFT JOIN the caller already appended —
@@ -3147,14 +3150,21 @@ class SparkSQLPlus:
         Compatibility cannot hash-join directly (the per-position OR),
         so it decomposes by the inner tuples' NULL pattern S and the
         probe's NULL positions: positions in neither are an equi join
-        against the DISTINCT projection of the pattern's rows, probe-
-        NULL positions gate the branch with IS NULL conjuncts. Every
-        view is DISTINCT on its single join column — no duplication —
+        against the DISTINCT projection of the pattern's rows to e,
+        probe-NULL positions gate the branch with IS NULL conjuncts.
+        Every view is DISTINCT on its join columns — no duplication —
         and an all-NULL inner tuple short-circuits (every unmatched
-        probe is UNKNOWN, no extra joins). ≤5 flag joins total for
-        k=2; the 3^k growth is why k>=3 stays on the fallback. The
-        pattern census is one metadata-scale collect (≤4 rows), same
-        class as the single-key n/nn stats."""
+        probe is UNKNOWN, no extra joins). The pattern census is one
+        metadata-scale collect (≤2^k rows), same class as the
+        single-key n/nn stats, and it PRUNES: only patterns present
+        in the data emit branches. Round 13 generalized k=2 to k<=3
+        (an r12 remaining-fallback cell): census-pruned worst case is
+        18 flag joins for k=3 (6 when the inner side is fully
+        non-NULL — the common case); k>=4 stays on the fallback (up
+        to 2^k branches per census pattern)."""
+        import functools
+        import itertools
+
         from pyspark.sql import functions as F
 
         from sparksqlplus_spark.expressions import (
@@ -3168,17 +3178,21 @@ class SparkSQLPlus:
         )
         from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
 
-        (ov1, ic1), (ov2, ic2) = keys
+        k = len(keys)
+        ovs = [ov for ov, _ in keys]
+        ics = [ic for _, ic in keys]
         inner = self.catalog.get(ex.table).load(self.spark)
         imap = {("", cn): cn for cn in inner.columns}
         imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
         for c in inner_only:
             inner = inner.filter(c.to_spark(imap))
         pats = {
-            (r["n1"], r["n2"])
+            tuple(r[f"n{i}"] for i in range(k))
             for r in inner.groupBy(
-                F.col(ic1).isNull().alias("n1"),
-                F.col(ic2).isNull().alias("n2"),
+                *[
+                    F.col(ic).isNull().alias(f"n{i}")
+                    for i, ic in enumerate(ics)
+                ]
             )
             .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()
@@ -3188,51 +3202,76 @@ class SparkSQLPlus:
             # is a no-op against the empty view
             return Lit(True, "boolean")
         matched = IsNull(matched_flag, negated=True)
-        if (True, True) in pats:
+        if tuple([True] * k) in pats:
             return CaseWhen(
                 ((matched, Lit(False, "boolean")),), Lit(None, "null")
             )
 
-        def flag_join(df_view, outer_col):
+        def flag_join(df_view, cols, outer_cols):
+            """LEFT-join a DISTINCT view (columns ``cols``, named
+            __p0..) against the probe columns; returns the hit flag.
+            DISTINCT on the full join key, so the join never
+            duplicates outer rows."""
             self._view_counter += 1
             vname = f"__orx{self._view_counter}"
-            self.catalog.register_df(vname, df_view, ("__p",))
+            self.catalog.register_df(vname, df_view, tuple(cols))
             ephemeral.append(vname)
             valias = f"{vname}_i"
             spec.outer_joins.append(
                 OuterJoin(
                     item=FromItem(alias=valias, table=vname),
-                    conds=[Cmp("=", outer_col, Col(valias, "__p"))],
+                    conds=[
+                        Cmp("=", oc, Col(valias, c))
+                        for oc, c in zip(outer_cols, cols)
+                    ],
                     side="left",
                 )
             )
-            return IsNull(Col(valias, "__p"), negated=True)
+            return IsNull(Col(valias, cols[0]), negated=True)
 
-        c1, c2 = F.col(ic1), F.col(ic2)
         branches = []
-        if (True, False) in pats:  # inner tuples NULL at position 1
-            f = flag_join(
-                inner.filter(c1.isNull() & c2.isNotNull())
-                .select(c2.alias("__p"))
-                .distinct(),
-                ov2,
+        for m in sorted(pats):
+            comp = [i for i in range(k) if not m[i]]
+            pat_cond = functools.reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(ic).isNull() if m[i] else F.col(ic).isNotNull()
+                    for i, ic in enumerate(ics)
+                ],
             )
-            branches.append(OrCond((IsNull(ov2), f)))
-        if (False, True) in pats:  # inner tuples NULL at position 2
-            f = flag_join(
-                inner.filter(c1.isNotNull() & c2.isNull())
-                .select(c1.alias("__p"))
-                .distinct(),
-                ov1,
-            )
-            branches.append(OrCond((IsNull(ov1), f)))
-        if (False, False) in pats:  # fully non-NULL inner tuples
-            nn = inner.filter(c1.isNotNull() & c2.isNotNull())
-            f2 = flag_join(nn.select(c2.alias("__p")).distinct(), ov2)
-            branches.append(AndCond((IsNull(ov1), f2)))
-            f1 = flag_join(nn.select(c1.alias("__p")).distinct(), ov1)
-            branches.append(AndCond((IsNull(ov2), f1)))
-            branches.append(AndCond((IsNull(ov1), IsNull(ov2))))
+            pat_rows = inner.filter(pat_cond)
+            for r in range(len(comp) + 1):
+                for e in itertools.combinations(comp, r):
+                    if not any(m) and len(e) == k:
+                        # full equality on a fully non-NULL tuple IS
+                        # the matched flag the caller appended
+                        continue
+                    conds = [
+                        IsNull(ovs[j]) for j in comp if j not in e
+                    ]
+                    if e:
+                        view = pat_rows.select(
+                            *[
+                                F.col(ics[j]).alias(f"__p{i}")
+                                for i, j in enumerate(e)
+                            ]
+                        ).distinct()
+                        conds.append(
+                            flag_join(
+                                view,
+                                [f"__p{i}" for i in range(len(e))],
+                                [ovs[j] for j in e],
+                            )
+                        )
+                    if not conds:
+                        # comp empty is the all-NULL pattern,
+                        # short-circuited above
+                        continue
+                    branches.append(
+                        conds[0]
+                        if len(conds) == 1
+                        else AndCond(tuple(conds))
+                    )
         whens = [(matched, Lit(False, "boolean"))]
         if branches:
             compat = (

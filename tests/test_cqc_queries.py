@@ -2548,6 +2548,113 @@ def test_rowvalue_not_in_under_or_null_matrix(engine, oracle):
         con.execute("DROP TABLE rv_probe")
 
 
+def test_rowvalue3_not_in_under_or_null_matrix(engine, oracle):
+    """Round 13: 3-column row-value NOT IN under OR — the k=2
+    NULL-pattern flag decomposition generalized (census-pruned, up to
+    18 flag joins). Same oracle strategy as the k=2 matrix (NOT-EXISTS
+    compatibility expansion, WHERE-context equivalent). Probes cover
+    all 8 probe NULL patterns; inner sets are randomized NULL-heavy
+    plus directed pattern combinations; k=4 pins the fallback raise."""
+    import random
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    spark = engine.spark
+    rng = random.Random(17)
+    vals = [None, 1, 2, 3]
+    probe = [(i, a, b, c) for i, (a, b, c) in enumerate(
+        [(a, b, c) for a in (1, None) for b in (2, None) for c in (3, None)]
+        + [(1, 2, 3), (9, 9, 9), (2, 2, 2)]
+    )]
+    inner_sets = {
+        "empty": [],
+        "nonull": [(1, 2, 3), (2, 2, 2)],
+        "allnull": [(None, None, None), (1, 2, 3)],
+        "directed": [(None, 2, 3), (1, None, 3), (1, 2, None),
+                     (None, None, 3), (2, 2, 2)],
+    }
+    for t in range(3):
+        inner_sets[f"rand{t}"] = [
+            (rng.choice(vals), rng.choice(vals), rng.choice(vals))
+            for _ in range(rng.randint(1, 10))
+        ]
+    ppdf = pd.DataFrame(probe, columns=["pk", "pa", "pb", "pc"])
+    engine.catalog.register_df(
+        "rv3_probe",
+        spark.createDataFrame(
+            ppdf.astype(object).where(ppdf.notna(), None),
+            "pk int, pa int, pb int, pc int",
+        ),
+        ("pk",),
+    )
+    con = oracle
+    con.execute("CREATE OR REPLACE TABLE rv3_probe AS SELECT * FROM ppdf")
+    q = """SELECT p.pk FROM rv3_probe AS p
+           WHERE p.pk = 0
+              OR (p.pa, p.pb, p.pc) NOT IN
+                 (SELECT ia, ib, ic FROM rv3_inner AS i
+                  WHERE i.ib IS NULL OR i.ib < 100)"""
+    ora = """SELECT p.pk FROM rv3_probe AS p
+             WHERE p.pk = 0
+                OR NOT EXISTS (SELECT 1 FROM rv3_inner AS i
+                     WHERE (i.ib IS NULL OR i.ib < 100)
+                       AND (p.pa = i.ia OR p.pa IS NULL OR i.ia IS NULL)
+                       AND (p.pb = i.ib OR p.pb IS NULL OR i.ib IS NULL)
+                       AND (p.pc = i.ic OR p.pc IS NULL OR i.ic IS NULL))"""
+    try:
+        for name, rows in inner_sets.items():
+            if rows:
+                ipdf = pd.DataFrame(rows, columns=["ia", "ib", "ic"])
+            else:
+                ipdf = pd.DataFrame(
+                    {"ia": pd.Series([], dtype="Int64"),
+                     "ib": pd.Series([], dtype="Int64"),
+                     "ic": pd.Series([], dtype="Int64")}
+                )
+            engine.catalog.register_df(
+                "rv3_inner",
+                spark.createDataFrame(
+                    ipdf.astype(object).where(ipdf.notna(), None),
+                    "ia int, ib int, ic int",
+                ),
+                (),
+            )
+            con.execute(
+                "CREATE OR REPLACE TABLE rv3_inner AS SELECT * FROM ipdf"
+            )
+            try:
+                for mode in ("cqc", "naive"):
+                    assert_matches(engine.sql(q, mode=mode), con, ora)
+            finally:
+                engine.catalog.unregister("rv3_inner")
+            con.execute("DROP TABLE rv3_inner")
+        # k=4 stays on the fallback
+        engine.catalog.register_df(
+            "rv3_inner",
+            spark.createDataFrame(
+                [(1, 2, 3)], "ia int, ib int, ic int"
+            ),
+            (),
+        )
+        try:
+            with _pytest.raises(UnsupportedSqlError):
+                engine.sql(
+                    """SELECT p.pk FROM rv3_probe AS p
+                       WHERE p.pk = 0
+                          OR (p.pa, p.pb, p.pc, p.pk) NOT IN
+                             (SELECT ia, ib, ic, ia FROM rv3_inner AS i)""",
+                    mode="cqc",
+                )
+        finally:
+            engine.catalog.unregister("rv3_inner")
+    finally:
+        engine.catalog.unregister("rv3_probe")
+        con.execute("DROP TABLE rv3_probe")
+
+
 def test_not_in_expr_probe(engine):
     """Round 13 (r12 verdict item 3): probe-DEPENDENT probe EXPRESSIONS
     — `o.a + 1 NOT IN (SELECT y ...)` — plan natively via
