@@ -599,26 +599,43 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
              WHERE l.l_suppkey = s.s_suppkey)""",
         None,
     ),
-    # --- NEW r9: EXISTS composed with OUTER JOIN (api._run_outer) —
-    # the core-correlated EXISTS plans INSIDE the phase-1 core (semi
-    # filter on a preserved side is join-invariant), the attachment-
-    # correlated one applies post-join where NULL-extended probes
-    # never match, and the uncorrelated one is the keyless broadcast
-    # LIMIT-1 gate. Same SQL is the DuckDB oracle (ANSI bag
-    # semantics on the outer-join surface). ---
-    "exists_outer_join": (
-        """SELECT c.c_custkey, o.o_orderkey
-           FROM customer AS c LEFT JOIN orders AS o
-                ON c.c_custkey = o.o_custkey
-           WHERE EXISTS (SELECT 1 FROM lineitem AS l
-                         WHERE l.l_orderkey = o.o_orderkey
-                           AND l.l_quantity > 45.0)
-             AND EXISTS (SELECT 1 FROM nation AS n
-                         WHERE n.n_nationkey = c.c_nationkey
-                           AND n.n_nationkey < 20)
-             AND EXISTS (SELECT 1 FROM region AS r
-                         WHERE r.r_regionkey >= 0)""",
-        None,
+    # (r13 consolidation: the exists_outer_join entry — EXISTS
+    # composed with OUTER JOIN through api._run_outer — retired to
+    # free the slot for exists_three_comparisons. The composition
+    # keeps the named parameterized DuckDB-oracle pytest
+    # tests/test_cqc_queries.py:test_exists_with_outer_joins (more
+    # shapes than the entry drove), and the outer-join surface stays
+    # driver-covered in-window via full_outer_join,
+    # inner_after_outer_join, and exists_or_join.)
+    #
+    # --- NEW r13 (late): THREE order-comparison correlations under
+    # OR'd EXISTS — the per-key 2-D Pareto staircase generalized to a
+    # 3-D SKYLINE flag view (api._or_exists_sky_flag +
+    # expressions.SkyWitness; plans/frontier.py:keyed_skyline_view —
+    # pre-reduction, applyInPandas sweep, part-keyed collect, never a
+    # single-partition window). DuckDB CANNOT oracle multi-inequality
+    # correlated EXISTS (SURVEY ORACLE WARNING), so the oracle is the
+    # JOIN-FORM expansion; ANSI bag semantics (OR lift; supplier rows
+    # PK-unique so bag = set). NULL-matrix coverage:
+    # test_or_exists_triple_skyline. ---
+    "exists_three_comparisons": (
+        """SELECT s.s_suppkey, s.s_acctbal
+           FROM supplier AS s
+           WHERE s.s_acctbal < -900.0
+              OR EXISTS (SELECT 1 FROM lineitem AS l
+                         WHERE l.l_suppkey = s.s_suppkey
+                           AND l.l_partkey < s.s_suppkey * 150
+                           AND l.l_orderkey > s.s_suppkey * 200
+                           AND l.l_linenumber >= s.s_nationkey / 8)""",
+        """SELECT s_suppkey, s_acctbal FROM supplier
+           WHERE s_acctbal < -900.0
+           UNION
+           SELECT s.s_suppkey, s.s_acctbal
+           FROM supplier AS s JOIN lineitem AS l
+             ON l.l_suppkey = s.s_suppkey
+            AND l.l_partkey < s.s_suppkey * 150
+            AND l.l_orderkey > s.s_suppkey * 200
+            AND l.l_linenumber >= s.s_nationkey / 8""",
     ),
     # --- NEW r9: [NOT] EXISTS under OR (api._lift_or_exists) — each
     # correlated branch becomes a DISTINCT-key-view LEFT-JOIN flag
@@ -3145,7 +3162,10 @@ _HEAD = [
     "exists_neq_pair",
     "events_asof_join",
     "full_outer_join",
-    "exists_outer_join",
+    # r13: exists_three_comparisons takes the slot freed by the
+    # exists_outer_join retirement (see the inline note at its former
+    # definition site).
+    "exists_three_comparisons",
     # r13: not_in_pair_keyless takes the slot freed by the
     # quantified_all retirement (see the inline note at its former
     # definition site).

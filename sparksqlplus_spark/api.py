@@ -1136,6 +1136,17 @@ class SparkSQLPlus:
                         # (argmin/runner-up triples), <> + <>
                         # (diagonal-witness stats)
                         pair_threshold = noneq
+                    elif (
+                        len(noneq) == 3
+                        and n_corr_keys
+                        and all(
+                            o in ("<", "<=", ">", ">=") for o in pops
+                        )
+                    ):
+                        # round 13 (late): an order-comparison TRIPLE
+                        # — 3-D dominance against per-group Pareto
+                        # SKYLINE flag views (keyed only)
+                        pair_threshold = noneq
                     else:
                         raise UnsupportedSqlError(
                             "row-value / multi-comparison NOT IN with "
@@ -1219,11 +1230,24 @@ class SparkSQLPlus:
                         return self._keyless_neq_pair_fold(
                             ex, noneq, inner_only
                         )
+                if len(noneq) == 3 and keys and all(
+                    nq[0] in ("<", "<=", ">", ">=") for nq in noneq
+                ):
+                    # round 13: THREE order comparisons compose via a
+                    # per-key 3-D SKYLINE flag (the staircase one
+                    # dimension up — see _or_exists_sky_flag);
+                    # <>-containing triples and the keyless triple
+                    # stay on the fallback
+                    return self._or_exists_sky_flag(
+                        ex, keys, noneq, inner_only, spec, ephemeral
+                    )
                 if len(noneq) > 1:
                     raise UnsupportedSqlError(
                         "at most one non-equality correlation under OR "
-                        "(two compose via the staircase flag only when "
-                        "keyed and both ops are order comparisons)"
+                        "(two compose via the staircase flag when "
+                        "keyed or both ops are order comparisons; "
+                        "three via the keyed 3-D skyline flag when "
+                        "all ops are order comparisons)"
                     )
                 if not keys:
                     # keyless non-equality correlation (late round 10):
@@ -1667,6 +1691,78 @@ class SparkSQLPlus:
         matched = IsNull(Col(valias, key_sel[keys[0][1]]), negated=True)
         witness = PairWitness(
             Col(valias, "__pts"), op1, out1, op2, out2
+        )
+        raw = AndCond((matched, witness))
+        hit = Lit(not ex.negated, "boolean")
+        miss = Lit(bool(ex.negated), "boolean")
+        return CaseWhen(((raw, hit),), miss)
+
+    def _or_exists_sky_flag(
+        self, ex, keys, noneq, inner_only, spec, ephemeral
+    ):
+        """THREE order-comparison correlations under OR'd [NOT] EXISTS
+        (round 13 — the k=3 generalization of _or_exists_pair_flag):
+        ``P OR EXISTS(i: i.k = o.k AND i.a < o.x AND i.b > o.y AND
+        i.c <= o.z)``. The 2-D staircase becomes a per-key 3-D Pareto
+        SKYLINE (plans/frontier.py:keyed_skyline_view — pre-reduction,
+        applyInPandas sweep, part-keyed collect; never a
+        single-partition window); a raw witness row exists iff a
+        skyline point satisfies all three comparisons, probed JVM-side
+        by expressions.SkyWitness. One row per key, so the LEFT flag
+        join never duplicates. Keyed only — the keyless global skyline
+        fold stays on the fallback (documented SURVEY cell); dtypes
+        beyond integral/date/timestamp raise inside the builder and
+        ride mode='auto'."""
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import (
+            AndCond,
+            CaseWhen,
+            Cmp,
+            Col,
+            IsNull,
+            Lit,
+            SkyWitness,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+        from sparksqlplus_spark.plans.frontier import keyed_skyline_view
+
+        (op0, out0, col0), (op1, out1, col1), (op2, out2, col2) = noneq
+        inner = self.catalog.get(ex.table).load(self.spark)
+        imap = {("", cn): cn for cn in inner.columns}
+        imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
+        for c in inner_only:
+            inner = inner.filter(c.to_spark(imap))
+        key_sel: dict[str, str] = {}
+        for _, icol in keys:
+            key_sel.setdefault(icol, f"__f{len(key_sel)}")
+        view = keyed_skyline_view(
+            inner,
+            [(icol, out) for icol, out in key_sel.items()],
+            (col0, col1, col2),
+            (op0, op1, op2),
+            "__pts",
+        )
+        self._view_counter += 1
+        vname = f"__orx{self._view_counter}"
+        self.catalog.register_df(vname, view, tuple(key_sel.values()))
+        ephemeral.append(vname)
+        valias = f"{vname}_i"
+        spec.outer_joins.append(
+            OuterJoin(
+                item=FromItem(alias=valias, table=vname),
+                conds=[
+                    Cmp("=", oc, Col(valias, key_sel[icol]))
+                    for oc, icol in keys
+                ],
+                side="left",
+            )
+        )
+        matched = IsNull(Col(valias, key_sel[keys[0][1]]), negated=True)
+        witness = SkyWitness(
+            Col(valias, "__pts"),
+            (op0, op1, op2),
+            (out0, out1, out2),
         )
         raw = AndCond((matched, witness))
         hit = Lit(not ex.negated, "boolean")
@@ -2409,6 +2505,13 @@ class SparkSQLPlus:
                 spec, ephemeral,
             )
         if pair is not None:
+            if len(pair) == 3:
+                # round 13 (late): order-comparison triple — skyline
+                # flag views (the dispatch admits keyed all-order only)
+                return self._corr_not_in_sky_threshold_or(
+                    inner, gsel, corr, probe_outer, probe_icol, pair,
+                    spec, ephemeral,
+                )
             n_neq = sum(1 for t in pair if t[0] == "<>")
             if n_neq and not corr:
                 # keyless <>-containing pairs would need the keyless
@@ -2831,6 +2934,113 @@ class SparkSQLPlus:
                 # no staircase point within: set empty. The array and
                 # both outer operands are non-NULL here (branches
                 # above), so the negated witness is two-valued.
+                (wit(a_alias, negated=True), Lit(True, "boolean")),
+                (wit(m_alias), Lit(False, "boolean")),
+                (wit(n_alias), Lit(None, "null")),
+                (IsNull(probe_outer), Lit(None, "null")),
+            ),
+            Lit(True, "boolean"),
+        )
+
+    def _corr_not_in_sky_threshold_or(
+        self, inner, gsel, corr, probe_outer, probe_icol, triple,
+        spec, ephemeral,
+    ):
+        """Correlated NOT IN under OR whose inner set is filtered by
+        THREE order comparisons (round 13 — the OR sibling of
+        compiler/cqc.py:_apply_sky_threshold_not_in and the k=3
+        generalization of _corr_not_in_pair_threshold_or): each
+        three-valued fact is a 3-D dominance probe against per-group
+        Pareto SKYLINE flag views
+        (plans/frontier.py:keyed_skyline_view), probed JVM-side by
+        expressions.SkyWitness. Flag order mirrors the pair version:
+        miss/NULL-threshold/no-point-within -> TRUE (set empty);
+        match-view witness -> FALSE; NULL-y-view witness or NULL probe
+        -> UNKNOWN; else TRUE. Every view one row per group (per
+        (group, y) for a column probe) — the LEFT joins never
+        duplicate. DuckDB cannot oracle the shape (SURVEY ORACLE
+        WARNING), so coverage is the brute-force NULL-matrix pytest."""
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import (
+            CaseWhen,
+            Cmp,
+            Col,
+            IsNull,
+            Lit,
+            OrCond,
+            SkyWitness,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+        from sparksqlplus_spark.plans.frontier import keyed_skyline_view
+
+        (op0, d0, c0), (op1, d1, c1), (op2, d2, c2) = triple
+        inner_t = inner.filter(
+            F.col(c0).isNotNull()
+            & F.col(c1).isNotNull()
+            & F.col(c2).isNotNull()
+        )
+
+        def sky_view(src, extra_part=None, extra_conds=()):
+            part = [(icol, out) for icol, out in gsel.items()]
+            if extra_part is not None:
+                part.append((extra_part, "__cmp"))
+            view = keyed_skyline_view(
+                src, part, (c0, c1, c2), (op0, op1, op2), "__pts"
+            )
+            outs = [out for _, out in part]
+            self._view_counter += 1
+            name = f"__corrk{self._view_counter}"
+            self.catalog.register_df(name, view, tuple(outs))
+            ephemeral.append(name)
+            alias = f"{name}_i"
+            spec.outer_joins.append(
+                OuterJoin(
+                    item=FromItem(alias=alias, table=name),
+                    conds=[
+                        Cmp("=", oc, Col(alias, gsel[icol]))
+                        for oc, icol in corr
+                    ]
+                    + list(extra_conds(alias) if extra_conds else []),
+                    side="left",
+                )
+            )
+            return alias
+
+        a_alias = sky_view(inner_t)
+        n_alias = sky_view(inner_t.filter(F.col(probe_icol).isNull()))
+        if not probe_outer.refs():
+            # constant probe: fold y = probe into a group-keyed view
+            pl = probe_outer.to_spark({})
+            m_alias = sky_view(inner_t.filter(F.col(probe_icol) == pl))
+        else:
+            m_alias = sky_view(
+                inner_t.filter(F.col(probe_icol).isNotNull()),
+                extra_part=probe_icol,
+                extra_conds=lambda alias: [
+                    Cmp("=", probe_outer, Col(alias, "__cmp"))
+                ],
+            )
+
+        def wit(alias, negated=False):
+            return SkyWitness(
+                Col(alias, "__pts"),
+                (op0, op1, op2),
+                (d0, d1, d2),
+                negated=negated,
+            )
+
+        return CaseWhen(
+            (
+                # group miss (or every group row NULL-c): set empty
+                (IsNull(Col(a_alias, "__pts")), Lit(True, "boolean")),
+                # NULL threshold: c OP NULL is UNKNOWN for every row
+                (
+                    OrCond((IsNull(d0), IsNull(d1), IsNull(d2))),
+                    Lit(True, "boolean"),
+                ),
+                # no skyline point within: set empty (array and outers
+                # non-NULL here, so the negated witness is two-valued)
                 (wit(a_alias, negated=True), Lit(True, "boolean")),
                 (wit(m_alias), Lit(False, "boolean")),
                 (wit(n_alias), Lit(None, "null")),

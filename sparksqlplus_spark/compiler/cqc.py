@@ -437,6 +437,100 @@ def _apply_neq_order_threshold_not_in(df, inner, sf, prefix: str):
     return df.filter(keep).drop(*helper)
 
 
+def _apply_sky_threshold_not_in(df, inner, sf, prefix: str):
+    """Correlated NOT IN whose inner set is filtered by THREE order
+    comparisons against the outer row (round 13): ``o.x NOT IN (SELECT
+    y FROM t WHERE t.k = o.k AND t.c0 OP0 o.d0 AND t.c1 OP1 o.d1 AND
+    t.c2 OP2 o.d2)``. Each three-valued fact is a 3-D DOMINANCE query,
+    so the 2-D staircase of _apply_pair_threshold_not_in becomes a
+    per-subset Pareto SKYLINE (plans/frontier.py:keyed_skyline_view —
+    pre-reduction + applyInPandas sweep + part-keyed collect, never a
+    single-partition window; the OR'd-EXISTS sibling is
+    api._or_exists_sky_flag). Views one row per group (per (group, y)
+    for a column probe, pinned by the join condition) — the LEFT
+    joins never duplicate. A NULL d0/d1/d2 makes F.exists non-TRUE ->
+    coalesce FALSE -> the set folds empty (c OP NULL is UNKNOWN for
+    every row). Keyed groups only; dtypes beyond
+    integral/date/timestamp raise inside the builder and ride
+    mode='auto'."""
+    from sparksqlplus_spark.plans.frontier import keyed_skyline_view
+
+    (op0, e0, c0), (op1, e1, c1), (op2, e2, c2) = sf.corr_threshold
+    thrs = [
+        e.to_spark({r: r[1] for r in e.refs()}) for e in (e0, e1, e2)
+    ]
+    cmps = [_CMPF[op] for op in (op0, op1, op2)]
+    corr = sf.corr_keys
+    dims = (c0, c1, c2)
+    ops = (op0, op1, op2)
+
+    def sky(src, part_pairs, out):
+        return keyed_skyline_view(src, part_pairs, dims, ops, out)
+
+    def attach(view, names, extra_cond=None):
+        on = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(ov) == F.col(n) for (ov, _), n in zip(corr, names)]
+            + ([extra_cond] if extra_cond is not None else []),
+        )
+        return df.join(view, on, "left"), list(names)
+
+    def within(arr):
+        return F.coalesce(
+            F.exists(
+                F.col(arr),
+                lambda e: cmps[0](e["u0"], thrs[0])
+                & cmps[1](e["u1"], thrs[1])
+                & cmps[2](e["u2"], thrs[2]),
+            ),
+            F.lit(False),
+        )
+
+    ga = [(ic, f"{prefix}_ga{i}") for i, (_, ic) in enumerate(corr)]
+    gn = [(ic, f"{prefix}_gn{i}") for i, (_, ic) in enumerate(corr)]
+    gm = [(ic, f"{prefix}_gm{i}") for i, (_, ic) in enumerate(corr)]
+    helper: list[str] = [f"{prefix}_pa", f"{prefix}_pn", f"{prefix}_pm"]
+    df, used = attach(sky(inner, ga, f"{prefix}_pa"), [n for _, n in ga])
+    helper += used
+    if sf.const_probe is not None:
+        probe_lit, ic = sf.const_probe
+        pl = probe_lit.to_spark({})
+        probe_ok = pl.isNotNull()
+        df, used = attach(
+            sky(inner.filter(F.col(ic).isNull()), gn, f"{prefix}_pn"),
+            [n for _, n in gn],
+        )
+        helper += used
+        df, used = attach(
+            sky(inner.filter(F.col(ic) == pl), gm, f"{prefix}_pm"),
+            [n for _, n in gm],
+        )
+        helper += used
+    else:
+        (ov_p, ic), = sf.keys  # single-column probe (validated)
+        probe_ok = F.col(ov_p).isNotNull()
+        df, used = attach(
+            sky(inner.filter(F.col(ic).isNull()), gn, f"{prefix}_pn"),
+            [n for _, n in gn],
+        )
+        helper += used
+        mp = f"{prefix}_mp"
+        df, used = attach(
+            sky(
+                inner.filter(F.col(ic).isNotNull()),
+                gm + [(ic, mp)],
+                f"{prefix}_pm",
+            ),
+            [n for _, n in gm],
+            extra_cond=(F.col(ov_p) == F.col(mp)),
+        )
+        helper += used + [mp]
+    keep = ~within(f"{prefix}_pa") | (
+        ~within(f"{prefix}_pm") & ~within(f"{prefix}_pn") & probe_ok
+    )
+    return df.filter(keep).drop(*helper)
+
+
 def _apply_pair_threshold_not_in_keyless(df, inner, sf, prefix: str):
     """KEYLESS pair-filtered correlated NOT IN (round 13): ``o.x NOT
     IN (SELECT y FROM t WHERE t.c1 OP1 o.d1 AND t.c2 OP2 o.d2)`` — no
@@ -731,6 +825,11 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
         # (one row per group; match DISTINCT per (group, y) with every
         # column pinned) — no join duplicates; with no group keys the
         # stats view is ONE global row, broadcast.
+        if len(sf.corr_threshold) == 3:
+            # round 13: THREE order comparisons — each fact is a 3-D
+            # dominance query against a per-subset Pareto skyline
+            # (keyed only; build_context admits all-order triples)
+            return _apply_sky_threshold_not_in(df, inner, sf, prefix)
         if len(sf.corr_threshold) == 2:
             n_neq = sum(1 for t in sf.corr_threshold if t[0] == "<>")
             if n_neq == 2:

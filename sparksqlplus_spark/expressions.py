@@ -515,6 +515,57 @@ class PairWitness(Cond):
 
 
 @dataclass(frozen=True)
+class SkyWitness(Cond):
+    """Witness probe over a per-key 3-D SKYLINE array column
+    (round 13 — the k=3 sibling of PairWitness): TRUE iff some struct
+    element ``e`` of ``arr`` satisfies ``e.u0 OP0 outer0 AND e.u1 OP1
+    outer1 AND e.u2 OP2 outer2``. The skyline is built so this holds
+    exactly when some raw inner row satisfies all three comparisons
+    (plans/frontier.py:keyed_skyline_view). Ops are order comparisons
+    only; a NULL outer operand or NULL array never yields TRUE —
+    callers wrap in CaseWhen so UNKNOWN folds to the miss value. The
+    negated form mirrors PairWitness.negated (callers must have
+    branched on NULL array / NULL outers first)."""
+
+    arr: Expr  # array<struct<u0, u1, u2>> column on the flag view
+    ops: tuple  # three of < <= > >=
+    outers: tuple  # three outer-only Exprs
+    negated: bool = False
+
+    _OPS = {
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+    }
+
+    def refs(self):
+        out = set(self.arr.refs())
+        for o in self.outers:
+            out |= o.refs()
+        return out
+
+    def to_spark(self, colmap):
+        a = self.arr.to_spark(colmap)
+        os_ = [o.to_spark(colmap) for o in self.outers]
+        cs = [self._OPS[op] for op in self.ops]
+        e = F.exists(
+            a,
+            lambda e: cs[0](e["u0"], os_[0])
+            & cs[1](e["u1"], os_[1])
+            & cs[2](e["u2"], os_[2]),
+        )
+        return ~e if self.negated else e
+
+    def key(self):
+        n = "not " if self.negated else ""
+        parts = " ".join(
+            f"{op} {o.key()}" for op, o in zip(self.ops, self.outers)
+        )
+        return f"({n}skywitness {self.arr.key()} {parts})"
+
+
+@dataclass(frozen=True)
 class OrCond(Cond):
     """OR of conditions (SURVEY C12) — pushed into one relation when all
     columns co-locate, else kept as a post-join residual."""
@@ -724,6 +775,13 @@ def map_expr(node, fn):
             map_expr(node.outer2, fn),
             node.negated,
         )
+    if isinstance(node, SkyWitness):
+        return SkyWitness(
+            map_expr(node.arr, fn),
+            node.ops,
+            tuple(map_expr(o, fn) for o in node.outers),
+            node.negated,
+        )
     raise TypeError(f"unknown node {type(node)}")
 
 
@@ -812,6 +870,13 @@ def rewrite_refs(node, mapping: dict[tuple[str, str], tuple[str, str]]):
             rewrite_refs(node.outer1, mapping),
             node.op2,
             rewrite_refs(node.outer2, mapping),
+            node.negated,
+        )
+    if isinstance(node, SkyWitness):
+        return SkyWitness(
+            rewrite_refs(node.arr, mapping),
+            node.ops,
+            tuple(rewrite_refs(o, mapping) for o in node.outers),
             node.negated,
         )
     raise TypeError(f"unknown node {type(node)}")

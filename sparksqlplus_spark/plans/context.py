@@ -656,18 +656,25 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                     # <> PAIRED with an order comparison — each fact
                     # folds to the argmin/runner-up triple (the
                     # _or_exists_neq_order_flag statistic, per fact
-                    # population). <>-with-<> pairs and 3+ stay on
-                    # the fallback (the keyed group is guaranteed
-                    # here, so no single-partition window).
+                    # population); <> + <> via diagonal-witness
+                    # stats — any pair mix plans.
                     len(thrs) == 2
                     and all(t is not None for t in thrs)
                     and all(
                         o in ("<", "<=", ">", ">=", "<>")
                         for o in pair_ops
                     )
-                    # round 13: any pair mix plans — both order ops
-                    # (Pareto staircase), <> + order (argmin/runner-up
-                    # triples), <> + <> (diagonal-witness stats)
+                ) or (
+                    # round 13 (late): a TRIPLE of order comparisons —
+                    # each fact becomes a 3-D dominance test against a
+                    # per-subset Pareto SKYLINE (keyed groups are
+                    # guaranteed in this branch). <>-containing
+                    # triples and 4+ stay on the fallback.
+                    len(thrs) == 3
+                    and all(t is not None for t in thrs)
+                    and all(
+                        t[0] in ("<", "<=", ">", ">=") for t in thrs
+                    )
                 )
                 if not ok:
                     raise UnsupportedSqlError(

@@ -98,6 +98,111 @@ def global_frontier_points(inner, c1: str, c2: str, asc1: bool,
     return merged, schema["u"].dataType, schema["v"].dataType
 
 
+def keyed_skyline_view(src, part_pairs, dims, ops, out):
+    """Per-key 3-D Pareto SKYLINE view (round 13 — the k=3
+    generalization of the 2-D staircase flag views): one row per part
+    tuple with ``out = array<struct<u0,u1,u2>>`` holding the weakly
+    minimal points of ``dims`` under the orientation induced by
+    ``ops`` (each op in < <= > >=; </<= orient "smaller is better").
+    A raw row satisfying ``u0 OP0 d0 AND u1 OP1 d1 AND u2 OP2 d2``
+    exists iff some skyline point does (weak dominance preserves
+    satisfaction for strict and non-strict ops alike), so an F.exists
+    probe over the array is exact — the 2-D staircase's TreeLikeArray
+    argument, one dimension up.
+
+    Build: (1) a (part, u0, u1) pre-reduction with map-side combine
+    (best u2 per point — the only candidate a probe can use), (2) an
+    applyInPandas sweep per part — sort by u0, maintain the (u1, u2)
+    Pareto staircase of kept points with bisect (O(n log n) per
+    part, Arrow-batched), (3) a part-keyed collect_list. Two part-key
+    exchanges + the pre-reduction; never a single-partition window.
+    The array holds the skyline, the minimal sufficient statistic —
+    worst case (a 3-D anti-chain) equals the input's distinct
+    (u0, u1) count, typical case is small. Rows with a NULL compared
+    column are filtered (they cannot witness an order comparison).
+
+    Supported dtypes: integral, date, timestamp (exact int64
+    orientation keys; float NaN and string collation have no exact
+    pandas analogue) — others raise into the mode='auto' fallback."""
+    import bisect
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    (c0, c1, c2) = dims
+    asc = [op in ("<", "<=") for op in ops]
+    best2 = F.min if asc[2] else F.max
+    names = [n for _, n in part_pairs]
+    pre = (
+        src.filter(
+            F.col(c0).isNotNull()
+            & F.col(c1).isNotNull()
+            & F.col(c2).isNotNull()
+        )
+        .select(
+            *[F.col(c).alias(n) for c, n in part_pairs],
+            F.col(c0).alias("u0"),
+            F.col(c1).alias("u1"),
+            F.col(c2).alias("u2"),
+        )
+        .groupBy(*names, "u0", "u1")
+        .agg(best2("u2").alias("u2"))
+    )
+    ok_types = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.DateType, T.TimestampType,
+    )
+    for f in pre.schema.fields:
+        if f.name in ("u0", "u1", "u2") and not isinstance(
+            f.dataType, ok_types
+        ):
+            raise UnsupportedSqlError(
+                _FRONTIER_DTYPE_MSG.format(dt=f.dataType)
+            )
+
+    def _oriented(col, a):
+        if col.dtype == object:
+            col = pd.to_datetime(col)
+        col = col.astype("int64")
+        return col if a else -col
+
+    def sweep(pdf):
+        if pdf.empty:
+            return pdf
+        o0 = _oriented(pdf["u0"], asc[0])
+        o1 = _oriented(pdf["u1"], asc[1])
+        o2 = _oriented(pdf["u2"], asc[2])
+        order = o0.sort_values(kind="stable").index
+        u1s: list = []
+        u2s: list = []
+        keep = []
+        for idx in order:
+            p1, p2 = o1[idx], o2[idx]
+            i = bisect.bisect_right(u1s, p1)
+            if i > 0 and u2s[i - 1] <= p2:
+                continue  # weakly dominated by a kept point
+            keep.append(idx)
+            j = bisect.bisect_left(u1s, p1)
+            k2 = j
+            while k2 < len(u1s) and u2s[k2] >= p2:
+                k2 += 1
+            u1s[j:k2] = [p1]
+            u2s[j:k2] = [p2]
+        return pdf.loc[keep]
+
+    sky = pre.groupBy(*names).applyInPandas(sweep, pre.schema)
+    return sky.groupBy(*names).agg(
+        F.collect_list(
+            F.struct(
+                F.col("u0").alias("u0"),
+                F.col("u1").alias("u1"),
+                F.col("u2").alias("u2"),
+            )
+        ).alias(out)
+    )
+
+
 def frontier_one_row_df(spark, merged, u_type, v_type):
     """Materialize a folded frontier as a ONE-ROW DataFrame with a
     single ``__pts: array<struct<u,v>>`` column, suitable for a

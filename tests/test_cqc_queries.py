@@ -2389,6 +2389,268 @@ def test_correlated_not_in_keyless_under_or(engine):
         engine.catalog.unregister("kpo_outer")
 
 
+def test_or_exists_triple_skyline(engine):
+    """Round 13 (late): THREE order-comparison correlations under
+    OR'd [NOT] EXISTS plan natively via a per-key 3-D Pareto SKYLINE
+    flag view (api._or_exists_sky_flag + expressions.SkyWitness;
+    plans/frontier.py:keyed_skyline_view). DuckDB cannot oracle
+    multi-inequality correlated EXISTS (SURVEY ORACLE WARNING), so
+    this is the brute-force NULL matrix: all 16 (op0, op1) pairs with
+    the third op cycling, NOT EXISTS included; keyless,
+    <>-containing, and 4-comparison shapes pin the fallback raise."""
+    import operator
+    import random
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    spark = engine.spark
+    rng = random.Random(23)
+    ops = {
+        "<": operator.lt, "<=": operator.le,
+        ">": operator.gt, ">=": operator.ge,
+    }
+    onames = list(ops)
+    inner = [
+        (
+            rng.randint(1, 3),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+        )
+        for _ in range(22)
+    ]
+    outer = [
+        (
+            i,
+            rng.choice([None, 1, 2, 3]),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+        )
+        for i in range(14)
+    ]
+    ipdf = pd.DataFrame(inner, columns=["ik", "a", "b", "c"])
+    opdf = pd.DataFrame(outer, columns=["pk", "k", "x", "y", "z"])
+    engine.catalog.register_df(
+        "sky_inner",
+        spark.createDataFrame(
+            ipdf.astype(object).where(ipdf.notna(), None),
+            "ik int, a int, b int, c int",
+        ),
+        (),
+    )
+    engine.catalog.register_df(
+        "sky_outer",
+        spark.createDataFrame(
+            opdf.astype(object).where(opdf.notna(), None),
+            "pk int, k int, x int, y int, z int",
+        ),
+        ("pk",),
+    )
+    try:
+        for i0, o0 in enumerate(onames):
+            for i1, o1 in enumerate(onames):
+                o2 = onames[(i0 + i1) % 4]
+                f0, f1, f2 = ops[o0], ops[o1], ops[o2]
+                for neg in ("", "NOT "):
+                    q = f"""SELECT p.pk FROM sky_outer AS p
+                            WHERE p.z = 9 OR {neg}EXISTS (
+                              SELECT 1 FROM sky_inner AS i
+                              WHERE i.ik = p.k AND i.a {o0} p.x
+                                AND i.b {o1} p.y AND i.c {o2} p.z)"""
+                    mine = sorted(
+                        r["pk"]
+                        for r in engine.sql(q, mode="cqc").collect()
+                    )
+                    truth = []
+                    for pk, k, x, y, z in outer:
+                        ex = any(
+                            ik == k
+                            and None not in (ik, k, a, b, c, x, y, z)
+                            and f0(a, x) and f1(b, y) and f2(c, z)
+                            for ik, a, b, c in inner
+                        )
+                        if z == 9 or (not ex if neg else ex):
+                            truth.append(pk)
+                    assert mine == sorted(truth), (
+                        o0, o1, o2, neg, mine, truth,
+                    )
+        # keyless triple, <>-containing triple, and 4 comparisons
+        # stay on the fallback
+        for bad_q in (
+            """SELECT p.pk FROM sky_outer AS p
+               WHERE p.z = 9 OR EXISTS (SELECT 1 FROM sky_inner AS i
+                 WHERE i.a < p.x AND i.b < p.y AND i.c < p.z)""",
+            """SELECT p.pk FROM sky_outer AS p
+               WHERE p.z = 9 OR EXISTS (SELECT 1 FROM sky_inner AS i
+                 WHERE i.ik = p.k AND i.a <> p.x AND i.b < p.y
+                   AND i.c < p.z)""",
+            """SELECT p.pk FROM sky_outer AS p
+               WHERE p.z = 9 OR EXISTS (SELECT 1 FROM sky_inner AS i
+                 WHERE i.ik = p.k AND i.a < p.x AND i.b < p.y
+                   AND i.c < p.z AND i.a > p.z)""",
+        ):
+            with _pytest.raises(UnsupportedSqlError):
+                engine.sql(bad_q, mode="cqc")
+    finally:
+        engine.catalog.unregister("sky_inner")
+        engine.catalog.unregister("sky_outer")
+
+
+def test_correlated_not_in_triple_threshold(engine):
+    """Round 13 (late): correlated NOT IN filtered by THREE order
+    comparisons — each three-valued fact is a 3-D dominance query
+    against per-subset Pareto skylines (compiler/cqc.py
+    _apply_sky_threshold_not_in top level,
+    api._corr_not_in_sky_threshold_or under OR). Brute-force NULL
+    matrix: 8 op triples x column/constant probes x both positions;
+    expression probes compose via the temp-column re-entry; keyless
+    and <>-containing triples pin the fallback raise."""
+    import operator
+    import random
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    spark = engine.spark
+    rng = random.Random(41)
+    ops = {
+        "<": operator.lt, "<=": operator.le,
+        ">": operator.gt, ">=": operator.ge,
+    }
+    onames = list(ops)
+    inner = [
+        (
+            rng.randint(1, 3),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+        )
+        for _ in range(20)
+    ]
+    outer = [
+        (
+            i,
+            rng.choice([None, 1, 2, 3]),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+        )
+        for i in range(14)
+    ]
+    ipdf = pd.DataFrame(inner, columns=["ik", "iy", "a", "b", "c"])
+    opdf = pd.DataFrame(outer, columns=["pk", "k", "x", "d0", "d1", "d2"])
+    engine.catalog.register_df(
+        "sk3_inner",
+        spark.createDataFrame(
+            ipdf.astype(object).where(ipdf.notna(), None),
+            "ik int, iy int, a int, b int, c int",
+        ),
+        (),
+    )
+    engine.catalog.register_df(
+        "sk3_outer",
+        spark.createDataFrame(
+            opdf.astype(object).where(opdf.notna(), None),
+            "pk int, k int, x int, d0 int, d1 int, d2 int",
+        ),
+        ("pk",),
+    )
+
+    def brute(or_guard, f0, f1, f2, probe_of):
+        truth = []
+        for pk, k, x, d0, d1, d2 in outer:
+            if or_guard and d2 == 9:
+                truth.append(pk)
+                continue
+            xv = probe_of(x)
+            grp = [
+                iy
+                for ik, iy, a, b, c in inner
+                if None not in (ik, k, a, b, c, d0, d1, d2)
+                and ik == k and f0(a, d0) and f1(b, d1) and f2(c, d2)
+            ]
+            if not grp:
+                truth.append(pk)
+            elif xv is not None and any(
+                iy == xv for iy in grp if iy is not None
+            ):
+                pass
+            elif any(iy is None for iy in grp) or xv is None:
+                pass
+            else:
+                truth.append(pk)
+        return sorted(truth)
+
+    try:
+        for i0, o0 in enumerate(onames):
+            for o1, o2 in [
+                (onames[(i0 + 1) % 4], onames[(i0 + 2) % 4]),
+                (onames[(i0 + 3) % 4], onames[i0]),
+            ]:
+                f0, f1, f2 = ops[o0], ops[o1], ops[o2]
+                for probe, pf in (
+                    ("p.x", lambda x: x),
+                    ("2", lambda x: 2),
+                ):
+                    body = f"""SELECT i.iy FROM sk3_inner AS i
+                               WHERE i.ik = p.k AND i.a {o0} p.d0
+                                 AND i.b {o1} p.d1 AND i.c {o2} p.d2"""
+                    q = f"""SELECT p.pk FROM sk3_outer AS p
+                            WHERE {probe} NOT IN ({body})"""
+                    mine = sorted(
+                        r["pk"]
+                        for r in engine.sql(q, mode="cqc").collect()
+                    )
+                    assert mine == brute(False, f0, f1, f2, pf), (
+                        "top", o0, o1, o2, probe,
+                    )
+                    q = f"""SELECT p.pk FROM sk3_outer AS p
+                            WHERE p.d2 = 9 OR {probe} NOT IN ({body})"""
+                    mine = sorted(
+                        r["pk"]
+                        for r in engine.sql(q, mode="cqc").collect()
+                    )
+                    assert mine == brute(True, f0, f1, f2, pf), (
+                        "or", o0, o1, o2, probe,
+                    )
+        # a probe EXPRESSION composes at the top level
+        q = """SELECT p.pk FROM sk3_outer AS p
+               WHERE p.x + 1 NOT IN (SELECT i.iy FROM sk3_inner AS i
+                 WHERE i.ik = p.k AND i.a < p.d0 AND i.b >= p.d1
+                   AND i.c <= p.d2)"""
+        mine = sorted(
+            r["pk"] for r in engine.sql(q, mode="cqc").collect()
+        )
+        truth = brute(
+            False, operator.lt, operator.ge, operator.le,
+            lambda x: x + 1 if x is not None else None,
+        )
+        assert mine == truth, (mine, truth)
+        # keyless and <>-containing triples stay on the fallback
+        for bad_q in (
+            """SELECT p.pk FROM sk3_outer AS p
+               WHERE p.x NOT IN (SELECT i.iy FROM sk3_inner AS i
+                 WHERE i.a < p.d0 AND i.b < p.d1 AND i.c < p.d2)""",
+            """SELECT p.pk FROM sk3_outer AS p
+               WHERE p.x NOT IN (SELECT i.iy FROM sk3_inner AS i
+                 WHERE i.ik = p.k AND i.a <> p.d0 AND i.b < p.d1
+                   AND i.c < p.d2)""",
+        ):
+            with _pytest.raises(UnsupportedSqlError):
+                engine.sql(bad_q, mode="cqc")
+    finally:
+        engine.catalog.unregister("sk3_inner")
+        engine.catalog.unregister("sk3_outer")
+
+
 def test_correlated_not_in_threshold_under_or(engine):
     """Round 12: the OR composition of the threshold-correlated NOT IN
     (api._corr_not_in_threshold_or) — extreme-carrying flag views with

@@ -2734,3 +2734,50 @@ def test_not_in_over_cte_null_matrix(engine):
         finally:
             engine.catalog.unregister("cnb_base")
             engine.catalog.unregister("cnb_outer")
+
+
+def test_expr_rebuild_preserves_all_fields():
+    """map_expr/rewrite_refs reconstruct nodes POSITIONALLY — round 12
+    shipped a silent correctness bug when they dropped
+    PairWitness.negated (the set-empty branch became set-NONEMPTY).
+    Identity-rebuild nodes with every non-default flag set and assert
+    full dataclass equality, so a future field added to a node without
+    updating both rebuilds fails here instead of in production."""
+    from sparksqlplus_spark.expressions import (
+        Cmp,
+        Col,
+        Exists,
+        IsNull,
+        Lit,
+        PairWitness,
+        SkyWitness,
+        map_expr,
+        rewrite_refs,
+    )
+
+    samples = [
+        PairWitness(
+            Col("a", "pts"), "<", Col("o", "x"), ">", Col("o", "y"),
+            negated=True,
+        ),
+        SkyWitness(
+            Col("a", "pts"),
+            ("<", ">", "<="),
+            (Col("o", "x"), Col("o", "y"), Col("o", "z")),
+            negated=True,
+        ),
+        Exists(
+            "t",
+            "t0",
+            (Cmp("=", Col("t0", "a"), Col("o", "b")),),
+            negated=True,
+            null_aware=True,
+            body=None,
+            n_probe=1,
+            cte_body=None,
+        ),
+        IsNull(Col("o", "x"), negated=True),
+    ]
+    for node in samples:
+        assert map_expr(node, lambda n: None) == node, type(node)
+        assert rewrite_refs(node, {}) == node, type(node)

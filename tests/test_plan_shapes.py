@@ -83,6 +83,24 @@ BOUNDS = {
     "not_in_pair_or": 6,
     "not_in_cte": 2,
     "not_in_expr_probe": 3,
+    # r13 (late): keyless pair-filtered NOT IN — the set/NULL-y
+    # staircases fold PLAN-TIME via the bounded global frontier
+    # (their jobs never appear in this plan), so the live exchanges
+    # are only the per-y match staircase's (y, u) pre-reduction +
+    # y-keyed window/collect; the one-row frontier views crossJoin as
+    # broadcasts. Measured 3 at pin time (sf0.001).
+    "not_in_pair_keyless": 3,
+    # r13 (late): the 3-D skyline EXISTS flag — (key, u0, u1)
+    # pre-reduction, the applyInPandas sweep's part-key exchange, and
+    # the part-keyed collect_list; the flag LEFT join broadcasts.
+    # Measured 3 at pin time (sf0.001).
+    "exists_three_comparisons": 3,
+    # r13 (late): widened to a 3-column probe — the k=3 NULL-pattern
+    # decomposition: the census prunes the supplier side (no NULLs)
+    # to the fully-non-NULL pattern's 6 DISTINCT-projection views +
+    # the full-match view; each is DISTINCT (one exchange) with the
+    # flag joins broadcasting. Measured 7 at pin time (sf0.001).
+    "not_in_rowvalue_or": 7,
     # r13: the interval join's BATCH plan (the driver entry's form;
     # stream==batch is pytest-proven). Counting caveat: at sf0.001 AQE
     # broadcasts the purchase side, so the measured live count is 0;
