@@ -542,9 +542,9 @@ def _apply_pair_threshold_not_in_keyless(df, inner, sf, prefix: str):
     crossJoins. The match fact is keyed: per-y staircase for a column
     probe (partitioned by y — distributed), another global fold over
     the ``y = const`` slice for a constant probe. Dtypes beyond
-    integral/date/timestamp raise inside the fold and ride the
-    mode='auto' fallback (same contract as the keyless OR'd-EXISTS
-    pair flag)."""
+    integral/date/timestamp/decimal/binary-collation string raise
+    inside the fold and ride the mode='auto' fallback (same contract
+    as the keyless OR'd-EXISTS pair flag)."""
     from sparksqlplus_spark.plans.frontier import (
         frontier_one_row_df,
         global_frontier_points,

@@ -18,11 +18,13 @@ the whole inner table — a scale-killer — so it is built as:
       the data is a deliberate anti-chain; above the cap we raise and
       ``mode='auto'`` rides the spark.sql fallback).
 
-Supported dtypes: integral, date, timestamp — totally ordered with
-identical semantics in Spark, pandas, and Python, so the driver-side
-merge is exact. Float (NaN's order-last rule has no pandas cummin
-analogue), decimal, and string columns raise and ride the fallback
-instead of risking a semantic skew.
+Supported dtypes: integral, date, timestamp, decimal, and
+default-collation string (round 13 late widened from the first
+three) — totally ordered with identical semantics in Spark, pandas,
+and Python, so the driver-side merge is exact. Float raises and
+rides the fallback (NaN orders LAST in Spark but is incomparable in
+Python — no exact driver-side merge), as do non-default string
+collations.
 
 Reference parity note: the reference's TreeLikeArray (SURVEY R9/R12,
 sqlplus-core TreeLikeArray) bounds its sorted dictionary by the
@@ -35,8 +37,8 @@ from __future__ import annotations
 from sparksqlplus_spark.parser.sql import UnsupportedSqlError
 
 _FRONTIER_DTYPE_MSG = (
-    "keyless 2-comparison shapes support integral/date/timestamp "
-    "columns only (got {dt})"
+    "keyless 2-comparison shapes support integral/date/timestamp/"
+    "decimal/binary-collation-string columns only (got {dt})"
 )
 
 
@@ -66,19 +68,51 @@ def global_frontier_points(inner, c1: str, c2: str, asc1: bool,
     ok_types = (
         T.ByteType, T.ShortType, T.IntegerType, T.LongType,
         T.DateType, T.TimestampType,
+        # round 13 (late): decimal and default-collation string are
+        # exact too — Arrow hands them to pandas as Python
+        # Decimal/str objects whose comparisons match Spark's
+        # (decimal: exact numeric order; str: code-point order =
+        # UTF8_BINARY). Float stays excluded (NaN orders LAST in
+        # Spark but is incomparable in Python/pandas — no exact
+        # driver-side merge).
+        T.DecimalType,
     )
     for f in schema.fields:
-        if not isinstance(f.dataType, ok_types):
+        dt = f.dataType
+        string_ok = isinstance(dt, T.StringType) and repr(dt) in (
+            "StringType()",  # default (UTF8_BINARY) collation only
+            "StringType('UTF8_BINARY')",
+        )
+        if not (isinstance(dt, ok_types) or string_ok):
             raise UnsupportedSqlError(
-                _FRONTIER_DTYPE_MSG.format(dt=f.dataType)
+                _FRONTIER_DTYPE_MSG.format(dt=dt)
             )
 
     def batch_frontier(it):
+        import itertools
+
         for pdf in it:
             if pdf.empty:
                 continue
-            pdf = pdf.sort_values("u", ascending=asc1)
-            run = pdf["v"].cummin() if take_min2 else pdf["v"].cummax()
+            pdf = pdf.sort_values("u", ascending=asc1, kind="stable")
+            if pdf["v"].dtype == object:
+                # Decimal/str arrive as Python objects — pandas
+                # cummin/cummax don't take object dtype; accumulate
+                # with Python min/max (same total order as Spark's)
+                run = pd.Series(
+                    list(
+                        itertools.accumulate(
+                            pdf["v"].tolist(),
+                            min if take_min2 else max,
+                        )
+                    ),
+                    index=pdf.index,
+                    dtype=object,
+                )
+            else:
+                run = (
+                    pdf["v"].cummin() if take_min2 else pdf["v"].cummax()
+                )
             keep = run.ne(run.shift())
             yield pd.DataFrame({"u": pdf["u"][keep], "v": run[keep]})
 

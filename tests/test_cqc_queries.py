@@ -1702,6 +1702,17 @@ def test_keyless_pair_under_or(engine, oracle):
     with pytest.raises(UnsupportedSqlError):
         engine.sql(dbl, mode="cqc")
     assert_matches(engine.sql(dbl, mode="auto"), oracle, dbl)
+    # round 13 (late): STRING-columned keyless pairs are in the
+    # subset (default UTF8_BINARY collation = Python code-point
+    # order, so the driver-side frontier merge is exact); TPC-H
+    # strings are ASCII, where DuckDB's default collation agrees
+    strq = """SELECT n.n_nationkey FROM nation AS n
+              WHERE n.n_regionkey = 9
+                 OR EXISTS (SELECT 1 FROM supplier AS s
+                            WHERE s.s_name < n.n_name
+                              AND s.s_suppkey > n.n_regionkey * 3)"""
+    for mode in ("cqc", "naive"):
+        assert_matches(engine.sql(strq, mode=mode), oracle, strq)
 
 
 def test_two_noneq_under_or_null_matrix(engine, oracle):
@@ -2246,6 +2257,46 @@ def test_correlated_not_in_pair_keyless(engine):
     finally:
         engine.catalog.unregister("kpf_inner")
         engine.catalog.unregister("kpf_outer")
+    # round 13 (late): DECIMAL and STRING frontiers are exact —
+    # Python Decimal/str comparisons match Spark's default ordering;
+    # cqc vs the naive (spark.sql) mode on NULL-bearing frames
+    from decimal import Decimal as D
+
+    engine.catalog.register_df(
+        "kpd_inner",
+        spark.createDataFrame(
+            [
+                (1, D("1.50"), "b"), (2, D("2.25"), "a"),
+                (None, D("0.75"), "c"), (3, None, "b"), (4, D("3.00"), None),
+            ],
+            "iy int, c1 decimal(10,2), c2 string",
+        ),
+        (),
+    )
+    engine.catalog.register_df(
+        "kpd_outer",
+        spark.createDataFrame(
+            [
+                (0, 1, D("2.00"), "b"), (1, 2, D("1.00"), "c"),
+                (2, None, D("9.99"), "a"), (3, 3, None, "b"),
+                (4, 4, D("0.10"), None),
+            ],
+            "pk int, x int, d1 decimal(10,2), d2 string",
+        ),
+        ("pk",),
+    )
+    try:
+        qd = """SELECT p.pk FROM kpd_outer AS p
+                WHERE p.x NOT IN (SELECT i.iy FROM kpd_inner AS i
+                  WHERE i.c1 < p.d1 AND i.c2 >= p.d2)"""
+        a = engine.sql(qd, mode="cqc")
+        b = engine.sql(qd, mode="naive")
+        ra = sorted(r["pk"] for r in a.collect())
+        rb = sorted(r["pk"] for r in b.collect())
+        assert ra == rb, (ra, rb)
+    finally:
+        engine.catalog.unregister("kpd_inner")
+        engine.catalog.unregister("kpd_outer")
 
 
 def test_correlated_not_in_keyless_under_or(engine):
