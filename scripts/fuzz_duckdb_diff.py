@@ -184,19 +184,35 @@ def gen(rng: random.Random) -> str:
                 f"o.{g} * 2 - o.{rng.choice(ints)}",
             ]
         )
-        corr = (
-            f" WHERE i.{rng.choice(i_ints)} = o.{rng.choice(ints)}"
-            if rng.random() < 0.6
-            else f" WHERE i.{i_key} {c1} {n1 * 2}"
-        )
-        if rng.random() < 0.35:
+        r_corr = rng.random()
+        if r_corr < 0.55:
+            corr = f" WHERE i.{rng.choice(i_ints)} = o.{rng.choice(ints)}"
+        elif r_corr < 0.8:
+            corr = f" WHERE i.{i_key} {c1} {n1 * 2}"
+        else:
+            # round 13: KEYLESS correlated threshold (no equality key)
+            # — single-inequality correlated NOT IN is matrix-verified
+            # CORRECT in DuckDB, so the new keyless-threshold native
+            # path (const/column/expr probes; pairs fold via the
+            # global frontier) fuzzes directly against it. The SECOND
+            # threshold below stays suppressed for NOT IN (DuckDB
+            # returns empty on two-inequality correlated NOT IN —
+            # SURVEY ORACLE WARNING); keyless PAIRS are brute-force
+            # pytest-covered instead.
+            corr = (
+                f" WHERE i.{rng.choice(i_ints)} "
+                f"{rng.choice(['<', '<=', '>', '>=', '<>'])} "
+                f"o.{rng.choice(ints)} + {rng.randint(0, 3)}"
+            )
+        if r_corr < 0.8 and rng.random() < 0.35:
             # <> included: DuckDB's correlated NOT IN decorrelation is
             # correct for the <>-filtered shape too (matrix-verified),
             # unlike its <>-EXISTS decorrelation. At most ONE
-            # threshold here: DuckDB returns EMPTY for correlated
-            # NOT IN with TWO inequality filters (SURVEY ORACLE
-            # WARNING) — the pair-threshold path is brute-force
-            # pytest-covered instead.
+            # threshold here (hence the r_corr guard — the keyless-
+            # threshold base already carries one): DuckDB returns
+            # EMPTY for correlated NOT IN with TWO inequality filters
+            # (SURVEY ORACLE WARNING) — the pair-threshold paths are
+            # brute-force pytest-covered instead.
             thr_op = rng.choice(["<", "<=", ">", ">=", "<>"])
             corr += (
                 f" AND i.{rng.choice(i_ints)} {thr_op} "
