@@ -1136,16 +1136,13 @@ class SparkSQLPlus:
                         # (argmin/runner-up triples), <> + <>
                         # (diagonal-witness stats)
                         pair_threshold = noneq
-                    elif (
-                        len(noneq) == 3
-                        and n_corr_keys
-                        and all(
-                            o in ("<", "<=", ">", ">=") for o in pops
-                        )
+                    elif len(noneq) == 3 and all(
+                        o in ("<", "<=", ">", ">=") for o in pops
                     ):
                         # round 13 (late): an order-comparison TRIPLE
                         # — 3-D dominance against per-group Pareto
-                        # SKYLINE flag views (keyed only)
+                        # SKYLINE flag views (keyless groups fold the
+                        # global skyline)
                         pair_threshold = noneq
                     else:
                         raise UnsupportedSqlError(
@@ -1230,14 +1227,14 @@ class SparkSQLPlus:
                         return self._keyless_neq_pair_fold(
                             ex, noneq, inner_only
                         )
-                if len(noneq) == 3 and keys and all(
+                if len(noneq) == 3 and all(
                     nq[0] in ("<", "<=", ">", ">=") for nq in noneq
                 ):
                     # round 13: THREE order comparisons compose via a
                     # per-key 3-D SKYLINE flag (the staircase one
-                    # dimension up — see _or_exists_sky_flag);
-                    # <>-containing triples and the keyless triple
-                    # stay on the fallback
+                    # dimension up — see _or_exists_sky_flag); the
+                    # keyless triple folds the GLOBAL skyline (late
+                    # r13). <>-containing triples stay on the fallback
                     return self._or_exists_sky_flag(
                         ex, keys, noneq, inner_only, spec, ephemeral
                     )
@@ -1709,10 +1706,14 @@ class SparkSQLPlus:
         single-partition window); a raw witness row exists iff a
         skyline point satisfies all three comparisons, probed JVM-side
         by expressions.SkyWitness. One row per key, so the LEFT flag
-        join never duplicates. Keyed only — the keyless global skyline
-        fold stays on the fallback (documented SURVEY cell); dtypes
-        beyond integral/date/timestamp raise inside the builder and
-        ride mode='auto'."""
+        join never duplicates. The KEYLESS triple (round 13 late)
+        folds the GLOBAL skyline instead
+        (plans/frontier.py:global_skyline_points — per-Arrow-batch
+        skylines + a capped driver-side merge re-running the same
+        sweep, the metadata-scale-collect class) and inlines it as a
+        one-row view joined unconditionally. Dtypes beyond
+        integral/date/timestamp raise inside the builder and ride
+        mode='auto'."""
         from pyspark.sql import functions as F
 
         from sparksqlplus_spark.expressions import (
@@ -1725,7 +1726,11 @@ class SparkSQLPlus:
             SkyWitness,
         )
         from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
-        from sparksqlplus_spark.plans.frontier import keyed_skyline_view
+        from sparksqlplus_spark.plans.frontier import (
+            global_skyline_points,
+            keyed_skyline_view,
+            skyline_one_row_df,
+        )
 
         (op0, out0, col0), (op1, out1, col1), (op2, out2, col2) = noneq
         inner = self.catalog.get(ex.table).load(self.spark)
@@ -1733,6 +1738,35 @@ class SparkSQLPlus:
         imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
         for c in inner_only:
             inner = inner.filter(c.to_spark(imap))
+        if not keys:
+            pts, types = global_skyline_points(
+                inner, (col0, col1, col2), (op0, op1, op2),
+                self._KEYLESS_FRONTIER_CAP,
+            )
+            view = skyline_one_row_df(self.spark, pts, types)
+            self._view_counter += 1
+            vname = f"__orx{self._view_counter}"
+            self.catalog.register_df(vname, view, ())
+            ephemeral.append(vname)
+            valias = f"{vname}_i"
+            spec.outer_joins.append(
+                OuterJoin(
+                    item=FromItem(alias=valias, table=vname),
+                    conds=[],
+                    side="left",
+                    allow_uncorrelated=True,
+                )
+            )
+            # the one-row view always attaches; an EMPTY skyline makes
+            # F.exists false -> the miss value, exactly the fold
+            witness = SkyWitness(
+                Col(valias, "__pts"),
+                (op0, op1, op2),
+                (out0, out1, out2),
+            )
+            hit = Lit(not ex.negated, "boolean")
+            miss = Lit(bool(ex.negated), "boolean")
+            return CaseWhen(((witness, hit),), miss)
         key_sel: dict[str, str] = {}
         for _, icol in keys:
             key_sel.setdefault(icol, f"__f{len(key_sel)}")
@@ -2972,7 +3006,11 @@ class SparkSQLPlus:
             SkyWitness,
         )
         from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
-        from sparksqlplus_spark.plans.frontier import keyed_skyline_view
+        from sparksqlplus_spark.plans.frontier import (
+            global_skyline_points,
+            keyed_skyline_view,
+            skyline_one_row_df,
+        )
 
         (op0, d0, c0), (op1, d1, c1), (op2, d2, c2) = triple
         inner_t = inner.filter(
@@ -2985,6 +3023,28 @@ class SparkSQLPlus:
             part = [(icol, out) for icol, out in gsel.items()]
             if extra_part is not None:
                 part.append((extra_part, "__cmp"))
+            if not part:
+                # keyless global fact (round 13 late): bounded fold,
+                # one-row view attached unconditionally
+                pts, types = global_skyline_points(
+                    src, (c0, c1, c2), (op0, op1, op2),
+                    self._KEYLESS_FRONTIER_CAP,
+                )
+                view = skyline_one_row_df(self.spark, pts, types)
+                self._view_counter += 1
+                name = f"__corrk{self._view_counter}"
+                self.catalog.register_df(name, view, ())
+                ephemeral.append(name)
+                alias = f"{name}_i"
+                spec.outer_joins.append(
+                    OuterJoin(
+                        item=FromItem(alias=alias, table=name),
+                        conds=[],
+                        side="left",
+                        allow_uncorrelated=True,
+                    )
+                )
+                return alias
             view = keyed_skyline_view(
                 src, part, (c0, c1, c2), (op0, op1, op2), "__pts"
             )

@@ -450,10 +450,18 @@ def _apply_sky_threshold_not_in(df, inner, sf, prefix: str):
     for a column probe, pinned by the join condition) — the LEFT
     joins never duplicate. A NULL d0/d1/d2 makes F.exists non-TRUE ->
     coalesce FALSE -> the set folds empty (c OP NULL is UNKNOWN for
-    every row). Keyed groups only; dtypes beyond
-    integral/date/timestamp raise inside the builder and ride
-    mode='auto'."""
-    from sparksqlplus_spark.plans.frontier import keyed_skyline_view
+    every row). KEYLESS groups (round 13 late) fold the set/NULL-y
+    facts as GLOBAL skylines (frontier.global_skyline_points — capped
+    driver merge, one-row broadcast crossJoins) with the match fact a
+    per-y keyed skyline (column probe) or a third global fold
+    (constant probe) — the pair executor's keyless pattern one
+    dimension up. Dtypes beyond integral/date/timestamp raise inside
+    the builder and ride mode='auto'."""
+    from sparksqlplus_spark.plans.frontier import (
+        global_skyline_points,
+        keyed_skyline_view,
+        skyline_one_row_df,
+    )
 
     (op0, e0, c0), (op1, e1, c1), (op2, e2, c2) = sf.corr_threshold
     thrs = [
@@ -465,14 +473,23 @@ def _apply_sky_threshold_not_in(df, inner, sf, prefix: str):
     ops = (op0, op1, op2)
 
     def sky(src, part_pairs, out):
+        if not part_pairs:
+            # keyless global fact — bounded plan-time fold, inlined
+            # as a one-row frame the caller broadcasts
+            pts, types = global_skyline_points(src, dims, ops, 65536)
+            return skyline_one_row_df(
+                df.sparkSession, pts, types
+            ).withColumnRenamed("__pts", out)
         return keyed_skyline_view(src, part_pairs, dims, ops, out)
 
     def attach(view, names, extra_cond=None):
-        on = functools.reduce(
-            lambda a, b: a & b,
-            [F.col(ov) == F.col(n) for (ov, _), n in zip(corr, names)]
-            + ([extra_cond] if extra_cond is not None else []),
-        )
+        conds = [
+            F.col(ov) == F.col(n) for (ov, _), n in zip(corr, names)
+        ] + ([extra_cond] if extra_cond is not None else [])
+        if not conds:
+            # keyless global one-row frame — broadcast crossJoin
+            return df.crossJoin(F.broadcast(view)), list(names)
+        on = functools.reduce(lambda a, b: a & b, conds)
         return df.join(view, on, "left"), list(names)
 
     def within(arr):

@@ -834,6 +834,12 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 # and a NULL-heavy brute-force pytest pins the raise.
                 len(thrs) == 2
                 and all(t is not None and t[0] != "<>" for t in thrs)
+            ) or (
+                # round 13 (late): the keyless all-order TRIPLE folds
+                # GLOBAL 3-D skylines the same way
+                # (frontier.global_skyline_points)
+                len(thrs) == 3
+                and all(t is not None and t[0] != "<>" for t in thrs)
             )
             n_probe_slots = (
                 len(keys)

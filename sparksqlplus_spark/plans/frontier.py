@@ -237,6 +237,166 @@ def keyed_skyline_view(src, part_pairs, dims, ops, out):
     )
 
 
+def global_skyline_points(inner, dims, ops, cap):
+    """Fold the GLOBAL 3-D Pareto skyline of ``dims`` over ``inner``
+    (round 13 late — the keyless sibling of keyed_skyline_view, and
+    the 3-D generalization of global_frontier_points): a (u0, u1)
+    pre-reduction with map-side combine, a per-Arrow-batch skyline
+    via ``mapInPandas`` (each batch's skyline is a superset
+    reduction), and a bounded driver-side merge re-running the same
+    bisect sweep over the unioned batch skylines — the
+    metadata-scale-collect class, capped at ``cap`` points. Returns
+    ``(points, (t0, t1, t2))`` with points as (u0, u1, u2) tuples.
+    Dtypes: integral/date/timestamp only (exact int64 orientation
+    keys both in pandas and driver-side); others raise into the
+    mode='auto' fallback, as does a skyline above the cap."""
+    import bisect
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    (c0, c1, c2) = dims
+    asc = [op in ("<", "<=") for op in ops]
+    best2 = F.min if asc[2] else F.max
+    pre = (
+        inner.filter(
+            F.col(c0).isNotNull()
+            & F.col(c1).isNotNull()
+            & F.col(c2).isNotNull()
+        )
+        .select(
+            F.col(c0).alias("u0"),
+            F.col(c1).alias("u1"),
+            F.col(c2).alias("u2"),
+        )
+        .groupBy("u0", "u1")
+        .agg(best2("u2").alias("u2"))
+    )
+    ok_types = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.DateType, T.TimestampType,
+    )
+    for f in pre.schema.fields:
+        if not isinstance(f.dataType, ok_types):
+            raise UnsupportedSqlError(
+                _FRONTIER_DTYPE_MSG.format(dt=f.dataType)
+            )
+
+    def _oriented_series(col, a):
+        if col.dtype == object:
+            col = pd.to_datetime(col)
+        col = col.astype("int64")
+        return col if a else -col
+
+    def _sweep_indexed(triples):
+        """triples: iterable of (idx, o0, o1, o2) oriented ints,
+        pre-sorted by o0; returns kept idx list (the shared staircase
+        sweep — see keyed_skyline_view)."""
+        u1s: list = []
+        u2s: list = []
+        keep = []
+        for idx, _, p1, p2 in triples:
+            i = bisect.bisect_right(u1s, p1)
+            if i > 0 and u2s[i - 1] <= p2:
+                continue
+            keep.append(idx)
+            j = bisect.bisect_left(u1s, p1)
+            k2 = j
+            while k2 < len(u1s) and u2s[k2] >= p2:
+                k2 += 1
+            u1s[j:k2] = [p1]
+            u2s[j:k2] = [p2]
+        return keep
+
+    def batch_skyline(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            o0 = _oriented_series(pdf["u0"], asc[0])
+            o1 = _oriented_series(pdf["u1"], asc[1])
+            o2 = _oriented_series(pdf["u2"], asc[2])
+            order = o0.sort_values(kind="stable").index
+            keep = _sweep_indexed(
+                (idx, o0[idx], o1[idx], o2[idx]) for idx in order
+            )
+            yield pdf.loc[keep]
+
+    rows = pre.mapInPandas(batch_skyline, pre.schema).take(cap + 1)
+    if len(rows) > cap:
+        raise UnsupportedSqlError(
+            "keyless 3-comparison skyline exceeds the "
+            f"{cap}-point inline cap"
+        )
+
+    class _Rev:
+        """Exact reverse-order wrapper for descending dims — native
+        Python comparisons of the wrapped values (int/date/datetime),
+        no numeric conversion that could collapse distinct values."""
+
+        __slots__ = ("v",)
+
+        def __init__(self, v):
+            self.v = v
+
+        def __lt__(self, o):
+            return o.v < self.v
+
+        def __le__(self, o):
+            return o.v <= self.v
+
+        def __gt__(self, o):
+            return o.v > self.v
+
+        def __ge__(self, o):
+            return o.v >= self.v
+
+        def __eq__(self, o):
+            return o.v == self.v
+
+    def _okey(v, a):
+        return v if a else _Rev(v)
+
+    tagged = sorted(
+        (
+            (_okey(r["u0"], asc[0]), _okey(r["u1"], asc[1]),
+             _okey(r["u2"], asc[2]), i)
+            for i, r in enumerate(rows)
+        )
+    )
+    keep = _sweep_indexed((i, o0, o1, o2) for o0, o1, o2, i in tagged)
+    pts = [(rows[i]["u0"], rows[i]["u1"], rows[i]["u2"]) for i in keep]
+    return pts, tuple(f.dataType for f in pre.schema.fields)
+
+
+def skyline_one_row_df(spark, pts, types):
+    """One-row DataFrame with ``__pts: array<struct<u0,u1,u2>>`` for
+    a folded global skyline (broadcast crossJoin / registered one-row
+    view). An empty skyline yields an empty array — F.exists FALSE,
+    the empty-set fold."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(
+                "__pts",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("u0", types[0]),
+                            T.StructField("u1", types[1]),
+                            T.StructField("u2", types[2]),
+                        ]
+                    )
+                ),
+                False,
+            )
+        ]
+    )
+    return spark.createDataFrame([(pts,)], schema)
+
+
 def frontier_one_row_df(spark, merged, u_type, v_type):
     """Materialize a folded frontier as a ONE-ROW DataFrame with a
     single ``__pts: array<struct<u,v>>`` column, suitable for a

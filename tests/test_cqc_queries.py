@@ -2529,12 +2529,24 @@ def test_or_exists_triple_skyline(engine):
                     assert mine == sorted(truth), (
                         o0, o1, o2, neg, mine, truth,
                     )
-        # keyless triple, <>-containing triple, and 4 comparisons
-        # stay on the fallback
-        for bad_q in (
-            """SELECT p.pk FROM sky_outer AS p
+        # the KEYLESS triple folds the GLOBAL skyline (late round 13)
+        q = """SELECT p.pk FROM sky_outer AS p
                WHERE p.z = 9 OR EXISTS (SELECT 1 FROM sky_inner AS i
-                 WHERE i.a < p.x AND i.b < p.y AND i.c < p.z)""",
+                 WHERE i.a < p.x AND i.b <= p.y AND i.c > p.z)"""
+        mine = sorted(r["pk"] for r in engine.sql(q, mode="cqc").collect())
+        truth = sorted(
+            pk
+            for pk, k, x, y, z in outer
+            if z == 9
+            or any(
+                None not in (a, b, c, x, y, z)
+                and a < x and b <= y and c > z
+                for _, a, b, c in inner
+            )
+        )
+        assert mine == truth, (mine, truth)
+        # <>-containing triples and 4 comparisons stay on the fallback
+        for bad_q in (
             """SELECT p.pk FROM sky_outer AS p
                WHERE p.z = 9 OR EXISTS (SELECT 1 FROM sky_inner AS i
                  WHERE i.ik = p.k AND i.a <> p.x AND i.b < p.y
@@ -2685,18 +2697,55 @@ def test_correlated_not_in_triple_threshold(engine):
             lambda x: x + 1 if x is not None else None,
         )
         assert mine == truth, (mine, truth)
-        # keyless and <>-containing triples stay on the fallback
-        for bad_q in (
-            """SELECT p.pk FROM sk3_outer AS p
-               WHERE p.x NOT IN (SELECT i.iy FROM sk3_inner AS i
-                 WHERE i.a < p.d0 AND i.b < p.d1 AND i.c < p.d2)""",
-            """SELECT p.pk FROM sk3_outer AS p
-               WHERE p.x NOT IN (SELECT i.iy FROM sk3_inner AS i
-                 WHERE i.ik = p.k AND i.a <> p.d0 AND i.b < p.d1
-                   AND i.c < p.d2)""",
-        ):
-            with _pytest.raises(UnsupportedSqlError):
-                engine.sql(bad_q, mode="cqc")
+        # the KEYLESS triple folds global skylines (late round 13) —
+        # column probe (per-y match view) and constant probe (third
+        # global fold), both positions
+        for probe, pf in (("p.x", lambda x: x), ("2", lambda x: 2)):
+            kbody = f"""SELECT i.iy FROM sk3_inner AS i
+                        WHERE i.a < p.d0 AND i.b >= p.d1
+                          AND i.c <= p.d2"""
+            for guard, or_guard in (("", False), ("p.d2 = 9 OR ", True)):
+                q = (
+                    f"SELECT p.pk FROM sk3_outer AS p "
+                    f"WHERE {guard}{probe} NOT IN ({kbody})"
+                )
+                mine = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
+                )
+                truth = []
+                for pk, k, x, d0, d1, d2 in outer:
+                    if or_guard and d2 == 9:
+                        truth.append(pk)
+                        continue
+                    xv = pf(x)
+                    grp = [
+                        iy
+                        for ik, iy, a, b, c in inner
+                        if None not in (a, b, c, d0, d1, d2)
+                        and a < d0 and b >= d1 and c <= d2
+                    ]
+                    if not grp:
+                        truth.append(pk)
+                    elif xv is not None and any(
+                        iy == xv for iy in grp if iy is not None
+                    ):
+                        pass
+                    elif any(iy is None for iy in grp) or xv is None:
+                        pass
+                    else:
+                        truth.append(pk)
+                assert mine == sorted(truth), (
+                    "keyless", probe, or_guard, mine, truth,
+                )
+        # <>-containing triples stay on the fallback
+        with _pytest.raises(UnsupportedSqlError):
+            engine.sql(
+                """SELECT p.pk FROM sk3_outer AS p
+                   WHERE p.x NOT IN (SELECT i.iy FROM sk3_inner AS i
+                     WHERE i.ik = p.k AND i.a <> p.d0 AND i.b < p.d1
+                       AND i.c < p.d2)""",
+                mode="cqc",
+            )
     finally:
         engine.catalog.unregister("sk3_inner")
         engine.catalog.unregister("sk3_outer")
