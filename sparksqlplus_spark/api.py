@@ -32,6 +32,24 @@ from sparksqlplus_spark.plans.context import Context, build_context
 from sparksqlplus_spark.plans.gyo import best_join_tree, gyo_join_tree
 
 
+def _lit_of(v):
+    """expressions.Lit from a collected Python scalar (the plan-time
+    stat folds' literal rebuilder — bool/int/timestamp/date/str)."""
+    import datetime
+
+    from sparksqlplus_spark.expressions import Lit
+
+    if isinstance(v, bool):
+        return Lit(v, "boolean")
+    if isinstance(v, int):
+        return Lit(v, "bigint")
+    if isinstance(v, datetime.datetime):
+        return Lit(v, "timestamp")
+    if isinstance(v, datetime.date):
+        return Lit(v, "date")
+    return Lit(v, "str")
+
+
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) (footer inspection)."""
     try:
@@ -1955,18 +1973,21 @@ class SparkSQLPlus:
         gates. Dtypes are restricted like the keyless pair (integral/
         date/timestamp for BOTH columns) — Spark's NaN-is-largest tie
         rule has no exact Python analogue for the argmax-uniqueness
-        check."""
-        import datetime
-
+        check. Round 13 (late): the stat job lives in
+        plans/frontier.py:keyless_neq_order_stats, shared with the
+        keyless NOT IN executors."""
         from pyspark.sql import functions as F
-        from pyspark.sql import types as T
 
         from sparksqlplus_spark.expressions import (
             AndCond,
             CaseWhen,
             Cmp,
+            IsNull,
             Lit,
             OrCond,
+        )
+        from sparksqlplus_spark.plans.frontier import (
+            keyless_neq_order_stats,
         )
 
         _, x_out, a_col = neq
@@ -1976,52 +1997,11 @@ class SparkSQLPlus:
         imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
         for c in inner_only:
             inner = inner.filter(c.to_spark(imap))
-        pre = (
-            inner.filter(
-                F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
-            )
-            .select(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
-            .groupBy("__a")
-            .agg(
-                (F.max if op_b in (">", ">=") else F.min)("__b").alias(
-                    "__ab"
-                )
-            )
-        )
-        ok_types = (
-            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-            T.DateType, T.TimestampType,
-        )
-        for f in pre.schema.fields:
-            if not isinstance(f.dataType, ok_types):
-                raise UnsupportedSqlError(
-                    "keyless <>+order EXISTS supports integral/date/"
-                    f"timestamp columns only (got {f.dataType})"
-                )
-        order_col = (
-            F.col("__ab").desc() if op_b in (">", ">=")
-            else F.col("__ab").asc()
-        )
-        rows = pre.orderBy(order_col, F.col("__a")).limit(2).collect()
-        if not rows:
+        stats = keyless_neq_order_stats(inner, a_col, b_col, op_b)
+        if stats is None:
             return Lit(bool(ex.negated), "boolean")
-
-        def lit_of(v):
-            if isinstance(v, bool):
-                return Lit(v, "boolean")
-            if isinstance(v, int):
-                return Lit(v, "bigint")
-            if isinstance(v, datetime.datetime):
-                return Lit(v, "timestamp")
-            if isinstance(v, datetime.date):
-                return Lit(v, "date")
-            return Lit(v, "str")
-
-        from sparksqlplus_spark.expressions import IsNull
-
-        b1, a1 = rows[0]["__ab"], rows[0]["__a"]
-        multi = len(rows) > 1 and rows[1]["__ab"] == b1
-        b2 = rows[1]["__ab"] if len(rows) > 1 else None
+        lit_of = _lit_of
+        b1, a1, multi, b2 = stats
         first = Cmp(op_b, lit_of(b1), y_out)
         if multi:
             # some argmax differs from any NON-NULL x — but a NULL x
@@ -2261,12 +2241,9 @@ class SparkSQLPlus:
         chosen pair's cross points and witness bits; the Exists then
         folds to a literal comparison tree evaluated per outer row.
         Dtypes restricted like the sibling folds (integral/date/
-        timestamp both columns)."""
-        import datetime
-
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
+        timestamp both columns). Round 13 (late): the stat jobs live
+        in plans/frontier.py:keyless_diag_stats, shared with the
+        keyless NOT IN executors."""
         from sparksqlplus_spark.expressions import (
             AndCond,
             CaseWhen,
@@ -2275,6 +2252,7 @@ class SparkSQLPlus:
             Lit,
             OrCond,
         )
+        from sparksqlplus_spark.plans.frontier import keyless_diag_stats
 
         (_, x_out, a_col), (_, y_out, b_col) = noneq
         inner = self.catalog.get(ex.table).load(self.spark)
@@ -2282,95 +2260,37 @@ class SparkSQLPlus:
         imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
         for c in inner_only:
             inner = inner.filter(c.to_spark(imap))
-        rows = inner.filter(
-            F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
-        ).select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-        ok_types = (
-            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-            T.DateType, T.TimestampType,
-        )
-        for f in rows.schema.fields:
-            if not isinstance(f.dataType, ok_types):
-                raise UnsupportedSqlError(
-                    "keyless <>-pair EXISTS supports integral/date/"
-                    f"timestamp columns only (got {f.dataType})"
-                )
-
-        def lit_of(v):
-            if isinstance(v, bool):
-                return Lit(v, "boolean")
-            if isinstance(v, int):
-                return Lit(v, "bigint")
-            if isinstance(v, datetime.datetime):
-                return Lit(v, "timestamp")
-            if isinstance(v, datetime.date):
-                return Lit(v, "date")
-            return Lit(v, "str")
-
+        lit_of = _lit_of
         hit = Lit(not ex.negated, "boolean")
         miss = Lit(bool(ex.negated), "boolean")
-        g = rows.agg(
-            F.count_distinct("a").alias("da"),
-            F.count_distinct("b").alias("db"),
-            F.min("a").alias("ua"),
-            F.min("b").alias("ub"),
-            F.min(F.struct("a", "b")).alias("r1"),
-        ).collect()[0]
-        if g["da"] == 0:
+        stats = keyless_diag_stats(inner, a_col, b_col)
+        if stats is None:
             return Lit(bool(ex.negated), "boolean")
-        if g["da"] == 1 or g["db"] == 1:
+        if stats[0] == "single":
             # single-a: witness iff ua <> x (forces x non-NULL) and
             # some b differs — db >= 2 needs only y non-NULL, db == 1
             # needs ub <> y (which forces it). Symmetric single-b
             # (da >= 2 there, so a <> x is free given x non-NULL).
+            _, da, db, ua, ub = stats
             conds = []
-            if g["da"] == 1:
-                conds.append(Cmp("<>", lit_of(g["ua"]), x_out))
+            if da == 1:
+                conds.append(Cmp("<>", lit_of(ua), x_out))
             else:
                 conds.append(IsNull(x_out, negated=True))
-            if g["db"] == 1:
-                conds.append(Cmp("<>", lit_of(g["ub"]), y_out))
+            if db == 1:
+                conds.append(Cmp("<>", lit_of(ub), y_out))
             else:
                 conds.append(IsNull(y_out, negated=True))
             return CaseWhen(((AndCond(tuple(conds)), hit),), miss)
-        r1a, r1b = g["r1"]["a"], g["r1"]["b"]
-        g2 = rows.agg(
-            F.min(
-                F.when(F.col("a") != F.lit(r1a), F.struct("a", "b"))
-            ).alias("s"),
-            F.min(
-                F.when(F.col("b") != F.lit(r1b), F.struct("a", "b"))
-            ).alias("t"),
-        ).collect()[0]
-        s, t = g2["s"], g2["t"]
-        if s["b"] != r1b:
-            pa, pb, qa, qb = r1a, r1b, s["a"], s["b"]
-        elif t["a"] != r1a:
-            pa, pb, qa, qb = r1a, r1b, t["a"], t["b"]
-        else:
-            pa, pb, qa, qb = t["a"], t["b"], s["a"], s["b"]
-        g3 = rows.agg(
-            F.max(
-                F.when(
-                    (F.col("a") != F.lit(pa)) & (F.col("b") != F.lit(qb)),
-                    1,
-                ).otherwise(0)
-            ).alias("w1"),
-            F.max(
-                F.when(
-                    (F.col("a") != F.lit(qa)) & (F.col("b") != F.lit(pb)),
-                    1,
-                ).otherwise(0)
-            ).alias("w2"),
-        ).collect()[0]
+        _, pa, pb, qa, qb, w1, w2 = stats
         cross = []
-        if g3["w1"] == 0:
+        if w1 == 0:
             cross.append(
                 AndCond(
                     (Cmp("=", x_out, lit_of(pa)), Cmp("=", y_out, lit_of(qb)))
                 )
             )
-        if g3["w2"] == 0:
+        if w2 == 0:
             cross.append(
                 AndCond(
                     (Cmp("=", x_out, lit_of(qa)), Cmp("=", y_out, lit_of(pb)))
@@ -2547,14 +2467,6 @@ class SparkSQLPlus:
                     spec, ephemeral,
                 )
             n_neq = sum(1 for t in pair if t[0] == "<>")
-            if n_neq and not corr:
-                # keyless <>-containing pairs would need the keyless
-                # triple/diagonal fold machinery — fallback (mirrors
-                # the top-level build_context gate)
-                raise UnsupportedSqlError(
-                    "keyless <>-containing NOT IN pairs under OR are "
-                    "not planned natively"
-                )
             if n_neq == 2:
                 return self._corr_not_in_neq_pair_threshold_or(
                     inner, gsel, corr, probe_outer, probe_icol, pair,
@@ -3216,6 +3128,110 @@ class SparkSQLPlus:
             )
             return alias
 
+        if not corr:
+            # keyless groups (round 13 late): fold the set/NULL-y
+            # triples at plan time (frontier.keyless_neq_order_stats)
+            # into literal predicates; the match fact stays a per-y
+            # triple view (column probe) or folds too (const probe)
+            from sparksqlplus_spark.plans.frontier import (
+                keyless_neq_order_stats,
+            )
+
+            def fold_wit(stats):
+                if stats is None:
+                    return Lit(False, "boolean")
+                b1, a1, multi, b2 = stats
+                first = AndCond(
+                    (
+                        Cmp(op_b, _lit_of(b1), d2e),
+                        IsNull(d1e, negated=True)
+                        if multi
+                        else Cmp("<>", _lit_of(a1), d1e),
+                    )
+                )
+                terms = [first]
+                if not multi and b2 is not None:
+                    terms.append(
+                        AndCond(
+                            (
+                                Cmp("=", _lit_of(a1), d1e),
+                                Cmp(op_b, _lit_of(b2), d2e),
+                            )
+                        )
+                    )
+                return terms[0] if len(terms) == 1 else OrCond(
+                    tuple(terms)
+                )
+
+            stats_a = keyless_neq_order_stats(
+                inner_t, a_col, b_col, op_b
+            )
+            if stats_a is None:
+                # empty population: the set is empty for every outer
+                # row -> NOT IN is TRUE
+                return Lit(True, "boolean")
+            wit_a = fold_wit(stats_a)
+            wit_n = fold_wit(
+                keyless_neq_order_stats(
+                    inner_t.filter(F.col(probe_icol).isNull()),
+                    a_col, b_col, op_b,
+                )
+            )
+            if not probe_outer.refs():
+                pl = probe_outer.to_spark({})
+                wit_m = fold_wit(
+                    keyless_neq_order_stats(
+                        inner_t.filter(F.col(probe_icol) == pl),
+                        a_col, b_col, op_b,
+                    )
+                )
+            else:
+                m_alias = triple_view(
+                    inner_t.filter(F.col(probe_icol).isNotNull()),
+                    extra_part=probe_icol,
+                    extra_conds=lambda alias: [
+                        Cmp("=", probe_outer, Col(alias, "__cmp"))
+                    ],
+                )
+                b1 = Col(m_alias, "__b1")
+                b2 = Col(m_alias, "__b2")
+                a1 = Col(m_alias, "__a1")
+                wit_m = OrCond(
+                    (
+                        AndCond(
+                            (
+                                IsNull(b1, negated=True),
+                                Cmp(op_b, b1, d2e),
+                                OrCond(
+                                    (IsNull(a1), Cmp("<>", a1, d1e))
+                                ),
+                            )
+                        ),
+                        AndCond(
+                            (
+                                IsNull(b2, negated=True),
+                                Cmp("=", a1, d1e),
+                                Cmp(op_b, b2, d2e),
+                            )
+                        ),
+                    )
+                )
+            return CaseWhen(
+                (
+                    (
+                        OrCond((IsNull(d1e), IsNull(d2e))),
+                        Lit(True, "boolean"),
+                    ),
+                    (wit_m, Lit(False, "boolean")),
+                    (wit_n, Lit(None, "null")),
+                    (
+                        AndCond((IsNull(probe_outer), wit_a)),
+                        Lit(None, "null"),
+                    ),
+                ),
+                Lit(True, "boolean"),
+            )
+
         a_alias = triple_view(inner_t)
         n_alias = triple_view(inner_t.filter(F.col(probe_icol).isNull()))
         if not probe_outer.refs():
@@ -3325,6 +3341,154 @@ class SparkSQLPlus:
                 )
             )
             return alias
+
+        if not corr:
+            # keyless groups (round 13 late): fold the set/NULL-y
+            # diagonal statistics at plan time
+            # (frontier.keyless_diag_stats, 1-3 scalar jobs each);
+            # the match fact stays a per-y stats view (column probe)
+            # or folds too (const probe)
+            from sparksqlplus_spark.plans.frontier import (
+                keyless_diag_stats,
+            )
+
+            def fold_wit(stats):
+                if stats is None:
+                    return Lit(False, "boolean")
+                if stats[0] == "single":
+                    _, da, db, ua, ub = stats
+                    conds = []
+                    if da == 1:
+                        conds.append(Cmp("<>", _lit_of(ua), d1e))
+                    if db == 1:
+                        conds.append(Cmp("<>", _lit_of(ub), d2e))
+                    # the NULL-threshold guard branch precedes every
+                    # use, so an unconstrained side needs nothing
+                    if not conds:
+                        return Lit(True, "boolean")
+                    return (
+                        conds[0]
+                        if len(conds) == 1
+                        else AndCond(tuple(conds))
+                    )
+                _, pa, pb, qa, qb, w1, w2 = stats
+                terms = []
+                if w1 == 0:
+                    terms.append(
+                        OrCond(
+                            (
+                                Cmp("<>", d1e, _lit_of(pa)),
+                                Cmp("<>", d2e, _lit_of(qb)),
+                            )
+                        )
+                    )
+                if w2 == 0:
+                    terms.append(
+                        OrCond(
+                            (
+                                Cmp("<>", d1e, _lit_of(qa)),
+                                Cmp("<>", d2e, _lit_of(pb)),
+                            )
+                        )
+                    )
+                if not terms:
+                    return Lit(True, "boolean")
+                return (
+                    terms[0]
+                    if len(terms) == 1
+                    else AndCond(tuple(terms))
+                )
+
+            stats_a = keyless_diag_stats(inner_t, a_col, b_col)
+            if stats_a is None:
+                # empty population: set empty for every outer row
+                return Lit(True, "boolean")
+            wit_a = fold_wit(stats_a)
+            wit_n = fold_wit(
+                keyless_diag_stats(
+                    inner_t.filter(F.col(probe_icol).isNull()),
+                    a_col, b_col,
+                )
+            )
+            if not probe_outer.refs():
+                pl = probe_outer.to_spark({})
+                wit_m = fold_wit(
+                    keyless_diag_stats(
+                        inner_t.filter(F.col(probe_icol) == pl),
+                        a_col, b_col,
+                    )
+                )
+                m_alias = None
+            else:
+                m_alias = stats_view(
+                    inner_t.filter(F.col(probe_icol).isNotNull()),
+                    extra_part=probe_icol,
+                    extra_conds=lambda alias: [
+                        Cmp("=", probe_outer, Col(alias, "__cmp"))
+                    ],
+                )
+            one_l = Lit(1, "int")
+            two_l = Lit(2, "int")
+            if m_alias is not None:
+
+                def vc(name):
+                    return Col(m_alias, name)
+
+                single_a = AndCond(
+                    (
+                        Cmp("=", vc("da"), one_l),
+                        Cmp("<>", vc("ua"), d1e),
+                        OrCond(
+                            (
+                                Cmp(">=", vc("db"), two_l),
+                                Cmp("<>", vc("ub"), d2e),
+                            )
+                        ),
+                    )
+                )
+                single_b = AndCond(
+                    (
+                        Cmp(">=", vc("da"), two_l),
+                        Cmp("=", vc("db"), one_l),
+                        Cmp("<>", vc("ub"), d2e),
+                    )
+                )
+                diag = AndCond(
+                    (
+                        Cmp(">=", vc("da"), two_l),
+                        Cmp(">=", vc("db"), two_l),
+                        OrCond(
+                            (
+                                Cmp("<>", d1e, vc("pa")),
+                                Cmp("<>", d2e, vc("qb")),
+                                Cmp("=", vc("w1"), one_l),
+                            )
+                        ),
+                        OrCond(
+                            (
+                                Cmp("<>", d1e, vc("qa")),
+                                Cmp("<>", d2e, vc("pb")),
+                                Cmp("=", vc("w2"), one_l),
+                            )
+                        ),
+                    )
+                )
+                wit_m = OrCond((single_a, single_b, diag))
+            return CaseWhen(
+                (
+                    (
+                        OrCond((IsNull(d1e), IsNull(d2e))),
+                        Lit(True, "boolean"),
+                    ),
+                    (wit_m, Lit(False, "boolean")),
+                    (wit_n, Lit(None, "null")),
+                    (
+                        AndCond((IsNull(probe_outer), wit_a)),
+                        Lit(None, "null"),
+                    ),
+                ),
+                Lit(True, "boolean"),
+            )
 
         a_alias = stats_view(inner_t)
         n_alias = stats_view(inner_t.filter(F.col(probe_icol).isNull()))

@@ -229,6 +229,86 @@ def _apply_neq_pair_threshold_not_in(df, inner, sf, prefix: str):
             )
         )
 
+    if not corr:
+        # keyless groups (round 13 late): fold the set/NULL-y
+        # diagonal statistics at plan time (1-3 scalar jobs each,
+        # frontier.keyless_diag_stats); the match fact stays a per-y
+        # _diagonal_stats_view (column probe) or folds too (const)
+        from sparksqlplus_spark.plans.frontier import keyless_diag_stats
+
+        def fold_within(stats):
+            if stats is None:
+                return F.lit(False)
+            if stats[0] == "single":
+                _, da, db, ua, ub = stats
+                ca = (
+                    F.coalesce(F.lit(ua) != d1, F.lit(False))
+                    if da == 1
+                    else d1.isNotNull()
+                )
+                cb = (
+                    F.coalesce(F.lit(ub) != d2, F.lit(False))
+                    if db == 1
+                    else d2.isNotNull()
+                )
+                return ca & cb
+            _, pa, pb, qa, qb, w1, w2 = stats
+            bad1 = (
+                (d1 == F.lit(pa)) & (d2 == F.lit(qb))
+                if w1 == 0
+                else F.lit(False)
+            )
+            bad2 = (
+                (d1 == F.lit(qa)) & (d2 == F.lit(pb))
+                if w2 == 0
+                else F.lit(False)
+            )
+            return (
+                d1.isNotNull()
+                & d2.isNotNull()
+                & ~F.coalesce(bad1 | bad2, F.lit(False))
+            )
+
+        w_a = fold_within(keyless_diag_stats(inner_t, a_col, b_col))
+        khelper: list[str] = []
+        if sf.const_probe is not None:
+            probe_lit, ic = sf.const_probe
+            pl = probe_lit.to_spark({})
+            probe_ok = pl.isNotNull()
+            w_n = fold_within(
+                keyless_diag_stats(
+                    inner_t.filter(F.col(ic).isNull()), a_col, b_col
+                )
+            )
+            w_m = fold_within(
+                keyless_diag_stats(
+                    inner_t.filter(F.col(ic) == pl), a_col, b_col
+                )
+            )
+        else:
+            (ov_p, ic), = sf.keys  # single-column probe (validated)
+            probe_ok = F.col(ov_p).isNotNull()
+            w_n = fold_within(
+                keyless_diag_stats(
+                    inner_t.filter(F.col(ic).isNull()), a_col, b_col
+                )
+            )
+            mp = f"{prefix}_mp"
+            tagp = f"{prefix}_M"
+            view = _diagonal_stats_view(
+                inner_t.filter(F.col(ic).isNotNull()),
+                [(ic, mp)],
+                a_col,
+                b_col,
+            ).select(
+                mp, *[F.col(c).alias(f"{tagp}{c}") for c in stat_cols]
+            )
+            df = df.join(view, F.col(ov_p) == F.col(mp), "left")
+            w_m = within(tagp)
+            khelper += [f"{tagp}{c}" for c in stat_cols] + [mp]
+        keep = ~w_a | (~w_m & ~w_n & probe_ok)
+        return df.filter(keep).drop(*khelper)
+
     ga = [(ic, f"{prefix}_ga{i}") for i, (_, ic) in enumerate(corr)]
     gn = [(ic, f"{prefix}_gn{i}") for i, (_, ic) in enumerate(corr)]
     gm = [(ic, f"{prefix}_gm{i}") for i, (_, ic) in enumerate(corr)]
@@ -310,8 +390,12 @@ def _apply_neq_order_threshold_not_in(df, inner, sf, prefix: str):
     (group, y) for a column probe (the constant form folds y = probe
     into a group-keyed view). Build per view = one (part, a)
     pre-reduction + one top-2 window sharing the part key — one row
-    per part, so the LEFT joins never duplicate. Keyed groups only
-    (build_context guarantees corr_keys non-empty here)."""
+    per part, so the LEFT joins never duplicate. KEYLESS groups
+    (round 13 late) fold the set/NULL-y triples at plan time
+    (frontier.keyless_neq_order_stats — one TakeOrderedAndProject job
+    each, the metadata-collect class) into literal predicates; the
+    match fact stays distributed as a per-y triple view (column
+    probe) or a third plan-time fold (constant probe)."""
     thrs = sf.corr_threshold
     (_, d1e, a_col) = next(t for t in thrs if t[0] == "<>")
     (op_b, d2e, b_col) = next(t for t in thrs if t[0] != "<>")
@@ -384,6 +468,75 @@ def _apply_neq_order_threshold_not_in(df, inner, sf, prefix: str):
         )
         second = F.coalesce((a1 == d1) & cmpb(b2, d2), F.lit(False))
         return d1.isNotNull() & (first | second)
+
+    if not corr:
+        # keyless groups (round 13 late): the set/NULL-y facts fold
+        # at plan time into literal predicates; the match fact stays
+        # distributed (per-y triple view) or folds too (const probe)
+        from sparksqlplus_spark.plans.frontier import (
+            keyless_neq_order_stats,
+        )
+
+        def fold_within(stats):
+            if stats is None:
+                return F.lit(False)
+            b1, a1, multi, b2 = stats
+            first = F.coalesce(cmpb(F.lit(b1), d2), F.lit(False)) & (
+                F.lit(True)
+                if multi
+                else F.coalesce(F.lit(a1) != d1, F.lit(False))
+            )
+            second = (
+                F.lit(False)
+                if multi or b2 is None
+                else F.coalesce(
+                    (F.lit(a1) == d1) & cmpb(F.lit(b2), d2),
+                    F.lit(False),
+                )
+            )
+            return d1.isNotNull() & (first | second)
+
+        w_a = fold_within(
+            keyless_neq_order_stats(inner_t, a_col, b_col, op_b)
+        )
+        helper = []
+        if sf.const_probe is not None:
+            probe_lit, ic = sf.const_probe
+            pl = probe_lit.to_spark({})
+            probe_ok = pl.isNotNull()
+            w_n = fold_within(
+                keyless_neq_order_stats(
+                    inner_t.filter(F.col(ic).isNull()), a_col, b_col,
+                    op_b,
+                )
+            )
+            w_m = fold_within(
+                keyless_neq_order_stats(
+                    inner_t.filter(F.col(ic) == pl), a_col, b_col, op_b
+                )
+            )
+        else:
+            (ov_p, ic), = sf.keys  # single-column probe (validated)
+            probe_ok = F.col(ov_p).isNotNull()
+            w_n = fold_within(
+                keyless_neq_order_stats(
+                    inner_t.filter(F.col(ic).isNull()), a_col, b_col,
+                    op_b,
+                )
+            )
+            mp = f"{prefix}_mp"
+            view = triple_view(
+                inner_t.filter(F.col(ic).isNotNull()),
+                [(ic, mp)],
+                f"{prefix}_M",
+            )
+            df = df.join(view, F.col(ov_p) == F.col(mp), "left")
+            w_m = within(f"{prefix}_M")
+            helper += [
+                f"{prefix}_Mb1", f"{prefix}_Mb2", f"{prefix}_Ma1", mp,
+            ]
+        keep = ~w_a | (~w_m & ~w_n & probe_ok)
+        return df.filter(keep).drop(*helper)
 
     ga = [(ic, f"{prefix}_ga{i}") for i, (_, ic) in enumerate(corr)]
     gn = [(ic, f"{prefix}_gn{i}") for i, (_, ic) in enumerate(corr)]

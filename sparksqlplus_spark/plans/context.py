@@ -825,15 +825,15 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
             # corr_keys=() case of the executor's threshold branch).
             thrs = [_threshold_of(rw) for rw in extra_raw]
             ok = (len(thrs) == 1 and thrs[0] is not None) or (
-                # round 13: a keyless PAIR of order comparisons plans
-                # too — its global staircases fold via the bounded
-                # frontier helper (plans/frontier.py; never a
-                # single-partition window). <>-containing keyless
-                # pairs stay on the fallback: their per-fact folds
-                # would need the keyless triple/diagonal machinery,
-                # and a NULL-heavy brute-force pytest pins the raise.
+                # round 13: a keyless PAIR plans too — order+order
+                # folds global staircases via the bounded frontier
+                # helper (plans/frontier.py; never a single-partition
+                # window); <>-containing mixes (late r13) fold their
+                # set/NULL-y facts at plan time through the keyless
+                # triple/diagonal stat helpers, with per-y match
+                # views staying distributed.
                 len(thrs) == 2
-                and all(t is not None and t[0] != "<>" for t in thrs)
+                and all(t is not None for t in thrs)
             ) or (
                 # round 13 (late): the keyless all-order TRIPLE folds
                 # GLOBAL 3-D skylines the same way

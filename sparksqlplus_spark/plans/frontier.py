@@ -370,6 +370,133 @@ def global_skyline_points(inner, dims, ops, cap):
     return pts, tuple(f.dataType for f in pre.schema.fields)
 
 
+_EXACT_SCALAR_TYPES_MSG = (
+    "keyless <>-shapes support integral/date/timestamp columns only "
+    "(got {dt})"
+)
+
+
+def _gate_exact_scalars(df, cols):
+    from pyspark.sql import types as T
+
+    ok_types = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.DateType, T.TimestampType,
+    )
+    for f in df.schema.fields:
+        if f.name in cols and not isinstance(f.dataType, ok_types):
+            raise UnsupportedSqlError(
+                _EXACT_SCALAR_TYPES_MSG.format(dt=f.dataType)
+            )
+
+
+def keyless_neq_order_stats(src, a_col, b_col, op_b):
+    """GLOBAL argmax/runner-up triple for a keyless ``a <> d1 AND
+    b OP d2`` witness population (round 13 late — extracted from
+    api._keyless_neq_order_fold so the NOT IN executors share it):
+    one plan-time TakeOrderedAndProject job (top-2 distinct-a groups
+    by best b) over rows with non-NULL a AND b. Returns None when the
+    population is empty, else ``(b1, a1, multi, b2)`` — best b, its
+    arg a, whether 2+ distinct a attain b1, and the runner-up best
+    (None when absent). The witness for (d1, d2) then folds to:
+
+      d1 NOT NULL AND ((b1 OP d2 AND (multi OR a1 <> d1))
+                       OR (NOT multi AND a1 = d1 AND b2 OP d2))
+
+    Metadata-scale collect (2 rows). Dtypes: integral/date/timestamp
+    (the multi check compares collected values driver-side)."""
+    from pyspark.sql import functions as F
+
+    pre = (
+        src.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .select(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .groupBy("__a")
+        .agg(
+            (F.max if op_b in (">", ">=") else F.min)("__b").alias(
+                "__ab"
+            )
+        )
+    )
+    _gate_exact_scalars(pre, ("__a", "__ab"))
+    order_col = (
+        F.col("__ab").desc() if op_b in (">", ">=")
+        else F.col("__ab").asc()
+    )
+    rows = pre.orderBy(order_col, F.col("__a")).limit(2).collect()
+    if not rows:
+        return None
+    b1, a1 = rows[0]["__ab"], rows[0]["__a"]
+    multi = len(rows) > 1 and rows[1]["__ab"] == b1
+    b2 = rows[1]["__ab"] if len(rows) > 1 else None
+    return (b1, a1, multi, b2)
+
+
+def keyless_diag_stats(src, a_col, b_col):
+    """GLOBAL diagonal-witness statistic for a keyless ``a <> d1 AND
+    b <> d2`` witness population (round 13 late — extracted from
+    api._keyless_neq_pair_fold): 1-3 plan-time scalar aggregate jobs
+    over rows with non-NULL a AND b. Returns None (empty), or
+    ``("single", da, db, ua, ub)`` when either coordinate has one
+    distinct value, or ``("diag", pa, pb, qa, qb, w1, w2)`` — the
+    chosen diagonal pair's coordinates and its two cross-point
+    witness bits. The witness for (d1, d2) folds per the
+    api._or_exists_neq_pair_flag lemma:
+
+      single: (da = 1 ? ua <> d1 : d1 NOT NULL)
+              AND (db = 1 ? ub <> d2 : d2 NOT NULL)
+      diag:   d1/d2 NOT NULL AND NOT ((d1 = pa AND d2 = qb AND w1 = 0)
+                                   OR (d1 = qa AND d2 = pb AND w2 = 0))
+    """
+    from pyspark.sql import functions as F
+
+    rows = src.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    _gate_exact_scalars(rows, ("a", "b"))
+    g = rows.agg(
+        F.count_distinct("a").alias("da"),
+        F.count_distinct("b").alias("db"),
+        F.min("a").alias("ua"),
+        F.min("b").alias("ub"),
+        F.min(F.struct("a", "b")).alias("r1"),
+    ).collect()[0]
+    if g["da"] == 0:
+        return None
+    if g["da"] == 1 or g["db"] == 1:
+        return ("single", g["da"], g["db"], g["ua"], g["ub"])
+    r1a, r1b = g["r1"]["a"], g["r1"]["b"]
+    g2 = rows.agg(
+        F.min(
+            F.when(F.col("a") != F.lit(r1a), F.struct("a", "b"))
+        ).alias("s"),
+        F.min(
+            F.when(F.col("b") != F.lit(r1b), F.struct("a", "b"))
+        ).alias("t"),
+    ).collect()[0]
+    s, t = g2["s"], g2["t"]
+    if s["b"] != r1b:
+        pa, pb, qa, qb = r1a, r1b, s["a"], s["b"]
+    elif t["a"] != r1a:
+        pa, pb, qa, qb = r1a, r1b, t["a"], t["b"]
+    else:
+        pa, pb, qa, qb = t["a"], t["b"], s["a"], s["b"]
+    g3 = rows.agg(
+        F.max(
+            F.when(
+                (F.col("a") != F.lit(pa)) & (F.col("b") != F.lit(qb)),
+                1,
+            ).otherwise(0)
+        ).alias("w1"),
+        F.max(
+            F.when(
+                (F.col("a") != F.lit(qa)) & (F.col("b") != F.lit(pb)),
+                1,
+            ).otherwise(0)
+        ).alias("w2"),
+    ).collect()[0]
+    return ("diag", pa, pb, qa, qb, g3["w1"], g3["w2"])
+
+
 def skyline_one_row_df(spark, pts, types):
     """One-row DataFrame with ``__pts: array<struct<u0,u1,u2>>`` for
     a folded global skyline (broadcast crossJoin / registered one-row

@@ -2220,14 +2220,43 @@ def test_correlated_not_in_pair_keyless(engine):
                 else:
                     truth.append(pk)
             assert mine == sorted(truth), (mine, truth)
-            # <>-containing keyless pairs stay on the fallback
-            with _pytest.raises(UnsupportedSqlError):
-                engine.sql(
-                    """SELECT p.pk FROM kp_outer AS p
-                       WHERE p.x NOT IN (SELECT i.iy FROM kp_inner AS i
-                         WHERE i.c1 <> p.d1 AND i.c2 < p.d2)""",
-                    mode="cqc",
-                )
+            # <>-containing keyless pairs plan too (late round 13):
+            # the set/NULL-y facts fold via the keyless
+            # triple/diagonal stat helpers, per-y match views stay
+            # distributed — sweep <> against every second op
+            for o2, f2 in list(ops.items()) + [("<>", operator.ne)]:
+                for probe in ("p.x", "3"):
+                    q = f"""SELECT p.pk FROM kp_outer AS p
+                            WHERE {probe} NOT IN (
+                              SELECT i.iy FROM kp_inner AS i
+                              WHERE i.c1 <> p.d1
+                                AND i.c2 {o2} p.d2)"""
+                    mine = sorted(
+                        r["pk"]
+                        for r in engine.sql(q, mode="cqc").collect()
+                    )
+                    truth = []
+                    for pk, x, d1, d2 in outer:
+                        xv = x if probe == "p.x" else 3
+                        grp = [
+                            iy
+                            for iy, c1, c2 in inner
+                            if None not in (c1, c2, d1, d2)
+                            and c1 != d1 and f2(c2, d2)
+                        ]
+                        if not grp:
+                            truth.append(pk)
+                        elif xv is not None and any(
+                            iy == xv for iy in grp if iy is not None
+                        ):
+                            pass
+                        elif any(iy is None for iy in grp) or xv is None:
+                            pass
+                        else:
+                            truth.append(pk)
+                    assert mine == sorted(truth), (
+                        trial, "<>", o2, probe, mine, truth,
+                    )
         finally:
             engine.catalog.unregister("kp_inner")
             engine.catalog.unregister("kp_outer")
@@ -2426,15 +2455,28 @@ def test_correlated_not_in_keyless_under_or(engine):
                         (lambda x: x) if probe == "p.x" else (lambda x: 2),
                     )
                     assert mine == truth, (op1, op2, probe, mine, truth)
-        # <>-containing keyless pairs under OR stay on the fallback
-        with _pytest.raises(UnsupportedSqlError):
-            engine.sql(
-                """SELECT p.pk FROM kpo_outer AS p
-                   WHERE p.d2 = 9 OR p.x NOT IN (
-                     SELECT i.iy FROM kpo_inner AS i
-                     WHERE i.c1 <> p.d1 AND i.c2 < p.d2)""",
-                mode="cqc",
-            )
+        # <>-containing keyless pairs under OR plan too (late round
+        # 13): folded set/NULL-y facts + per-y match views
+        for o2, f2 in list(ops.items()) + [("<>", operator.ne)]:
+            for probe in ("p.x", "3"):
+                q = f"""SELECT p.pk FROM kpo_outer AS p
+                        WHERE p.d2 = 9 OR {probe} NOT IN (
+                          SELECT i.iy FROM kpo_inner AS i
+                          WHERE i.c1 <> p.d1 AND i.c2 {o2} p.d2)"""
+                mine = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
+                )
+                truth = brute(
+                    lambda pk: outer[pk][3] == 9,
+                    lambda d1, d2: [
+                        iy
+                        for iy, c1, c2 in inner
+                        if None not in (c1, c2, d1, d2)
+                        and c1 != d1 and f2(c2, d2)
+                    ],
+                    (lambda x: x) if probe == "p.x" else (lambda x: 3),
+                )
+                assert mine == truth, ("<>", o2, probe, mine, truth)
     finally:
         engine.catalog.unregister("kpo_inner")
         engine.catalog.unregister("kpo_outer")
