@@ -433,7 +433,9 @@ class _Parser:
         inner_on: list[Cond] = []
         using_joins: list[tuple[str, list[str]]] = []
         outer_joins: list[OuterJoin] = []
-        semi_conds: list[Cond] = []  # semi/anti-desugared Exists
+        # semi/anti-desugared Exists + the outer-join count at its
+        # chain position (placement decision after the loop)
+        semi_conds: list[tuple] = []
         while True:
             t = self.peek()
             if self.at("op", ","):
@@ -532,7 +534,7 @@ class _Parser:
                 # ids (only JOIN right after triggers this arm).
                 sj = self._semi_anti_join_tail(outer_joins)
                 where.append(sj)
-                semi_conds.append(sj)
+                semi_conds.append((sj, len(outer_joins)))
             elif (
                 t is not None
                 and t.kind == "id"
@@ -549,7 +551,7 @@ class _Parser:
                 ):
                     sj = self._semi_anti_join_tail(outer_joins)
                     where.append(sj)
-                    semi_conds.append(sj)
+                    semi_conds.append((sj, len(outer_joins)))
                     continue
                 if t2 is not None and t2.kind == "id" and t2.text.lower() == "outer":
                     self.take()
@@ -559,7 +561,20 @@ class _Parser:
                 outer_joins.append(OuterJoin(item, conds, side, using=using))
             else:
                 break
-        if semi_conds and any(
+        for sj, pos in semi_conds:
+            if pos and any(
+                oj.side in ("right", "full") for oj in outer_joins[pos:]
+            ):
+                # a semi/anti BETWEEN outer joins with a LATER
+                # RIGHT/FULL: its chain-position filter does not
+                # commute past the null-extending join (post-join
+                # placement would drop preserved rows) — fallback
+                raise UnsupportedSqlError(
+                    "SEMI/ANTI JOIN followed by a later RIGHT/FULL "
+                    "JOIN is not in the subset"
+                )
+        pre_semis = [sj for sj, pos in semi_conds if pos == 0]
+        if pre_semis and any(
             oj.side in ("right", "full") for oj in outer_joins
         ):
             # SEMI/ANTI followed by a RIGHT/FULL JOIN (round 13, r12
@@ -570,11 +585,18 @@ class _Parser:
             # desugared Exists through inner_on (the pre-join clause
             # RIGHT/FULL already uses for INNER-JOIN ON conjuncts):
             # _run_outer plans it inside the phase-1 core. The Exists
-            # can only correlate with FROM-block aliases here
-            # (_semi_anti_join_tail rejects semi AFTER an outer join,
-            # so it parsed before any attachment existed).
-            sem_ids = {id(c) for c in semi_conds}
-            inner_on.extend(semi_conds)
+            # correlates only with FROM-block aliases here (pos == 0:
+            # it parsed before any attachment existed).
+            #
+            # A semi/anti AFTER the last RIGHT/FULL (late round 13 —
+            # pos > 0, no later right/full per the guard above) stays
+            # WHERE-level instead: SQL's left-to-right chain applies
+            # it to the composed result, exactly a [NOT] EXISTS whose
+            # null-extended probes never match; intervening LEFT/INNER
+            # joins commute with it (they never null-extend columns
+            # the ON condition can reference).
+            sem_ids = {id(c) for c in pre_semis}
+            inner_on.extend(pre_semis)
             where = [c for c in where if id(c) not in sem_ids]
         if self.accept("kw", "where"):
             where.extend(self._conjunction())
@@ -1109,11 +1131,6 @@ class _Parser:
         right columns). Caller sits at the 'semi'/'anti' token."""
         kind = self.take().text.lower()
         self.expect("kw", "join")
-        if outer_joins:
-            raise UnsupportedSqlError(
-                "SEMI/ANTI JOIN after an OUTER JOIN is not in the "
-                "subset"
-            )
         item = self._from_item()
         self.expect("kw", "on")
         conds = self._conjunction()

@@ -2522,6 +2522,55 @@ def test_semi_join_then_right_full_join(engine):
         str(tuple(r)) for r in engine.sql(sql, mode="spark").collect()
     )
     assert got == want and len(got) > 0
+    # SEMI/ANTI AFTER the outer join (late round 13 — the reverse
+    # composition): SQL's left-to-right chain applies it to the
+    # COMPOSED result, which IS the WHERE-level Exists placement
+    # (null-extended probes never match); conds on the preserved AND
+    # the null-extended side both covered, plus an intervening LEFT
+    # join, all vs mode='spark'
+    post_cases = [
+        "SELECT n.n_name, r.r_name FROM nation AS n "
+        "{join} region AS r ON n.n_regionkey = r.r_regionkey "
+        "{semi} JOIN supplier AS s ON n.n_nationkey = s.s_nationkey "
+        "AND s.s_acctbal > 5000.0",
+        # cond on the null-extended side (RIGHT null-extends nation)
+        "SELECT n.n_name, r.r_name FROM nation AS n "
+        "RIGHT JOIN region AS r ON n.n_regionkey = r.r_regionkey "
+        "{semi} JOIN customer AS c ON c.c_nationkey = n.n_nationkey "
+        "AND c.c_acctbal {cmp} 0.0",
+        # semi between the RIGHT and a later LEFT join (commutes)
+        "SELECT n.n_name, r.r_name, s2.s_name FROM nation AS n "
+        "RIGHT JOIN region AS r ON n.n_regionkey = r.r_regionkey "
+        "{semi} JOIN customer AS c ON c.c_nationkey = n.n_nationkey "
+        "LEFT JOIN supplier AS s2 ON s2.s_nationkey = n.n_nationkey",
+    ]
+    for semi in ("SEMI", "ANTI"):
+        for join in ("RIGHT JOIN", "FULL JOIN"):
+            for tpl in post_cases:
+                sql = tpl.format(semi=semi, join=join, cmp=">")
+                got = sorted(
+                    str(tuple(r))
+                    for r in engine.sql(sql, mode="cqc").collect()
+                )
+                want = sorted(
+                    str(tuple(r))
+                    for r in engine.sql(sql, mode="spark").collect()
+                )
+                assert got == want, ("post", semi, join, got[:4], want[:4])
+    # a semi BETWEEN outer joins with a LATER RIGHT/FULL does not
+    # commute past the null-extending join — fallback contract
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    with _pytest.raises(UnsupportedSqlError):
+        engine.sql(
+            "SELECT n.n_name FROM nation AS n "
+            "RIGHT JOIN region AS r ON n.n_regionkey = r.r_regionkey "
+            "SEMI JOIN customer AS c ON c.c_nationkey = n.n_nationkey "
+            "RIGHT JOIN supplier AS s ON s.s_nationkey = n.n_nationkey",
+            mode="cqc",
+        )
 
 
 def test_select_star_native(engine, oracle):
