@@ -967,8 +967,11 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
         dfp = df.withColumn(
             tmp, pexpr.to_spark({r: r[1] for r in pexpr.refs()})
         )
+        # NOT IN carries its group equalities in corr_keys (sf.keys is
+        # empty here); POSITIVE IN (late round 13) keeps them in keys
+        # — append so the re-entry joins on probe AND correlations
         sf2 = dataclasses.replace(
-            sf, keys=((tmp, p_ic),), expr_probe=None
+            sf, keys=((tmp, p_ic), *sf.keys), expr_probe=None
         )
         return _apply_semi_filter(spark, catalog, dfp, sf2, prefix).drop(
             tmp

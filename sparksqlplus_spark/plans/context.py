@@ -556,16 +556,19 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 else None
             )
             if pair is None:
-                # the PROBE conjunct of a NOT IN whose probe side is an
-                # outer-only EXPRESSION (round 13: `o.a + 1 NOT IN
-                # (SELECT y ...)` — parser contract: probe conjuncts
+                # the PROBE conjunct of an IN/NOT IN whose probe side
+                # is an outer-only EXPRESSION (round 13: `o.a + 1 NOT
+                # IN (SELECT y ...)` — parser contract: probe conjuncts
                 # sit at idx < n_probe as `<probe expr> = <inner col>`).
                 # Recorded apart from keys; the executor materializes
                 # the expression as a temp outer column and re-enters
                 # the single-key machinery (SemiFilter.expr_probe).
+                # POSITIVE IN takes the same route (late round 13) —
+                # two-valued under WHERE, so the temp-column semi join
+                # is exact; its correlation equalities stay in keys
+                # and the executor re-enters with them appended.
                 if (
                     ex.null_aware
-                    and ex.negated
                     and idx < ex.n_probe
                     and isinstance(rw, Cmp)
                     and rw.op == "="

@@ -3213,14 +3213,38 @@ def test_not_in_expr_probe(engine):
                 )
                 truth = brute(probe_fn, grp_fn)
                 assert mine == truth, (trial, body, mine, truth)
-            # positive IN with an expression probe: fallback contract
-            with _pytest.raises(UnsupportedSqlError):
-                engine.sql(
-                    """SELECT p.pk FROM ep_outer AS p
-                       WHERE p.x + 1 IN (SELECT i.iy FROM ep_inner AS i
-                                         WHERE i.ik = p.k)""",
-                    mode="cqc",
+            # POSITIVE IN with an expression probe plans too (late
+            # round 13): same temp-column re-entry, with correlation
+            # equalities appended to the semi-join keys — two-valued
+            # under WHERE (UNKNOWN filters like FALSE), correlated
+            # and uncorrelated
+            for body, has_corr in (
+                (
+                    """p.x + 1 IN (SELECT i.iy FROM ep_inner AS i
+                                   WHERE i.ik = p.k)""",
+                    True,
+                ),
+                (
+                    "p.x + 1 IN (SELECT i.iy FROM ep_inner AS i)",
+                    False,
+                ),
+            ):
+                q = f"SELECT p.pk FROM ep_outer AS p WHERE {body}"
+                mine = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
                 )
+                truth = sorted(
+                    pk
+                    for pk, k, x, d1, d2 in outer
+                    if x is not None
+                    and any(
+                        iy == x + 1
+                        and (not has_corr or (ik is not None and ik == k))
+                        for ik, iy, c1, c2 in inner
+                        if iy is not None
+                    )
+                )
+                assert mine == truth, (trial, body, mine, truth)
         finally:
             engine.catalog.unregister("ep_inner")
             engine.catalog.unregister("ep_outer")
