@@ -226,7 +226,10 @@ def gen(rng: random.Random) -> str:
         if rng.random() < 0.3:
             cte = f"WITH w_cte AS (SELECT * FROM {inner_t}) "
             inner_t = "w_cte"
-        pred = f"{probe} NOT IN (SELECT i.{ic} FROM {inner_t} AS i{corr})"
+        # late round 13: POSITIVE IN joins the draw (expression probes
+        # ride the same temp-column re-entry; two-valued under WHERE)
+        neg = "NOT " if rng.random() < 0.75 else ""
+        pred = f"{probe} {neg}IN (SELECT i.{ic} FROM {inner_t} AS i{corr})"
         if rng.random() < 0.4:
             pred = f"o.{g} {c1} {n1} OR {pred}"
         return f"{cte}SELECT DISTINCT {name} FROM {t} AS o WHERE {pred}"
