@@ -1162,6 +1162,19 @@ class SparkSQLPlus:
                         # SKYLINE flag views (keyless groups fold the
                         # global skyline)
                         pair_threshold = noneq
+                    elif (
+                        len(noneq) == 3
+                        and n_corr_keys
+                        and pops.count("<>") == 1
+                        and all(
+                            o in ("<", "<=", ">", ">=", "<>")
+                            for o in pops
+                        )
+                    ):
+                        # round 13 (latest): ONE <> + two order
+                        # comparisons — the U/V two-staircase
+                        # statistic per fact (keyed only)
+                        pair_threshold = noneq
                     else:
                         raise UnsupportedSqlError(
                             "row-value / multi-comparison NOT IN with "
@@ -1252,8 +1265,24 @@ class SparkSQLPlus:
                     # per-key 3-D SKYLINE flag (the staircase one
                     # dimension up — see _or_exists_sky_flag); the
                     # keyless triple folds the GLOBAL skyline (late
-                    # r13). <>-containing triples stay on the fallback
+                    # r13)
                     return self._or_exists_sky_flag(
+                        ex, keys, noneq, inner_only, spec, ephemeral
+                    )
+                if (
+                    len(noneq) == 3
+                    and keys
+                    and sorted(nq[0] for nq in noneq).count("<>") == 1
+                    and all(
+                        nq[0] in ("<", "<=", ">", ">=", "<>")
+                        for nq in noneq
+                    )
+                ):
+                    # round 13 (latest): ONE <> + TWO order
+                    # comparisons — the U/V two-staircase statistic
+                    # (keyed_neq_order2_view); keyless and 2+-<>
+                    # triples stay on the fallback
+                    return self._or_exists_neq_order2_flag(
                         ex, keys, noneq, inner_only, spec, ephemeral
                     )
                 if len(noneq) > 1:
@@ -1711,6 +1740,80 @@ class SparkSQLPlus:
         hit = Lit(not ex.negated, "boolean")
         miss = Lit(bool(ex.negated), "boolean")
         return CaseWhen(((raw, hit),), miss)
+
+    def _or_exists_neq_order2_flag(
+        self, ex, keys, noneq, inner_only, spec, ephemeral
+    ):
+        """ONE ``<>`` + TWO order comparisons under OR'd [NOT] EXISTS
+        (round 13 latest): ``P OR EXISTS(i: i.k = o.k AND i.a <> o.x
+        AND i.b OP2 o.y AND i.c OP3 o.z)``. The witness question
+        splits on the (b, c) REGION the order pair carves: >= 2
+        distinct a-classes inside -> a witness exists for any
+        non-NULL x; exactly one -> it must differ from x. Both facts
+        ride one per-key view (plans/frontier.py:
+        keyed_neq_order2_view — the annotated region staircase U plus
+        the distinct-a pair-combination staircase V, one applyInPandas
+        sweep), probed JVM-side by expressions.NeqTripleWitness. One
+        row per key, the LEFT flag join never duplicates. Keyed only;
+        b/c dims integral/date/timestamp (the builder raises
+        otherwise, riding mode='auto')."""
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import (
+            AndCond,
+            CaseWhen,
+            Cmp,
+            Col,
+            IsNull,
+            Lit,
+            NeqTripleWitness,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+        from sparksqlplus_spark.plans.frontier import (
+            keyed_neq_order2_view,
+        )
+
+        (_, d1e, a_col) = next(t for t in noneq if t[0] == "<>")
+        (op2, d2e, b_col), (op3, d3e, c_col) = [
+            t for t in noneq if t[0] != "<>"
+        ]
+        inner = self.catalog.get(ex.table).load(self.spark)
+        imap = {("", cn): cn for cn in inner.columns}
+        imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
+        for c in inner_only:
+            inner = inner.filter(c.to_spark(imap))
+        key_sel: dict[str, str] = {}
+        for _, icol in keys:
+            key_sel.setdefault(icol, f"__f{len(key_sel)}")
+        view = keyed_neq_order2_view(
+            inner,
+            [(icol, out) for icol, out in key_sel.items()],
+            a_col, b_col, c_col, (op2, op3),
+            "__upts", "__vpts",
+        )
+        self._view_counter += 1
+        vname = f"__orx{self._view_counter}"
+        self.catalog.register_df(vname, view, tuple(key_sel.values()))
+        ephemeral.append(vname)
+        valias = f"{vname}_i"
+        spec.outer_joins.append(
+            OuterJoin(
+                item=FromItem(alias=valias, table=vname),
+                conds=[
+                    Cmp("=", oc, Col(valias, key_sel[icol]))
+                    for oc, icol in keys
+                ],
+                side="left",
+            )
+        )
+        witness = NeqTripleWitness(
+            Col(valias, "__upts"),
+            Col(valias, "__vpts"),
+            d1e, op2, d2e, op3, d3e,
+        )
+        hit = Lit(not ex.negated, "boolean")
+        miss = Lit(bool(ex.negated), "boolean")
+        return CaseWhen(((witness, hit),), miss)
 
     def _or_exists_sky_flag(
         self, ex, keys, noneq, inner_only, spec, ephemeral
@@ -2460,8 +2563,16 @@ class SparkSQLPlus:
             )
         if pair is not None:
             if len(pair) == 3:
+                if sum(1 for t in pair if t[0] == "<>") == 1:
+                    # round 13 (latest): ONE <> + two order
+                    # comparisons — U/V two-staircase flag views
+                    # (keyed only, per the dispatch)
+                    return self._corr_not_in_neq_order2_threshold_or(
+                        inner, gsel, corr, probe_outer, probe_icol,
+                        pair, spec, ephemeral,
+                    )
                 # round 13 (late): order-comparison triple — skyline
-                # flag views (the dispatch admits keyed all-order only)
+                # flag views (keyed or keyless)
                 return self._corr_not_in_sky_threshold_or(
                     inner, gsel, corr, probe_outer, probe_icol, pair,
                     spec, ephemeral,
@@ -2880,6 +2991,113 @@ class SparkSQLPlus:
                 # no staircase point within: set empty. The array and
                 # both outer operands are non-NULL here (branches
                 # above), so the negated witness is two-valued.
+                (wit(a_alias, negated=True), Lit(True, "boolean")),
+                (wit(m_alias), Lit(False, "boolean")),
+                (wit(n_alias), Lit(None, "null")),
+                (IsNull(probe_outer), Lit(None, "null")),
+            ),
+            Lit(True, "boolean"),
+        )
+
+    def _corr_not_in_neq_order2_threshold_or(
+        self, inner, gsel, corr, probe_outer, probe_icol, triple,
+        spec, ephemeral,
+    ):
+        """Correlated NOT IN under OR whose inner set is filtered by
+        ONE ``<>`` plus TWO order comparisons (round 13 latest — the
+        OR sibling of compiler/cqc.py:
+        _apply_neq_order2_threshold_not_in): each three-valued fact
+        carries a keyed_neq_order2_view (annotated region staircase U
+        + distinct-a pair staircase V) probed by
+        expressions.NeqTripleWitness. Flag order mirrors the skyline
+        version: miss/NULL-threshold/no-witness -> TRUE (set empty);
+        match witness -> FALSE; NULL-y witness or NULL probe ->
+        UNKNOWN; else TRUE. One row per group (per (group, y) for a
+        column probe) — the LEFT joins never duplicate. DuckDB cannot
+        oracle the shape (SURVEY ORACLE WARNING), so coverage is the
+        brute-force NULL-matrix pytest."""
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import (
+            AndCond,
+            CaseWhen,
+            Cmp,
+            Col,
+            IsNull,
+            Lit,
+            NeqTripleWitness,
+            OrCond,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+        from sparksqlplus_spark.plans.frontier import (
+            keyed_neq_order2_view,
+        )
+
+        (_, d1e, a_col) = next(t for t in triple if t[0] == "<>")
+        (op2, d2e, b_col), (op3, d3e, c_col) = [
+            t for t in triple if t[0] != "<>"
+        ]
+
+        def uv_view(src, extra_part=None, extra_conds=()):
+            part = [(icol, out) for icol, out in gsel.items()]
+            if extra_part is not None:
+                part.append((extra_part, "__cmp"))
+            view = keyed_neq_order2_view(
+                src, part, a_col, b_col, c_col, (op2, op3),
+                "__upts", "__vpts",
+            )
+            outs = [out for _, out in part]
+            self._view_counter += 1
+            name = f"__corrn{self._view_counter}"
+            self.catalog.register_df(name, view, tuple(outs))
+            ephemeral.append(name)
+            alias = f"{name}_i"
+            spec.outer_joins.append(
+                OuterJoin(
+                    item=FromItem(alias=alias, table=name),
+                    conds=[
+                        Cmp("=", oc, Col(alias, gsel[icol]))
+                        for oc, icol in corr
+                    ]
+                    + list(extra_conds(alias) if extra_conds else []),
+                    side="left",
+                )
+            )
+            return alias
+
+        a_alias = uv_view(inner)
+        n_alias = uv_view(inner.filter(F.col(probe_icol).isNull()))
+        if not probe_outer.refs():
+            pl = probe_outer.to_spark({})
+            m_alias = uv_view(inner.filter(F.col(probe_icol) == pl))
+        else:
+            m_alias = uv_view(
+                inner.filter(F.col(probe_icol).isNotNull()),
+                extra_part=probe_icol,
+                extra_conds=lambda alias: [
+                    Cmp("=", probe_outer, Col(alias, "__cmp"))
+                ],
+            )
+
+        def wit(alias, negated=False):
+            return NeqTripleWitness(
+                Col(alias, "__upts"),
+                Col(alias, "__vpts"),
+                d1e, op2, d2e, op3, d3e,
+                negated=negated,
+            )
+
+        return CaseWhen(
+            (
+                # group miss (or every group row NULL-a/b/c): empty
+                (IsNull(Col(a_alias, "__upts")), Lit(True, "boolean")),
+                # NULL threshold: the filter is UNKNOWN rowwise
+                (
+                    OrCond((IsNull(d1e), IsNull(d2e), IsNull(d3e))),
+                    Lit(True, "boolean"),
+                ),
+                # no witness in the whole subset: set empty (arrays
+                # and outers non-NULL here -> two-valued negation)
                 (wit(a_alias, negated=True), Lit(True, "boolean")),
                 (wit(m_alias), Lit(False, "boolean")),
                 (wit(n_alias), Lit(None, "null")),

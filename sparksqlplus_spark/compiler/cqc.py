@@ -590,6 +590,116 @@ def _apply_neq_order_threshold_not_in(df, inner, sf, prefix: str):
     return df.filter(keep).drop(*helper)
 
 
+def _apply_neq_order2_threshold_not_in(df, inner, sf, prefix: str):
+    """Correlated NOT IN whose inner set is filtered by ONE ``<>``
+    plus TWO order comparisons (round 13 latest): ``o.x NOT IN (SELECT
+    y FROM t WHERE t.k = o.k AND t.a <> o.d1 AND t.b OP2 o.d2 AND
+    t.c OP3 o.d3)``. Each three-valued fact asks the <>+order+order
+    witness question over its population, carried on ONE
+    keyed_neq_order2_view per fact (the annotated region staircase U
+    plus the distinct-a pair staircase V — see plans/frontier.py) and
+    probed JVM-side by frontier.neq_triple_witness_col. Views one row
+    per group (per (group, y) for a column probe, pinned by the join
+    condition) — the LEFT joins never duplicate. Keyed groups only;
+    b/c dims integral/date/timestamp (the builder raises otherwise,
+    riding mode='auto')."""
+    from sparksqlplus_spark.plans.frontier import (
+        keyed_neq_order2_view,
+        neq_triple_witness_col,
+    )
+
+    thrs = sf.corr_threshold
+    (_, d1e, a_col) = next(t for t in thrs if t[0] == "<>")
+    (op2, d2e, b_col), (op3, d3e, c_col) = [
+        t for t in thrs if t[0] != "<>"
+    ]
+    d1 = d1e.to_spark({r: r[1] for r in d1e.refs()})
+    d2 = d2e.to_spark({r: r[1] for r in d2e.refs()})
+    d3 = d3e.to_spark({r: r[1] for r in d3e.refs()})
+    corr = sf.corr_keys
+
+    def fact_view(src, part_pairs, tagu, tagv):
+        return keyed_neq_order2_view(
+            src, part_pairs, a_col, b_col, c_col, (op2, op3),
+            tagu, tagv,
+        )
+
+    def attach(view, names, extra_cond=None):
+        on = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(ov) == F.col(n) for (ov, _), n in zip(corr, names)]
+            + ([extra_cond] if extra_cond is not None else []),
+        )
+        return df.join(view, on, "left"), list(names)
+
+    def within(tagu, tagv):
+        return neq_triple_witness_col(
+            F.col(tagu), F.col(tagv), d1, d2, d3, op2, op3
+        )
+
+    ga = [(ic, f"{prefix}_ga{i}") for i, (_, ic) in enumerate(corr)]
+    gn = [(ic, f"{prefix}_gn{i}") for i, (_, ic) in enumerate(corr)]
+    gm = [(ic, f"{prefix}_gm{i}") for i, (_, ic) in enumerate(corr)]
+    helper: list[str] = [
+        f"{prefix}_ua", f"{prefix}_va",
+        f"{prefix}_un", f"{prefix}_vn",
+        f"{prefix}_um", f"{prefix}_vm",
+    ]
+    df, used = attach(
+        fact_view(inner, ga, f"{prefix}_ua", f"{prefix}_va"),
+        [n for _, n in ga],
+    )
+    helper += used
+    if sf.const_probe is not None:
+        probe_lit, ic = sf.const_probe
+        pl = probe_lit.to_spark({})
+        probe_ok = pl.isNotNull()
+        df, used = attach(
+            fact_view(
+                inner.filter(F.col(ic).isNull()), gn,
+                f"{prefix}_un", f"{prefix}_vn",
+            ),
+            [n for _, n in gn],
+        )
+        helper += used
+        df, used = attach(
+            fact_view(
+                inner.filter(F.col(ic) == pl), gm,
+                f"{prefix}_um", f"{prefix}_vm",
+            ),
+            [n for _, n in gm],
+        )
+        helper += used
+    else:
+        (ov_p, ic), = sf.keys  # single-column probe (validated)
+        probe_ok = F.col(ov_p).isNotNull()
+        df, used = attach(
+            fact_view(
+                inner.filter(F.col(ic).isNull()), gn,
+                f"{prefix}_un", f"{prefix}_vn",
+            ),
+            [n for _, n in gn],
+        )
+        helper += used
+        mp = f"{prefix}_mp"
+        df, used = attach(
+            fact_view(
+                inner.filter(F.col(ic).isNotNull()),
+                gm + [(ic, mp)],
+                f"{prefix}_um", f"{prefix}_vm",
+            ),
+            [n for _, n in gm],
+            extra_cond=(F.col(ov_p) == F.col(mp)),
+        )
+        helper += used + [mp]
+    keep = ~within(f"{prefix}_ua", f"{prefix}_va") | (
+        ~within(f"{prefix}_um", f"{prefix}_vm")
+        & ~within(f"{prefix}_un", f"{prefix}_vn")
+        & probe_ok
+    )
+    return df.filter(keep).drop(*helper)
+
+
 def _apply_sky_threshold_not_in(df, inner, sf, prefix: str):
     """Correlated NOT IN whose inner set is filtered by THREE order
     comparisons against the outer row (round 13): ``o.x NOT IN (SELECT
@@ -999,9 +1109,20 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
         # column pinned) — no join duplicates; with no group keys the
         # stats view is ONE global row, broadcast.
         if len(sf.corr_threshold) == 3:
+            n_neq3 = sum(
+                1 for t in sf.corr_threshold if t[0] == "<>"
+            )
+            if n_neq3 == 1:
+                # round 13 (latest): ONE <> + TWO order comparisons —
+                # each fact rides the U/V two-staircase statistic
+                # (keyed only; build_context admits it keyed)
+                return _apply_neq_order2_threshold_not_in(
+                    df, inner, sf, prefix
+                )
             # round 13: THREE order comparisons — each fact is a 3-D
             # dominance query against a per-subset Pareto skyline
-            # (keyed only; build_context admits all-order triples)
+            # (keyed branches to per-group views, keyless folds the
+            # global skyline)
             return _apply_sky_threshold_not_in(df, inner, sf, prefix)
         if len(sf.corr_threshold) == 2:
             n_neq = sum(1 for t in sf.corr_threshold if t[0] == "<>")

@@ -566,6 +566,58 @@ class SkyWitness(Cond):
 
 
 @dataclass(frozen=True)
+class NeqTripleWitness(Cond):
+    """Witness probe over a keyed_neq_order2_view row (round 13
+    latest — the keyed ``a <> d1 AND b OP2 d2 AND c OP3 d3`` triple):
+    TRUE iff some raw row of the key's population satisfies all
+    three. ``u_arr`` is the annotated region staircase, ``v_arr`` the
+    distinct-a pair-combination staircase
+    (plans/frontier.py:keyed_neq_order2_view); the probe logic lives
+    in frontier.neq_triple_witness_col. A NULL array (join miss) or
+    NULL outer operand never yields TRUE — callers wrap in CaseWhen
+    so UNKNOWN folds to the miss value."""
+
+    u_arr: Expr
+    v_arr: Expr
+    d1: Expr
+    op2: str
+    d2: Expr
+    op3: str
+    d3: Expr
+    negated: bool = False
+
+    def refs(self):
+        out = set(self.u_arr.refs()) | set(self.v_arr.refs())
+        for o in (self.d1, self.d2, self.d3):
+            out |= o.refs()
+        return out
+
+    def to_spark(self, colmap):
+        from sparksqlplus_spark.plans.frontier import (
+            neq_triple_witness_col,
+        )
+
+        w = neq_triple_witness_col(
+            self.u_arr.to_spark(colmap),
+            self.v_arr.to_spark(colmap),
+            self.d1.to_spark(colmap),
+            self.d2.to_spark(colmap),
+            self.d3.to_spark(colmap),
+            self.op2,
+            self.op3,
+        )
+        return ~w if self.negated else w
+
+    def key(self):
+        n = "not " if self.negated else ""
+        return (
+            f"({n}neqtriple {self.u_arr.key()} {self.v_arr.key()} "
+            f"<> {self.d1.key()} {self.op2} {self.d2.key()} "
+            f"{self.op3} {self.d3.key()})"
+        )
+
+
+@dataclass(frozen=True)
 class OrCond(Cond):
     """OR of conditions (SURVEY C12) — pushed into one relation when all
     columns co-locate, else kept as a post-join residual."""
@@ -782,6 +834,17 @@ def map_expr(node, fn):
             tuple(map_expr(o, fn) for o in node.outers),
             node.negated,
         )
+    if isinstance(node, NeqTripleWitness):
+        return NeqTripleWitness(
+            map_expr(node.u_arr, fn),
+            map_expr(node.v_arr, fn),
+            map_expr(node.d1, fn),
+            node.op2,
+            map_expr(node.d2, fn),
+            node.op3,
+            map_expr(node.d3, fn),
+            node.negated,
+        )
     raise TypeError(f"unknown node {type(node)}")
 
 
@@ -877,6 +940,17 @@ def rewrite_refs(node, mapping: dict[tuple[str, str], tuple[str, str]]):
             rewrite_refs(node.arr, mapping),
             node.ops,
             tuple(rewrite_refs(o, mapping) for o in node.outers),
+            node.negated,
+        )
+    if isinstance(node, NeqTripleWitness):
+        return NeqTripleWitness(
+            rewrite_refs(node.u_arr, mapping),
+            rewrite_refs(node.v_arr, mapping),
+            rewrite_refs(node.d1, mapping),
+            node.op2,
+            rewrite_refs(node.d2, mapping),
+            node.op3,
+            rewrite_refs(node.d3, mapping),
             node.negated,
         )
     raise TypeError(f"unknown node {type(node)}")

@@ -671,13 +671,17 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                     # round 13 (late): a TRIPLE of order comparisons —
                     # each fact becomes a 3-D dominance test against a
                     # per-subset Pareto SKYLINE (keyed groups are
-                    # guaranteed in this branch). <>-containing
-                    # triples and 4+ stay on the fallback.
+                    # guaranteed in this branch). Latest r13: ONE <> +
+                    # two order comparisons rides the U/V
+                    # two-staircase statistic. 2+-<> triples and 4+
+                    # stay on the fallback.
                     len(thrs) == 3
                     and all(t is not None for t in thrs)
                     and all(
-                        t[0] in ("<", "<=", ">", ">=") for t in thrs
+                        t[0] in ("<", "<=", ">", ">=", "<>")
+                        for t in thrs
                     )
+                    and sum(1 for t in thrs if t[0] == "<>") <= 1
                 )
                 if not ok:
                     raise UnsupportedSqlError(

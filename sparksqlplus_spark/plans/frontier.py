@@ -370,6 +370,226 @@ def global_skyline_points(inner, dims, ops, cap):
     return pts, tuple(f.dataType for f in pre.schema.fields)
 
 
+def _neq_order2_sweep(rows):
+    """Pure sweep for the ``a <> d1 AND b OP2 d2 AND c OP3 d3``
+    witness statistic (round 13 latest — keyed <>+order+order
+    triples). ``rows`` = (idx, a, ob, oc) with ob/oc ORIENTED ints
+    ("smaller is better" per op; see keyed_neq_order2_view). Returns
+    ``(u_keep, v_pts)``:
+
+    * ``u_keep`` — indices of the region staircase U: sorted by ob,
+      the rows where the running-best oc improves. A probe region
+      R(d2, d3) (rows within both order comparisons) is nonempty iff
+      some U point is within, and that point's ROW is in R — so its
+      ``a`` annotation reads off R's unique a-class whenever R has
+      only one (exactness via V below).
+    * ``v_pts`` — oriented (ob, oc) points of the staircase V of
+      PAIR-COMBINED points over row pairs with DISTINCT a: R contains
+      two distinct-a rows iff some V point is within (the combined
+      point (max ob, max oc) of a pair is within iff both members
+      are, for strict and non-strict order ops alike). Minimal
+      combined points are found in one pass: for each row s in ob
+      order, the best distinct-a partner among earlier rows has
+      oc = m1 (prefix-best) unless the prefix best is attained ONLY
+      by s's own class, then m2 (best over other classes) — the
+      argmin/runner-up maintenance of the keyless <>+order fold,
+      incremental.
+    """
+    u_keep: list = []
+    v_cand: list = []
+    best = None
+    m1 = None  # best oc in prefix
+    a1: object = None  # its unique attaining class, or ... multi
+    MULTI = object()
+    m2 = None  # best oc among classes != a1 (when a1 single)
+    for idx, a, ob, oc in rows:
+        # U staircase
+        if best is None or oc < best:
+            best = oc
+            u_keep.append(idx)
+        # V candidate for s = this row (prefix excludes it)
+        if m1 is not None:
+            mc = m1 if (a1 is MULTI or a1 != a) else m2
+            if mc is not None:
+                v_cand.append((ob, mc if mc > oc else oc))
+        # prefix stats update
+        if m1 is None or oc < m1:
+            if m1 is not None and a1 is not MULTI and a1 != a:
+                m2 = m1
+            m1, a1 = oc, a
+        elif oc == m1 and a1 is not MULTI and a1 != a:
+            m2 = m1
+            a1 = MULTI
+        elif a1 is not MULTI and a1 != a and (m2 is None or oc < m2):
+            m2 = oc
+    # staircase-reduce the V candidates (already in ob order)
+    v_pts: list = []
+    vbest = None
+    for ob, oc in v_cand:
+        if vbest is None or oc < vbest:
+            vbest = oc
+            v_pts.append((ob, oc))
+    return u_keep, v_pts
+
+
+def keyed_neq_order2_view(src, part_pairs, a_col, b_col, c_col, ops,
+                          out_u, out_v):
+    """Per-key U/V statistic view for ``a <> d1 AND b OP2 d2 AND
+    c OP3 d3`` witness probes (round 13 latest): one row per part with
+    ``out_u = array<struct<u, v, a>>`` (the region staircase, each
+    point annotated with an attaining row's a) and ``out_v =
+    array<struct<u, v>>`` (the distinct-a pair-combination staircase).
+    The witness for (d1, d2, d3) is then pure JVM-side logic
+    (neq_triple_witness_col): a V point within -> >= 2 distinct a in
+    the region -> witness iff d1 non-NULL; else a U point within
+    reads the region's unique a -> witness iff it differs from d1.
+
+    Build: rows with NULL a/b/c filtered (they can never witness),
+    ONE applyInPandas sweep per part (O(n log n) sort + linear sweep,
+    Arrow-batched) emitting flat tagged points, then a part-keyed
+    two-collect aggregate — two part-key exchanges, one row per part,
+    flag joins broadcast-able. Dtypes: integral/date/timestamp for
+    b/c (exact int64 orientation); ``a`` may be any equality-
+    comparable type (only ==/!= is used on it)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    asc2 = ops[0] in ("<", "<=")
+    asc3 = ops[1] in ("<", "<=")
+    names = [n for _, n in part_pairs]
+    pre = src.filter(
+        F.col(a_col).isNotNull()
+        & F.col(b_col).isNotNull()
+        & F.col(c_col).isNotNull()
+    ).select(
+        *[F.col(c).alias(n) for c, n in part_pairs],
+        F.col(a_col).alias("__a"),
+        F.col(b_col).alias("__u"),
+        F.col(c_col).alias("__v"),
+    )
+    ok_types = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.DateType, T.TimestampType,
+    )
+    for f in pre.schema.fields:
+        if f.name in ("__u", "__v") and not isinstance(f.dataType, ok_types):
+            raise UnsupportedSqlError(
+                _FRONTIER_DTYPE_MSG.format(dt=f.dataType)
+            )
+    out_schema = T.StructType(
+        [f for f in pre.schema.fields]
+        + [T.StructField("__kind", T.IntegerType(), False)]
+    )
+
+    def _oriented(col, a):
+        if col.dtype == object:
+            col = pd.to_datetime(col)
+        col = col.astype("int64")
+        return col if a else -col
+
+    # V points carry combined coordinates that may not correspond to
+    # any single row, so the sweep can't emit them as row subsets —
+    # rebuild original-typed values from the oriented ints instead.
+    sign2 = 1 if asc2 else -1
+    sign3 = 1 if asc3 else -1
+    u_dt = pre.schema["__u"].dataType
+    v_dt = pre.schema["__v"].dataType
+
+    def _unorient_series(vals, sign, dt):
+        s = pd.Series([v * sign for v in vals], dtype="int64")
+        if isinstance(dt, T.DateType):
+            return pd.to_datetime(s, unit="ns").dt.date
+        if isinstance(dt, T.TimestampType):
+            return pd.to_datetime(s, unit="ns")
+        return s
+
+    def sweep_flat(pdf):
+        if pdf.empty:
+            return pdf.assign(__kind=pd.Series([], dtype="int64"))
+        ob = _oriented(pdf["__u"], asc2)
+        oc = _oriented(pdf["__v"], asc3)
+        order = ob.sort_values(kind="stable").index
+        rows = [
+            (i, pdf["__a"][i], int(ob[i]), int(oc[i])) for i in order
+        ]
+        u_keep, v_pts = _neq_order2_sweep(rows)
+        u_part = pdf.loc[u_keep].copy()
+        u_part["__kind"] = 0
+        parts = [u_part]
+        if v_pts:
+            first = pdf.iloc[0]
+            parts.append(
+                pd.DataFrame(
+                    {
+                        **{n: [first[n]] * len(v_pts) for n in names},
+                        "__a": [None] * len(v_pts),
+                        "__u": _unorient_series(
+                            [p[0] for p in v_pts], sign2, u_dt
+                        ),
+                        "__v": _unorient_series(
+                            [p[1] for p in v_pts], sign3, v_dt
+                        ),
+                        "__kind": [1] * len(v_pts),
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    pts = pre.groupBy(*names).applyInPandas(sweep_flat, out_schema)
+    return pts.groupBy(*names).agg(
+        F.collect_list(
+            F.when(
+                F.col("__kind") == 0,
+                F.struct(
+                    F.col("__u").alias("u"),
+                    F.col("__v").alias("v"),
+                    F.col("__a").alias("a"),
+                ),
+            )
+        ).alias(out_u),
+        F.collect_list(
+            F.when(
+                F.col("__kind") == 1,
+                F.struct(
+                    F.col("__u").alias("u"), F.col("__v").alias("v")
+                ),
+            )
+        ).alias(out_v),
+    )
+
+
+def neq_triple_witness_col(u_arr, v_arr, d1, d2, d3, op2, op3):
+    """JVM-side witness probe over a keyed_neq_order2_view row:
+    TRUE iff some raw row of the part's population satisfies
+    ``a <> d1 AND b OP2 d2 AND c OP3 d3``. Two-valued given non-NULL
+    d1 (guarded inside); a NULL array (join miss) or NULL d2/d3 never
+    yields TRUE."""
+    from pyspark.sql import functions as F
+
+    cmp2 = _CMP_COL[op2]
+    cmp3 = _CMP_COL[op3]
+    in_v = F.coalesce(
+        F.exists(v_arr, lambda e: cmp2(e["u"], d2) & cmp3(e["v"], d3)),
+        F.lit(False),
+    )
+    in_u = F.filter(
+        u_arr, lambda e: cmp2(e["u"], d2) & cmp3(e["v"], d3)
+    )
+    uniq = F.coalesce(F.size(in_u) >= 1, F.lit(False)) & F.coalesce(
+        F.element_at(in_u, 1)["a"] != d1, F.lit(False)
+    )
+    return d1.isNotNull() & (in_v | uniq)
+
+
+_CMP_COL = {
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
 _EXACT_SCALAR_TYPES_MSG = (
     "keyless <>-shapes support integral/date/timestamp columns only "
     "(got {dt})"

@@ -2587,12 +2587,13 @@ def test_or_exists_triple_skyline(engine):
             )
         )
         assert mine == truth, (mine, truth)
-        # <>-containing triples and 4 comparisons stay on the fallback
+        # keyed ONE-<> triples plan too (latest r13 — the U/V
+        # two-staircase flag; test_neq_order2_triple is its matrix);
+        # keyless <>-triples and 4 comparisons stay on the fallback
         for bad_q in (
             """SELECT p.pk FROM sky_outer AS p
                WHERE p.z = 9 OR EXISTS (SELECT 1 FROM sky_inner AS i
-                 WHERE i.ik = p.k AND i.a <> p.x AND i.b < p.y
-                   AND i.c < p.z)""",
+                 WHERE i.a <> p.x AND i.b < p.y AND i.c < p.z)""",
             """SELECT p.pk FROM sky_outer AS p
                WHERE p.z = 9 OR EXISTS (SELECT 1 FROM sky_inner AS i
                  WHERE i.ik = p.k AND i.a < p.x AND i.b < p.y
@@ -2779,18 +2780,221 @@ def test_correlated_not_in_triple_threshold(engine):
                 assert mine == sorted(truth), (
                     "keyless", probe, or_guard, mine, truth,
                 )
-        # <>-containing triples stay on the fallback
+        # keyed ONE-<> triples plan too (latest r13 —
+        # test_neq_order2_triple); 2-<> triples stay on the fallback
         with _pytest.raises(UnsupportedSqlError):
             engine.sql(
                 """SELECT p.pk FROM sk3_outer AS p
                    WHERE p.x NOT IN (SELECT i.iy FROM sk3_inner AS i
-                     WHERE i.ik = p.k AND i.a <> p.d0 AND i.b < p.d1
+                     WHERE i.ik = p.k AND i.a <> p.d0 AND i.b <> p.d1
                        AND i.c < p.d2)""",
                 mode="cqc",
             )
     finally:
         engine.catalog.unregister("sk3_inner")
         engine.catalog.unregister("sk3_outer")
+
+
+def test_neq_order2_triple(engine):
+    """Round 13 (latest): ONE <> + TWO order comparisons — keyed
+    triples for OR'd [NOT] EXISTS and for correlated NOT IN in both
+    positions. The witness statistic is the U/V two-staircase view
+    (plans/frontier.py:keyed_neq_order2_view — the annotated region
+    staircase plus the distinct-a pair-combination staircase; the pure
+    sweep is brute-forced separately in test_neq_order2_sweep_brute).
+    DuckDB cannot oracle multi-inequality correlated shapes (SURVEY
+    ORACLE WARNING), so this is the brute-force NULL matrix: all 16
+    order-op pairs for EXISTS/NOT EXISTS, 8 pairs x column/constant
+    probes x top-level/OR for NOT IN; keyless <>-triples pin the
+    fallback raise."""
+    import operator
+    import random
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    spark = engine.spark
+    rng = random.Random(47)
+    ops = {
+        "<": operator.lt, "<=": operator.le,
+        ">": operator.gt, ">=": operator.ge,
+    }
+    onames = list(ops)
+    inner = [
+        (
+            rng.randint(1, 3),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 4))),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+        )
+        for _ in range(22)
+    ]
+    outer = [
+        (
+            i,
+            rng.choice([None, 1, 2, 3]),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 4))),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 5))),
+        )
+        for i in range(14)
+    ]
+    ipdf = pd.DataFrame(inner, columns=["ik", "iy", "a", "b", "c"])
+    opdf = pd.DataFrame(
+        outer, columns=["pk", "k", "x", "d1", "d2", "d3"]
+    )
+    engine.catalog.register_df(
+        "nq_inner",
+        spark.createDataFrame(
+            ipdf.astype(object).where(ipdf.notna(), None),
+            "ik int, iy int, a int, b int, c int",
+        ),
+        (),
+    )
+    engine.catalog.register_df(
+        "nq_outer",
+        spark.createDataFrame(
+            opdf.astype(object).where(opdf.notna(), None),
+            "pk int, k int, x int, d1 int, d2 int, d3 int",
+        ),
+        ("pk",),
+    )
+    try:
+        # EXISTS / NOT EXISTS under OR: all 16 order-op pairs
+        for o2, f2 in ops.items():
+            for o3, f3 in ops.items():
+                for neg in ("", "NOT "):
+                    q = f"""SELECT p.pk FROM nq_outer AS p
+                            WHERE p.d3 = 9 OR {neg}EXISTS (
+                              SELECT 1 FROM nq_inner AS i
+                              WHERE i.ik = p.k AND i.a <> p.d1
+                                AND i.b {o2} p.d2 AND i.c {o3} p.d3)"""
+                    mine = sorted(
+                        r["pk"]
+                        for r in engine.sql(q, mode="cqc").collect()
+                    )
+                    truth = []
+                    for pk, k, x, d1, d2, d3 in outer:
+                        ex = any(
+                            ik == k
+                            and None not in (ik, k, a, b, c, d1, d2, d3)
+                            and a != d1 and f2(b, d2) and f3(c, d3)
+                            for ik, _, a, b, c in inner
+                        )
+                        if d3 == 9 or (not ex if neg else ex):
+                            truth.append(pk)
+                    assert mine == sorted(truth), (
+                        "exists", o2, o3, neg, mine, truth,
+                    )
+        # NOT IN: 8 op pairs x probes x both positions
+        for i0, o2 in enumerate(onames):
+            for o3 in (onames[(i0 + 1) % 4], onames[(i0 + 2) % 4]):
+                f2, f3 = ops[o2], ops[o3]
+                for probe, pf in (
+                    ("p.x", lambda x: x),
+                    ("2", lambda x: 2),
+                ):
+                    body = f"""SELECT i.iy FROM nq_inner AS i
+                               WHERE i.ik = p.k AND i.a <> p.d1
+                                 AND i.b {o2} p.d2 AND i.c {o3} p.d3"""
+                    for guard, og in (("", False), ("p.d3 = 9 OR ", True)):
+                        q = (
+                            f"SELECT p.pk FROM nq_outer AS p "
+                            f"WHERE {guard}{probe} NOT IN ({body})"
+                        )
+                        mine = sorted(
+                            r["pk"]
+                            for r in engine.sql(q, mode="cqc").collect()
+                        )
+                        truth = []
+                        for pk, k, x, d1, d2, d3 in outer:
+                            if og and d3 == 9:
+                                truth.append(pk)
+                                continue
+                            xv = pf(x)
+                            grp = [
+                                iy
+                                for ik, iy, a, b, c in inner
+                                if None not in (
+                                    ik, k, a, b, c, d1, d2, d3,
+                                )
+                                and ik == k and a != d1
+                                and f2(b, d2) and f3(c, d3)
+                            ]
+                            if not grp:
+                                truth.append(pk)
+                            elif xv is not None and any(
+                                iy == xv
+                                for iy in grp
+                                if iy is not None
+                            ):
+                                pass
+                            elif (
+                                any(iy is None for iy in grp)
+                                or xv is None
+                            ):
+                                pass
+                            else:
+                                truth.append(pk)
+                        assert mine == sorted(truth), (
+                            "notin", o2, o3, probe, og, mine, truth,
+                        )
+        # keyless <>-triples stay on the fallback
+        with _pytest.raises(UnsupportedSqlError):
+            engine.sql(
+                """SELECT p.pk FROM nq_outer AS p
+                   WHERE p.x NOT IN (SELECT i.iy FROM nq_inner AS i
+                     WHERE i.a <> p.d1 AND i.b < p.d2
+                       AND i.c < p.d3)""",
+                mode="cqc",
+            )
+    finally:
+        engine.catalog.unregister("nq_inner")
+        engine.catalog.unregister("nq_outer")
+
+
+def test_neq_order2_sweep_brute():
+    """The pure U/V sweep (frontier._neq_order2_sweep) against brute
+    force on random instances with a full weak-probe grid: V holds
+    exactly the regions with >= 2 distinct a-classes, U detects
+    nonemptiness, and any within U point's annotation reads the
+    region's unique class when single."""
+    import random
+
+    from sparksqlplus_spark.plans.frontier import _neq_order2_sweep
+
+    rng = random.Random(3)
+    for trial in range(400):
+        n = rng.randint(0, 12)
+        rows = [
+            (i, rng.randint(1, 3), rng.randint(1, 6), rng.randint(1, 6))
+            for i in range(n)
+        ]
+        srt = sorted(rows, key=lambda r: r[2])
+        u_keep, v_pts = _neq_order2_sweep(srt)
+        for qb in range(0, 8):
+            for qc in range(0, 8):
+                region = [
+                    (a, ob, oc)
+                    for _, a, ob, oc in rows
+                    if ob <= qb and oc <= qc
+                ]
+                truth_v = len({a for a, _, _ in region}) >= 2
+                mine_v = any(u <= qb and v <= qc for u, v in v_pts)
+                assert truth_v == mine_v, (trial, qb, qc, rows)
+                in_u = [
+                    i
+                    for i in u_keep
+                    if rows[i][2] <= qb and rows[i][3] <= qc
+                ]
+                assert bool(region) == bool(in_u), (trial, qb, qc, rows)
+                if region and not truth_v:
+                    uniq = {a for a, _, _ in region}
+                    assert rows[in_u[0]][1] in uniq, (trial, qb, qc, rows)
 
 
 def test_correlated_not_in_threshold_under_or(engine):

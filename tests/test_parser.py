@@ -2798,6 +2798,7 @@ def test_expr_rebuild_preserves_all_fields():
         Exists,
         IsNull,
         Lit,
+        NeqTripleWitness,
         PairWitness,
         SkyWitness,
         map_expr,
@@ -2813,6 +2814,16 @@ def test_expr_rebuild_preserves_all_fields():
             Col("a", "pts"),
             ("<", ">", "<="),
             (Col("o", "x"), Col("o", "y"), Col("o", "z")),
+            negated=True,
+        ),
+        NeqTripleWitness(
+            Col("a", "upts"),
+            Col("a", "vpts"),
+            Col("o", "x"),
+            "<",
+            Col("o", "y"),
+            ">=",
+            Col("o", "z"),
             negated=True,
         ),
         Exists(
