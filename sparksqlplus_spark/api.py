@@ -1165,15 +1165,16 @@ class SparkSQLPlus:
                     elif (
                         len(noneq) == 3
                         and n_corr_keys
-                        and pops.count("<>") == 1
+                        and pops.count("<>") in (1, 2)
                         and all(
                             o in ("<", "<=", ">", ">=", "<>")
                             for o in pops
                         )
                     ):
                         # round 13 (latest): ONE <> + two order
-                        # comparisons — the U/V two-staircase
-                        # statistic per fact (keyed only)
+                        # comparisons (the U/V two-staircase
+                        # statistic) or TWO <> + one order (the
+                        # prefix-diagonal-stats array), keyed only
                         pair_threshold = noneq
                     else:
                         raise UnsupportedSqlError(
@@ -1280,9 +1281,25 @@ class SparkSQLPlus:
                 ):
                     # round 13 (latest): ONE <> + TWO order
                     # comparisons — the U/V two-staircase statistic
-                    # (keyed_neq_order2_view); keyless and 2+-<>
-                    # triples stay on the fallback
+                    # (keyed_neq_order2_view); keyless triples stay
+                    # on the fallback
                     return self._or_exists_neq_order2_flag(
+                        ex, keys, noneq, inner_only, spec, ephemeral
+                    )
+                if (
+                    len(noneq) == 3
+                    and keys
+                    and sorted(nq[0] for nq in noneq).count("<>") == 2
+                    and all(
+                        nq[0] in ("<", "<=", ">", ">=", "<>")
+                        for nq in noneq
+                    )
+                ):
+                    # round 13 (latest): TWO <> + ONE order comparison
+                    # — the prefix-diagonal-stats array along the
+                    # order dim (keyed_neq2_order_view); keyless and
+                    # 3-<> triples stay on the fallback
+                    return self._or_exists_neq2_order_flag(
                         ex, keys, noneq, inner_only, spec, ephemeral
                     )
                 if len(noneq) > 1:
@@ -1810,6 +1827,76 @@ class SparkSQLPlus:
             Col(valias, "__upts"),
             Col(valias, "__vpts"),
             d1e, op2, d2e, op3, d3e,
+        )
+        hit = Lit(not ex.negated, "boolean")
+        miss = Lit(bool(ex.negated), "boolean")
+        return CaseWhen(((witness, hit),), miss)
+
+    def _or_exists_neq2_order_flag(
+        self, ex, keys, noneq, inner_only, spec, ephemeral
+    ):
+        """TWO ``<>`` + ONE order comparison under OR'd [NOT] EXISTS
+        (round 13 latest): ``P OR EXISTS(i: i.k = o.k AND i.a <> o.x
+        AND i.b <> o.y AND i.c OP3 o.z)``. The region
+        rows-with-c-within is a 1-D NESTED family along OP3's
+        orientation, and within each prefix the a/b facts are the
+        diagonal-witness statistic — whose failing set (at most the
+        diagonal pair's two cross points once both coords have 2+
+        distinct values) only SHRINKS as the region grows, so one
+        per-key ARRAY of prefix stats at region change points decides
+        every (x, y, z) probe
+        (plans/frontier.py:keyed_neq2_order_view +
+        expressions.Neq2OrderWitness). One row per key, LEFT flag
+        join never duplicates. Keyed only; c integral/date/timestamp
+        (the builder raises otherwise, riding mode='auto')."""
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import (
+            CaseWhen,
+            Cmp,
+            Col,
+            Lit,
+            Neq2OrderWitness,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+        from sparksqlplus_spark.plans.frontier import (
+            keyed_neq2_order_view,
+        )
+
+        neqs = [t for t in noneq if t[0] == "<>"]
+        (_, d1e, a_col), (_, d2e, b_col) = neqs
+        (op3, d3e, c_col) = next(t for t in noneq if t[0] != "<>")
+        inner = self.catalog.get(ex.table).load(self.spark)
+        imap = {("", cn): cn for cn in inner.columns}
+        imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
+        for c in inner_only:
+            inner = inner.filter(c.to_spark(imap))
+        key_sel: dict[str, str] = {}
+        for _, icol in keys:
+            key_sel.setdefault(icol, f"__f{len(key_sel)}")
+        view = keyed_neq2_order_view(
+            inner,
+            [(icol, out) for icol, out in key_sel.items()],
+            a_col, b_col, c_col, op3,
+            "__npts",
+        )
+        self._view_counter += 1
+        vname = f"__orx{self._view_counter}"
+        self.catalog.register_df(vname, view, tuple(key_sel.values()))
+        ephemeral.append(vname)
+        valias = f"{vname}_i"
+        spec.outer_joins.append(
+            OuterJoin(
+                item=FromItem(alias=valias, table=vname),
+                conds=[
+                    Cmp("=", oc, Col(valias, key_sel[icol]))
+                    for oc, icol in keys
+                ],
+                side="left",
+            )
+        )
+        witness = Neq2OrderWitness(
+            Col(valias, "__npts"), d1e, d2e, op3, d3e
         )
         hit = Lit(not ex.negated, "boolean")
         miss = Lit(bool(ex.negated), "boolean")
@@ -2563,11 +2650,19 @@ class SparkSQLPlus:
             )
         if pair is not None:
             if len(pair) == 3:
-                if sum(1 for t in pair if t[0] == "<>") == 1:
+                n_neq3 = sum(1 for t in pair if t[0] == "<>")
+                if n_neq3 == 1:
                     # round 13 (latest): ONE <> + two order
                     # comparisons — U/V two-staircase flag views
                     # (keyed only, per the dispatch)
                     return self._corr_not_in_neq_order2_threshold_or(
+                        inner, gsel, corr, probe_outer, probe_icol,
+                        pair, spec, ephemeral,
+                    )
+                if n_neq3 == 2:
+                    # round 13 (latest): TWO <> + one order —
+                    # prefix-diagonal-stats flag views (keyed only)
+                    return self._corr_not_in_neq2_order_threshold_or(
                         inner, gsel, corr, probe_outer, probe_icol,
                         pair, spec, ephemeral,
                     )
@@ -2991,6 +3086,107 @@ class SparkSQLPlus:
                 # no staircase point within: set empty. The array and
                 # both outer operands are non-NULL here (branches
                 # above), so the negated witness is two-valued.
+                (wit(a_alias, negated=True), Lit(True, "boolean")),
+                (wit(m_alias), Lit(False, "boolean")),
+                (wit(n_alias), Lit(None, "null")),
+                (IsNull(probe_outer), Lit(None, "null")),
+            ),
+            Lit(True, "boolean"),
+        )
+
+    def _corr_not_in_neq2_order_threshold_or(
+        self, inner, gsel, corr, probe_outer, probe_icol, triple,
+        spec, ephemeral,
+    ):
+        """Correlated NOT IN under OR whose inner set is filtered by
+        TWO ``<>`` plus ONE order comparison (round 13 latest — the OR
+        sibling of compiler/cqc.py:_apply_neq2_order_threshold_not_in):
+        each three-valued fact carries a keyed_neq2_order_view (the
+        prefix diagonal statistics at every region change point)
+        probed by expressions.Neq2OrderWitness. Flag order mirrors the
+        sibling flags: miss/NULL-threshold/no-witness -> TRUE (set
+        empty); match witness -> FALSE; NULL-y witness or NULL probe
+        -> UNKNOWN; else TRUE. One row per group (per (group, y) for
+        a column probe) — the LEFT joins never duplicate. DuckDB
+        cannot oracle the shape (SURVEY ORACLE WARNING), so coverage
+        is the brute-force NULL-matrix pytest."""
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import (
+            CaseWhen,
+            Cmp,
+            Col,
+            IsNull,
+            Lit,
+            Neq2OrderWitness,
+            OrCond,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+        from sparksqlplus_spark.plans.frontier import (
+            keyed_neq2_order_view,
+        )
+
+        neqs = [t for t in triple if t[0] == "<>"]
+        (_, d1e, a_col), (_, d2e, b_col) = neqs
+        (op3, d3e, c_col) = next(t for t in triple if t[0] != "<>")
+
+        def nview(src, extra_part=None, extra_conds=()):
+            part = [(icol, out) for icol, out in gsel.items()]
+            if extra_part is not None:
+                part.append((extra_part, "__cmp"))
+            view = keyed_neq2_order_view(
+                src, part, a_col, b_col, c_col, op3, "__npts"
+            )
+            outs = [out for _, out in part]
+            self._view_counter += 1
+            name = f"__corrz{self._view_counter}"
+            self.catalog.register_df(name, view, tuple(outs))
+            ephemeral.append(name)
+            alias = f"{name}_i"
+            spec.outer_joins.append(
+                OuterJoin(
+                    item=FromItem(alias=alias, table=name),
+                    conds=[
+                        Cmp("=", oc, Col(alias, gsel[icol]))
+                        for oc, icol in corr
+                    ]
+                    + list(extra_conds(alias) if extra_conds else []),
+                    side="left",
+                )
+            )
+            return alias
+
+        a_alias = nview(inner)
+        n_alias = nview(inner.filter(F.col(probe_icol).isNull()))
+        if not probe_outer.refs():
+            pl = probe_outer.to_spark({})
+            m_alias = nview(inner.filter(F.col(probe_icol) == pl))
+        else:
+            m_alias = nview(
+                inner.filter(F.col(probe_icol).isNotNull()),
+                extra_part=probe_icol,
+                extra_conds=lambda alias: [
+                    Cmp("=", probe_outer, Col(alias, "__cmp"))
+                ],
+            )
+
+        def wit(alias, negated=False):
+            return Neq2OrderWitness(
+                Col(alias, "__npts"), d1e, d2e, op3, d3e,
+                negated=negated,
+            )
+
+        return CaseWhen(
+            (
+                # group miss (or every group row NULL-a/b/c): empty
+                (IsNull(Col(a_alias, "__npts")), Lit(True, "boolean")),
+                # NULL threshold: the filter is UNKNOWN rowwise
+                (
+                    OrCond((IsNull(d1e), IsNull(d2e), IsNull(d3e))),
+                    Lit(True, "boolean"),
+                ),
+                # no witness in the whole subset: set empty (array
+                # and outers non-NULL here -> two-valued negation)
                 (wit(a_alias, negated=True), Lit(True, "boolean")),
                 (wit(m_alias), Lit(False, "boolean")),
                 (wit(n_alias), Lit(None, "null")),

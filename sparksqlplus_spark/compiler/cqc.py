@@ -700,6 +700,100 @@ def _apply_neq_order2_threshold_not_in(df, inner, sf, prefix: str):
     return df.filter(keep).drop(*helper)
 
 
+def _apply_neq2_order_threshold_not_in(df, inner, sf, prefix: str):
+    """Correlated NOT IN whose inner set is filtered by TWO ``<>``
+    plus ONE order comparison (round 13 latest): ``o.x NOT IN (SELECT
+    y FROM t WHERE t.k = o.k AND t.a <> o.d1 AND t.b <> o.d2 AND
+    t.c OP3 o.d3)``. Each three-valued fact asks the <>+<>+order
+    witness question over its population, carried on ONE
+    keyed_neq2_order_view per fact (the prefix diagonal statistics at
+    every region change point along OP3's orientation) and probed
+    JVM-side by frontier.neq2_order_witness_col. Views one row per
+    group (per (group, y) for a column probe) — the LEFT joins never
+    duplicate. Keyed groups only; c integral/date/timestamp."""
+    from sparksqlplus_spark.plans.frontier import (
+        keyed_neq2_order_view,
+        neq2_order_witness_col,
+    )
+
+    thrs = sf.corr_threshold
+    neqs = [t for t in thrs if t[0] == "<>"]
+    (_, d1e, a_col), (_, d2e, b_col) = neqs
+    (op3, d3e, c_col) = next(t for t in thrs if t[0] != "<>")
+    d1 = d1e.to_spark({r: r[1] for r in d1e.refs()})
+    d2 = d2e.to_spark({r: r[1] for r in d2e.refs()})
+    d3 = d3e.to_spark({r: r[1] for r in d3e.refs()})
+    corr = sf.corr_keys
+
+    def fact_view(src, part_pairs, tag):
+        return keyed_neq2_order_view(
+            src, part_pairs, a_col, b_col, c_col, op3, tag
+        )
+
+    def attach(view, names, extra_cond=None):
+        on = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(ov) == F.col(n) for (ov, _), n in zip(corr, names)]
+            + ([extra_cond] if extra_cond is not None else []),
+        )
+        return df.join(view, on, "left"), list(names)
+
+    def within(tag):
+        return neq2_order_witness_col(F.col(tag), d1, d2, d3, op3)
+
+    ga = [(ic, f"{prefix}_ga{i}") for i, (_, ic) in enumerate(corr)]
+    gn = [(ic, f"{prefix}_gn{i}") for i, (_, ic) in enumerate(corr)]
+    gm = [(ic, f"{prefix}_gm{i}") for i, (_, ic) in enumerate(corr)]
+    helper: list[str] = [f"{prefix}_na", f"{prefix}_nn", f"{prefix}_nm"]
+    df, used = attach(
+        fact_view(inner, ga, f"{prefix}_na"), [n for _, n in ga]
+    )
+    helper += used
+    if sf.const_probe is not None:
+        probe_lit, ic = sf.const_probe
+        pl = probe_lit.to_spark({})
+        probe_ok = pl.isNotNull()
+        df, used = attach(
+            fact_view(
+                inner.filter(F.col(ic).isNull()), gn, f"{prefix}_nn"
+            ),
+            [n for _, n in gn],
+        )
+        helper += used
+        df, used = attach(
+            fact_view(
+                inner.filter(F.col(ic) == pl), gm, f"{prefix}_nm"
+            ),
+            [n for _, n in gm],
+        )
+        helper += used
+    else:
+        (ov_p, ic), = sf.keys  # single-column probe (validated)
+        probe_ok = F.col(ov_p).isNotNull()
+        df, used = attach(
+            fact_view(
+                inner.filter(F.col(ic).isNull()), gn, f"{prefix}_nn"
+            ),
+            [n for _, n in gn],
+        )
+        helper += used
+        mp = f"{prefix}_mp"
+        df, used = attach(
+            fact_view(
+                inner.filter(F.col(ic).isNotNull()),
+                gm + [(ic, mp)],
+                f"{prefix}_nm",
+            ),
+            [n for _, n in gm],
+            extra_cond=(F.col(ov_p) == F.col(mp)),
+        )
+        helper += used + [mp]
+    keep = ~within(f"{prefix}_na") | (
+        ~within(f"{prefix}_nm") & ~within(f"{prefix}_nn") & probe_ok
+    )
+    return df.filter(keep).drop(*helper)
+
+
 def _apply_sky_threshold_not_in(df, inner, sf, prefix: str):
     """Correlated NOT IN whose inner set is filtered by THREE order
     comparisons against the outer row (round 13): ``o.x NOT IN (SELECT
@@ -1117,6 +1211,13 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
                 # each fact rides the U/V two-staircase statistic
                 # (keyed only; build_context admits it keyed)
                 return _apply_neq_order2_threshold_not_in(
+                    df, inner, sf, prefix
+                )
+            if n_neq3 == 2:
+                # round 13 (latest): TWO <> + ONE order comparison —
+                # each fact rides the prefix-diagonal-stats array
+                # (keyed only)
+                return _apply_neq2_order_threshold_not_in(
                     df, inner, sf, prefix
                 )
             # round 13: THREE order comparisons — each fact is a 3-D

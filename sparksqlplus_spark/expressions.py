@@ -618,6 +618,51 @@ class NeqTripleWitness(Cond):
 
 
 @dataclass(frozen=True)
+class Neq2OrderWitness(Cond):
+    """Witness probe over a keyed_neq2_order_view row (round 13
+    latest — the keyed ``a <> d1 AND b <> d2 AND c OP3 d3`` triple):
+    TRUE iff some raw row of the key's population satisfies all
+    three. ``arr`` holds the prefix diagonal statistics at every
+    region change point (plans/frontier.py:keyed_neq2_order_view);
+    the probe logic lives in frontier.neq2_order_witness_col. A NULL
+    array (join miss) or NULL outer operand never yields TRUE."""
+
+    arr: Expr
+    d1: Expr
+    d2: Expr
+    op3: str
+    d3: Expr
+    negated: bool = False
+
+    def refs(self):
+        out = set(self.arr.refs())
+        for o in (self.d1, self.d2, self.d3):
+            out |= o.refs()
+        return out
+
+    def to_spark(self, colmap):
+        from sparksqlplus_spark.plans.frontier import (
+            neq2_order_witness_col,
+        )
+
+        w = neq2_order_witness_col(
+            self.arr.to_spark(colmap),
+            self.d1.to_spark(colmap),
+            self.d2.to_spark(colmap),
+            self.d3.to_spark(colmap),
+            self.op3,
+        )
+        return ~w if self.negated else w
+
+    def key(self):
+        n = "not " if self.negated else ""
+        return (
+            f"({n}neq2order {self.arr.key()} <> {self.d1.key()} "
+            f"<> {self.d2.key()} {self.op3} {self.d3.key()})"
+        )
+
+
+@dataclass(frozen=True)
 class OrCond(Cond):
     """OR of conditions (SURVEY C12) — pushed into one relation when all
     columns co-locate, else kept as a post-join residual."""
@@ -845,6 +890,15 @@ def map_expr(node, fn):
             map_expr(node.d3, fn),
             node.negated,
         )
+    if isinstance(node, Neq2OrderWitness):
+        return Neq2OrderWitness(
+            map_expr(node.arr, fn),
+            map_expr(node.d1, fn),
+            map_expr(node.d2, fn),
+            node.op3,
+            map_expr(node.d3, fn),
+            node.negated,
+        )
     raise TypeError(f"unknown node {type(node)}")
 
 
@@ -948,6 +1002,15 @@ def rewrite_refs(node, mapping: dict[tuple[str, str], tuple[str, str]]):
             rewrite_refs(node.v_arr, mapping),
             rewrite_refs(node.d1, mapping),
             node.op2,
+            rewrite_refs(node.d2, mapping),
+            node.op3,
+            rewrite_refs(node.d3, mapping),
+            node.negated,
+        )
+    if isinstance(node, Neq2OrderWitness):
+        return Neq2OrderWitness(
+            rewrite_refs(node.arr, mapping),
+            rewrite_refs(node.d1, mapping),
             rewrite_refs(node.d2, mapping),
             node.op3,
             rewrite_refs(node.d3, mapping),

@@ -673,15 +673,16 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                     # per-subset Pareto SKYLINE (keyed groups are
                     # guaranteed in this branch). Latest r13: ONE <> +
                     # two order comparisons rides the U/V
-                    # two-staircase statistic. 2+-<> triples and 4+
-                    # stay on the fallback.
+                    # two-staircase statistic; TWO <> + one order the
+                    # prefix-diagonal-stats array. 3-<> triples and 4+
+                    # comparisons stay on the fallback.
                     len(thrs) == 3
                     and all(t is not None for t in thrs)
                     and all(
                         t[0] in ("<", "<=", ">", ">=", "<>")
                         for t in thrs
                     )
-                    and sum(1 for t in thrs if t[0] == "<>") <= 1
+                    and sum(1 for t in thrs if t[0] == "<>") <= 2
                 )
                 if not ok:
                     raise UnsupportedSqlError(

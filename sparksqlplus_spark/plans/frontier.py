@@ -432,6 +432,79 @@ def _neq_order2_sweep(rows):
     return u_keep, v_pts
 
 
+def _neq2_order_sweep(rows):
+    """Pure sweep for the ``a <> d1 AND b <> d2 AND c OP3 d3`` witness
+    statistic (round 13 latest — keyed <>+<>+order triples). ``rows``
+    = (a, b, oc) sorted by oc ascending (oc ORIENTED so the region
+    rows-with-c-within GROWS along the sweep). Emits one entry per
+    change point: ``(oc, da, db, ua, ub, f1, f2)`` — the prefix's
+    distinct counts, its unique a/b (first-seen; only consulted when
+    the count is 1), and the current FAILING (d1, d2) points (None
+    padded). Exactness: once da >= 2 and db >= 2, the no-witness set
+    is at most the diagonal pair's two cross points (the
+    _or_exists_neq_pair_flag lemma), computed once over that prefix
+    (O(prefix)) and from then on only FILTERED by each new row (a
+    point keeps failing iff the row matches its a or its b) — O(1)
+    amortized, never recomputed."""
+    entries: list = []
+    seen_a: dict = {}
+    seen_b: dict = {}
+    prefix: list = []
+    fails = None  # None = single-a/b regime; else list of (x, y)
+    prev = None
+    last_oc = None
+
+    def snapshot(oc):
+        da, db = len(seen_a), len(seen_b)
+        ua = next(iter(seen_a)) if da == 1 else None
+        ub = next(iter(seen_b)) if db == 1 else None
+        f1 = fails[0] if fails else None
+        f2 = fails[1] if fails and len(fails) > 1 else None
+        return (oc, da, db, ua, ub, f1, f2)
+
+    def init_fails():
+        # first prefix with da >= 2 and db >= 2: find a diagonal pair
+        # (p, q) with p.a != q.a and p.b != q.b, then verify its two
+        # cross points — the only candidates that can fail
+        r0 = prefix[0]
+        s = next((r for r in prefix if r[0] != r0[0]), None)
+        t = next((r for r in prefix if r[1] != r0[1]), None)
+        if s is not None and s[1] != r0[1]:
+            p, q = r0, s
+        elif t is not None and t[0] != r0[0]:
+            p, q = r0, t
+        else:
+            p, q = s, t  # s.a != r0.a = t.a, t.b != r0.b = s.b
+        out = []
+        for x, y in ((p[0], q[1]), (q[0], p[1])):
+            if all(r[0] == x or r[1] == y for r in prefix):
+                out.append((x, y))
+        return out
+
+    def flush(oc):
+        nonlocal prev
+        snap = snapshot(oc)
+        if prev is None or snap[1:] != prev[1:]:
+            entries.append(snap)
+        prev = snap
+
+    for a, b, oc in rows:
+        if last_oc is not None and oc != last_oc:
+            flush(last_oc)
+        last_oc = oc
+        prefix.append((a, b))
+        seen_a[a] = True
+        seen_b[b] = True
+        if fails is None:
+            if len(seen_a) >= 2 and len(seen_b) >= 2:
+                fails = init_fails()
+        else:
+            fails = [f for f in fails if a == f[0] or b == f[1]]
+    if last_oc is not None:
+        flush(last_oc)
+    return entries
+
+
 def keyed_neq_order2_view(src, part_pairs, a_col, b_col, c_col, ops,
                           out_u, out_v):
     """Per-key U/V statistic view for ``a <> d1 AND b OP2 d2 AND
@@ -559,6 +632,157 @@ def keyed_neq_order2_view(src, part_pairs, a_col, b_col, c_col, ops,
     )
 
 
+def keyed_neq2_order_view(src, part_pairs, a_col, b_col, c_col, op3,
+                          out):
+    """Per-key statistic view for ``a <> d1 AND b <> d2 AND c OP3
+    d3`` witness probes (round 13 latest): one row per part with
+    ``out = array<struct<ord, c, da, db, ua, ub, f1a, f1b, f2a,
+    f2b>>`` — the prefix diagonal statistics at every change point of
+    the region rows-with-c-within as it grows along OP3's
+    orientation (see _neq2_order_sweep; ord is the oriented sort key,
+    the array is array_sort'ed on it so the probe's last-within
+    lookup is positional). Rows with NULL a/b/c filtered; ONE
+    applyInPandas sweep per part + a part-keyed sorted collect — two
+    part-key exchanges, one row per part. ``c`` must be
+    integral/date/timestamp (orientation); a/b may be any
+    equality-comparable type."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    asc3 = op3 in ("<", "<=")
+    names = [n for _, n in part_pairs]
+    pre = src.filter(
+        F.col(a_col).isNotNull()
+        & F.col(b_col).isNotNull()
+        & F.col(c_col).isNotNull()
+    ).select(
+        *[F.col(c).alias(n) for c, n in part_pairs],
+        F.col(a_col).alias("__a"),
+        F.col(b_col).alias("__b"),
+        F.col(c_col).alias("__c"),
+    )
+    ok_types = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.DateType, T.TimestampType,
+    )
+    if not isinstance(pre.schema["__c"].dataType, ok_types):
+        raise UnsupportedSqlError(
+            _FRONTIER_DTYPE_MSG.format(dt=pre.schema["__c"].dataType)
+        )
+    a_dt = pre.schema["__a"].dataType
+    b_dt = pre.schema["__b"].dataType
+    c_dt = pre.schema["__c"].dataType
+    out_schema = T.StructType(
+        [f for f in pre.schema.fields if f.name not in ("__a", "__b")]
+        + [
+            T.StructField("__ord", T.LongType(), False),
+            T.StructField("__da", T.LongType(), False),
+            T.StructField("__db", T.LongType(), False),
+            T.StructField("__ua", a_dt),
+            T.StructField("__ub", b_dt),
+            T.StructField("__f1a", a_dt),
+            T.StructField("__f1b", b_dt),
+            T.StructField("__f2a", a_dt),
+            T.StructField("__f2b", b_dt),
+        ]
+    )
+
+    def _oriented(col, a):
+        if col.dtype == object:
+            col = pd.to_datetime(col)
+        col = col.astype("int64")
+        return col if a else -col
+
+    def sweep(pdf):
+        if pdf.empty:
+            return pd.DataFrame(
+                {f.name: pd.Series([], dtype=object)
+                 for f in out_schema.fields}
+            )
+        oc = _oriented(pdf["__c"], asc3)
+        order = oc.sort_values(kind="stable").index
+        rows = [(pdf["__a"][i], pdf["__b"][i], int(oc[i])) for i in order]
+        entries = _neq2_order_sweep(rows)
+        # recover an original c value per oriented change point
+        c_of = {int(oc[i]): pdf["__c"][i] for i in pdf.index}
+        first = pdf.iloc[0]
+        data = {n: [first[n]] * len(entries) for n in names}
+        data["__c"] = [c_of[e[0]] for e in entries]
+        data["__ord"] = [e[0] for e in entries]
+        data["__da"] = [e[1] for e in entries]
+        data["__db"] = [e[2] for e in entries]
+        data["__ua"] = [e[3] for e in entries]
+        data["__ub"] = [e[4] for e in entries]
+        data["__f1a"] = [e[5][0] if e[5] else None for e in entries]
+        data["__f1b"] = [e[5][1] if e[5] else None for e in entries]
+        data["__f2a"] = [e[6][0] if e[6] else None for e in entries]
+        data["__f2b"] = [e[6][1] if e[6] else None for e in entries]
+        return pd.DataFrame(data)[[f.name for f in out_schema.fields]]
+
+    pts = pre.groupBy(*names).applyInPandas(sweep, out_schema)
+    return pts.groupBy(*names).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__ord").alias("ord"),
+                    F.col("__c").alias("c"),
+                    F.col("__da").alias("da"),
+                    F.col("__db").alias("db"),
+                    F.col("__ua").alias("ua"),
+                    F.col("__ub").alias("ub"),
+                    F.col("__f1a").alias("f1a"),
+                    F.col("__f1b").alias("f1b"),
+                    F.col("__f2a").alias("f2a"),
+                    F.col("__f2b").alias("f2b"),
+                )
+            )
+        ).alias(out)
+    )
+
+
+def neq2_order_witness_col(arr, d1, d2, d3, op3):
+    """JVM-side witness probe over a keyed_neq2_order_view row: TRUE
+    iff some raw row of the part's population satisfies ``a <> d1 AND
+    b <> d2 AND c OP3 d3``. The applicable entry is the LAST
+    array element whose region is within OP3's threshold (the array
+    is sorted in region-growing order); its prefix stats decide:
+    single-a/-b folds on ua/ub, else the probe fails only at the
+    (at most two) recorded failing points. NULL-safe throughout
+    (try_element_at; NULL array / NULL thresholds never yield
+    TRUE)."""
+    from pyspark.sql import functions as F
+
+    cmp3 = _CMP_COL[op3]
+    app = F.try_element_at(
+        F.filter(arr, lambda e: cmp3(e["c"], d3)), F.lit(-1)
+    )
+    da, db = app["da"], app["db"]
+    ua, ub = app["ua"], app["ub"]
+    # da == 1 branch: the unique a must differ; some b differs iff
+    # db >= 2 (needs non-NULL d2) or the unique b differs
+    single_a = F.coalesce(ua != d1, F.lit(False)) & (
+        ((db >= 2) & d2.isNotNull())
+        | F.coalesce(ub != d2, F.lit(False))
+    )
+    # db == 1 branch (da >= 2 there): some a differs from any
+    # non-NULL d1; the unique b must differ
+    single_b = F.coalesce(ub != d2, F.lit(False)) & d1.isNotNull()
+    bad = F.coalesce(
+        (d1 == app["f1a"]) & (d2 == app["f1b"]), F.lit(False)
+    ) | F.coalesce(
+        (d1 == app["f2a"]) & (d2 == app["f2b"]), F.lit(False)
+    )
+    diag = d1.isNotNull() & d2.isNotNull() & ~bad
+    return F.coalesce(
+        F.when(app.isNull(), F.lit(False))
+        .when(da == 1, single_a)
+        .when(db == 1, single_b)
+        .otherwise(diag),
+        F.lit(False),
+    )
+
+
 def neq_triple_witness_col(u_arr, v_arr, d1, d2, d3, op2, op3):
     """JVM-side witness probe over a keyed_neq_order2_view row:
     TRUE iff some raw row of the part's population satisfies
@@ -576,8 +800,11 @@ def neq_triple_witness_col(u_arr, v_arr, d1, d2, d3, op2, op3):
     in_u = F.filter(
         u_arr, lambda e: cmp2(e["u"], d2) & cmp3(e["v"], d3)
     )
+    # try_element_at: NULL on an empty/missing array instead of the
+    # ANSI element_at raise (the session runs ANSI-on; relying on &
+    # short-circuit would be fragile under expression reordering)
     uniq = F.coalesce(F.size(in_u) >= 1, F.lit(False)) & F.coalesce(
-        F.element_at(in_u, 1)["a"] != d1, F.lit(False)
+        F.try_element_at(in_u, F.lit(1))["a"] != d1, F.lit(False)
     )
     return d1.isNotNull() & (in_v | uniq)
 

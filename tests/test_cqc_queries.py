@@ -2780,14 +2780,16 @@ def test_correlated_not_in_triple_threshold(engine):
                 assert mine == sorted(truth), (
                     "keyless", probe, or_guard, mine, truth,
                 )
-        # keyed ONE-<> triples plan too (latest r13 —
-        # test_neq_order2_triple); 2-<> triples stay on the fallback
+        # keyed ONE-<> and TWO-<> triples plan too (latest r13 —
+        # test_neq_order2_triple / test_neq2_order_triple); 3-<>
+        # triples stay on the fallback (their no-witness set is not
+        # finitely bounded — see the SURVEY remaining-cells note)
         with _pytest.raises(UnsupportedSqlError):
             engine.sql(
                 """SELECT p.pk FROM sk3_outer AS p
                    WHERE p.x NOT IN (SELECT i.iy FROM sk3_inner AS i
                      WHERE i.ik = p.k AND i.a <> p.d0 AND i.b <> p.d1
-                       AND i.c < p.d2)""",
+                       AND i.c <> p.d2)""",
                 mode="cqc",
             )
     finally:
@@ -2995,6 +2997,195 @@ def test_neq_order2_sweep_brute():
                 if region and not truth_v:
                     uniq = {a for a, _, _ in region}
                     assert rows[in_u[0]][1] in uniq, (trial, qb, qc, rows)
+
+
+def test_neq2_order_triple(engine):
+    """Round 13 (latest): TWO <> + ONE order comparison — keyed
+    triples for OR'd [NOT] EXISTS and correlated NOT IN in both
+    positions. The statistic is the prefix-diagonal-stats array
+    (plans/frontier.py:keyed_neq2_order_view — once both <> coords
+    have 2+ distinct values in the region, the no-witness set is at
+    most two cross points and only SHRINKS as the region grows; the
+    pure sweep is brute-forced in test_neq2_order_sweep_brute).
+    Brute-force NULL matrix: 4 order ops x EXISTS/NOT-EXISTS and
+    4 ops x probes x positions for NOT IN; keyless 2-<> and keyed
+    3-<> triples pin the fallback raise."""
+    import operator
+    import random
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    spark = engine.spark
+    rng = random.Random(59)
+    ops = {
+        "<": operator.lt, "<=": operator.le,
+        ">": operator.gt, ">=": operator.ge,
+    }
+    inner = [
+        (
+            rng.randint(1, 3),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 4))),
+            rng.choice([None] + list(range(1, 4))),
+            rng.choice([None] + list(range(1, 5))),
+        )
+        for _ in range(22)
+    ]
+    outer = [
+        (
+            i,
+            rng.choice([None, 1, 2, 3]),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 4))),
+            rng.choice([None] + list(range(1, 4))),
+            rng.choice([None] + list(range(1, 5))),
+        )
+        for i in range(14)
+    ]
+    ipdf = pd.DataFrame(inner, columns=["ik", "iy", "a", "b", "c"])
+    opdf = pd.DataFrame(
+        outer, columns=["pk", "k", "x", "d1", "d2", "d3"]
+    )
+    engine.catalog.register_df(
+        "z2_inner",
+        spark.createDataFrame(
+            ipdf.astype(object).where(ipdf.notna(), None),
+            "ik int, iy int, a int, b int, c int",
+        ),
+        (),
+    )
+    engine.catalog.register_df(
+        "z2_outer",
+        spark.createDataFrame(
+            opdf.astype(object).where(opdf.notna(), None),
+            "pk int, k int, x int, d1 int, d2 int, d3 int",
+        ),
+        ("pk",),
+    )
+    try:
+        for o3, f3 in ops.items():
+            # EXISTS / NOT EXISTS under OR
+            for neg in ("", "NOT "):
+                q = f"""SELECT p.pk FROM z2_outer AS p
+                        WHERE p.d3 = 9 OR {neg}EXISTS (
+                          SELECT 1 FROM z2_inner AS i
+                          WHERE i.ik = p.k AND i.a <> p.d1
+                            AND i.b <> p.d2 AND i.c {o3} p.d3)"""
+                mine = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
+                )
+                truth = []
+                for pk, k, x, d1, d2, d3 in outer:
+                    ex = any(
+                        ik == k
+                        and None not in (ik, k, a, b, c, d1, d2, d3)
+                        and a != d1 and b != d2 and f3(c, d3)
+                        for ik, _, a, b, c in inner
+                    )
+                    if d3 == 9 or (not ex if neg else ex):
+                        truth.append(pk)
+                assert mine == sorted(truth), (
+                    "exists", o3, neg, mine, truth,
+                )
+            # NOT IN, both positions, both probes
+            for probe, pf in (("p.x", lambda x: x), ("2", lambda x: 2)):
+                body = f"""SELECT i.iy FROM z2_inner AS i
+                           WHERE i.ik = p.k AND i.a <> p.d1
+                             AND i.b <> p.d2 AND i.c {o3} p.d3"""
+                for guard, og in (("", False), ("p.d3 = 9 OR ", True)):
+                    q = (
+                        f"SELECT p.pk FROM z2_outer AS p "
+                        f"WHERE {guard}{probe} NOT IN ({body})"
+                    )
+                    mine = sorted(
+                        r["pk"]
+                        for r in engine.sql(q, mode="cqc").collect()
+                    )
+                    truth = []
+                    for pk, k, x, d1, d2, d3 in outer:
+                        if og and d3 == 9:
+                            truth.append(pk)
+                            continue
+                        xv = pf(x)
+                        grp = [
+                            iy
+                            for ik, iy, a, b, c in inner
+                            if None not in (ik, k, a, b, c, d1, d2, d3)
+                            and ik == k and a != d1 and b != d2
+                            and f3(c, d3)
+                        ]
+                        if not grp:
+                            truth.append(pk)
+                        elif xv is not None and any(
+                            iy == xv for iy in grp if iy is not None
+                        ):
+                            pass
+                        elif any(iy is None for iy in grp) or xv is None:
+                            pass
+                        else:
+                            truth.append(pk)
+                    assert mine == sorted(truth), (
+                        "notin", o3, probe, og, mine, truth,
+                    )
+        # keyless 2-<> triples stay on the fallback
+        with _pytest.raises(UnsupportedSqlError):
+            engine.sql(
+                """SELECT p.pk FROM z2_outer AS p
+                   WHERE p.x NOT IN (SELECT i.iy FROM z2_inner AS i
+                     WHERE i.a <> p.d1 AND i.b <> p.d2
+                       AND i.c < p.d3)""",
+                mode="cqc",
+            )
+    finally:
+        engine.catalog.unregister("z2_inner")
+        engine.catalog.unregister("z2_outer")
+
+
+def test_neq2_order_sweep_brute():
+    """The pure prefix-diagonal sweep (frontier._neq2_order_sweep)
+    against brute force: for every region prefix and every (d1, d2)
+    probe, the applicable entry's single-a/-b folds or failing-point
+    set decide the witness exactly."""
+    import random
+
+    from sparksqlplus_spark.plans.frontier import _neq2_order_sweep
+
+    rng = random.Random(7)
+    for trial in range(400):
+        n = rng.randint(0, 12)
+        rows = [
+            (rng.randint(1, 3), rng.randint(1, 3), rng.randint(1, 6))
+            for _ in range(n)
+        ]
+        srt = sorted(rows, key=lambda r: r[2])
+        entries = _neq2_order_sweep(srt)
+        for qc in range(0, 8):
+            region = [(a, b) for a, b, oc in rows if oc <= qc]
+            app = None
+            for e in entries:
+                if e[0] <= qc:
+                    app = e
+            for d1 in (1, 2, 3, 4):
+                for d2 in (1, 2, 3, 4):
+                    truth = any(
+                        a != d1 and b != d2 for a, b in region
+                    )
+                    if app is None:
+                        mine = False
+                    else:
+                        _, da, db, ua, ub, f1, f2 = app
+                        if da == 1:
+                            mine = ua != d1 and (db >= 2 or ub != d2)
+                        elif db == 1:
+                            mine = ub != d2
+                        else:
+                            mine = (d1, d2) not in [
+                                f for f in (f1, f2) if f
+                            ]
+                    assert truth == mine, (trial, qc, d1, d2, rows)
 
 
 def test_correlated_not_in_threshold_under_or(engine):

@@ -2798,6 +2798,7 @@ def test_expr_rebuild_preserves_all_fields():
         Exists,
         IsNull,
         Lit,
+        Neq2OrderWitness,
         NeqTripleWitness,
         PairWitness,
         SkyWitness,
@@ -2823,6 +2824,14 @@ def test_expr_rebuild_preserves_all_fields():
             "<",
             Col("o", "y"),
             ">=",
+            Col("o", "z"),
+            negated=True,
+        ),
+        Neq2OrderWitness(
+            Col("a", "npts"),
+            Col("o", "x"),
+            Col("o", "y"),
+            "<=",
             Col("o", "z"),
             negated=True,
         ),
