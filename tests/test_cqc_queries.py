@@ -1967,14 +1967,44 @@ def test_correlated_not_in_with_threshold(engine):
             else:
                 truth.append(pk)
         assert mine == sorted(truth), (mine, truth)
-        # THREE extra correlations stay on the fallback
+        # THREE extra correlations now plan natively through the
+        # triple executors (latest r13: the <>+order+order mix rides
+        # _apply_neq_order2_threshold_not_in — even with all three
+        # against the SAME inner column); brute-force matched here,
+        # FOUR comparisons pin the fallback
+        q = """SELECT p.pk FROM ct_outer AS p
+               WHERE p.x NOT IN (SELECT i.iy FROM ct_inner AS i
+                                 WHERE i.ik = p.k AND i.ic <> p.d
+                                   AND i.ic < p.d + 10
+                                   AND i.ic > p.d - 10)"""
+        mine = sorted(r["pk"] for r in engine.sql(q, mode="cqc").collect())
+        truth = []
+        for pk, k, x, d in outer:
+            grp = [
+                iy
+                for ik, iy, ic in inner
+                if None not in (ik, k, ic, d) and ik == k
+                and ic != d and ic < d + 10 and ic > d - 10
+            ]
+            if not grp:
+                truth.append(pk)
+            elif x is not None and any(
+                iy == x for iy in grp if iy is not None
+            ):
+                pass
+            elif any(iy is None for iy in grp) or x is None:
+                pass
+            else:
+                truth.append(pk)
+        assert mine == sorted(truth), (mine, truth)
         with _pytest.raises(UnsupportedSqlError):
             engine.sql(
                 """SELECT p.pk FROM ct_outer AS p
                    WHERE p.x NOT IN (SELECT i.iy FROM ct_inner AS i
                                      WHERE i.ik = p.k AND i.ic <> p.d
                                        AND i.ic < p.d + 10
-                                       AND i.ic > p.d - 10)""",
+                                       AND i.ic > p.d - 10
+                                       AND i.ic <= p.d + 20)""",
                 mode="cqc",
             )
     finally:
@@ -2080,14 +2110,16 @@ def test_correlated_not_in_two_thresholds(engine):
             # <> in the pair AND <>-with-<> both plan natively as
             # of round 13 (test_correlated_not_in_neq_order_threshold
             # and test_correlated_not_in_neq_pair_threshold are their
-            # brute-force matrices); THREE comparisons stay on the
-            # fallback
+            # brute-force matrices); keyed THREE-comparison mixes up
+            # to two <> plan too (latest r13 —
+            # test_neq_order2_triple / test_neq2_order_triple);
+            # 3-<> triples stay on the fallback
             with _pytest.raises(UnsupportedSqlError):
                 engine.sql(
                     """SELECT p.pk FROM pt_outer AS p
                        WHERE p.x NOT IN (SELECT i.iy FROM pt_inner AS i
                          WHERE i.ik = p.k AND i.c1 <> p.d1
-                           AND i.c2 <> p.d2 AND i.c1 < p.d2)""",
+                           AND i.c2 <> p.d2 AND i.c1 <> p.d2)""",
                     mode="cqc",
                 )
             # the KEYLESS pair plans natively as of round 13
@@ -3750,15 +3782,16 @@ def test_correlated_not_in_two_thresholds_under_or(engine):
                     )
         # every pair mix under OR plans natively as of round 13
         # (order+order here; <>+order and <>+<> have their own
-        # brute-force matrices); THREE comparisons stay on the
-        # fallback
+        # brute-force matrices), and keyed THREE-comparison mixes up
+        # to two <> do too (latest r13 — test_neq_order2_triple /
+        # test_neq2_order_triple); 3-<> triples stay on the fallback
         with _pytest.raises(UnsupportedSqlError):
             engine.sql(
                 """SELECT p.pk FROM opt_outer AS p
                    WHERE p.d1 = 9 OR p.x NOT IN (
                      SELECT i.iy FROM opt_inner AS i
                      WHERE i.ik = p.k AND i.c1 <> p.d1
-                       AND i.c2 <> p.d2 AND i.c1 < p.d2)""",
+                       AND i.c2 <> p.d2 AND i.c1 <> p.d2)""",
                 mode="cqc",
             )
         # the KEYLESS pair under OR plans natively as of round 13
