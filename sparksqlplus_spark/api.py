@@ -1176,6 +1176,16 @@ class SparkSQLPlus:
                         # statistic) or TWO <> + one order (the
                         # prefix-diagonal-stats array), keyed only
                         pair_threshold = noneq
+                    elif (
+                        len(noneq) == 4
+                        and n_corr_keys
+                        and all(
+                            o in ("<", "<=", ">", ">=") for o in pops
+                        )
+                    ):
+                        # latest r13: FOUR order comparisons — 4-D
+                        # skyline flag views (keyed only)
+                        pair_threshold = noneq
                     else:
                         raise UnsupportedSqlError(
                             "row-value / multi-comparison NOT IN with "
@@ -1259,14 +1269,17 @@ class SparkSQLPlus:
                         return self._keyless_neq_pair_fold(
                             ex, noneq, inner_only
                         )
-                if len(noneq) == 3 and all(
+                if len(noneq) in (3, 4) and all(
                     nq[0] in ("<", "<=", ">", ">=") for nq in noneq
                 ):
                     # round 13: THREE order comparisons compose via a
                     # per-key 3-D SKYLINE flag (the staircase one
                     # dimension up — see _or_exists_sky_flag); the
                     # keyless triple folds the GLOBAL skyline (late
-                    # r13)
+                    # r13). Latest r13: FOUR order comparisons ride
+                    # the same machinery with a numpy dominance-scan
+                    # sweep (keyed only; the keyless 4-D fold raises
+                    # inside the flag)
                     return self._or_exists_sky_flag(
                         ex, keys, noneq, inner_only, spec, ephemeral
                     )
@@ -1940,15 +1953,24 @@ class SparkSQLPlus:
             skyline_one_row_df,
         )
 
-        (op0, out0, col0), (op1, out1, col1), (op2, out2, col2) = noneq
+        sky_ops = tuple(t[0] for t in noneq)
+        sky_outs = tuple(t[1] for t in noneq)
+        sky_cols = tuple(t[2] for t in noneq)
         inner = self.catalog.get(ex.table).load(self.spark)
         imap = {("", cn): cn for cn in inner.columns}
         imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
         for c in inner_only:
             inner = inner.filter(c.to_spark(imap))
         if not keys:
+            if len(noneq) != 3:
+                # the global fold is 3-D only — 4-D keyless rides the
+                # fallback
+                raise UnsupportedSqlError(
+                    "keyless 4-comparison EXISTS is not planned "
+                    "natively"
+                )
             pts, types = global_skyline_points(
-                inner, (col0, col1, col2), (op0, op1, op2),
+                inner, sky_cols, sky_ops,
                 self._KEYLESS_FRONTIER_CAP,
             )
             view = skyline_one_row_df(self.spark, pts, types)
@@ -1968,9 +1990,7 @@ class SparkSQLPlus:
             # the one-row view always attaches; an EMPTY skyline makes
             # F.exists false -> the miss value, exactly the fold
             witness = SkyWitness(
-                Col(valias, "__pts"),
-                (op0, op1, op2),
-                (out0, out1, out2),
+                Col(valias, "__pts"), sky_ops, sky_outs
             )
             hit = Lit(not ex.negated, "boolean")
             miss = Lit(bool(ex.negated), "boolean")
@@ -1981,8 +2001,8 @@ class SparkSQLPlus:
         view = keyed_skyline_view(
             inner,
             [(icol, out) for icol, out in key_sel.items()],
-            (col0, col1, col2),
-            (op0, op1, op2),
+            sky_cols,
+            sky_ops,
             "__pts",
         )
         self._view_counter += 1
@@ -2002,9 +2022,7 @@ class SparkSQLPlus:
         )
         matched = IsNull(Col(valias, key_sel[keys[0][1]]), negated=True)
         witness = SkyWitness(
-            Col(valias, "__pts"),
-            (op0, op1, op2),
-            (out0, out1, out2),
+            Col(valias, "__pts"), sky_ops, sky_outs
         )
         raw = AndCond((matched, witness))
         hit = Lit(not ex.negated, "boolean")
@@ -2649,6 +2667,13 @@ class SparkSQLPlus:
                 spec, ephemeral,
             )
         if pair is not None:
+            if len(pair) == 4:
+                # latest r13: 4-D skyline flag views (all-order keyed
+                # per the dispatch)
+                return self._corr_not_in_sky_threshold_or(
+                    inner, gsel, corr, probe_outer, probe_icol, pair,
+                    spec, ephemeral,
+                )
             if len(pair) == 3:
                 n_neq3 = sum(1 for t in pair if t[0] == "<>")
                 if n_neq3 == 1:
@@ -3338,11 +3363,16 @@ class SparkSQLPlus:
             skyline_one_row_df,
         )
 
-        (op0, d0, c0), (op1, d1, c1), (op2, d2, c2) = triple
+        t_ops = tuple(t[0] for t in triple)
+        t_outs = tuple(t[1] for t in triple)
+        t_cols = tuple(t[2] for t in triple)
+        import functools as _ft
+
         inner_t = inner.filter(
-            F.col(c0).isNotNull()
-            & F.col(c1).isNotNull()
-            & F.col(c2).isNotNull()
+            _ft.reduce(
+                lambda a, b: a & b,
+                [F.col(c).isNotNull() for c in t_cols],
+            )
         )
 
         def sky_view(src, extra_part=None, extra_conds=()):
@@ -3352,8 +3382,13 @@ class SparkSQLPlus:
             if not part:
                 # keyless global fact (round 13 late): bounded fold,
                 # one-row view attached unconditionally
+                if len(triple) != 3:
+                    raise UnsupportedSqlError(
+                        "keyless 4-comparison NOT IN is not planned "
+                        "natively"
+                    )
                 pts, types = global_skyline_points(
-                    src, (c0, c1, c2), (op0, op1, op2),
+                    src, t_cols, t_ops,
                     self._KEYLESS_FRONTIER_CAP,
                 )
                 view = skyline_one_row_df(self.spark, pts, types)
@@ -3372,7 +3407,7 @@ class SparkSQLPlus:
                 )
                 return alias
             view = keyed_skyline_view(
-                src, part, (c0, c1, c2), (op0, op1, op2), "__pts"
+                src, part, t_cols, t_ops, "__pts"
             )
             outs = [out for _, out in part]
             self._view_counter += 1
@@ -3411,8 +3446,8 @@ class SparkSQLPlus:
         def wit(alias, negated=False):
             return SkyWitness(
                 Col(alias, "__pts"),
-                (op0, op1, op2),
-                (d0, d1, d2),
+                t_ops,
+                t_outs,
                 negated=negated,
             )
 
@@ -3422,7 +3457,7 @@ class SparkSQLPlus:
                 (IsNull(Col(a_alias, "__pts")), Lit(True, "boolean")),
                 # NULL threshold: c OP NULL is UNKNOWN for every row
                 (
-                    OrCond((IsNull(d0), IsNull(d1), IsNull(d2))),
+                    OrCond(tuple(IsNull(o) for o in t_outs)),
                     Lit(True, "boolean"),
                 ),
                 # no skyline point within: set empty (array and outers

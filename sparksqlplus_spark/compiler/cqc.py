@@ -820,19 +820,20 @@ def _apply_sky_threshold_not_in(df, inner, sf, prefix: str):
         skyline_one_row_df,
     )
 
-    (op0, e0, c0), (op1, e1, c1), (op2, e2, c2) = sf.corr_threshold
+    ops = tuple(t[0] for t in sf.corr_threshold)
+    dims = tuple(t[2] for t in sf.corr_threshold)
     thrs = [
-        e.to_spark({r: r[1] for r in e.refs()}) for e in (e0, e1, e2)
+        t[1].to_spark({r: r[1] for r in t[1].refs()})
+        for t in sf.corr_threshold
     ]
-    cmps = [_CMPF[op] for op in (op0, op1, op2)]
+    cmps = [_CMPF[op] for op in ops]
     corr = sf.corr_keys
-    dims = (c0, c1, c2)
-    ops = (op0, op1, op2)
 
     def sky(src, part_pairs, out):
         if not part_pairs:
             # keyless global fact — bounded plan-time fold, inlined
-            # as a one-row frame the caller broadcasts
+            # as a one-row frame the caller broadcasts (3-D only;
+            # build_context keeps keyless 4-D on the fallback)
             pts, types = global_skyline_points(src, dims, ops, 65536)
             return skyline_one_row_df(
                 df.sparkSession, pts, types
@@ -853,9 +854,13 @@ def _apply_sky_threshold_not_in(df, inner, sf, prefix: str):
         return F.coalesce(
             F.exists(
                 F.col(arr),
-                lambda e: cmps[0](e["u0"], thrs[0])
-                & cmps[1](e["u1"], thrs[1])
-                & cmps[2](e["u2"], thrs[2]),
+                lambda e: functools.reduce(
+                    lambda x, y: x & y,
+                    [
+                        cmp(e[f"u{i}"], thr)
+                        for i, (cmp, thr) in enumerate(zip(cmps, thrs))
+                    ],
+                ),
             ),
             F.lit(False),
         )
@@ -1202,6 +1207,11 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
         # (one row per group; match DISTINCT per (group, y) with every
         # column pinned) — no join duplicates; with no group keys the
         # stats view is ONE global row, broadcast.
+        if len(sf.corr_threshold) == 4:
+            # round 13 (latest): FOUR order comparisons — the skyline
+            # executor generalizes (numpy dominance-scan sweep; keyed
+            # only, all-order per the build_context gate)
+            return _apply_sky_threshold_not_in(df, inner, sf, prefix)
         if len(sf.corr_threshold) == 3:
             n_neq3 = sum(
                 1 for t in sf.corr_threshold if t[0] == "<>"

@@ -546,14 +546,20 @@ class SkyWitness(Cond):
         return out
 
     def to_spark(self, colmap):
+        import functools
+
         a = self.arr.to_spark(colmap)
         os_ = [o.to_spark(colmap) for o in self.outers]
         cs = [self._OPS[op] for op in self.ops]
         e = F.exists(
             a,
-            lambda e: cs[0](e["u0"], os_[0])
-            & cs[1](e["u1"], os_[1])
-            & cs[2](e["u2"], os_[2]),
+            lambda e: functools.reduce(
+                lambda x, y: x & y,
+                [
+                    c(e[f"u{i}"], o)
+                    for i, (c, o) in enumerate(zip(cs, os_))
+                ],
+            ),
         )
         return ~e if self.negated else e
 

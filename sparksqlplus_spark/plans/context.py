@@ -683,6 +683,16 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                         for t in thrs
                     )
                     and sum(1 for t in thrs if t[0] == "<>") <= 2
+                ) or (
+                    # latest r13: FOUR order comparisons — the 4-D
+                    # skyline (numpy dominance-scan sweep; keyed
+                    # only). <>-containing quads and 5+ stay on the
+                    # fallback.
+                    len(thrs) == 4
+                    and all(t is not None for t in thrs)
+                    and all(
+                        t[0] in ("<", "<=", ">", ">=") for t in thrs
+                    )
                 )
                 if not ok:
                     raise UnsupportedSqlError(

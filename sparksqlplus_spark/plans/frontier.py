@@ -42,6 +42,12 @@ _FRONTIER_DTYPE_MSG = (
 )
 
 
+def functools_reduce_and(conds):
+    import functools
+
+    return functools.reduce(lambda a, b: a & b, conds)
+
+
 def global_frontier_points(inner, c1: str, c2: str, asc1: bool,
                            take_min2: bool, cap: int):
     """Fold the global Pareto staircase of ``(c1, c2)`` over ``inner``
@@ -157,40 +163,45 @@ def keyed_skyline_view(src, part_pairs, dims, ops, out):
 
     Supported dtypes: integral, date, timestamp (exact int64
     orientation keys; float NaN and string collation have no exact
-    pandas analogue) — others raise into the mode='auto' fallback."""
+    pandas analogue) — others raise into the mode='auto' fallback.
+
+    Round 13 latest: generalized to k=4 dims. The 4-D sweep swaps the
+    bisect staircase for a vectorized numpy dominance scan over the
+    kept points' trailing coords — O(n·s) per part with s the running
+    skyline size (data-bounded like the array itself; newly dominated
+    kept points are pruned each insertion to keep s minimal)."""
     import bisect
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    (c0, c1, c2) = dims
+    k = len(dims)
+    assert k in (3, 4) and len(ops) == k
+    ucols = [f"u{i}" for i in range(k)]
     asc = [op in ("<", "<=") for op in ops]
-    best2 = F.min if asc[2] else F.max
+    bestl = F.min if asc[-1] else F.max
     names = [n for _, n in part_pairs]
     pre = (
         src.filter(
-            F.col(c0).isNotNull()
-            & F.col(c1).isNotNull()
-            & F.col(c2).isNotNull()
+            functools_reduce_and(
+                [F.col(c).isNotNull() for c in dims]
+            )
         )
         .select(
             *[F.col(c).alias(n) for c, n in part_pairs],
-            F.col(c0).alias("u0"),
-            F.col(c1).alias("u1"),
-            F.col(c2).alias("u2"),
+            *[F.col(c).alias(u) for c, u in zip(dims, ucols)],
         )
-        .groupBy(*names, "u0", "u1")
-        .agg(best2("u2").alias("u2"))
+        .groupBy(*names, *ucols[:-1])
+        .agg(bestl(ucols[-1]).alias(ucols[-1]))
     )
     ok_types = (
         T.ByteType, T.ShortType, T.IntegerType, T.LongType,
         T.DateType, T.TimestampType,
     )
     for f in pre.schema.fields:
-        if f.name in ("u0", "u1", "u2") and not isinstance(
-            f.dataType, ok_types
-        ):
+        if f.name in ucols and not isinstance(f.dataType, ok_types):
             raise UnsupportedSqlError(
                 _FRONTIER_DTYPE_MSG.format(dt=f.dataType)
             )
@@ -201,7 +212,7 @@ def keyed_skyline_view(src, part_pairs, dims, ops, out):
         col = col.astype("int64")
         return col if a else -col
 
-    def sweep(pdf):
+    def sweep3(pdf):
         if pdf.empty:
             return pdf
         o0 = _oriented(pdf["u0"], asc[0])
@@ -225,13 +236,46 @@ def keyed_skyline_view(src, part_pairs, dims, ops, out):
             u2s[j:k2] = [p2]
         return pdf.loc[keep]
 
-    sky = pre.groupBy(*names).applyInPandas(sweep, pre.schema)
+    def sweep4(pdf):
+        if pdf.empty:
+            return pdf
+        ors = [
+            _oriented(pdf[u], a).to_numpy()
+            for u, a in zip(ucols, asc)
+        ]
+        order = (
+            _oriented(pdf["u0"], asc[0])
+            .sort_values(kind="stable")
+            .index.to_numpy()
+        )
+        kept = np.empty((0, 3), dtype="int64")
+        keep_idx: list = []
+        keep_rows: list = []
+        for idx in order:
+            p = np.array(
+                [ors[1][idx], ors[2][idx], ors[3][idx]], dtype="int64"
+            )
+            if kept.shape[0] and (kept <= p).all(axis=1).any():
+                continue  # weakly dominated (u0 already <= by order)
+            # prune kept points the new one dominates in the
+            # trailing coords (it also wins on u0 order, weakly)
+            if kept.shape[0]:
+                alive = ~(kept >= p).all(axis=1)
+                kept = kept[alive]
+                keep_rows = [
+                    r for r, a in zip(keep_rows, alive) if a
+                ]
+            kept = np.vstack([kept, p])
+            keep_rows.append(idx)
+        return pdf.loc[keep_rows]
+
+    sky = pre.groupBy(*names).applyInPandas(
+        sweep3 if k == 3 else sweep4, pre.schema
+    )
     return sky.groupBy(*names).agg(
         F.collect_list(
             F.struct(
-                F.col("u0").alias("u0"),
-                F.col("u1").alias("u1"),
-                F.col("u2").alias("u2"),
+                *[F.col(u).alias(u) for u in ucols]
             )
         ).alias(out)
     )

@@ -2620,16 +2620,22 @@ def test_or_exists_triple_skyline(engine):
         )
         assert mine == truth, (mine, truth)
         # keyed ONE-<> triples plan too (latest r13 — the U/V
-        # two-staircase flag; test_neq_order2_triple is its matrix);
-        # keyless <>-triples and 4 comparisons stay on the fallback
+        # two-staircase flag; test_neq_order2_triple is its matrix),
+        # and keyed all-order QUADS ride the 4-D skyline
+        # (test_order_quad_skyline); keyless <>-triples, keyless
+        # quads, and 5 comparisons stay on the fallback
         for bad_q in (
             """SELECT p.pk FROM sky_outer AS p
                WHERE p.z = 9 OR EXISTS (SELECT 1 FROM sky_inner AS i
                  WHERE i.a <> p.x AND i.b < p.y AND i.c < p.z)""",
             """SELECT p.pk FROM sky_outer AS p
                WHERE p.z = 9 OR EXISTS (SELECT 1 FROM sky_inner AS i
-                 WHERE i.ik = p.k AND i.a < p.x AND i.b < p.y
+                 WHERE i.a < p.x AND i.b < p.y
                    AND i.c < p.z AND i.a > p.z)""",
+            """SELECT p.pk FROM sky_outer AS p
+               WHERE p.z = 9 OR EXISTS (SELECT 1 FROM sky_inner AS i
+                 WHERE i.ik = p.k AND i.a < p.x AND i.b < p.y
+                   AND i.c < p.z AND i.a > p.z AND i.b >= p.x)""",
         ):
             with _pytest.raises(UnsupportedSqlError):
                 engine.sql(bad_q, mode="cqc")
@@ -3174,6 +3180,162 @@ def test_neq2_order_triple(engine):
     finally:
         engine.catalog.unregister("z2_inner")
         engine.catalog.unregister("z2_outer")
+
+
+def test_order_quad_skyline(engine):
+    """Round 13 (latest): FOUR order comparisons — keyed quads for
+    OR'd [NOT] EXISTS and correlated NOT IN in both positions, riding
+    the skyline machinery generalized to 4-D (numpy dominance-scan
+    sweep in keyed_skyline_view). Brute-force NULL matrix over
+    sampled op quads; keyless quads and <>-containing quads pin the
+    fallback raise."""
+    import operator
+    import random
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    spark = engine.spark
+    rng = random.Random(67)
+    ops = {
+        "<": operator.lt, "<=": operator.le,
+        ">": operator.gt, ">=": operator.ge,
+    }
+    onames = list(ops)
+    inner = [
+        (
+            rng.randint(1, 3),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 4))),
+            rng.choice([None] + list(range(1, 4))),
+            rng.choice([None] + list(range(1, 4))),
+            rng.choice([None] + list(range(1, 4))),
+        )
+        for _ in range(24)
+    ]
+    outer = [
+        (
+            i,
+            rng.choice([None, 1, 2, 3]),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice([None] + list(range(1, 4))),
+            rng.choice([None] + list(range(1, 4))),
+            rng.choice([None] + list(range(1, 4))),
+            rng.choice([None] + list(range(1, 4))),
+        )
+        for i in range(14)
+    ]
+    ipdf = pd.DataFrame(inner, columns=["ik", "iy", "a", "b", "c", "d"])
+    opdf = pd.DataFrame(
+        outer, columns=["pk", "k", "x", "d1", "d2", "d3", "d4"]
+    )
+    engine.catalog.register_df(
+        "q4_inner",
+        spark.createDataFrame(
+            ipdf.astype(object).where(ipdf.notna(), None),
+            "ik int, iy int, a int, b int, c int, d int",
+        ),
+        (),
+    )
+    engine.catalog.register_df(
+        "q4_outer",
+        spark.createDataFrame(
+            opdf.astype(object).where(opdf.notna(), None),
+            "pk int, k int, x int, d1 int, d2 int, d3 int, d4 int",
+        ),
+        ("pk",),
+    )
+    try:
+        for i0 in range(4):
+            o1 = onames[i0]
+            o2 = onames[(i0 + 1) % 4]
+            o3 = onames[(i0 + 2) % 4]
+            o4 = onames[(i0 + 3) % 4]
+            f1, f2, f3, f4 = ops[o1], ops[o2], ops[o3], ops[o4]
+            conds = (
+                f"i.a {o1} p.d1 AND i.b {o2} p.d2 "
+                f"AND i.c {o3} p.d3 AND i.d {o4} p.d4"
+            )
+            for neg in ("", "NOT "):
+                q = f"""SELECT p.pk FROM q4_outer AS p
+                        WHERE p.d4 = 9 OR {neg}EXISTS (
+                          SELECT 1 FROM q4_inner AS i
+                          WHERE i.ik = p.k AND {conds})"""
+                mine = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
+                )
+                truth = []
+                for pk, k, x, d1, d2, d3, d4 in outer:
+                    ex = any(
+                        ik == k
+                        and None
+                        not in (ik, k, a, b, c, d, d1, d2, d3, d4)
+                        and f1(a, d1) and f2(b, d2)
+                        and f3(c, d3) and f4(d, d4)
+                        for ik, _, a, b, c, d in inner
+                    )
+                    if d4 == 9 or (not ex if neg else ex):
+                        truth.append(pk)
+                assert mine == sorted(truth), (
+                    "exists", o1, o2, o3, o4, neg, mine, truth,
+                )
+            for probe, pf in (("p.x", lambda x: x), ("2", lambda x: 2)):
+                for guard, og in (("", False), ("p.d4 = 9 OR ", True)):
+                    q = f"""SELECT p.pk FROM q4_outer AS p
+                            WHERE {guard}{probe} NOT IN (
+                              SELECT i.iy FROM q4_inner AS i
+                              WHERE i.ik = p.k AND {conds})"""
+                    mine = sorted(
+                        r["pk"]
+                        for r in engine.sql(q, mode="cqc").collect()
+                    )
+                    truth = []
+                    for pk, k, x, d1, d2, d3, d4 in outer:
+                        if og and d4 == 9:
+                            truth.append(pk)
+                            continue
+                        xv = pf(x)
+                        grp = [
+                            iy
+                            for ik, iy, a, b, c, d in inner
+                            if None
+                            not in (ik, k, a, b, c, d, d1, d2, d3, d4)
+                            and ik == k and f1(a, d1) and f2(b, d2)
+                            and f3(c, d3) and f4(d, d4)
+                        ]
+                        if not grp:
+                            truth.append(pk)
+                        elif xv is not None and any(
+                            iy == xv for iy in grp if iy is not None
+                        ):
+                            pass
+                        elif (
+                            any(iy is None for iy in grp) or xv is None
+                        ):
+                            pass
+                        else:
+                            truth.append(pk)
+                    assert mine == sorted(truth), (
+                        "notin", o1, o2, o3, o4, probe, og, mine, truth,
+                    )
+        # keyless quads and <>-containing quads stay on the fallback
+        for bad_q in (
+            """SELECT p.pk FROM q4_outer AS p
+               WHERE p.x NOT IN (SELECT i.iy FROM q4_inner AS i
+                 WHERE i.a < p.d1 AND i.b < p.d2 AND i.c < p.d3
+                   AND i.d < p.d4)""",
+            """SELECT p.pk FROM q4_outer AS p
+               WHERE p.x NOT IN (SELECT i.iy FROM q4_inner AS i
+                 WHERE i.ik = p.k AND i.a <> p.d1 AND i.b < p.d2
+                   AND i.c < p.d3 AND i.d < p.d4)""",
+        ):
+            with _pytest.raises(UnsupportedSqlError):
+                engine.sql(bad_q, mode="cqc")
+    finally:
+        engine.catalog.unregister("q4_inner")
+        engine.catalog.unregister("q4_outer")
 
 
 def test_neq2_order_sweep_brute():
