@@ -78,11 +78,20 @@ def global_frontier_points(inner, c1: str, c2: str, asc1: bool,
         # exact too — Arrow hands them to pandas as Python
         # Decimal/str objects whose comparisons match Spark's
         # (decimal: exact numeric order; str: code-point order =
-        # UTF8_BINARY). Float stays excluded (NaN orders LAST in
-        # Spark but is incomparable in Python/pandas — no exact
-        # driver-side merge).
+        # UTF8_BINARY).
         T.DecimalType,
+        # round 13 (latest): float/double too — Spark's total order
+        # (NaN largest, NaN = NaN, -0.0 = 0.0) is replicated exactly
+        # by the _float_key wrapper below, so the fold sorts,
+        # accumulates, and driver-merges on wrapped keys while
+        # storing the ORIGINAL values the JVM-side probe compares.
+        T.FloatType, T.DoubleType,
     )
+    float_dims = {
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+    }
     for f in schema.fields:
         dt = f.dataType
         string_ok = isinstance(dt, T.StringType) and repr(dt) in (
@@ -94,31 +103,53 @@ def global_frontier_points(inner, c1: str, c2: str, asc1: bool,
                 _FRONTIER_DTYPE_MSG.format(dt=dt)
             )
 
+    import math
+
+    def _float_key(v):
+        # Spark's double total order: NaN sorts LAST and equals
+        # itself; -0.0 == 0.0 (Python agrees on the latter)
+        return (1, 0.0) if math.isnan(v) else (0, v)
+
+    def _ku(v):
+        return _float_key(v) if "u" in float_dims else v
+
+    def _kv(v):
+        return _float_key(v) if "v" in float_dims else v
+
     def batch_frontier(it):
         import itertools
 
         for pdf in it:
             if pdf.empty:
                 continue
+            if float_dims or pdf["v"].dtype == object:
+                # object (Decimal/str) or float dims: explicit Python
+                # accumulate on (wrapped) keys — pandas cummin/cummax
+                # reject objects and skip NaN, and pandas sorts NaN
+                # last regardless of direction (Spark's descending
+                # order puts NaN FIRST)
+                rows0 = sorted(
+                    zip(pdf["u"].tolist(), pdf["v"].tolist()),
+                    key=lambda t: _ku(t[0]),
+                    reverse=not asc1,
+                )
+                out_u: list = []
+                out_v: list = []
+                best = None
+                for u, v in rows0:
+                    kv = _kv(v)
+                    if best is None or (
+                        kv < best if take_min2 else kv > best
+                    ):
+                        best = kv
+                        out_u.append(u)
+                        out_v.append(v)
+                yield pd.DataFrame({"u": out_u, "v": out_v})
+                continue
             pdf = pdf.sort_values("u", ascending=asc1, kind="stable")
-            if pdf["v"].dtype == object:
-                # Decimal/str arrive as Python objects — pandas
-                # cummin/cummax don't take object dtype; accumulate
-                # with Python min/max (same total order as Spark's)
-                run = pd.Series(
-                    list(
-                        itertools.accumulate(
-                            pdf["v"].tolist(),
-                            min if take_min2 else max,
-                        )
-                    ),
-                    index=pdf.index,
-                    dtype=object,
-                )
-            else:
-                run = (
-                    pdf["v"].cummin() if take_min2 else pdf["v"].cummax()
-                )
+            run = (
+                pdf["v"].cummin() if take_min2 else pdf["v"].cummax()
+            )
             keep = run.ne(run.shift())
             yield pd.DataFrame({"u": pdf["u"][keep], "v": run[keep]})
 
@@ -128,12 +159,17 @@ def global_frontier_points(inner, c1: str, c2: str, asc1: bool,
             "keyless 2-comparison frontier exceeds the "
             f"{cap}-point inline cap"
         )
-    pts = sorted(((r["u"], r["v"]) for r in rows), reverse=not asc1)
+    pts = sorted(
+        ((r["u"], r["v"]) for r in rows),
+        key=lambda t: _ku(t[0]),
+        reverse=not asc1,
+    )
     merged: list[tuple] = []
     best = None
     for u, v in pts:
-        if best is None or (v < best if take_min2 else v > best):
-            best = v
+        kv = _kv(v)
+        if best is None or (kv < best if take_min2 else kv > best):
+            best = kv
             merged.append((u, v))
     return merged, schema["u"].dataType, schema["v"].dataType
 

@@ -1691,17 +1691,18 @@ def test_keyless_pair_under_or(engine, oracle):
     for sql in cases:
         for mode in ("cqc", "naive"):
             assert_matches(engine.sql(sql, mode=mode), oracle, sql)
-    # double-typed compared column: not in the keyless subset (NaN
-    # ordering has no exact driver-side merge) — raises in cqc mode,
-    # answers correctly through the fallback in auto
+    # double-typed compared column: IN the keyless subset as of
+    # latest round 13 — the fold replicates Spark's double total
+    # order (NaN largest and self-equal, -0.0 = 0.0) via a wrapped
+    # sort/merge key while storing original values
+    # (test_keyless_pair_float_matrix is the NaN/inf/-0.0 matrix)
     dbl = """SELECT c.c_custkey FROM customer AS c
              WHERE c.c_acctbal < 0
                 OR EXISTS (SELECT 1 FROM orders AS o
                            WHERE o.o_totalprice < c.c_acctbal * 40
                              AND o.o_orderkey > c.c_nationkey * 50)"""
-    with pytest.raises(UnsupportedSqlError):
-        engine.sql(dbl, mode="cqc")
-    assert_matches(engine.sql(dbl, mode="auto"), oracle, dbl)
+    for mode in ("cqc", "naive"):
+        assert_matches(engine.sql(dbl, mode=mode), oracle, dbl)
     # round 13 (late): STRING-columned keyless pairs are in the
     # subset (default UTF8_BINARY collation = Python code-point
     # order, so the driver-side frontier merge is exact); TPC-H
@@ -2292,32 +2293,117 @@ def test_correlated_not_in_pair_keyless(engine):
         finally:
             engine.catalog.unregister("kp_inner")
             engine.catalog.unregister("kp_outer")
-    # non-exact dtypes (float frontier) raise into the fallback
+    # float dims fold exactly too as of latest round 13 (wrapped
+    # total-order keys; test_keyless_pair_float_matrix sweeps
+    # NaN/inf/-0.0) — a quick native sanity here
     engine.catalog.register_df(
         "kpf_inner",
         spark.createDataFrame(
-            [(1, 1.5, 2.5)], "iy int, c1 double, c2 double"
+            [(1, 1.5, 2.5), (2, 0.5, 0.5)],
+            "iy int, c1 double, c2 double",
         ),
         (),
     )
     engine.catalog.register_df(
         "kpf_outer",
         spark.createDataFrame(
-            [(1, 1, 2.0, 3.0)], "pk int, x int, d1 double, d2 double"
+            [(1, 1, 2.0, 3.0), (2, 2, 1.0, 1.0)],
+            "pk int, x int, d1 double, d2 double",
         ),
         ("pk",),
     )
     try:
-        with _pytest.raises(UnsupportedSqlError):
-            engine.sql(
+        got = sorted(
+            r["pk"]
+            for r in engine.sql(
                 """SELECT p.pk FROM kpf_outer AS p
                    WHERE p.x NOT IN (SELECT i.iy FROM kpf_inner AS i
                      WHERE i.c1 < p.d1 AND i.c2 < p.d2)""",
                 mode="cqc",
-            )
+            ).collect()
+        )
+        # pk=1: set = {1 (1.5<2.0, 2.5<3.0)}; probe 1 matched -> drop
+        # pk=2: set = {2 (0.5<1.0, 0.5<1.0)}; probe 2 matched -> drop
+        assert got == [], got
     finally:
         engine.catalog.unregister("kpf_inner")
         engine.catalog.unregister("kpf_outer")
+
+
+def test_keyless_pair_float_matrix(engine):
+    """Latest round 13: FLOAT keyless 2-comparison shapes fold
+    exactly — the frontier orders on a wrapped key replicating
+    Spark's double total order (NaN largest and self-equal,
+    -0.0 = 0.0) while storing original values for the JVM-side probe.
+    NaN/inf/-0.0-heavy matrix vs the naive (spark.sql) mode for
+    OR'd EXISTS/NOT EXISTS and keyless NOT IN pairs."""
+    import random
+
+    import pandas as pd
+
+    spark = engine.spark
+    rng = random.Random(83)
+    NAN, INF = float("nan"), float("inf")
+    vals = [None, 1.0, 2.5, -0.0, 0.0, NAN, INF, -INF]
+    inner = [
+        (rng.randint(1, 3), rng.choice(vals), rng.choice(vals))
+        for _ in range(18)
+    ]
+    outer = [
+        (i, rng.randint(1, 3), rng.choice(vals), rng.choice(vals))
+        for i in range(12)
+    ]
+    ipdf = pd.DataFrame(inner, columns=["iy", "c1", "c2"])
+    opdf = pd.DataFrame(outer, columns=["pk", "x", "d1", "d2"])
+    engine.catalog.register_df(
+        "flm_inner",
+        spark.createDataFrame(
+            ipdf.astype(object).where(ipdf.notna(), None),
+            "iy int, c1 double, c2 double",
+        ),
+        (),
+    )
+    engine.catalog.register_df(
+        "flm_outer",
+        spark.createDataFrame(
+            opdf.astype(object).where(opdf.notna(), None),
+            "pk int, x int, d1 double, d2 double",
+        ),
+        ("pk",),
+    )
+    try:
+        for o1 in ("<", "<=", ">", ">="):
+            for o2 in ("<", ">="):
+                for neg in ("", "NOT "):
+                    q = f"""SELECT p.pk FROM flm_outer AS p
+                            WHERE p.pk = -1 OR {neg}EXISTS (
+                              SELECT 1 FROM flm_inner AS i
+                              WHERE i.c1 {o1} p.d1
+                                AND i.c2 {o2} p.d2)"""
+                    a = sorted(
+                        r["pk"]
+                        for r in engine.sql(q, mode="cqc").collect()
+                    )
+                    b = sorted(
+                        r["pk"]
+                        for r in engine.sql(q, mode="naive").collect()
+                    )
+                    assert a == b, ("exists", o1, o2, neg, a, b)
+                q = f"""SELECT p.pk FROM flm_outer AS p
+                        WHERE p.x NOT IN (
+                          SELECT i.iy FROM flm_inner AS i
+                          WHERE i.c1 {o1} p.d1 AND i.c2 {o2} p.d2)"""
+                a = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
+                )
+                b = sorted(
+                    r["pk"]
+                    for r in engine.sql(q, mode="naive").collect()
+                )
+                assert a == b, ("notin", o1, o2, a, b)
+    finally:
+        engine.catalog.unregister("flm_inner")
+        engine.catalog.unregister("flm_outer")
     # round 13 (late): DECIMAL and STRING frontiers are exact —
     # Python Decimal/str comparisons match Spark's default ordering;
     # cqc vs the naive (spark.sql) mode on NULL-bearing frames
