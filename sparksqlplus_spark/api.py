@@ -1176,15 +1176,12 @@ class SparkSQLPlus:
                         # statistic) or TWO <> + one order (the
                         # prefix-diagonal-stats array), keyed only
                         pair_threshold = noneq
-                    elif (
-                        len(noneq) == 4
-                        and n_corr_keys
-                        and all(
-                            o in ("<", "<=", ">", ">=") for o in pops
-                        )
+                    elif len(noneq) == 4 and all(
+                        o in ("<", "<=", ">", ">=") for o in pops
                     ):
                         # latest r13: FOUR order comparisons — 4-D
-                        # skyline flag views (keyed only)
+                        # skyline flag views (keyless groups fold the
+                        # global 4-D skyline, cap-tightened)
                         pair_threshold = noneq
                     else:
                         raise UnsupportedSqlError(
@@ -1962,13 +1959,6 @@ class SparkSQLPlus:
         for c in inner_only:
             inner = inner.filter(c.to_spark(imap))
         if not keys:
-            if len(noneq) != 3:
-                # the global fold is 3-D only — 4-D keyless rides the
-                # fallback
-                raise UnsupportedSqlError(
-                    "keyless 4-comparison EXISTS is not planned "
-                    "natively"
-                )
             pts, types = global_skyline_points(
                 inner, sky_cols, sky_ops,
                 self._KEYLESS_FRONTIER_CAP,
@@ -3382,11 +3372,6 @@ class SparkSQLPlus:
             if not part:
                 # keyless global fact (round 13 late): bounded fold,
                 # one-row view attached unconditionally
-                if len(triple) != 3:
-                    raise UnsupportedSqlError(
-                        "keyless 4-comparison NOT IN is not planned "
-                        "natively"
-                    )
                 pts, types = global_skyline_points(
                     src, t_cols, t_ops,
                     self._KEYLESS_FRONTIER_CAP,

@@ -832,8 +832,8 @@ def _apply_sky_threshold_not_in(df, inner, sf, prefix: str):
     def sky(src, part_pairs, out):
         if not part_pairs:
             # keyless global fact — bounded plan-time fold, inlined
-            # as a one-row frame the caller broadcasts (3-D only;
-            # build_context keeps keyless 4-D on the fallback)
+            # as a one-row frame the caller broadcasts (3-D or 4-D;
+            # the 4-D merge cap is tightened inside the fold)
             pts, types = global_skyline_points(src, dims, ops, 65536)
             return skyline_one_row_df(
                 df.sparkSession, pts, types

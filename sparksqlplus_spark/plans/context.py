@@ -853,10 +853,11 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 len(thrs) == 2
                 and all(t is not None for t in thrs)
             ) or (
-                # round 13 (late): the keyless all-order TRIPLE folds
-                # GLOBAL 3-D skylines the same way
-                # (frontier.global_skyline_points)
-                len(thrs) == 3
+                # round 13 (late): keyless all-order TRIPLES and
+                # (latest) QUADS fold GLOBAL skylines the same way
+                # (frontier.global_skyline_points; the 4-D merge cap
+                # is tightened to bound driver work)
+                len(thrs) in (3, 4)
                 and all(t is not None and t[0] != "<>" for t in thrs)
             )
             n_probe_slots = (

@@ -18,13 +18,13 @@ the whole inner table — a scale-killer — so it is built as:
       the data is a deliberate anti-chain; above the cap we raise and
       ``mode='auto'`` rides the spark.sql fallback).
 
-Supported dtypes: integral, date, timestamp, decimal, and
-default-collation string (round 13 late widened from the first
-three) — totally ordered with identical semantics in Spark, pandas,
-and Python, so the driver-side merge is exact. Float raises and
-rides the fallback (NaN orders LAST in Spark but is incomparable in
-Python — no exact driver-side merge), as do non-default string
-collations.
+Supported dtypes for the 2-D fold: integral, date, timestamp,
+decimal, default-collation string (round 13 late), and float/double
+(round 13 latest — the fold orders on a wrapped key replicating
+Spark's double total order: NaN largest and self-equal, -0.0 = 0.0 —
+while storing original values for the JVM-side probe). Non-default
+string collations raise and ride the fallback. The k-D skyline folds
+below stay integral/date/timestamp (int64 orientation keys).
 
 Reference parity note: the reference's TreeLikeArray (SURVEY R9/R12,
 sqlplus-core TreeLikeArray) bounds its sorted dictionary by the
@@ -318,41 +318,47 @@ def keyed_skyline_view(src, part_pairs, dims, ops, out):
 
 
 def global_skyline_points(inner, dims, ops, cap):
-    """Fold the GLOBAL 3-D Pareto skyline of ``dims`` over ``inner``
-    (round 13 late — the keyless sibling of keyed_skyline_view, and
-    the 3-D generalization of global_frontier_points): a (u0, u1)
-    pre-reduction with map-side combine, a per-Arrow-batch skyline
-    via ``mapInPandas`` (each batch's skyline is a superset
-    reduction), and a bounded driver-side merge re-running the same
-    bisect sweep over the unioned batch skylines — the
-    metadata-scale-collect class, capped at ``cap`` points. Returns
-    ``(points, (t0, t1, t2))`` with points as (u0, u1, u2) tuples.
-    Dtypes: integral/date/timestamp only (exact int64 orientation
-    keys both in pandas and driver-side); others raise into the
-    mode='auto' fallback, as does a skyline above the cap."""
+    """Fold the GLOBAL Pareto skyline of ``dims`` (3 or 4) over
+    ``inner`` (round 13 late — the keyless sibling of
+    keyed_skyline_view, and the k-D generalization of
+    global_frontier_points): a leading-dims pre-reduction with
+    map-side combine, a per-Arrow-batch skyline via ``mapInPandas``
+    (each batch's skyline is a superset reduction — unlike the
+    pair-combination staircases, skylines merge), and a bounded
+    driver-side merge re-running the sweep over the unioned batch
+    skylines — the metadata-scale-collect class, capped at ``cap``
+    points (the 4-D merge is a Python dominance scan, so its cap is
+    tightened to 4096 to bound the worst-case driver work). Returns
+    ``(points, types)`` tuples. Dtypes: integral/date/timestamp only
+    (exact orientation keys both in pandas and driver-side); others
+    raise into the mode='auto' fallback, as does a skyline above the
+    cap."""
     import bisect
     import datetime
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    (c0, c1, c2) = dims
+    k = len(dims)
+    assert k in (3, 4) and len(ops) == k
+    if k == 4:
+        cap = min(cap, 4096)
+    ucols = [f"u{i}" for i in range(k)]
     asc = [op in ("<", "<=") for op in ops]
-    best2 = F.min if asc[2] else F.max
+    bestl = F.min if asc[-1] else F.max
     pre = (
         inner.filter(
-            F.col(c0).isNotNull()
-            & F.col(c1).isNotNull()
-            & F.col(c2).isNotNull()
+            functools_reduce_and(
+                [F.col(c).isNotNull() for c in dims]
+            )
         )
         .select(
-            F.col(c0).alias("u0"),
-            F.col(c1).alias("u1"),
-            F.col(c2).alias("u2"),
+            *[F.col(c).alias(u) for c, u in zip(dims, ucols)],
         )
-        .groupBy("u0", "u1")
-        .agg(best2("u2").alias("u2"))
+        .groupBy(*ucols[:-1])
+        .agg(bestl(ucols[-1]).alias(ucols[-1]))
     )
     ok_types = (
         T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -394,19 +400,44 @@ def global_skyline_points(inner, dims, ops, cap):
         for pdf in it:
             if pdf.empty:
                 continue
-            o0 = _oriented_series(pdf["u0"], asc[0])
-            o1 = _oriented_series(pdf["u1"], asc[1])
-            o2 = _oriented_series(pdf["u2"], asc[2])
-            order = o0.sort_values(kind="stable").index
-            keep = _sweep_indexed(
-                (idx, o0[idx], o1[idx], o2[idx]) for idx in order
-            )
+            os_ = [
+                _oriented_series(pdf[u], a)
+                for u, a in zip(ucols, asc)
+            ]
+            order = os_[0].sort_values(kind="stable").index
+            if k == 3:
+                keep = _sweep_indexed(
+                    (idx, os_[0][idx], os_[1][idx], os_[2][idx])
+                    for idx in order
+                )
+            else:
+                # 4-D: numpy dominance scan over the kept points'
+                # trailing coords (see keyed_skyline_view.sweep4)
+                kept = np.empty((0, 3), dtype="int64")
+                keep = []
+                for idx in order.to_numpy():
+                    p = np.array(
+                        [os_[1][idx], os_[2][idx], os_[3][idx]],
+                        dtype="int64",
+                    )
+                    if kept.shape[0] and (
+                        (kept <= p).all(axis=1).any()
+                    ):
+                        continue
+                    if kept.shape[0]:
+                        alive = ~(kept >= p).all(axis=1)
+                        kept = kept[alive]
+                        keep = [
+                            r for r, a in zip(keep, alive) if a
+                        ]
+                    kept = np.vstack([kept, p])
+                    keep.append(idx)
             yield pdf.loc[keep]
 
     rows = pre.mapInPandas(batch_skyline, pre.schema).take(cap + 1)
     if len(rows) > cap:
         raise UnsupportedSqlError(
-            "keyless 3-comparison skyline exceeds the "
+            f"keyless {k}-comparison skyline exceeds the "
             f"{cap}-point inline cap"
         )
 
@@ -440,13 +471,36 @@ def global_skyline_points(inner, dims, ops, cap):
 
     tagged = sorted(
         (
-            (_okey(r["u0"], asc[0]), _okey(r["u1"], asc[1]),
-             _okey(r["u2"], asc[2]), i)
+            tuple(_okey(r[u], a) for u, a in zip(ucols, asc)) + (i,)
             for i, r in enumerate(rows)
         )
     )
-    keep = _sweep_indexed((i, o0, o1, o2) for o0, o1, o2, i in tagged)
-    pts = [(rows[i]["u0"], rows[i]["u1"], rows[i]["u2"]) for i in keep]
+    if k == 3:
+        keep = _sweep_indexed(
+            (t[-1], t[0], t[1], t[2]) for t in tagged
+        )
+    else:
+        # bounded Python dominance scan (cap <= 4096 for k = 4)
+        kept_tails: list = []
+        keep = []
+        for t in tagged:
+            tail = t[1:-1]
+            if any(
+                all(q <= p for q, p in zip(kt, tail))
+                for kt in kept_tails
+            ):
+                continue
+            alive = [
+                not all(q >= p for q, p in zip(kt, tail))
+                for kt in kept_tails
+            ]
+            kept_tails = [
+                kt for kt, a in zip(kept_tails, alive) if a
+            ]
+            keep = [r for r, a in zip(keep, alive) if a]
+            kept_tails.append(tail)
+            keep.append(t[-1])
+    pts = [tuple(rows[i][u] for u in ucols) for i in keep]
     return pts, tuple(f.dataType for f in pre.schema.fields)
 
 
@@ -1025,10 +1079,10 @@ def keyless_diag_stats(src, a_col, b_col):
 
 
 def skyline_one_row_df(spark, pts, types):
-    """One-row DataFrame with ``__pts: array<struct<u0,u1,u2>>`` for
-    a folded global skyline (broadcast crossJoin / registered one-row
-    view). An empty skyline yields an empty array — F.exists FALSE,
-    the empty-set fold."""
+    """One-row DataFrame with ``__pts: array<struct<u0..u{k-1}>>``
+    for a folded global skyline (broadcast crossJoin / registered
+    one-row view). An empty skyline yields an empty array — F.exists
+    FALSE, the empty-set fold."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -1038,9 +1092,8 @@ def skyline_one_row_df(spark, pts, types):
                 T.ArrayType(
                     T.StructType(
                         [
-                            T.StructField("u0", types[0]),
-                            T.StructField("u1", types[1]),
-                            T.StructField("u2", types[2]),
+                            T.StructField(f"u{i}", t)
+                            for i, t in enumerate(types)
                         ]
                     )
                 ),

@@ -2707,17 +2707,13 @@ def test_or_exists_triple_skyline(engine):
         assert mine == truth, (mine, truth)
         # keyed ONE-<> triples plan too (latest r13 — the U/V
         # two-staircase flag; test_neq_order2_triple is its matrix),
-        # and keyed all-order QUADS ride the 4-D skyline
-        # (test_order_quad_skyline); keyless <>-triples, keyless
-        # quads, and 5 comparisons stay on the fallback
+        # and all-order QUADS — keyed AND keyless — ride the 4-D
+        # skyline (test_order_quad_skyline); keyless <>-triples and
+        # 5 comparisons stay on the fallback
         for bad_q in (
             """SELECT p.pk FROM sky_outer AS p
                WHERE p.z = 9 OR EXISTS (SELECT 1 FROM sky_inner AS i
                  WHERE i.a <> p.x AND i.b < p.y AND i.c < p.z)""",
-            """SELECT p.pk FROM sky_outer AS p
-               WHERE p.z = 9 OR EXISTS (SELECT 1 FROM sky_inner AS i
-                 WHERE i.a < p.x AND i.b < p.y
-                   AND i.c < p.z AND i.a > p.z)""",
             """SELECT p.pk FROM sky_outer AS p
                WHERE p.z = 9 OR EXISTS (SELECT 1 FROM sky_inner AS i
                  WHERE i.ik = p.k AND i.a < p.x AND i.b < p.y
@@ -3406,19 +3402,41 @@ def test_order_quad_skyline(engine):
                     assert mine == sorted(truth), (
                         "notin", o1, o2, o3, o4, probe, og, mine, truth,
                     )
-        # keyless quads and <>-containing quads stay on the fallback
-        for bad_q in (
-            """SELECT p.pk FROM q4_outer AS p
+        # KEYLESS all-order quads fold the global 4-D skyline
+        # (cap-tightened driver merge) — brute-force matched
+        q = """SELECT p.pk FROM q4_outer AS p
                WHERE p.x NOT IN (SELECT i.iy FROM q4_inner AS i
                  WHERE i.a < p.d1 AND i.b < p.d2 AND i.c < p.d3
-                   AND i.d < p.d4)""",
-            """SELECT p.pk FROM q4_outer AS p
-               WHERE p.x NOT IN (SELECT i.iy FROM q4_inner AS i
-                 WHERE i.ik = p.k AND i.a <> p.d1 AND i.b < p.d2
-                   AND i.c < p.d3 AND i.d < p.d4)""",
-        ):
-            with _pytest.raises(UnsupportedSqlError):
-                engine.sql(bad_q, mode="cqc")
+                   AND i.d < p.d4)"""
+        mine = sorted(r["pk"] for r in engine.sql(q, mode="cqc").collect())
+        truth = []
+        for pk, k, x, d1, d2, d3, d4 in outer:
+            grp = [
+                iy
+                for ik, iy, a, b, c, d in inner
+                if None not in (a, b, c, d, d1, d2, d3, d4)
+                and a < d1 and b < d2 and c < d3 and d < d4
+            ]
+            if not grp:
+                truth.append(pk)
+            elif x is not None and any(
+                iy == x for iy in grp if iy is not None
+            ):
+                pass
+            elif any(iy is None for iy in grp) or x is None:
+                pass
+            else:
+                truth.append(pk)
+        assert mine == sorted(truth), (mine, truth)
+        # <>-containing quads stay on the fallback
+        with _pytest.raises(UnsupportedSqlError):
+            engine.sql(
+                """SELECT p.pk FROM q4_outer AS p
+                   WHERE p.x NOT IN (SELECT i.iy FROM q4_inner AS i
+                     WHERE i.ik = p.k AND i.a <> p.d1 AND i.b < p.d2
+                       AND i.c < p.d3 AND i.d < p.d4)""",
+                mode="cqc",
+            )
     finally:
         engine.catalog.unregister("q4_inner")
         engine.catalog.unregister("q4_outer")
