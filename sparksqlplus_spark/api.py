@@ -1275,8 +1275,8 @@ class SparkSQLPlus:
                     # keyless triple folds the GLOBAL skyline (late
                     # r13). Latest r13: FOUR order comparisons ride
                     # the same machinery with a numpy dominance-scan
-                    # sweep (keyed only; the keyless 4-D fold raises
-                    # inside the flag)
+                    # sweep; keyless quads fold the global 4-D
+                    # skyline too (merge cap tightened to 4096)
                     return self._or_exists_sky_flag(
                         ex, keys, noneq, inner_only, spec, ephemeral
                     )

@@ -48,6 +48,62 @@ def functools_reduce_and(conds):
     return functools.reduce(lambda a, b: a & b, conds)
 
 
+def _sweep4_indexed(items):
+    """Pure 4-D dominance scan (round 14 — extracted so every 4-D
+    site shares ONE implementation and a brute-force oracle,
+    tests/test_cqc_queries.py:test_sweep4_brute). ``items`` yields
+    ``(idx, tail)`` with ``tail`` a length-3 int64 numpy array of the
+    ORIENTED trailing coords, pre-sorted ascending by the oriented
+    leading coord. Returns the kept idx list: every insertion-time
+    non-dominated row.
+
+    The output is NEVER re-filtered: a later point is weakly WORSE on
+    the leading coord (ascending processing order), so it cannot
+    dominate an earlier kept row in all four coords — the pre-round-14
+    code pruned the output on the trailing coords alone and dropped
+    genuine witnesses (e.g. oriented (0,3,3,4) pruned by (4,2,2,3)).
+    Only the internal dominance structure prunes: a kept tail >= the
+    new point's is covered by it for every future test. The result is
+    a superset of the exact skyline — possibly retaining an equal-
+    leading-coord row a later point dominates — which is exact for
+    the F.exists witness probes all consumers run."""
+    import numpy as np
+
+    kept = np.empty((0, 3), dtype="int64")
+    keep: list = []
+    for idx, p in items:
+        if kept.shape[0] and (kept <= p).all(axis=1).any():
+            continue  # weakly dominated (leading coord <= by order)
+        if kept.shape[0]:
+            kept = kept[~(kept >= p).all(axis=1)]
+        kept = np.vstack([kept, p])
+        keep.append(idx)
+    return keep
+
+
+def _sweep4_tails(items):
+    """Generic-comparable sibling of _sweep4_indexed for the driver-
+    side 4-D merge: ``items`` yields ``(idx, tail)`` with ``tail`` a
+    tuple of comparables (ints/dates, descending dims wrapped for
+    reverse order), pre-sorted ascending by the oriented leading
+    coord. Same never-filter-the-output contract (round 14 fix)."""
+    kept_tails: list = []
+    keep: list = []
+    for idx, tail in items:
+        if any(
+            all(q <= p for q, p in zip(kt, tail))
+            for kt in kept_tails
+        ):
+            continue
+        kept_tails = [
+            kt for kt in kept_tails
+            if not all(q >= p for q, p in zip(kt, tail))
+        ]
+        kept_tails.append(tail)
+        keep.append(idx)
+    return keep
+
+
 def global_frontier_points(inner, c1: str, c2: str, asc1: bool,
                            take_min2: bool, cap: int):
     """Fold the global Pareto staircase of ``(c1, c2)`` over ``inner``
@@ -204,8 +260,17 @@ def keyed_skyline_view(src, part_pairs, dims, ops, out):
     Round 13 latest: generalized to k=4 dims. The 4-D sweep swaps the
     bisect staircase for a vectorized numpy dominance scan over the
     kept points' trailing coords — O(n·s) per part with s the running
-    skyline size (data-bounded like the array itself; newly dominated
-    kept points are pruned each insertion to keep s minimal)."""
+    dominance-frontier size. Like sweep3, the OUTPUT keeps every
+    insertion-time non-dominated row and is never re-filtered: a
+    later point is weakly WORSE on u0 (ascending processing order),
+    so it cannot dominate an earlier kept point in all four coords —
+    pruning the output on the trailing three coords alone would drop
+    genuine witnesses (round 14 fix). Only the internal dominance
+    structure prunes (a tail >= the new point's is covered by it for
+    every future test). The output is thus a superset of the exact
+    skyline — possibly retaining an equal-u0 row a later point
+    dominates — which is exact for the F.exists witness probes this
+    view feeds."""
     import bisect
 
     import numpy as np
@@ -284,25 +349,16 @@ def keyed_skyline_view(src, part_pairs, dims, ops, out):
             .sort_values(kind="stable")
             .index.to_numpy()
         )
-        kept = np.empty((0, 3), dtype="int64")
-        keep_idx: list = []
-        keep_rows: list = []
-        for idx in order:
-            p = np.array(
-                [ors[1][idx], ors[2][idx], ors[3][idx]], dtype="int64"
+        keep_rows = _sweep4_indexed(
+            (
+                idx,
+                np.array(
+                    [ors[1][idx], ors[2][idx], ors[3][idx]],
+                    dtype="int64",
+                ),
             )
-            if kept.shape[0] and (kept <= p).all(axis=1).any():
-                continue  # weakly dominated (u0 already <= by order)
-            # prune kept points the new one dominates in the
-            # trailing coords (it also wins on u0 order, weakly)
-            if kept.shape[0]:
-                alive = ~(kept >= p).all(axis=1)
-                kept = kept[alive]
-                keep_rows = [
-                    r for r, a in zip(keep_rows, alive) if a
-                ]
-            kept = np.vstack([kept, p])
-            keep_rows.append(idx)
+            for idx in order
+        )
         return pdf.loc[keep_rows]
 
     sky = pre.groupBy(*names).applyInPandas(
@@ -411,27 +467,18 @@ def global_skyline_points(inner, dims, ops, cap):
                     for idx in order
                 )
             else:
-                # 4-D: numpy dominance scan over the kept points'
-                # trailing coords (see keyed_skyline_view.sweep4)
-                kept = np.empty((0, 3), dtype="int64")
-                keep = []
-                for idx in order.to_numpy():
-                    p = np.array(
-                        [os_[1][idx], os_[2][idx], os_[3][idx]],
-                        dtype="int64",
+                # 4-D: the shared dominance scan (_sweep4_indexed —
+                # round 14 fix: output never re-filtered)
+                keep = _sweep4_indexed(
+                    (
+                        idx,
+                        np.array(
+                            [os_[1][idx], os_[2][idx], os_[3][idx]],
+                            dtype="int64",
+                        ),
                     )
-                    if kept.shape[0] and (
-                        (kept <= p).all(axis=1).any()
-                    ):
-                        continue
-                    if kept.shape[0]:
-                        alive = ~(kept >= p).all(axis=1)
-                        kept = kept[alive]
-                        keep = [
-                            r for r, a in zip(keep, alive) if a
-                        ]
-                    kept = np.vstack([kept, p])
-                    keep.append(idx)
+                    for idx in order.to_numpy()
+                )
             yield pdf.loc[keep]
 
     rows = pre.mapInPandas(batch_skyline, pre.schema).take(cap + 1)
@@ -480,26 +527,9 @@ def global_skyline_points(inner, dims, ops, cap):
             (t[-1], t[0], t[1], t[2]) for t in tagged
         )
     else:
-        # bounded Python dominance scan (cap <= 4096 for k = 4)
-        kept_tails: list = []
-        keep = []
-        for t in tagged:
-            tail = t[1:-1]
-            if any(
-                all(q <= p for q, p in zip(kt, tail))
-                for kt in kept_tails
-            ):
-                continue
-            alive = [
-                not all(q >= p for q, p in zip(kt, tail))
-                for kt in kept_tails
-            ]
-            kept_tails = [
-                kt for kt, a in zip(kept_tails, alive) if a
-            ]
-            keep = [r for r, a in zip(keep, alive) if a]
-            kept_tails.append(tail)
-            keep.append(t[-1])
+        # bounded generic dominance scan (cap <= 4096 for k = 4;
+        # _sweep4_tails — round 14 fix: output never re-filtered)
+        keep = _sweep4_tails((t[-1], t[1:-1]) for t in tagged)
     pts = [tuple(rows[i][u] for u in ucols) for i in keep]
     return pts, tuple(f.dataType for f in pre.schema.fields)
 

@@ -3286,26 +3286,30 @@ def test_order_quad_skyline(engine):
         ">": operator.gt, ">=": operator.ge,
     }
     onames = list(ops)
+    # value domain widened to 1..6 with 40 inner rows (round 14 —
+    # the 1..3 domain never formed a 4-D anti-chain, so the sweep4
+    # output-pruning bug slipped past this test; the pure sweep is
+    # also brute-forced directly in test_sweep4_brute)
     inner = [
         (
             rng.randint(1, 3),
             rng.choice([None] + list(range(1, 5))),
-            rng.choice([None] + list(range(1, 4))),
-            rng.choice([None] + list(range(1, 4))),
-            rng.choice([None] + list(range(1, 4))),
-            rng.choice([None] + list(range(1, 4))),
+            rng.choice([None] + list(range(1, 7))),
+            rng.choice([None] + list(range(1, 7))),
+            rng.choice([None] + list(range(1, 7))),
+            rng.choice([None] + list(range(1, 7))),
         )
-        for _ in range(24)
+        for _ in range(40)
     ]
     outer = [
         (
             i,
             rng.choice([None, 1, 2, 3]),
             rng.choice([None] + list(range(1, 5))),
-            rng.choice([None] + list(range(1, 4))),
-            rng.choice([None] + list(range(1, 4))),
-            rng.choice([None] + list(range(1, 4))),
-            rng.choice([None] + list(range(1, 4))),
+            rng.choice([None] + list(range(1, 7))),
+            rng.choice([None] + list(range(1, 7))),
+            rng.choice([None] + list(range(1, 7))),
+            rng.choice([None] + list(range(1, 7))),
         )
         for i in range(14)
     ]
@@ -3440,6 +3444,64 @@ def test_order_quad_skyline(engine):
     finally:
         engine.catalog.unregister("q4_inner")
         engine.catalog.unregister("q4_outer")
+
+
+def test_sweep4_brute():
+    """The shared 4-D dominance scan (frontier._sweep4_indexed and
+    its generic driver-merge sibling _sweep4_tails) against brute
+    force: over random oriented 4-tuples, some input point lies
+    within a threshold region iff some KEPT point does, for EVERY
+    threshold in the coordinate grid (witness exactness). Round 14 —
+    added with the fix for the output-pruning bug: the pre-fix sweep
+    dropped genuine skyline witnesses when a later point dominated
+    them in the trailing three coords only (the embedded repro:
+    oriented (0,3,3,4) pruned by (4,2,2,3), a probe at (0,3,3,4)
+    wrongly reported no witness)."""
+    import itertools
+    import random
+
+    import numpy as np
+
+    from sparksqlplus_spark.plans.frontier import (
+        _sweep4_indexed,
+        _sweep4_tails,
+    )
+
+    def check(pts):
+        n = len(pts)
+        srt = sorted(range(n), key=lambda i: (pts[i][0], i))
+        keep_np = _sweep4_indexed(
+            (i, np.array(pts[i][1:], dtype="int64")) for i in srt
+        )
+        keep_gen = _sweep4_tails((i, tuple(pts[i][1:])) for i in srt)
+        assert keep_np == keep_gen, (pts, keep_np, keep_gen)
+        P = np.array(pts, dtype="int64").reshape(n, 4)
+        K = P[np.array(keep_np, dtype="int64")] if keep_np else (
+            np.empty((0, 4), dtype="int64")
+        )
+        vals = sorted({v for p in pts for v in p} | {-1})
+        T = np.array(
+            list(itertools.product(vals, repeat=4)), dtype="int64"
+        )
+        truth = (P[None, :, :] <= T[:, None, :]).all(2).any(1)
+        mine = (
+            (K[None, :, :] <= T[:, None, :]).all(2).any(1)
+            if K.shape[0]
+            else np.zeros(T.shape[0], dtype=bool)
+        )
+        bad = truth != mine
+        assert not bad.any(), (pts, T[bad][:5].tolist())
+
+    check([(0, 3, 3, 4), (2, 1, 4, 0), (4, 2, 2, 3)])
+    rng = random.Random(14)
+    for _ in range(250):
+        n = rng.randint(0, 14)
+        check(
+            [
+                tuple(rng.randint(0, 5) for _ in range(4))
+                for _ in range(n)
+            ]
+        )
 
 
 def test_neq2_order_sweep_brute():
