@@ -3099,90 +3099,22 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # embed_kmeans) sat outside both lists and got no driver row — the
 # r10 window leads with them (r9 verdict item 1).
 #
-# r13 layout (total 100 = 50 head + 50 tail): the full r12 tail
-# (all r11-green, CORRECTNESS_r11.json 50/50) rotates back into the
-# head per the standing no-entry-unchecked-2+-rounds policy; the r12
-# head (all r12-green, CORRECTNESS_r12.json 50/50) becomes the tail
-# and rotates back in r14. r13 in-round additions are swapped into
+# r14 layout (total 100 = 50 head + 50 tail): the full r13 tail
+# (all r12-green, CORRECTNESS_r12.json 50/50) rotates back into the
+# head per the standing no-entry-unchecked-2+-rounds policy; the r13
+# head (all r13-green, CORRECTNESS_r13.json 50/50) becomes the tail
+# and rotates back in r15. r14 in-round additions are swapped into
 # the head with paired retirements at their definition sites (the
 # r7/r9/r12 consolidation discipline; every retired operator keeps a
 # named pytest oracle).
 _HEAD = [
-    "exists_join_body",
-    "events_ewma_multibatch",
-    "text_decontaminate",
-    "graph_q1_path_counts",
-    "graph_dense_auto_ghd",
-    "tpch_q6",
-    "tpch_q14",
-    "tpch_q12",
-    "tpch_q15",
-    "tpch_q4",
-    # r13: not_in_neq_order takes the slot freed by the ann_lsh_topk
-    # retirement (see the inline note at its former definition site).
-    "not_in_neq_order",
-    "hint_join_tree",
-    "graph_triangle_wcoj",
-    "tpch_q2",
-    "tpch_q11",
-    "ann_ivf_topk",
-    "tpch_q8",
-    "graph_q2_crosstri_ghd",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "graph_triangle_cyclic",
-    "media_features_pandas",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q3",
-    "tpch_q10",
-    "tpch_q17",
-    "tpch_q5_cyclic",
-    "graph_q2_dumbbell",
-    "graph_q8_4hop",
-    "trade_selfjoin_q9",
-    "join_full_bag",
-    "multihop_theta",
-    "two_comparisons_edge",
-    "chain_theta_nonfull",
-    "graph_c5_pentagon_ghd",
-    "graph_chorded_k4_ghd",
-    "tpch_q13",
-    "tpch_q21",
-    "tpch_q16",
-    "tpch_q22",
-    # r13: not_in_expr_probe takes the slot freed by the
-    # not_in_nullaware retirement (see the inline note at its former
-    # definition site).
-    "not_in_expr_probe",
-    "dedup_paragraph",
-    # r13: exists_neq_pair takes the slot freed by the
-    # text_unigram_freq retirement (see the inline note at its former
-    # definition site).
-    "exists_neq_pair",
-    "events_asof_join",
-    "full_outer_join",
-    # r13: exists_three_comparisons takes the slot freed by the
-    # exists_outer_join retirement (see the inline note at its former
-    # definition site).
-    "exists_three_comparisons",
-    # r13: not_in_pair_keyless takes the slot freed by the
-    # quantified_all retirement (see the inline note at its former
-    # definition site).
-    "not_in_pair_keyless",
-    # r13: not_in_cte takes the slot freed by the not_in_rowvalue
-    # retirement (see the inline note at its former definition site).
-    "not_in_cte",
-    # r13: not_in_pair_or takes the slot freed by the semi_anti_join
-    # retirement (see the inline note at its former definition site).
-    "not_in_pair_or",
-]
-# Every tail case below was driver-green in r12 (the r12 head);
-# their operator classes stay covered in-window and they rotate back
-# in r14.
-_TAIL = [
     "exists_or_join",
-    "not_in_rowvalue_or",
+    # r14: not_in_rowvalue_quad_or takes the slot freed by the
+    # not_in_rowvalue_or retirement (see the inline note at its
+    # former definition site) — the k=4 row-value generalization
+    # strictly exercises the same census-pruned decomposition plus
+    # the new quad branch.
+    "not_in_rowvalue_quad_or",
     "threeval_surface",
     "events_heavy_hitters",
     "events_sessionize",
@@ -3217,7 +3149,11 @@ _TAIL = [
     "events_session_window",
     "events_dedup_first",
     "text_stats",
-    "text_lang_id",
+    # r14: skyline_float_triple takes the slot freed by the
+    # text_lang_id retirement (see the inline note at its former
+    # definition site) — it drives the round's k-D skyline dtype
+    # widening (double dims through the total-order wrapper).
+    "skyline_float_triple",
     "exists_two_comparisons",
     "media_frame_sample",
     "dedup_exact",
@@ -3231,6 +3167,61 @@ _TAIL = [
     "not_in_threshold",
     "embed_centroid_assign",
     "window_frame_movavg",
+]
+# Every tail case below was driver-green in r13 (the r13 head);
+# their operator classes stay covered in-window and they rotate back
+# in r15.
+_TAIL = [
+    "exists_join_body",
+    "events_ewma_multibatch",
+    "text_decontaminate",
+    "graph_q1_path_counts",
+    "graph_dense_auto_ghd",
+    "tpch_q6",
+    "tpch_q14",
+    "tpch_q12",
+    "tpch_q15",
+    "tpch_q4",
+    "not_in_neq_order",
+    "hint_join_tree",
+    "graph_triangle_wcoj",
+    "tpch_q2",
+    "tpch_q11",
+    "ann_ivf_topk",
+    "tpch_q8",
+    "graph_q2_crosstri_ghd",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "graph_triangle_cyclic",
+    "media_features_pandas",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q3",
+    "tpch_q10",
+    "tpch_q17",
+    "tpch_q5_cyclic",
+    "graph_q2_dumbbell",
+    "graph_q8_4hop",
+    "trade_selfjoin_q9",
+    "join_full_bag",
+    "multihop_theta",
+    "two_comparisons_edge",
+    "chain_theta_nonfull",
+    "graph_c5_pentagon_ghd",
+    "graph_chorded_k4_ghd",
+    "tpch_q13",
+    "tpch_q21",
+    "tpch_q16",
+    "tpch_q22",
+    "not_in_expr_probe",
+    "dedup_paragraph",
+    "exists_neq_pair",
+    "events_asof_join",
+    "full_outer_join",
+    "exists_three_comparisons",
+    "not_in_pair_keyless",
+    "not_in_cte",
+    "not_in_pair_or",
 ]
 
 

@@ -18,13 +18,14 @@ the whole inner table — a scale-killer — so it is built as:
       the data is a deliberate anti-chain; above the cap we raise and
       ``mode='auto'`` rides the spark.sql fallback).
 
-Supported dtypes for the 2-D fold: integral, date, timestamp,
-decimal, default-collation string (round 13 late), and float/double
-(round 13 latest — the fold orders on a wrapped key replicating
-Spark's double total order: NaN largest and self-equal, -0.0 = 0.0 —
-while storing original values for the JVM-side probe). Non-default
-string collations raise and ride the fallback. The k-D skyline folds
-below stay integral/date/timestamp (int64 orientation keys).
+Supported dtypes for the 2-D fold AND (round 14) the k-D skyline
+folds: integral, date, timestamp, timestamp_ntz, decimal,
+default-collation string, and float/double — float orders on a key
+replicating Spark's double total order (NaN largest and self-equal,
+-0.0 = 0.0) while storing original values for the JVM-side probe.
+Non-default string collations raise and ride the fallback. All batch
+stages are ARROW-native (round 14): pandas return paths mask NaN to
+NULL, so mapInArrow/applyInArrow carry the values bit-exact.
 
 Reference parity note: the reference's TreeLikeArray (SURVEY R9/R12,
 sqlplus-core TreeLikeArray) bounds its sorted dictionary by the
@@ -104,6 +105,223 @@ def _sweep4_tails(items):
     return keep
 
 
+_SKY_DTYPE_MSG = (
+    "k-D skyline folds support integral/date/timestamp/float/double/"
+    "decimal/binary-collation-string columns only (got {dt})"
+)
+
+
+class _Rev:
+    """Exact reverse-order wrapper for descending dims — native
+    Python comparisons of the wrapped values (int/date/datetime/
+    Decimal/str/float-order tuples), no numeric conversion that could
+    collapse distinct values."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, o):
+        return o.v < self.v
+
+    def __le__(self, o):
+        return o.v <= self.v
+
+    def __gt__(self, o):
+        return o.v > self.v
+
+    def __ge__(self, o):
+        return o.v >= self.v
+
+    def __eq__(self, o):
+        return o.v == self.v
+
+
+def _sweep_indexed(triples):
+    """triples: iterable of (idx, _, k1, k2) orientation keys
+    ("smaller is better" — any comparables: ints on the fast path,
+    native objects/_Rev on the object path), pre-sorted by the
+    leading key; returns kept idx list (the 3-D bisect-staircase
+    sweep shared by keyed_skyline_view and global_skyline_points)."""
+    import bisect
+
+    u1s: list = []
+    u2s: list = []
+    keep = []
+    for idx, _, p1, p2 in triples:
+        i = bisect.bisect_right(u1s, p1)
+        if i > 0 and u2s[i - 1] <= p2:
+            continue
+        keep.append(idx)
+        j = bisect.bisect_left(u1s, p1)
+        k2 = j
+        while k2 < len(u1s) and u2s[k2] >= p2:
+            k2 += 1
+        u1s[j:k2] = [p1]
+        u2s[j:k2] = [p2]
+    return keep
+
+
+def _dim_kind(dt):
+    """Classify a Spark dtype for the k-D skyline orientation keys
+    (round 14 — the dtype-gate widening): 'i64' dims cast exactly to
+    int64 (integral/date/timestamp/timestamp_ntz); 'f64' dims embed
+    Spark's double total order into int64 via the IEEE-754 bit trick
+    (see _arrow_key_i64); 'obj' dims (decimal, default-collation
+    string — Arrow hands them to pandas as Python Decimal/str whose
+    comparisons match Spark's exactly) push their whole group through
+    the generic-comparable sweeps. None -> unsupported (non-default
+    string collations), raise into the mode='auto' fallback."""
+    from pyspark.sql import types as T
+
+    if isinstance(
+        dt,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.DateType, T.TimestampType, T.TimestampNTZType),
+    ):
+        return "i64"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "f64"
+    if isinstance(dt, T.DecimalType):
+        return "obj"
+    if isinstance(dt, T.StringType) and repr(dt) in (
+        "StringType()",  # default (UTF8_BINARY) collation only
+        "StringType('UTF8_BINARY')",
+    ):
+        return "obj"
+    return None
+
+
+def _sky_kinds(schema, ucols):
+    """Per-dim kind map for a skyline pre-reduction; raises into the
+    fallback on any unsupported dim dtype. Returns (kinds, obj_path):
+    one 'obj' dim pushes the whole group through the object sweep."""
+    kinds = {}
+    for f in schema.fields:
+        if f.name in ucols:
+            kd = _dim_kind(f.dataType)
+            if kd is None:
+                raise UnsupportedSqlError(
+                    _SKY_DTYPE_MSG.format(dt=f.dataType)
+                )
+            kinds[f.name] = kd
+    return kinds, any(kinds[u] == "obj" for u in ucols)
+
+
+def _arrow_key_i64(col, kind, asc):
+    """pyarrow column -> int64 numpy orientation keys ("smaller is
+    better"). 'i64': a direct exact int64
+    cast (timestamp/timestamp_ntz int64 casts only rescale the epoch
+    unit — order-exact; date32 goes through int32). 'f64': the
+    order-preserving IEEE-754 bit embedding of Spark's double total
+    order — -0.0 normalized onto 0.0 first, negative-sign bit
+    patterns complemented, every NaN (any payload/sign) mapped to
+    int64 max so NaN sorts last and equals itself; float32 widens to
+    float64 exactly. ``col`` is a pyarrow (Chunked)Array — the sweeps
+    are ARROW-native end to end (round 14): the pandas return path of
+    applyInPandas/mapInPandas masks NaN to NULL (pyarrow
+    from_pandas), which corrupted float skylines."""
+    import numpy as np
+    import pyarrow as pa
+
+    if kind == "f64":
+        a = col.to_numpy(zero_copy_only=False).astype("float64")
+        key = _f64_key_i64(a)
+    else:
+        if pa.types.is_date32(col.type):
+            col = col.cast(pa.int32())
+        key = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return key if asc else -key
+
+
+def _f64_key_i64(a):
+    """float64 numpy array -> int64 keys replicating Spark's double
+    total order (see _arrow_key_i64)."""
+    import numpy as np
+
+    a = a.copy()
+    a[a == 0.0] = 0.0
+    u = a.view(np.uint64)
+    # total-order transform: negatives (sign bit set) flip ALL bits
+    # (reversing their magnitude order below every positive);
+    # non-negatives set the sign bit (shifting above every negative);
+    # flipping the sign bit back reinterprets the monotone uint64 as
+    # a monotone signed int64
+    sign = np.uint64(1) << np.uint64(63)
+    key_u = np.where((u & sign) != 0, ~u, u | sign)
+    key = (key_u ^ sign).view(np.int64).copy()
+    key[np.isnan(a)] = np.iinfo(np.int64).max
+    return key
+
+
+def _okey_py(v, kind, asc):
+    """Single-value orientation key for the driver-side merge and the
+    object-dtype sweeps: floats map onto Spark's double total order
+    (NaN last and self-equal; Python already treats -0.0 == 0.0);
+    every other kind compares natively (int, date, datetime, Decimal,
+    str). Descending dims wrap in _Rev — exact reverse order, no
+    numeric negation."""
+    if kind == "f64":
+        import math
+
+        v = (1, 0.0) if math.isnan(v) else (0, v)
+    return v if asc else _Rev(v)
+
+
+def _sky_sweep_table(tbl, ucols, kinds, asc, k, obj_path):
+    """Arrow-native skyline sweep over a pyarrow Table (round 14 —
+    applyInArrow/mapInArrow preserve NaN where the pandas return path
+    masks it to NULL): int64 orientation keys + the vectorized sweeps
+    on the fast path, generic-comparable keys via _okey_py + the
+    shared staircase/dominance scans when a decimal/string dim is
+    present. Kept rows are selected positionally with ``take`` — the
+    output carries the ORIGINAL arrow values, bit-exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    if tbl.num_rows == 0:
+        return tbl
+    if obj_path:
+        ks = [
+            [
+                _okey_py(v, kinds[u], a)
+                for v in tbl.column(u).to_pylist()
+            ]
+            for u, a in zip(ucols, asc)
+        ]
+        pos = sorted(range(tbl.num_rows), key=lambda i: ks[0][i])
+        if k == 3:
+            keep = _sweep_indexed(
+                (i, None, ks[1][i], ks[2][i]) for i in pos
+            )
+        else:
+            keep = _sweep4_tails(
+                (i, (ks[1][i], ks[2][i], ks[3][i])) for i in pos
+            )
+    else:
+        ks = [
+            _arrow_key_i64(tbl.column(u), kinds[u], a)
+            for u, a in zip(ucols, asc)
+        ]
+        pos = np.argsort(ks[0], kind="stable")
+        if k == 3:
+            keep = _sweep_indexed(
+                (int(i), None, ks[1][i], ks[2][i]) for i in pos
+            )
+        else:
+            keep = _sweep4_indexed(
+                (
+                    int(i),
+                    np.array(
+                        [ks[1][i], ks[2][i], ks[3][i]], dtype="int64"
+                    ),
+                )
+                for i in pos
+            )
+    return tbl.take(pa.array(keep, type=pa.int64()))
+
+
 def global_frontier_points(inner, c1: str, c2: str, asc1: bool,
                            take_min2: bool, cap: int):
     """Fold the global Pareto staircase of ``(c1, c2)`` over ``inner``
@@ -114,8 +332,12 @@ def global_frontier_points(inner, c1: str, c2: str, asc1: bool,
     descending) with strictly improving v. Raises UnsupportedSqlError
     on non-exact dtypes or when the frontier exceeds ``cap`` points
     (one bounded Spark job has run by then; mode='auto' replans on the
-    spark.sql fallback — the documented aborted-frontier cost)."""
-    import pandas as pd
+    spark.sql fallback — the documented aborted-frontier cost).
+
+    Round 14: the batch stage is ARROW-native (mapInArrow) — the
+    pandas return path masked NaN to NULL, corrupting float
+    frontiers (a latent r13 bug: a NaN point crashed the driver
+    merge); arrow round-trips every value bit-exact."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -129,12 +351,11 @@ def global_frontier_points(inner, c1: str, c2: str, asc1: bool,
     schema = reduced.schema
     ok_types = (
         T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-        T.DateType, T.TimestampType,
+        T.DateType, T.TimestampType, T.TimestampNTZType,
         # round 13 (late): decimal and default-collation string are
-        # exact too — Arrow hands them to pandas as Python
-        # Decimal/str objects whose comparisons match Spark's
-        # (decimal: exact numeric order; str: code-point order =
-        # UTF8_BINARY).
+        # exact too — Arrow hands them over as Python Decimal/str
+        # objects whose comparisons match Spark's (decimal: exact
+        # numeric order; str: code-point order = UTF8_BINARY).
         T.DecimalType,
         # round 13 (latest): float/double too — Spark's total order
         # (NaN largest, NaN = NaN, -0.0 = 0.0) is replicated exactly
@@ -172,44 +393,64 @@ def global_frontier_points(inner, c1: str, c2: str, asc1: bool,
     def _kv(v):
         return _float_key(v) if "v" in float_dims else v
 
-    def batch_frontier(it):
-        import itertools
+    obj_dims = {
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.DecimalType, T.StringType))
+    }
+    kinds = {
+        f.name: (
+            "f64"
+            if f.name in float_dims
+            else ("obj" if f.name in obj_dims else "i64")
+        )
+        for f in schema.fields
+    }
 
-        for pdf in it:
-            if pdf.empty:
+    def batch_frontier(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in it:
+            tbl = pa.Table.from_batches([b])
+            if tbl.num_rows == 0:
                 continue
-            if float_dims or pdf["v"].dtype == object:
+            if obj_dims or float_dims:
                 # object (Decimal/str) or float dims: explicit Python
-                # accumulate on (wrapped) keys — pandas cummin/cummax
-                # reject objects and skip NaN, and pandas sorts NaN
-                # last regardless of direction (Spark's descending
-                # order puts NaN FIRST)
-                rows0 = sorted(
-                    zip(pdf["u"].tolist(), pdf["v"].tolist()),
-                    key=lambda t: _ku(t[0]),
+                # accumulate on (wrapped) keys; float keys replicate
+                # Spark's total order (NaN last, -0.0 = 0.0) via
+                # _float_key so descending order puts NaN FIRST
+                us = tbl.column("u").to_pylist()
+                vs = tbl.column("v").to_pylist()
+                pos = sorted(
+                    range(tbl.num_rows),
+                    key=lambda i: _ku(us[i]),
                     reverse=not asc1,
                 )
-                out_u: list = []
-                out_v: list = []
+                keep: list = []
                 best = None
-                for u, v in rows0:
-                    kv = _kv(v)
+                for i in pos:
+                    kv = _kv(vs[i])
                     if best is None or (
                         kv < best if take_min2 else kv > best
                     ):
                         best = kv
-                        out_u.append(u)
-                        out_v.append(v)
-                yield pd.DataFrame({"u": out_u, "v": out_v})
-                continue
-            pdf = pdf.sort_values("u", ascending=asc1, kind="stable")
-            run = (
-                pdf["v"].cummin() if take_min2 else pdf["v"].cummax()
-            )
-            keep = run.ne(run.shift())
-            yield pd.DataFrame({"u": pdf["u"][keep], "v": run[keep]})
+                        keep.append(i)
+            else:
+                ku = _arrow_key_i64(tbl.column("u"), "i64", asc1)
+                kv = _arrow_key_i64(
+                    tbl.column("v"), "i64", take_min2
+                )
+                order = np.argsort(ku, kind="stable")
+                run = np.minimum.accumulate(kv[order])
+                mask = np.empty(len(run), dtype=bool)
+                mask[0] = True
+                mask[1:] = run[1:] < run[:-1]
+                keep = order[mask]
+            out = tbl.take(pa.array(keep, type=pa.int64()))
+            yield from out.to_batches()
 
-    rows = reduced.mapInPandas(batch_frontier, schema).take(cap + 1)
+    rows = reduced.mapInArrow(batch_frontier, schema).take(cap + 1)
     if len(rows) > cap:
         raise UnsupportedSqlError(
             "keyless 2-comparison frontier exceeds the "
@@ -253,9 +494,13 @@ def keyed_skyline_view(src, part_pairs, dims, ops, out):
     (u0, u1) count, typical case is small. Rows with a NULL compared
     column are filtered (they cannot witness an order comparison).
 
-    Supported dtypes: integral, date, timestamp (exact int64
-    orientation keys; float NaN and string collation have no exact
-    pandas analogue) — others raise into the mode='auto' fallback.
+    Supported dtypes (round 14 widening): integral/date/timestamp/
+    timestamp_ntz (exact int64 orientation keys), float/double (the
+    IEEE-754 bit embedding of Spark's double total order — see
+    _arrow_key_i64), and decimal/default-collation string (generic-
+    comparable sweep on the Python objects Arrow hands to pandas) —
+    non-default string collations raise into the mode='auto'
+    fallback.
 
     Round 13 latest: generalized to k=4 dims. The 4-D sweep swaps the
     bisect staircase for a vectorized numpy dominance scan over the
@@ -271,12 +516,8 @@ def keyed_skyline_view(src, part_pairs, dims, ops, out):
     skyline — possibly retaining an equal-u0 row a later point
     dominates — which is exact for the F.exists witness probes this
     view feeds."""
-    import bisect
-
     import numpy as np
-    import pandas as pd
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
     k = len(dims)
     assert k in (3, 4) and len(ops) == k
@@ -297,73 +538,12 @@ def keyed_skyline_view(src, part_pairs, dims, ops, out):
         .groupBy(*names, *ucols[:-1])
         .agg(bestl(ucols[-1]).alias(ucols[-1]))
     )
-    ok_types = (
-        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-        T.DateType, T.TimestampType,
-    )
-    for f in pre.schema.fields:
-        if f.name in ucols and not isinstance(f.dataType, ok_types):
-            raise UnsupportedSqlError(
-                _FRONTIER_DTYPE_MSG.format(dt=f.dataType)
-            )
+    kinds, obj_path = _sky_kinds(pre.schema, ucols)
 
-    def _oriented(col, a):
-        if col.dtype == object:
-            col = pd.to_datetime(col)
-        col = col.astype("int64")
-        return col if a else -col
+    def sweep(tbl):
+        return _sky_sweep_table(tbl, ucols, kinds, asc, k, obj_path)
 
-    def sweep3(pdf):
-        if pdf.empty:
-            return pdf
-        o0 = _oriented(pdf["u0"], asc[0])
-        o1 = _oriented(pdf["u1"], asc[1])
-        o2 = _oriented(pdf["u2"], asc[2])
-        order = o0.sort_values(kind="stable").index
-        u1s: list = []
-        u2s: list = []
-        keep = []
-        for idx in order:
-            p1, p2 = o1[idx], o2[idx]
-            i = bisect.bisect_right(u1s, p1)
-            if i > 0 and u2s[i - 1] <= p2:
-                continue  # weakly dominated by a kept point
-            keep.append(idx)
-            j = bisect.bisect_left(u1s, p1)
-            k2 = j
-            while k2 < len(u1s) and u2s[k2] >= p2:
-                k2 += 1
-            u1s[j:k2] = [p1]
-            u2s[j:k2] = [p2]
-        return pdf.loc[keep]
-
-    def sweep4(pdf):
-        if pdf.empty:
-            return pdf
-        ors = [
-            _oriented(pdf[u], a).to_numpy()
-            for u, a in zip(ucols, asc)
-        ]
-        order = (
-            _oriented(pdf["u0"], asc[0])
-            .sort_values(kind="stable")
-            .index.to_numpy()
-        )
-        keep_rows = _sweep4_indexed(
-            (
-                idx,
-                np.array(
-                    [ors[1][idx], ors[2][idx], ors[3][idx]],
-                    dtype="int64",
-                ),
-            )
-            for idx in order
-        )
-        return pdf.loc[keep_rows]
-
-    sky = pre.groupBy(*names).applyInPandas(
-        sweep3 if k == 3 else sweep4, pre.schema
-    )
+    sky = pre.groupBy(*names).applyInArrow(sweep, pre.schema)
     return sky.groupBy(*names).agg(
         F.collect_list(
             F.struct(
@@ -385,17 +565,14 @@ def global_skyline_points(inner, dims, ops, cap):
     skylines — the metadata-scale-collect class, capped at ``cap``
     points (the 4-D merge is a Python dominance scan, so its cap is
     tightened to 4096 to bound the worst-case driver work). Returns
-    ``(points, types)`` tuples. Dtypes: integral/date/timestamp only
-    (exact orientation keys both in pandas and driver-side); others
-    raise into the mode='auto' fallback, as does a skyline above the
-    cap."""
-    import bisect
-    import datetime
-
+    ``(points, types)`` tuples. Dtypes (round 14 widening, mirroring
+    keyed_skyline_view): integral/date/timestamp/timestamp_ntz,
+    float/double (IEEE-754 total-order bit embedding), and decimal/
+    default-collation string (generic-comparable sweep); non-default
+    collations raise into the mode='auto' fallback, as does a skyline
+    above the cap."""
     import numpy as np
-    import pandas as pd
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
     k = len(dims)
     assert k in (3, 4) and len(ops) == k
@@ -416,109 +593,31 @@ def global_skyline_points(inner, dims, ops, cap):
         .groupBy(*ucols[:-1])
         .agg(bestl(ucols[-1]).alias(ucols[-1]))
     )
-    ok_types = (
-        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-        T.DateType, T.TimestampType,
-    )
-    for f in pre.schema.fields:
-        if not isinstance(f.dataType, ok_types):
-            raise UnsupportedSqlError(
-                _FRONTIER_DTYPE_MSG.format(dt=f.dataType)
-            )
-
-    def _oriented_series(col, a):
-        if col.dtype == object:
-            col = pd.to_datetime(col)
-        col = col.astype("int64")
-        return col if a else -col
-
-    def _sweep_indexed(triples):
-        """triples: iterable of (idx, o0, o1, o2) oriented ints,
-        pre-sorted by o0; returns kept idx list (the shared staircase
-        sweep — see keyed_skyline_view)."""
-        u1s: list = []
-        u2s: list = []
-        keep = []
-        for idx, _, p1, p2 in triples:
-            i = bisect.bisect_right(u1s, p1)
-            if i > 0 and u2s[i - 1] <= p2:
-                continue
-            keep.append(idx)
-            j = bisect.bisect_left(u1s, p1)
-            k2 = j
-            while k2 < len(u1s) and u2s[k2] >= p2:
-                k2 += 1
-            u1s[j:k2] = [p1]
-            u2s[j:k2] = [p2]
-        return keep
+    kinds, obj_path = _sky_kinds(pre.schema, ucols)
 
     def batch_skyline(it):
-        for pdf in it:
-            if pdf.empty:
-                continue
-            os_ = [
-                _oriented_series(pdf[u], a)
-                for u, a in zip(ucols, asc)
-            ]
-            order = os_[0].sort_values(kind="stable").index
-            if k == 3:
-                keep = _sweep_indexed(
-                    (idx, os_[0][idx], os_[1][idx], os_[2][idx])
-                    for idx in order
-                )
-            else:
-                # 4-D: the shared dominance scan (_sweep4_indexed —
-                # round 14 fix: output never re-filtered)
-                keep = _sweep4_indexed(
-                    (
-                        idx,
-                        np.array(
-                            [os_[1][idx], os_[2][idx], os_[3][idx]],
-                            dtype="int64",
-                        ),
-                    )
-                    for idx in order.to_numpy()
-                )
-            yield pdf.loc[keep]
+        import pyarrow as pa
 
-    rows = pre.mapInPandas(batch_skyline, pre.schema).take(cap + 1)
+        for b in it:
+            tbl = pa.Table.from_batches([b])
+            out = _sky_sweep_table(tbl, ucols, kinds, asc, k, obj_path)
+            if out.num_rows:
+                yield from out.to_batches()
+
+    rows = pre.mapInArrow(batch_skyline, pre.schema).take(cap + 1)
     if len(rows) > cap:
         raise UnsupportedSqlError(
             f"keyless {k}-comparison skyline exceeds the "
             f"{cap}-point inline cap"
         )
 
-    class _Rev:
-        """Exact reverse-order wrapper for descending dims — native
-        Python comparisons of the wrapped values (int/date/datetime),
-        no numeric conversion that could collapse distinct values."""
-
-        __slots__ = ("v",)
-
-        def __init__(self, v):
-            self.v = v
-
-        def __lt__(self, o):
-            return o.v < self.v
-
-        def __le__(self, o):
-            return o.v <= self.v
-
-        def __gt__(self, o):
-            return o.v > self.v
-
-        def __ge__(self, o):
-            return o.v >= self.v
-
-        def __eq__(self, o):
-            return o.v == self.v
-
-    def _okey(v, a):
-        return v if a else _Rev(v)
-
     tagged = sorted(
         (
-            tuple(_okey(r[u], a) for u, a in zip(ucols, asc)) + (i,)
+            tuple(
+                _okey_py(r[u], kinds[u], a)
+                for u, a in zip(ucols, asc)
+            )
+            + (i,)
             for i, r in enumerate(rows)
         )
     )

@@ -3446,6 +3446,268 @@ def test_order_quad_skyline(engine):
         engine.catalog.unregister("q4_outer")
 
 
+def test_skyline_dtype_widening(engine):
+    """Round 14: the k-D skyline folds accept float/double (IEEE-754
+    bit embedding of Spark's double total order — NaN largest and
+    self-equal, -0.0 = 0.0), decimal and default-collation string
+    (generic-comparable object sweep), and timestamp_ntz. Brute-force
+    matrices over special float values (NaN, ±0.0, ±inf, denormal)
+    with Spark-total-order Python comparators; a non-default string
+    collation pins the fallback raise."""
+    import math
+    import random
+
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    spark = engine.spark
+    rng = random.Random(41)
+
+    def skey(v):
+        # Spark's double total order for brute force
+        if math.isnan(v):
+            return (1, 0.0)
+        return (0, 0.0) if v == 0.0 else (0, v)
+
+    fops = {
+        "<": lambda a, b: skey(a) < skey(b),
+        "<=": lambda a, b: skey(a) <= skey(b),
+        ">": lambda a, b: skey(a) > skey(b),
+        ">=": lambda a, b: skey(a) >= skey(b),
+    }
+    pool = [
+        None, float("nan"), -0.0, 0.0, float("inf"), float("-inf"),
+        5e-324, 1.5, -2.5, 3.0,
+    ]
+    inner = [
+        (
+            rng.randint(1, 3),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice(pool),
+            rng.choice(pool),
+            rng.choice(pool),
+            rng.choice(pool),
+        )
+        for _ in range(30)
+    ]
+    outer = [
+        (
+            i,
+            rng.choice([None, 1, 2, 3]),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice(pool),
+            rng.choice(pool),
+            rng.choice(pool),
+            rng.choice(pool),
+        )
+        for i in range(14)
+    ]
+    engine.catalog.register_df(
+        "fsky_inner",
+        spark.createDataFrame(
+            inner, "ik int, iy int, a double, b double, c double, d double"
+        ),
+        (),
+    )
+    engine.catalog.register_df(
+        "fsky_outer",
+        spark.createDataFrame(
+            outer,
+            "pk int, k int, x int, d1 double, d2 double, d3 double,"
+            " d4 double",
+        ),
+        ("pk",),
+    )
+    onames = list(fops)
+    try:
+        # keyed float triples: 4 op rotations x EXISTS/NOT EXISTS
+        for i0 in range(4):
+            o1, o2, o3 = (onames[(i0 + j) % 4] for j in range(3))
+            f1, f2, f3 = fops[o1], fops[o2], fops[o3]
+            for neg in ("", "NOT "):
+                q = f"""SELECT p.pk FROM fsky_outer AS p
+                        WHERE p.x = 99 OR {neg}EXISTS (
+                          SELECT 1 FROM fsky_inner AS i
+                          WHERE i.ik = p.k AND i.a {o1} p.d1
+                            AND i.b {o2} p.d2 AND i.c {o3} p.d3)"""
+                mine = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
+                )
+                truth = []
+                for pk, k, x, d1, d2, d3, d4 in outer:
+                    ex = any(
+                        ik == k
+                        and None not in (ik, k, a, b, c, d1, d2, d3)
+                        and f1(a, d1) and f2(b, d2) and f3(c, d3)
+                        for ik, _, a, b, c, _d in inner
+                    )
+                    if x == 99 or (not ex if neg else ex):
+                        truth.append(pk)
+                assert mine == sorted(truth), (
+                    "f-exists", o1, o2, o3, neg, mine, truth,
+                )
+        # keyless float quad NOT IN (global 4-D skyline, f64 keys)
+        q = """SELECT p.pk FROM fsky_outer AS p
+               WHERE p.x NOT IN (SELECT i.iy FROM fsky_inner AS i
+                 WHERE i.a < p.d1 AND i.b > p.d2 AND i.c <= p.d3
+                   AND i.d >= p.d4)"""
+        mine = sorted(r["pk"] for r in engine.sql(q, mode="cqc").collect())
+        truth = []
+        for pk, k, x, d1, d2, d3, d4 in outer:
+            grp = [
+                iy
+                for ik, iy, a, b, c, d in inner
+                if None not in (a, b, c, d, d1, d2, d3, d4)
+                and fops["<"](a, d1) and fops[">"](b, d2)
+                and fops["<="](c, d3) and fops[">="](d, d4)
+            ]
+            if not grp:
+                truth.append(pk)
+            elif x is not None and any(
+                iy == x for iy in grp if iy is not None
+            ):
+                pass
+            elif any(iy is None for iy in grp) or x is None:
+                pass
+            else:
+                truth.append(pk)
+        assert mine == sorted(truth), ("f-quad-notin", mine, truth)
+    finally:
+        engine.catalog.unregister("fsky_inner")
+        engine.catalog.unregister("fsky_outer")
+
+    # decimal + string dims ride the object sweep; collation raises
+    from decimal import Decimal
+
+    dpool = [None] + [Decimal(s) for s in ("1.25", "-3.10", "0.00", "7.77")]
+    spool = [None, "", "alpha", "beta", "Zed", "beta0"]
+    inner2 = [
+        (
+            rng.randint(1, 3),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice(dpool),
+            rng.choice(spool),
+            rng.choice([None] + list(range(1, 5))),
+        )
+        for _ in range(26)
+    ]
+    outer2 = [
+        (
+            i,
+            rng.choice([None, 1, 2, 3]),
+            rng.choice([None] + list(range(1, 5))),
+            rng.choice(dpool),
+            rng.choice(spool),
+            rng.choice([None] + list(range(1, 5))),
+        )
+        for i in range(14)
+    ]
+    engine.catalog.register_df(
+        "osky_inner",
+        spark.createDataFrame(
+            inner2, "ik int, iy int, a decimal(6,2), s string, c int"
+        ),
+        (),
+    )
+    engine.catalog.register_df(
+        "osky_outer",
+        spark.createDataFrame(
+            outer2,
+            "pk int, k int, x int, d1 decimal(6,2), ds string, d3 int",
+        ),
+        ("pk",),
+    )
+    try:
+        for o1, o2, o3 in (("<", ">", "<="), (">=", "<", ">")):
+            import operator as _op
+
+            pops = {
+                "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge,
+            }
+            f1, f2, f3 = pops[o1], pops[o2], pops[o3]
+            q = f"""SELECT p.pk FROM osky_outer AS p
+                    WHERE p.x = 99 OR EXISTS (
+                      SELECT 1 FROM osky_inner AS i
+                      WHERE i.ik = p.k AND i.a {o1} p.d1
+                        AND i.s {o2} p.ds AND i.c {o3} p.d3)"""
+            mine = sorted(
+                r["pk"] for r in engine.sql(q, mode="cqc").collect()
+            )
+            truth = []
+            for pk, k, x, d1, ds, d3 in outer2:
+                ex = any(
+                    ik == k
+                    and None not in (ik, k, a, s, c, d1, ds, d3)
+                    and f1(a, d1) and f2(s, ds) and f3(c, d3)
+                    for ik, _, a, s, c in inner2
+                )
+                if x == 99 or ex:
+                    truth.append(pk)
+            assert mine == sorted(truth), (
+                "obj-exists", o1, o2, o3, mine, truth,
+            )
+        # non-default collation pins the fallback raise
+        coll = spark.sql(
+            "SELECT 1 AS ik, collate('a', 'UNICODE_CI') AS s,"
+            " 1 AS c, 1 AS iy"
+        )
+        engine.catalog.register_df("csky_inner", coll, ())
+        try:
+            with _pytest.raises(UnsupportedSqlError):
+                engine.sql(
+                    """SELECT p.pk FROM osky_outer AS p
+                       WHERE p.x = 99 OR EXISTS (
+                         SELECT 1 FROM csky_inner AS i
+                         WHERE i.ik = p.k AND i.s < p.ds
+                           AND i.c < p.d3 AND i.iy > p.x)""",
+                    mode="cqc",
+                )
+        finally:
+            engine.catalog.unregister("csky_inner")
+    finally:
+        engine.catalog.unregister("osky_inner")
+        engine.catalog.unregister("osky_outer")
+
+
+def test_oriented_i64_brute():
+    """The IEEE-754 bit embedding (frontier._f64_key_i64, the 'f64'
+    orientation key) against the Python spark-total-order key on
+    random and special doubles: key order must match EXACTLY
+    (including ties — -0.0 vs 0.0 and NaN vs NaN map to equal
+    keys)."""
+    import math
+    import random
+
+    import numpy as np
+
+    from sparksqlplus_spark.plans.frontier import _f64_key_i64
+
+    def skey(v):
+        if math.isnan(v):
+            return (1, 0.0)
+        return (0, 0.0) if v == 0.0 else (0, v)
+
+    rng = random.Random(7)
+    specials = [
+        float("nan"), -0.0, 0.0, float("inf"), float("-inf"),
+        5e-324, -5e-324, 1.7976931348623157e308,
+    ]
+    vals = specials + [rng.uniform(-1e6, 1e6) for _ in range(200)]
+    for asc in (True, False):
+        keys = _f64_key_i64(np.array(vals, dtype="float64"))
+        keys = (keys if asc else -keys).tolist()
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                want = skey(vals[i]) < skey(vals[j])
+                got = keys[i] < keys[j] if asc else keys[i] > keys[j]
+                assert want == got, (vals[i], vals[j], asc)
+                weq = skey(vals[i]) == skey(vals[j])
+                assert weq == (keys[i] == keys[j]), (
+                    vals[i], vals[j], asc,
+                )
+
+
 def test_sweep4_brute():
     """The shared 4-D dominance scan (frontier._sweep4_indexed and
     its generic driver-merge sibling _sweep4_tails) against brute
