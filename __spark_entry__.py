@@ -612,7 +612,7 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     # OR'd EXISTS — the per-key 2-D Pareto staircase generalized to a
     # 3-D SKYLINE flag view (api._or_exists_sky_flag +
     # expressions.SkyWitness; plans/frontier.py:keyed_skyline_view —
-    # pre-reduction, applyInPandas sweep, part-keyed collect, never a
+    # pre-reduction, applyInArrow sweep, part-keyed collect, never a
     # single-partition window). DuckDB CANNOT oracle multi-inequality
     # correlated EXISTS (SURVEY ORACLE WARNING), so the oracle is the
     # JOIN-FORM expansion; ANSI bag semantics (OR lift; supplier rows
@@ -636,6 +636,34 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
             AND l.l_partkey < s.s_suppkey * 150
             AND l.l_orderkey > s.s_suppkey * 200
             AND l.l_linenumber >= s.s_nationkey / 8""",
+    ),
+    # --- NEW r14: the same 3-D skyline flag with DOUBLE dims — the
+    # round's dtype widening (plans/frontier.py:_dim_kind 'f64': the
+    # IEEE-754 bit embedding of Spark's double total order into int64
+    # orientation keys; the sweep runs ARROW-native so NaN round-trips
+    # bit-exact). Oracle = the join-form expansion (DuckDB cannot
+    # oracle multi-inequality correlated EXISTS — SURVEY ORACLE
+    # WARNING); supplier rows PK-unique so bag = set under the UNION.
+    # Special-value matrix (NaN/±0.0/±inf/denormals) in
+    # tests/test_cqc_queries.py:test_skyline_dtype_widening. ---
+    "skyline_float_triple": (
+        """SELECT s.s_suppkey, s.s_acctbal
+           FROM supplier AS s
+           WHERE s.s_acctbal < -900.0
+              OR EXISTS (SELECT 1 FROM lineitem AS l
+                         WHERE l.l_suppkey = s.s_suppkey
+                           AND l.l_quantity < s.s_acctbal / 50.0
+                           AND l.l_extendedprice > s.s_acctbal * 8.0
+                           AND l.l_discount <= s.s_acctbal / 90000.0)""",
+        """SELECT s_suppkey, s_acctbal FROM supplier
+           WHERE s_acctbal < -900.0
+           UNION
+           SELECT s.s_suppkey, s.s_acctbal
+           FROM supplier AS s JOIN lineitem AS l
+             ON l.l_suppkey = s.s_suppkey
+            AND l.l_quantity < s.s_acctbal / 50.0
+            AND l.l_extendedprice > s.s_acctbal * 8.0
+            AND l.l_discount <= s.s_acctbal / 90000.0""",
     ),
     # --- NEW r9: [NOT] EXISTS under OR (api._lift_or_exists) — each
     # correlated branch becomes a DISTINCT-key-view LEFT-JOIN flag
@@ -701,7 +729,8 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     # (r13 consolidation: the not_in_rowvalue entry — multi-key
     # three-valued anti join — retired to free the slot for
     # not_in_cte. Its planned path stays driver-covered in-window:
-    # not_in_rowvalue_or (tail) runs the row-value three-valued flag
+    # not_in_rowvalue_quad_or (r14, replacing the retired 3-column
+    # not_in_rowvalue_or) runs the row-value three-valued flag
     # decomposition over the same multi-key facts. The NULL-pattern
     # matrix keeps the named pytest oracle
     # tests/test_parser.py:test_row_value_not_in_nullaware.)
@@ -904,23 +933,28 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     # three-valued flag generalizes to key tuples via
     # NULL-pattern-decomposed DISTINCT-projection joins
     # (api._rowvalue_not_in_or_flag; census-pruned, none duplicating).
-    # r13 widened the decomposition from k=2 to k<=3 and this entry's
-    # probe from 2 to 3 columns to drive the new surface (<=18 flag
-    # joins worst case; 6 here — the supplier side has no NULLs).
-    # DuckDB cannot parse the row-value IN-subquery form, so the
-    # oracle is the NOT-EXISTS compatibility expansion —
+    # r13 widened the decomposition from k=2 to k<=3; r14 closed the
+    # LAST row-value fallback cell at k=4 and this entry (which
+    # replaces the retired 3-column not_in_rowvalue_or — the k<=3
+    # surface stays under the named pytest matrices below) drives a
+    # 4-column probe (14 flag joins here — the supplier side has no
+    # NULLs). DuckDB cannot parse the row-value IN-subquery form, so
+    # the oracle is the NOT-EXISTS compatibility expansion —
     # WHERE-context equivalent since UNKNOWN and FALSE filter
     # identically at the top level. ANSI bag semantics (OR lift);
     # the full NULL matrices are pytest-covered
     # (test_rowvalue_not_in_under_or_null_matrix k=2,
-    # test_rowvalue3_not_in_under_or_null_matrix k=3 + the k=4
+    # test_rowvalue3_not_in_under_or_null_matrix k=3,
+    # test_rowvalue4_not_in_under_or_null_matrix k=4 + the k=5
     # fallback raise). ---
-    "not_in_rowvalue_or": (
+    "not_in_rowvalue_quad_or": (
         """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
            FROM lineitem AS l
            WHERE l.l_quantity > 49.0
-              OR (l.l_suppkey, l.l_orderkey, l.l_linenumber) NOT IN
-                 (SELECT s.s_suppkey, s.s_nationkey, s.s_suppkey
+              OR (l.l_suppkey, l.l_orderkey, l.l_linenumber,
+                  l.l_partkey) NOT IN
+                 (SELECT s.s_suppkey, s.s_nationkey, s.s_suppkey,
+                         s.s_nationkey
                   FROM supplier AS s
                   WHERE s.s_acctbal > 0.0)""",
         """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
@@ -935,7 +969,10 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
                           OR s.s_nationkey IS NULL)
                      AND (l.l_linenumber = s.s_suppkey
                           OR l.l_linenumber IS NULL
-                          OR s.s_suppkey IS NULL))""",
+                          OR s.s_suppkey IS NULL)
+                     AND (l.l_partkey = s.s_nationkey
+                          OR l.l_partkey IS NULL
+                          OR s.s_nationkey IS NULL))""",
     ),
     # --- NEW r9 (late surface): NOT BETWEEN (De Morgan dual of the
     # C11 BETWEEN split), NOT IN (subquery) under OR (the flag join
@@ -1600,39 +1637,19 @@ FROM documents
 # operators/text.py:quality_score is unchanged.)
 
 
-def _lang_id_q(spark, sf_dir):
-    from sparksqlplus_spark.operators.text import lang_id
-
-    eng = _engine(spark, sf_dir)
-    return lang_id(eng.catalog.get("documents").df, "text", "doc_id")
-
-
-def _lang_id_oracle() -> str:
-    from sparksqlplus_spark.operators.text import STOPWORDS
-
-    hits = {
-        lang: (
-            f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
-            f"x -> x IN ({', '.join(repr(w) for w in ws)})))"
-        )
-        for lang, ws in sorted(STOPWORDS.items())
-    }
-    best = "greatest(" + ", ".join(f"h_{lang}" for lang in sorted(STOPWORDS)) + ")"
-    cases = " ".join(
-        f"WHEN h_{lang} = {best} AND {best} > 0 THEN '{lang}'"
-        for lang in sorted(STOPWORDS)
-    )
-    hit_cols = ", ".join(f"{e} AS h_{lang}" for lang, e in hits.items())
-    return f"""
-WITH scored AS (SELECT doc_id, {hit_cols} FROM documents)
-SELECT doc_id, CASE {cases} ELSE 'und' END AS pred_lang FROM scored
-"""
+# (r14 consolidation: the text_lang_id entry retired to free the
+# window slot for skyline_float_triple. The operator keeps the named
+# DuckDB-oracle pytest tests/test_operators.py:test_lang_id_oracle
+# (the identical stopword-count replay the driver oracle ran), and
+# the surviving text_stats entry keeps the underlying tokenization
+# expression class driver-checked in-window.
+# operators/text.py:lang_id is unchanged.)
 
 
 # (r12 consolidation, paired with the exists_two_comparisons addition:
 # the text_fingerprint driver entry retired — a pure expression-level
 # md5-of-normalized-text plan whose expression class stays covered by
-# the surviving text_stats / text_lang_id entries, and
+# the surviving text_stats entry, and
 # tests/test_operators.py::test_fingerprint_oracle_and_normalization
 # keeps the operator itself under the DuckDB oracle every pytest pass.
 # operators/text.py:fingerprint is unchanged.)
@@ -3057,7 +3074,9 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
     "text_stats": (_text_stats_q, _TEXT_STATS_ORACLE),
     # (r12 consolidation: text_quality retired — see the note at its
     # former definition site; slot freed for heavy_hitters_stream.)
-    "text_lang_id": (_lang_id_q, _lang_id_oracle()),
+    # (r14 consolidation: text_lang_id retired — see the note at its
+    # former definition site; slot freed for the skyline_float_triple
+    # entry in _SQL_CASES.)
     # (r12 consolidation: text_fingerprint retired — see the note at
     # its former definition site; slot freed for the
     # exists_two_comparisons staircase-flag entry in _SQL_CASES.)

@@ -1513,19 +1513,24 @@ class SparkSQLPlus:
                 #   set has a NULL   -> every unmatched probe UNKNOWN
                 #   NULL probe       -> UNKNOWN (non-empty set)
                 #   else             -> TRUE
-                if len(keys) in (2, 3):
+                if len(keys) in (2, 3, 4):
                     # round 10 (r9 verdict item 6): row-value NOT IN
                     # under OR via NULL-pattern-decomposed flag joins
                     # (the M full-match join was appended above);
-                    # round 13 extended the decomposition to k=3
-                    # (census-pruned, <=18 flag joins worst case).
+                    # round 13 extended the decomposition to k=3,
+                    # round 14 to k=4 (census-pruned; a NULL-free
+                    # inner side — the common case — emits 2^k-2
+                    # flag joins: 14 at k=4; the all-patterns worst
+                    # case stays bounded by the census at 3^k-ish
+                    # and an all-NULL inner tuple short-circuits
+                    # the whole decomposition to one branch).
                     return self._rowvalue_not_in_or_flag(
                         ex, keys, inner_only, spec, ephemeral,
                         matched_flag=flag,
                     )
                 if len(keys) != 1:
                     raise UnsupportedSqlError(
-                        "row-value NOT IN under OR supports at most 3 "
+                        "row-value NOT IN under OR supports at most 4 "
                         "columns (the NULL-pattern flag decomposition "
                         "grows as 2^k branches per census pattern)"
                     )
@@ -4025,11 +4030,14 @@ class SparkSQLPlus:
         probe is UNKNOWN, no extra joins). The pattern census is one
         metadata-scale collect (≤2^k rows), same class as the
         single-key n/nn stats, and it PRUNES: only patterns present
-        in the data emit branches. Round 13 generalized k=2 to k<=3
-        (an r12 remaining-fallback cell): census-pruned worst case is
-        18 flag joins for k=3 (6 when the inner side is fully
-        non-NULL — the common case); k>=4 stays on the fallback (up
-        to 2^k branches per census pattern)."""
+        in the data emit branches. Round 13 generalized k=2 to k<=3;
+        round 14 to k=4 (the last row-value fallback cell): a fully
+        non-NULL inner side — the common case — emits 2^k-2 flag
+        joins (6 at k=3, 14 at k=4); the every-pattern-present worst
+        case is sum over patterns of 2^(non-null positions) ≈ 3^k
+        joins (bounded, census-pruned, each a DISTINCT metadata-thin
+        view), and an all-NULL inner tuple collapses the whole
+        decomposition before any join; k>=5 stays on the fallback."""
         import functools
         import itertools
 

@@ -4052,7 +4052,8 @@ def test_rowvalue3_not_in_under_or_null_matrix(engine, oracle):
             finally:
                 engine.catalog.unregister("rv3_inner")
             con.execute("DROP TABLE rv3_inner")
-        # k=4 stays on the fallback
+        # k=5 stays on the fallback (k=4 closed round 14 — see the
+        # dedicated matrix below)
         engine.catalog.register_df(
             "rv3_inner",
             spark.createDataFrame(
@@ -4065,8 +4066,9 @@ def test_rowvalue3_not_in_under_or_null_matrix(engine, oracle):
                 engine.sql(
                     """SELECT p.pk FROM rv3_probe AS p
                        WHERE p.pk = 0
-                          OR (p.pa, p.pb, p.pc, p.pk) NOT IN
-                             (SELECT ia, ib, ic, ia FROM rv3_inner AS i)""",
+                          OR (p.pa, p.pb, p.pc, p.pk, p.pa) NOT IN
+                             (SELECT ia, ib, ic, ia, ib
+                              FROM rv3_inner AS i)""",
                     mode="cqc",
                 )
         finally:
@@ -4074,6 +4076,109 @@ def test_rowvalue3_not_in_under_or_null_matrix(engine, oracle):
     finally:
         engine.catalog.unregister("rv3_probe")
         con.execute("DROP TABLE rv3_probe")
+
+
+def test_rowvalue4_not_in_under_or_null_matrix(engine, oracle):
+    """Round 14 (r13 verdict item 5): 4-column row-value NOT IN under
+    OR — the NULL-pattern flag decomposition at k=4 (census-pruned;
+    a NULL-free inner side emits 14 flag joins). Same oracle strategy
+    as the k=2/k=3 matrices (NOT-EXISTS compatibility expansion,
+    WHERE-context equivalent). Probes cover all 16 probe NULL
+    patterns; inner sets are randomized NULL-heavy plus directed
+    pattern combinations."""
+    import random
+
+    import pandas as pd
+
+    spark = engine.spark
+    rng = random.Random(23)
+    vals = [None, 1, 2, 3]
+    probe = [
+        (i, a, b, c, d)
+        for i, (a, b, c, d) in enumerate(
+            [
+                (a, b, c, d)
+                for a in (1, None)
+                for b in (2, None)
+                for c in (3, None)
+                for d in (4, None)
+            ]
+            + [(1, 2, 3, 4), (9, 9, 9, 9), (2, 2, 2, 2)]
+        )
+    ]
+    inner_sets = {
+        "empty": [],
+        "nonull": [(1, 2, 3, 4), (2, 2, 2, 2)],
+        "allnull": [(None, None, None, None), (1, 2, 3, 4)],
+        "directed": [
+            (None, 2, 3, 4), (1, None, 3, 4), (1, 2, None, 4),
+            (1, 2, 3, None), (None, None, 3, 4), (1, None, None, 4),
+            (None, 2, None, None), (2, 2, 2, 2),
+        ],
+    }
+    for t in range(3):
+        inner_sets[f"rand{t}"] = [
+            (
+                rng.choice(vals), rng.choice(vals),
+                rng.choice(vals), rng.choice(vals),
+            )
+            for _ in range(rng.randint(1, 12))
+        ]
+    ppdf = pd.DataFrame(probe, columns=["pk", "pa", "pb", "pc", "pd"])
+    engine.catalog.register_df(
+        "rv4_probe",
+        spark.createDataFrame(
+            ppdf.astype(object).where(ppdf.notna(), None),
+            "pk int, pa int, pb int, pc int, pd int",
+        ),
+        ("pk",),
+    )
+    con = oracle
+    con.execute("CREATE OR REPLACE TABLE rv4_probe AS SELECT * FROM ppdf")
+    q = """SELECT p.pk FROM rv4_probe AS p
+           WHERE p.pk = 0
+              OR (p.pa, p.pb, p.pc, p.pd) NOT IN
+                 (SELECT ia, ib, ic, id FROM rv4_inner AS i
+                  WHERE i.ib IS NULL OR i.ib < 100)"""
+    ora = """SELECT p.pk FROM rv4_probe AS p
+             WHERE p.pk = 0
+                OR NOT EXISTS (SELECT 1 FROM rv4_inner AS i
+                     WHERE (i.ib IS NULL OR i.ib < 100)
+                       AND (p.pa = i.ia OR p.pa IS NULL OR i.ia IS NULL)
+                       AND (p.pb = i.ib OR p.pb IS NULL OR i.ib IS NULL)
+                       AND (p.pc = i.ic OR p.pc IS NULL OR i.ic IS NULL)
+                       AND (p.pd = i.id OR p.pd IS NULL OR i.id IS NULL))"""
+    try:
+        for name, rows in inner_sets.items():
+            if rows:
+                ipdf = pd.DataFrame(rows, columns=["ia", "ib", "ic", "id"])
+            else:
+                ipdf = pd.DataFrame(
+                    {
+                        c: pd.Series([], dtype="Int64")
+                        for c in ("ia", "ib", "ic", "id")
+                    }
+                )
+            engine.catalog.register_df(
+                "rv4_inner",
+                spark.createDataFrame(
+                    ipdf.astype(object).where(ipdf.notna(), None),
+                    "ia int, ib int, ic int, id int",
+                ),
+                (),
+            )
+            con.execute(
+                "CREATE OR REPLACE TABLE rv4_inner AS SELECT * FROM ipdf"
+            )
+            try:
+                for mode in ("cqc", "naive"):
+                    assert_matches(engine.sql(q, mode=mode), con, ora)
+            finally:
+                engine.catalog.unregister("rv4_inner")
+            con.execute("DROP TABLE rv4_inner")
+    finally:
+        engine.catalog.unregister("rv4_probe")
+        con.execute("DROP TABLE rv4_probe")
 
 
 def test_not_in_expr_probe(engine):

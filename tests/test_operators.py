@@ -305,6 +305,47 @@ def test_quality_score_oracle(spark, oracle):
     )
 
 
+def test_lang_id_oracle(spark, oracle):
+    """lang_id vs the DuckDB stopword-count replay (r14: keeps the
+    operator under oracle after its driver row was retired to free a
+    window slot for skyline_float_triple — see __spark_entry__.py's
+    r14 consolidation note). The surviving text_stats entry keeps the
+    underlying tokenization expressions driver-checked in-window."""
+    from tests.helpers import assert_matches
+
+    from sparksqlplus_spark.operators.text import STOPWORDS, lang_id
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hits = {
+        lang: (
+            f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+            f"x -> x IN ({', '.join(repr(w) for w in ws)})))"
+        )
+        for lang, ws in sorted(STOPWORDS.items())
+    }
+    best = (
+        "greatest("
+        + ", ".join(f"h_{lang}" for lang in sorted(STOPWORDS))
+        + ")"
+    )
+    cases = " ".join(
+        f"WHEN h_{lang} = {best} AND {best} > 0 THEN '{lang}'"
+        for lang in sorted(STOPWORDS)
+    )
+    hit_cols = ", ".join(f"{e} AS h_{lang}" for lang, e in hits.items())
+    assert_matches(
+        lang_id(docs, "text", "doc_id"),
+        oracle,
+        f"""
+        WITH scored AS (
+          SELECT doc_id, {hit_cols}
+          FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))
+        SELECT doc_id, CASE {cases} ELSE 'und' END AS pred_lang
+        FROM scored
+        """,
+    )
+
+
 def test_fingerprint_oracle_and_normalization(spark, oracle):
     """fingerprint vs the DuckDB md5 replay (r12: keeps the operator
     under oracle after its driver row was retired to free a window

@@ -91,16 +91,26 @@ BOUNDS = {
     # broadcasts. Measured 3 at pin time (sf0.001).
     "not_in_pair_keyless": 3,
     # r13 (late): the 3-D skyline EXISTS flag — (key, u0, u1)
-    # pre-reduction, the applyInPandas sweep's part-key exchange, and
+    # pre-reduction, the applyInArrow sweep's part-key exchange, and
     # the part-keyed collect_list; the flag LEFT join broadcasts.
     # Measured 3 at pin time (sf0.001).
     "exists_three_comparisons": 3,
-    # r13 (late): widened to a 3-column probe — the k=3 NULL-pattern
-    # decomposition: the census prunes the supplier side (no NULLs)
-    # to the fully-non-NULL pattern's 6 DISTINCT-projection views +
-    # the full-match view; each is DISTINCT (one exchange) with the
-    # flag joins broadcasting. Measured 7 at pin time (sf0.001).
-    "not_in_rowvalue_or": 7,
+    # r14: widened to a 4-column probe (k=4, the last row-value cell)
+    # — the NULL-pattern decomposition: the census prunes the
+    # supplier side (no NULLs) to the fully-non-NULL pattern's 14
+    # DISTINCT-projection views + the full-match view; each is
+    # DISTINCT (one exchange) with the flag joins broadcasting.
+    # Counting caveat: every view is metadata-thin (DISTINCT over <=4
+    # supplier columns), so the 15 exchanges move KB, not data — the
+    # bound guards against the flag joins silently un-broadcasting.
+    # Measured 15 at pin time (sf0.001).
+    "not_in_rowvalue_quad_or": 15,
+    # r14: the 3-D skyline flag with DOUBLE dims (the dtype widening)
+    # — same plan family as exists_three_comparisons: (key, u0, u1)
+    # pre-reduction, the applyInArrow sweep's part-key exchange, the
+    # part-keyed collect_list; the flag LEFT join broadcasts.
+    # Measured 3 at pin time (sf0.001).
+    "skyline_float_triple": 3,
     # r13: the interval join's BATCH plan (the driver entry's form;
     # stream==batch is pytest-proven). Counting caveat: at sf0.001 AQE
     # broadcasts the purchase side, so the measured live count is 0;
