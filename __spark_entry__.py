@@ -3244,17 +3244,42 @@ _TAIL = [
 ]
 
 
-def _sql_query(engine_sql: str) -> Callable[[SparkSession, str], DataFrame]:
+def _sql_query(
+    engine_sql: str, mode: str = "auto"
+) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _engine(spark, sf_dir).sql(engine_sql)
+        return _engine(spark, sf_dir).sql(engine_sql, mode=mode)
 
     return run
+
+
+# Round 14 (SCALING.md "flag machinery vs Catalyst" A/B): keyed
+# multi-comparison [NOT] IN / OR'd-EXISTS shapes ride the spark.sql
+# fallback under mode='auto' BY MEASUREMENT (Catalyst decorrelation
+# won those cells at sf0.1 AND 10x). These entries exist to certify
+# the NATIVE statistic machinery (SURVEY R9/R12), so they force
+# mode='cqc' — the same mode the pytest brute-force matrices pin.
+# Keyless entries (not_in_pair_keyless) stay on auto: auto keeps them
+# native (measured 33x faster than Catalyst's nested loop at 10x).
+_CQC_FORCED = {
+    "exists_two_comparisons",
+    "exists_neq_pair",
+    "exists_three_comparisons",
+    "skyline_float_triple",
+    "not_in_pair_or",
+    "not_in_neq_order",
+}
 
 
 def _all_cases() -> dict[str, tuple[Callable, str | None]]:
     out: dict[str, tuple[Callable, str | None]] = {}
     for name, (esql, osql) in _SQL_CASES.items():
-        out[name] = (_sql_query(esql), osql or esql)
+        out[name] = (
+            _sql_query(
+                esql, mode="cqc" if name in _CQC_FORCED else "auto"
+            ),
+            osql or esql,
+        )
     for name, (esql, osql) in _GRAPH_CASES.items():
         out[name] = (_sql_query(esql), _ora_graph(osql))
     for name, (fn, osql) in _OP_CASES.items():

@@ -1,0 +1,96 @@
+"""A/B: the r13 flag/skyline machinery vs Catalyst's own planning of
+the SAME statement via verbatim spark.sql (r13 verdict item 2 — the
+plan-shape arguments justified building the staircase/skyline flags;
+this measures whether they beat or at least match mode='spark' at
+sf0.1 AND 10x, so every cell is justified by a number, not an
+argument).
+
+Shapes (driver-entry SQL, so each maps to a documented surface):
+  - not_in_pair_or          keyed pair-threshold NOT IN under OR
+                            (2-D staircase flag views)
+  - not_in_neq_order        <> + order correlated NOT IN (argmax /
+                            runner-up triple views)
+  - exists_three_comparisons  3 order comparisons under OR'd EXISTS
+                            (3-D skyline flag)
+  - not_in_pair_keyless     keyless pair-filtered NOT IN (global
+                            frontier folds)
+
+Protocol: interleaved best-of-3 warm runs, ours = mode='cqc' (raises
+if the native path is not taken), spark = mode='spark' (verbatim —
+Catalyst decorrelates the subquery itself). Both sides run over the
+same cached inputs. The spark side is DISTINCT-rewritten when the
+engine's non-full DISTINCT semantics apply, mirroring the reference's
+baseline protocol (AbstractSparkSQLCodeGenerator.scala:85-108);
+counts are asserted equal so a semantic mismatch can't masquerade as
+a speedup.
+
+Usage: python scripts/exp_flag_ab.py [sf_dir ...]
+Default dirs: /root/testdata/sf0.1 and $BIG_DIR (default /tmp/sf1.0,
+built by `python scripts/make_scaled_testdata.py 10 /tmp/sf1.0`).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as em
+from sparksqlplus_spark.session import get_spark
+
+DIRS = sys.argv[1:] or [
+    "/root/testdata/sf0.1",
+    os.environ.get("BIG_DIR", "/tmp/sf1.0"),
+]
+
+SHAPES = [
+    "not_in_pair_or",
+    "not_in_neq_order",
+    "exists_three_comparisons",
+    "not_in_pair_keyless",
+]
+
+spark = get_spark(app_name="flag_ab", master="local[32]")
+
+for sf in DIRS:
+    if not os.path.isdir(sf):
+        print(f"-- skipping {sf} (missing; build with "
+              f"scripts/make_scaled_testdata.py)")
+        continue
+    eng = em._engine(spark, sf)
+    for meta in eng.catalog.tables():
+        if meta.df is not None:
+            meta.df = meta.df.cache()
+            meta.df.count()
+    # JIT/codegen warm-up outside the timed set
+    em.queries()["tpch_q6"](spark, sf).count()
+    print(f"\n== {sf} ==")
+    print(f"{'shape':28s} {'ours':>7s} {'spark':>7s} {'ratio':>6s} rows")
+    for name in SHAPES:
+        esql, _ = em._SQL_CASES[name]
+        n_ours = eng.sql(esql, mode="cqc").count()
+        spark_df = eng.sql(esql, mode="spark")
+        n_spark = spark_df.count()
+        use_distinct = n_ours != n_spark
+        if use_distinct:
+            # engine non-full => DISTINCT; mirror it for the baseline
+            n_spark = spark_df.distinct().count()
+        assert n_ours == n_spark, (name, n_ours, n_spark)
+
+        # timed unit = PLAN + EXECUTE: the keyless folds run bounded
+        # Spark jobs at plan time (global frontier .take()), so timing
+        # only the count() would flatter the native side
+        def run_ours():
+            eng.sql(esql, mode="cqc").count()
+
+        def run_spark():
+            df = eng.sql(esql, mode="spark")
+            (df.distinct() if use_distinct else df).count()
+
+        ours, base = [], []
+        for _ in range(3):
+            t0 = time.time(); run_ours(); ours.append(time.time() - t0)
+            t0 = time.time(); run_spark(); base.append(time.time() - t0)
+        o, b = min(ours), min(base)
+        print(f"{name:28s} {o:7.2f} {b:7.2f} {o/b:6.2f} {n_ours}",
+              flush=True)

@@ -166,10 +166,16 @@ def gen(rng: random.Random) -> str:
         )
     if kind == 4:
         # NOT IN: correlated / uncorrelated / const probe; maybe under
-        # OR; maybe with an ORDER-comparison threshold filtering the
-        # correlated inner set (round 12 native path — DuckDB's
-        # correlated NOT IN decorrelation verified correct for this
-        # shape on the brute-force matrix, unlike its <>-EXISTS form)
+        # OR; maybe with ORDER-comparison thresholds filtering the
+        # correlated inner set (round 12 native path). DuckDB's
+        # correlated NOT IN decorrelation is verified correct for
+        # single-threshold shapes; MULTI-inequality shapes return
+        # EMPTY (SURVEY ORACLE WARNING), so when 2+ inequality
+        # correlations are drawn (round 14, r13 verdict item 6) the
+        # oracle switches to the outer-PK-grouped JOIN-FORM stats
+        # expansion (n/nn/m — the same expansion the driver's
+        # not_in_pair_or entry oracles with), which DuckDB evaluates
+        # as a plain join + groupBy, no decorrelation involved.
         inner_t = rng.choice([x for x in TABLES if x != t])
         i_ints, _, i_key = COLS[inner_t]
         ic = rng.choice(i_ints)
@@ -184,41 +190,34 @@ def gen(rng: random.Random) -> str:
                 f"o.{g} * 2 - o.{rng.choice(ints)}",
             ]
         )
+        n_ineq = 0
         r_corr = rng.random()
         if r_corr < 0.55:
-            corr = f" WHERE i.{rng.choice(i_ints)} = o.{rng.choice(ints)}"
+            conds = [f"i.{rng.choice(i_ints)} = o.{rng.choice(ints)}"]
         elif r_corr < 0.8:
-            corr = f" WHERE i.{i_key} {c1} {n1 * 2}"
+            conds = [f"i.{i_key} {c1} {n1 * 2}"]
         else:
-            # round 13: KEYLESS correlated threshold (no equality key)
-            # — single-inequality correlated NOT IN is matrix-verified
-            # CORRECT in DuckDB, so the new keyless-threshold native
-            # path (const/column/expr probes; pairs fold via the
-            # global frontier) fuzzes directly against it. The SECOND
-            # threshold below stays suppressed for NOT IN (DuckDB
-            # returns empty on two-inequality correlated NOT IN —
-            # SURVEY ORACLE WARNING); keyless PAIRS are brute-force
-            # pytest-covered instead.
-            corr = (
-                f" WHERE i.{rng.choice(i_ints)} "
+            # round 13: KEYLESS correlated threshold (no equality
+            # key); round 14: a second draw below can make it a
+            # keyless PAIR (global-frontier fold), join-form-oracled
+            conds = [
+                f"i.{rng.choice(i_ints)} "
                 f"{rng.choice(['<', '<=', '>', '>=', '<>'])} "
                 f"o.{rng.choice(ints)} + {rng.randint(0, 3)}"
-            )
-        if r_corr < 0.8 and rng.random() < 0.35:
-            # <> included: DuckDB's correlated NOT IN decorrelation is
-            # correct for the <>-filtered shape too (matrix-verified),
-            # unlike its <>-EXISTS decorrelation. At most ONE
-            # threshold here (hence the r_corr guard — the keyless-
-            # threshold base already carries one): DuckDB returns
-            # EMPTY for correlated NOT IN with TWO inequality filters
-            # (SURVEY ORACLE WARNING) — the pair-threshold paths are
-            # brute-force pytest-covered instead.
+            ]
+            n_ineq = 1
+        while rng.random() < (0.5 if n_ineq == 0 else 0.4) and n_ineq < 2:
+            # <> included: the engine's <>-stat flags and the join
+            # form both handle it; 2 inequality correlations flip the
+            # oracle to join form below
             thr_op = rng.choice(["<", "<=", ">", ">=", "<>"])
-            corr += (
-                f" AND i.{rng.choice(i_ints)} {thr_op} "
+            conds.append(
+                f"i.{rng.choice(i_ints)} {thr_op} "
                 f"o.{rng.choice(ints)} {rng.choice(['+', '*'])} "
                 f"{rng.randint(1, 5)}"
             )
+            n_ineq += 1
+        corr = " WHERE " + " AND ".join(conds)
         # round 13: sometimes route the inner table through a CTE —
         # api._lift_cte_not_in plans the body as an ephemeral view and
         # the same three-valued machinery runs against it
@@ -230,9 +229,42 @@ def gen(rng: random.Random) -> str:
         # ride the same temp-column re-entry; two-valued under WHERE)
         neg = "NOT " if rng.random() < 0.75 else ""
         pred = f"{probe} {neg}IN (SELECT i.{ic} FROM {inner_t} AS i{corr})"
+        guard = ""
         if rng.random() < 0.4:
-            pred = f"o.{g} {c1} {n1} OR {pred}"
-        return f"{cte}SELECT DISTINCT {name} FROM {t} AS o WHERE {pred}"
+            guard = f"o.{g} {c1} {n1} OR "
+        esql = (
+            f"{cte}SELECT DISTINCT {name} FROM {t} AS o "
+            f"WHERE {guard}{pred}"
+        )
+        if n_ineq < 2:
+            return esql  # DuckDB's correlated form is trusted here
+        # join-form oracle: group the compatibility facts by the
+        # OUTER PK (thresholds reference multiple outer columns, so
+        # the stats are per outer row, not per join key):
+        #   n  = qualifying inner rows, nn = non-NULL elements,
+        #   m  = elements equal to the probe
+        # NOT IN true iff the set is empty OR (m = 0, no NULL element,
+        # probe not NULL); IN true iff m >= 1. WHERE-context
+        # equivalent (UNKNOWN and FALSE filter identically).
+        conds2 = " AND ".join(c.replace("o.", "o2.") for c in conds)
+        probe2 = probe.replace("o.", "o2.")
+        truth = (
+            "st.n IS NULL OR (st.m = 0 AND st.nn = st.n "
+            f"AND ({probe}) IS NOT NULL)"
+            if neg
+            else "st.m >= 1"
+        )
+        dsql = (
+            f"{cte}SELECT DISTINCT {name} FROM {t} AS o "
+            f"LEFT JOIN (SELECT o2.{key} AS k, COUNT(*) AS n, "
+            f"COUNT(i.{ic}) AS nn, "
+            f"SUM(CASE WHEN i.{ic} = {probe2} THEN 1 ELSE 0 END) AS m "
+            f"FROM {t} AS o2 JOIN {inner_t} AS i "
+            f"ON {conds2} GROUP BY o2.{key}) AS st "
+            f"ON st.k = o.{key} "
+            f"WHERE {guard}({truth})"
+        )
+        return esql, dsql
     if kind == 5:
         # USING / NATURAL join + star (derived sides share one column)
         t2 = rng.choice([x for x in TABLES if x != t])
@@ -381,27 +413,38 @@ def main() -> None:
             f"read_parquet('{SF_DIR}/{tb}.parquet')"
         )
     failures = []
+    n_joinform = 0
     for i in range(n):
         q = gen(rng)
+        # round 14: multi-inequality NOT IN draws return a
+        # (engine_sql, duck_sql) pair — DuckDB runs the join-form
+        # stats expansion instead of its broken correlated form
+        eq, dq = q if isinstance(q, tuple) else (q, q)
+        if eq is not dq:
+            n_joinform += 1
         try:
-            want = rows_of_duck(con, q)
+            want = rows_of_duck(con, dq)
         except Exception:
             continue  # template produced DuckDB-invalid SQL; skip
         try:
-            got = rows_of_spark(eng.sql(q))
+            got = rows_of_spark(eng.sql(eq))
         except Exception as exc:  # engine must COMPLETE on valid SQL
-            failures.append((q, f"raised {type(exc).__name__}: {exc}"))
-            print(f"[{i}] RAISED  {q}\n      {exc}", flush=True)
+            failures.append((eq, f"raised {type(exc).__name__}: {exc}"))
+            print(f"[{i}] RAISED  {eq}\n      {exc}", flush=True)
             continue
         if got != want:
-            failures.append((q, f"{got} != {want}"))
+            failures.append((eq, f"{got} != {want}"))
             print(
-                f"[{i}] MISMATCH  {q}\n  engine={got}\n  duck  ={want}",
+                f"[{i}] MISMATCH  {eq}\n  oracle={dq}\n"
+                f"  engine={got}\n  duck  ={want}",
                 flush=True,
             )
         elif i % 25 == 0:
             print(f"[{i}] ok", flush=True)
-    print(f"\n{n} cases, {len(failures)} failures")
+    print(
+        f"\n{n} cases ({n_joinform} join-form-oracled multi-inequality "
+        f"NOT IN draws), {len(failures)} failures"
+    )
     sys.exit(1 if failures else 0)
 
 

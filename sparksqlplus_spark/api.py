@@ -1194,6 +1194,21 @@ class SparkSQLPlus:
                         "row-value NOT IN with a correlated WHERE "
                         "under OR is not planned natively"
                     )
+                if pair_threshold is not None and n_corr_keys and (
+                    mode == "auto"
+                ):
+                    # round 14 measured gate (SCALING.md r14 A/B):
+                    # keyed multi-comparison NOT IN under OR ->
+                    # spark.sql under auto; keyless groups stay
+                    # native (Catalyst nested-loops them, 33x slower
+                    # at 10x)
+                    raise UnsupportedSqlError(
+                        "keyed multi-comparison NOT IN under OR rides "
+                        "the spark.sql fallback under mode='auto' "
+                        "(measured slower than Catalyst decorrelation "
+                        "at both sf0.1 and 10x — SCALING.md round-14 "
+                        "A/B); mode='cqc' forces the native flag plan"
+                    )
                 n_probe_keys = len(keys) - n_corr_keys
                 return self._correlated_not_in_or_flag(
                     ex,
@@ -1234,6 +1249,25 @@ class SparkSQLPlus:
                     # argmax/runner-up flag (_or_exists_neq_order_flag,
                     # keyed only); <> with <> stays on the fallback.
                     ops = sorted(nq[0] for nq in noneq)
+                    # round 14 measured gate (SCALING.md r14 A/B):
+                    # KEYED multi-comparison OR'd-EXISTS flags ride
+                    # the spark.sql fallback under auto — Catalyst's
+                    # own decorrelation measured 1.8-4.7x faster at
+                    # sf0.1 AND 10x, high- and low-cardinality dims
+                    # alike. Keyless folds stay native in every mode
+                    # (Catalyst nested-loops them — 33x slower at
+                    # 10x, gap widening). mode='cqc' (the pytest
+                    # matrices and the driver entries that certify
+                    # this machinery) forces the native plan.
+                    if keys and mode == "auto":
+                        raise UnsupportedSqlError(
+                            "keyed multi-comparison EXISTS under OR "
+                            "rides the spark.sql fallback under "
+                            "mode='auto' (measured slower than "
+                            "Catalyst decorrelation at both sf0.1 "
+                            "and 10x — SCALING.md round-14 A/B); "
+                            "mode='cqc' forces the native flag plan"
+                        )
                     if all(o in ("<", "<=", ">", ">=") for o in ops):
                         return self._or_exists_pair_flag(
                             ex, keys, noneq, inner_only, spec, ephemeral
@@ -1266,6 +1300,17 @@ class SparkSQLPlus:
                         return self._keyless_neq_pair_fold(
                             ex, noneq, inner_only
                         )
+                if len(noneq) in (3, 4) and keys and mode == "auto":
+                    # round 14 measured gate — same as the pair gate
+                    # above (the 3-D skyline cell measured 4.7x at
+                    # 10x, the worst keyed cell)
+                    raise UnsupportedSqlError(
+                        "keyed multi-comparison EXISTS under OR rides "
+                        "the spark.sql fallback under mode='auto' "
+                        "(measured slower than Catalyst decorrelation "
+                        "at both sf0.1 and 10x — SCALING.md round-14 "
+                        "A/B); mode='cqc' forces the native flag plan"
+                    )
                 if len(noneq) in (3, 4) and all(
                     nq[0] in ("<", "<=", ">", ">=") for nq in noneq
                 ):
@@ -5511,6 +5556,14 @@ class SparkSQLPlus:
         if mode == "spark":
             self._ensure_views()
             return self.spark.sql(query)
+        # round 14: publish the plan mode to the executor module — the
+        # keyed multi-comparison NOT IN gate in compiler/cqc.py (and
+        # the OR'd-EXISTS flag gates below) route those shapes to the
+        # spark.sql fallback under 'auto' BY MEASUREMENT (SCALING.md
+        # r14 A/B); 'cqc'/'naive' force the native statistic plans
+        from sparksqlplus_spark.compiler import cqc as _cqc_mod
+
+        _cqc_mod.plan_mode = mode
         try:
             stmt = parse_statement(query)
             if isinstance(stmt, CompoundSpec):

@@ -1152,6 +1152,29 @@ def _apply_pair_threshold_not_in(df, inner, sf, prefix: str):
     return df.filter(keep).drop(*helper)
 
 
+# Round 14 (SCALING.md "flag machinery vs Catalyst" A/B): the plan
+# mode of the CURRENT api.sql() call, set by Engine.sql before
+# planning (module-global like last_enumerate_mode — one driver, one
+# planner at a time). Under 'auto', KEYED multi-comparison NOT IN
+# shapes raise into the spark.sql fallback BY MEASUREMENT (Catalyst's
+# own decorrelation ran 1.8-4.7x faster at sf0.1 AND 10x, high- and
+# low-cardinality dims alike); 'cqc'/'naive' force the native
+# statistic views (reference parity, pytest brute-force matrices).
+# KEYLESS shapes stay native in every mode — Catalyst plans a nested
+# loop there (measured 0.03x of spark.sql at 10x, gap widening).
+plan_mode: str = "cqc"
+
+
+def _gate_keyed_multicmp_auto(what: str) -> None:
+    if plan_mode == "auto":
+        raise UnsupportedSqlError(
+            f"{what} rides the spark.sql fallback under mode='auto' "
+            "(measured slower than Catalyst decorrelation at both "
+            "sf0.1 and 10x — SCALING.md round-14 A/B); mode='cqc' "
+            "forces the native statistic plan"
+        )
+
+
 def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
     """Apply one planned [NOT] EXISTS (plans/context.py:SemiFilter):
     left_semi/left_anti of ``df`` against the filtered inner table.
@@ -1207,6 +1230,12 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
         # (one row per group; match DISTINCT per (group, y) with every
         # column pinned) — no join duplicates; with no group keys the
         # stats view is ONE global row, broadcast.
+        if len(sf.corr_threshold) >= 2 and sf.corr_keys:
+            # round 14 measured gate (see plan_mode above): keyed
+            # multi-comparison NOT IN -> spark.sql under auto
+            _gate_keyed_multicmp_auto(
+                "keyed multi-comparison correlated NOT IN"
+            )
         if len(sf.corr_threshold) == 4:
             # round 13 (latest): FOUR order comparisons — the skyline
             # executor generalizes (numpy dominance-scan sweep; keyed
