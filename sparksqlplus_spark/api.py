@@ -1327,7 +1327,6 @@ class SparkSQLPlus:
                     )
                 if (
                     len(noneq) == 3
-                    and keys
                     and sorted(nq[0] for nq in noneq).count("<>") == 1
                     and all(
                         nq[0] in ("<", "<=", ">", ">=", "<>")
@@ -1336,14 +1335,19 @@ class SparkSQLPlus:
                 ):
                     # round 13 (latest): ONE <> + TWO order
                     # comparisons — the U/V two-staircase statistic
-                    # (keyed_neq_order2_view); keyless triples stay
-                    # on the fallback
-                    return self._or_exists_neq_order2_flag(
-                        ex, keys, noneq, inner_only, spec, ephemeral
+                    # (keyed_neq_order2_view). Round 14: KEYLESS
+                    # triples fold the same statistic globally
+                    # (global_neq_order2_points — capped driver fold,
+                    # same pure sweep, same witness)
+                    if keys:
+                        return self._or_exists_neq_order2_flag(
+                            ex, keys, noneq, inner_only, spec, ephemeral
+                        )
+                    return self._keyless_neq_order2_fold(
+                        ex, noneq, inner_only, spec, ephemeral
                     )
                 if (
                     len(noneq) == 3
-                    and keys
                     and sorted(nq[0] for nq in noneq).count("<>") == 2
                     and all(
                         nq[0] in ("<", "<=", ">", ">=", "<>")
@@ -1352,10 +1356,17 @@ class SparkSQLPlus:
                 ):
                     # round 13 (latest): TWO <> + ONE order comparison
                     # — the prefix-diagonal-stats array along the
-                    # order dim (keyed_neq2_order_view); keyless and
-                    # 3-<> triples stay on the fallback
-                    return self._or_exists_neq2_order_flag(
-                        ex, keys, noneq, inner_only, spec, ephemeral
+                    # order dim (keyed_neq2_order_view). Round 14:
+                    # KEYLESS triples fold the array globally
+                    # (global_neq2_order_entries); 3-<> triples stay
+                    # on the fallback (no constant-size statistic —
+                    # see SURVEY)
+                    if keys:
+                        return self._or_exists_neq2_order_flag(
+                            ex, keys, noneq, inner_only, spec, ephemeral
+                        )
+                    return self._keyless_neq2_order_fold(
+                        ex, noneq, inner_only, spec, ephemeral
                     )
                 if len(noneq) > 1:
                     raise UnsupportedSqlError(
@@ -1887,6 +1898,127 @@ class SparkSQLPlus:
             Col(valias, "__upts"),
             Col(valias, "__vpts"),
             d1e, op2, d2e, op3, d3e,
+        )
+        hit = Lit(not ex.negated, "boolean")
+        miss = Lit(bool(ex.negated), "boolean")
+        return CaseWhen(((witness, hit),), miss)
+
+    def _keyless_neq_order2_fold(
+        self, ex, noneq, inner_only, spec, ephemeral
+    ):
+        """KEYLESS ``a <> d1 AND b OP2 d2 AND c OP3 d3`` under OR'd
+        [NOT] EXISTS (round 14 — closes a standing fallback cell in
+        the regime where native wins: Catalyst nested-loops keyless
+        inequality correlation, 33x slower at 10x per the r14 A/B).
+        The keyed U/V statistic folds GLOBALLY
+        (plans/frontier.py:global_neq_order2_points — (a, b) -> best-c
+        pre-reduction, capped take, the same pure sweep driver-side)
+        and inlines as a one-row view joined unconditionally; the
+        probe is the UNCHANGED expressions.NeqTripleWitness. Integral
+        order dims only (the fold raises otherwise, riding
+        mode='auto')."""
+        from sparksqlplus_spark.expressions import (
+            CaseWhen,
+            Col,
+            Lit,
+            NeqTripleWitness,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+        from sparksqlplus_spark.plans.frontier import (
+            global_neq_order2_points,
+            neq_triple_one_row_df,
+        )
+
+        (_, d1e, a_col) = next(t for t in noneq if t[0] == "<>")
+        (op2, d2e, b_col), (op3, d3e, c_col) = [
+            t for t in noneq if t[0] != "<>"
+        ]
+        inner = self.catalog.get(ex.table).load(self.spark)
+        imap = {("", cn): cn for cn in inner.columns}
+        imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
+        for c in inner_only:
+            inner = inner.filter(c.to_spark(imap))
+        u_rows, v_pts, (a_dt, u_dt, v_dt) = global_neq_order2_points(
+            inner, a_col, b_col, c_col, (op2, op3),
+            self._KEYLESS_FRONTIER_CAP,
+        )
+        view = neq_triple_one_row_df(
+            self.spark, u_rows, v_pts, a_dt, u_dt, v_dt
+        )
+        self._view_counter += 1
+        vname = f"__orx{self._view_counter}"
+        self.catalog.register_df(vname, view, ())
+        ephemeral.append(vname)
+        valias = f"{vname}_i"
+        spec.outer_joins.append(
+            OuterJoin(
+                item=FromItem(alias=valias, table=vname),
+                conds=[],
+                side="left",
+                allow_uncorrelated=True,
+            )
+        )
+        witness = NeqTripleWitness(
+            Col(valias, "__upts"),
+            Col(valias, "__vpts"),
+            d1e, op2, d2e, op3, d3e,
+        )
+        hit = Lit(not ex.negated, "boolean")
+        miss = Lit(bool(ex.negated), "boolean")
+        return CaseWhen(((witness, hit),), miss)
+
+    def _keyless_neq2_order_fold(
+        self, ex, noneq, inner_only, spec, ephemeral
+    ):
+        """KEYLESS ``a <> d1 AND b <> d2 AND c OP3 d3`` under OR'd
+        [NOT] EXISTS (round 14 — sibling of _keyless_neq_order2_fold):
+        the prefix-diagonal-stats array folds GLOBALLY
+        (plans/frontier.py:global_neq2_order_entries) into a one-row
+        view, probed by the unchanged expressions.Neq2OrderWitness.
+        Integral order dim only (the fold raises otherwise, riding
+        mode='auto')."""
+        from sparksqlplus_spark.expressions import (
+            CaseWhen,
+            Col,
+            Lit,
+            Neq2OrderWitness,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+        from sparksqlplus_spark.plans.frontier import (
+            global_neq2_order_entries,
+            neq2_order_one_row_df,
+        )
+
+        neqs = [t for t in noneq if t[0] == "<>"]
+        (_, d1e, a_col), (_, d2e, b_col) = neqs
+        (op3, d3e, c_col) = next(t for t in noneq if t[0] != "<>")
+        inner = self.catalog.get(ex.table).load(self.spark)
+        imap = {("", cn): cn for cn in inner.columns}
+        imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
+        for c in inner_only:
+            inner = inner.filter(c.to_spark(imap))
+        entries, (a_dt, b_dt, c_dt) = global_neq2_order_entries(
+            inner, a_col, b_col, c_col, op3,
+            self._KEYLESS_FRONTIER_CAP,
+        )
+        view = neq2_order_one_row_df(
+            self.spark, entries, a_dt, b_dt, c_dt
+        )
+        self._view_counter += 1
+        vname = f"__orx{self._view_counter}"
+        self.catalog.register_df(vname, view, ())
+        ephemeral.append(vname)
+        valias = f"{vname}_i"
+        spec.outer_joins.append(
+            OuterJoin(
+                item=FromItem(alias=valias, table=vname),
+                conds=[],
+                side="left",
+                allow_uncorrelated=True,
+            )
+        )
+        witness = Neq2OrderWitness(
+            Col(valias, "__npts"), d1e, d2e, op3, d3e
         )
         hit = Lit(not ex.negated, "boolean")
         miss = Lit(bool(ex.negated), "boolean")

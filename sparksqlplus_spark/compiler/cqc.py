@@ -1021,6 +1021,136 @@ def _apply_pair_threshold_not_in_keyless(df, inner, sf, prefix: str):
     return df.filter(keep).drop(*helper)
 
 
+def _apply_neq_triple_not_in_keyless(df, inner, sf, prefix: str):
+    """KEYLESS <>-containing triple-filtered correlated NOT IN (round
+    14): ``o.x NOT IN (SELECT y FROM t WHERE t.a <> o.d1 AND t.b OP2
+    o.d2 AND t.c OP3 o.d3)`` or the 2-<> + 1-order mix — no equality
+    correlation, so the set and NULL-y fact populations are GLOBAL:
+    each folds at plan time via the capped keyless stat helpers
+    (plans/frontier.py:global_neq_order2_points /
+    global_neq2_order_entries — an (a, b) -> best-c pre-reduction
+    with map-side combine, a capped take, and the SAME pure sweeps
+    the keyed applyInPandas path runs, driver-side), inlined as
+    one-row broadcast crossJoins probed by the unchanged witness
+    columns. The match fact stays DISTRIBUTED: a per-y keyed view
+    (keyed_neq_order2_view / keyed_neq2_order_view partitioned by y —
+    one row per y, the LEFT join on o.x = y never duplicates); a
+    constant probe folds the ``y = const`` slice globally instead.
+    Integral order dims only (the folds raise otherwise, riding the
+    mode='auto' fallback — which the round-14 A/B showed is a
+    nested-loop for Catalyst on keyless correlation, hence closing
+    this cell natively)."""
+    from sparksqlplus_spark.plans.frontier import (
+        global_neq2_order_entries,
+        global_neq_order2_points,
+        keyed_neq2_order_view,
+        keyed_neq_order2_view,
+        neq2_order_one_row_df,
+        neq2_order_witness_col,
+        neq_triple_one_row_df,
+        neq_triple_witness_col,
+    )
+
+    cap = 65536  # mirrors api.Engine._KEYLESS_FRONTIER_CAP
+    spark = df.sparkSession
+    n_neq = sum(1 for t in sf.corr_threshold if t[0] == "<>")
+    neqs = [t for t in sf.corr_threshold if t[0] == "<>"]
+    orders = [t for t in sf.corr_threshold if t[0] != "<>"]
+
+    def thr(e):
+        return e.to_spark({r: r[1] for r in e.refs()})
+
+    helper: list[str] = []
+    if n_neq == 1:
+        (_, e1, a_col), = neqs
+        (op2, e2, b_col), (op3, e3, c_col) = orders
+        d1, d2, d3 = thr(e1), thr(e2), thr(e3)
+
+        def fold(src, tag):
+            u_rows, v_pts, (a_dt, u_dt, v_dt) = (
+                global_neq_order2_points(
+                    src, a_col, b_col, c_col, (op2, op3), cap
+                )
+            )
+            one = neq_triple_one_row_df(
+                spark, u_rows, v_pts, a_dt, u_dt, v_dt
+            )
+            return (
+                one.withColumnRenamed("__upts", f"{tag}_u")
+                .withColumnRenamed("__vpts", f"{tag}_v")
+            )
+
+        def W(tag):
+            return F.coalesce(
+                neq_triple_witness_col(
+                    F.col(f"{tag}_u"), F.col(f"{tag}_v"),
+                    d1, d2, d3, op2, op3,
+                ),
+                F.lit(False),
+            )
+
+    else:
+        (_, e1, a_col), (_, e2, b_col) = neqs
+        (op3, e3, c_col), = orders
+        d1, d2, d3 = thr(e1), thr(e2), thr(e3)
+
+        def fold(src, tag):
+            entries, (a_dt, b_dt, c_dt) = global_neq2_order_entries(
+                src, a_col, b_col, c_col, op3, cap
+            )
+            one = neq2_order_one_row_df(spark, entries, a_dt, b_dt, c_dt)
+            return one.withColumnRenamed("__npts", f"{tag}_n")
+
+        def W(tag):
+            return F.coalesce(
+                neq2_order_witness_col(
+                    F.col(f"{tag}_n"), d1, d2, d3, op3
+                ),
+                F.lit(False),
+            )
+
+    ta, tn, tm = f"{prefix}_sa", f"{prefix}_sn", f"{prefix}_sm"
+    df = df.crossJoin(F.broadcast(fold(inner, ta)))
+    if sf.const_probe is not None:
+        probe_lit, ic = sf.const_probe
+        pl = probe_lit.to_spark({})
+        probe_ok = pl.isNotNull()
+        df = df.crossJoin(
+            F.broadcast(fold(inner.filter(F.col(ic).isNull()), tn))
+        )
+        df = df.crossJoin(
+            F.broadcast(fold(inner.filter(F.col(ic) == pl), tm))
+        )
+    else:
+        (ov_p, ic), = sf.keys  # single-column probe (validated)
+        probe_ok = F.col(ov_p).isNotNull()
+        df = df.crossJoin(
+            F.broadcast(fold(inner.filter(F.col(ic).isNull()), tn))
+        )
+        # match view: the per-y keyed statistic — partitioned by y,
+        # distributed; one row per y so the LEFT join never duplicates
+        mp = f"{prefix}_mp"
+        msrc = inner.filter(F.col(ic).isNotNull())
+        if n_neq == 1:
+            mview = keyed_neq_order2_view(
+                msrc, [(ic, mp)], a_col, b_col, c_col, (op2, op3),
+                f"{tm}_u", f"{tm}_v",
+            )
+        else:
+            mview = keyed_neq2_order_view(
+                msrc, [(ic, mp)], a_col, b_col, c_col, op3, f"{tm}_n",
+            )
+        df = df.join(mview, F.col(ov_p) == F.col(mp), "left")
+        helper.append(mp)
+    keep = ~W(ta) | (~W(tm) & ~W(tn) & probe_ok)
+    drop = helper + [
+        c
+        for c in df.columns
+        if c.startswith((f"{ta}_", f"{tn}_", f"{tm}_"))
+    ]
+    return df.filter(keep).drop(*drop)
+
+
 def _apply_pair_threshold_not_in(df, inner, sf, prefix: str):
     """Correlated NOT IN whose inner set is filtered by TWO order
     comparisons against the outer row (round 12): ``o.x NOT IN
@@ -1245,6 +1375,12 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
             n_neq3 = sum(
                 1 for t in sf.corr_threshold if t[0] == "<>"
             )
+            if n_neq3 in (1, 2) and not sf.corr_keys:
+                # round 14: KEYLESS <>-containing triples — global
+                # stat folds + a per-y match view (see the executor)
+                return _apply_neq_triple_not_in_keyless(
+                    df, inner, sf, prefix
+                )
             if n_neq3 == 1:
                 # round 13 (latest): ONE <> + TWO order comparisons —
                 # each fact rides the U/V two-staircase statistic

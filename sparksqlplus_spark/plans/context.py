@@ -859,6 +859,20 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 # is tightened to bound driver work)
                 len(thrs) in (3, 4)
                 and all(t is not None and t[0] != "<>" for t in thrs)
+            ) or (
+                # round 14: keyless <>-CONTAINING triples (one or two
+                # <>) — the set/NULL-y facts fold via the global U/V /
+                # prefix-diagonal stat helpers, the match fact via a
+                # per-y keyed view
+                # (cqc._apply_neq_triple_not_in_keyless); 3-<>
+                # triples stay out (no constant-size statistic)
+                len(thrs) == 3
+                and all(
+                    t is not None
+                    and t[0] in ("<", "<=", ">", ">=", "<>")
+                    for t in thrs
+                )
+                and 1 <= sum(1 for t in thrs if t[0] == "<>") <= 2
             )
             n_probe_slots = (
                 len(keys)

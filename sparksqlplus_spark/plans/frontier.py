@@ -1004,6 +1004,235 @@ def keyed_neq2_order_view(src, part_pairs, a_col, b_col, c_col, op3,
     )
 
 
+def global_neq_order2_points(inner, a_col, b_col, c_col, ops, cap):
+    """KEYLESS ``a <> d1 AND b OP2 d2 AND c OP3 d3`` witness fold
+    (round 14 — the keyless sibling of keyed_neq_order2_view, closing
+    a standing fallback cell squarely in the regime where native wins:
+    Catalyst nested-loops keyless inequality correlation, measured 33x
+    slower at 10x in the r14 A/B). Build: a (a, b) -> best-c
+    pre-reduction with map-side combine (keeping the best oriented c
+    per (a, b) preserves region membership per class, hence every
+    U/V fact), a capped ``take``, and the SAME pure sweep the keyed
+    applyInPandas runs (_neq_order2_sweep) on the driver — the
+    metadata-scale-collect class. Returns ``(u_rows, v_pts, (a_dt,
+    b_dt, c_dt))`` with raw-valued tuples ready for
+    neq_triple_one_row_df; probes reuse expressions.NeqTripleWitness
+    unchanged.
+
+    Dtypes: b/c INTEGRAL (driver-side orientation by sign flip; date/
+    timestamp would need epoch plumbing — they raise into the
+    mode='auto' fallback); a any equality-comparable type (stored
+    raw, compared JVM-side)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    op2, op3 = ops
+    asc2 = op2 in ("<", "<=")
+    asc3 = op3 in ("<", "<=")
+    bestc = F.min if asc3 else F.max
+    pre = (
+        inner.filter(
+            F.col(a_col).isNotNull()
+            & F.col(b_col).isNotNull()
+            & F.col(c_col).isNotNull()
+        )
+        .select(
+            F.col(a_col).alias("__a"),
+            F.col(b_col).alias("__u"),
+            F.col(c_col).alias("__v"),
+        )
+        .groupBy("__a", "__u")
+        .agg(bestc("__v").alias("__v"))
+    )
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for f in pre.schema.fields:
+        if f.name in ("__u", "__v") and not isinstance(
+            f.dataType, int_types
+        ):
+            raise UnsupportedSqlError(
+                "keyless <>-triple folds support integral order dims "
+                f"only (got {f.dataType})"
+            )
+    rows = pre.take(cap + 1)
+    if len(rows) > cap:
+        raise UnsupportedSqlError(
+            f"keyless <>-triple fold exceeds the {cap}-row inline cap"
+        )
+    s2 = 1 if asc2 else -1
+    s3 = 1 if asc3 else -1
+    srt = sorted(
+        (
+            (i, r["__a"], s2 * r["__u"], s3 * r["__v"])
+            for i, r in enumerate(rows)
+        ),
+        key=lambda t: t[2],
+    )
+    u_keep, v_pts = _neq_order2_sweep(srt)
+    u_rows = [
+        (rows[i]["__u"], rows[i]["__v"], rows[i]["__a"]) for i in u_keep
+    ]
+    v_raw = [(s2 * u, s3 * v) for u, v in v_pts]
+    return (
+        u_rows,
+        v_raw,
+        (
+            pre.schema["__a"].dataType,
+            pre.schema["__u"].dataType,
+            pre.schema["__v"].dataType,
+        ),
+    )
+
+
+def neq_triple_one_row_df(spark, u_rows, v_pts, a_dt, u_dt, v_dt):
+    """One-row DataFrame carrying a folded keyless <>-triple
+    statistic: ``__upts: array<struct<u,v,a>>`` (annotated region
+    staircase) + ``__vpts: array<struct<u,v>>`` (distinct-a
+    pair-combination staircase) — the same field layout
+    keyed_neq_order2_view collects, so NeqTripleWitness probes both
+    identically. Empty arrays = empty population (witness FALSE)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(
+                "__upts",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("u", u_dt),
+                            T.StructField("v", v_dt),
+                            T.StructField("a", a_dt),
+                        ]
+                    )
+                ),
+                False,
+            ),
+            T.StructField(
+                "__vpts",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("u", u_dt),
+                            T.StructField("v", v_dt),
+                        ]
+                    )
+                ),
+                False,
+            ),
+        ]
+    )
+    return spark.createDataFrame([(u_rows, v_pts)], schema)
+
+
+def global_neq2_order_entries(inner, a_col, b_col, c_col, op3, cap):
+    """KEYLESS ``a <> d1 AND b <> d2 AND c OP3 d3`` witness fold
+    (round 14 — the keyless sibling of keyed_neq2_order_view; same
+    motivation as global_neq_order2_points). Build: an (a, b) ->
+    best-c pre-reduction (region membership of a PAIR is decided by
+    its best oriented c, and every prefix stat is a function of the
+    set of distinct (a, b) pairs within), a capped ``take``, and the
+    SAME pure sweep the keyed path runs (_neq2_order_sweep) on the
+    driver. Returns ``(entries, (a_dt, b_dt, c_dt))`` where entries
+    are raw-valued (ord, c, da, db, ua, ub, f1a, f1b, f2a, f2b)
+    tuples, ord-ascending — the layout neq2_order_witness_col probes.
+
+    Dtypes: c INTEGRAL (driver-side orientation); a/b any
+    equality-comparable type."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    asc3 = op3 in ("<", "<=")
+    bestc = F.min if asc3 else F.max
+    pre = (
+        inner.filter(
+            F.col(a_col).isNotNull()
+            & F.col(b_col).isNotNull()
+            & F.col(c_col).isNotNull()
+        )
+        .select(
+            F.col(a_col).alias("__a"),
+            F.col(b_col).alias("__b"),
+            F.col(c_col).alias("__c"),
+        )
+        .groupBy("__a", "__b")
+        .agg(bestc("__c").alias("__c"))
+    )
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if not isinstance(pre.schema["__c"].dataType, int_types):
+        raise UnsupportedSqlError(
+            "keyless <>-triple folds support integral order dims "
+            f"only (got {pre.schema['__c'].dataType})"
+        )
+    rows = pre.take(cap + 1)
+    if len(rows) > cap:
+        raise UnsupportedSqlError(
+            f"keyless <>-triple fold exceeds the {cap}-row inline cap"
+        )
+    s3 = 1 if asc3 else -1
+    srt = sorted(
+        ((r["__a"], r["__b"], s3 * r["__c"]) for r in rows),
+        key=lambda t: t[2],
+    )
+    entries = _neq2_order_sweep(srt)
+    out = [
+        (
+            e[0],
+            s3 * e[0],
+            e[1],
+            e[2],
+            e[3],
+            e[4],
+            e[5][0] if e[5] else None,
+            e[5][1] if e[5] else None,
+            e[6][0] if e[6] else None,
+            e[6][1] if e[6] else None,
+        )
+        for e in entries
+    ]
+    return (
+        out,
+        (
+            pre.schema["__a"].dataType,
+            pre.schema["__b"].dataType,
+            pre.schema["__c"].dataType,
+        ),
+    )
+
+
+def neq2_order_one_row_df(spark, entries, a_dt, b_dt, c_dt):
+    """One-row DataFrame carrying a folded keyless 2-<> statistic:
+    ``__npts: array<struct<ord,c,da,db,ua,ub,f1a,f1b,f2a,f2b>>`` —
+    the layout keyed_neq2_order_view collects (already ord-sorted),
+    probed by Neq2OrderWitness unchanged."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(
+                "__npts",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("ord", T.LongType()),
+                            T.StructField("c", c_dt),
+                            T.StructField("da", T.LongType()),
+                            T.StructField("db", T.LongType()),
+                            T.StructField("ua", a_dt),
+                            T.StructField("ub", b_dt),
+                            T.StructField("f1a", a_dt),
+                            T.StructField("f1b", b_dt),
+                            T.StructField("f2a", a_dt),
+                            T.StructField("f2b", b_dt),
+                        ]
+                    )
+                ),
+                False,
+            )
+        ]
+    )
+    return spark.createDataFrame([(entries,)], schema)
+
+
 def neq2_order_witness_col(arr, d1, d2, d3, op3):
     """JVM-side witness probe over a keyed_neq2_order_view row: TRUE
     iff some raw row of the part's population satisfies ``a <> d1 AND

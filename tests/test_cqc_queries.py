@@ -3065,18 +3065,187 @@ def test_neq_order2_triple(engine):
                         assert mine == sorted(truth), (
                             "notin", o2, o3, probe, og, mine, truth,
                         )
-        # keyless <>-triples stay on the fallback
-        with _pytest.raises(UnsupportedSqlError):
-            engine.sql(
-                """SELECT p.pk FROM nq_outer AS p
-                   WHERE p.x NOT IN (SELECT i.iy FROM nq_inner AS i
+        # round 14: keyless <>-triples plan natively (global U/V
+        # fold + per-y match view) — brute-force matched over the
+        # same NULL-heavy data, probes in both positions
+        for probe, pf in (("p.x", lambda x: x), ("2", lambda x: 2)):
+            q = f"""SELECT p.pk FROM nq_outer AS p
+                   WHERE {probe} NOT IN (SELECT i.iy FROM nq_inner AS i
                      WHERE i.a <> p.d1 AND i.b < p.d2
-                       AND i.c < p.d3)""",
-                mode="cqc",
+                       AND i.c < p.d3)"""
+            mine = sorted(
+                r["pk"] for r in engine.sql(q, mode="cqc").collect()
+            )
+            truth = []
+            for pk, k, x, d1, d2, d3 in outer:
+                xv = pf(x)
+                grp = [
+                    iy
+                    for ik, iy, a, b, c in inner
+                    if None not in (a, b, c, d1, d2, d3)
+                    and a != d1 and b < d2 and c < d3
+                ]
+                if not grp:
+                    truth.append(pk)
+                elif xv is not None and any(
+                    iy == xv for iy in grp if iy is not None
+                ):
+                    pass
+                elif any(iy is None for iy in grp) or xv is None:
+                    pass
+                else:
+                    truth.append(pk)
+            assert mine == sorted(truth), (
+                "keyless-notin", probe, mine, truth,
             )
     finally:
         engine.catalog.unregister("nq_inner")
         engine.catalog.unregister("nq_outer")
+
+
+def test_keyless_neq_triples_exists(engine):
+    """Round 14: KEYLESS <>-containing triples under OR'd [NOT]
+    EXISTS plan natively — the keyed U/V / prefix-diagonal statistics
+    fold GLOBALLY via capped driver folds reusing the same pure
+    sweeps (frontier.global_neq_order2_points /
+    global_neq2_order_entries) and the same JVM witnesses. Brute
+    force over NULL-heavy random data: 1-<>+2-order with 4 order-op
+    rotations x EXISTS/NOT EXISTS, 2-<>+1-order with 4 ops x both
+    polarities. Keyless 3-<> triples pin the fallback raise (no
+    constant-size statistic), and a double order dim pins the
+    integral-only dtype raise."""
+    import operator
+    import random
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    spark = engine.spark
+    rng = random.Random(77)
+    ops = {
+        "<": operator.lt, "<=": operator.le,
+        ">": operator.gt, ">=": operator.ge,
+    }
+    onames = list(ops)
+    inner = [
+        (
+            rng.choice([None] + list(range(1, 4))),
+            rng.choice([None] + list(range(1, 6))),
+            rng.choice([None] + list(range(1, 6))),
+        )
+        for _ in range(26)
+    ]
+    outer = [
+        (
+            i,
+            rng.choice([None] + list(range(1, 4))),
+            rng.choice([None] + list(range(1, 6))),
+            rng.choice([None] + list(range(1, 6))),
+        )
+        for i in range(14)
+    ]
+    ipdf = pd.DataFrame(inner, columns=["a", "b", "c"])
+    opdf = pd.DataFrame(outer, columns=["pk", "d1", "d2", "d3"])
+    engine.catalog.register_df(
+        "kt_inner",
+        spark.createDataFrame(
+            ipdf.astype(object).where(ipdf.notna(), None),
+            "a int, b int, c int",
+        ),
+        (),
+    )
+    engine.catalog.register_df(
+        "kt_outer",
+        spark.createDataFrame(
+            opdf.astype(object).where(opdf.notna(), None),
+            "pk int, d1 int, d2 int, d3 int",
+        ),
+        ("pk",),
+    )
+    try:
+        # 1-<> + 2-order
+        for i0 in range(4):
+            o2, o3 = onames[i0], onames[(i0 + 1) % 4]
+            f2, f3 = ops[o2], ops[o3]
+            for neg in ("", "NOT "):
+                q = f"""SELECT p.pk FROM kt_outer AS p
+                        WHERE p.d1 = 9 OR {neg}EXISTS (
+                          SELECT 1 FROM kt_inner AS i
+                          WHERE i.a <> p.d1 AND i.b {o2} p.d2
+                            AND i.c {o3} p.d3)"""
+                mine = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
+                )
+                truth = []
+                for pk, d1, d2, d3 in outer:
+                    ex = any(
+                        None not in (a, b, c, d1, d2, d3)
+                        and a != d1 and f2(b, d2) and f3(c, d3)
+                        for a, b, c in inner
+                    )
+                    if d1 == 9 or (not ex if neg else ex):
+                        truth.append(pk)
+                assert mine == sorted(truth), (
+                    "1neq2ord", o2, o3, neg, mine, truth,
+                )
+        # 2-<> + 1-order
+        for o3, f3 in ops.items():
+            for neg in ("", "NOT "):
+                q = f"""SELECT p.pk FROM kt_outer AS p
+                        WHERE p.d1 = 9 OR {neg}EXISTS (
+                          SELECT 1 FROM kt_inner AS i
+                          WHERE i.a <> p.d1 AND i.b <> p.d2
+                            AND i.c {o3} p.d3)"""
+                mine = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
+                )
+                truth = []
+                for pk, d1, d2, d3 in outer:
+                    ex = any(
+                        None not in (a, b, c, d1, d2, d3)
+                        and a != d1 and b != d2 and f3(c, d3)
+                        for a, b, c in inner
+                    )
+                    if d1 == 9 or (not ex if neg else ex):
+                        truth.append(pk)
+                assert mine == sorted(truth), (
+                    "2neq1ord", o3, neg, mine, truth,
+                )
+        # keyless 3-<> triples keep the fallback raise
+        with _pytest.raises(UnsupportedSqlError):
+            engine.sql(
+                """SELECT p.pk FROM kt_outer AS p
+                   WHERE p.d1 = 9 OR EXISTS (
+                     SELECT 1 FROM kt_inner AS i
+                     WHERE i.a <> p.d1 AND i.b <> p.d2
+                       AND i.c <> p.d3)""",
+                mode="cqc",
+            )
+        # non-integral order dims keep the dtype raise
+        engine.catalog.register_df(
+            "kt_dbl",
+            spark.createDataFrame(
+                [(1, 1.5, 2)], "a int, b double, c int"
+            ),
+            (),
+        )
+        try:
+            with _pytest.raises(UnsupportedSqlError):
+                engine.sql(
+                    """SELECT p.pk FROM kt_outer AS p
+                       WHERE p.d1 = 9 OR EXISTS (
+                         SELECT 1 FROM kt_dbl AS i
+                         WHERE i.a <> p.d1 AND i.b < p.d2
+                           AND i.c < p.d3)""",
+                    mode="cqc",
+                )
+        finally:
+            engine.catalog.unregister("kt_dbl")
+    finally:
+        engine.catalog.unregister("kt_inner")
+        engine.catalog.unregister("kt_outer")
 
 
 def test_neq_order2_sweep_brute():
@@ -3250,14 +3419,38 @@ def test_neq2_order_triple(engine):
                     assert mine == sorted(truth), (
                         "notin", o3, probe, og, mine, truth,
                     )
-        # keyless 2-<> triples stay on the fallback
-        with _pytest.raises(UnsupportedSqlError):
-            engine.sql(
-                """SELECT p.pk FROM z2_outer AS p
-                   WHERE p.x NOT IN (SELECT i.iy FROM z2_inner AS i
+        # round 14: keyless 2-<> triples plan natively (global
+        # prefix-diagonal fold + per-y match view) — brute-force
+        # matched over the same NULL-heavy data, both probes
+        for probe, pf in (("p.x", lambda x: x), ("2", lambda x: 2)):
+            q = f"""SELECT p.pk FROM z2_outer AS p
+                   WHERE {probe} NOT IN (SELECT i.iy FROM z2_inner AS i
                      WHERE i.a <> p.d1 AND i.b <> p.d2
-                       AND i.c < p.d3)""",
-                mode="cqc",
+                       AND i.c < p.d3)"""
+            mine = sorted(
+                r["pk"] for r in engine.sql(q, mode="cqc").collect()
+            )
+            truth = []
+            for pk, k, x, d1, d2, d3 in outer:
+                xv = pf(x)
+                grp = [
+                    iy
+                    for ik, iy, a, b, c in inner
+                    if None not in (a, b, c, d1, d2, d3)
+                    and a != d1 and b != d2 and c < d3
+                ]
+                if not grp:
+                    truth.append(pk)
+                elif xv is not None and any(
+                    iy == xv for iy in grp if iy is not None
+                ):
+                    pass
+                elif any(iy is None for iy in grp) or xv is None:
+                    pass
+                else:
+                    truth.append(pk)
+            assert mine == sorted(truth), (
+                "keyless-2neq-notin", probe, mine, truth,
             )
     finally:
         engine.catalog.unregister("z2_inner")
