@@ -671,16 +671,53 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     # uncorrelated branch folds to a plan-time constant via the
     # LIMIT-1 probe, so the disjunction evaluates row-at-a-time.
     # Same SQL is the DuckDB oracle. ---
-    "exists_or": (
-        """SELECT c.c_custkey, c.c_acctbal
-           FROM customer AS c
-           WHERE c.c_acctbal < -900.0
-              OR EXISTS (SELECT 1 FROM orders AS o
-                         WHERE o.o_custkey = c.c_custkey
-                           AND o.o_totalprice > 300000.0)
-              OR NOT EXISTS (SELECT 1 FROM supplier AS s
-                             WHERE s.s_acctbal > -99999999.0)""",
-        None,
+    # (r14 consolidation: the exists_or entry — single-comparison
+    # [NOT] EXISTS disjunction with an uncorrelated constant-folded
+    # branch — retired to free the window slot for
+    # not_in_neq_triple_keyless. The OR-lift surface stays
+    # driver-covered in-window via exists_or_join, and the shape
+    # family keeps the broader named parameterized DuckDB-oracle
+    # pytest tests/test_cqc_queries.py:test_or_exists_flag_join
+    # (correlated, uncorrelated, join-composed, nested-under-AND).)
+    #
+    # --- NEW r14: KEYLESS <>-containing triple-filtered correlated
+    # NOT IN — no equality correlation, so the set/NULL-y facts fold
+    # GLOBALLY via the capped U/V stat helper
+    # (plans/frontier.py:global_neq_order2_points — the same pure
+    # sweep the keyed path runs, driver-side) and the match fact is a
+    # distributed per-y keyed view
+    # (cqc._apply_neq_triple_not_in_keyless). DuckDB cannot oracle
+    # multi-inequality correlated NOT IN (ORACLE WARNING), so the
+    # oracle is the outer-PK-grouped join-form stats expansion
+    # (n/nn/m). Inner-local filters keep the oracle's inequality join
+    # tractable for DuckDB. NULL matrices:
+    # test_neq_order2_triple / test_keyless_neq_triples_exists. ---
+    "not_in_neq_triple_keyless": (
+        """SELECT o.o_orderkey, o.o_custkey
+           FROM orders AS o
+           WHERE o.o_custkey NOT IN (
+             SELECT l.l_suppkey FROM lineitem AS l
+             WHERE l.l_partkey < 400 AND l.l_suppkey < 30
+               AND l.l_linenumber <> o.o_custkey - 40
+               AND l.l_partkey < o.o_custkey * 12
+               AND l.l_orderkey > o.o_orderkey - 2000)""",
+        """SELECT o.o_orderkey, o.o_custkey
+           FROM orders AS o
+           LEFT JOIN (
+             SELECT o2.o_orderkey AS k, COUNT(*) AS n,
+                    COUNT(l.l_suppkey) AS nn,
+                    SUM(CASE WHEN l.l_suppkey = o2.o_custkey
+                             THEN 1 ELSE 0 END) AS m
+             FROM orders AS o2 JOIN lineitem AS l
+               ON l.l_partkey < 400 AND l.l_suppkey < 30
+              AND l.l_linenumber <> o2.o_custkey - 40
+              AND l.l_partkey < o2.o_custkey * 12
+              AND l.l_orderkey > o2.o_orderkey - 2000
+             GROUP BY o2.o_orderkey) AS st
+             ON st.k = o.o_orderkey
+           WHERE st.n IS NULL
+              OR (st.m = 0 AND st.nn = st.n
+                  AND o.o_custkey IS NOT NULL)""",
     ),
     # (r13 consolidation: the quantified_all entry — ALL-quantified
     # comparisons — retired to free the slot for not_in_pair_keyless.
@@ -3138,7 +3175,12 @@ _HEAD = [
     "events_heavy_hitters",
     "events_sessionize",
     "embed_kmeans",
-    "exists_or",
+    # r14: not_in_neq_triple_keyless takes the slot freed by the
+    # exists_or retirement (see the inline note at its former
+    # definition site) — it drives the round's keyless <>-triple
+    # closure, which stays NATIVE under auto (the regime where the
+    # A/B showed Catalyst nested-looping).
+    "not_in_neq_triple_keyless",
     "weighted_sample_topk",
     "heavy_hitters_stream",
     "text_repetition",
