@@ -105,6 +105,13 @@ BOUNDS = {
     # bound guards against the flag joins silently un-broadcasting.
     # Measured 15 at pin time (sf0.001).
     "not_in_rowvalue_quad_or": 15,
+    # r14: keyless <>-triple NOT IN — the set/NULL-y facts fold
+    # PLAN-TIME via the capped global U/V helper (their jobs never
+    # appear in this plan), so the live exchanges are the per-y match
+    # view's: (y, a) pre-reduction, the applyInArrow sweep's y-key
+    # exchange, and the y-keyed collect; the one-row fact views
+    # crossJoin as broadcasts. Measured 3 at pin time (sf0.001).
+    "not_in_neq_triple_keyless": 3,
     # r14: the 3-D skyline flag with DOUBLE dims (the dtype widening)
     # — same plan family as exists_three_comparisons: (key, u0, u1)
     # pre-reduction, the applyInArrow sweep's part-key exchange, the
