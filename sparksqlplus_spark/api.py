@@ -1164,7 +1164,6 @@ class SparkSQLPlus:
                         pair_threshold = noneq
                     elif (
                         len(noneq) == 3
-                        and n_corr_keys
                         and pops.count("<>") in (1, 2)
                         and all(
                             o in ("<", "<=", ">", ">=", "<>")
@@ -1174,7 +1173,9 @@ class SparkSQLPlus:
                         # round 13 (latest): ONE <> + two order
                         # comparisons (the U/V two-staircase
                         # statistic) or TWO <> + one order (the
-                        # prefix-diagonal-stats array), keyed only
+                        # prefix-diagonal-stats array); round 14:
+                        # KEYLESS groups fold the statistics globally
+                        # (_corr_not_in_neq_triple_keyless_or)
                         pair_threshold = noneq
                     elif len(noneq) == 4 and all(
                         o in ("<", "<=", ">", ">=") for o in pops
@@ -2848,6 +2849,13 @@ class SparkSQLPlus:
                 )
             if len(pair) == 3:
                 n_neq3 = sum(1 for t in pair if t[0] == "<>")
+                if n_neq3 in (1, 2) and not gsel:
+                    # round 14: KEYLESS <>-containing triples — global
+                    # stat folds + a per-y match view (see the method)
+                    return self._corr_not_in_neq_triple_keyless_or(
+                        inner, probe_outer, probe_icol, pair, spec,
+                        ephemeral,
+                    )
                 if n_neq3 == 1:
                     # round 13 (latest): ONE <> + two order
                     # comparisons — U/V two-staircase flag views
@@ -3118,6 +3126,157 @@ class SparkSQLPlus:
                 (fact(m_alias, "__m"), Lit(False, "boolean")),
                 (fact(salias, "__n"), Lit(None, "null")),
                 (IsNull(probe_outer), Lit(None, "null")),
+            ),
+            Lit(True, "boolean"),
+        )
+
+    def _corr_not_in_neq_triple_keyless_or(
+        self, inner, probe_outer, probe_icol, pair, spec, ephemeral,
+    ):
+        """KEYLESS <>-containing triple-filtered correlated NOT IN
+        under OR (round 14 — completes the keyless triple closure;
+        the OR sibling of cqc._apply_neq_triple_not_in_keyless):
+        ``P OR o.x NOT IN (SELECT y FROM t WHERE t.a <> o.d1 AND
+        t.b OP2 o.d2 AND t.c OP3 o.d3)`` or the 2-<> mix. The set and
+        NULL-y facts fold at plan time via the capped global stat
+        helpers into ONE-ROW views joined unconditionally; the match
+        fact is a per-y keyed view (one row per y, the LEFT join on
+        probe = y never duplicates). Flag order: set empty (witness
+        false, incl. NULL thresholds) -> TRUE; matched -> FALSE;
+        in-threshold NULL y or NULL probe -> UNKNOWN; else TRUE.
+        Integral order dims only (the folds raise, riding
+        mode='auto'). Coverage: brute-force NULL-matrix pytests (the
+        SURVEY ORACLE WARNING bars DuckDB here)."""
+        from sparksqlplus_spark.expressions import (
+            CaseWhen,
+            Cmp,
+            Col,
+            IsNull,
+            Lit,
+            Neq2OrderWitness,
+            NeqTripleWitness,
+            OrCond,
+        )
+        from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
+        from sparksqlplus_spark.plans.frontier import (
+            global_neq2_order_entries,
+            global_neq_order2_points,
+            keyed_neq2_order_view,
+            keyed_neq_order2_view,
+            neq2_order_one_row_df,
+            neq_triple_one_row_df,
+        )
+
+        n_neq = sum(1 for t in pair if t[0] == "<>")
+        neqs = [t for t in pair if t[0] == "<>"]
+        orders = [t for t in pair if t[0] != "<>"]
+        cap = self._KEYLESS_FRONTIER_CAP
+
+        def one_row_join(view):
+            self._view_counter += 1
+            vname = f"__corrq{self._view_counter}"
+            self.catalog.register_df(vname, view, ())
+            ephemeral.append(vname)
+            valias = f"{vname}_i"
+            spec.outer_joins.append(
+                OuterJoin(
+                    item=FromItem(alias=valias, table=vname),
+                    conds=[],
+                    side="left",
+                    allow_uncorrelated=True,
+                )
+            )
+            return valias
+
+        if n_neq == 1:
+            (_, d1e, a_col), = neqs
+            (op2, d2e, b_col), (op3, d3e, c_col) = orders
+
+            def fold_view(src):
+                u_rows, v_pts, (a_dt, u_dt, v_dt) = (
+                    global_neq_order2_points(
+                        src, a_col, b_col, c_col, (op2, op3), cap
+                    )
+                )
+                return neq_triple_one_row_df(
+                    self.spark, u_rows, v_pts, a_dt, u_dt, v_dt
+                )
+
+            def witness(alias, negated=False):
+                return NeqTripleWitness(
+                    Col(alias, "__upts"),
+                    Col(alias, "__vpts"),
+                    d1e, op2, d2e, op3, d3e,
+                    negated=negated,
+                )
+
+        else:
+            (_, d1e, a_col), (_, d2e, b_col) = neqs
+            (op3, d3e, c_col), = orders
+
+            def fold_view(src):
+                entries, (a_dt, b_dt, c_dt) = global_neq2_order_entries(
+                    src, a_col, b_col, c_col, op3, cap
+                )
+                return neq2_order_one_row_df(
+                    self.spark, entries, a_dt, b_dt, c_dt
+                )
+
+            def witness(alias, negated=False):
+                return Neq2OrderWitness(
+                    Col(alias, "__npts"), d1e, d2e, op3, d3e,
+                    negated=negated,
+                )
+
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import const_expr
+
+        s_alias = one_row_join(fold_view(inner))
+        n_alias = one_row_join(
+            fold_view(inner.filter(F.col(probe_icol).isNull()))
+        )
+        if const_expr(probe_outer):
+            # constant probe: the match fact is GLOBAL too — fold the
+            # y = const slice into a one-row view (an uncorrelated
+            # const = col LEFT join would be rejected by _run_outer)
+            pl = probe_outer.to_spark({})
+            malias = one_row_join(
+                fold_view(inner.filter(F.col(probe_icol) == pl))
+            )
+        else:
+            # column probe: per-y keyed statistic, one row per y
+            msrc = inner.filter(F.col(probe_icol).isNotNull())
+            if n_neq == 1:
+                mview = keyed_neq_order2_view(
+                    msrc, [(probe_icol, "__f0")], a_col, b_col, c_col,
+                    (op2, op3), "__upts", "__vpts",
+                )
+            else:
+                mview = keyed_neq2_order_view(
+                    msrc, [(probe_icol, "__f0")], a_col, b_col, c_col,
+                    op3, "__npts",
+                )
+            self._view_counter += 1
+            mname = f"__corrq{self._view_counter}"
+            self.catalog.register_df(mname, mview, ("__f0",))
+            ephemeral.append(mname)
+            malias = f"{mname}_i"
+            spec.outer_joins.append(
+                OuterJoin(
+                    item=FromItem(alias=malias, table=mname),
+                    conds=[Cmp("=", probe_outer, Col(malias, "__f0"))],
+                    side="left",
+                )
+            )
+        return CaseWhen(
+            (
+                (witness(s_alias, negated=True), Lit(True, "boolean")),
+                (witness(malias), Lit(False, "boolean")),
+                (
+                    OrCond((witness(n_alias), IsNull(probe_outer))),
+                    Lit(None, "null"),
+                ),
             ),
             Lit(True, "boolean"),
         )

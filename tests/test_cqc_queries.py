@@ -3066,38 +3066,45 @@ def test_neq_order2_triple(engine):
                             "notin", o2, o3, probe, og, mine, truth,
                         )
         # round 14: keyless <>-triples plan natively (global U/V
-        # fold + per-y match view) — brute-force matched over the
-        # same NULL-heavy data, probes in both positions
+        # fold + per-y match view; the under-OR form folds the same
+        # statistics into three-valued flag views) — brute-force
+        # matched over the same NULL-heavy data, probes in both
+        # positions, plain WHERE and under OR
         for probe, pf in (("p.x", lambda x: x), ("2", lambda x: 2)):
-            q = f"""SELECT p.pk FROM nq_outer AS p
-                   WHERE {probe} NOT IN (SELECT i.iy FROM nq_inner AS i
-                     WHERE i.a <> p.d1 AND i.b < p.d2
-                       AND i.c < p.d3)"""
-            mine = sorted(
-                r["pk"] for r in engine.sql(q, mode="cqc").collect()
-            )
-            truth = []
-            for pk, k, x, d1, d2, d3 in outer:
-                xv = pf(x)
-                grp = [
-                    iy
-                    for ik, iy, a, b, c in inner
-                    if None not in (a, b, c, d1, d2, d3)
-                    and a != d1 and b < d2 and c < d3
-                ]
-                if not grp:
-                    truth.append(pk)
-                elif xv is not None and any(
-                    iy == xv for iy in grp if iy is not None
-                ):
-                    pass
-                elif any(iy is None for iy in grp) or xv is None:
-                    pass
-                else:
-                    truth.append(pk)
-            assert mine == sorted(truth), (
-                "keyless-notin", probe, mine, truth,
-            )
+            for guard, og in (("", False), ("p.d3 = 9 OR ", True)):
+                q = f"""SELECT p.pk FROM nq_outer AS p
+                       WHERE {guard}{probe} NOT IN (
+                         SELECT i.iy FROM nq_inner AS i
+                         WHERE i.a <> p.d1 AND i.b < p.d2
+                           AND i.c < p.d3)"""
+                mine = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
+                )
+                truth = []
+                for pk, k, x, d1, d2, d3 in outer:
+                    if og and d3 == 9:
+                        truth.append(pk)
+                        continue
+                    xv = pf(x)
+                    grp = [
+                        iy
+                        for ik, iy, a, b, c in inner
+                        if None not in (a, b, c, d1, d2, d3)
+                        and a != d1 and b < d2 and c < d3
+                    ]
+                    if not grp:
+                        truth.append(pk)
+                    elif xv is not None and any(
+                        iy == xv for iy in grp if iy is not None
+                    ):
+                        pass
+                    elif any(iy is None for iy in grp) or xv is None:
+                        pass
+                    else:
+                        truth.append(pk)
+                assert mine == sorted(truth), (
+                    "keyless-notin", probe, og, mine, truth,
+                )
     finally:
         engine.catalog.unregister("nq_inner")
         engine.catalog.unregister("nq_outer")
@@ -3420,38 +3427,45 @@ def test_neq2_order_triple(engine):
                         "notin", o3, probe, og, mine, truth,
                     )
         # round 14: keyless 2-<> triples plan natively (global
-        # prefix-diagonal fold + per-y match view) — brute-force
-        # matched over the same NULL-heavy data, both probes
+        # prefix-diagonal fold + per-y match view; the under-OR form
+        # folds the same statistics into three-valued flag views) —
+        # brute-force matched over the same NULL-heavy data, both
+        # probes, plain WHERE and under OR
         for probe, pf in (("p.x", lambda x: x), ("2", lambda x: 2)):
-            q = f"""SELECT p.pk FROM z2_outer AS p
-                   WHERE {probe} NOT IN (SELECT i.iy FROM z2_inner AS i
-                     WHERE i.a <> p.d1 AND i.b <> p.d2
-                       AND i.c < p.d3)"""
-            mine = sorted(
-                r["pk"] for r in engine.sql(q, mode="cqc").collect()
-            )
-            truth = []
-            for pk, k, x, d1, d2, d3 in outer:
-                xv = pf(x)
-                grp = [
-                    iy
-                    for ik, iy, a, b, c in inner
-                    if None not in (a, b, c, d1, d2, d3)
-                    and a != d1 and b != d2 and c < d3
-                ]
-                if not grp:
-                    truth.append(pk)
-                elif xv is not None and any(
-                    iy == xv for iy in grp if iy is not None
-                ):
-                    pass
-                elif any(iy is None for iy in grp) or xv is None:
-                    pass
-                else:
-                    truth.append(pk)
-            assert mine == sorted(truth), (
-                "keyless-2neq-notin", probe, mine, truth,
-            )
+            for guard, og in (("", False), ("p.d3 = 9 OR ", True)):
+                q = f"""SELECT p.pk FROM z2_outer AS p
+                       WHERE {guard}{probe} NOT IN (
+                         SELECT i.iy FROM z2_inner AS i
+                         WHERE i.a <> p.d1 AND i.b <> p.d2
+                           AND i.c < p.d3)"""
+                mine = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
+                )
+                truth = []
+                for pk, k, x, d1, d2, d3 in outer:
+                    if og and d3 == 9:
+                        truth.append(pk)
+                        continue
+                    xv = pf(x)
+                    grp = [
+                        iy
+                        for ik, iy, a, b, c in inner
+                        if None not in (a, b, c, d1, d2, d3)
+                        and a != d1 and b != d2 and c < d3
+                    ]
+                    if not grp:
+                        truth.append(pk)
+                    elif xv is not None and any(
+                        iy == xv for iy in grp if iy is not None
+                    ):
+                        pass
+                    elif any(iy is None for iy in grp) or xv is None:
+                        pass
+                    else:
+                        truth.append(pk)
+                assert mine == sorted(truth), (
+                    "keyless-2neq-notin", probe, og, mine, truth,
+                )
     finally:
         engine.catalog.unregister("z2_inner")
         engine.catalog.unregister("z2_outer")
