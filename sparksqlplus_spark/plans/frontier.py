@@ -813,6 +813,7 @@ def keyed_neq_order2_view(src, part_pairs, a_col, b_col, c_col, ops,
             raise UnsupportedSqlError(
                 _FRONTIER_DTYPE_MSG.format(dt=f.dataType)
             )
+    _gate_neq_class_dtype(pre.schema["__a"].dataType)
     out_schema = T.StructType(
         [f for f in pre.schema.fields]
         + [T.StructField("__kind", T.IntegerType(), False)]
@@ -933,6 +934,8 @@ def keyed_neq2_order_view(src, part_pairs, a_col, b_col, c_col, op3,
         raise UnsupportedSqlError(
             _FRONTIER_DTYPE_MSG.format(dt=pre.schema["__c"].dataType)
         )
+    _gate_neq_class_dtype(pre.schema["__a"].dataType)
+    _gate_neq_class_dtype(pre.schema["__b"].dataType)
     a_dt = pre.schema["__a"].dataType
     b_dt = pre.schema["__b"].dataType
     c_dt = pre.schema["__c"].dataType
@@ -1053,7 +1056,43 @@ def global_neq_order2_points(inner, a_col, b_col, c_col, ops, cap):
                 "keyless <>-triple folds support integral order dims "
                 f"only (got {f.dataType})"
             )
-    rows = pre.take(cap + 1)
+    _gate_neq_class_dtype(pre.schema["__a"].dataType)
+
+    def batch_reduce(it):
+        # per-class 2-D staircase reduction per Arrow batch (round 14
+        # late): the U/V facts only need each class's Pareto frontier
+        # of (u, v) — region membership per class is preserved, so
+        # pair existence and annotations are too. This keeps the
+        # capped take bounded by the summed per-class frontiers, not
+        # the distinct (a, u) count.
+        from collections import defaultdict
+
+        import pyarrow as pa
+
+        for b in it:
+            tbl = pa.Table.from_batches([b])
+            if tbl.num_rows == 0:
+                continue
+            a_vals = tbl.column("__a").to_pylist()
+            ou = _arrow_key_i64(tbl.column("__u"), "i64", asc2)
+            ov = _arrow_key_i64(tbl.column("__v"), "i64", asc3)
+            groups = defaultdict(list)
+            for i, av in enumerate(a_vals):
+                groups[av].append(i)
+            keep: list = []
+            for idxs in groups.values():
+                idxs.sort(key=lambda i: ou[i])
+                best = None
+                for i in idxs:
+                    if best is None or ov[i] < best:
+                        best = ov[i]
+                        keep.append(i)
+            keep.sort()
+            yield from tbl.take(
+                pa.array(keep, type=pa.int64())
+            ).to_batches()
+
+    rows = pre.mapInArrow(batch_reduce, pre.schema).take(cap + 1)
     if len(rows) > cap:
         raise UnsupportedSqlError(
             f"keyless <>-triple fold exceeds the {cap}-row inline cap"
@@ -1081,6 +1120,26 @@ def global_neq_order2_points(inner, a_col, b_col, c_col, ops, cap):
             pre.schema["__v"].dataType,
         ),
     )
+
+
+def _gate_neq_class_dtype(dt):
+    """<>-dim dtype gate for the <>-statistic views and folds (round
+    14): float/double <>-dims raise into the fallback — the CLASS
+    bookkeeping compares values in Python/pandas, where nan != nan,
+    but Spark's <>/= treat NaN as self-equal, so a NaN-carrying float
+    class would be split into spurious distinct classes (and the
+    keyed views' pandas return path would mask NaN class labels to
+    NULL). Every other equality-comparable type matches Spark's
+    semantics natively (int/str/Decimal/date/datetime; -0.0 = 0.0
+    never arises since floats are rejected)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        raise UnsupportedSqlError(
+            "<>-statistic folds do not support float/double <>-dims "
+            "(NaN self-equality diverges between Spark and the class "
+            "bookkeeping); riding the fallback"
+        )
 
 
 def neq_triple_one_row_df(spark, u_rows, v_pts, a_dt, u_dt, v_dt):
@@ -1163,6 +1222,8 @@ def global_neq2_order_entries(inner, a_col, b_col, c_col, op3, cap):
             "keyless <>-triple folds support integral order dims "
             f"only (got {pre.schema['__c'].dataType})"
         )
+    _gate_neq_class_dtype(pre.schema["__a"].dataType)
+    _gate_neq_class_dtype(pre.schema["__b"].dataType)
     rows = pre.take(cap + 1)
     if len(rows) > cap:
         raise UnsupportedSqlError(
