@@ -48,6 +48,14 @@ SHAPES = [
     "not_in_neq_order",
     "exists_three_comparisons",
     "not_in_pair_keyless",
+    # round 14 late additions (see SCALING.md r14 tables): the keyless
+    # <>-triple entry (small filtered inner — Catalyst's
+    # constant-dominated winning regime; the FULL-inner variant is
+    # measured separately because the spark side nested-loops for
+    # >6 min at sf0.1) and the single-comparison keyed cells that
+    # stay native (at-or-better than Catalyst / flat-constant gap)
+    "not_in_neq_triple_keyless",
+    "not_in_threshold",
 ]
 
 spark = get_spark(app_name="flag_ab", master="local[32]")
