@@ -806,7 +806,7 @@ def keyed_neq_order2_view(src, part_pairs, a_col, b_col, c_col, ops,
     )
     ok_types = (
         T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-        T.DateType, T.TimestampType,
+        T.DateType, T.TimestampType, T.TimestampNTZType,
     )
     for f in pre.schema.fields:
         if f.name in ("__u", "__v") and not isinstance(f.dataType, ok_types):
@@ -928,7 +928,7 @@ def keyed_neq2_order_view(src, part_pairs, a_col, b_col, c_col, op3,
     )
     ok_types = (
         T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-        T.DateType, T.TimestampType,
+        T.DateType, T.TimestampType, T.TimestampNTZType,
     )
     if not isinstance(pre.schema["__c"].dataType, ok_types):
         raise UnsupportedSqlError(
@@ -1022,10 +1022,11 @@ def global_neq_order2_points(inner, a_col, b_col, c_col, ops, cap):
     neq_triple_one_row_df; probes reuse expressions.NeqTripleWitness
     unchanged.
 
-    Dtypes: b/c INTEGRAL (driver-side orientation by sign flip; date/
-    timestamp would need epoch plumbing — they raise into the
-    mode='auto' fallback); a any equality-comparable type (stored
-    raw, compared JVM-side)."""
+    Dtypes: b/c integral/date/timestamp/timestamp_ntz (the driver
+    sweep runs on generic comparable keys — _Rev for descending dims —
+    since the pure sweep is comparison-only); a any equality-
+    comparable non-float type (stored raw, compared JVM-side;
+    float <>-dims raise, see _gate_neq_class_dtype)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -1047,14 +1048,11 @@ def global_neq_order2_points(inner, a_col, b_col, c_col, ops, cap):
         .groupBy("__a", "__u")
         .agg(bestc("__v").alias("__v"))
     )
-    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     for f in pre.schema.fields:
-        if f.name in ("__u", "__v") and not isinstance(
-            f.dataType, int_types
-        ):
+        if f.name in ("__u", "__v") and _dim_kind(f.dataType) != "i64":
             raise UnsupportedSqlError(
-                "keyless <>-triple folds support integral order dims "
-                f"only (got {f.dataType})"
+                "keyless <>-triple folds support integral/date/"
+                f"timestamp order dims only (got {f.dataType})"
             )
     _gate_neq_class_dtype(pre.schema["__a"].dataType)
 
@@ -1097,11 +1095,18 @@ def global_neq_order2_points(inner, a_col, b_col, c_col, ops, cap):
         raise UnsupportedSqlError(
             f"keyless <>-triple fold exceeds the {cap}-row inline cap"
         )
-    s2 = 1 if asc2 else -1
-    s3 = 1 if asc3 else -1
+    # driver sweep on generic comparable keys (_Rev for descending
+    # dims — the pure sweep is comparison-only), so date/timestamp
+    # dims need no numeric plumbing; _Rev-wrapped combined V coords
+    # unwrap back to original values
     srt = sorted(
         (
-            (i, r["__a"], s2 * r["__u"], s3 * r["__v"])
+            (
+                i,
+                r["__a"],
+                _okey_py(r["__u"], "i64", asc2),
+                _okey_py(r["__v"], "i64", asc3),
+            )
             for i, r in enumerate(rows)
         ),
         key=lambda t: t[2],
@@ -1110,7 +1115,11 @@ def global_neq_order2_points(inner, a_col, b_col, c_col, ops, cap):
     u_rows = [
         (rows[i]["__u"], rows[i]["__v"], rows[i]["__a"]) for i in u_keep
     ]
-    v_raw = [(s2 * u, s3 * v) for u, v in v_pts]
+
+    def unwrap(k):
+        return k.v if isinstance(k, _Rev) else k
+
+    v_raw = [(unwrap(u), unwrap(v)) for u, v in v_pts]
     return (
         u_rows,
         v_raw,
@@ -1195,8 +1204,9 @@ def global_neq2_order_entries(inner, a_col, b_col, c_col, op3, cap):
     are raw-valued (ord, c, da, db, ua, ub, f1a, f1b, f2a, f2b)
     tuples, ord-ascending — the layout neq2_order_witness_col probes.
 
-    Dtypes: c INTEGRAL (driver-side orientation); a/b any
-    equality-comparable type."""
+    Dtypes: c integral/date/timestamp/timestamp_ntz (generic
+    comparable driver keys); a/b any equality-comparable non-float
+    type (float <>-dims raise, see _gate_neq_class_dtype)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -1216,11 +1226,10 @@ def global_neq2_order_entries(inner, a_col, b_col, c_col, op3, cap):
         .groupBy("__a", "__b")
         .agg(bestc("__c").alias("__c"))
     )
-    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    if not isinstance(pre.schema["__c"].dataType, int_types):
+    if _dim_kind(pre.schema["__c"].dataType) != "i64":
         raise UnsupportedSqlError(
-            "keyless <>-triple folds support integral order dims "
-            f"only (got {pre.schema['__c'].dataType})"
+            "keyless <>-triple folds support integral/date/timestamp "
+            f"order dims only (got {pre.schema['__c'].dataType})"
         )
     _gate_neq_class_dtype(pre.schema["__a"].dataType)
     _gate_neq_class_dtype(pre.schema["__b"].dataType)
@@ -1229,16 +1238,26 @@ def global_neq2_order_entries(inner, a_col, b_col, c_col, op3, cap):
         raise UnsupportedSqlError(
             f"keyless <>-triple fold exceeds the {cap}-row inline cap"
         )
-    s3 = 1 if asc3 else -1
+    # generic comparable keys (the pure sweep is comparison-only);
+    # the stored ``ord`` is just the region-growing index — the
+    # witness filters on the ORIGINAL ``c`` and the array is already
+    # sorted, so no numeric orientation is needed
     srt = sorted(
-        ((r["__a"], r["__b"], s3 * r["__c"]) for r in rows),
+        (
+            (r["__a"], r["__b"], _okey_py(r["__c"], "i64", asc3))
+            for r in rows
+        ),
         key=lambda t: t[2],
     )
     entries = _neq2_order_sweep(srt)
+
+    def unwrap(k):
+        return k.v if isinstance(k, _Rev) else k
+
     out = [
         (
-            e[0],
-            s3 * e[0],
+            i,
+            unwrap(e[0]),
             e[1],
             e[2],
             e[3],
@@ -1248,7 +1267,7 @@ def global_neq2_order_entries(inner, a_col, b_col, c_col, op3, cap):
             e[6][0] if e[6] else None,
             e[6][1] if e[6] else None,
         )
-        for e in entries
+        for i, e in enumerate(entries)
     ]
     return (
         out,

@@ -3220,6 +3220,68 @@ def test_keyless_neq_triples_exists(engine):
                 assert mine == sorted(truth), (
                     "2neq1ord", o3, neg, mine, truth,
                 )
+        # DATE order dims ride the generic-comparable driver keys
+        # (round 14 late): brute-forced on a date-dim variant,
+        # ascending and descending orientations
+        import datetime as _dt
+
+        dpool = [None] + [
+            _dt.date(2024, 1, d) for d in (3, 9, 15, 21, 27)
+        ]
+        inner_d = [
+            (
+                rng.choice([None] + list(range(1, 4))),
+                rng.choice(dpool),
+                rng.choice([None] + list(range(1, 6))),
+            )
+            for _ in range(22)
+        ]
+        outer_d = [
+            (
+                i,
+                rng.choice([None] + list(range(1, 4))),
+                rng.choice(dpool),
+                rng.choice([None] + list(range(1, 6))),
+            )
+            for i in range(12)
+        ]
+        engine.catalog.register_df(
+            "ktd_inner",
+            spark.createDataFrame(inner_d, "a int, b date, c int"),
+            (),
+        )
+        engine.catalog.register_df(
+            "ktd_outer",
+            spark.createDataFrame(
+                outer_d, "pk int, d1 int, d2 date, d3 int"
+            ),
+            ("pk",),
+        )
+        try:
+            for o2, f2 in (("<", operator.lt), (">=", operator.ge)):
+                q = f"""SELECT p.pk FROM ktd_outer AS p
+                        WHERE p.d1 = 9 OR EXISTS (
+                          SELECT 1 FROM ktd_inner AS i
+                          WHERE i.a <> p.d1 AND i.b {o2} p.d2
+                            AND i.c <= p.d3)"""
+                mine = sorted(
+                    r["pk"] for r in engine.sql(q, mode="cqc").collect()
+                )
+                truth = []
+                for pk, d1, d2, d3 in outer_d:
+                    ex = any(
+                        None not in (a, b, c, d1, d2, d3)
+                        and a != d1 and f2(b, d2) and c <= d3
+                        for a, b, c in inner_d
+                    )
+                    if d1 == 9 or ex:
+                        truth.append(pk)
+                assert mine == sorted(truth), (
+                    "date-dim", o2, mine, truth,
+                )
+        finally:
+            engine.catalog.unregister("ktd_inner")
+            engine.catalog.unregister("ktd_outer")
         # keyless 3-<> triples keep the fallback raise
         with _pytest.raises(UnsupportedSqlError):
             engine.sql(
