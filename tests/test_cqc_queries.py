@@ -2707,20 +2707,34 @@ def test_or_exists_triple_skyline(engine):
         assert mine == truth, (mine, truth)
         # keyed ONE-<> triples plan too (latest r13 — the U/V
         # two-staircase flag; test_neq_order2_triple is its matrix),
-        # and all-order QUADS — keyed AND keyless — ride the 4-D
-        # skyline (test_order_quad_skyline); keyless <>-triples and
-        # 5 comparisons stay on the fallback
-        for bad_q in (
-            """SELECT p.pk FROM sky_outer AS p
+        # all-order QUADS — keyed AND keyless — ride the 4-D skyline
+        # (test_order_quad_skyline), and round 14 closed KEYLESS
+        # <>-triples (the global U/V fold —
+        # test_keyless_neq_triples_exists is the matrix; spot-check
+        # here on this data); 5 comparisons stay on the fallback
+        q = """SELECT p.pk FROM sky_outer AS p
                WHERE p.z = 9 OR EXISTS (SELECT 1 FROM sky_inner AS i
-                 WHERE i.a <> p.x AND i.b < p.y AND i.c < p.z)""",
-            """SELECT p.pk FROM sky_outer AS p
-               WHERE p.z = 9 OR EXISTS (SELECT 1 FROM sky_inner AS i
-                 WHERE i.ik = p.k AND i.a < p.x AND i.b < p.y
-                   AND i.c < p.z AND i.a > p.z AND i.b >= p.x)""",
-        ):
-            with _pytest.raises(UnsupportedSqlError):
-                engine.sql(bad_q, mode="cqc")
+                 WHERE i.a <> p.x AND i.b < p.y AND i.c < p.z)"""
+        mine = sorted(r["pk"] for r in engine.sql(q, mode="cqc").collect())
+        truth = sorted(
+            pk
+            for pk, k, x, y, z in outer
+            if z == 9
+            or any(
+                None not in (a, b, c, x, y, z)
+                and a != x and b < y and c < z
+                for _, a, b, c in inner
+            )
+        )
+        assert mine == truth, (mine, truth)
+        with _pytest.raises(UnsupportedSqlError):
+            engine.sql(
+                """SELECT p.pk FROM sky_outer AS p
+                   WHERE p.z = 9 OR EXISTS (SELECT 1 FROM sky_inner AS i
+                     WHERE i.ik = p.k AND i.a < p.x AND i.b < p.y
+                       AND i.c < p.z AND i.a > p.z AND i.b >= p.x)""",
+                mode="cqc",
+            )
     finally:
         engine.catalog.unregister("sky_inner")
         engine.catalog.unregister("sky_outer")
