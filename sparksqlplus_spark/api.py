@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -24,6 +25,7 @@ from sparksqlplus_spark.catalog import Catalog, TableMeta, parse_ddl
 from sparksqlplus_spark.compiler.cqc import CqcExecutor, naive_execute
 from sparksqlplus_spark.parser.sql import (
     CompoundSpec,
+    RoutedToFallback,
     UnsupportedSqlError,
     parse_query,
     parse_statement,
@@ -1261,13 +1263,21 @@ class SparkSQLPlus:
                     # matrices and the driver entries that certify
                     # this machinery) forces the native plan.
                     if keys and mode == "auto":
-                        raise UnsupportedSqlError(
+                        # RoutedToFallback with needs_distinct=False
+                        # (round 15): had the lift run natively, it
+                        # would register ephemeral flag views and
+                        # _plan_spec_inner forces ctx.is_full = True
+                        # for any lifted statement — so mode='cqc'
+                        # returns ANSI bag rows here and the verbatim
+                        # fallback already matches; no DISTINCT rewrite
+                        raise RoutedToFallback(
                             "keyed multi-comparison EXISTS under OR "
                             "rides the spark.sql fallback under "
                             "mode='auto' (measured slower than "
                             "Catalyst decorrelation at both sf0.1 "
                             "and 10x — SCALING.md round-14 A/B); "
-                            "mode='cqc' forces the native flag plan"
+                            "mode='cqc' forces the native flag plan",
+                            needs_distinct=False,
                         )
                     if all(o in ("<", "<=", ">", ">=") for o in ops):
                         return self._or_exists_pair_flag(
@@ -5078,6 +5088,7 @@ class SparkSQLPlus:
                 count_mode=count_mode,
             )
         ephemeral: list[str] = []
+        ctx = None
         try:
             ephemeral += self._lift_or_exists(
                 spec, mode=mode, cyclic_strategy=cyclic_strategy,
@@ -5121,6 +5132,26 @@ class SparkSQLPlus:
                 ctx, mode=mode, root_hint=root_hint,
                 cyclic_strategy=cyclic_strategy, count_mode=count_mode,
             )
+        except RoutedToFallback as exc:
+            # round 15 (VERDICT r14 What's-wrong #1): a measured-routing
+            # raise from inside execution (the keyed multi-comparison
+            # NOT IN gate fires in _apply_semi_filter, after the
+            # Context exists) must carry the engine's duplicate
+            # semantics to the fallback: fill needs_distinct exactly
+            # when finalize (compiler/cqc.py) would have deduped —
+            # honest non-full, no aggregation/GROUP BY, no explicit
+            # DISTINCT (spark.sql honors the latter two itself). A
+            # raise before build_context (the OR'd-EXISTS lift gate)
+            # sets it at the raise site; ANSI routes (outer, qualify,
+            # compound) never reach this wrap and default to bag.
+            if exc.needs_distinct is None and ctx is not None:
+                exc.needs_distinct = not (
+                    ctx.is_full
+                    or ctx.distinct
+                    or ctx.aggregations
+                    or ctx.group_by
+                )
+            raise
         finally:
             for n in ephemeral:
                 self.catalog.unregister(n)
@@ -5874,6 +5905,34 @@ class SparkSQLPlus:
                 root_hint=root_hint,
                 join_tree_hint=join_tree_hint,
             )
+        except RoutedToFallback as exc:
+            # Routed-by-measurement, NOT unsupported (round 15, VERDICT
+            # r14 #1): the statement is in the dialect, so the non-full
+            # => DISTINCT contract (SURVEY C23) must hold on the
+            # fallback run too — auto == cqc row multisets. Apply the
+            # reference's own rewrite (CompileController.java:98-101:
+            # SELECT -> SELECT DISTINCT before ORDER BY/LIMIT) when the
+            # native plan would have deduped; needs_distinct=None means
+            # the raise crossed only ANSI-bag surfaces — run verbatim.
+            if mode != "auto" or join_tree_hint is not None:
+                raise
+            self._ensure_views()
+            if not exc.needs_distinct:
+                return self.spark.sql(query)
+            rewritten = re.sub(
+                r"^(\s*)select\b", r"\1SELECT DISTINCT", query,
+                count=1, flags=re.IGNORECASE,
+            )
+            if rewritten != query:
+                try:
+                    return self.spark.sql(rewritten)
+                except Exception:
+                    # e.g. ORDER BY on a non-output column, which ANSI
+                    # DISTINCT rejects but the engine supports via
+                    # helper-sort collapse — dedup the verbatim result
+                    # instead (ordering is advisory on a DataFrame)
+                    pass
+            return self.spark.sql(query).dropDuplicates()
         except UnsupportedSqlError:
             if mode == "auto" and join_tree_hint is None:
                 self._ensure_views()

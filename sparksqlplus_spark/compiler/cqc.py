@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from sparksqlplus_spark.catalog import Catalog
 from sparksqlplus_spark.expressions import AggCall, Col, Cond, Expr, Star
-from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+from sparksqlplus_spark.parser.sql import RoutedToFallback, UnsupportedSqlError
 from sparksqlplus_spark.plans.context import Comparison, Context, Relation
 from sparksqlplus_spark.plans.gyo import JoinTree, choose_root, connex_subtree, gyo_join_tree
 
@@ -1296,8 +1296,15 @@ plan_mode: str = "cqc"
 
 
 def _gate_keyed_multicmp_auto(what: str) -> None:
+    # RoutedToFallback (round 15, VERDICT r14 What's-wrong #1), NOT a
+    # plain UnsupportedSqlError: the statement is dialect-supported, so
+    # the non-full => DISTINCT contract (SURVEY C23) must survive the
+    # routing — api._plan_spec_inner fills needs_distinct from the
+    # already-built Context and Engine.sql applies the reference's
+    # SELECT DISTINCT rewrite (CompileController.java:98-101) to the
+    # fallback run, keeping auto == cqc row multisets.
     if plan_mode == "auto":
-        raise UnsupportedSqlError(
+        raise RoutedToFallback(
             f"{what} rides the spark.sql fallback under mode='auto' "
             "(measured slower than Catalyst decorrelation at both "
             "sf0.1 and 10x — SCALING.md round-14 A/B); mode='cqc' "

@@ -46,6 +46,29 @@ class UnsupportedSqlError(Exception):
     """Query is outside the planner subset — caller should fall back."""
 
 
+class RoutedToFallback(UnsupportedSqlError):
+    """Statement IS in the planner subset, but a measured routing
+    decision (SCALING.md round-14 A/B: Catalyst decorrelation beats the
+    native statistic plans on every KEYED multi-comparison cell) sends
+    it to the spark.sql fallback under mode='auto'.
+
+    Distinct from a genuine UnsupportedSqlError because the engine's
+    semantics contract still applies: a routed NON-FULL statement must
+    return set rows (SURVEY C23; reference rewrites SELECT -> SELECT
+    DISTINCT for its baseline, CompileController.java:98-101), so the
+    fallback handler in Engine.sql applies the same rewrite instead of
+    running the query verbatim. ``needs_distinct`` carries that
+    decision from wherever the plan context was available: True = the
+    native plan would dedup (honest non-full, no aggregation, no
+    explicit DISTINCT), False = bag semantics either way, None = raised
+    on an ANSI-surface route (outer/qualify/compound) where bag
+    semantics already hold — treated as False."""
+
+    def __init__(self, msg: str, needs_distinct: bool | None = None):
+        super().__init__(msg)
+        self.needs_distinct = needs_distinct
+
+
 def _has_agg_or_window(e: Expr) -> bool:
     from sparksqlplus_spark.expressions import AggCall, WindowCall, map_expr
 
