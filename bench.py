@@ -185,6 +185,7 @@ def main() -> None:
     # carry); batch==stream equality is pytest-proven.
     qs["events_asof_join"] = entry_mod._asof_join_batch_q
     timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
     timed_names = [n for n in HEADLINE if n in qs]
     mid_at = timed_names[len(timed_names) // 2] if timed_names else None
     for name in HEADLINE:
@@ -224,10 +225,56 @@ def main() -> None:
                     f"{name}: row count changed between runs ({n} vs {n3})"
                 )
         timings[name] = round(min(runs), 3)
+        counts[name] = n
         print(f"  {name}: {timings[name]}s (rows={n})", file=sys.stderr)
 
     calibration["end"] = _calibrate()
     calibration["end_load1"] = _load1()
+
+    # r15 (r14 verdict item 3): ACT on the calibration artifact instead
+    # of just recording it — r12 (+26%) and r14 (+21%) were both
+    # adjudicated as session load AFTER the fact. When the start/mid/end
+    # constant-shape readings spread beyond 1.5x, the queries timed next
+    # to the inflated reading were measured under load: give each ONE
+    # more run (min-of-runs, same row-count trap) and re-calibrate. If
+    # the post-retry calibration still spreads >1.5x the session is
+    # durably loaded — stamp the JSON "load_contaminated": true so the
+    # round-over-round comparison discounts it at read time.
+    def _spread(samples: list[float]) -> float:
+        return max(samples) / max(min(samples), 1e-9)
+
+    cal3 = [calibration["start"], calibration["mid"], calibration["end"]]
+    load_contaminated = False
+    if _spread(cal3) > 1.5:
+        worst = max(range(3), key=lambda i: cal3[i])
+        half = len(timed_names) // 2
+        # start brackets the first half, end the second, mid both
+        retry = (
+            timed_names[:half]
+            if worst == 0
+            else timed_names[half:] if worst == 2 else timed_names
+        )
+        print(
+            f"  calibration spread {_spread(cal3):.2f}x "
+            f"(worst={('start','mid','end')[worst]}) — retrying "
+            f"{len(retry)} queries once",
+            file=sys.stderr,
+        )
+        for name in retry:
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            if n != counts[name]:
+                raise AssertionError(
+                    f"{name}: row count changed on calibration retry "
+                    f"({counts[name]} vs {n})"
+                )
+            timings[name] = round(min(timings[name], dt), 3)
+        calibration["post_retry"] = _calibrate()
+        calibration["post_retry_load1"] = _load1()
+        load_contaminated = (
+            _spread(cal3 + [calibration["post_retry"]]) > 1.5
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -240,6 +287,7 @@ def main() -> None:
                 "sf": sf,
                 "calibration": calibration,
                 "load": loadavg,
+                "load_contaminated": load_contaminated,
             }
         )
     )
