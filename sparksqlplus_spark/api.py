@@ -1881,6 +1881,18 @@ class SparkSQLPlus:
         imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
         for c in inner_only:
             inner = inner.filter(c.to_spark(imap))
+        # round 15: float <>-dims embed via neq_canon on BOTH sides
+        # (inner helper column + AST-level probe wrap)
+        from sparksqlplus_spark.expressions import neq_canon_expr
+        from sparksqlplus_spark.plans.frontier import (
+            neq_canon,
+            neq_dim_is_float,
+        )
+
+        if neq_dim_is_float(inner.schema[a_col].dataType):
+            inner = inner.withColumn("__cn_neq_a", neq_canon(F.col(a_col)))
+            a_col = "__cn_neq_a"
+            d1e = neq_canon_expr(d1e)
         key_sel: dict[str, str] = {}
         for _, icol in keys:
             key_sel.setdefault(icol, f"__f{len(key_sel)}")
@@ -1949,6 +1961,19 @@ class SparkSQLPlus:
         imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
         for c in inner_only:
             inner = inner.filter(c.to_spark(imap))
+        # round 15: float <>-dims embed via neq_canon on BOTH sides
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import neq_canon_expr
+        from sparksqlplus_spark.plans.frontier import (
+            neq_canon,
+            neq_dim_is_float,
+        )
+
+        if neq_dim_is_float(inner.schema[a_col].dataType):
+            inner = inner.withColumn("__cn_neq_a", neq_canon(F.col(a_col)))
+            a_col = "__cn_neq_a"
+            d1e = neq_canon_expr(d1e)
         u_rows, v_pts, (a_dt, u_dt, v_dt) = global_neq_order2_points(
             inner, a_col, b_col, c_col, (op2, op3),
             self._KEYLESS_FRONTIER_CAP,
@@ -2008,6 +2033,23 @@ class SparkSQLPlus:
         imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
         for c in inner_only:
             inner = inner.filter(c.to_spark(imap))
+        # round 15: float <>-dims embed via neq_canon on BOTH sides
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import neq_canon_expr
+        from sparksqlplus_spark.plans.frontier import (
+            neq_canon,
+            neq_dim_is_float,
+        )
+
+        if neq_dim_is_float(inner.schema[a_col].dataType):
+            inner = inner.withColumn("__cn_neq_a", neq_canon(F.col(a_col)))
+            a_col = "__cn_neq_a"
+            d1e = neq_canon_expr(d1e)
+        if neq_dim_is_float(inner.schema[b_col].dataType):
+            inner = inner.withColumn("__cn_neq_b", neq_canon(F.col(b_col)))
+            b_col = "__cn_neq_b"
+            d2e = neq_canon_expr(d2e)
         entries, (a_dt, b_dt, c_dt) = global_neq2_order_entries(
             inner, a_col, b_col, c_col, op3,
             self._KEYLESS_FRONTIER_CAP,
@@ -2074,6 +2116,21 @@ class SparkSQLPlus:
         imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
         for c in inner_only:
             inner = inner.filter(c.to_spark(imap))
+        # round 15: float <>-dims embed via neq_canon on BOTH sides
+        from sparksqlplus_spark.expressions import neq_canon_expr
+        from sparksqlplus_spark.plans.frontier import (
+            neq_canon,
+            neq_dim_is_float,
+        )
+
+        if neq_dim_is_float(inner.schema[a_col].dataType):
+            inner = inner.withColumn("__cn_neq_a", neq_canon(F.col(a_col)))
+            a_col = "__cn_neq_a"
+            d1e = neq_canon_expr(d1e)
+        if neq_dim_is_float(inner.schema[b_col].dataType):
+            inner = inner.withColumn("__cn_neq_b", neq_canon(F.col(b_col)))
+            b_col = "__cn_neq_b"
+            d2e = neq_canon_expr(d2e)
         key_sel: dict[str, str] = {}
         for _, icol in keys:
             key_sel.setdefault(icol, f"__f{len(key_sel)}")
@@ -3198,9 +3255,24 @@ class SparkSQLPlus:
             )
             return valias
 
+        from pyspark.sql import functions as _F
+
+        from sparksqlplus_spark.expressions import neq_canon_expr
+        from sparksqlplus_spark.plans.frontier import (
+            neq_canon,
+            neq_dim_is_float,
+        )
+
         if n_neq == 1:
             (_, d1e, a_col), = neqs
             (op2, d2e, b_col), (op3, d3e, c_col) = orders
+            # round 15: float <>-dims embed via neq_canon (both sides)
+            if neq_dim_is_float(inner.schema[a_col].dataType):
+                inner = inner.withColumn(
+                    "__cn_neq_a", neq_canon(_F.col(a_col))
+                )
+                a_col = "__cn_neq_a"
+                d1e = neq_canon_expr(d1e)
 
             def fold_view(src):
                 u_rows, v_pts, (a_dt, u_dt, v_dt) = (
@@ -3223,6 +3295,19 @@ class SparkSQLPlus:
         else:
             (_, d1e, a_col), (_, d2e, b_col) = neqs
             (op3, d3e, c_col), = orders
+            # round 15: float <>-dims embed via neq_canon (both sides)
+            if neq_dim_is_float(inner.schema[a_col].dataType):
+                inner = inner.withColumn(
+                    "__cn_neq_a", neq_canon(_F.col(a_col))
+                )
+                a_col = "__cn_neq_a"
+                d1e = neq_canon_expr(d1e)
+            if neq_dim_is_float(inner.schema[b_col].dataType):
+                inner = inner.withColumn(
+                    "__cn_neq_b", neq_canon(_F.col(b_col))
+                )
+                b_col = "__cn_neq_b"
+                d2e = neq_canon_expr(d2e)
 
             def fold_view(src):
                 entries, (a_dt, b_dt, c_dt) = global_neq2_order_entries(
@@ -3495,6 +3580,22 @@ class SparkSQLPlus:
         neqs = [t for t in triple if t[0] == "<>"]
         (_, d1e, a_col), (_, d2e, b_col) = neqs
         (op3, d3e, c_col) = next(t for t in triple if t[0] != "<>")
+        # round 15: float <>-dims embed via neq_canon (both sides);
+        # IsNull(canon(e)) == IsNull(e) so the flag ladder is unchanged
+        from sparksqlplus_spark.expressions import neq_canon_expr
+        from sparksqlplus_spark.plans.frontier import (
+            neq_canon,
+            neq_dim_is_float,
+        )
+
+        if neq_dim_is_float(inner.schema[a_col].dataType):
+            inner = inner.withColumn("__cn_neq_a", neq_canon(F.col(a_col)))
+            a_col = "__cn_neq_a"
+            d1e = neq_canon_expr(d1e)
+        if neq_dim_is_float(inner.schema[b_col].dataType):
+            inner = inner.withColumn("__cn_neq_b", neq_canon(F.col(b_col)))
+            b_col = "__cn_neq_b"
+            d2e = neq_canon_expr(d2e)
 
         def nview(src, extra_part=None, extra_conds=()):
             part = [(icol, out) for icol, out in gsel.items()]
@@ -3599,6 +3700,18 @@ class SparkSQLPlus:
         (op2, d2e, b_col), (op3, d3e, c_col) = [
             t for t in triple if t[0] != "<>"
         ]
+        # round 15: float <>-dims embed via neq_canon (both sides);
+        # IsNull(canon(e)) == IsNull(e) so the flag ladder is unchanged
+        from sparksqlplus_spark.expressions import neq_canon_expr
+        from sparksqlplus_spark.plans.frontier import (
+            neq_canon,
+            neq_dim_is_float,
+        )
+
+        if neq_dim_is_float(inner.schema[a_col].dataType):
+            inner = inner.withColumn("__cn_neq_a", neq_canon(F.col(a_col)))
+            a_col = "__cn_neq_a"
+            d1e = neq_canon_expr(d1e)
 
         def uv_view(src, extra_part=None, extra_conds=()):
             part = [(icol, out) for icol, out in gsel.items()]

@@ -604,6 +604,7 @@ def _apply_neq_order2_threshold_not_in(df, inner, sf, prefix: str):
     b/c dims integral/date/timestamp (the builder raises otherwise,
     riding mode='auto')."""
     from sparksqlplus_spark.plans.frontier import (
+        canon_float_neq_dims,
         keyed_neq_order2_view,
         neq_triple_witness_col,
     )
@@ -616,6 +617,11 @@ def _apply_neq_order2_threshold_not_in(df, inner, sf, prefix: str):
     d1 = d1e.to_spark({r: r[1] for r in d1e.refs()})
     d2 = d2e.to_spark({r: r[1] for r in d2e.refs()})
     d3 = d3e.to_spark({r: r[1] for r in d3e.refs()})
+    # round 15: float/double <>-dims embed via neq_canon (inner AND
+    # probe) so the class bookkeeping matches Spark =/<> on NaN/-0.0
+    inner, [(a_col, d1)] = canon_float_neq_dims(
+        inner, [(a_col, d1)], prefix
+    )
     corr = sf.corr_keys
 
     def fact_view(src, part_pairs, tagu, tagv):
@@ -712,6 +718,7 @@ def _apply_neq2_order_threshold_not_in(df, inner, sf, prefix: str):
     group (per (group, y) for a column probe) — the LEFT joins never
     duplicate. Keyed groups only; c integral/date/timestamp."""
     from sparksqlplus_spark.plans.frontier import (
+        canon_float_neq_dims,
         keyed_neq2_order_view,
         neq2_order_witness_col,
     )
@@ -723,6 +730,11 @@ def _apply_neq2_order_threshold_not_in(df, inner, sf, prefix: str):
     d1 = d1e.to_spark({r: r[1] for r in d1e.refs()})
     d2 = d2e.to_spark({r: r[1] for r in d2e.refs()})
     d3 = d3e.to_spark({r: r[1] for r in d3e.refs()})
+    # round 15: float/double <>-dims embed via neq_canon (inner AND
+    # probe) so the class bookkeeping matches Spark =/<> on NaN/-0.0
+    inner, [(a_col, d1), (b_col, d2)] = canon_float_neq_dims(
+        inner, [(a_col, d1), (b_col, d2)], prefix
+    )
     corr = sf.corr_keys
 
     def fact_view(src, part_pairs, tag):
@@ -1061,10 +1073,16 @@ def _apply_neq_triple_not_in_keyless(df, inner, sf, prefix: str):
         return e.to_spark({r: r[1] for r in e.refs()})
 
     helper: list[str] = []
+    from sparksqlplus_spark.plans.frontier import canon_float_neq_dims
+
     if n_neq == 1:
         (_, e1, a_col), = neqs
         (op2, e2, b_col), (op3, e3, c_col) = orders
         d1, d2, d3 = thr(e1), thr(e2), thr(e3)
+        # round 15: float <>-dims embed via neq_canon (inner + probe)
+        inner, [(a_col, d1)] = canon_float_neq_dims(
+            inner, [(a_col, d1)], prefix
+        )
 
         def fold(src, tag):
             u_rows, v_pts, (a_dt, u_dt, v_dt) = (
@@ -1093,6 +1111,10 @@ def _apply_neq_triple_not_in_keyless(df, inner, sf, prefix: str):
         (_, e1, a_col), (_, e2, b_col) = neqs
         (op3, e3, c_col), = orders
         d1, d2, d3 = thr(e1), thr(e2), thr(e3)
+        # round 15: float <>-dims embed via neq_canon (inner + probe)
+        inner, [(a_col, d1), (b_col, d2)] = canon_float_neq_dims(
+            inner, [(a_col, d1), (b_col, d2)], prefix
+        )
 
         def fold(src, tag):
             entries, (a_dt, b_dt, c_dt) = global_neq2_order_entries(

@@ -215,6 +215,16 @@ class Cast(Expr):
         return f"cast({self.child.key()} as {self.type_name})"
 
 
+def neq_canon_expr(e: Expr) -> Expr:
+    """AST-level mirror of plans/frontier.py:neq_canon (round 15):
+    ``CAST(CAST(e AS DOUBLE) + 0.0 AS STRING)`` — the canonical
+    float/double <>-dim embedding. Renders to the exact same Spark
+    expression as the Column-level helper, so a probe embedded here
+    equality-matches an inner dim embedded there (NaN -> the single
+    string 'NaN', -0.0 normalized to 0.0, NULL passes through)."""
+    return Cast(Arith("+", Cast(e, "double"), Lit(0.0, "double")), "string")
+
+
 @dataclass(frozen=True)
 class Star(Expr):
     """COUNT(*) argument."""

@@ -1131,23 +1131,82 @@ def global_neq_order2_points(inner, a_col, b_col, c_col, ops, cap):
     )
 
 
+def neq_dim_is_float(*dts) -> bool:
+    """True when a <>-dim needs the canonical embedding: its INNER
+    column is float/double (only inner-inner equality drives the class
+    bookkeeping; an exact inner dim with a float probe is already
+    correct — the probe comparison happens JVM-side with Spark's own
+    widening)."""
+    from pyspark.sql import types as T
+
+    return any(isinstance(dt, (T.FloatType, T.DoubleType)) for dt in dts)
+
+
+def neq_canon(col):
+    """Spark-side canonical embedding of a float/double <>-dim (round
+    15, closing the r14 float gate): ``CAST(CAST(col AS DOUBLE) + 0.0
+    AS STRING)``. Equality is the ONLY operation the machinery applies
+    to a <>-dim, so any injective map works; this one is JVM-native
+    (no UDF), and the string image equality-matches Spark's double
+    =/<> exactly: float widens to double losslessly, ``+ 0.0``
+    normalizes -0.0 to 0.0 (Spark treats them equal), every NaN
+    renders as the single string 'NaN' (Spark treats NaN self-equal),
+    and NULL passes through. Strings also round-trip the pandas/Arrow
+    class bookkeeping without the NaN->NULL masking that motivated the
+    r14 gate. Callers apply it to BOTH the inner dim column and the
+    outer probe expression whenever neq_dim_is_float(inner_dt)."""
+    from pyspark.sql import functions as F
+
+    return (col.cast("double") + F.lit(0.0)).cast("string")
+
+
+def canon_float_neq_dims(inner, dims, prefix):
+    """Caller-side float <>-dim canonicalization (round 15): for each
+    ``(inner_col_name, probe_col)`` pair whose INNER dtype is
+    float/double, append a neq_canon helper column to ``inner`` and
+    embed the probe identically, so the class bookkeeping downstream
+    never sees a raw float. Exact dims pass through untouched (an
+    exact inner dim with a float probe is already correct — see
+    neq_dim_is_float). Returns ``(inner, [(col, probe), ...])`` with
+    the canonicalized names/expressions substituted in order."""
+    from pyspark.sql import functions as F
+
+    out = []
+    for i, (col, probe) in enumerate(dims):
+        if neq_dim_is_float(inner.schema[col].dataType):
+            nc = f"{prefix}_cn{i}"
+            inner = inner.withColumn(nc, neq_canon(F.col(col)))
+            out.append((nc, neq_canon(probe)))
+        else:
+            out.append((col, probe))
+    return inner, out
+
+
 def _gate_neq_class_dtype(dt):
-    """<>-dim dtype gate for the <>-statistic views and folds (round
-    14): float/double <>-dims raise into the fallback — the CLASS
-    bookkeeping compares values in Python/pandas, where nan != nan,
-    but Spark's <>/= treat NaN as self-equal, so a NaN-carrying float
-    class would be split into spurious distinct classes (and the
-    keyed views' pandas return path would mask NaN class labels to
-    NULL). Every other equality-comparable type matches Spark's
-    semantics natively (int/str/Decimal/date/datetime; -0.0 = 0.0
-    never arises since floats are rejected)."""
+    """<>-dim dtype gate for the <>-statistic views and folds: the
+    CLASS bookkeeping compares values in Python/pandas (binary
+    equality), so a dim whose Spark equality differs from binary
+    equality must not reach it raw. Round 14 gated float/double (NaN
+    self-equality + -0.0 diverge); round 15 closes that cell — every
+    caller now pre-embeds float dims via neq_canon, so a float
+    arriving HERE means a caller missed the embedding: the raise is a
+    correctness backstop that rides the fallback instead of silently
+    splitting NaN classes. Non-default string collations remain
+    genuinely gated (pandas compares code points; ICU collations
+    equate differing byte strings)."""
     from pyspark.sql import types as T
 
     if isinstance(dt, (T.FloatType, T.DoubleType)):
         raise UnsupportedSqlError(
-            "<>-statistic folds do not support float/double <>-dims "
-            "(NaN self-equality diverges between Spark and the class "
-            "bookkeeping); riding the fallback"
+            "<>-statistic folds require float/double <>-dims to be "
+            "pre-embedded via neq_canon (caller missed the round-15 "
+            "canonicalization); riding the fallback"
+        )
+    if isinstance(dt, T.StringType) and not dt.isUTF8BinaryCollation():
+        raise UnsupportedSqlError(
+            f"<>-statistic folds do not support non-default string "
+            f"collations (got {dt.collation}; the class bookkeeping "
+            "compares code points); riding the fallback"
         )
 
 

@@ -5303,3 +5303,269 @@ def test_routed_fallback_distinct_auto_vs_cqc(engine):
     finally:
         engine.catalog.unregister("rf_inner")
         engine.catalog.unregister("rf_outer")
+
+
+def test_float_neq_dims(engine):
+    """Round 15 (r14 verdict item 4): float/double <>-dims plan
+    NATIVELY across the <>-statistic family — the callers embed the
+    dim AND the probe via frontier.neq_canon / expressions.
+    neq_canon_expr (CAST(CAST(e AS DOUBLE)+0.0 AS STRING): NaN becomes
+    the single self-equal string 'NaN' and -0.0 normalizes to 0.0,
+    exactly Spark's =/<> on doubles), so the pandas/driver class
+    bookkeeping agrees with Spark. Float rows for the
+    test_neq_order2_triple / test_neq2_order_triple /
+    test_or_exists_neq_pair matrices over NaN/-0.0/+-inf-heavy data,
+    Spark-semantics brute force (DuckDB cannot oracle these shapes —
+    SURVEY ORACLE WARNING). Keyed <>-pairs ride the pure-Spark
+    diagonal view (float-safe JVM-side, asserted here too); the
+    KEYLESS <>-pair / <>+order folds keep their exact-scalar gate
+    (driver-side Python comparisons — pinned as a raise), and a
+    non-default-collation string <>-dim pins the narrowed
+    _gate_neq_class_dtype raise."""
+    import math
+    import operator
+    import random
+
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    spark = engine.spark
+    rng = random.Random(151)
+    NAN = float("nan")
+    fvals = [
+        None, NAN, -0.0, 0.0, 1.5, -2.25,
+        float("inf"), float("-inf"), 3.0,
+    ]
+
+    def s_eq(a, b):  # Spark = on doubles: NaN self-equal, -0.0 == 0.0
+        if a is None or b is None:
+            return None
+        if isinstance(a, float) and math.isnan(a):
+            return isinstance(b, float) and math.isnan(b)
+        if isinstance(b, float) and math.isnan(b):
+            return False
+        return float(a) == float(b)
+
+    ops = {
+        "<": operator.lt, "<=": operator.le,
+        ">": operator.gt, ">=": operator.ge,
+    }
+
+    def s_cmp(op, a, b):  # Spark order on doubles: NaN above all
+        if a is None or b is None:
+            return None
+
+        def k(x):
+            x = float(x)
+            return (2, 0.0) if math.isnan(x) else (1, 0.0 if x == 0 else x)
+
+        return ops[op](k(a), k(b))
+
+    inner = [
+        (
+            rng.randint(1, 3),
+            rng.choice([None] + list(range(1, 4))),
+            rng.choice(fvals),
+            rng.randint(0, 4),
+            rng.randint(0, 4),
+            rng.choice(fvals),
+        )
+        for _ in range(40)
+    ]
+    outer = [
+        (
+            i,
+            rng.choice([None, 1, 2, 3]),
+            rng.choice([None] + list(range(1, 4))),
+            rng.choice(fvals),
+            rng.choice([None] + list(range(0, 5))),
+            rng.choice([None] + list(range(0, 5))),
+            rng.choice(fvals),
+        )
+        for i in range(40)
+    ]
+    # raw python rows, NOT pandas: pd.notna would mask the NaNs we
+    # are here to exercise into NULLs
+    engine.catalog.register_df(
+        "fn_inner",
+        spark.createDataFrame(
+            inner, "ik int, iy int, a double, b int, c int, b2 double"
+        ),
+        (),
+    )
+    engine.catalog.register_df(
+        "fn_outer",
+        spark.createDataFrame(
+            outer,
+            "pk int, k int, x int, d1 double, d2 int, d3 int, d2f double",
+        ),
+        ("pk",),
+    )
+
+    def run(q):
+        return sorted(r["pk"] for r in engine.sql(q, mode="cqc").collect())
+
+    def not_in_keep(grp, x):
+        if not grp:
+            return True
+        if x is not None and any(
+            iy == x for iy in grp if iy is not None
+        ):
+            return False
+        if any(iy is None for iy in grp) or x is None:
+            return None
+        return True
+
+    try:
+        for keyed in (True, False):
+            kc = "i.ik = p.k AND " if keyed else ""
+
+            def grp1(o, o2, o3):  # 1-<> (float a) + 2 orders
+                f2, f3 = ops[o2], ops[o3]
+                return [
+                    iy
+                    for ik, iy, a, b, c, b2 in inner
+                    if (not keyed or (o[1] is not None and ik == o[1]))
+                    and s_eq(a, o[3]) is False
+                    and s_cmp(o2, b, o[4]) is True
+                    and s_cmp(o3, c, o[5]) is True
+                ]
+
+            def grp2(o, o3):  # 2-<> (floats a, b2) + 1 order
+                return [
+                    iy
+                    for ik, iy, a, b, c, b2 in inner
+                    if (not keyed or (o[1] is not None and ik == o[1]))
+                    and s_eq(a, o[3]) is False
+                    and s_eq(b2, o[6]) is False
+                    and s_cmp(o3, c, o[5]) is True
+                ]
+
+            for o2, o3 in (("<", ">="), (">", "<=")):
+                # NOT IN, plain WHERE
+                q = f"""SELECT p.pk FROM fn_outer AS p
+                        WHERE p.x NOT IN (
+                          SELECT i.iy FROM fn_inner AS i WHERE {kc}
+                          i.a <> p.d1 AND i.b {o2} p.d2
+                          AND i.c {o3} p.d3)"""
+                truth = [
+                    o[0]
+                    for o in outer
+                    if not_in_keep(grp1(o, o2, o3), o[2]) is True
+                ]
+                assert run(q) == sorted(truth), ("notin1", keyed, o2, o3)
+                # OR'd EXISTS / NOT EXISTS
+                for neg in ("", "NOT "):
+                    q = f"""SELECT p.pk FROM fn_outer AS p
+                            WHERE p.d2 = 9 OR {neg}EXISTS (
+                              SELECT 1 FROM fn_inner AS i WHERE {kc}
+                              i.a <> p.d1 AND i.b {o2} p.d2
+                              AND i.c {o3} p.d3)"""
+                    truth = []
+                    for o in outer:
+                        g = (o[4] == 9) if o[4] is not None else None
+                        ex = bool(grp1(o, o2, o3))
+                        if g is True or (not ex if neg else ex):
+                            truth.append(o[0])
+                    assert run(q) == sorted(truth), (
+                        "orex1", keyed, o2, o3, neg,
+                    )
+            for o3 in ("<", ">="):
+                q = f"""SELECT p.pk FROM fn_outer AS p
+                        WHERE p.x NOT IN (
+                          SELECT i.iy FROM fn_inner AS i WHERE {kc}
+                          i.a <> p.d1 AND i.b2 <> p.d2f
+                          AND i.c {o3} p.d3)"""
+                truth = [
+                    o[0]
+                    for o in outer
+                    if not_in_keep(grp2(o, o3), o[2]) is True
+                ]
+                assert run(q) == sorted(truth), ("notin2", keyed, o3)
+                q = f"""SELECT p.pk FROM fn_outer AS p
+                        WHERE p.d2 = 9 OR p.x NOT IN (
+                          SELECT i.iy FROM fn_inner AS i WHERE {kc}
+                          i.a <> p.d1 AND i.b2 <> p.d2f
+                          AND i.c {o3} p.d3)"""
+                truth = []
+                for o in outer:
+                    g = (o[4] == 9) if o[4] is not None else None
+                    ni = not_in_keep(grp2(o, o3), o[2])
+                    if g is True or ni is True:
+                        truth.append(o[0])
+                assert run(q) == sorted(truth), ("notin2-or", keyed, o3)
+
+        # keyed <>-PAIR (float, float): the pure-Spark diagonal view
+        q = """SELECT p.pk FROM fn_outer AS p
+               WHERE p.d2 = 9 OR EXISTS (
+                 SELECT 1 FROM fn_inner AS i WHERE i.ik = p.k
+                   AND i.a <> p.d1 AND i.b2 <> p.d2f)"""
+        truth = []
+        for o in outer:
+            g = (o[4] == 9) if o[4] is not None else None
+            ex = any(
+                o[1] is not None and ik == o[1]
+                and s_eq(a, o[3]) is False and s_eq(b2, o[6]) is False
+                for ik, iy, a, b, c, b2 in inner
+            )
+            if g is True or ex:
+                truth.append(o[0])
+        assert run(q) == sorted(truth), "orex <>-pair keyed float"
+        q = """SELECT p.pk FROM fn_outer AS p
+               WHERE p.x NOT IN (
+                 SELECT i.iy FROM fn_inner AS i WHERE i.ik = p.k
+                   AND i.a <> p.d1 AND i.b2 <> p.d2f)"""
+        truth = []
+        for o in outer:
+            grp = [
+                iy
+                for ik, iy, a, b, c, b2 in inner
+                if o[1] is not None and ik == o[1]
+                and s_eq(a, o[3]) is False and s_eq(b2, o[6]) is False
+            ]
+            if not_in_keep(grp, o[2]) is True:
+                truth.append(o[0])
+        assert run(q) == sorted(truth), "notin <>-pair keyed float"
+
+        # KEYLESS <>-pair float stays on the exact-scalar gate
+        # (keyless_diag_stats compares collected values in Python)
+        with _pytest.raises(UnsupportedSqlError):
+            engine.sql(
+                """SELECT p.pk FROM fn_outer AS p
+                   WHERE p.x NOT IN (
+                     SELECT i.iy FROM fn_inner AS i
+                     WHERE i.a <> p.d1 AND i.b2 <> p.d2f)""",
+                mode="cqc",
+            )
+    finally:
+        engine.catalog.unregister("fn_inner")
+        engine.catalog.unregister("fn_outer")
+
+    # non-default-collation string <>-dim pins the NARROWED
+    # _gate_neq_class_dtype raise (the only class-bookkeeping gate
+    # left after the float closure)
+    from pyspark.sql import functions as F
+
+    ci = spark.createDataFrame(
+        [(1, 1, "x", 0, 0)], "ik int, iy int, a string, b int, c int"
+    ).withColumn("a", F.collate(F.col("a"), "UTF8_LCASE"))
+    co = spark.createDataFrame(
+        [(1, 1, 1, "y", 0, 0)],
+        "pk int, k int, x int, d1 string, d2 int, d3 int",
+    )
+    engine.catalog.register_df("fn_ci", ci, ())
+    engine.catalog.register_df("fn_co", co, ("pk",))
+    try:
+        with _pytest.raises(UnsupportedSqlError):
+            engine.sql(
+                """SELECT p.pk FROM fn_co AS p
+                   WHERE p.x NOT IN (
+                     SELECT i.iy FROM fn_ci AS i WHERE i.ik = p.k
+                       AND i.a <> p.d1 AND i.b < p.d2
+                       AND i.c >= p.d3)""",
+                mode="cqc",
+            )
+    finally:
+        engine.catalog.unregister("fn_ci")
+        engine.catalog.unregister("fn_co")
