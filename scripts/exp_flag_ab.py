@@ -56,7 +56,34 @@ SHAPES = [
     # stay native (at-or-better than Catalyst / flat-constant gap)
     "not_in_neq_triple_keyless",
     "not_in_threshold",
+    # round 15 (r14 verdict item 5): the still-unmeasured keyed
+    # single-<> cells — the r14 gate criterion ("scale-following
+    # loss" on keyed multi-comparison) was extrapolated to these from
+    # the order-comparison cells; measure them directly.
+    "exists_neq_order_keyed",
+    "not_in_single_neq",
 ]
+
+# inline shapes that are not driver entries (pytest-only machinery)
+EXTRA_SQL = {
+    # _or_exists_neq_order_flag's keyed 1-<> base: <> + order under
+    # OR'd EXISTS (argmax/runner-up 3-stat view)
+    "exists_neq_order_keyed": """SELECT s.s_suppkey, s.s_acctbal
+        FROM supplier AS s
+        WHERE s.s_acctbal < -900.0
+           OR EXISTS (SELECT 1 FROM lineitem AS l
+                      WHERE l.l_suppkey = s.s_suppkey
+                        AND l.l_linenumber <> s.s_nationkey
+                        AND l.l_quantity < s.s_acctbal / 100.0)""",
+    # single-<> correlated NOT IN (distinct-count + unique-value pair
+    # per group — the <>-filtered single-threshold cell)
+    "not_in_single_neq": """SELECT s.s_suppkey, s.s_nationkey
+        FROM supplier AS s
+        WHERE s.s_nationkey NOT IN (
+          SELECT l.l_linenumber FROM lineitem AS l
+          WHERE l.l_suppkey = s.s_suppkey
+            AND l.l_linenumber <> s.s_nationkey - 10)""",
+}
 
 spark = get_spark(app_name="flag_ab", master="local[32]")
 
@@ -75,7 +102,11 @@ for sf in DIRS:
     print(f"\n== {sf} ==")
     print(f"{'shape':28s} {'ours':>7s} {'spark':>7s} {'ratio':>6s} rows")
     for name in SHAPES:
-        esql, _ = em._SQL_CASES[name]
+        esql = (
+            EXTRA_SQL[name]
+            if name in EXTRA_SQL
+            else em._SQL_CASES[name][0]
+        )
         n_ours = eng.sql(esql, mode="cqc").count()
         spark_df = eng.sql(esql, mode="spark")
         n_spark = spark_df.count()
