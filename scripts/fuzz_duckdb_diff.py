@@ -414,6 +414,8 @@ def main() -> None:
         )
     failures = []
     n_joinform = 0
+    n_bag = 0
+    n_bag_skipped = 0
     for i in range(n):
         q = gen(rng)
         # round 14: multi-inequality NOT IN draws return a
@@ -441,9 +443,53 @@ def main() -> None:
             )
         elif i % 25 == 0:
             print(f"[{i}] ok", flush=True)
+        # round 15 (r14 verdict item 8, the fuzz family that would
+        # have caught the r14 auto-mode regression): strip the
+        # template's DISTINCT to get a NON-FULL duplicate-bearing
+        # projection and assert mode='auto' == mode='cqc' as row
+        # MULTISETS — no DuckDB involved (the CQ dialect's non-full
+        # => DISTINCT semantics are the engine's own contract, and a
+        # measured-routed fallback must preserve them). Shapes cqc
+        # genuinely cannot plan (fallback-only) are skipped; auto
+        # must still complete.
+        bag_q = eq.replace("SELECT DISTINCT ", "SELECT ", 1)
+        if bag_q != eq:
+            from sparksqlplus_spark.parser.sql import UnsupportedSqlError
+
+            try:
+                got_a = rows_of_spark(eng.sql(bag_q, mode="auto"))
+            except Exception as exc:
+                failures.append(
+                    (bag_q, f"auto raised {type(exc).__name__}: {exc}")
+                )
+                print(f"[{i}] BAG-RAISED  {bag_q}\n      {exc}", flush=True)
+                continue
+            try:
+                got_c = rows_of_spark(eng.sql(bag_q, mode="cqc"))
+            except UnsupportedSqlError:
+                n_bag_skipped += 1
+                continue
+            except Exception as exc:
+                failures.append(
+                    (bag_q, f"cqc raised {type(exc).__name__}: {exc}")
+                )
+                print(f"[{i}] BAG-RAISED  {bag_q}\n      {exc}", flush=True)
+                continue
+            n_bag += 1
+            if got_a != got_c:
+                failures.append(
+                    (bag_q, f"auto/cqc multiset: {got_a} != {got_c}")
+                )
+                print(
+                    f"[{i}] BAG-MISMATCH  {bag_q}\n"
+                    f"  auto={got_a}\n  cqc ={got_c}",
+                    flush=True,
+                )
     print(
         f"\n{n} cases ({n_joinform} join-form-oracled multi-inequality "
-        f"NOT IN draws), {len(failures)} failures"
+        f"NOT IN draws; {n_bag} non-full auto==cqc multiset checks, "
+        f"{n_bag_skipped} cqc-unplannable skipped), "
+        f"{len(failures)} failures"
     )
     sys.exit(1 if failures else 0)
 
