@@ -580,24 +580,55 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     # materialization. NULL edge cases keep the named pytest oracle
     # tests/test_parser.py:test_not_in_subquery_null_semantics.)
     #
-    # --- NEW r13 (r12 verdict item 3): probe-DEPENDENT probe
-    # EXPRESSION — `s.s_nationkey + 1 NOT IN (SELECT ...)` with an
-    # equality-correlated inner set. SemiFilter.expr_probe
-    # materializes the outer-only expression as a temp column (pure
-    # projection, no extra job) and re-enters the single-key
-    # machinery, so the corr_keys per-group stats views run unchanged
-    # (compiler/cqc.py:_apply_semi_filter; NULL-matrix pytest
-    # test_not_in_expr_probe covers all five composed shapes). Same
-    # SQL is the DuckDB oracle — single-EQUALITY-correlated NOT IN
-    # decorrelation is matrix-verified correct in DuckDB (the ORACLE
-    # WARNING only bars the multi-inequality shapes). ---
-    "not_in_expr_probe": (
+    # (r15 consolidation: the not_in_expr_probe entry — probe-
+    # EXPRESSION re-entry, `s.s_nationkey + 1 NOT IN (...)` — retired
+    # to free the slot for not_in_neq_order2_float. The expr_probe
+    # temp-column re-entry keeps its named brute-force pytest oracle
+    # tests/test_cqc_queries.py:test_not_in_expr_probe (all five
+    # composed shapes — more than the entry drove), and expression
+    # probes stay fuzz-covered in scripts/fuzz_duckdb_diff.py's NOT IN
+    # draw.)
+    #
+    # --- NEW r15 (r14 verdict item 4): FLOAT <>-dim in the keyed
+    # 1-<> + 2-order correlated NOT IN — drives the round's float
+    # closure end-to-end (order dims stay integral per the staircase
+    # views' dtype contract; the FLOAT dim is the <> one — the callers
+    # embed l_quantity and the probe
+    # via frontier.neq_canon: CAST(CAST(e AS DOUBLE)+0.0 AS STRING),
+    # NaN self-equal / -0.0 normalized, so the U/V class bookkeeping
+    # matches Spark =/<>). DuckDB CANNOT oracle multi-inequality
+    # correlated NOT IN (SURVEY ORACLE WARNING), so the oracle is the
+    # JOIN-FORM n/nn/m stats expansion (plain join + groupBy, no
+    # decorrelation; DuckDB's double <>/= agrees with Spark's on the
+    # NaN-free testdata). NaN/-0.0/inf coverage: the brute-force
+    # matrix tests/test_cqc_queries.py:test_float_neq_dims. Forced
+    # mode='cqc' (the auto route for keyed multi-comparison shapes is
+    # the measured spark.sql fallback). ---
+    "not_in_neq_order2_float": (
         """SELECT s.s_suppkey, s.s_nationkey
            FROM supplier AS s
-           WHERE s.s_nationkey + 1 NOT IN (
+           WHERE s.s_nationkey NOT IN (
              SELECT l.l_linenumber FROM lineitem AS l
-             WHERE l.l_suppkey = s.s_suppkey)""",
-        None,
+             WHERE l.l_suppkey = s.s_suppkey
+               AND l.l_quantity <> s.s_acctbal / 100.0
+               AND l.l_partkey < s.s_suppkey * 40
+               AND l.l_orderkey >= s.s_suppkey * 2)""",
+        """SELECT s.s_suppkey, s.s_nationkey
+           FROM supplier AS s
+           LEFT JOIN (
+             SELECT s2.s_suppkey AS k, COUNT(*) AS n,
+                    COUNT(l.l_linenumber) AS nn,
+                    SUM(CASE WHEN l.l_linenumber = s2.s_nationkey
+                             THEN 1 ELSE 0 END) AS m
+             FROM supplier AS s2 JOIN lineitem AS l
+               ON l.l_suppkey = s2.s_suppkey
+              AND l.l_quantity <> s2.s_acctbal / 100.0
+              AND l.l_partkey < s2.s_suppkey * 40
+              AND l.l_orderkey >= s2.s_suppkey * 2
+             GROUP BY s2.s_suppkey) AS st ON st.k = s.s_suppkey
+           WHERE st.n IS NULL
+              OR (st.m = 0 AND st.nn = st.n
+                  AND s.s_nationkey IS NOT NULL)""",
     ),
     # (r13 consolidation: the exists_outer_join entry — EXISTS
     # composed with OUTER JOIN through api._run_outer — retired to
@@ -772,23 +803,52 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     # matrix keeps the named pytest oracle
     # tests/test_parser.py:test_row_value_not_in_nullaware.)
     #
-    # --- NEW r13 (r12 verdict item 4): NOT IN over a CTE — the parser
-    # carries the substituted CTE body on Exists.cte_body and
-    # api._lift_cte_not_in plans it as an ephemeral view, re-entering
-    # the plain single-table THREE-VALUED path (the two-valued body
-    # lift is never involved; NULL-matrix pytest
-    # test_not_in_over_cte_null_matrix covers plain/correlated/
-    # threshold/expr-probe/under-OR compositions). ANSI bag semantics
-    # (composite-view surface); same SQL is the DuckDB oracle. ---
-    "not_in_cte": (
-        """WITH bigorders AS (
-             SELECT o_custkey AS k FROM orders
-             WHERE o_totalprice > 350000.0)
-           SELECT c.c_custkey, c.c_name
-           FROM customer AS c
-           WHERE c.c_custkey NOT IN (SELECT b.k FROM bigorders AS b)
-             AND c.c_acctbal > 9000.0""",
-        None,
+    # (r15 consolidation: the not_in_cte entry — NOT IN over a CTE via
+    # api._lift_cte_not_in — retired to free the slot for
+    # not_in_pair_routed_distinct. The CTE body lift keeps its named
+    # NULL-matrix pytest oracle
+    # tests/test_parser.py:test_not_in_over_cte_null_matrix
+    # (plain/correlated/threshold/expr-probe/under-OR compositions —
+    # more than the entry drove), and CTE bodies stay fuzz-covered in
+    # scripts/fuzz_duckdb_diff.py's NOT IN draw.)
+    #
+    # --- NEW r15 (r14 verdict item 1 / What's-wrong #1): the ROUTED
+    # fallback's non-full DISTINCT contract, certified at the driver
+    # gate. A keyed pair-threshold NOT IN with a NON-FULL
+    # duplicate-bearing projection (s_nationkey only — ~25 distinct
+    # values over 2,000 suppliers at sf0.01) runs under mode='auto',
+    # where the r14 measured routing sends it to the spark.sql
+    # fallback as RoutedToFallback and Engine.sql applies the
+    # reference's SELECT -> SELECT DISTINCT rewrite
+    # (CompileController.java:98-101) so auto == cqc row multisets.
+    # Pre-fix, this entry returns the ~2,000-row ANSI bag and
+    # hash-mismatches. Oracle: DISTINCT over the JOIN-FORM n/nn/m
+    # expansion (DuckDB cannot decorrelate the multi-inequality form
+    # — SURVEY ORACLE WARNING). Cross-mode multiset pin:
+    # tests/test_cqc_queries.py:test_routed_fallback_distinct_auto_vs_cqc. ---
+    "not_in_pair_routed_distinct": (
+        """SELECT s.s_nationkey
+           FROM supplier AS s
+           WHERE s.s_nationkey NOT IN (
+             SELECT l.l_linenumber FROM lineitem AS l
+             WHERE l.l_suppkey = s.s_suppkey
+               AND l.l_quantity < s.s_acctbal / 100.0
+               AND l.l_extendedprice >= s.s_acctbal * 5.0)""",
+        """SELECT DISTINCT s.s_nationkey
+           FROM supplier AS s
+           LEFT JOIN (
+             SELECT s2.s_suppkey AS k, COUNT(*) AS n,
+                    COUNT(l.l_linenumber) AS nn,
+                    SUM(CASE WHEN l.l_linenumber = s2.s_nationkey
+                             THEN 1 ELSE 0 END) AS m
+             FROM supplier AS s2 JOIN lineitem AS l
+               ON l.l_suppkey = s2.s_suppkey
+              AND l.l_quantity < s2.s_acctbal / 100.0
+              AND l.l_extendedprice >= s2.s_acctbal * 5.0
+             GROUP BY s2.s_suppkey) AS st ON st.k = s.s_suppkey
+           WHERE st.n IS NULL
+              OR (st.m = 0 AND st.nn = st.n
+                  AND s.s_nationkey IS NOT NULL)""",
     ),
     # --- NEW r10: EXISTS with a JOIN body under OR, composed with a
     # NON-EQUALITY correlation (r9 verdict items 4+8 in one shape).
@@ -3155,84 +3215,16 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # embed_kmeans) sat outside both lists and got no driver row — the
 # r10 window leads with them (r9 verdict item 1).
 #
-# r14 layout (total 100 = 50 head + 50 tail): the full r13 tail
-# (all r12-green, CORRECTNESS_r12.json 50/50) rotates back into the
-# head per the standing no-entry-unchecked-2+-rounds policy; the r13
-# head (all r13-green, CORRECTNESS_r13.json 50/50) becomes the tail
-# and rotates back in r15. r14 in-round additions are swapped into
-# the head with paired retirements at their definition sites (the
-# r7/r9/r12 consolidation discipline; every retired operator keeps a
-# named pytest oracle).
+# r15 layout (total 100 = 50 head + 50 tail): the full r14 tail
+# (all r13-green, CORRECTNESS_r13.json 50/50) rotates back into the
+# head per the standing no-entry-unchecked-2+-rounds policy; the r14
+# head (all r14-green, CORRECTNESS_r14.json 50/50) becomes the tail
+# and rotates back in r16. r15 in-round additions
+# (not_in_neq_order2_float, not_in_pair_routed_distinct) are swapped
+# into the head with paired retirements at their definition sites
+# (not_in_expr_probe, not_in_cte — the r7/r9/r12 consolidation
+# discipline; every retired operator keeps a named pytest oracle).
 _HEAD = [
-    "exists_or_join",
-    # r14: not_in_rowvalue_quad_or takes the slot freed by the
-    # not_in_rowvalue_or retirement (see the inline note at its
-    # former definition site) — the k=4 row-value generalization
-    # strictly exercises the same census-pruned decomposition plus
-    # the new quad branch.
-    "not_in_rowvalue_quad_or",
-    "threeval_surface",
-    "events_heavy_hitters",
-    "events_sessionize",
-    "embed_kmeans",
-    # r14: not_in_neq_triple_keyless takes the slot freed by the
-    # exists_or retirement (see the inline note at its former
-    # definition site) — it drives the round's keyless <>-triple
-    # closure, which stays NATIVE under auto (the regime where the
-    # A/B showed Catalyst nested-looping).
-    "not_in_neq_triple_keyless",
-    "weighted_sample_topk",
-    "heavy_hitters_stream",
-    "text_repetition",
-    "text_boilerplate",
-    "graph_pagerank",
-    "events_quantiles",
-    "not_exists_anti",
-    "rollup_agg",
-    "setop_except",
-    "cte_agg_view",
-    "derived_table_scan",
-    "dedup_neardup_apply",
-    "dedup_cluster_chain",
-    "having_filter",
-    "text_chunks",
-    "pack_sequences",
-    "text_tfidf_topk",
-    "sample_stratified",
-    "text_redact_pii",
-    "tpch_q9",
-    "tpch_q7",
-    "tpch_q1",
-    "tpch_q18",
-    "events_tumbling_window",
-    "events_interval_join",
-    "events_sliding_window",
-    "events_session_window",
-    "events_dedup_first",
-    "text_stats",
-    # r14: skyline_float_triple takes the slot freed by the
-    # text_lang_id retirement (see the inline note at its former
-    # definition site) — it drives the round's k-D skyline dtype
-    # widening (double dims through the total-order wrapper).
-    "skyline_float_triple",
-    "exists_two_comparisons",
-    "media_frame_sample",
-    "dedup_exact",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "graph_q4_nonfull",
-    "window_qualify_topk",
-    "inner_after_outer_join",
-    "corr_count_arith",
-    "select_scalar_agg",
-    "not_in_threshold",
-    "embed_centroid_assign",
-    "window_frame_movavg",
-]
-# Every tail case below was driver-green in r13 (the r13 head);
-# their operator classes stay covered in-window and they rotate back
-# in r15.
-_TAIL = [
     "exists_join_body",
     "events_ewma_multibatch",
     "text_decontaminate",
@@ -3274,15 +3266,79 @@ _TAIL = [
     "tpch_q21",
     "tpch_q16",
     "tpch_q22",
-    "not_in_expr_probe",
+    # r15: not_in_neq_order2_float takes the slot freed by the
+    # not_in_expr_probe retirement (see the inline note at its
+    # former definition site) — it drives the round's float
+    # <>-dim closure through the keyed U/V statistic natively.
+    "not_in_neq_order2_float",
     "dedup_paragraph",
     "exists_neq_pair",
     "events_asof_join",
     "full_outer_join",
     "exists_three_comparisons",
     "not_in_pair_keyless",
-    "not_in_cte",
+    # r15: not_in_pair_routed_distinct takes the slot freed by
+    # the not_in_cte retirement (see the inline note at its
+    # former definition site) — it certifies the routed
+    # fallback's non-full DISTINCT contract under mode='auto'
+    # at the driver gate (the r14 What's-wrong #1 fix).
+    "not_in_pair_routed_distinct",
     "not_in_pair_or",
+]
+# Every tail case below was driver-green in r13 (the r13 head);
+# their operator classes stay covered in-window and they rotate back
+# in r15.
+_TAIL = [
+    "exists_or_join",
+    "not_in_rowvalue_quad_or",
+    "threeval_surface",
+    "events_heavy_hitters",
+    "events_sessionize",
+    "embed_kmeans",
+    "not_in_neq_triple_keyless",
+    "weighted_sample_topk",
+    "heavy_hitters_stream",
+    "text_repetition",
+    "text_boilerplate",
+    "graph_pagerank",
+    "events_quantiles",
+    "not_exists_anti",
+    "rollup_agg",
+    "setop_except",
+    "cte_agg_view",
+    "derived_table_scan",
+    "dedup_neardup_apply",
+    "dedup_cluster_chain",
+    "having_filter",
+    "text_chunks",
+    "pack_sequences",
+    "text_tfidf_topk",
+    "sample_stratified",
+    "text_redact_pii",
+    "tpch_q9",
+    "tpch_q7",
+    "tpch_q1",
+    "tpch_q18",
+    "events_tumbling_window",
+    "events_interval_join",
+    "events_sliding_window",
+    "events_session_window",
+    "events_dedup_first",
+    "text_stats",
+    "skyline_float_triple",
+    "exists_two_comparisons",
+    "media_frame_sample",
+    "dedup_exact",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "graph_q4_nonfull",
+    "window_qualify_topk",
+    "inner_after_outer_join",
+    "corr_count_arith",
+    "select_scalar_agg",
+    "not_in_threshold",
+    "embed_centroid_assign",
+    "window_frame_movavg",
 ]
 
 
@@ -3310,6 +3366,10 @@ _CQC_FORCED = {
     "skyline_float_triple",
     "not_in_pair_or",
     "not_in_neq_order",
+    # r15: the float <>-dim entry certifies the NATIVE canon-embedded
+    # U/V statistic; not_in_pair_routed_distinct deliberately stays on
+    # auto — it certifies the routed fallback's DISTINCT rewrite.
+    "not_in_neq_order2_float",
 }
 
 
