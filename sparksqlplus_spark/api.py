@@ -2418,10 +2418,11 @@ class SparkSQLPlus:
           (b1 OP y AND (multi OR a1 <> x)) OR (a1 = x AND b2 OP y)
 
         Same metadata-scale-collect class as the const-probe stats
-        gates. Dtypes are restricted like the keyless pair (integral/
-        date/timestamp for BOTH columns) — Spark's NaN-is-largest tie
-        rule has no exact Python analogue for the argmax-uniqueness
-        check. Round 13 (late): the stat job lives in
+        gates. Dtypes: the ORDER dim stays integral/date/timestamp
+        (Spark's NaN-is-largest tie rule has no exact Python analogue
+        for the argmax-uniqueness check); the <>-dim takes any
+        class-bookkeeping-safe type — floats embed via neq_canon
+        (round 15). Round 13 (late): the stat job lives in
         plans/frontier.py:keyless_neq_order_stats, shared with the
         keyless NOT IN executors."""
         from pyspark.sql import functions as F
@@ -2445,6 +2446,19 @@ class SparkSQLPlus:
         imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
         for c in inner_only:
             inner = inner.filter(c.to_spark(imap))
+        # round 15: a float <>-dim embeds via neq_canon on BOTH sides
+        # (only the ORDER dim keeps the exact gate — the argmax
+        # uniqueness check compares collected b values in Python)
+        from sparksqlplus_spark.expressions import neq_canon_expr
+        from sparksqlplus_spark.plans.frontier import (
+            neq_canon,
+            neq_dim_is_float,
+        )
+
+        if neq_dim_is_float(inner.schema[a_col].dataType):
+            inner = inner.withColumn("__cn_neq_a", neq_canon(F.col(a_col)))
+            a_col = "__cn_neq_a"
+            x_out = neq_canon_expr(x_out)
         stats = keyless_neq_order_stats(inner, a_col, b_col, op_b)
         if stats is None:
             return Lit(bool(ex.negated), "boolean")
@@ -2688,8 +2702,9 @@ class SparkSQLPlus:
         class) compute (da, db, ua, ub) and, in the diagonal case, the
         chosen pair's cross points and witness bits; the Exists then
         folds to a literal comparison tree evaluated per outer row.
-        Dtypes restricted like the sibling folds (integral/date/
-        timestamp both columns). Round 13 (late): the stat jobs live
+        Dtypes: both dims are equality-only <>-dims, so any
+        class-bookkeeping-safe type works — floats embed via
+        neq_canon (round 15). Round 13 (late): the stat jobs live
         in plans/frontier.py:keyless_diag_stats, shared with the
         keyless NOT IN executors."""
         from sparksqlplus_spark.expressions import (
@@ -2708,6 +2723,24 @@ class SparkSQLPlus:
         imap.update({(ex.table_alias, cn): cn for cn in inner.columns})
         for c in inner_only:
             inner = inner.filter(c.to_spark(imap))
+        # round 15: float <>-dims embed via neq_canon on BOTH sides
+        # (both dims here are equality-only <>-dims)
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.expressions import neq_canon_expr
+        from sparksqlplus_spark.plans.frontier import (
+            neq_canon,
+            neq_dim_is_float,
+        )
+
+        if neq_dim_is_float(inner.schema[a_col].dataType):
+            inner = inner.withColumn("__cn_neq_a", neq_canon(F.col(a_col)))
+            a_col = "__cn_neq_a"
+            x_out = neq_canon_expr(x_out)
+        if neq_dim_is_float(inner.schema[b_col].dataType):
+            inner = inner.withColumn("__cn_neq_b", neq_canon(F.col(b_col)))
+            b_col = "__cn_neq_b"
+            y_out = neq_canon_expr(y_out)
         lit_of = _lit_of
         hit = Lit(not ex.negated, "boolean")
         miss = Lit(bool(ex.negated), "boolean")
@@ -3959,6 +3992,19 @@ class SparkSQLPlus:
 
         (_, d1e, a_col) = next(t for t in pair if t[0] == "<>")
         (op_b, d2e, b_col) = next(t for t in pair if t[0] != "<>")
+        # round 15: a float <>-dim embeds via neq_canon on BOTH sides
+        # (the keyless fold compares collected a values; the keyed
+        # triple view is float-safe either way — uniform at the top)
+        from sparksqlplus_spark.expressions import neq_canon_expr
+        from sparksqlplus_spark.plans.frontier import (
+            neq_canon,
+            neq_dim_is_float,
+        )
+
+        if neq_dim_is_float(inner.schema[a_col].dataType):
+            inner = inner.withColumn("__cn_neq_a", neq_canon(F.col(a_col)))
+            a_col = "__cn_neq_a"
+            d1e = neq_canon_expr(d1e)
         best = F.max if op_b in (">", ">=") else F.min
         inner_t = inner.filter(
             F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
@@ -4211,6 +4257,23 @@ class SparkSQLPlus:
         from sparksqlplus_spark.parser.sql import FromItem, OuterJoin
 
         (_, d1e, a_col), (_, d2e, b_col) = pair
+        # round 15: float <>-dims embed via neq_canon on BOTH sides
+        # (the keyless keyless_diag_stats fold branches on collected
+        # values in Python; the keyed view is float-safe either way)
+        from sparksqlplus_spark.expressions import neq_canon_expr
+        from sparksqlplus_spark.plans.frontier import (
+            neq_canon,
+            neq_dim_is_float,
+        )
+
+        if neq_dim_is_float(inner.schema[a_col].dataType):
+            inner = inner.withColumn("__cn_neq_a", neq_canon(F.col(a_col)))
+            a_col = "__cn_neq_a"
+            d1e = neq_canon_expr(d1e)
+        if neq_dim_is_float(inner.schema[b_col].dataType):
+            inner = inner.withColumn("__cn_neq_b", neq_canon(F.col(b_col)))
+            b_col = "__cn_neq_b"
+            d2e = neq_canon_expr(d2e)
         inner_t = inner.filter(
             F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
         )

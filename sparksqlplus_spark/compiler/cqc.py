@@ -183,10 +183,19 @@ def _apply_neq_pair_threshold_not_in(df, inner, sf, prefix: str):
     Views one row per group (per (group, y) for the column-probe match
     view, pinned by the join condition) — no duplication. Keyed groups
     only (build_context guarantees corr_keys non-empty here)."""
+    from sparksqlplus_spark.plans.frontier import canon_float_neq_dims
+
     thrs = sf.corr_threshold
     (_, d1e, a_col), (_, d2e, b_col) = thrs
     d1 = d1e.to_spark({r: r[1] for r in d1e.refs()})
     d2 = d2e.to_spark({r: r[1] for r in d2e.refs()})
+    # round 15: float <>-dims embed via neq_canon (inner AND probe) —
+    # needed by the keyless keyless_diag_stats fold's Python-side
+    # branch selection; the keyed diagonal view is float-safe either
+    # way, so the embedding is applied uniformly at the top
+    inner, [(a_col, d1), (b_col, d2)] = canon_float_neq_dims(
+        inner, [(a_col, d1), (b_col, d2)], prefix
+    )
     corr = sf.corr_keys
     inner_t = inner.filter(
         F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
@@ -396,11 +405,19 @@ def _apply_neq_order_threshold_not_in(df, inner, sf, prefix: str):
     each, the metadata-collect class) into literal predicates; the
     match fact stays distributed as a per-y triple view (column
     probe) or a third plan-time fold (constant probe)."""
+    from sparksqlplus_spark.plans.frontier import canon_float_neq_dims
+
     thrs = sf.corr_threshold
     (_, d1e, a_col) = next(t for t in thrs if t[0] == "<>")
     (op_b, d2e, b_col) = next(t for t in thrs if t[0] != "<>")
     d1 = d1e.to_spark({r: r[1] for r in d1e.refs()})
     d2 = d2e.to_spark({r: r[1] for r in d2e.refs()})
+    # round 15: a float <>-dim embeds via neq_canon (inner AND probe)
+    # — needed by the keyless keyless_neq_order_stats fold; the keyed
+    # triple view is float-safe either way (uniform at the top)
+    inner, [(a_col, d1)] = canon_float_neq_dims(
+        inner, [(a_col, d1)], prefix
+    )
     best = F.max if op_b in (">", ">=") else F.min
     cmpb = _CMPF[op_b]
     corr = sf.corr_keys

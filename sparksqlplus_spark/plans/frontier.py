@@ -1481,8 +1481,10 @@ def keyless_neq_order_stats(src, a_col, b_col, op_b):
       d1 NOT NULL AND ((b1 OP d2 AND (multi OR a1 <> d1))
                        OR (NOT multi AND a1 = d1 AND b2 OP d2))
 
-    Metadata-scale collect (2 rows). Dtypes: integral/date/timestamp
-    (the multi check compares collected values driver-side)."""
+    Metadata-scale collect (2 rows). Dtypes: the ORDER dim must be
+    integral/date/timestamp (the multi check compares collected b
+    values driver-side); the <>-dim takes any class-bookkeeping-safe
+    type — floats arrive pre-embedded via neq_canon (round 15)."""
     from pyspark.sql import functions as F
 
     pre = (
@@ -1495,7 +1497,13 @@ def keyless_neq_order_stats(src, a_col, b_col, op_b):
             )
         )
     )
-    _gate_exact_scalars(pre, ("__a", "__ab"))
+    # round 15: only the ORDER dim (__ab — Python-compared in the
+    # multi check and the collected-literal folds) needs the exact
+    # gate; the <>-dim is equality-only (Spark groupBy + F.lit
+    # round-trip) and takes any class-bookkeeping-safe type — floats
+    # arrive pre-embedded via neq_canon (callers), per the usual gate
+    _gate_exact_scalars(pre, ("__ab",))
+    _gate_neq_class_dtype(pre.schema["__a"].dataType)
     order_col = (
         F.col("__ab").desc() if op_b in (">", ">=")
         else F.col("__ab").asc()
@@ -1530,7 +1538,12 @@ def keyless_diag_stats(src, a_col, b_col):
     rows = src.filter(
         F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
     ).select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-    _gate_exact_scalars(rows, ("a", "b"))
+    # round 15: BOTH dims here are <>-dims (equality-only — the
+    # Python branch selection compares collected values with ==/!=,
+    # which is exact for every class-bookkeeping-safe type); floats
+    # arrive pre-embedded via neq_canon (callers)
+    _gate_neq_class_dtype(rows.schema["a"].dataType)
+    _gate_neq_class_dtype(rows.schema["b"].dataType)
     g = rows.agg(
         F.count_distinct("a").alias("da"),
         F.count_distinct("b").alias("db"),

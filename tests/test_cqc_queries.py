@@ -1641,16 +1641,20 @@ def test_keyless_neq_order_brute_force(engine):
                 engine.catalog.unregister("kq_inner")
     finally:
         engine.catalog.unregister("kq_outer")
-    # double column -> fallback contract
-    with _pytest.raises(UnsupportedSqlError):
-        engine.sql(
-            """SELECT c.c_custkey FROM customer AS c
-               WHERE c.c_custkey = 0 OR EXISTS (
-                 SELECT 1 FROM orders AS o
-                 WHERE o.o_totalprice <> c.c_acctbal
-                   AND o.o_orderkey > c.c_nationkey)""",
-            mode="cqc",
-        )
+    # double <>-dim: NATIVE as of round 15 (the callers embed it via
+    # neq_canon so keyless_neq_order_stats' collected-literal fold
+    # matches Spark =/<>); assert against verbatim spark.sql (both
+    # sides ANSI bag — the OR lift forces is_full; DuckDB is barred
+    # on <>-plus-inequality EXISTS, SURVEY ORACLE WARNING).
+    # NaN/-0.0/inf coverage: test_float_neq_dims.
+    dblq = """SELECT c.c_custkey FROM customer AS c
+              WHERE c.c_custkey = 0 OR EXISTS (
+                SELECT 1 FROM orders AS o
+                WHERE o.o_totalprice <> c.c_acctbal
+                  AND o.o_orderkey > c.c_nationkey)"""
+    got = sorted(r[0] for r in engine.sql(dblq, mode="cqc").collect())
+    want = sorted(r[0] for r in engine.sql(dblq, mode="spark").collect())
+    assert got == want, (len(got), len(want))
 
 
 def test_keyless_pair_under_or(engine, oracle):
@@ -4950,14 +4954,23 @@ def test_or_exists_neq_pair(engine):
         ("pk",),
     )
     try:
-        with _pytest.raises(UnsupportedSqlError):
-            engine.sql(
+        # double <>-dims: NATIVE as of round 15 — the keyless fold's
+        # Python-side branch selection runs on neq_canon-embedded
+        # classes (NaN single and self-equal, -0.0 normalized), so the
+        # old fallback pin flips to a correctness assertion. Here
+        # (1.5, 2.5) differs from probe (1.0, 1.0) on both dims ->
+        # witness TRUE. NaN/-0.0/inf matrix: test_float_neq_dims.
+        got = sorted(
+            r["pk"]
+            for r in engine.sql(
                 """SELECT p.pk FROM np_o AS p
                    WHERE p.y = 99.0 OR EXISTS (
                      SELECT 1 FROM np_i AS i
                      WHERE i.a <> p.x AND i.b <> p.y)""",
                 mode="cqc",
-            )
+            ).collect()
+        )
+        assert got == [0], got
     finally:
         engine.catalog.unregister("np_i")
         engine.catalog.unregister("np_o")
@@ -5528,16 +5541,143 @@ def test_float_neq_dims(engine):
                 truth.append(o[0])
         assert run(q) == sorted(truth), "notin <>-pair keyed float"
 
-        # KEYLESS <>-pair float stays on the exact-scalar gate
-        # (keyless_diag_stats compares collected values in Python)
-        with _pytest.raises(UnsupportedSqlError):
-            engine.sql(
-                """SELECT p.pk FROM fn_outer AS p
+        # KEYLESS <>-pair float (round 15, second pass): the canon
+        # embedding reaches keyless_diag_stats' Python-side branch
+        # selection too — plans natively now
+        q = """SELECT p.pk FROM fn_outer AS p
+               WHERE p.x NOT IN (
+                 SELECT i.iy FROM fn_inner AS i
+                 WHERE i.a <> p.d1 AND i.b2 <> p.d2f)"""
+        truth = []
+        for o in outer:
+            grp = [
+                iy
+                for ik, iy, a, b, c, b2 in inner
+                if s_eq(a, o[3]) is False and s_eq(b2, o[6]) is False
+            ]
+            if not_in_keep(grp, o[2]) is True:
+                truth.append(o[0])
+        assert run(q) == sorted(truth), "notin <>-pair keyless float"
+        q = """SELECT p.pk FROM fn_outer AS p
+               WHERE p.d2 = 9 OR EXISTS (
+                 SELECT 1 FROM fn_inner AS i
+                 WHERE i.a <> p.d1 AND i.b2 <> p.d2f)"""
+        truth = []
+        for o in outer:
+            g = (o[4] == 9) if o[4] is not None else None
+            ex = any(
+                s_eq(a, o[3]) is False and s_eq(b2, o[6]) is False
+                for ik, iy, a, b, c, b2 in inner
+            )
+            if g is True or ex:
+                truth.append(o[0])
+        assert run(q) == sorted(truth), "orex <>-pair keyless float"
+
+        # keyless 1-<> + 1-order float <>-dim (keyless_neq_order_stats
+        # argmax fold on canon'd classes; order dim stays exact)
+        for o2 in ("<", ">="):
+            q = f"""SELECT p.pk FROM fn_outer AS p
                    WHERE p.x NOT IN (
                      SELECT i.iy FROM fn_inner AS i
-                     WHERE i.a <> p.d1 AND i.b2 <> p.d2f)""",
-                mode="cqc",
-            )
+                     WHERE i.a <> p.d1 AND i.b {o2} p.d2)"""
+            truth = []
+            for o in outer:
+                grp = [
+                    iy
+                    for ik, iy, a, b, c, b2 in inner
+                    if s_eq(a, o[3]) is False
+                    and s_cmp(o2, b, o[4]) is True
+                ]
+                if not_in_keep(grp, o[2]) is True:
+                    truth.append(o[0])
+            assert run(q) == sorted(truth), ("notin neq-order keyless", o2)
+            q = f"""SELECT p.pk FROM fn_outer AS p
+                   WHERE p.d3 = 9 OR EXISTS (
+                     SELECT 1 FROM fn_inner AS i
+                     WHERE i.a <> p.d1 AND i.b {o2} p.d2)"""
+            truth = []
+            for o in outer:
+                g = (o[5] == 9) if o[5] is not None else None
+                ex = any(
+                    s_eq(a, o[3]) is False
+                    and s_cmp(o2, b, o[4]) is True
+                    for ik, iy, a, b, c, b2 in inner
+                )
+                if g is True or ex:
+                    truth.append(o[0])
+            assert run(q) == sorted(truth), ("orex neq-order keyless", o2)
+            # keyed sibling (pure-Spark triple view, float-safe,
+            # canon'd uniformly at the top)
+            q = f"""SELECT p.pk FROM fn_outer AS p
+                   WHERE p.x NOT IN (
+                     SELECT i.iy FROM fn_inner AS i
+                     WHERE i.ik = p.k AND i.a <> p.d1
+                       AND i.b {o2} p.d2)"""
+            truth = []
+            for o in outer:
+                grp = [
+                    iy
+                    for ik, iy, a, b, c, b2 in inner
+                    if o[1] is not None and ik == o[1]
+                    and s_eq(a, o[3]) is False
+                    and s_cmp(o2, b, o[4]) is True
+                ]
+                if not_in_keep(grp, o[2]) is True:
+                    truth.append(o[0])
+            assert run(q) == sorted(truth), ("notin neq-order keyed", o2)
+            # keyed OR'd-EXISTS sibling (_or_exists_neq_order_flag:
+            # pure-Spark argmax/runner-up triple, float-safe natively
+            # — groupBy normalizes NaN/-0.0, a1 <> x compares JVM-side)
+            q = f"""SELECT p.pk FROM fn_outer AS p
+                   WHERE p.d3 = 9 OR EXISTS (
+                     SELECT 1 FROM fn_inner AS i
+                     WHERE i.ik = p.k AND i.a <> p.d1
+                       AND i.b {o2} p.d2)"""
+            truth = []
+            for o in outer:
+                g = (o[5] == 9) if o[5] is not None else None
+                ex = any(
+                    o[1] is not None and ik == o[1]
+                    and s_eq(a, o[3]) is False
+                    and s_cmp(o2, b, o[4]) is True
+                    for ik, iy, a, b, c, b2 in inner
+                )
+                if g is True or ex:
+                    truth.append(o[0])
+            assert run(q) == sorted(truth), ("orex neq-order keyed", o2)
+
+        # keyless NOT IN under OR: <>-pair and <>+order float dims
+        # (api._corr_not_in_neq_pair_threshold_or /
+        # _corr_not_in_neq_order_threshold_or keyless folds)
+        for conds, grp_of in (
+            (
+                "i.a <> p.d1 AND i.b2 <> p.d2f",
+                lambda o: [
+                    iy
+                    for ik, iy, a, b, c, b2 in inner
+                    if s_eq(a, o[3]) is False and s_eq(b2, o[6]) is False
+                ],
+            ),
+            (
+                "i.a <> p.d1 AND i.b < p.d2",
+                lambda o: [
+                    iy
+                    for ik, iy, a, b, c, b2 in inner
+                    if s_eq(a, o[3]) is False
+                    and s_cmp("<", b, o[4]) is True
+                ],
+            ),
+        ):
+            q = f"""SELECT p.pk FROM fn_outer AS p
+                   WHERE p.d3 = 9 OR p.x NOT IN (
+                     SELECT i.iy FROM fn_inner AS i WHERE {conds})"""
+            truth = []
+            for o in outer:
+                g = (o[5] == 9) if o[5] is not None else None
+                ni = not_in_keep(grp_of(o), o[2])
+                if g is True or ni is True:
+                    truth.append(o[0])
+            assert run(q) == sorted(truth), ("notin-or keyless float", conds)
     finally:
         engine.catalog.unregister("fn_inner")
         engine.catalog.unregister("fn_outer")

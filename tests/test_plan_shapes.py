@@ -72,17 +72,27 @@ BOUNDS = {
     # passes (stats, s/t under joined r1, w-bits under the chosen
     # pair) + the flag LEFT join; not_in_pair_or = three staircase
     # views (all / NULL-y / match) at ~2 exchanges each;
-    # not_in_cte = the ephemeral CTE-body view + the null-aware anti;
-    # not_in_expr_probe = the corr_keys stats + match views (the
-    # probe materialization itself is a pure projection).
+    # exists_neq_pair = the diagonal-witness flag's grouped passes +
+    # the flag LEFT join (the r15 not_in_cte / not_in_expr_probe
+    # retirements took their rows with them — the swapped-in entries
+    # are pinned below).
     "exists_neq_pair": 7,
     # not_in_neq_order = three argmin/runner-up triple views (all /
     # NULL-y / match), each a (part, a) pre-reduction + top-2 window
     # sharing the part key, + the one-row-per-part LEFT joins
     "not_in_neq_order": 7,
     "not_in_pair_or": 6,
-    "not_in_cte": 2,
-    "not_in_expr_probe": 3,
+    # r15: keyed 1-<> + 2-order NOT IN with a FLOAT <>-dim — three
+    # keyed U/V views (all / NULL-y / match), each an applyInPandas
+    # part exchange + a part-keyed collect; the neq_canon embedding is
+    # a pure projection (no extra exchange — that is exactly what this
+    # bound guards). Measured 7 at pin time (sf0.001).
+    "not_in_neq_order2_float": 7,
+    # r15: the routed-fallback DISTINCT entry runs VERBATIM spark.sql
+    # + the rewrite under auto — Catalyst's decorrelated left-anti
+    # aggregate + the distinct collapse into ONE live exchange.
+    # Measured 1 at pin time (sf0.001).
+    "not_in_pair_routed_distinct": 1,
     # r13 (late): keyless pair-filtered NOT IN — the set/NULL-y
     # staircases fold PLAN-TIME via the bounded global frontier
     # (their jobs never appear in this plan), so the live exchanges
