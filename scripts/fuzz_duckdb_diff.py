@@ -37,6 +37,16 @@ COLS = {
     "supplier": (["s_suppkey", "s_nationkey"], "s_name", "s_suppkey"),
     "orders": (["o_orderkey", "o_custkey"], "o_orderpriority", "o_orderkey"),
 }
+# round 15: double columns join the correlated-threshold draws (the
+# float <>/order-dim closure — neq_canon embedding + Arrow sweeps);
+# testdata is NaN-free so DuckDB's double =/<>/order agrees with Spark
+FCOLS = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "orders": ["o_totalprice"],
+}
 CMPS = ["<", "<=", ">", ">=", "=", "<>"]
 
 
@@ -206,16 +216,26 @@ def gen(rng: random.Random) -> str:
                 f"o.{rng.choice(ints)} + {rng.randint(0, 3)}"
             ]
             n_ineq = 1
+        i_floats = FCOLS[inner_t if inner_t in FCOLS else "region"]
+        o_floats = FCOLS[t]
         while rng.random() < (0.5 if n_ineq == 0 else 0.4) and n_ineq < 2:
             # <> included: the engine's <>-stat flags and the join
             # form both handle it; 2 inequality correlations flip the
-            # oracle to join form below
+            # oracle to join form below. Round 15: double dims join
+            # the draw (both sides float when available) — the float
+            # <>/order closure rides the same native plans.
             thr_op = rng.choice(["<", "<=", ">", ">=", "<>"])
-            conds.append(
-                f"i.{rng.choice(i_ints)} {thr_op} "
-                f"o.{rng.choice(ints)} {rng.choice(['+', '*'])} "
-                f"{rng.randint(1, 5)}"
-            )
+            if i_floats and o_floats and rng.random() < 0.35:
+                conds.append(
+                    f"i.{rng.choice(i_floats)} {thr_op} "
+                    f"o.{rng.choice(o_floats)} / {rng.randint(2, 9)}"
+                )
+            else:
+                conds.append(
+                    f"i.{rng.choice(i_ints)} {thr_op} "
+                    f"o.{rng.choice(ints)} {rng.choice(['+', '*'])} "
+                    f"{rng.randint(1, 5)}"
+                )
             n_ineq += 1
         corr = " WHERE " + " AND ".join(conds)
         # round 13: sometimes route the inner table through a CTE —

@@ -45,6 +45,11 @@ def _lit_of(v):
         return Lit(v, "boolean")
     if isinstance(v, int):
         return Lit(v, "bigint")
+    if isinstance(v, float):
+        # round 15: float order dims join the collected-literal folds
+        # — F.lit carries NaN/-0.0/inf bit-exact either way, the kind
+        # just documents it
+        return Lit(v, "double")
     if isinstance(v, datetime.datetime):
         return Lit(v, "timestamp")
     if isinstance(v, datetime.date):

@@ -255,6 +255,42 @@ def _f64_key_i64(a):
     return key
 
 
+def _i64_key_f64(k):
+    """Bit-exact inverse of _f64_key_i64 (round 15 — the keyed U/V
+    sweeps reconstruct combined V coordinates in their original
+    double type): int64 total-order keys -> float64. Every NaN
+    collapsed to int64 max by the forward map re-materializes as the
+    canonical NaN; -0.0 was normalized forward, so 0.0 comes back."""
+    import numpy as np
+
+    k = np.asarray(k, dtype=np.int64)
+    sign = np.uint64(1) << np.uint64(63)
+    key_u = k.view(np.uint64) ^ sign
+    u = np.where((key_u & sign) != 0, key_u & ~sign, ~key_u)
+    out = u.astype(np.uint64).view(np.float64).copy()
+    out[k == np.iinfo(np.int64).max] = np.nan
+    return out
+
+
+def _unkey_arrow(keys, orient_sign, kind, arrow_type):
+    """Rebuild ORIGINAL-typed arrow values from oriented int64 sweep
+    keys (round 15 — the applyInArrow replacement for the pandas
+    _unorient_series, which could not carry NaN): undo the descending
+    negation, then invert the kind's key map ('f64' via _i64_key_f64,
+    'i64' via the exact epoch/int cast chain)."""
+    import numpy as np
+    import pyarrow as pa
+
+    k = np.asarray([x * orient_sign for x in keys], dtype="int64")
+    if kind == "f64":
+        vals = _i64_key_f64(k)
+        return pa.array(vals, type=pa.float64()).cast(arrow_type)
+    arr = pa.array(k, type=pa.int64())
+    if pa.types.is_date32(arrow_type):
+        return arr.cast(pa.int32()).cast(arrow_type)
+    return arr.cast(arrow_type)
+
+
 def _okey_py(v, kind, asc):
     """Single-value orientation key for the driver-side merge and the
     object-dtype sweeps: floats map onto Spark's double total order
@@ -784,9 +820,11 @@ def keyed_neq_order2_view(src, part_pairs, a_col, b_col, c_col, ops,
     ONE applyInPandas sweep per part (O(n log n) sort + linear sweep,
     Arrow-batched) emitting flat tagged points, then a part-keyed
     two-collect aggregate — two part-key exchanges, one row per part,
-    flag joins broadcast-able. Dtypes: integral/date/timestamp for
-    b/c (exact int64 orientation); ``a`` may be any equality-
-    comparable type (only ==/!= is used on it)."""
+    flag joins broadcast-able. Dtypes (round 15): b/c integral/date/
+    timestamp/float/double (exact or IEEE-754 total-order int64
+    orientation keys; the sweep is applyInArrow so floats round-trip
+    bit-exact); ``a`` may be any equality-comparable type (only
+    ==/!= is used on it; floats arrive pre-embedded via neq_canon)."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -804,14 +842,17 @@ def keyed_neq_order2_view(src, part_pairs, a_col, b_col, c_col, ops,
         F.col(b_col).alias("__u"),
         F.col(c_col).alias("__v"),
     )
-    ok_types = (
-        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-        T.DateType, T.TimestampType, T.TimestampNTZType,
-    )
-    for f in pre.schema.fields:
-        if f.name in ("__u", "__v") and not isinstance(f.dataType, ok_types):
+    # round 15 (second pass): float/double ORDER dims join the view —
+    # the sweep now runs applyInArrow on the IEEE-754 total-order
+    # keys (the pandas path masked NaN to NULL on return, the reason
+    # the r14 gate existed), and the combined V coordinates rebuild
+    # bit-exact via the inverse key map (_unkey_arrow)
+    kind_u = _dim_kind(pre.schema["__u"].dataType)
+    kind_v = _dim_kind(pre.schema["__v"].dataType)
+    for n, kk in (("__u", kind_u), ("__v", kind_v)):
+        if kk not in ("i64", "f64"):
             raise UnsupportedSqlError(
-                _FRONTIER_DTYPE_MSG.format(dt=f.dataType)
+                _FRONTIER_DTYPE_MSG.format(dt=pre.schema[n].dataType)
             )
     _gate_neq_class_dtype(pre.schema["__a"].dataType)
     out_schema = T.StructType(
@@ -819,61 +860,57 @@ def keyed_neq_order2_view(src, part_pairs, a_col, b_col, c_col, ops,
         + [T.StructField("__kind", T.IntegerType(), False)]
     )
 
-    def _oriented(col, a):
-        if col.dtype == object:
-            col = pd.to_datetime(col)
-        col = col.astype("int64")
-        return col if a else -col
-
     # V points carry combined coordinates that may not correspond to
     # any single row, so the sweep can't emit them as row subsets —
-    # rebuild original-typed values from the oriented ints instead.
+    # rebuild original-typed values from the oriented keys instead.
     sign2 = 1 if asc2 else -1
     sign3 = 1 if asc3 else -1
-    u_dt = pre.schema["__u"].dataType
-    v_dt = pre.schema["__v"].dataType
 
-    def _unorient_series(vals, sign, dt):
-        s = pd.Series([v * sign for v in vals], dtype="int64")
-        if isinstance(dt, T.DateType):
-            return pd.to_datetime(s, unit="ns").dt.date
-        if isinstance(dt, T.TimestampType):
-            return pd.to_datetime(s, unit="ns")
-        return s
+    def sweep_flat(tbl):
+        import numpy as np
+        import pyarrow as pa
 
-    def sweep_flat(pdf):
-        if pdf.empty:
-            return pdf.assign(__kind=pd.Series([], dtype="int64"))
-        ob = _oriented(pdf["__u"], asc2)
-        oc = _oriented(pdf["__v"], asc3)
-        order = ob.sort_values(kind="stable").index
+        n_rows = tbl.num_rows
+        kind_col = pa.array([0] * n_rows, type=pa.int32())
+        if n_rows == 0:
+            return tbl.append_column("__kind", kind_col)
+        ob = _arrow_key_i64(tbl.column("__u"), kind_u, asc2)
+        oc = _arrow_key_i64(tbl.column("__v"), kind_v, asc3)
+        a_vals = tbl.column("__a").to_pylist()
+        order = np.argsort(ob, kind="stable")
         rows = [
-            (i, pdf["__a"][i], int(ob[i]), int(oc[i])) for i in order
+            (int(i), a_vals[i], int(ob[i]), int(oc[i])) for i in order
         ]
         u_keep, v_pts = _neq_order2_sweep(rows)
-        u_part = pdf.loc[u_keep].copy()
-        u_part["__kind"] = 0
-        parts = [u_part]
-        if v_pts:
-            first = pdf.iloc[0]
-            parts.append(
-                pd.DataFrame(
-                    {
-                        **{n: [first[n]] * len(v_pts) for n in names},
-                        "__a": [None] * len(v_pts),
-                        "__u": _unorient_series(
-                            [p[0] for p in v_pts], sign2, u_dt
-                        ),
-                        "__v": _unorient_series(
-                            [p[1] for p in v_pts], sign3, v_dt
-                        ),
-                        "__kind": [1] * len(v_pts),
-                    }
-                )
+        u_part = tbl.take(pa.array(u_keep, type=pa.int64()))
+        u_part = u_part.append_column(
+            "__kind", pa.array([0] * len(u_keep), type=pa.int32())
+        )
+        if not v_pts:
+            return u_part
+        m = len(v_pts)
+        first = pa.array([0] * m, type=pa.int64())
+        v_cols = [tbl.column(n).take(first) for n in names]
+        v_cols.append(pa.nulls(m, type=tbl.schema.field("__a").type))
+        v_cols.append(
+            _unkey_arrow(
+                [p[0] for p in v_pts], sign2, kind_u,
+                tbl.schema.field("__u").type,
             )
-        return pd.concat(parts, ignore_index=True)
+        )
+        v_cols.append(
+            _unkey_arrow(
+                [p[1] for p in v_pts], sign3, kind_v,
+                tbl.schema.field("__v").type,
+            )
+        )
+        v_cols.append(pa.array([1] * m, type=pa.int32()))
+        v_part = pa.Table.from_arrays(
+            v_cols, schema=u_part.schema
+        )
+        return pa.concat_tables([u_part, v_part])
 
-    pts = pre.groupBy(*names).applyInPandas(sweep_flat, out_schema)
+    pts = pre.groupBy(*names).applyInArrow(sweep_flat, out_schema)
     return pts.groupBy(*names).agg(
         F.collect_list(
             F.when(
@@ -906,10 +943,11 @@ def keyed_neq2_order_view(src, part_pairs, a_col, b_col, c_col, op3,
     orientation (see _neq2_order_sweep; ord is the oriented sort key,
     the array is array_sort'ed on it so the probe's last-within
     lookup is positional). Rows with NULL a/b/c filtered; ONE
-    applyInPandas sweep per part + a part-keyed sorted collect — two
-    part-key exchanges, one row per part. ``c`` must be
-    integral/date/timestamp (orientation); a/b may be any
-    equality-comparable type."""
+    applyInArrow sweep per part + a part-keyed sorted collect — two
+    part-key exchanges, one row per part. ``c`` integral/date/
+    timestamp/float/double (round 15 — Arrow-native orientation
+    keys); a/b may be any equality-comparable type (floats arrive
+    pre-embedded via neq_canon)."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -926,11 +964,12 @@ def keyed_neq2_order_view(src, part_pairs, a_col, b_col, c_col, op3,
         F.col(b_col).alias("__b"),
         F.col(c_col).alias("__c"),
     )
-    ok_types = (
-        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-        T.DateType, T.TimestampType, T.TimestampNTZType,
-    )
-    if not isinstance(pre.schema["__c"].dataType, ok_types):
+    # round 15 (second pass): float/double ORDER dim joins the view —
+    # applyInArrow on the IEEE-754 total-order keys (see
+    # keyed_neq_order2_view); each entry's original c is recovered by
+    # row index, so no value ever rides a pandas return path
+    kind_c = _dim_kind(pre.schema["__c"].dataType)
+    if kind_c not in ("i64", "f64"):
         raise UnsupportedSqlError(
             _FRONTIER_DTYPE_MSG.format(dt=pre.schema["__c"].dataType)
         )
@@ -954,39 +993,72 @@ def keyed_neq2_order_view(src, part_pairs, a_col, b_col, c_col, op3,
         ]
     )
 
-    def _oriented(col, a):
-        if col.dtype == object:
-            col = pd.to_datetime(col)
-        col = col.astype("int64")
-        return col if a else -col
+    def sweep(tbl):
+        import numpy as np
+        import pyarrow as pa
 
-    def sweep(pdf):
-        if pdf.empty:
-            return pd.DataFrame(
-                {f.name: pd.Series([], dtype=object)
-                 for f in out_schema.fields}
-            )
-        oc = _oriented(pdf["__c"], asc3)
-        order = oc.sort_values(kind="stable").index
-        rows = [(pdf["__a"][i], pdf["__b"][i], int(oc[i])) for i in order]
+        a_type = tbl.schema.field("__a").type
+        b_type = tbl.schema.field("__b").type
+        if tbl.num_rows == 0:
+            base = tbl.drop_columns(["__a", "__b"])
+            for cn, ct in (
+                ("__ord", pa.int64()), ("__da", pa.int64()),
+                ("__db", pa.int64()), ("__ua", a_type),
+                ("__ub", b_type), ("__f1a", a_type), ("__f1b", b_type),
+                ("__f2a", a_type), ("__f2b", b_type),
+            ):
+                base = base.append_column(cn, pa.array([], type=ct))
+            return base
+        oc = _arrow_key_i64(tbl.column("__c"), kind_c, asc3)
+        a_vals = tbl.column("__a").to_pylist()
+        b_vals = tbl.column("__b").to_pylist()
+        order = np.argsort(oc, kind="stable")
+        rows = [
+            (a_vals[i], b_vals[i], int(oc[i])) for i in order
+        ]
         entries = _neq2_order_sweep(rows)
-        # recover an original c value per oriented change point
-        c_of = {int(oc[i]): pdf["__c"][i] for i in pdf.index}
-        first = pdf.iloc[0]
-        data = {n: [first[n]] * len(entries) for n in names}
-        data["__c"] = [c_of[e[0]] for e in entries]
-        data["__ord"] = [e[0] for e in entries]
-        data["__da"] = [e[1] for e in entries]
-        data["__db"] = [e[2] for e in entries]
-        data["__ua"] = [e[3] for e in entries]
-        data["__ub"] = [e[4] for e in entries]
-        data["__f1a"] = [e[5][0] if e[5] else None for e in entries]
-        data["__f1b"] = [e[5][1] if e[5] else None for e in entries]
-        data["__f2a"] = [e[6][0] if e[6] else None for e in entries]
-        data["__f2b"] = [e[6][1] if e[6] else None for e in entries]
-        return pd.DataFrame(data)[[f.name for f in out_schema.fields]]
+        # recover an original c value per oriented change point BY ROW
+        # INDEX (take keeps the arrow value bit-exact — floats incl.
+        # NaN never leave arrow)
+        c_idx = {int(oc[i]): i for i in range(tbl.num_rows)}
+        m = len(entries)
+        first = pa.array([0] * m, type=pa.int64())
+        cols = [tbl.column(n).take(first) for n in names]
+        cols.append(
+            tbl.column("__c").take(
+                pa.array([c_idx[e[0]] for e in entries], type=pa.int64())
+            )
+        )
+        cols.append(pa.array([e[0] for e in entries], type=pa.int64()))
+        cols.append(pa.array([e[1] for e in entries], type=pa.int64()))
+        cols.append(pa.array([e[2] for e in entries], type=pa.int64()))
+        cols.append(pa.array([e[3] for e in entries], type=a_type))
+        cols.append(pa.array([e[4] for e in entries], type=b_type))
+        cols.append(
+            pa.array(
+                [e[5][0] if e[5] else None for e in entries], type=a_type
+            )
+        )
+        cols.append(
+            pa.array(
+                [e[5][1] if e[5] else None for e in entries], type=b_type
+            )
+        )
+        cols.append(
+            pa.array(
+                [e[6][0] if e[6] else None for e in entries], type=a_type
+            )
+        )
+        cols.append(
+            pa.array(
+                [e[6][1] if e[6] else None for e in entries], type=b_type
+            )
+        )
+        return pa.Table.from_arrays(
+            cols, names=[f.name for f in out_schema.fields]
+        )
 
-    pts = pre.groupBy(*names).applyInPandas(sweep, out_schema)
+    pts = pre.groupBy(*names).applyInArrow(sweep, out_schema)
     return pts.groupBy(*names).agg(
         F.array_sort(
             F.collect_list(
@@ -1022,11 +1094,11 @@ def global_neq_order2_points(inner, a_col, b_col, c_col, ops, cap):
     neq_triple_one_row_df; probes reuse expressions.NeqTripleWitness
     unchanged.
 
-    Dtypes: b/c integral/date/timestamp/timestamp_ntz (the driver
-    sweep runs on generic comparable keys — _Rev for descending dims —
-    since the pure sweep is comparison-only); a any equality-
-    comparable non-float type (stored raw, compared JVM-side;
-    float <>-dims raise, see _gate_neq_class_dtype)."""
+    Dtypes (round 15): b/c integral/date/timestamp/timestamp_ntz/
+    float/double (generic comparable keys — _Rev for descending dims,
+    (nan_flag, value) tuples for floats — since the pure sweep is
+    comparison-only); a any equality-comparable type (floats arrive
+    pre-embedded via neq_canon)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -1048,11 +1120,18 @@ def global_neq_order2_points(inner, a_col, b_col, c_col, ops, cap):
         .groupBy("__a", "__u")
         .agg(bestc("__v").alias("__v"))
     )
-    for f in pre.schema.fields:
-        if f.name in ("__u", "__v") and _dim_kind(f.dataType) != "i64":
+    # round 15 (second pass): float/double order dims join the fold —
+    # the Arrow batch stage and the driver sweep both run on the
+    # IEEE-754 total-order keys ('f64' kind), and the combined V
+    # coords un-embed back to bit-exact doubles before reinjection
+    kind2 = _dim_kind(pre.schema["__u"].dataType)
+    kind3 = _dim_kind(pre.schema["__v"].dataType)
+    for f, kk in (("__u", kind2), ("__v", kind3)):
+        if kk not in ("i64", "f64"):
             raise UnsupportedSqlError(
                 "keyless <>-triple folds support integral/date/"
-                f"timestamp order dims only (got {f.dataType})"
+                "timestamp/float/double order dims only "
+                f"(got {pre.schema[f].dataType})"
             )
     _gate_neq_class_dtype(pre.schema["__a"].dataType)
 
@@ -1072,8 +1151,8 @@ def global_neq_order2_points(inner, a_col, b_col, c_col, ops, cap):
             if tbl.num_rows == 0:
                 continue
             a_vals = tbl.column("__a").to_pylist()
-            ou = _arrow_key_i64(tbl.column("__u"), "i64", asc2)
-            ov = _arrow_key_i64(tbl.column("__v"), "i64", asc3)
+            ou = _arrow_key_i64(tbl.column("__u"), kind2, asc2)
+            ov = _arrow_key_i64(tbl.column("__v"), kind3, asc3)
             groups = defaultdict(list)
             for i, av in enumerate(a_vals):
                 groups[av].append(i)
@@ -1104,8 +1183,8 @@ def global_neq_order2_points(inner, a_col, b_col, c_col, ops, cap):
             (
                 i,
                 r["__a"],
-                _okey_py(r["__u"], "i64", asc2),
-                _okey_py(r["__v"], "i64", asc3),
+                _okey_py(r["__u"], kind2, asc2),
+                _okey_py(r["__v"], kind3, asc3),
             )
             for i, r in enumerate(rows)
         ),
@@ -1116,10 +1195,15 @@ def global_neq_order2_points(inner, a_col, b_col, c_col, ops, cap):
         (rows[i]["__u"], rows[i]["__v"], rows[i]["__a"]) for i in u_keep
     ]
 
-    def unwrap(k):
-        return k.v if isinstance(k, _Rev) else k
+    def unwrap(k, kk):
+        k = k.v if isinstance(k, _Rev) else k
+        if kk == "f64":
+            # _okey_py's float key is (nan_flag, value) — value keeps
+            # the original double bit-exact (NaN re-materializes)
+            return float("nan") if k[0] == 1 else k[1]
+        return k
 
-    v_raw = [(unwrap(u), unwrap(v)) for u, v in v_pts]
+    v_raw = [(unwrap(u, kind2), unwrap(v, kind3)) for u, v in v_pts]
     return (
         u_rows,
         v_raw,
@@ -1263,9 +1347,10 @@ def global_neq2_order_entries(inner, a_col, b_col, c_col, op3, cap):
     are raw-valued (ord, c, da, db, ua, ub, f1a, f1b, f2a, f2b)
     tuples, ord-ascending — the layout neq2_order_witness_col probes.
 
-    Dtypes: c integral/date/timestamp/timestamp_ntz (generic
-    comparable driver keys); a/b any equality-comparable non-float
-    type (float <>-dims raise, see _gate_neq_class_dtype)."""
+    Dtypes (round 15): c integral/date/timestamp/timestamp_ntz/
+    float/double (generic comparable driver keys); a/b any
+    equality-comparable type (floats arrive pre-embedded via
+    neq_canon)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -1285,10 +1370,15 @@ def global_neq2_order_entries(inner, a_col, b_col, c_col, op3, cap):
         .groupBy("__a", "__b")
         .agg(bestc("__c").alias("__c"))
     )
-    if _dim_kind(pre.schema["__c"].dataType) != "i64":
+    # round 15 (second pass): float/double order dim joins the fold
+    # (the driver sweep runs on _okey_py's (nan_flag, value) keys,
+    # whose comparisons match Spark's double total order)
+    kind3 = _dim_kind(pre.schema["__c"].dataType)
+    if kind3 not in ("i64", "f64"):
         raise UnsupportedSqlError(
-            "keyless <>-triple folds support integral/date/timestamp "
-            f"order dims only (got {pre.schema['__c'].dataType})"
+            "keyless <>-triple folds support integral/date/timestamp/"
+            f"float/double order dims only "
+            f"(got {pre.schema['__c'].dataType})"
         )
     _gate_neq_class_dtype(pre.schema["__a"].dataType)
     _gate_neq_class_dtype(pre.schema["__b"].dataType)
@@ -1303,7 +1393,7 @@ def global_neq2_order_entries(inner, a_col, b_col, c_col, op3, cap):
     # sorted, so no numeric orientation is needed
     srt = sorted(
         (
-            (r["__a"], r["__b"], _okey_py(r["__c"], "i64", asc3))
+            (r["__a"], r["__b"], _okey_py(r["__c"], kind3, asc3))
             for r in rows
         ),
         key=lambda t: t[2],
@@ -1311,7 +1401,11 @@ def global_neq2_order_entries(inner, a_col, b_col, c_col, op3, cap):
     entries = _neq2_order_sweep(srt)
 
     def unwrap(k):
-        return k.v if isinstance(k, _Rev) else k
+        k = k.v if isinstance(k, _Rev) else k
+        if kind3 == "f64":
+            # _okey_py's float key is (nan_flag, value) — bit-exact
+            return float("nan") if k[0] == 1 else k[1]
+        return k
 
     out = [
         (
@@ -1468,6 +1562,40 @@ def _gate_exact_scalars(df, cols):
             )
 
 
+def _gate_order_scalars(df, cols):
+    """Order-dim gate for the collected-literal folds (round 15):
+    exact scalars PLUS float/double — safe wherever the ordering and
+    the best() aggregates run Spark-side and every Python-side
+    comparison goes through _spark_eq_py."""
+    from pyspark.sql import types as T
+
+    ok_types = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.DateType, T.TimestampType, T.FloatType, T.DoubleType,
+    )
+    for f in df.schema.fields:
+        if f.name in cols and not isinstance(f.dataType, ok_types):
+            raise UnsupportedSqlError(
+                _EXACT_SCALAR_TYPES_MSG.format(dt=f.dataType)
+            )
+
+
+def _spark_eq_py(a, b) -> bool:
+    """Python-side equality matching Spark's `=` on collected scalars:
+    NaN equals NaN (Python nan != nan); -0.0 == 0.0 agrees in both
+    worlds; everything else is plain ==."""
+    import math
+
+    if (
+        isinstance(a, float)
+        and isinstance(b, float)
+        and math.isnan(a)
+        and math.isnan(b)
+    ):
+        return True
+    return a == b
+
+
 def keyless_neq_order_stats(src, a_col, b_col, op_b):
     """GLOBAL argmax/runner-up triple for a keyless ``a <> d1 AND
     b OP d2`` witness population (round 13 late — extracted from
@@ -1498,11 +1626,17 @@ def keyless_neq_order_stats(src, a_col, b_col, op_b):
         )
     )
     # round 15: only the ORDER dim (__ab — Python-compared in the
-    # multi check and the collected-literal folds) needs the exact
+    # multi check and the collected-literal folds) needs a dtype
     # gate; the <>-dim is equality-only (Spark groupBy + F.lit
     # round-trip) and takes any class-bookkeeping-safe type — floats
-    # arrive pre-embedded via neq_canon (callers), per the usual gate
-    _gate_exact_scalars(pre, ("__ab",))
+    # arrive pre-embedded via neq_canon (callers), per the usual
+    # gate. Round 15 (second pass): the ORDER dim takes float/double
+    # too — best() and the top-2 sort run Spark-side (NaN largest,
+    # asc puts NaN last / desc first, consistent with best=max/min),
+    # the collected extremes re-enter as F.lit/Lit literals compared
+    # JVM-side, and the ONE Python comparison (the multi tie check)
+    # handles the NaN-is-self-equal divergence explicitly below.
+    _gate_order_scalars(pre, ("__ab",))
     _gate_neq_class_dtype(pre.schema["__a"].dataType)
     order_col = (
         F.col("__ab").desc() if op_b in (">", ">=")
@@ -1512,7 +1646,7 @@ def keyless_neq_order_stats(src, a_col, b_col, op_b):
     if not rows:
         return None
     b1, a1 = rows[0]["__ab"], rows[0]["__a"]
-    multi = len(rows) > 1 and rows[1]["__ab"] == b1
+    multi = len(rows) > 1 and _spark_eq_py(rows[1]["__ab"], b1)
     b2 = rows[1]["__ab"] if len(rows) > 1 else None
     return (b1, a1, multi, b2)
 

@@ -3137,8 +3137,8 @@ def test_keyless_neq_triples_exists(engine):
     force over NULL-heavy random data: 1-<>+2-order with 4 order-op
     rotations x EXISTS/NOT EXISTS, 2-<>+1-order with 4 ops x both
     polarities. Keyless 3-<> triples pin the fallback raise (no
-    constant-size statistic), and a double order dim pins the
-    integral-only dtype raise."""
+    constant-size statistic); a double order dim plans NATIVELY as of
+    round 15 (asserted against verbatim spark.sql)."""
     import operator
     import random
 
@@ -3310,7 +3310,11 @@ def test_keyless_neq_triples_exists(engine):
                        AND i.c <> p.d3)""",
                 mode="cqc",
             )
-        # non-integral order dims keep the dtype raise
+        # round 15 (second pass): float/double order dims plan
+        # NATIVELY through the keyless folds ((nan_flag, value)
+        # driver keys) — the old dtype-raise pin flips to a
+        # cqc-vs-spark.sql assertion (both ANSI bag under the OR
+        # lift; NaN/-0.0/inf matrix: test_float_neq_dims)
         engine.catalog.register_df(
             "kt_dbl",
             spark.createDataFrame(
@@ -3319,15 +3323,18 @@ def test_keyless_neq_triples_exists(engine):
             (),
         )
         try:
-            with _pytest.raises(UnsupportedSqlError):
-                engine.sql(
-                    """SELECT p.pk FROM kt_outer AS p
-                       WHERE p.d1 = 9 OR EXISTS (
-                         SELECT 1 FROM kt_dbl AS i
-                         WHERE i.a <> p.d1 AND i.b < p.d2
-                           AND i.c < p.d3)""",
-                    mode="cqc",
-                )
+            dq = """SELECT p.pk FROM kt_outer AS p
+                    WHERE p.d1 = 9 OR EXISTS (
+                      SELECT 1 FROM kt_dbl AS i
+                      WHERE i.a <> p.d1 AND i.b < p.d2
+                        AND i.c < p.d3)"""
+            got = sorted(
+                r[0] for r in engine.sql(dq, mode="cqc").collect()
+            )
+            want = sorted(
+                r[0] for r in engine.sql(dq, mode="spark").collect()
+            )
+            assert got == want, (got, want)
         finally:
             engine.catalog.unregister("kt_dbl")
     finally:
@@ -5331,8 +5338,9 @@ def test_float_neq_dims(engine):
     Spark-semantics brute force (DuckDB cannot oracle these shapes —
     SURVEY ORACLE WARNING). Keyed <>-pairs ride the pure-Spark
     diagonal view (float-safe JVM-side, asserted here too); the
-    KEYLESS <>-pair / <>+order folds keep their exact-scalar gate
-    (driver-side Python comparisons — pinned as a raise), and a
+    KEYLESS <>-pair / <>+order folds run on neq_canon-embedded
+    classes (second pass — brute-force matched below); float ORDER
+    dims ride the Arrow sweeps / (nan_flag, value) driver keys; a
     non-default-collation string <>-dim pins the narrowed
     _gate_neq_class_dtype raise."""
     import math
@@ -5645,6 +5653,67 @@ def test_float_neq_dims(engine):
                 if g is True or ex:
                     truth.append(o[0])
             assert run(q) == sorted(truth), ("orex neq-order keyed", o2)
+
+        # round 15 (second pass): float ORDER dims — the keyed U/V
+        # and prefix-array sweeps run applyInArrow on IEEE-754
+        # total-order keys (pandas masked NaN to NULL), the keyless
+        # folds sweep (nan_flag, value) keys driver-side, and the
+        # argmax fold's multi check uses _spark_eq_py. b2 doubles as
+        # the float ORDER dim here (NaN/-0.0/inf drawn).
+        for keyed in (True, False):
+            kc = "i.ik = p.k AND " if keyed else ""
+            # 1-<> + 2-order with a FLOAT second order dim
+            q = f"""SELECT p.pk FROM fn_outer AS p
+                   WHERE p.x NOT IN (
+                     SELECT i.iy FROM fn_inner AS i WHERE {kc}
+                     i.a <> p.d1 AND i.b < p.d2 AND i.b2 >= p.d2f)"""
+            truth = []
+            for o in outer:
+                grp = [
+                    iy
+                    for ik, iy, a, b, c, b2 in inner
+                    if (not keyed or (o[1] is not None and ik == o[1]))
+                    and s_eq(a, o[3]) is False
+                    and s_cmp("<", b, o[4]) is True
+                    and s_cmp(">=", b2, o[6]) is True
+                ]
+                if not_in_keep(grp, o[2]) is True:
+                    truth.append(o[0])
+            assert run(q) == sorted(truth), ("ni float-order 1neq", keyed)
+            # 2-<> + a FLOAT order dim, OR'd EXISTS
+            q = f"""SELECT p.pk FROM fn_outer AS p
+                   WHERE p.d2 = 9 OR NOT EXISTS (
+                     SELECT 1 FROM fn_inner AS i WHERE {kc}
+                     i.a <> p.d1 AND i.c <> p.d3 AND i.b2 < p.d2f)"""
+            truth = []
+            for o in outer:
+                g = (o[4] == 9) if o[4] is not None else None
+                ex = any(
+                    (not keyed or (o[1] is not None and ik == o[1]))
+                    and s_eq(a, o[3]) is False
+                    and s_eq(c, o[5]) is False
+                    and s_cmp("<", b2, o[6]) is True
+                    for ik, iy, a, b, c, b2 in inner
+                )
+                if g is True or not ex:
+                    truth.append(o[0])
+            assert run(q) == sorted(truth), ("orex float-order 2neq", keyed)
+        # keyless 1-<> + 1 FLOAT order (argmax fold, _spark_eq_py tie)
+        q = """SELECT p.pk FROM fn_outer AS p
+               WHERE p.x NOT IN (
+                 SELECT i.iy FROM fn_inner AS i
+                 WHERE i.a <> p.d1 AND i.b2 > p.d2f)"""
+        truth = []
+        for o in outer:
+            grp = [
+                iy
+                for ik, iy, a, b, c, b2 in inner
+                if s_eq(a, o[3]) is False
+                and s_cmp(">", b2, o[6]) is True
+            ]
+            if not_in_keep(grp, o[2]) is True:
+                truth.append(o[0])
+        assert run(q) == sorted(truth), "ni float-order 1neq1ord keyless"
 
         # keyless NOT IN under OR: <>-pair and <>+order float dims
         # (api._corr_not_in_neq_pair_threshold_or /
