@@ -245,7 +245,11 @@ def main() -> None:
 
     cal3 = [calibration["start"], calibration["mid"], calibration["end"]]
     load_contaminated = False
-    if _spread(cal3) > 1.5:
+    # threshold 1.45, not 1.5: a local r15 rehearsal landed at exactly
+    # 1.50x (0.112 -> 0.168 with load1 16 at the end) and a boundary
+    # comparison silently skipped the retry; the retry's cost is one
+    # extra min-of-runs pass over half the set, so lean sensitive
+    if _spread(cal3) > 1.45:
         worst = max(range(3), key=lambda i: cal3[i])
         half = len(timed_names) // 2
         # start brackets the first half, end the second, mid both
@@ -273,7 +277,7 @@ def main() -> None:
         calibration["post_retry"] = _calibrate()
         calibration["post_retry_load1"] = _load1()
         load_contaminated = (
-            _spread(cal3 + [calibration["post_retry"]]) > 1.5
+            _spread(cal3 + [calibration["post_retry"]]) > 1.45
         )
 
     total = round(sum(timings.values()), 3)
