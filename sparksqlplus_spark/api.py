@@ -1184,12 +1184,15 @@ class SparkSQLPlus:
                         # KEYLESS groups fold the statistics globally
                         # (_corr_not_in_neq_triple_keyless_or)
                         pair_threshold = noneq
-                    elif len(noneq) == 4 and all(
+                    elif len(noneq) in (4, 5) and all(
                         o in ("<", "<=", ">", ">=") for o in pops
                     ):
                         # latest r13: FOUR order comparisons — 4-D
                         # skyline flag views (keyless groups fold the
-                        # global 4-D skyline, cap-tightened)
+                        # global 4-D skyline, cap-tightened). Round
+                        # 15: FIVE join — the dominance scans are
+                        # tail-width agnostic; 6+ stays out (high-D
+                        # skylines degenerate toward the whole group)
                         pair_threshold = noneq
                     else:
                         raise UnsupportedSqlError(
@@ -1210,12 +1213,16 @@ class SparkSQLPlus:
                     # spark.sql under auto; keyless groups stay
                     # native (Catalyst nested-loops them, 33x slower
                     # at 10x)
-                    raise UnsupportedSqlError(
+                    # RoutedToFallback with needs_distinct=False
+                    # (round 15): the OR-lifted flag plan is ANSI bag
+                    # either way (ephemeral views force is_full)
+                    raise RoutedToFallback(
                         "keyed multi-comparison NOT IN under OR rides "
                         "the spark.sql fallback under mode='auto' "
                         "(measured slower than Catalyst decorrelation "
                         "at both sf0.1 and 10x — SCALING.md round-14 "
-                        "A/B); mode='cqc' forces the native flag plan"
+                        "A/B); mode='cqc' forces the native flag plan",
+                        needs_distinct=False,
                     )
                 n_probe_keys = len(keys) - n_corr_keys
                 return self._correlated_not_in_or_flag(
@@ -1316,18 +1323,21 @@ class SparkSQLPlus:
                         return self._keyless_neq_pair_fold(
                             ex, noneq, inner_only
                         )
-                if len(noneq) in (3, 4) and keys and mode == "auto":
+                if len(noneq) in (3, 4, 5) and keys and mode == "auto":
                     # round 14 measured gate — same as the pair gate
                     # above (the 3-D skyline cell measured 4.7x at
-                    # 10x, the worst keyed cell)
-                    raise UnsupportedSqlError(
+                    # 10x, the worst keyed cell); RoutedToFallback
+                    # with needs_distinct=False (round 15 — the OR
+                    # lift is ANSI bag either way)
+                    raise RoutedToFallback(
                         "keyed multi-comparison EXISTS under OR rides "
                         "the spark.sql fallback under mode='auto' "
                         "(measured slower than Catalyst decorrelation "
                         "at both sf0.1 and 10x — SCALING.md round-14 "
-                        "A/B); mode='cqc' forces the native flag plan"
+                        "A/B); mode='cqc' forces the native flag plan",
+                        needs_distinct=False,
                     )
-                if len(noneq) in (3, 4) and all(
+                if len(noneq) in (3, 4, 5) and all(
                     nq[0] in ("<", "<=", ">", ">=") for nq in noneq
                 ):
                     # round 13: THREE order comparisons compose via a
@@ -2945,9 +2955,10 @@ class SparkSQLPlus:
                 spec, ephemeral,
             )
         if pair is not None:
-            if len(pair) == 4:
+            if len(pair) in (4, 5):
                 # latest r13: 4-D skyline flag views (all-order keyed
-                # per the dispatch)
+                # per the dispatch); round 15: k=5 rides the same
+                # tail-width-agnostic dominance scans
                 return self._corr_not_in_sky_threshold_or(
                     inner, gsel, corr, probe_outer, probe_icol, pair,
                     spec, ephemeral,

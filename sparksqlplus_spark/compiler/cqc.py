@@ -1412,10 +1412,12 @@ def _apply_semi_filter(spark, catalog, df, sf, prefix: str):
             _gate_keyed_multicmp_auto(
                 "keyed multi-comparison correlated NOT IN"
             )
-        if len(sf.corr_threshold) == 4:
+        if len(sf.corr_threshold) >= 4:
             # round 13 (latest): FOUR order comparisons — the skyline
-            # executor generalizes (numpy dominance-scan sweep; keyed
-            # only, all-order per the build_context gate)
+            # executor generalizes (numpy dominance-scan sweep;
+            # all-order per the build_context gate, which admits k
+            # up to 5 as of round 15 — the sweeps are tail-width
+            # agnostic)
             return _apply_sky_threshold_not_in(df, inner, sf, prefix)
         if len(sf.corr_threshold) == 3:
             n_neq3 = sum(

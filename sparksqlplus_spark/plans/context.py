@@ -685,10 +685,12 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                     and sum(1 for t in thrs if t[0] == "<>") <= 2
                 ) or (
                     # latest r13: FOUR order comparisons — the 4-D
-                    # skyline (numpy dominance-scan sweep; keyed
-                    # only). <>-containing quads and 5+ stay on the
-                    # fallback.
-                    len(thrs) == 4
+                    # skyline (numpy dominance-scan sweep). Round 15:
+                    # FIVE join (the sweeps are tail-width agnostic).
+                    # <>-containing quads and 6+ stay on the fallback
+                    # (high-D skylines degenerate toward the whole
+                    # group — no effective reduction).
+                    len(thrs) in (4, 5)
                     and all(t is not None for t in thrs)
                     and all(
                         t[0] in ("<", "<=", ">", ">=") for t in thrs
@@ -857,7 +859,7 @@ def build_context(spec: QuerySpec, catalog: Catalog) -> Context:
                 # (latest) QUADS fold GLOBAL skylines the same way
                 # (frontier.global_skyline_points; the 4-D merge cap
                 # is tightened to bound driver work)
-                len(thrs) in (3, 4)
+                len(thrs) in (3, 4, 5)  # round 15: k=5 joins
                 and all(t is not None and t[0] != "<>" for t in thrs)
             ) or (
                 # round 14: keyless <>-CONTAINING triples (one or two

@@ -70,9 +70,11 @@ def _sweep4_indexed(items):
     the F.exists witness probes all consumers run."""
     import numpy as np
 
-    kept = np.empty((0, 3), dtype="int64")
+    kept = None  # (0, len(tail)) once the first tail fixes the width
     keep: list = []
     for idx, p in items:
+        if kept is None:
+            kept = np.empty((0, p.shape[0]), dtype="int64")
         if kept.shape[0] and (kept <= p).all(axis=1).any():
             continue  # weakly dominated (leading coord <= by order)
         if kept.shape[0]:
@@ -333,7 +335,8 @@ def _sky_sweep_table(tbl, ucols, kinds, asc, k, obj_path):
             )
         else:
             keep = _sweep4_tails(
-                (i, (ks[1][i], ks[2][i], ks[3][i])) for i in pos
+                (i, tuple(ks[j][i] for j in range(1, k)))
+                for i in pos
             )
     else:
         ks = [
@@ -350,7 +353,7 @@ def _sky_sweep_table(tbl, ucols, kinds, asc, k, obj_path):
                 (
                     int(i),
                     np.array(
-                        [ks[1][i], ks[2][i], ks[3][i]], dtype="int64"
+                        [ks[j][i] for j in range(1, k)], dtype="int64"
                     ),
                 )
                 for i in pos
@@ -556,7 +559,10 @@ def keyed_skyline_view(src, part_pairs, dims, ops, out):
     from pyspark.sql import functions as F
 
     k = len(dims)
-    assert k in (3, 4) and len(ops) == k
+    # round 15: k widened to 5 — the dominance scans are tail-width
+    # agnostic; 6+ stays out (high-D skylines degenerate toward the
+    # whole group, no effective reduction)
+    assert 3 <= k <= 5 and len(ops) == k
     ucols = [f"u{i}" for i in range(k)]
     asc = [op in ("<", "<=") for op in ops]
     bestl = F.min if asc[-1] else F.max
@@ -611,8 +617,8 @@ def global_skyline_points(inner, dims, ops, cap):
     from pyspark.sql import functions as F
 
     k = len(dims)
-    assert k in (3, 4) and len(ops) == k
-    if k == 4:
+    assert 3 <= k <= 5 and len(ops) == k  # round 15: k=5 joins
+    if k >= 4:
         cap = min(cap, 4096)
     ucols = [f"u{i}" for i in range(k)]
     asc = [op in ("<", "<=") for op in ops]

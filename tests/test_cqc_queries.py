@@ -2715,7 +2715,7 @@ def test_or_exists_triple_skyline(engine):
         # (test_order_quad_skyline), and round 14 closed KEYLESS
         # <>-triples (the global U/V fold —
         # test_keyless_neq_triples_exists is the matrix; spot-check
-        # here on this data); 5 comparisons stay on the fallback
+        # here on this data); 5 comparisons plan natively (r15)
         q = """SELECT p.pk FROM sky_outer AS p
                WHERE p.z = 9 OR EXISTS (SELECT 1 FROM sky_inner AS i
                  WHERE i.a <> p.x AND i.b < p.y AND i.c < p.z)"""
@@ -2731,14 +2731,28 @@ def test_or_exists_triple_skyline(engine):
             )
         )
         assert mine == truth, (mine, truth)
-        with _pytest.raises(UnsupportedSqlError):
-            engine.sql(
-                """SELECT p.pk FROM sky_outer AS p
-                   WHERE p.z = 9 OR EXISTS (SELECT 1 FROM sky_inner AS i
-                     WHERE i.ik = p.k AND i.a < p.x AND i.b < p.y
-                       AND i.c < p.z AND i.a > p.z AND i.b >= p.x)""",
-                mode="cqc",
+        # 5 order comparisons plan NATIVELY as of round 15 (the
+        # tail-width-agnostic dominance scans — test_sky_quint is the
+        # matrix); spot-check on this data against brute force
+        q5 = """SELECT p.pk FROM sky_outer AS p
+                WHERE p.z = 9 OR EXISTS (SELECT 1 FROM sky_inner AS i
+                  WHERE i.ik = p.k AND i.a < p.x AND i.b < p.y
+                    AND i.c < p.z AND i.a > p.z AND i.b >= p.x)"""
+        mine = sorted(
+            r["pk"] for r in engine.sql(q5, mode="cqc").collect()
+        )
+        truth = sorted(
+            pk
+            for pk, k, x, y, z in outer
+            if z == 9
+            or any(
+                None not in (ik, k, a, b, c, x, y, z)
+                and ik == k and a < x and b < y and c < z
+                and a > z and b >= x
+                for ik, a, b, c in inner
             )
+        )
+        assert mine == truth, (mine, truth)
     finally:
         engine.catalog.unregister("sky_inner")
         engine.catalog.unregister("sky_outer")
@@ -5778,3 +5792,175 @@ def test_float_neq_dims(engine):
     finally:
         engine.catalog.unregister("fn_ci")
         engine.catalog.unregister("fn_co")
+
+
+def test_sky_quint(engine):
+    """Round 15: FIVE order comparisons join the skyline family — the
+    dominance scans are tail-width agnostic (_sweep4_indexed sizes its
+    kept matrix from the first tail; _sweep4_tails and the witness
+    probes were already k-agnostic), so build_context admits k=5,
+    cqc dispatches len >= 4 to the skyline executor, and the OR'd
+    EXISTS / NOT-IN-under-OR lifts take quints. 6+ stays out (high-D
+    skylines degenerate toward the whole group). Brute-force NULL
+    matrix over keyed + keyless, NOT IN in both probe positions,
+    EXISTS both polarities, with one float dim riding the f64 keys;
+    DuckDB cannot oracle multi-inequality shapes (SURVEY ORACLE
+    WARNING)."""
+    import math
+    import operator
+    import random
+
+    import pytest as _pytest
+
+    from sparksqlplus_spark.api import UnsupportedSqlError
+
+    spark = engine.spark
+    rng = random.Random(55)
+    NAN = float("nan")
+    fvals = [None, NAN, -0.0, 1.5, float("inf")]
+    ops = {
+        "<": operator.lt, "<=": operator.le,
+        ">": operator.gt, ">=": operator.ge,
+    }
+
+    def s_cmp(op, a, b):
+        if a is None or b is None:
+            return None
+
+        def k(x):
+            x = float(x)
+            return (2, 0.0) if math.isnan(x) else (1, 0.0 if x == 0 else x)
+
+        return ops[op](k(a), k(b))
+
+    inner = [
+        (
+            rng.randint(1, 2),
+            rng.choice([None, 1, 2, 3]),
+            rng.randint(0, 3),
+            rng.randint(0, 3),
+            rng.randint(0, 3),
+            rng.randint(0, 3),
+            rng.choice(fvals),
+        )
+        for _ in range(34)
+    ]
+    outer = [
+        (
+            i,
+            rng.choice([None, 1, 2]),
+            rng.choice([None, 1, 2, 3]),
+            rng.choice([None] + list(range(0, 4))),
+            rng.choice([None] + list(range(0, 4))),
+            rng.choice([None] + list(range(0, 4))),
+            rng.choice([None] + list(range(0, 4))),
+            rng.choice(fvals),
+        )
+        for i in range(30)
+    ]
+    engine.catalog.register_df(
+        "q5_inner",
+        spark.createDataFrame(
+            inner, "ik int, iy int, c1 int, c2 int, c3 int, c4 int, c5 double"
+        ),
+        (),
+    )
+    engine.catalog.register_df(
+        "q5_outer",
+        spark.createDataFrame(
+            outer,
+            "pk int, k int, x int, d1 int, d2 int, d3 int, d4 int, d5 double",
+        ),
+        ("pk",),
+    )
+    O5 = ("<", ">", "<=", ">=", "<")
+    conds = (
+        "i.c1 {0} p.d1 AND i.c2 {1} p.d2 AND i.c3 {2} p.d3 "
+        "AND i.c4 {3} p.d4 AND i.c5 {4} p.d5"
+    )
+
+    def grp(o, keyed, o5):
+        return [
+            iy
+            for ik, iy, c1, c2, c3, c4, c5 in inner
+            if (not keyed or (o[1] is not None and ik == o[1]))
+            and s_cmp(o5[0], c1, o[3]) is True
+            and s_cmp(o5[1], c2, o[4]) is True
+            and s_cmp(o5[2], c3, o[5]) is True
+            and s_cmp(o5[3], c4, o[6]) is True
+            and s_cmp(o5[4], c5, o[7]) is True
+        ]
+
+    def ni_keep(g, x):
+        if not g:
+            return True
+        if x is not None and any(iy == x for iy in g if iy is not None):
+            return False
+        if any(iy is None for iy in g) or x is None:
+            return None
+        return True
+
+    def run(q):
+        return sorted(r["pk"] for r in engine.sql(q, mode="cqc").collect())
+
+    try:
+        for rot in range(3):
+            o5 = tuple(O5[(i + rot) % 5] for i in range(5))
+            body = conds.format(*o5)
+            for keyed in (True, False):
+                kc = "i.ik = p.k AND " if keyed else ""
+                for probe, pf in (("p.x", lambda o: o[2]), ("2", lambda o: 2)):
+                    q = (
+                        f"SELECT p.pk FROM q5_outer AS p WHERE {probe} "
+                        f"NOT IN (SELECT i.iy FROM q5_inner AS i "
+                        f"WHERE {kc}{body})"
+                    )
+                    truth = [
+                        o[0]
+                        for o in outer
+                        if ni_keep(grp(o, keyed, o5), pf(o)) is True
+                    ]
+                    assert run(q) == sorted(truth), (
+                        "ni", rot, keyed, probe,
+                    )
+                for neg in ("", "NOT "):
+                    q = (
+                        f"SELECT p.pk FROM q5_outer AS p WHERE p.d2 = 9 "
+                        f"OR {neg}EXISTS (SELECT 1 FROM q5_inner AS i "
+                        f"WHERE {kc}{body})"
+                    )
+                    truth = []
+                    for o in outer:
+                        g = (o[4] == 9) if o[4] is not None else None
+                        ex = bool(grp(o, keyed, o5))
+                        if g is True or (not ex if neg else ex):
+                            truth.append(o[0])
+                    assert run(q) == sorted(truth), (
+                        "orex", rot, keyed, neg,
+                    )
+                # NOT IN under OR (keyed routes under auto; cqc native)
+                q = (
+                    f"SELECT p.pk FROM q5_outer AS p WHERE p.d2 = 9 "
+                    f"OR p.x NOT IN (SELECT i.iy FROM q5_inner AS i "
+                    f"WHERE {kc}{body})"
+                )
+                truth = []
+                for o in outer:
+                    g = (o[4] == 9) if o[4] is not None else None
+                    ni = ni_keep(grp(o, keyed, o5), o[2])
+                    if g is True or ni is True:
+                        truth.append(o[0])
+                assert run(q) == sorted(truth), ("ni-or", rot, keyed)
+        # 6 order comparisons stay out (cqc raises; auto rides verbatim)
+        with _pytest.raises(UnsupportedSqlError):
+            engine.sql(
+                """SELECT p.pk FROM q5_outer AS p WHERE p.x NOT IN (
+                     SELECT i.iy FROM q5_inner AS i
+                     WHERE i.ik = p.k AND i.c1 < p.d1 AND i.c2 > p.d2
+                       AND i.c3 <= p.d3 AND i.c4 >= p.d4
+                       AND i.c5 < p.d5 AND i.c1 >= p.d2)""",
+                mode="cqc",
+            )
+    finally:
+        engine.catalog.unregister("q5_inner")
+        engine.catalog.unregister("q5_outer")
