@@ -2755,7 +2755,20 @@ def finalize(result: DataFrame, ctx: Context) -> DataFrame:
             if isinstance(e, Col) and e.alias == "":
                 continue  # resolved by output alias below
             reb = _replace_known(e, phys)
-            keep_sorts.append(reb.to_spark(post_map).alias(f"__sort_{i}"))
+            try:
+                sp = reb.to_spark(post_map)
+            except KeyError as missing:
+                # ANSI-invalid: the sort expression references a column
+                # that is neither grouped nor aggregated (round-16 fuzz
+                # tail draws found finalize leaking a raw KeyError
+                # here). Raise cleanly — under mode='auto' the
+                # spark.sql fallback then surfaces Spark's own
+                # AnalysisException for the invalid statement.
+                raise UnsupportedSqlError(
+                    "ORDER BY expression references a column not "
+                    f"available after aggregation: {missing}"
+                ) from None
+            keep_sorts.append(sp.alias(f"__sort_{i}"))
         result = result.select(*out_cols, *keep_sorts)
         result = _order_limit(result, ctx, post_agg=True)
         result = result.select(*[F.col(n) for n, _ in ctx.output])
