@@ -929,56 +929,117 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
             AND l.l_linenumber <> s.s_nationkey
             AND l.l_quantity <> s.s_acctbal""",
     ),
-    # --- NEW r12: TWO order comparisons under OR'd EXISTS plan
-    # natively via the per-key Pareto-STAIRCASE flag view
-    # (api._or_exists_pair_flag + expressions.PairWitness — the first
-    # SURVEY remaining-fallback item closed this round). Per-column
-    # extremes lose the single-witness requirement (the order
-    # attaining MIN(o_totalprice) need not attain MAX(o_orderkey));
-    # the flag view keeps the per-customer Pareto frontier's change
-    # points as ONE array column — one row per key, so the LEFT flag
-    # join never duplicates — and the witness is an F.exists probe
-    # over the array, JVM-side. ANSI bag semantics (OR lift; customer
-    # rows are PK-unique, so bag = set here). The oracle is the
-    # JOIN-FORM expansion, NOT the correlated EXISTS: DuckDB 1.0.0
-    # mis-decorrelates correlated EXISTS with <> plus another
-    # correlated inequality (SURVEY "ORACLE WARNING"), and while the
-    # order-order shape measured correct, the driver gate should not
-    # depend on the buggy decorrelator at all. ---
-    "exists_two_comparisons": (
-        """SELECT c.c_custkey, c.c_acctbal
+    # (r16 consolidation: the exists_two_comparisons entry — two order
+    # comparisons under OR'd EXISTS via the per-key Pareto-staircase
+    # flag view, added r12 — retired to free the slot for
+    # not_in_quint_keyless. Its exact shape (same SQL, all four op
+    # orientations, NOT EXISTS, same-column pairs) keeps the named
+    # pytest oracle tests/test_cqc_queries.py::
+    # test_two_noneq_correlations_under_or, and the staircase family
+    # stays driver-covered in-window by exists_neq_pair,
+    # exists_three_comparisons, and skyline_float_triple.)
+    #
+    # --- NEW r16 (r15 verdict items 4+5): KEYLESS all-order QUINT
+    # NOT IN — the k=5 skyline family admitted in r15
+    # (tests/test_cqc_queries.py::test_sky_quint) gets its first
+    # driver row. Five order comparisons, NO equality correlation:
+    # the keyless fold collects the inner side's three 5-D Pareto
+    # SKYLINES (all / NULL-y / match facts) into ONE-ROW array frames
+    # (plans/frontier.py keyless branch), broadcast-crossJoins them
+    # (the only crossJoin is vs a one-row frame), and probes each
+    # outer row with a JVM-side F.exists dominance lambda — never the
+    # quadratic nested loop Catalyst would pick. Keyless stays NATIVE
+    # under auto by measurement (SCALING.md r14/r16). Dim design:
+    # column reuse is SAME-direction (suppkey smaller-better twice,
+    # acctbal larger-better twice) — correlated dims keep the 5-D
+    # skyline small and 10x-scalable; opposite directions on one
+    # column would make the whole inner set an anti-chain and blow
+    # the 4096-point k>=4 merge cap (that adversarial shape is
+    # measured separately — the over-cap raise rides the fallback,
+    # SCALING.md r16). Oracle: the
+    # keyless JOIN-FORM (n, nn, m) expansion grouped per outer PK —
+    # DuckDB cannot decorrelate multi-inequality NOT IN (SURVEY
+    # ORACLE WARNING). Non-full projection => DISTINCT both sides. ---
+    "not_in_quint_keyless": (
+        """SELECT c.c_mktsegment, c.c_acctbal
            FROM customer AS c
-           WHERE c.c_acctbal < 0.0
-              OR EXISTS (SELECT 1 FROM orders AS o
-                         WHERE o.o_custkey = c.c_custkey
-                           AND o.o_totalprice < c.c_acctbal * 40.0
-                           AND o.o_orderkey >= c.c_nationkey * 300)""",
-        """SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0.0
-           UNION
-           SELECT c.c_custkey, c.c_acctbal
-           FROM customer AS c JOIN orders AS o
-             ON o.o_custkey = c.c_custkey
-            AND o.o_totalprice < c.c_acctbal * 40.0
-            AND o.o_orderkey >= c.c_nationkey * 300""",
+           WHERE c.c_nationkey NOT IN (
+             SELECT s.s_nationkey FROM supplier AS s
+             WHERE s.s_suppkey < c.c_custkey
+               AND s.s_suppkey <= c.c_nationkey * 400
+               AND s.s_acctbal > c.c_acctbal * 0.5
+               AND s.s_acctbal >= c.c_acctbal - 2000.0
+               AND s.s_nationkey <= c.c_nationkey + 3)""",
+        """SELECT DISTINCT c_mktsegment, c_acctbal FROM (
+             SELECT MIN(c.c_mktsegment) AS c_mktsegment,
+                    MIN(c.c_acctbal) AS c_acctbal,
+                    MIN(c.c_nationkey) AS cnk,
+                    COUNT(s.s_suppkey) AS n,
+                    COUNT(s.s_nationkey) AS nn,
+                    SUM(CASE WHEN s.s_nationkey = c.c_nationkey
+                             THEN 1 ELSE 0 END) AS m
+             FROM customer AS c LEFT JOIN supplier AS s
+               ON s.s_suppkey < c.c_custkey
+              AND s.s_suppkey <= c.c_nationkey * 400
+              AND s.s_acctbal > c.c_acctbal * 0.5
+              AND s.s_acctbal >= c.c_acctbal - 2000.0
+              AND s.s_nationkey <= c.c_nationkey + 3
+             GROUP BY c.c_custkey) AS t
+           WHERE n = 0 OR (m = 0 AND nn = n AND cnk IS NOT NULL)""",
     ),
-    # --- NEW r12: correlated NOT IN whose inner set is ALSO filtered
-    # by an order comparison against the outer row — each three-valued
-    # fact (set empty / has NULL y / matched) is monotone in the
-    # threshold, so one per-group MIN/MAX per fact decides it
-    # (SemiFilter.corr_threshold; compiler/cqc.py threshold branch;
-    # NULL matrix pytest test_correlated_not_in_with_threshold). Same
-    # SQL is the DuckDB oracle — DuckDB's correlated NOT IN
-    # decorrelation verified correct on the brute-force matrix for
-    # this shape (unlike its <>-EXISTS decorrelation, see the SURVEY
-    # ORACLE WARNING). ---
-    "not_in_threshold": (
-        """SELECT s.s_suppkey, s.s_nationkey
+    # (r16 consolidation: the not_in_threshold entry — keyed
+    # single-order-threshold correlated NOT IN via the per-group
+    # MIN/MAX three-valued fact fold, added r12 — retired to free the
+    # slot for not_in_routed_orderlimit. The NULL-matrix pytest
+    # tests/test_cqc_queries.py::test_correlated_not_in_with_threshold
+    # keeps the named oracle, and the threshold-fact family stays
+    # driver-covered in-window by not_in_neq_order,
+    # not_in_pair_routed_distinct, not_in_routed_orderlimit, and
+    # skyline_float_triple.)
+    #
+    # --- NEW r16 (r15 verdict items 1+4): the routed fallback's
+    # ORDER-BY-non-output x LIMIT corner, certified at the driver
+    # gate. Same keyed pair-threshold NOT IN body as
+    # not_in_pair_routed_distinct, but with ORDER BY s_suppkey (NOT
+    # in the output) LIMIT 6: the ANSI SELECT DISTINCT rewrite fails
+    # analysis (DISTINCT restricts ORDER BY to output columns), so
+    # Engine.sql must dedup BEFORE the limit by re-planning through
+    # the native mode='cqc' helper-sort collapse (min(s_suppkey) per
+    # distinct nationkey, then sort+limit). Pre-fix this entry
+    # returns a LIMIT-then-dedup row set and mismatches (the r15
+    # judge repro: auto 3 rows vs cqc 4). Deliberately mode='auto' —
+    # it certifies the rescue path. Oracle: the join-form (n, nn, m)
+    # expansion with the same min-collapse + ORDER BY + LIMIT on
+    # top. Cross-mode pin: tests/test_cqc_queries.py::
+    # test_routed_fallback_distinct_auto_vs_cqc (ORDER/LIMIT legs). ---
+    "not_in_routed_orderlimit": (
+        """SELECT s.s_nationkey
            FROM supplier AS s
            WHERE s.s_nationkey NOT IN (
              SELECT l.l_linenumber FROM lineitem AS l
              WHERE l.l_suppkey = s.s_suppkey
-               AND l.l_quantity < s.s_acctbal / 200.0)""",
-        None,
+               AND l.l_quantity < s.s_acctbal / 100.0
+               AND l.l_extendedprice >= s.s_acctbal * 5.0)
+           ORDER BY s.s_suppkey LIMIT 6""",
+        """SELECT s_nationkey FROM (
+             SELECT s.s_nationkey AS s_nationkey,
+                    MIN(s.s_suppkey) AS sk
+             FROM supplier AS s
+             LEFT JOIN (
+               SELECT s2.s_suppkey AS k, COUNT(*) AS n,
+                      COUNT(l.l_linenumber) AS nn,
+                      SUM(CASE WHEN l.l_linenumber = s2.s_nationkey
+                               THEN 1 ELSE 0 END) AS m
+               FROM supplier AS s2 JOIN lineitem AS l
+                 ON l.l_suppkey = s2.s_suppkey
+                AND l.l_quantity < s2.s_acctbal / 100.0
+                AND l.l_extendedprice >= s2.s_acctbal * 5.0
+               GROUP BY s2.s_suppkey) AS st ON st.k = s.s_suppkey
+             WHERE st.n IS NULL
+                OR (st.m = 0 AND st.nn = st.n
+                    AND s.s_nationkey IS NOT NULL)
+             GROUP BY s.s_nationkey) AS t
+           ORDER BY sk LIMIT 6""",
     ),
     # (r13 consolidation: the semi_anti_join entry — [LEFT] SEMI/ANTI
     # JOIN sugar — retired to free the slot for not_in_pair_or. Both
@@ -3215,16 +3276,82 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # embed_kmeans) sat outside both lists and got no driver row — the
 # r10 window leads with them (r9 verdict item 1).
 #
-# r15 layout (total 100 = 50 head + 50 tail): the full r14 tail
-# (all r13-green, CORRECTNESS_r13.json 50/50) rotates back into the
-# head per the standing no-entry-unchecked-2+-rounds policy; the r14
-# head (all r14-green, CORRECTNESS_r14.json 50/50) becomes the tail
-# and rotates back in r16. r15 in-round additions
-# (not_in_neq_order2_float, not_in_pair_routed_distinct) are swapped
-# into the head with paired retirements at their definition sites
-# (not_in_expr_probe, not_in_cte — the r7/r9/r12 consolidation
-# discipline; every retired operator keeps a named pytest oracle).
+# r16 layout (total 100 = 50 head + 50 tail): the full r15 tail
+# (all r14-green, CORRECTNESS_r14.json 50/50) rotates back into the
+# head per the standing no-entry-unchecked-2+-rounds policy; the r15
+# head (all r15-green, CORRECTNESS_r15.json 50/50) becomes the tail
+# and rotates back in r17. r16 in-round additions
+# (not_in_routed_orderlimit — the ORDER-BY-non-output x LIMIT routed
+# corner, r15 verdict item 1; not_in_quint_keyless — the k=5 skyline
+# family's first driver row, item 4) are swapped into the head with
+# paired retirements at their definition sites (not_in_threshold,
+# exists_two_comparisons — the r7/r9/r12 consolidation discipline;
+# every retired operator keeps a named pytest oracle).
 _HEAD = [
+    "exists_or_join",
+    "not_in_rowvalue_quad_or",
+    "threeval_surface",
+    "events_heavy_hitters",
+    "events_sessionize",
+    "embed_kmeans",
+    "not_in_neq_triple_keyless",
+    "weighted_sample_topk",
+    "heavy_hitters_stream",
+    "text_repetition",
+    "text_boilerplate",
+    "graph_pagerank",
+    "events_quantiles",
+    "not_exists_anti",
+    "rollup_agg",
+    "setop_except",
+    "cte_agg_view",
+    "derived_table_scan",
+    "dedup_neardup_apply",
+    "dedup_cluster_chain",
+    "having_filter",
+    "text_chunks",
+    "pack_sequences",
+    "text_tfidf_topk",
+    "sample_stratified",
+    "text_redact_pii",
+    "tpch_q9",
+    "tpch_q7",
+    "tpch_q1",
+    "tpch_q18",
+    "events_tumbling_window",
+    "events_interval_join",
+    "events_sliding_window",
+    "events_session_window",
+    "events_dedup_first",
+    "text_stats",
+    "skyline_float_triple",
+    # r16: not_in_quint_keyless takes the slot freed by the
+    # exists_two_comparisons retirement (see the inline note at its
+    # former definition site) — the keyless all-order k=5 skyline
+    # fold's first driver row (admitted r15, pytest-only until now).
+    "not_in_quint_keyless",
+    "media_frame_sample",
+    "dedup_exact",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "graph_q4_nonfull",
+    "window_qualify_topk",
+    "inner_after_outer_join",
+    "corr_count_arith",
+    "select_scalar_agg",
+    # r16: not_in_routed_orderlimit takes the slot freed by the
+    # not_in_threshold retirement (see the inline note at its former
+    # definition site) — it certifies the routed fallback's
+    # dedup-BEFORE-limit contract on the ORDER-BY-non-output x LIMIT
+    # corner under mode='auto' (the r15 What's-wrong #1 fix).
+    "not_in_routed_orderlimit",
+    "embed_centroid_assign",
+    "window_frame_movavg",
+]
+# Every tail case below was driver-green in r15 (the r15 head);
+# their operator classes stay covered in-window and they rotate back
+# in r17.
+_TAIL = [
     "exists_join_body",
     "events_ewma_multibatch",
     "text_decontaminate",
@@ -3266,10 +3393,6 @@ _HEAD = [
     "tpch_q21",
     "tpch_q16",
     "tpch_q22",
-    # r15: not_in_neq_order2_float takes the slot freed by the
-    # not_in_expr_probe retirement (see the inline note at its
-    # former definition site) — it drives the round's float
-    # <>-dim closure through the keyed U/V statistic natively.
     "not_in_neq_order2_float",
     "dedup_paragraph",
     "exists_neq_pair",
@@ -3277,68 +3400,8 @@ _HEAD = [
     "full_outer_join",
     "exists_three_comparisons",
     "not_in_pair_keyless",
-    # r15: not_in_pair_routed_distinct takes the slot freed by
-    # the not_in_cte retirement (see the inline note at its
-    # former definition site) — it certifies the routed
-    # fallback's non-full DISTINCT contract under mode='auto'
-    # at the driver gate (the r14 What's-wrong #1 fix).
     "not_in_pair_routed_distinct",
     "not_in_pair_or",
-]
-# Every tail case below was driver-green in r13 (the r13 head);
-# their operator classes stay covered in-window and they rotate back
-# in r15.
-_TAIL = [
-    "exists_or_join",
-    "not_in_rowvalue_quad_or",
-    "threeval_surface",
-    "events_heavy_hitters",
-    "events_sessionize",
-    "embed_kmeans",
-    "not_in_neq_triple_keyless",
-    "weighted_sample_topk",
-    "heavy_hitters_stream",
-    "text_repetition",
-    "text_boilerplate",
-    "graph_pagerank",
-    "events_quantiles",
-    "not_exists_anti",
-    "rollup_agg",
-    "setop_except",
-    "cte_agg_view",
-    "derived_table_scan",
-    "dedup_neardup_apply",
-    "dedup_cluster_chain",
-    "having_filter",
-    "text_chunks",
-    "pack_sequences",
-    "text_tfidf_topk",
-    "sample_stratified",
-    "text_redact_pii",
-    "tpch_q9",
-    "tpch_q7",
-    "tpch_q1",
-    "tpch_q18",
-    "events_tumbling_window",
-    "events_interval_join",
-    "events_sliding_window",
-    "events_session_window",
-    "events_dedup_first",
-    "text_stats",
-    "skyline_float_triple",
-    "exists_two_comparisons",
-    "media_frame_sample",
-    "dedup_exact",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "graph_q4_nonfull",
-    "window_qualify_topk",
-    "inner_after_outer_join",
-    "corr_count_arith",
-    "select_scalar_agg",
-    "not_in_threshold",
-    "embed_centroid_assign",
-    "window_frame_movavg",
 ]
 
 
@@ -3360,7 +3423,6 @@ def _sql_query(
 # Keyless entries (not_in_pair_keyless) stay on auto: auto keeps them
 # native (measured 33x faster than Catalyst's nested loop at 10x).
 _CQC_FORCED = {
-    "exists_two_comparisons",
     "exists_neq_pair",
     "exists_three_comparisons",
     "skyline_float_triple",

@@ -51,9 +51,20 @@ BOUNDS = {
     "pack_sequences": 3,
     "text_tfidf_topk": 5,
     "events_sessionize": 1,
-    # staircase flag view: (key,u) pre-reduction + key window/collect
-    # sharing one exchange; the flag join itself broadcasts (round 12)
-    "exists_two_comparisons": 2,
+    # r16 (exists_two_comparisons retired with its 2-exchange bound —
+    # the staircase flag family stays pinned via exists_neq_pair and
+    # not_in_pair_or below): the keyless all-order QUINT NOT IN plans
+    # three 5-D skyline collections (all / NULL-y / match facts) —
+    # each a bounded-size reduction exchange, + the final dedup — and
+    # the probe joins are one-row broadcast crossJoins (never counted
+    # here: broadcasts are the cheap path). Measured 4 at pin time.
+    "not_in_quint_keyless": 4,
+    # r16: the routed ORDER-BY-non-output x LIMIT entry re-plans
+    # through mode='cqc' (rescue path) — the same three keyed
+    # threshold-fact views as not_in_pair_routed_distinct (~2
+    # exchanges each) + the helper-sort dedup collapse. Measured 7 at
+    # pin time.
+    "not_in_routed_orderlimit": 7,
     # r13 (r12 verdict item 6): the GHD/WCOJ hypercube plan. Counting
     # caveat: the persisted graph sources sit above a cache boundary
     # (shuffle_count already skips below InMemoryRelation), so this
