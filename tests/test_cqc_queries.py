@@ -5203,6 +5203,72 @@ def test_correlated_not_in_neq_pair_threshold(engine):
             engine.catalog.unregister("dp_outer")
 
 
+def test_overcap_fold_distinct_auto(engine):
+    """Round 16 (the over-cap sibling of the r14/r15 routed-fallback
+    regressions): when a keyless fold's bounded driver merge exceeds
+    its inline cap (here a 4-comparison skyline over ADVERSARIAL
+    anti-chain data — one column used in both directions makes every
+    inner row Pareto-incomparable, 6000 > the 4096-point k>=4 cap),
+    the raise must be typed RoutedToFallback so mode='auto' applies
+    the non-full => DISTINCT contract on the spark.sql rescue run.
+    Pre-fix auto returned the 300-row ANSI bag where the dialect says
+    5 distinct rows. mode='cqc' surfaces the raise (no silent
+    fallback), and its type stays an UnsupportedSqlError subclass so
+    the established raise pins hold."""
+    import pytest as _pytest
+
+    from sparksqlplus_spark.parser.sql import (
+        RoutedToFallback,
+        UnsupportedSqlError,
+    )
+
+    spark = engine.spark
+    n = 6000
+    inner = [(i, i % 7, float(i), float(n - i)) for i in range(n)]
+    outer = [
+        (
+            i,
+            i % 5,
+            2.0 + (i % 3),
+            1.0 + (i % 4),
+            float(i % 11),
+            float(i % 13),
+        )
+        for i in range(300)
+    ]
+    engine.catalog.register_df(
+        "oc_inner",
+        spark.createDataFrame(inner, "ik int, iy int, c double, c2 double"),
+        (),
+    )
+    engine.catalog.register_df(
+        "oc_outer",
+        spark.createDataFrame(
+            outer, "pk int, x int, d1 double, d2 double, d3 double, d4 double"
+        ),
+        ("pk",),
+    )
+    q = (
+        "SELECT o.x FROM oc_outer AS o WHERE o.x NOT IN ("
+        "SELECT i.iy FROM oc_inner AS i WHERE i.c < o.d3 AND i.c >= o.d4 "
+        "AND i.c2 > o.d1 AND i.c2 <= o.d2)"
+    )
+    try:
+        got = sorted(tuple(r) for r in engine.sql(q, mode="auto").collect())
+        want = sorted(
+            tuple(r)
+            for r in engine.sql(q, mode="spark").dropDuplicates().collect()
+        )
+        assert got == want, (len(got), len(want))
+        with _pytest.raises(RoutedToFallback) as exc_info:
+            engine.sql(q, mode="cqc").collect()
+        assert isinstance(exc_info.value, UnsupportedSqlError)
+        assert "cap" in str(exc_info.value)
+    finally:
+        engine.catalog.unregister("oc_inner")
+        engine.catalog.unregister("oc_outer")
+
+
 def test_routed_fallback_distinct_auto_vs_cqc(engine):
     """Round 15 (VERDICT r14 What's-wrong #1): mode='auto' must equal
     mode='cqc' as row MULTISETS on every measured-routed shape — the
