@@ -37,6 +37,130 @@ from sparksqlplus_spark.plans.context import Context, build_context
 from sparksqlplus_spark.plans.gyo import best_join_tree, gyo_join_tree
 
 
+def _top_level_positions(query: str) -> dict[str, list[int]]:
+    """Positions of top-level (outside parens and quoted strings)
+    FROM / ORDER / LIMIT / OFFSET keyword tokens. Used by the
+    routed-fallback tail rescue (round 16) to strip a statement's
+    trailing ORDER BY/LIMIT/OFFSET and to find the select-list end —
+    text-level, so it works on any statement the engine can't plan
+    natively. Comments are not scanned (the dialect does not accept
+    them)."""
+    depth = 0
+    i, n = 0, len(query)
+    out: dict[str, list[int]] = {
+        "from": [], "order": [], "limit": [], "offset": [],
+    }
+    while i < n:
+        ch = query[i]
+        if ch in "'\"`":
+            q = ch
+            i += 1
+            while i < n:
+                if query[i] == q:
+                    # doubled-quote escape inside string literals
+                    if q == "'" and i + 1 < n and query[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            depth -= 1
+            i += 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (query[j].isalnum() or query[j] == "_"):
+                j += 1
+            if depth == 0:
+                w = query[i:j].lower()
+                if w in out:
+                    out[w].append(i)
+            i = j
+            continue
+        i += 1
+    return out
+
+
+def _top_level_commas(text: str) -> list[int]:
+    """Positions of depth-0 commas in ``text`` (same string/paren
+    rules as _top_level_positions)."""
+    depth = 0
+    i, n = 0, len(text)
+    out: list[int] = []
+    while i < n:
+        ch = text[i]
+        if ch in "'\"`":
+            q = ch
+            i += 1
+            while i < n:
+                if text[i] == q:
+                    if q == "'" and i + 1 < n and text[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(i)
+        i += 1
+    return out
+
+
+def _split_tail_rescue(query: str, n_order: int):
+    """Split ``query`` into (body, select_insert_pos, order_expr_sqls)
+    for the tail-rescue emulation: body = the statement without its
+    trailing top-level ORDER BY/LIMIT/OFFSET, select_insert_pos = the
+    top-level FROM position (where helper sort columns get appended
+    to the select list), order_expr_sqls = the raw SQL text of each
+    ORDER BY item with ASC/DESC/NULLS stripped. Returns None when the
+    text does not scan cleanly (caller re-raises the original
+    planning error instead)."""
+    pos = _top_level_positions(query)
+    tail_marks = pos["order"] + pos["limit"] + pos["offset"]
+    if not tail_marks or not pos["from"]:
+        return None
+    tail_start = min(tail_marks)
+    body = query[:tail_start].rstrip()
+    insert_at = pos["from"][0]
+    exprs: list[str] = []
+    if n_order:
+        if not pos["order"]:
+            return None
+        o = pos["order"][0]
+        m = re.match(r"(?is)order\s+by\s+", query[o:])
+        if not m:
+            return None
+        items_start = o + m.end()
+        items_end = min(
+            [p for p in pos["limit"] + pos["offset"] if p > o]
+            + [len(query)]
+        )
+        items = query[items_start:items_end]
+        cuts = _top_level_commas(items)
+        bounds = [0] + [c + 1 for c in cuts] + [len(items) + 1]
+        for a, b in zip(bounds, bounds[1:]):
+            it = items[a : b - 1].strip()
+            it = re.sub(r"(?is)\s+nulls\s+(first|last)\s*$", "", it)
+            it = re.sub(r"(?is)\s+(asc|desc)\s*$", "", it)
+            if not it:
+                return None
+            exprs.append(it)
+        if len(exprs) != n_order:
+            return None
+    return body, insert_at, exprs
+
+
 def _lit_of(v):
     """expressions.Lit from a collected Python scalar (the plan-time
     stat folds' literal rebuilder — bool/int/timestamp/date/str)."""
@@ -6153,19 +6277,99 @@ class SparkSQLPlus:
                     )
                     if has_tail:
                         _cqc_mod.plan_mode = "cqc"
-                        return self._plan_spec(
-                            parse_statement(query),
-                            mode="cqc",
-                            cyclic_strategy=cyclic_strategy,
-                            count_mode=count_mode,
-                            root_hint=root_hint,
-                        )
+                        try:
+                            return self._plan_spec(
+                                parse_statement(query),
+                                mode="cqc",
+                                cyclic_strategy=cyclic_strategy,
+                                count_mode=count_mode,
+                                root_hint=root_hint,
+                            )
+                        except UnsupportedSqlError as replan_err:
+                            # even the native re-plan declined — e.g.
+                            # the statement's own keyless fold is
+                            # over-cap, so BOTH routes into this
+                            # rescue raise. Emulate finalize's
+                            # helper-sort collapse DataFrame-side
+                            # over the verbatim body (round 16); a
+                            # statement the emulation can't scan
+                            # surfaces the re-plan error cleanly.
+                            _log.info(
+                                "routed fallback: mode='cqc' re-plan "
+                                "also declined (%s); emulating the "
+                                "helper-sort collapse over the "
+                                "verbatim body",
+                                str(replan_err).splitlines()[0][:200],
+                            )
+                            emu = self._emulate_tail_rescue(query, stmt)
+                            if emu is not None:
+                                return emu
+                            raise
             return self.spark.sql(query).dropDuplicates()
         except UnsupportedSqlError:
             if mode == "auto" and join_tree_hint is None:
                 self._ensure_views()
                 return self.spark.sql(query)
             raise
+
+    def _emulate_tail_rescue(self, query: str, stmt) -> DataFrame | None:
+        """Last-resort exact rescue for a routed non-full statement
+        with an ORDER BY/LIMIT tail when BOTH the ANSI DISTINCT
+        rewrite (ORDER BY on a non-output column) and the mode='cqc'
+        re-plan (e.g. an over-cap keyless fold) declined (round 16).
+        Reproduces finalize's semantics (compiler/cqc.py) over the
+        verbatim spark.sql body: append each ORDER BY expression to
+        the select list as a helper column (text-level, top-level
+        scan — _split_tail_rescue), dedup over the ORIGINAL output
+        columns collapsing each helper to its best rank (min for asc,
+        max for desc), then sort/offset/limit and drop the helpers.
+        Returns None when the text does not scan cleanly or the
+        emulated frame fails analysis — the caller then surfaces the
+        re-plan error instead of guessing."""
+        from pyspark.sql import functions as F
+
+        from sparksqlplus_spark.compiler.cqc import _sort_col
+
+        parts = _split_tail_rescue(query, len(stmt.order_by))
+        if parts is None:
+            return None
+        body, insert_at, order_sqls = parts
+        helpers = ", ".join(
+            f"{sql} AS __sort_{i}" for i, sql in enumerate(order_sqls)
+        )
+        modified = (
+            body[:insert_at].rstrip()
+            + (f", {helpers} " if helpers else " ")
+            + body[insert_at:]
+        )
+        try:
+            df = self.spark.sql(modified)
+        except Exception:
+            return None
+        out_cols = [c for c in df.columns if not c.startswith("__sort_")]
+        if not out_cols or len(set(out_cols)) != len(out_cols):
+            return None
+        if stmt.order_by:
+            aggs = [
+                (F.max if it.desc else F.min)(
+                    F.col(f"__sort_{i}")
+                ).alias(f"__sort_{i}")
+                for i, it in enumerate(stmt.order_by)
+            ]
+            res = df.groupBy(*[F.col(c) for c in out_cols]).agg(*aggs)
+            res = res.orderBy(
+                *[
+                    _sort_col(F.col(f"__sort_{i}"), it.desc, it.nulls)
+                    for i, it in enumerate(stmt.order_by)
+                ]
+            )
+        else:
+            res = df.dropDuplicates()
+        if getattr(stmt, "offset", None):
+            res = res.offset(stmt.offset)
+        if stmt.limit is not None:
+            res = res.limit(stmt.limit)
+        return res.select(*[F.col(c) for c in out_cols])
 
     def plan_candidates(self, query: str, limit: int = 24) -> dict:
         """Ranked candidate join trees for user plan choice — the

@@ -5264,6 +5264,28 @@ def test_overcap_fold_distinct_auto(engine):
             engine.sql(q, mode="cqc").collect()
         assert isinstance(exc_info.value, UnsupportedSqlError)
         assert "cap" in str(exc_info.value)
+        # the corner-of-corners (round 16): over-cap AND an ORDER BY
+        # non-output x LIMIT tail — the DISTINCT rewrite fails
+        # analysis AND the mode='cqc' re-plan trips the same cap, so
+        # the rescue emulates finalize's helper-sort collapse
+        # DataFrame-side (api._emulate_tail_rescue): dedup over the
+        # output with min(pk) per group, THEN sort+limit
+        got_t = [
+            tuple(r)
+            for r in engine.sql(
+                q + " ORDER BY o.pk LIMIT 3", mode="auto"
+            ).collect()
+        ]
+        best: dict = {}
+        for r in engine.sql(
+            q.replace("SELECT o.x", "SELECT o.x, o.pk", 1), mode="spark"
+        ).collect():
+            if r.x not in best or r.pk < best[r.x]:
+                best[r.x] = r.pk
+        want_t = [
+            (x,) for x, _ in sorted(best.items(), key=lambda t: t[1])[:3]
+        ]
+        assert sorted(got_t) == sorted(want_t), (got_t, want_t)
     finally:
         engine.catalog.unregister("oc_inner")
         engine.catalog.unregister("oc_outer")
