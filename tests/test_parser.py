@@ -2850,3 +2850,53 @@ def test_expr_rebuild_preserves_all_fields():
     for node in samples:
         assert map_expr(node, lambda n: None) == node, type(node)
         assert rewrite_refs(node, {}) == node, type(node)
+
+
+def test_tail_rescue_scanner():
+    """Round 16: the text-level scanner behind api._emulate_tail_rescue
+    (_top_level_positions / _split_tail_rescue) — strips only the
+    TRAILING top-level ORDER BY/LIMIT/OFFSET, never clauses inside
+    parens, quoted strings, or window frames."""
+    from sparksqlplus_spark.api import (
+        _split_tail_rescue,
+        _top_level_commas,
+        _top_level_positions,
+    )
+
+    # subquery ORDER BY + LIMIT stay untouched; outer tail found
+    q = (
+        "SELECT o.x FROM t AS o WHERE o.y IN "
+        "(SELECT z FROM u ORDER BY w LIMIT 1) ORDER BY o.pk DESC "
+        "NULLS LAST LIMIT 4"
+    )
+    body, insert_at, exprs = _split_tail_rescue(q, 1)
+    assert body.endswith("LIMIT 1)")
+    assert q[insert_at : insert_at + 4] == "FROM"
+    assert exprs == ["o.pk"]
+
+    # string literal containing keywords is not a token
+    q2 = "SELECT o.x FROM t AS o WHERE o.s = ' ORDER BY LIMIT ' LIMIT 2"
+    body2, _, exprs2 = _split_tail_rescue(q2, 0)
+    assert body2.endswith("' ORDER BY LIMIT '")
+    assert exprs2 == []
+
+    # two sort items with directions + OFFSET; commas inside func
+    # calls do not split
+    q3 = (
+        "SELECT o.x FROM t AS o ORDER BY coalesce(o.a, o.b) ASC, "
+        "o.c DESC LIMIT 3 OFFSET 1"
+    )
+    _, _, exprs3 = _split_tail_rescue(q3, 2)
+    assert exprs3 == ["coalesce(o.a, o.b)", "o.c"]
+
+    # item count mismatch -> None (caller surfaces the planning error)
+    assert _split_tail_rescue(q3, 3) is None
+    # no top-level tail at all -> None
+    assert (
+        _split_tail_rescue("SELECT x FROM (SELECT y FROM t LIMIT 5) v", 0)
+        is None
+    )
+    # helpers: doubled-quote escape, depth tracking
+    pos = _top_level_positions("SELECT 'it''s from x' FROM t LIMIT 1")
+    assert len(pos["from"]) == 1 and len(pos["limit"]) == 1
+    assert _top_level_commas("a, f(b, c), d") == [1, 10]
