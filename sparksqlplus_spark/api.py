@@ -6237,7 +6237,42 @@ class SparkSQLPlus:
                 raise
             self._ensure_views()
             if not exc.needs_distinct:
-                return self.spark.sql(query)
+                try:
+                    return self.spark.sql(query)
+                except Exception:
+                    # explicit DISTINCT + ORDER BY on a non-output
+                    # column is an ENGINE dialect extension
+                    # (finalize's helper-sort collapse) that ANSI
+                    # Spark rejects at analysis — a perf routing must
+                    # not become a completion failure (round 16; the
+                    # explicit-DISTINCT sibling of the non-full
+                    # corner). Ladder like the needs_distinct path:
+                    # native re-plan, then the DataFrame emulation.
+                    if (
+                        isinstance(stmt, CompoundSpec)
+                        or not getattr(stmt, "distinct", False)
+                        or not getattr(stmt, "order_by", None)
+                    ):
+                        raise
+                    _log.info(
+                        "routed fallback: verbatim run failed analysis "
+                        "on an explicit-DISTINCT ORDER BY tail; "
+                        "re-planning natively via mode='cqc'"
+                    )
+                    _cqc_mod.plan_mode = "cqc"
+                    try:
+                        return self._plan_spec(
+                            parse_statement(query),
+                            mode="cqc",
+                            cyclic_strategy=cyclic_strategy,
+                            count_mode=count_mode,
+                            root_hint=root_hint,
+                        )
+                    except UnsupportedSqlError:
+                        emu = self._emulate_tail_rescue(query, stmt)
+                        if emu is not None:
+                            return emu
+                        raise
             rewritten = re.sub(
                 r"^(\s*)select\b", r"\1SELECT DISTINCT", query,
                 count=1, flags=re.IGNORECASE,

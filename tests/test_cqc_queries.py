@@ -5397,6 +5397,16 @@ def test_routed_fallback_distinct_auto_vs_cqc(engine):
         not_in.format(conds=cond_sets[0])
         + " ORDER BY p.pk LIMIT 5 OFFSET 2"
     )
+    # ... and the EXPLICIT-DISTINCT sibling (round 16): Spark's ANSI
+    # analyzer rejects DISTINCT + ORDER BY non-output, so the routed
+    # verbatim run fails analysis and must ladder through the cqc
+    # re-plan instead of surfacing the AnalysisException (the engine
+    # supports the shape natively via helper-sort collapse)
+    stmts.append(
+        "SELECT DISTINCT p.x FROM rf_outer AS p WHERE p.x NOT IN "
+        "(SELECT i.iy FROM rf_inner AS i WHERE i.ik = p.k AND "
+        "i.c1 < p.d1 AND i.c2 >= p.d2) ORDER BY p.pk LIMIT 7"
+    )
     # full projection (every outer variable) keeps bag semantics in
     # both modes
     stmts.append(
