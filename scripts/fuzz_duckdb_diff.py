@@ -545,9 +545,10 @@ def main() -> None:
                     return False
 
             if draw < 0.3:
+                off = f" OFFSET {rng.randint(1, 3)}" if rng.random() < 0.3 else ""
                 tail_q = (
                     bag_q + " ORDER BY " + ", ".join(out_cols)
-                    + f" LIMIT {k}"
+                    + f" LIMIT {k}{off}"
                 )
                 if not _spark_valid(tail_q):
                     continue
@@ -589,15 +590,27 @@ def main() -> None:
                 ]
                 if not cand:
                     continue
+                # half the corner draws keep the template's EXPLICIT
+                # DISTINCT (round 16): Spark's analyzer rejects
+                # DISTINCT + ORDER BY non-output, so the routed
+                # verbatim rescue must ladder through the cqc re-plan;
+                # the distinct row set (and so the weak compare's
+                # expected counts) is identical either way
+                base_q = eq if rng.random() < 0.5 else bag_q
                 tail_q = (
-                    bag_q
+                    base_q
                     + f" ORDER BY o.{rng.choice(cand)} LIMIT {k}"
                 )
-                if not _spark_valid(tail_q):
+                if base_q is bag_q and not _spark_valid(tail_q):
                     continue
+                # cqc FIRST: the explicit-DISTINCT variant skips the
+                # Spark-analyzer validity oracle (the tail is an
+                # engine extension Spark rejects), so engine support
+                # is the gate — when cqc declines the shape, auto is
+                # not required to complete it either
                 try:
-                    ta = rows_of_spark(eng.sql(tail_q, mode="auto"))
                     tc = rows_of_spark(eng.sql(tail_q, mode="cqc"))
+                    ta = rows_of_spark(eng.sql(tail_q, mode="auto"))
                 except UnsupportedSqlError:
                     continue
                 except Exception as exc:
