@@ -6205,6 +6205,7 @@ class SparkSQLPlus:
         from sparksqlplus_spark.compiler import cqc as _cqc_mod
 
         _cqc_mod.plan_mode = mode
+        stmt = None
         try:
             stmt = parse_statement(query)
             if isinstance(stmt, CompoundSpec):
@@ -6236,6 +6237,27 @@ class SparkSQLPlus:
             if mode != "auto" or join_tree_hint is not None:
                 raise
             self._ensure_views()
+            if not isinstance(stmt, CompoundSpec) and getattr(
+                stmt, "qualify", None
+            ):
+                # QUALIFY is engine-only syntax (Spark SQL cannot
+                # parse it — _plan_qualify docstring), so NO verbatim
+                # fallback exists for this statement; the only exact
+                # route is the native plan the routing would have
+                # skipped (round 16 — pre-fix, auto surfaced Spark's
+                # ParseException while mode='cqc' returned rows).
+                _log.info(
+                    "routed fallback: statement carries QUALIFY "
+                    "(Spark-unparseable); re-planning via mode='cqc'"
+                )
+                _cqc_mod.plan_mode = "cqc"
+                return self._plan_spec(
+                    parse_statement(query),
+                    mode="cqc",
+                    cyclic_strategy=cyclic_strategy,
+                    count_mode=count_mode,
+                    root_hint=root_hint,
+                )
             if not exc.needs_distinct:
                 try:
                     return self.spark.sql(query)
@@ -6341,10 +6363,25 @@ class SparkSQLPlus:
                                 return emu
                             raise
             return self.spark.sql(query).dropDuplicates()
-        except UnsupportedSqlError:
+        except UnsupportedSqlError as u_exc:
             if mode == "auto" and join_tree_hint is None:
                 self._ensure_views()
-                return self.spark.sql(query)
+                try:
+                    return self.spark.sql(query)
+                except Exception as fb_exc:
+                    # the engine PARSED a statement Spark cannot
+                    # (engine-only syntax, e.g. QUALIFY) — surface the
+                    # engine's own planning error, not Spark's parse
+                    # error (round 16). Analysis-level Spark failures
+                    # still surface as-is: for plain-SQL statements
+                    # outside the dialect they carry the meaningful
+                    # message.
+                    if (
+                        stmt is not None
+                        and type(fb_exc).__name__ == "ParseException"
+                    ):
+                        raise u_exc from None
+                    raise
             raise
 
     def _emulate_tail_rescue(self, query: str, stmt) -> DataFrame | None:

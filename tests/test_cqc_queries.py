@@ -5407,6 +5407,17 @@ def test_routed_fallback_distinct_auto_vs_cqc(engine):
         "(SELECT i.iy FROM rf_inner AS i WHERE i.ik = p.k AND "
         "i.c1 < p.d1 AND i.c2 >= p.d2) ORDER BY p.pk LIMIT 7"
     )
+    # QUALIFY x routed (round 16): QUALIFY is engine-only syntax, so
+    # NO verbatim spark.sql fallback exists — the rescue must re-plan
+    # natively instead of surfacing Spark's ParseException (pre-fix:
+    # cqc returned rows, auto raised). ROW_NUMBER over the unique pk
+    # keeps the filter deterministic.
+    stmts.append(
+        "SELECT p.x, p.d1 FROM rf_outer AS p WHERE p.x NOT IN "
+        "(SELECT i.iy FROM rf_inner AS i WHERE i.ik = p.k AND "
+        "i.c1 < p.d1 AND i.c2 >= p.d2) "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY p.pk) <= 6"
+    )
     # full projection (every outer variable) keeps bag semantics in
     # both modes
     stmts.append(
