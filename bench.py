@@ -259,13 +259,20 @@ def main() -> None:
     # load1 rose 5.56->9.91 and a judge quiet re-bench of the same tree
     # came in 34% lower (15.686 s vs 23.785). Treat load1 as an
     # INDEPENDENT retry trigger: drift across the run (end/start > 1.5)
-    # or any reading above 8 on the 32-cpu box. Historical recordings
-    # r13-r15 all END above 8 (the tail queries' own threads raise the
-    # 1-min average), so in practice this retries the tail half on
-    # every driver run — min-of-runs only ever LOWERS the recording
-    # toward the quiet number, which is the point.
+    # or any reading above a quarter of the core count (r17, ADVICE
+    # r16 #4: the old hard-coded 8.0 was 0.25 * the 32-cpu box —
+    # scaling to os.cpu_count keeps the same trigger there and makes
+    # it portable). Historical recordings r13-r15 all END above that
+    # level (the tail queries' own threads raise the 1-min average),
+    # so in practice this retries the tail half on every driver run —
+    # an expected, documented cost (BASELINE.md protocol note):
+    # min-of-runs only ever LOWERS the recording toward the quiet
+    # number, which is the point.
     cal_fired = _spread(cal3) > 1.45
-    load_fired = load3[2] > 1.5 * max(load3[0], 0.1) or max(load3) > 8.0
+    load_abs = 0.25 * (os.cpu_count() or 32)
+    load_fired = (
+        load3[2] > 1.5 * max(load3[0], 0.1) or max(load3) > load_abs
+    )
     if cal_fired or load_fired:
         signal = cal3 if cal_fired else load3
         worst = max(range(3), key=lambda i: signal[i])

@@ -623,8 +623,16 @@ def main() -> None:
                     )
                     continue
                 n_tail_corner += 1
-                want_len = min(k, len(full_rows))
+                # expected length must come from the DISTINCT pool:
+                # the explicit-DISTINCT corner draws (base_q = eq) run
+                # over bag-semantics templates (OR'd-EXISTS shapes are
+                # ANSI bag under BOTH modes), so len(full_rows) counts
+                # duplicates and over-demands rows (r16 judge-found
+                # false positive, seed 99160816 case [58]).  A no-op
+                # for the routed non-full templates, whose cqc result
+                # is already distinct.
                 pool = set(full_rows)
+                want_len = min(k, len(pool))
                 ok = (
                     ta[0] == tc[0] == out_cols
                     and len(ta[1]) == len(tc[1]) == want_len

@@ -80,7 +80,24 @@ def _top_level_positions(query: str) -> dict[str, list[int]]:
             if depth == 0:
                 w = query[i:j].lower()
                 if w in out:
-                    out[w].append(i)
+                    # `.`-qualified soft keywords are identifiers, not
+                    # clause markers: a legal column literally named
+                    # limit/order/offset (`WHERE o.limit > 3`) must not
+                    # split the tail (round 17, VERDICT r16 #2) — skip
+                    # when the adjacent non-space char on either side
+                    # is `.` (qualified use, or the keyword itself as
+                    # the qualifier: `limit.x`).
+                    p = i - 1
+                    while p >= 0 and query[p].isspace():
+                        p -= 1
+                    nxt = j
+                    while nxt < n and query[nxt].isspace():
+                        nxt += 1
+                    if not (
+                        (p >= 0 and query[p] == ".")
+                        or (nxt < n and query[nxt] == ".")
+                    ):
+                        out[w].append(i)
             i = j
             continue
         i += 1
@@ -117,6 +134,32 @@ def _top_level_commas(text: str) -> list[int]:
     return out
 
 
+def _select_item_texts(query: str, from_pos: int) -> list | None:
+    """Raw text of each top-level select-list item of ``query`` (the
+    span between SELECT [DISTINCT] and the top-level FROM at
+    ``from_pos``), with a trailing ``AS alias`` stripped. Items whose
+    expression text is not usable as a standalone expression (``*`` /
+    ``alias.*``) map to None. Used by _split_tail_rescue to resolve
+    ordinal ORDER BY items the way the parser does
+    (parser/sql.py ordinal())."""
+    m = re.match(r"(?is)\s*select\s+(?:distinct\s+(?!on\b))?", query)
+    if not m or m.end() > from_pos:
+        return None
+    items = query[m.end():from_pos]
+    cuts = _top_level_commas(items)
+    bounds = [0] + [c + 1 for c in cuts] + [len(items) + 1]
+    out: list = []
+    for a, b in zip(bounds, bounds[1:]):
+        it = items[a : b - 1].strip()
+        if not it or it == "*" or it.endswith(".*"):
+            out.append(None)
+            continue
+        out.append(
+            re.sub(r'(?is)\s+as\s+("[^"]*"|`[^`]*`|\w+)\s*$', "", it)
+        )
+    return out
+
+
 def _split_tail_rescue(query: str, n_order: int):
     """Split ``query`` into (body, select_insert_pos, order_expr_sqls)
     for the tail-rescue emulation: body = the statement without its
@@ -149,12 +192,29 @@ def _split_tail_rescue(query: str, n_order: int):
         items = query[items_start:items_end]
         cuts = _top_level_commas(items)
         bounds = [0] + [c + 1 for c in cuts] + [len(items) + 1]
+        select_items: list | None = None
         for a, b in zip(bounds, bounds[1:]):
             it = items[a : b - 1].strip()
             it = re.sub(r"(?is)\s+nulls\s+(first|last)\s*$", "", it)
             it = re.sub(r"(?is)\s+(asc|desc)\s*$", "", it)
             if not it:
                 return None
+            if re.fullmatch(r"\d+", it):
+                # ordinal item: the parser resolves ORDER BY 2 to the
+                # 2nd select-list expression (parser/sql.py ordinal()),
+                # so embedding the literal would sort by a constant
+                # (round 17, ADVICE r16 #1) — substitute the
+                # select-item text, or decline the rescue.
+                if select_items is None:
+                    select_items = _select_item_texts(query, insert_at)
+                idx = int(it) - 1
+                if (
+                    select_items is None
+                    or not (0 <= idx < len(select_items))
+                    or select_items[idx] is None
+                ):
+                    return None
+                it = select_items[idx]
             exprs.append(it)
         if len(exprs) != n_order:
             return None
@@ -6416,32 +6476,48 @@ class SparkSQLPlus:
         )
         try:
             df = self.spark.sql(modified)
-        except Exception:
-            return None
-        out_cols = [c for c in df.columns if not c.startswith("__sort_")]
-        if not out_cols or len(set(out_cols)) != len(out_cols):
-            return None
-        if stmt.order_by:
-            aggs = [
-                (F.max if it.desc else F.min)(
-                    F.col(f"__sort_{i}")
-                ).alias(f"__sort_{i}")
-                for i, it in enumerate(stmt.order_by)
+            out_cols = [
+                c for c in df.columns if not c.startswith("__sort_")
             ]
-            res = df.groupBy(*[F.col(c) for c in out_cols]).agg(*aggs)
-            res = res.orderBy(
-                *[
-                    _sort_col(F.col(f"__sort_{i}"), it.desc, it.nulls)
+            if not out_cols or len(set(out_cols)) != len(out_cols):
+                return None
+            if stmt.order_by:
+                aggs = [
+                    (F.max if it.desc else F.min)(
+                        F.col(f"__sort_{i}")
+                    ).alias(f"__sort_{i}")
                     for i, it in enumerate(stmt.order_by)
                 ]
+                res = df.groupBy(
+                    *[F.col(c) for c in out_cols]
+                ).agg(*aggs)
+                res = res.orderBy(
+                    *[
+                        _sort_col(
+                            F.col(f"__sort_{i}"), it.desc, it.nulls
+                        )
+                        for i, it in enumerate(stmt.order_by)
+                    ]
+                )
+            else:
+                res = df.dropDuplicates()
+            if getattr(stmt, "offset", None):
+                res = res.offset(stmt.offset)
+            if stmt.limit is not None:
+                res = res.limit(stmt.limit)
+            return res.select(*[F.col(c) for c in out_cols])
+        except Exception as emu_exc:
+            # the groupBy/agg/orderBy construction analyzes eagerly —
+            # an AnalysisException here (helper dtype that min/max
+            # cannot aggregate, dotted output names F.col mis-resolves)
+            # must decline the rescue so the caller surfaces the
+            # re-plan error, not a raw Spark error (ADVICE r16 #2).
+            _log.info(
+                "tail-rescue emulation declined (%s: %s)",
+                emu_exc.__class__.__name__,
+                str(emu_exc).splitlines()[0][:200],
             )
-        else:
-            res = df.dropDuplicates()
-        if getattr(stmt, "offset", None):
-            res = res.offset(stmt.offset)
-        if stmt.limit is not None:
-            res = res.limit(stmt.limit)
-        return res.select(*[F.col(c) for c in out_cols])
+            return None
 
     def plan_candidates(self, query: str, limit: int = 24) -> dict:
         """Ranked candidate join trees for user plan choice — the

@@ -1296,8 +1296,9 @@ def _gate_neq_class_dtype(dt):
     self-equality + -0.0 diverge); round 15 closes that cell — every
     caller now pre-embeds float dims via neq_canon, so a float
     arriving HERE means a caller missed the embedding: the raise is a
-    correctness backstop that rides the fallback instead of silently
-    splitting NaN classes. Non-default string collations remain
+    correctness backstop that rides the fallback under mode='auto'
+    (and surfaces as a typed decline to the cqc/naive re-plans, where
+    no fallback exists) instead of silently splitting NaN classes. Non-default string collations remain
     genuinely gated (pandas compares code points; ICU collations
     equate differing byte strings)."""
     from pyspark.sql import types as T
@@ -1306,13 +1307,13 @@ def _gate_neq_class_dtype(dt):
         raise RoutedToFallback(
             "<>-statistic folds require float/double <>-dims to be "
             "pre-embedded via neq_canon (caller missed the round-15 "
-            "canonicalization); riding the fallback"
+            "canonicalization)"
         )
     if isinstance(dt, T.StringType) and not dt.isUTF8BinaryCollation():
         raise RoutedToFallback(
             f"<>-statistic folds do not support non-default string "
             f"collations (got {dt.collation}; the class bookkeeping "
-            "compares code points); riding the fallback"
+            "compares code points)"
         )
 
 

@@ -2900,3 +2900,42 @@ def test_tail_rescue_scanner():
     pos = _top_level_positions("SELECT 'it''s from x' FROM t LIMIT 1")
     assert len(pos["from"]) == 1 and len(pos["limit"]) == 1
     assert _top_level_commas("a, f(b, c), d") == [1, 10]
+
+    # round 17 (VERDICT r16 #2): `.`-qualified soft keywords are
+    # identifiers — a column literally named limit/order/offset must
+    # not split the body mid-WHERE
+    q4 = "SELECT o.x FROM t AS o WHERE o.limit > 3 LIMIT 2"
+    body4, _, _ = _split_tail_rescue(q4, 0)
+    assert body4.endswith("o.limit > 3")
+    q5 = "SELECT o.x FROM t AS o ORDER BY o.offset LIMIT 2"
+    body5, _, exprs5 = _split_tail_rescue(q5, 1)
+    assert body5.endswith("AS o") and exprs5 == ["o.offset"]
+    # keyword as the QUALIFIER (alias named limit, dotted use) is
+    # also identifier use
+    pos5 = _top_level_positions(
+        "SELECT limit.x FROM t ORDER BY limit.y"
+    )
+    assert pos5["limit"] == [] and len(pos5["order"]) == 1
+
+    # round 17 (ADVICE r16 #1): ordinal ORDER BY items resolve to the
+    # select-list expression (the parser's ordinal() semantics) —
+    # never embed the bare integer as a constant sort key
+    q6 = (
+        "SELECT o.a AS k, o.b + 1 AS v FROM t AS o "
+        "ORDER BY o.a, 2 LIMIT 3"
+    )
+    _, _, exprs6 = _split_tail_rescue(q6, 2)
+    assert exprs6 == ["o.a", "o.b + 1"]
+    # out-of-range ordinal / star item -> decline (None), never guess
+    assert (
+        _split_tail_rescue(
+            "SELECT o.a FROM t AS o ORDER BY 5 LIMIT 3", 1
+        )
+        is None
+    )
+    assert (
+        _split_tail_rescue(
+            "SELECT * FROM t AS o ORDER BY 1 LIMIT 3", 1
+        )
+        is None
+    )
