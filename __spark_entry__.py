@@ -1315,19 +1315,65 @@ _SQL_CASES: dict[str, tuple[str, str | None]] = {
     # select_scalar_agg (SELECT-position COUNT) drive;
     # test_correlated_scalar_decorrelates retains the bare 0-on-empty
     # WHERE idiom.)
-    # --- NEW r7: EXISTS with a JOIN inside the subquery (TPC-H Q4
-    # shape widened) — api._lift_exists_joins plans the inner block as
-    # a DISTINCT composite view and semi-joins it on the correlation
-    # key (explain_tree shows the semi join) ---
-    "exists_join_body": (
-        """SELECT o.o_orderpriority AS pri, COUNT(*) AS order_count
-           FROM orders AS o
-           WHERE EXISTS (SELECT * FROM lineitem AS l, part AS p
-                         WHERE l.l_partkey = p.p_partkey
-                           AND l.l_orderkey = o.o_orderkey
-                           AND p.p_size = 15)
-           GROUP BY o.o_orderpriority""",
-        None,
+    # (r17 consolidation: the exists_join_body entry — EXISTS with a
+    # JOIN inside the subquery, the api._lift_exists_joins composite
+    # view + semi-join, added r7 — retired to free the slot for
+    # qualify_routed_topk. The lift keeps TWO named pytest oracles
+    # (tests/test_parser.py::test_exists_join_body_lifts_to_view
+    # asserts the semi-join plan shape;
+    # tests/test_cqc_queries.py::test_exists_join_body_under_or runs
+    # it under OR against DuckDB), and the EXISTS semi-join family
+    # stays driver-covered in-window by tpch_q4 (same Q4 shape),
+    # tpch_q21 (multi-EXISTS + NOT EXISTS), and exists_or_join.)
+    #
+    # --- NEW r17 (VERDICT r16 item 4): QUALIFY on a ROUTED statement,
+    # certified at the driver gate. The keyed pair-threshold NOT IN
+    # body rides the spark.sql fallback under mode='auto' (measured
+    # r14 routing), but QUALIFY is engine-only syntax Spark cannot
+    # parse — NO verbatim fallback exists, so Engine.sql must re-plan
+    # through mode='cqc' immediately instead of surfacing Spark's
+    # ParseException (the first rung of the r16 rescue ladder,
+    # api.py; DISTINCT ON desugars into this same branch, so one
+    # entry certifies both). ROW_NUMBER over the unique s_suppkey is
+    # a total order, so the row set is deterministic and — because
+    # row_number() <= k over ORDER BY key is exactly ORDER BY key
+    # LIMIT k — the oracle is the join-form (n, nn, m) three-valued
+    # stats expansion (DuckDB cannot decorrelate two-inequality
+    # correlated NOT IN — SURVEY ORACLE WARNING) with an ANSI
+    # ORDER BY + LIMIT tail. Deliberately mode='auto'. Cross-mode
+    # pin: tests/test_cqc_queries.py::
+    # test_routed_fallback_distinct_auto_vs_cqc (QUALIFY stanza) and
+    # ::test_routed_rescue_logging. Scale note: Catalyst's
+    # LimitPushDownThroughWindow rewrites the unpartitioned
+    # row_number filter into a distributed TakeOrderedAndProject(8)
+    # BEFORE the Window (verified .explain r17), so the
+    # single-partition WindowExec only ever sees 8 rows — no global
+    # sort at 100 TB. ---
+    "qualify_routed_topk": (
+        """SELECT s.s_suppkey, s.s_nationkey
+           FROM supplier AS s
+           WHERE s.s_nationkey NOT IN (
+             SELECT l.l_linenumber FROM lineitem AS l
+             WHERE l.l_suppkey = s.s_suppkey
+               AND l.l_quantity < s.s_acctbal / 100.0
+               AND l.l_extendedprice >= s.s_acctbal * 5.0)
+           QUALIFY ROW_NUMBER() OVER (ORDER BY s.s_suppkey) <= 8""",
+        """SELECT s.s_suppkey, s.s_nationkey
+           FROM supplier AS s
+           LEFT JOIN (
+             SELECT s2.s_suppkey AS k, COUNT(*) AS n,
+                    COUNT(l.l_linenumber) AS nn,
+                    SUM(CASE WHEN l.l_linenumber = s2.s_nationkey
+                             THEN 1 ELSE 0 END) AS m
+             FROM supplier AS s2 JOIN lineitem AS l
+               ON l.l_suppkey = s2.s_suppkey
+              AND l.l_quantity < s2.s_acctbal / 100.0
+              AND l.l_extendedprice >= s2.s_acctbal * 5.0
+             GROUP BY s2.s_suppkey) AS st ON st.k = s.s_suppkey
+           WHERE st.n IS NULL
+              OR (st.m = 0 AND st.nn = st.n
+                  AND s.s_nationkey IS NOT NULL)
+           ORDER BY s.s_suppkey LIMIT 8""",
     ),
     # --- exact distributed quantiles: sort-based percentile inside a
     # hash aggregate (spark.sql fallback path). Exact because the
@@ -3276,83 +3322,26 @@ _OP_CASES: dict[str, tuple[Callable, str | None]] = {
 # embed_kmeans) sat outside both lists and got no driver row — the
 # r10 window leads with them (r9 verdict item 1).
 #
-# r16 layout (total 100 = 50 head + 50 tail): the full r15 tail
-# (all r14-green, CORRECTNESS_r14.json 50/50) rotates back into the
-# head per the standing no-entry-unchecked-2+-rounds policy; the r15
-# head (all r15-green, CORRECTNESS_r15.json 50/50) becomes the tail
-# and rotates back in r17. r16 in-round additions
-# (not_in_routed_orderlimit — the ORDER-BY-non-output x LIMIT routed
-# corner, r15 verdict item 1; not_in_quint_keyless — the k=5 skyline
-# family's first driver row, item 4) are swapped into the head with
-# paired retirements at their definition sites (not_in_threshold,
-# exists_two_comparisons — the r7/r9/r12 consolidation discipline;
-# every retired operator keeps a named pytest oracle).
+# r17 layout (total 100 = 50 head + 50 tail): the full r16 tail
+# (all r15-green, CORRECTNESS_r15.json 50/50, AND judge-rehearsed
+# green on the final r16 tree via scripts/check_entries.py — r16
+# verdict) rotates back into the head per the standing
+# no-entry-unchecked-2+-rounds policy; the r16 head (all r16-green,
+# CORRECTNESS_r16.json 50/50) becomes the tail and rotates back in
+# r18. r17 in-round addition (qualify_routed_topk — the QUALIFY
+# re-plan rung of the routed rescue ladder gets its first driver
+# row, r16 verdict item 4; DISTINCT ON desugars into the same
+# branch) is swapped into the head with a paired retirement at its
+# definition site (exists_join_body — the r7/r9/r12 consolidation
+# discipline; the retired operator keeps TWO named pytest oracles).
 _HEAD = [
-    "exists_or_join",
-    "not_in_rowvalue_quad_or",
-    "threeval_surface",
-    "events_heavy_hitters",
-    "events_sessionize",
-    "embed_kmeans",
-    "not_in_neq_triple_keyless",
-    "weighted_sample_topk",
-    "heavy_hitters_stream",
-    "text_repetition",
-    "text_boilerplate",
-    "graph_pagerank",
-    "events_quantiles",
-    "not_exists_anti",
-    "rollup_agg",
-    "setop_except",
-    "cte_agg_view",
-    "derived_table_scan",
-    "dedup_neardup_apply",
-    "dedup_cluster_chain",
-    "having_filter",
-    "text_chunks",
-    "pack_sequences",
-    "text_tfidf_topk",
-    "sample_stratified",
-    "text_redact_pii",
-    "tpch_q9",
-    "tpch_q7",
-    "tpch_q1",
-    "tpch_q18",
-    "events_tumbling_window",
-    "events_interval_join",
-    "events_sliding_window",
-    "events_session_window",
-    "events_dedup_first",
-    "text_stats",
-    "skyline_float_triple",
-    # r16: not_in_quint_keyless takes the slot freed by the
-    # exists_two_comparisons retirement (see the inline note at its
-    # former definition site) — the keyless all-order k=5 skyline
-    # fold's first driver row (admitted r15, pytest-only until now).
-    "not_in_quint_keyless",
-    "media_frame_sample",
-    "dedup_exact",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "graph_q4_nonfull",
-    "window_qualify_topk",
-    "inner_after_outer_join",
-    "corr_count_arith",
-    "select_scalar_agg",
-    # r16: not_in_routed_orderlimit takes the slot freed by the
-    # not_in_threshold retirement (see the inline note at its former
-    # definition site) — it certifies the routed fallback's
-    # dedup-BEFORE-limit contract on the ORDER-BY-non-output x LIMIT
-    # corner under mode='auto' (the r15 What's-wrong #1 fix).
-    "not_in_routed_orderlimit",
-    "embed_centroid_assign",
-    "window_frame_movavg",
-]
-# Every tail case below was driver-green in r15 (the r15 head);
-# their operator classes stay covered in-window and they rotate back
-# in r17.
-_TAIL = [
-    "exists_join_body",
+    # r17: qualify_routed_topk takes the slot freed by the
+    # exists_join_body retirement (see the inline note at its former
+    # definition site) — QUALIFY on a measured-routed statement must
+    # re-plan natively (Spark cannot parse QUALIFY; no verbatim
+    # fallback exists), certified at the driver gate for the first
+    # time.
+    "qualify_routed_topk",
     "events_ewma_multibatch",
     "text_decontaminate",
     "graph_q1_path_counts",
@@ -3402,6 +3391,61 @@ _TAIL = [
     "not_in_pair_keyless",
     "not_in_pair_routed_distinct",
     "not_in_pair_or",
+]
+# Every tail case below was driver-green in r16 (the r16 head,
+# CORRECTNESS_r16.json 50/50); their operator classes stay covered
+# in-window and they rotate back in r18.
+_TAIL = [
+    "exists_or_join",
+    "not_in_rowvalue_quad_or",
+    "threeval_surface",
+    "events_heavy_hitters",
+    "events_sessionize",
+    "embed_kmeans",
+    "not_in_neq_triple_keyless",
+    "weighted_sample_topk",
+    "heavy_hitters_stream",
+    "text_repetition",
+    "text_boilerplate",
+    "graph_pagerank",
+    "events_quantiles",
+    "not_exists_anti",
+    "rollup_agg",
+    "setop_except",
+    "cte_agg_view",
+    "derived_table_scan",
+    "dedup_neardup_apply",
+    "dedup_cluster_chain",
+    "having_filter",
+    "text_chunks",
+    "pack_sequences",
+    "text_tfidf_topk",
+    "sample_stratified",
+    "text_redact_pii",
+    "tpch_q9",
+    "tpch_q7",
+    "tpch_q1",
+    "tpch_q18",
+    "events_tumbling_window",
+    "events_interval_join",
+    "events_sliding_window",
+    "events_session_window",
+    "events_dedup_first",
+    "text_stats",
+    "skyline_float_triple",
+    "not_in_quint_keyless",
+    "media_frame_sample",
+    "dedup_exact",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "graph_q4_nonfull",
+    "window_qualify_topk",
+    "inner_after_outer_join",
+    "corr_count_arith",
+    "select_scalar_agg",
+    "not_in_routed_orderlimit",
+    "embed_centroid_assign",
+    "window_frame_movavg",
 ]
 
 

@@ -439,6 +439,7 @@ def main() -> None:
     n_bag_skipped = 0
     n_tail_exact = 0
     n_tail_corner = 0
+    n_tail_qualify = 0
     for i in range(n):
         q = gen(rng)
         # round 14: multi-inequality NOT IN draws return a
@@ -526,7 +527,7 @@ def main() -> None:
             #   fails analysis and the rescue path must dedup BEFORE
             #   the limit.
             draw = rng.random()
-            if draw >= 0.6:
+            if draw >= 0.8:
                 continue
             out_cols, full_rows = got_c
             if not out_cols or not full_rows:
@@ -573,6 +574,57 @@ def main() -> None:
                     )
                     print(
                         f"[{i}] TAIL-MISMATCH  {tail_q}\n"
+                        f"  auto={ta}\n  cqc ={tc}",
+                        flush=True,
+                    )
+            elif draw >= 0.6:
+                # round 17 (VERDICT r16 item 6): QUALIFY / DISTINCT ON
+                # tails on routed shapes — the two rescue branches
+                # added in r16 (engine-only syntax Spark cannot parse,
+                # so auto MUST re-plan natively instead of surfacing a
+                # ParseException; pre-r16 auto raised while cqc
+                # returned rows). ROW_NUMBER over the table's unique
+                # key gives a deterministic row set, so the STRONG
+                # multiset compare applies — auto == cqc exactly.
+                mo = re.search(r"FROM (\w+) AS o\b", bag_q)
+                if not mo or mo.group(1) not in COLS:
+                    continue
+                t_ints, t_name, t_key = COLS[mo.group(1)]
+                if draw < 0.7:
+                    tail_q = (
+                        bag_q
+                        + f" QUALIFY ROW_NUMBER() OVER "
+                        f"(ORDER BY o.{t_key}) <= {k}"
+                    )
+                else:
+                    on = rng.choice(t_ints + [t_name])
+                    tail_q = bag_q.replace(
+                        "SELECT ", f"SELECT DISTINCT ON (o.{on}) ", 1
+                    ) + f" ORDER BY o.{t_key}"
+                # no Spark validity oracle: the tails are engine-only
+                # syntax — engine support is the gate (a shape cqc
+                # declines is skipped; auto then need not complete it)
+                try:
+                    tc = rows_of_spark(eng.sql(tail_q, mode="cqc"))
+                    ta = rows_of_spark(eng.sql(tail_q, mode="auto"))
+                except UnsupportedSqlError:
+                    continue
+                except Exception as exc:
+                    failures.append(
+                        (tail_q, f"tail raised {type(exc).__name__}: {exc}")
+                    )
+                    print(
+                        f"[{i}] TAIL-RAISED  {tail_q}\n      {exc}",
+                        flush=True,
+                    )
+                    continue
+                n_tail_qualify += 1
+                if ta != tc:
+                    failures.append(
+                        (tail_q, f"qualify tail multiset: {ta} != {tc}")
+                    )
+                    print(
+                        f"[{i}] QUALIFY-TAIL-MISMATCH  {tail_q}\n"
                         f"  auto={ta}\n  cqc ={tc}",
                         flush=True,
                     )
@@ -659,7 +711,8 @@ def main() -> None:
         f"NOT IN draws; {n_bag} non-full auto==cqc multiset checks, "
         f"{n_bag_skipped} cqc-unplannable skipped; {n_tail_exact} "
         f"exact ORDER/LIMIT tails, {n_tail_corner} non-output-ORDER "
-        f"LIMIT corner tails), {len(failures)} failures"
+        f"LIMIT corner tails, {n_tail_qualify} QUALIFY/DISTINCT-ON "
+        f"tails), {len(failures)} failures"
     )
     sys.exit(1 if failures else 0)
 
