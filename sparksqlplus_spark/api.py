@@ -278,6 +278,23 @@ class SparkSQLPlus:
         self.catalog = catalog or Catalog()
         self._executor = CqcExecutor(spark, self.catalog)
         self._view_counter = 0  # ephemeral composite-view names
+        # compiled-plan cache (round 17): repeated sql() calls with
+        # identical (query, options, catalog state) return the SAME
+        # lazy DataFrame instead of re-running parse/GYO/GHD/stat-fold
+        # planning — the prepared-statement behavior, and reference
+        # parity (the reference generates code per query once and its
+        # experiment timings exclude compilation,
+        # AbstractSparkSQLPlusCodeGenerator.scala:381-393). Keyed on a
+        # catalog fingerprint so any register/unregister/ddl re-plans;
+        # Spark DataFrames are immutable, so sharing one is safe, and
+        # plan-time folded statistics stay valid because the
+        # fingerprint pins the exact source DataFrames/paths they
+        # were collected from.
+        from collections import OrderedDict
+
+        self._plan_cache: OrderedDict = OrderedDict()
+        self._plan_cache_max = 128
+        self._plan_cacheable = True
 
     # -- registration --------------------------------------------------------
     @staticmethod
@@ -6223,7 +6240,78 @@ class SparkSQLPlus:
             acc = acc.limit(comp.limit)
         return acc
 
+    def _catalog_fingerprint(self) -> tuple:
+        """Identity of the catalog's current state for the plan
+        cache: name + source identity (registered DataFrame object /
+        path+format) + planner metadata per table. Ephemeral
+        composite-view registrations made DURING planning are always
+        unregistered before sql() returns, so the fingerprint is
+        stable across repeated calls; a leak would only force a
+        re-plan (fails safe)."""
+        return tuple(
+            sorted(
+                (
+                    m.name.lower(),
+                    id(m.df) if m.df is not None else None,
+                    m.path,
+                    m.fmt,
+                    m.primary_key,
+                    m.cardinality,
+                )
+                for m in self.catalog.tables()
+            )
+        )
+
     def sql(
+        self,
+        query: str,
+        mode: str = "auto",
+        root_hint: str | None = None,
+        cyclic_strategy: str = "auto",
+        join_tree_hint=None,
+        count_mode: str = "rows",
+    ) -> DataFrame:
+        """Plan and execute a query (memoized — see _sql_uncached for
+        the planning pipeline and parameter docs). A repeated call
+        with the same query/options against an unchanged catalog
+        returns the same lazy DataFrame without re-planning."""
+        if join_tree_hint is not None:
+            # user join trees may be unhashable (nested dicts) and are
+            # a debugging surface — plan fresh
+            return self._sql_uncached(
+                query, mode=mode, root_hint=root_hint,
+                cyclic_strategy=cyclic_strategy,
+                join_tree_hint=join_tree_hint, count_mode=count_mode,
+            )
+        if mode == "spark":
+            # verbatim spark.sql resolves against SESSION temp views
+            # the catalog fingerprint cannot see — never memoize
+            return self._sql_uncached(query, mode=mode)
+        key = (
+            query, mode, root_hint, cyclic_strategy, count_mode,
+            self._catalog_fingerprint(),
+        )
+        hit = self._plan_cache.get(key)
+        if hit is not None:
+            self._plan_cache.move_to_end(key)
+            return hit
+        self._plan_cacheable = True
+        df = self._sql_uncached(
+            query, mode=mode, root_hint=root_hint,
+            cyclic_strategy=cyclic_strategy,
+            join_tree_hint=None, count_mode=count_mode,
+        )
+        # paths that END in a verbatim spark.sql run (fallbacks, the
+        # tail-rescue emulation) may bind session temp views outside
+        # the catalog fingerprint — they clear the flag and stay
+        # uncached (planning there is one spark.sql parse: cheap)
+        if self._plan_cacheable:
+            self._plan_cache[key] = df
+            if len(self._plan_cache) > self._plan_cache_max:
+                self._plan_cache.popitem(last=False)
+        return df
+
+    def _sql_uncached(
         self,
         query: str,
         mode: str = "auto",
@@ -6320,7 +6408,9 @@ class SparkSQLPlus:
                 )
             if not exc.needs_distinct:
                 try:
-                    return self.spark.sql(query)
+                    res = self.spark.sql(query)
+                    self._plan_cacheable = False
+                    return res
                 except Exception:
                     # explicit DISTINCT + ORDER BY on a non-output
                     # column is an ENGINE dialect extension
@@ -6365,7 +6455,9 @@ class SparkSQLPlus:
                         "routed fallback: applying non-full DISTINCT "
                         "rewrite (reference CompileController.java:98-101)"
                     )
-                    return self.spark.sql(rewritten)
+                    res = self.spark.sql(rewritten)
+                    self._plan_cacheable = False
+                    return res
                 except Exception as rewrite_err:
                     # ORDER BY on a non-output column: ANSI DISTINCT
                     # rejects it but the engine supports it via the
@@ -6422,12 +6514,15 @@ class SparkSQLPlus:
                             if emu is not None:
                                 return emu
                             raise
+            self._plan_cacheable = False
             return self.spark.sql(query).dropDuplicates()
         except UnsupportedSqlError as u_exc:
             if mode == "auto" and join_tree_hint is None:
                 self._ensure_views()
                 try:
-                    return self.spark.sql(query)
+                    res = self.spark.sql(query)
+                    self._plan_cacheable = False
+                    return res
                 except Exception as fb_exc:
                     # the engine PARSED a statement Spark cannot
                     # (engine-only syntax, e.g. QUALIFY) — surface the
@@ -6474,6 +6569,7 @@ class SparkSQLPlus:
             + (f", {helpers} " if helpers else " ")
             + body[insert_at:]
         )
+        self._plan_cacheable = False
         try:
             df = self.spark.sql(modified)
             out_cols = [
