@@ -6242,22 +6242,17 @@ class SparkSQLPlus:
 
     def _catalog_fingerprint(self) -> tuple:
         """Identity of the catalog's current state for the plan
-        cache: name + source identity (registered DataFrame object /
-        path+format) + planner metadata per table. Ephemeral
+        cache: (name, registration epoch) per table — the epoch is
+        stamped by Catalog.register, so ANY re-registration (even of
+        an identical-looking table) re-plans, and object-id reuse
+        after gc cannot alias two different DataFrames. Ephemeral
         composite-view registrations made DURING planning are always
         unregistered before sql() returns, so the fingerprint is
         stable across repeated calls; a leak would only force a
         re-plan (fails safe)."""
         return tuple(
             sorted(
-                (
-                    m.name.lower(),
-                    id(m.df) if m.df is not None else None,
-                    m.path,
-                    m.fmt,
-                    m.primary_key,
-                    m.cardinality,
-                )
+                (m.name.lower(), m.epoch)
                 for m in self.catalog.tables()
             )
         )

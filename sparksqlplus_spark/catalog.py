@@ -53,6 +53,10 @@ class TableMeta:
     fmt: str = "parquet"
     cardinality: int | None = None
     df: DataFrame | None = None  # pre-registered DataFrame (takes precedence)
+    # monotonically stamped by Catalog.register — identifies THIS
+    # registration event for the api plan cache's catalog fingerprint
+    # (object ids can be reused after gc; epochs cannot)
+    epoch: int = 0
 
     @property
     def column_names(self) -> list[str]:
@@ -111,8 +115,11 @@ class Catalog:
 
     def __init__(self) -> None:
         self._tables: dict[str, TableMeta] = {}
+        self._next_epoch = 0
 
     def register(self, meta: TableMeta) -> None:
+        self._next_epoch += 1
+        meta.epoch = self._next_epoch
         self._tables[meta.name.lower()] = meta
 
     def register_df(

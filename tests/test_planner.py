@@ -562,14 +562,21 @@ def test_plan_cache_memoizes_and_invalidates(engine):
         "ORDER BY c.c_custkey LIMIT 3"
     )
     assert engine.sql(q2) is engine.sql(q2)
-    # verbatim-fallback statements (non-subset SQL resolved by
-    # spark.sql) are NOT memoized: they may bind session temp views
-    # the catalog fingerprint cannot see
-    q3 = (
-        "SELECT count(*) FILTER (WHERE l_quantity > 25) AS c "
-        "FROM lineitem"
-    )
-    assert engine.sql(q3) is not engine.sql(q3)
-    assert engine.sql(q3, mode="spark") is not engine.sql(
-        q3, mode="spark"
-    )
+    # verbatim-fallback statements are NOT memoized: they may bind
+    # session temp views the catalog fingerprint cannot see — the
+    # exact staleness hazard (replacing the view must not serve a
+    # plan bound to the old one)
+    spark.range(5).toDF("z").createOrReplaceTempView("pc_sess_view")
+    try:
+        q3 = "SELECT t.z FROM pc_sess_view AS t WHERE t.z > 1"
+        assert engine.sql(q3) is not engine.sql(q3)
+        assert engine.sql(q3, mode="spark") is not engine.sql(
+            q3, mode="spark"
+        )
+        assert engine.sql(q3).count() == 3
+        spark.range(9).toDF("z").createOrReplaceTempView(
+            "pc_sess_view"
+        )
+        assert engine.sql(q3).count() == 7
+    finally:
+        spark.catalog.dropTempView("pc_sess_view")
