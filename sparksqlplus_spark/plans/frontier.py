@@ -1298,9 +1298,10 @@ def _gate_neq_class_dtype(dt):
     arriving HERE means a caller missed the embedding: the raise is a
     correctness backstop that rides the fallback under mode='auto'
     (and surfaces as a typed decline to the cqc/naive re-plans, where
-    no fallback exists) instead of silently splitting NaN classes. Non-default string collations remain
-    genuinely gated (pandas compares code points; ICU collations
-    equate differing byte strings)."""
+    no fallback exists) instead of silently splitting NaN classes.
+    Non-default string collations remain genuinely gated (pandas
+    compares code points; ICU collations equate differing byte
+    strings)."""
     from pyspark.sql import types as T
 
     if isinstance(dt, (T.FloatType, T.DoubleType)):
