@@ -483,6 +483,7 @@ def cycle_join(
     edges: list[DataFrame],
     cube_side: int | None = None,
     reduce_edges: bool = True,
+    cube_shares: list[int] | None = None,
 ) -> DataFrame:
     """Worst-case-optimal-style k-cycle join
     Q(v1..vk) = E1(v1,v2) ⋈ E2(v2,v3) ⋈ ... ⋈ Ek(vk,v1), k ≥ 3 —
@@ -497,14 +498,30 @@ def cycle_join(
     its two variables' axes and replicated along the k-2 missing axes
     (Afrati/Ullman shares) — replication is cube_side^(k-2) per tuple,
     so cube_side defaults to ~parallelism^(1/k) and stays small.
+
+    ``cube_shares`` (round 17): optional per-axis share list
+    [p_0..p_{k-1}] overriding the symmetric cube — the general
+    Afrati/Ullman shape. More total cells than cores gives the
+    scheduler slack to pack cells whose IN-CELL work varies (the
+    pentagon's per-cell kernel time spreads 2-4x on equal inputs —
+    SCALING.md r17), at the cost of extra replication: relation i is
+    replicated prod(shares)/(p_i * p_{i+1}) times.
     """
     k = len(edges)
     if k < 3:
         raise ValueError("cycle_join needs >= 3 edge relations")
-    if cube_side is None:
-        par = edges[0].sparkSession.sparkContext.defaultParallelism
-        cube_side = max(2, round(par ** (1.0 / k)))
-    p = cube_side
+    if cube_shares is not None:
+        if len(cube_shares) != k or any(s < 1 for s in cube_shares):
+            raise ValueError("cube_shares needs k positive entries")
+        shares = list(cube_shares)
+    else:
+        if cube_side is None:
+            par = edges[0].sparkSession.sparkContext.defaultParallelism
+            cube_side = max(2, round(par ** (1.0 / k)))
+        shares = [cube_side] * k
+    n_cells = 1
+    for s in shares:
+        n_cells *= s
 
     parts: list[DataFrame] = []
     for i, df in enumerate(edges):
@@ -515,19 +532,24 @@ def cycle_join(
             F.col(y).cast("long").alias("y"),
         )
         ax_x, ax_y = i, (i + 1) % k
-        d = d.withColumn(f"c{ax_x}", F.pmod(F.hash(F.col("x")), F.lit(p)))
-        d = d.withColumn(f"c{ax_y}", F.pmod(F.hash(F.col("y")), F.lit(p)))
+        d = d.withColumn(
+            f"c{ax_x}", F.pmod(F.hash(F.col("x")), F.lit(shares[ax_x]))
+        )
+        d = d.withColumn(
+            f"c{ax_y}", F.pmod(F.hash(F.col("y")), F.lit(shares[ax_y]))
+        )
         for j in range(k):
             if j not in (ax_x, ax_y):
                 d = d.withColumn(
-                    f"c{j}", F.explode(F.sequence(F.lit(0), F.lit(p - 1)))
+                    f"c{j}",
+                    F.explode(F.sequence(F.lit(0), F.lit(shares[j] - 1))),
                 )
         parts.append(d.select("rel", "x", "y", *[f"c{j}" for j in range(k)]))
     cells = parts[0]
     for d in parts[1:]:
         cells = cells.unionByName(d)
     ccols = [f"c{j}" for j in range(k)]
-    cells = _cell_repartition(cells, ccols, p**k)
+    cells = _cell_repartition(cells, ccols, n_cells)
     schema = ", ".join(f"x{i} long" for i in range(1, k + 1))
     return cells.groupBy(*ccols).applyInPandas(
         lambda pdf: _cycle_in_cell(pdf, k, reduce_edges), schema=schema
