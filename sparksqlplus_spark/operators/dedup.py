@@ -520,16 +520,34 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     tok = df.select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
     ).withColumn("th", h52(F.col("tok")))
+    # round 17 (guide §2.3, aggregate cheaper): pack TWO per-bit
+    # counters into each sum's long (32-bit lanes — a lane overflows
+    # only past 4 billion tokens in one document) so the groupBy runs
+    # bits/2 + 1 aggregate buffers instead of bits + 1 and the partial-
+    # aggregation exchange rows shrink to match. Unpacking below
+    # reproduces the exact per-bit counts, so the simhash value is
+    # bit-identical to the unpacked r16 form (pytest + driver oracle).
     aggs = [F.count(F.lit(1)).alias("n_tok")]
-    for b in range(bits):
+    for g in range(0, bits, 2):
+        lane_lo = F.shiftright(F.col("th"), g).bitwiseAND(F.lit(1))
+        lane_hi = F.shiftright(F.col("th"), g + 1).bitwiseAND(F.lit(1))
         aggs.append(
-            F.sum(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1))).alias(f"bc_{b}")
+            F.sum(
+                lane_lo.cast("long")
+                + F.shiftleft(lane_hi.cast("long"), 32)
+            ).alias(f"pc_{g}")
         )
     per_doc = tok.groupBy(id_col).agg(*aggs)
     sim = F.lit(0).cast("long")
     for b in range(bits):
+        g = b - (b % 2)
+        cnt = (
+            F.col(f"pc_{g}").bitwiseAND(F.lit(0xFFFFFFFF))
+            if b % 2 == 0
+            else F.shiftright(F.col(f"pc_{g}"), 32)
+        )
         sim = sim + F.when(
-            F.col(f"bc_{b}") * 2 > F.col("n_tok"), F.lit(2**b).cast("long")
+            cnt * 2 > F.col("n_tok"), F.lit(2**b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return per_doc.select(
         F.col(id_col), sim.alias("simhash"), F.col("n_tok").alias("n_tokens")

@@ -52,6 +52,58 @@ def _cell_repartition(cells: DataFrame, ccols: list[str], n_cells: int) -> DataF
     return cells.repartition(n_cells * _CELL_FANOUT, *[F.col(c) for c in ccols])
 
 
+def _cid_exploded(shares: list[int], fixed: dict[int, "F.Column"]):
+    """One exploded column of flattened cell ids (round 17, guide §2.3:
+    shuffle fewer bytes). The r16 hypercube shipped k separate cell-
+    coordinate ints per replicated row and replicated via k-2 CHAINED
+    explodes; an UnsafeRow charges a full 8-byte slot per field, so the
+    coordinates cost k×8 bytes on the exchange and each explode is its
+    own Generate operator. Folding the coordinates into ONE long
+    ``cid = Σ c_j · Π_{j'>j} shares[j']`` cuts the exchange width to a
+    single slot and the replication to a single Generate: per relation,
+    the two hashed axes contribute a fixed base and the free axes are
+    enumerated as one array of p^(k-2) cid values.
+
+    ``fixed`` maps axis index -> hashed coordinate Column; the other
+    axes are enumerated 0..shares[j]-1.
+    """
+    k = len(shares)
+    mult = [1] * k
+    for j in range(k - 2, -1, -1):
+        mult[j] = mult[j + 1] * shares[j + 1]
+    base = None
+    for j, col in fixed.items():
+        term = col.cast("long") * F.lit(mult[j]).cast("long")
+        base = term if base is None else base + term
+    free = [j for j in range(k) if j not in fixed]
+    n_rep = 1
+    for j in free:
+        n_rep *= shares[j]
+    if n_rep == 1:
+        return base, False
+    # digit t of m (base-mixed-radix over the free axes, most
+    # significant first) scales by the free axis's global multiplier
+    div = [1] * len(free)
+    for t in range(len(free) - 2, -1, -1):
+        div[t] = div[t + 1] * shares[free[t + 1]]
+
+    def cid_of(m):
+        out = base
+        for t, j in enumerate(free):
+            # exact integer digit extract: m < n_rep so the double
+            # division below is exact well past any real share product
+            digit = F.floor(m / F.lit(div[t])).cast("long") % F.lit(
+                shares[j]
+            ).cast("long")
+            out = out + digit * F.lit(mult[j]).cast("long")
+        return out
+
+    return (
+        F.explode(F.transform(F.sequence(F.lit(0), F.lit(n_rep - 1)), cid_of)),
+        True,
+    )
+
+
 def _empty_abc() -> pd.DataFrame:
     return pd.DataFrame(
         {
@@ -63,6 +115,31 @@ def _empty_abc() -> pd.DataFrame:
 
 
 def _triangles_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Triangle kernel for one hypercube cell — numpy fast path (packed
+    keys + CSR gather + searchsorted verify, see _np_cycle_from_arrs),
+    pandas fallback for ids whose range cannot pack into int64."""
+    xv = pdf["x"].to_numpy()
+    yv = pdf["y"].to_numpy()
+    if xv.dtype.kind in "iu" and yv.dtype.kind in "iu":
+        rel = pdf["rel"].to_numpy()
+        arrs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for i, tag in enumerate(("r", "s", "t")):
+            m = rel == tag
+            if not m.any():
+                return _empty_abc()
+            arrs[i] = (
+                xv[m].astype(np.int64, copy=False),
+                yv[m].astype(np.int64, copy=False),
+            )
+        # the triangle's closing step already sees every edge — no ring
+        # fixpoint (parity with the r16 pandas kernel's level filters)
+        cols = _np_cycle_from_arrs(arrs, 3, reduce_edges=False)
+        if cols is not None:
+            return pd.DataFrame({"a": cols[0], "b": cols[1], "c": cols[2]})
+    return _triangles_in_cell_pandas(pdf)
+
+
+def _triangles_in_cell_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
     """Vectorized worst-case-optimal kernel for one hypercube cell.
 
     pdf columns: rel ('r'|'s'|'t'), x, y — R(a,b), S(b,c), T(c,a)
@@ -177,21 +254,23 @@ def triangle_join(
 
     hx = F.pmod(F.hash(F.col("x")), F.lit(p))
     hy = F.pmod(F.hash(F.col("y")), F.lit(p))
-    axis = F.explode(F.sequence(F.lit(0), F.lit(p - 1))).alias("z")
+    shares = [p, p, p]
 
-    # R(a,b): cell (h(a), h(b), z) for all z; S(b,c): (z, h(b), h(c));
-    # T(c,a): (h(a), z, h(c))
-    r_ = prep(r, "r").select("rel", "x", "y", hx.alias("ca"), hy.alias("cb"), axis)
-    r_ = r_.select("rel", "x", "y", "ca", "cb", F.col("z").alias("cc"))
-    s_ = prep(s, "s").select("rel", "x", "y", hx.alias("cb"), hy.alias("cc"), axis)
-    s_ = s_.select("rel", "x", "y", F.col("z").alias("ca"), "cb", "cc")
-    t_ = prep(t, "t").select("rel", "x", "y", hy.alias("ca"), hx.alias("cc"), axis)
-    t_ = t_.select("rel", "x", "y", "ca", F.col("z").alias("cb"), "cc")
+    # axes a=0, b=1, c=2 — R(a,b) hashes axes (0,1), S(b,c) (1,2),
+    # T(c,a) (2,0); the remaining axis is enumerated inside the single
+    # exploded cid column (see _cid_exploded)
+    def rep(df: DataFrame, tag: str, ax_x: int, ax_y: int) -> DataFrame:
+        cid, _ = _cid_exploded(shares, {ax_x: hx, ax_y: hy})
+        return prep(df, tag).select("rel", "x", "y", cid.alias("cid"))
 
-    cells = r_.unionByName(s_).unionByName(t_)
-    cells = _cell_repartition(cells, ["ca", "cb", "cc"], p**3)
+    cells = (
+        rep(r, "r", 0, 1)
+        .unionByName(rep(s, "s", 1, 2))
+        .unionByName(rep(t, "t", 2, 0))
+    )
+    cells = _cell_repartition(cells, ["cid"], p**3)
     return (
-        cells.groupBy("ca", "cb", "cc")
+        cells.groupBy("cid")
         .applyInPandas(
             lambda pdf: _triangles_in_cell(pdf),
             schema="a long, b long, c long",
@@ -369,7 +448,208 @@ def _empty_cycle(k: int) -> pd.DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# numpy fast path for the per-cell kernels (round 17, guide §4.2: hand
+# whole batches to vectorized native code). The r16 kernels did the
+# path extensions and the closing-step verification through pandas
+# ``merge``, which hashes the join keys and materializes a full
+# DataFrame (index + block manager) at every step — profiled offline on
+# one real-shape pentagon cell (~150 k edges/relation), the two
+# extension merges plus the verify merge were >90% of kernel time. The
+# same joins over int64 keys run 3-10x faster as sorted-array
+# primitives: pack each edge (x, y) into ONE int64 key
+# ((x-lo)*span + (y-lo)), np.unique the packed keys (dedup + (x, y)
+# lexsort in one pass), expand adjacency lists with
+# searchsorted + repeat + gather (CSR form), and verify candidate pairs
+# with a searchsorted membership test instead of a merge. Falls back to
+# the pandas kernels when span**2 would overflow int64 (arbitrary long
+# ids) — node-id domains from real graphs pack comfortably.
+# ---------------------------------------------------------------------------
+
+
+def _np_member(sorted_vals: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``probe`` in ascending ``sorted_vals``."""
+    pos = np.searchsorted(sorted_vals, probe)
+    pos_c = np.minimum(pos, len(sorted_vals) - 1)
+    return (pos < len(sorted_vals)) & (sorted_vals[pos_c] == probe)
+
+
+def _np_cycle_from_arrs(
+    arrs: dict[int, tuple[np.ndarray, np.ndarray]],
+    k: int,
+    reduce_edges: bool,
+) -> list[np.ndarray] | None:
+    """k-cycle kernel over per-relation (x, y) int64 arrays.
+
+    Returns the k output columns (v1..vk, empty arrays for an empty
+    result) or None when the id range cannot pack into int64 (caller
+    falls back to the pandas kernel). Same result multiset as the
+    pandas kernels: dedup per relation, optional ring-consistency
+    fixpoint, path extension E_1..E_{k-2}, then the min-degree closing
+    step for v_k verified against the other closing relation.
+    """
+    lo = min(int(min(x.min(), y.min())) for x, y in arrs.values())
+    hi = max(int(max(x.max(), y.max())) for x, y in arrs.values())
+    span_py = hi - lo + 1
+    if span_py * span_py > 2**63 - 1:
+        return None
+    span = np.int64(span_py)
+    lo64 = np.int64(lo)
+
+    empty = [np.empty(0, dtype=np.int64) for _ in range(k)]
+    # packed, deduped, (x, y)-sorted edges per relation
+    E: list[np.ndarray] = []
+    for i in range(k):
+        x, y = arrs[i]
+        E.append(np.unique((x - lo64) * span + (y - lo64)))
+
+    ux: list = [None] * k  # cached sorted unique x (offsets)
+    uy: list = [None] * k  # cached sorted unique y (offsets)
+
+    def get_ux(i: int) -> np.ndarray:
+        if ux[i] is None:
+            # E[i] is sorted by (x, y) so x is non-decreasing already
+            xi = E[i] // span
+            keep = np.empty(len(xi), dtype=bool)
+            keep[0] = True
+            np.not_equal(xi[1:], xi[:-1], out=keep[1:])
+            ux[i] = xi[keep]
+        return ux[i]
+
+    def get_uy(i: int) -> np.ndarray:
+        if uy[i] is None:
+            uy[i] = np.unique(E[i] % span)
+        return uy[i]
+
+    if reduce_edges:
+        # pairwise-consistency fixpoint around the ring (<= k sweeps),
+        # membership via cached sorted uniques instead of np.isin
+        # (which re-sorts its argument on every call)
+        for _ in range(k):
+            changed = False
+            for i in range(k):
+                xi, yi = np.divmod(E[i], span)
+                mask = _np_member(get_uy((i - 1) % k), xi) & _np_member(
+                    get_ux((i + 1) % k), yi
+                )
+                if not mask.all():
+                    E[i] = E[i][mask]
+                    ux[i] = uy[i] = None
+                    changed = True
+                    if not len(E[i]):
+                        return empty
+            if not changed:
+                break
+
+    # ---- path extension: E_0 extended by E_1..E_{k-3} ----------------
+    x0, y0 = np.divmod(E[0], span)
+    cols: list[np.ndarray] = [x0, y0]  # v1, v2
+    for i in range(1, k - 2):
+        xi, yi = np.divmod(E[i], span)
+        keys = get_ux(i)
+        counts = np.diff(np.searchsorted(xi, keys, side="right"), prepend=0)
+        starts = np.cumsum(counts) - counts
+        v = cols[-1]  # v_{i+1}
+        pos = np.searchsorted(keys, v)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        valid = (pos < len(keys)) & (keys[pos_c] == v)
+        if not valid.any():
+            return empty
+        cnt = counts[pos_c[valid]]
+        st = starts[pos_c[valid]]
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        row = np.repeat(np.nonzero(valid)[0], cnt)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        cols = [c[row] for c in cols]
+        cols.append(yi[np.repeat(st, cnt) + offs])
+
+    # ---- closing step: v_k from the smaller of E_{k-2}'s forward and
+    # E_{k-1}'s reverse adjacency, verified against the other ----------
+    sx, sy = np.divmod(E[k - 2], span)  # sorted by (x, y)
+    s_keys, s_starts, s_counts = np.unique(
+        sx, return_index=True, return_counts=True
+    )
+    rev = np.unique((E[k - 1] % span) * span + (E[k - 1] // span))
+    ty_r, tx_r = np.divmod(rev, span)  # sorted by (y, x)
+    t_keys, t_starts, t_counts = np.unique(
+        ty_r, return_index=True, return_counts=True
+    )
+
+    keep = _np_member(s_keys, cols[k - 2]) & _np_member(t_keys, cols[0])
+    if not keep.any():
+        return empty
+    cols = [c[keep] for c in cols]
+    pos_s = np.searchsorted(s_keys, cols[k - 2])
+    pos_t = np.searchsorted(t_keys, cols[0])
+    deg_s, deg_t = s_counts[pos_s], t_counts[pos_t]
+
+    out_parts: list[list[np.ndarray]] = []
+    for expand_s in (True, False):
+        sel = (deg_s <= deg_t) if expand_s else (deg_s > deg_t)
+        if not sel.any():
+            continue
+        if expand_s:
+            starts, cnt, vals = s_starts[pos_s[sel]], deg_s[sel], sy
+        else:
+            starts, cnt, vals = t_starts[pos_t[sel]], deg_t[sel], tx_r
+        total = int(cnt.sum())
+        if total == 0:
+            continue
+        row = np.repeat(np.nonzero(sel)[0], cnt)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        vk = vals[np.repeat(starts, cnt) + offs]
+        part = [c[row] for c in cols]
+        if expand_s:  # verify (v_k, v_1) ∈ E_{k-1}
+            ok = _np_member(E[k - 1], vk * span + part[0])
+        else:  # verify (v_{k-1}, v_k) ∈ E_{k-2}
+            ok = _np_member(E[k - 2], part[k - 2] * span + vk)
+        if not ok.any():
+            continue
+        part = [c[ok] for c in part]
+        part.append(vk[ok])
+        out_parts.append(part)
+    if not out_parts:
+        return empty
+    merged = [
+        np.concatenate([p[j] for p in out_parts]) for j in range(k)
+    ]
+    return [c + lo64 for c in merged]
+
+
 def _cycle_in_cell(
+    pdf: pd.DataFrame, k: int, reduce_edges: bool = True
+) -> pd.DataFrame:
+    """k-cycle kernel for one hypercube cell — numpy fast path (packed
+    keys + CSR gather + searchsorted verify, see _np_cycle_from_arrs),
+    pandas fallback for ids whose range cannot pack into int64."""
+    xv = pdf["x"].to_numpy()
+    yv = pdf["y"].to_numpy()
+    if xv.dtype.kind in "iu" and yv.dtype.kind in "iu":
+        rel = pdf["rel"].to_numpy()
+        arrs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for i in range(k):
+            m = rel == i
+            if not m.any():
+                return _empty_cycle(k)
+            arrs[i] = (
+                xv[m].astype(np.int64, copy=False),
+                yv[m].astype(np.int64, copy=False),
+            )
+        cols = _np_cycle_from_arrs(arrs, k, reduce_edges)
+        if cols is not None:
+            return pd.DataFrame(
+                {f"x{i + 1}": cols[i] for i in range(k)}
+            )
+    return _cycle_in_cell_pandas(pdf, k, reduce_edges)
+
+
+def _cycle_in_cell_pandas(
     pdf: pd.DataFrame, k: int, reduce_edges: bool = True
 ) -> pd.DataFrame:
     """Vectorized k-cycle kernel for one hypercube cell.
@@ -532,26 +812,20 @@ def cycle_join(
             F.col(y).cast("long").alias("y"),
         )
         ax_x, ax_y = i, (i + 1) % k
-        d = d.withColumn(
-            f"c{ax_x}", F.pmod(F.hash(F.col("x")), F.lit(shares[ax_x]))
+        cid, _ = _cid_exploded(
+            shares,
+            {
+                ax_x: F.pmod(F.hash(F.col("x")), F.lit(shares[ax_x])),
+                ax_y: F.pmod(F.hash(F.col("y")), F.lit(shares[ax_y])),
+            },
         )
-        d = d.withColumn(
-            f"c{ax_y}", F.pmod(F.hash(F.col("y")), F.lit(shares[ax_y]))
-        )
-        for j in range(k):
-            if j not in (ax_x, ax_y):
-                d = d.withColumn(
-                    f"c{j}",
-                    F.explode(F.sequence(F.lit(0), F.lit(shares[j] - 1))),
-                )
-        parts.append(d.select("rel", "x", "y", *[f"c{j}" for j in range(k)]))
+        parts.append(d.select("rel", "x", "y", cid.alias("cid")))
     cells = parts[0]
     for d in parts[1:]:
         cells = cells.unionByName(d)
-    ccols = [f"c{j}" for j in range(k)]
-    cells = _cell_repartition(cells, ccols, n_cells)
+    cells = _cell_repartition(cells, ["cid"], n_cells)
     schema = ", ".join(f"x{i} long" for i in range(1, k + 1))
-    return cells.groupBy(*ccols).applyInPandas(
+    return cells.groupBy("cid").applyInPandas(
         lambda pdf: _cycle_in_cell(pdf, k, reduce_edges), schema=schema
     )
 
@@ -725,21 +999,20 @@ def pattern_join(
             F.col(xcol).cast("long").alias("x"),
             F.col(ycol).cast("long").alias("y"),
         )
-        d = d.withColumn(f"c{axis[u]}", F.pmod(F.hash(F.col("x")), F.lit(p)))
-        d = d.withColumn(f"c{axis[v]}", F.pmod(F.hash(F.col("y")), F.lit(p)))
-        for j in range(n):
-            if j not in (axis[u], axis[v]):
-                d = d.withColumn(
-                    f"c{j}", F.explode(F.sequence(F.lit(0), F.lit(p - 1)))
-                )
-        parts.append(d.select("rel", "x", "y", *[f"c{j}" for j in range(n)]))
+        cid, _ = _cid_exploded(
+            [p] * n,
+            {
+                axis[u]: F.pmod(F.hash(F.col("x")), F.lit(p)),
+                axis[v]: F.pmod(F.hash(F.col("y")), F.lit(p)),
+            },
+        )
+        parts.append(d.select("rel", "x", "y", cid.alias("cid")))
     cells = parts[0]
     for d in parts[1:]:
         cells = cells.unionByName(d)
-    ccols = [f"c{j}" for j in range(n)]
-    cells = _cell_repartition(cells, ccols, p**n)
+    cells = _cell_repartition(cells, ["cid"], p**n)
     schema = ", ".join(f"{v} long" for v in all_vars)
-    return cells.groupBy(*ccols).applyInPandas(
+    return cells.groupBy("cid").applyInPandas(
         lambda pdf: _pattern_in_cell(pdf, edge_vars, e0, init_verify, steps, all_vars),
         schema=schema,
     )

@@ -1321,3 +1321,114 @@ def test_lsh_topk_bucket_replay(engine):
     for key, (nid, cos) in want.items():
         gn, gc = got[key]
         assert gn == nid and abs(gc - cos) < 1e-6, (key, got[key], (nid, cos))
+
+
+def test_cycle_kernel_numpy_matches_pandas():
+    """Round-17 kernel rewrite: the packed-key numpy fast path of the
+    per-cell WCOJ kernels must return the same result multiset as the
+    pandas fallback — random cells with duplicate edges, negative ids,
+    a shared-edge (self-join) cell, and an id range past the int64
+    packing bound (which must silently ride the fallback)."""
+    import numpy as np
+    import pandas as pd
+
+    from sparksqlplus_spark.operators.wcoj import (
+        _cycle_in_cell,
+        _cycle_in_cell_pandas,
+        _triangles_in_cell,
+        _triangles_in_cell_pandas,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def canon(df):
+        return sorted(map(tuple, df.to_numpy().tolist()))
+
+    def mk(k, n, dom, shift=0, same=False):
+        parts, base = [], None
+        for i in range(k):
+            if same and base is not None:
+                x, y = base
+            else:
+                x = rng.integers(1, dom, n) + shift
+                y = rng.integers(1, dom, n) + shift
+                base = (x, y)
+            nd = n // 8  # planted duplicates
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "rel": np.full(n + nd, i),
+                        "x": np.concatenate([x, x[:nd]]),
+                        "y": np.concatenate([y, y[:nd]]),
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    for k in (3, 4, 5):
+        for shift, same in ((0, False), (-40, False), (0, True)):
+            pdf = mk(k, 400, 60, shift=shift, same=same)
+            for reduce_edges in (True, False):
+                a = _cycle_in_cell(pdf.copy(), k, reduce_edges)
+                b = _cycle_in_cell_pandas(pdf.copy(), k, reduce_edges)
+                assert canon(a) == canon(b), (k, shift, same, reduce_edges)
+
+    # triangle tags
+    parts = []
+    for tag in ("r", "s", "t"):
+        x = rng.integers(1, 60, 400)
+        y = rng.integers(1, 60, 400)
+        parts.append(pd.DataFrame({"rel": tag, "x": x, "y": y}))
+    tri = pd.concat(parts, ignore_index=True)
+    assert canon(_triangles_in_cell(tri.copy())) == canon(
+        _triangles_in_cell_pandas(tri.copy())
+    )
+
+    # id range too wide to pack -> fallback must engage and agree
+    wide = mk(3, 200, 50)
+    wide["x"] = wide["x"] * 10**17
+    wide["y"] = wide["y"] * 10**17
+    assert canon(_cycle_in_cell(wide.copy(), 3, True)) == canon(
+        _cycle_in_cell_pandas(wide.copy(), 3, True)
+    )
+
+
+def test_simhash_packed_counters_match_reference(spark):
+    """Round-17 simhash aggregation packing (two 32-bit counter lanes
+    per sum): the packed form must reproduce the r16 unpacked per-bit
+    majority votes exactly."""
+    from sparksqlplus_spark.operators.dedup import h52, simhash, tokens_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the quick brown fox jumps over the lazy dog again"),
+            (4, "sphinx of black quartz judge my vow"),
+            (5, "one token"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["simhash"], r["n_tokens"])
+        for r in simhash(df, "text", "doc_id", bits=32).collect()
+    }
+
+    # reference: unpacked per-bit sums (the r16 formulation)
+    tok = df.select(
+        F.col("doc_id"), F.explode(tokens_col("text")).alias("tok")
+    ).withColumn("th", h52(F.col("tok")))
+    aggs = [F.count(F.lit(1)).alias("n_tok")]
+    for b in range(32):
+        aggs.append(
+            F.sum(
+                F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1))
+            ).alias(f"bc_{b}")
+        )
+    ref = tok.groupBy("doc_id").agg(*aggs).collect()
+    for r in ref:
+        sim = 0
+        for b in range(32):
+            if r[f"bc_{b}"] * 2 > r["n_tok"]:
+                sim += 2**b
+        assert got[r["doc_id"]] == (sim, r["n_tok"]), r["doc_id"]
