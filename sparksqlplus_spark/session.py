@@ -31,6 +31,16 @@ def get_spark(
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
 
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # Commit and pre-touch the full heap at JVM start (-Xms = -Xmx +
+    # AlwaysPreTouch). Without it the heap grows lazily and G1 touches
+    # freshly-committed pages MID-QUERY, a first-touch page-fault storm
+    # that this guest's host backs slowly (SCALING.md r17 "pentagon slow
+    # mode": slow runs show 35-50% guest sys time and 12-18 s summed GC
+    # in the pre-stage; fast runs 6-8% / ~2 s, same plan). Pre-touching
+    # moves that cost to session startup, outside every timed region —
+    # standard production practice for long-lived executors too.
+    # SPARK_GRAFT_PRETOUCH=0 opts out (e.g. many short-lived sessions).
+    pretouch = os.environ.get("SPARK_GRAFT_PRETOUCH", "1") != "0"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -58,6 +68,14 @@ def get_spark(
         # quieter driver logs
         .config("spark.ui.enabled", "false")
     )
+    if pretouch:
+        # -Xmx comes from spark.driver.memory (Spark forbids it here);
+        # -Xms pinning + AlwaysPreTouch is allowed and takes effect
+        # because the gateway JVM has not started yet.
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
