@@ -94,7 +94,10 @@ def main() -> None:
 
     results = {}
     for name in names:
-        fn = qs[name]
+        # bench HEADLINE _noop twins resolve to their base query and
+        # force the noop-sink action (mirrors bench._timed_action)
+        fn = qs[bench._base_name(name)]
+        noop = args.noop or name.endswith("_noop")
         spark.sparkContext.setJobDescription(f"opt:{name}")
         df = fn(spark, SF_DIR)
         if args.plans:
@@ -108,7 +111,7 @@ def main() -> None:
         for _ in range(args.runs):
             df_i = fn(spark, SF_DIR)
             t0 = time.time()
-            if args.noop:
+            if noop:
                 df_i.write.format("noop").mode("overwrite").save()
                 n = -1
             else:
