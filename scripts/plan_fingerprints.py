@@ -34,6 +34,13 @@ def normalize(plan: str) -> list[str]:
     out = []
     for ln in plan.split("\n"):
         ln = re.sub(r"#\d+[L]?", "#x", ln)
+        # higher-order-function lambda variables are numbered from a
+        # GLOBAL driver-side counter (x_0, x_1, ...), so any change in
+        # how many lambda Columns the process built before this plan
+        # renames them — volatile identity, not plan shape (found in
+        # r17 when memoizing Column fragments shifted the numbering of
+        # every later HOF-bearing plan)
+        ln = re.sub(r"\blambda ([a-z]+)_\d+", r"lambda \1_N", ln)
         ln = re.sub(r"plan_id=\d+", "plan_id=x", ln)
         ln = re.sub(r"\[id=#?x?\d*\]", "", ln)
         ln = re.sub(r"@[0-9a-f]{6,}", "@x", ln)

@@ -15,6 +15,8 @@ band-bucket equality joins, never an all-pairs product.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -41,8 +43,16 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+@functools.lru_cache(maxsize=None)
 def tokens_col(text_col: str) -> Column:
-    """Lowercased whitespace tokens, empties removed."""
+    """Lowercased whitespace tokens, empties removed.
+
+    Memoized: unresolved Column trees are immutable and bind to a
+    DataFrame only at analysis time, so one process-wide instance per
+    column name serves every query — rebuilding Column expression trees
+    is py4j round-trip-bound and was a measurable per-call driver cost
+    (round 17: dedup entry construction 0.5–1.1 s/call, ~75% of the
+    simhash entry's wall at sf0.1)."""
     return F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
@@ -74,15 +84,20 @@ def shingle_frame(
     split+filter once per shingle index — ~50x the tokenizer work per
     document (the whole minhash pipeline was 6.5s at sf0.1, ~5s of it
     right here)."""
-    n = shingle_n
     toks = df.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+    return toks.select(F.col(id_col), _shingle_col(shingle_n).alias("__sh"))
+
+
+@functools.lru_cache(maxsize=None)
+def _shingle_col(n: int) -> Column:
+    """Shingle expression over the bound ``__toks`` column (memoized —
+    see :func:`tokens_col` for why)."""
     idx = F.sequence(
         F.lit(1), F.greatest(F.size(F.col("__toks")) - (n - 1), F.lit(1))
     )
-    sh = F.array_distinct(
+    return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n)))
     )
-    return toks.select(F.col(id_col), sh.alias("__sh"))
 
 
 # affine permutation family over the 52-bit hash space: perm_i(h) =
@@ -126,19 +141,38 @@ def minhash_signatures(
         else shingle_frame(df, text_col, id_col, shingle_n)
     )
     # materialize base hashes as a real column so the 12 permutation
-    # expressions share one md5 pass
-    out = out.withColumn("__bh", F.transform(F.col("__sh"), lambda s: h52(s)))
+    # expressions share one md5 pass; ONE select for all n permutation
+    # columns (an n-deep withColumn chain builds n nested Projects the
+    # optimizer collapses anyway — n py4j round-trips for nothing)
+    out = out.withColumn("__bh", _minhash_basehash_col())
+    return out.select(
+        F.col(id_col),
+        *(
+            mh.alias(f"mh_{i}")
+            for i, mh in enumerate(_minhash_perm_cols(n_hashes))
+        ),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _minhash_basehash_col() -> Column:
+    return F.transform(F.col("__sh"), lambda s: h52(s))
+
+
+@functools.lru_cache(maxsize=None)
+def _minhash_perm_cols(n_hashes: int) -> tuple[Column, ...]:
+    """The n affine-permutation min Columns over ``__bh`` (memoized —
+    see :func:`tokens_col` for why)."""
 
     def affine(a: int, b: int):
         # single-arg closure (a 2-arg lambda would receive the array
         # index from F.transform as its second argument)
         return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
 
-    for i, (a, b) in enumerate(minhash_params(n_hashes)):
-        out = out.withColumn(
-            f"mh_{i}", F.array_min(F.transform(F.col("__bh"), affine(a, b)))
-        )
-    return out.drop("__sh", "__bh")
+    return tuple(
+        F.array_min(F.transform(F.col("__bh"), affine(a, b)))
+        for a, b in minhash_params(n_hashes)
+    )
 
 
 def lsh_candidate_pairs(
@@ -152,15 +186,9 @@ def lsh_candidate_pairs(
     One shuffle on (band, bucket); the self-join never materializes an
     all-pairs product. Returns distinct (id_a, id_b) with id_a < id_b.
     """
-    rows = n_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols).cast("binary")).alias("bucket"))
-        )
     buckets = sig_df.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+        F.col(id_col),
+        F.explode(F.array(*_lsh_band_cols(n_hashes, bands))).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     left = buckets.alias("a")
     right = buckets.alias("b")
@@ -175,6 +203,23 @@ def lsh_candidate_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _lsh_band_cols(n_hashes: int, bands: int) -> tuple[Column, ...]:
+    """Band-bucket struct Columns over ``mh_0..mh_{n-1}`` (memoized —
+    see :func:`tokens_col` for why)."""
+    rows = n_hashes // bands
+    out = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+        out.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols).cast("binary")).alias("bucket"),
+            )
+        )
+    return tuple(out)
 
 
 def ngram_jaccard_pairs(
@@ -520,13 +565,28 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     tok = df.select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
     ).withColumn("th", h52(F.col("tok")))
-    # round 17 (guide §2.3, aggregate cheaper): pack TWO per-bit
-    # counters into each sum's long (32-bit lanes — a lane overflows
-    # only past 4 billion tokens in one document) so the groupBy runs
-    # bits/2 + 1 aggregate buffers instead of bits + 1 and the partial-
-    # aggregation exchange rows shrink to match. Unpacking below
-    # reproduces the exact per-bit counts, so the simhash value is
-    # bit-identical to the unpacked r16 form (pytest + driver oracle).
+    per_doc = tok.groupBy(id_col).agg(*_simhash_pack_aggs(bits))
+    return per_doc.select(
+        F.col(id_col),
+        _simhash_unpack(bits).alias("simhash"),
+        F.col("n_tok").alias("n_tokens"),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _simhash_pack_aggs(bits: int) -> tuple[Column, ...]:
+    """Packed-lane aggregate Columns for :func:`simhash` (memoized —
+    see :func:`tokens_col` for why; rebuilding these two loops cost
+    ~0.8 s of py4j round-trips per call, 75% of the entry's wall at
+    sf0.1).
+
+    Round 17 (guide §2.3, aggregate cheaper): pack TWO per-bit
+    counters into each sum's long (32-bit lanes — a lane overflows
+    only past 4 billion tokens in one document) so the groupBy runs
+    bits/2 + 1 aggregate buffers instead of bits + 1 and the partial-
+    aggregation exchange rows shrink to match. :func:`_simhash_unpack`
+    reproduces the exact per-bit counts, so the simhash value is
+    bit-identical to the unpacked r16 form (pytest + driver oracle)."""
     aggs = [F.count(F.lit(1)).alias("n_tok")]
     for g in range(0, bits, 2):
         lane_lo = F.shiftright(F.col("th"), g).bitwiseAND(F.lit(1))
@@ -537,7 +597,12 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
                 + F.shiftleft(lane_hi.cast("long"), 32)
             ).alias(f"pc_{g}")
         )
-    per_doc = tok.groupBy(id_col).agg(*aggs)
+    return tuple(aggs)
+
+
+@functools.lru_cache(maxsize=None)
+def _simhash_unpack(bits: int) -> Column:
+    """Majority-vote simhash value from the packed lane counters."""
     sim = F.lit(0).cast("long")
     for b in range(bits):
         g = b - (b % 2)
@@ -549,9 +614,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         sim = sim + F.when(
             cnt * 2 > F.col("n_tok"), F.lit(2**b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return per_doc.select(
-        F.col(id_col), sim.alias("simhash"), F.col("n_tok").alias("n_tokens")
-    )
+    return sim
 
 
 def embedding_neardup_pairs(

@@ -1432,3 +1432,50 @@ def test_simhash_packed_counters_match_reference(spark):
             if r[f"bc_{b}"] * 2 > r["n_tok"]:
                 sim += 2**b
         assert got[r["doc_id"]] == (sim, r["n_tok"]), r["doc_id"]
+
+
+def test_dedup_expression_memos_identity_and_rebuild(spark):
+    """Round-17 construction optimization: the dedup operators memoize
+    their unresolved Column expression fragments at module level
+    (rebuilding them was ~0.8 s of py4j round-trips per simhash call —
+    75% of that entry's measured wall at sf0.1). Pin (a) the memo
+    actually returns the SAME objects across calls, and (b) two
+    independently-built frames produce identical plans and results —
+    i.e. sharing one unresolved tree across queries is safe."""
+    from sparksqlplus_spark.operators.dedup import (
+        _lsh_band_cols,
+        _minhash_perm_cols,
+        _simhash_pack_aggs,
+        _simhash_unpack,
+        minhash_dedup_pairs,
+        simhash,
+        tokens_col,
+    )
+
+    assert _simhash_pack_aggs(32) is _simhash_pack_aggs(32)
+    assert _simhash_unpack(32) is _simhash_unpack(32)
+    assert _minhash_perm_cols(12) is _minhash_perm_cols(12)
+    assert _lsh_band_cols(12, 4) is _lsh_band_cols(12, 4)
+    assert tokens_col("text") is tokens_col("text")
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared tokens make near duplicates near duplicates"),
+            (2, "shared tokens make near duplicates near duplicated"),
+            (3, "completely different words in this third document"),
+        ],
+        "doc_id long, text string",
+    )
+    import re
+
+    def norm(frame):
+        plan = frame._jdf.queryExecution().sparkPlan().toString()
+        return re.sub(r"#\d+L?", "#x", plan)
+
+    a = simhash(df, "text", "doc_id", bits=32)
+    b = simhash(df, "text", "doc_id", bits=32)
+    assert norm(a) == norm(b)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    pa = minhash_dedup_pairs(df, "text", "doc_id", shingle_n=2)
+    pb = minhash_dedup_pairs(df, "text", "doc_id", shingle_n=2)
+    assert sorted(map(tuple, pa.collect())) == sorted(map(tuple, pb.collect()))
