@@ -31,16 +31,29 @@ sys.path.insert(0, TREE)
 
 
 def normalize(plan: str) -> list[str]:
+    # higher-order-function lambda variables are numbered from a GLOBAL
+    # driver-side counter (x_0, x_1, ...), so any change in how many
+    # lambda Columns the process built before this plan renames them —
+    # volatile identity, not plan shape (found in r17 when memoizing
+    # Column fragments shifted the numbering of every later HOF-bearing
+    # plan). Renumber per plan by first occurrence (x_0, x_1, ... in
+    # encounter order) instead of collapsing all to one sentinel — the
+    # sentinel erased binding distinctions in nested lambdas, so two
+    # structurally different plans could fingerprint equal (r17 ADVICE).
+    seen: dict[str, str] = {}
+    for m in re.finditer(r"\blambda ([a-z]+_\d+)\b", plan):
+        var = m.group(1)
+        if var not in seen:
+            # fresh namespace (lv<N>) so a rename can never collide
+            # with a not-yet-renamed original like x_0
+            seen[var] = f"lv{len(seen)}"
+    if seen:
+        plan = re.sub(
+            r"\b[a-z]+_\d+\b", lambda m: seen.get(m.group(0), m.group(0)), plan
+        )
     out = []
     for ln in plan.split("\n"):
         ln = re.sub(r"#\d+[L]?", "#x", ln)
-        # higher-order-function lambda variables are numbered from a
-        # GLOBAL driver-side counter (x_0, x_1, ...), so any change in
-        # how many lambda Columns the process built before this plan
-        # renames them — volatile identity, not plan shape (found in
-        # r17 when memoizing Column fragments shifted the numbering of
-        # every later HOF-bearing plan)
-        ln = re.sub(r"\blambda ([a-z]+)_\d+", r"lambda \1_N", ln)
         ln = re.sub(r"plan_id=\d+", "plan_id=x", ln)
         ln = re.sub(r"\[id=#?x?\d*\]", "", ln)
         ln = re.sub(r"@[0-9a-f]{6,}", "@x", ln)

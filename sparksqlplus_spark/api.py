@@ -6269,7 +6269,15 @@ class SparkSQLPlus:
         """Plan and execute a query (memoized — see _sql_uncached for
         the planning pipeline and parameter docs). A repeated call
         with the same query/options against an unchanged catalog
-        returns the same lazy DataFrame without re-planning."""
+        returns the same lazy DataFrame without re-planning.
+
+        Staleness contract: the cache key is the catalog's
+        registration epochs, so any register/unregister/DDL re-plans —
+        but OVERWRITING the files behind a still-registered table does
+        not (the returned plan's folded statistics and broadcast
+        decisions reflect the old data, the same hazard as Spark's own
+        file-index caching). Re-register the table or call
+        :meth:`clear_plan_cache` after mutating data in place."""
         if join_tree_hint is not None:
             # user join trees may be unhashable (nested dicts) and are
             # a debugging surface — plan fresh
@@ -6305,6 +6313,14 @@ class SparkSQLPlus:
             if len(self._plan_cache) > self._plan_cache_max:
                 self._plan_cache.popitem(last=False)
         return df
+
+    def clear_plan_cache(self) -> None:
+        """Drop every memoized compiled plan. Needed only when the
+        files behind a registered table were overwritten IN PLACE
+        (see :meth:`sql`'s staleness contract) — registration changes
+        invalidate affected entries automatically via the catalog
+        fingerprint."""
+        self._plan_cache.clear()
 
     def _sql_uncached(
         self,

@@ -25,6 +25,67 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sparksqlplus_spark.expr_memo import expr_cache
+
+
+@expr_cache
+def _asof_fragments(
+    left_cols: tuple[str, ...],
+    left_types: tuple[str, ...],
+    by: tuple[str, ...],
+    payload: tuple[str, ...],
+    payload_types: tuple[str, ...],
+    left_ts: str,
+    right_ts: str,
+    direction: str,
+    suffix: str,
+):
+    """Every Column/WindowSpec fragment of :func:`asof_join`, memoized
+    on the (schema shape, parameters) tuple — the join is called with
+    the same shapes repeatedly and rebuilding ~50 py4j-backed
+    expressions per call was 0.14 s of the bench entry (round 18,
+    guide §1.2/§4 driver-side). Types travel as ``simpleString`` names
+    (hashable; ``cast`` accepts them), so the fragments are exactly the
+    ones the unmemoized code built."""
+    out_payload = {c: f"{c}{suffix}" for c in payload}
+    ptype = dict(zip(payload, payload_types))
+    ltype = dict(zip(left_cols, left_types))
+    l_sel = (
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(ptype[c]).alias(out_payload[c]) for c in payload],
+        F.col(left_ts).alias("__asof_ts"),
+        F.lit(1).alias("__asof_side"),
+    )
+    r_sel = (
+        *[F.lit(None).cast(ltype[c]).alias(c) if c not in by else F.col(c)
+          for c in left_cols],
+        *[F.col(c).alias(out_payload[c]) for c in payload],
+        F.col(right_ts).alias("__asof_ts"),
+        F.lit(0).alias("__asof_side"),
+    )
+    order = (
+        [F.col("__asof_ts").asc(), F.col("__asof_side").asc()]
+        if direction == "backward"
+        else [F.col("__asof_ts").desc(), F.col("__asof_side").asc()]
+    ) + [F.col(out_payload[c]).asc_nulls_first() for c in payload]
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    row_struct = F.when(
+        F.col("__asof_side") == 0,
+        F.struct(*[F.col(out_payload[c]) for c in payload]),
+    )
+    out_sel = (
+        *[F.col(c) for c in left_cols],
+        *[
+            F.col("__asof_row").getField(out_payload[c]).alias(out_payload[c])
+            for c in payload
+        ],
+    )
+    return l_sel, r_sel, w, row_struct, out_sel
+
 
 def asof_join(
     left: DataFrame,
@@ -64,52 +125,33 @@ def asof_join(
     if set(out_payload.values()) & set(left.columns):
         raise ValueError("suffixed right columns collide with left columns")
 
-    # union the two sides: left rows carry their own columns, right
-    # rows only (by, ts, payload) — NULL-padded into a shared schema
-    l_tagged = left.select(
-        *[F.col(c) for c in left.columns],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(out_payload[c])
-          for c in payload],
-        F.col(left_ts).alias("__asof_ts"),
-        F.lit(1).alias("__asof_side"),
+    # All expression fragments come memoized from _asof_fragments (one
+    # build per schema shape). Semantics preserved verbatim, including:
+    # — union the two sides: left rows carry their own columns, right
+    #   rows only (by, ts, payload), NULL-padded into a shared schema;
+    # — backward: ascending ts; a right row at the SAME ts sorts before
+    #   the left row (side 0 < 1), so ties match inclusively — the ASOF
+    #   >= convention; forward: descending ts, same tie rule; payload
+    #   columns break ties among right rows at the same ts so the
+    #   result is deterministic and matches asof_stream's fold order;
+    # — the matched right row is carried as ONE atomic struct: always
+    #   non-null for a right row even when individual payload fields
+    #   are NULL, so `last(..., ignorenulls=True)` skips left rows but
+    #   never mixes fields across different right rows.
+    ltype = {f.name: f.dataType.simpleString() for f in left.schema.fields}
+    rtype = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+    l_sel, r_sel, w, row_struct, out_sel = _asof_fragments(
+        tuple(left.columns),
+        tuple(ltype[c] for c in left.columns),
+        tuple(by),
+        tuple(payload),
+        tuple(rtype[c] for c in payload),
+        left_ts,
+        right_ts,
+        direction,
+        suffix,
     )
-    r_tagged = right.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
-          if c not in by else F.col(c)
-          for c in left.columns],
-        *[F.col(c).alias(out_payload[c]) for c in payload],
-        F.col(right_ts).alias("__asof_ts"),
-        F.lit(0).alias("__asof_side"),
-    )
-    unioned = l_tagged.unionByName(r_tagged)
-
-    # backward: ascending ts; a right row at the SAME ts sorts before
-    # the left row (side 0 < 1), so ties match inclusively — the ASOF
-    # >= convention. forward: descending ts, same tie rule. Payload
-    # columns break ties among right rows at the SAME ts (the carried
-    # row is the greatest payload tuple) so the result is
-    # deterministic and matches asof_stream's fold order.
-    order = (
-        [F.col("__asof_ts").asc(), F.col("__asof_side").asc()]
-        if direction == "backward"
-        else [F.col("__asof_ts").desc(), F.col("__asof_side").asc()]
-    ) + [F.col(out_payload[c]).asc_nulls_first() for c in payload]
-    w = (
-        Window.partitionBy(*[F.col(c) for c in by])
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    # carry the matched right row as ONE atomic struct: a right row is
-    # always a non-null struct even when individual payload fields are
-    # NULL, so `last(..., ignorenulls=True)` skips left rows (NULL
-    # struct) but never mixes fields across different right rows — the
-    # per-column-last formulation backfilled a NULL field of the
-    # nearest right row from an OLDER right row, inventing rows that
-    # match no input.
-    row_struct = F.when(
-        F.col("__asof_side") == 0,
-        F.struct(*[F.col(out_payload[c]) for c in payload]),
-    )
+    unioned = left.select(*l_sel).unionByName(right.select(*r_sel))
     carried = unioned.withColumn(
         "__asof_row", F.last(row_struct, ignorenulls=True).over(w)
     )
@@ -125,13 +167,7 @@ def asof_join(
         result = result.withColumn(
             "__asof_row", F.when(within, F.col("__asof_row"))
         )
-    return result.select(
-        *[F.col(c) for c in left.columns],
-        *[
-            F.col("__asof_row").getField(out_payload[c]).alias(out_payload[c])
-            for c in payload
-        ],
-    )
+    return result.select(*out_sel)
 
 
 def asof_stream(

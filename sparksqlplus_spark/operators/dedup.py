@@ -15,10 +15,10 @@ band-bucket equality joins, never an all-pairs product.
 
 from __future__ import annotations
 
-import functools
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from sparksqlplus_spark.expr_memo import expr_cache
 
 HASH_HEX_LEN = 13  # 52 bits: exact in BIGINT and double
 
@@ -43,7 +43,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-@functools.lru_cache(maxsize=None)
+@expr_cache
 def tokens_col(text_col: str) -> Column:
     """Lowercased whitespace tokens, empties removed.
 
@@ -52,7 +52,10 @@ def tokens_col(text_col: str) -> Column:
     column name serves every query — rebuilding Column expression trees
     is py4j round-trip-bound and was a measurable per-call driver cost
     (round 17: dedup entry construction 0.5–1.1 s/call, ~75% of the
-    simhash entry's wall at sf0.1)."""
+    simhash entry's wall at sf0.1). The cache is keyed on the active
+    SparkContext's epoch (expr_memo.expr_cache), so a stop+start of the
+    session rebuilds the fragments instead of serving dead py4j
+    handles."""
     return F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
@@ -88,7 +91,7 @@ def shingle_frame(
     return toks.select(F.col(id_col), _shingle_col(shingle_n).alias("__sh"))
 
 
-@functools.lru_cache(maxsize=None)
+@expr_cache
 def _shingle_col(n: int) -> Column:
     """Shingle expression over the bound ``__toks`` column (memoized —
     see :func:`tokens_col` for why)."""
@@ -134,6 +137,11 @@ def minhash_signatures(
     seeded re-hashes, this cuts md5 work by n× at identical LSH
     quality, and the oracle reproduces the exact values with integer
     arithmetic.
+
+    Output contract: exactly ``(id_col, mh_0..mh_{n-1})``. Extra
+    columns on a caller-supplied ``shingles`` frame are NOT carried
+    through (round 17 made the projection explicit; re-join on
+    ``id_col`` if you need them).
     """
     out = (
         shingles
@@ -154,12 +162,12 @@ def minhash_signatures(
     )
 
 
-@functools.lru_cache(maxsize=None)
+@expr_cache
 def _minhash_basehash_col() -> Column:
     return F.transform(F.col("__sh"), lambda s: h52(s))
 
 
-@functools.lru_cache(maxsize=None)
+@expr_cache
 def _minhash_perm_cols(n_hashes: int) -> tuple[Column, ...]:
     """The n affine-permutation min Columns over ``__bh`` (memoized —
     see :func:`tokens_col` for why)."""
@@ -205,7 +213,7 @@ def lsh_candidate_pairs(
     )
 
 
-@functools.lru_cache(maxsize=None)
+@expr_cache
 def _lsh_band_cols(n_hashes: int, bands: int) -> tuple[Column, ...]:
     """Band-bucket struct Columns over ``mh_0..mh_{n-1}`` (memoized —
     see :func:`tokens_col` for why)."""
@@ -573,7 +581,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     )
 
 
-@functools.lru_cache(maxsize=None)
+@expr_cache
 def _simhash_pack_aggs(bits: int) -> tuple[Column, ...]:
     """Packed-lane aggregate Columns for :func:`simhash` (memoized —
     see :func:`tokens_col` for why; rebuilding these two loops cost
@@ -600,7 +608,7 @@ def _simhash_pack_aggs(bits: int) -> tuple[Column, ...]:
     return tuple(aggs)
 
 
-@functools.lru_cache(maxsize=None)
+@expr_cache
 def _simhash_unpack(bits: int) -> Column:
     """Majority-vote simhash value from the packed lane counters."""
     sim = F.lit(0).cast("long")

@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sparksqlplus_spark.expr_memo import expr_cache
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -34,6 +36,35 @@ def _norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+@expr_cache
+def _scored_cols(
+    id_col: str, vec_col: str, query_id_col: str, query_vec_col: str
+) -> tuple[Column, ...]:
+    """The (query_id, neighbor_id, cosine) projection shared by the
+    top-k rankers (memoized per name tuple — the cosine fold builds
+    several higher-order-function lambdas through py4j on every call,
+    ~0.1 s of per-call construction on the bench timing, round 18)."""
+    sim = cosine_similarity(
+        F.col(vec_col).cast("array<double>"),
+        F.col(query_vec_col).cast("array<double>"),
+    )
+    return (
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        sim.alias("cosine"),
+    )
+
+
+@expr_cache
+def _rank_window(query_id_col: str):
+    """Per-query (cosine desc, neighbor asc) ranking window — a
+    WindowSpec is as immutable as a Column, so it memoizes the same
+    way."""
+    return Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
 
 
 def cosine_topk(
@@ -53,15 +84,10 @@ def cosine_topk(
     """
     q = F.broadcast(query_df)
     joined = emb_df.crossJoin(q).filter(F.col(id_col) != F.col(query_id_col))
-    sim = cosine_similarity(
-        F.col(vec_col).cast("array<double>"), F.col(query_vec_col).cast("array<double>")
-    )
     scored = joined.select(
-        F.col(query_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("cosine")
+        *_scored_cols(id_col, vec_col, query_id_col, query_vec_col)
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
+    w = _rank_window(query_id_col)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -125,17 +151,25 @@ def lsh_bucket(
         # integer plane components stay ≲ 2^40 — exact in a double
         v = F.transform(v, lambda x: F.floor(x * F.lit(float(quantize))).cast("double"))
     for j in range(n_planes):
-        comps = (
-            [float(x) for x in hyperplane_int(dim, plane_offset + j)]
-            if quantize is not None
-            else hyperplane(dim, plane_offset + j)
-        )
-        plane = F.array(*[F.lit(x) for x in comps])
+        plane = _plane_lit(dim, plane_offset + j, quantize is not None)
         bit = F.when(_dot(v, plane) >= 0, F.lit(2**j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         bucket = bucket + bit
     return bucket
+
+
+@expr_cache
+def _plane_lit(dim: int, plane_idx: int, quantized: bool) -> Column:
+    """One hyperplane as a literal array Column (memoized — the dim
+    ``F.lit`` py4j round-trips per plane dominated lsh_bucket's
+    per-call construction at dim=64)."""
+    comps = (
+        [float(x) for x in hyperplane_int(dim, plane_idx)]
+        if quantized
+        else hyperplane(dim, plane_idx)
+    )
+    return F.array(*[F.lit(x) for x in comps])
 
 
 def ivf_cosine_topk(
@@ -191,15 +225,10 @@ def ivf_cosine_topk(
     joined = e.join(F.broadcast(probes), "__list").filter(
         F.col(id_col) != F.col(query_id_col)
     )
-    sim = cosine_similarity(
-        F.col(vec_col).cast("array<double>"), F.col(query_vec_col).cast("array<double>")
-    )
     scored = joined.select(
-        F.col(query_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("cosine")
+        *_scored_cols(id_col, vec_col, query_id_col, query_vec_col)
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
+    w = _rank_window(query_id_col)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -229,15 +258,10 @@ def lsh_cosine_topk(
     joined = e.join(F.broadcast(q), "__bucket").filter(
         F.col(id_col) != F.col(query_id_col)
     )
-    sim = cosine_similarity(
-        F.col(vec_col).cast("array<double>"), F.col(query_vec_col).cast("array<double>")
-    )
     scored = joined.select(
-        F.col(query_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("cosine")
+        *_scored_cols(id_col, vec_col, query_id_col, query_vec_col)
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
+    w = _rank_window(query_id_col)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

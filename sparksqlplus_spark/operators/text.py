@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sparksqlplus_spark.expr_memo import expr_cache
+
 # token pattern: words or single non-space punctuation (BPE-ish split)
 TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
 
@@ -38,6 +40,14 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     The classic pre-training quality filters (length, punctuation
     density, alpha ratio, mean word length) as one narrow projection.
     """
+    return df.select(*_text_stats_cols(text_col, id_col))
+
+
+@expr_cache
+def _text_stats_cols(text_col: str, id_col: str) -> tuple[Column, ...]:
+    """The :func:`text_stats` projection list (memoized per column-name
+    pair — rebuilding these ~30 py4j-backed expressions was 0.12 s per
+    call on the bench's construction-inclusive timing, round 18)."""
     t = F.col(text_col)
     n_chars = F.length(t).cast("double")
     alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
@@ -45,7 +55,7 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     space = F.length(F.regexp_replace(t, r"[^ \t\n]", "")).cast("double")
     punct = n_chars - alpha - digit - space
     ws_tokens = whitespace_token_count(t).cast("double")
-    return df.select(
+    return (
         F.col(id_col),
         n_chars.alias("n_chars"),
         token_count(t).cast("long").alias("n_tokens"),

@@ -68,15 +68,21 @@ def get_spark(
         # quieter driver logs
         .config("spark.ui.enabled", "false")
     )
+    extra = dict(extra_conf or {})
     if pretouch:
         # -Xmx comes from spark.driver.memory (Spark forbids it here);
         # -Xms pinning + AlwaysPreTouch is allowed and takes effect
-        # because the gateway JVM has not started yet.
+        # because the gateway JVM has not started yet. Caller-supplied
+        # extraJavaOptions are MERGED (caller's flags last, so they can
+        # override) rather than overwritten. Note that under
+        # getOrCreate() reuse of an already-running session the conf is
+        # recorded but the live JVM was never pre-touched.
+        caller_opts = extra.pop("spark.driver.extraJavaOptions", "")
         builder = builder.config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
+            f"-Xms{driver_mem} -XX:+AlwaysPreTouch {caller_opts}".strip(),
         )
-    for k, v in (extra_conf or {}).items():
+    for k, v in extra.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -21,10 +21,24 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sparksqlplus_spark.expr_memo import expr_cache
+
 
 # ---------------------------------------------------------------------------
 # batch forms (oracle-checkable)
 # ---------------------------------------------------------------------------
+
+
+@expr_cache
+def _tumbling_frags(ts_col: str, key_col: str, minutes: int, value_col: str):
+    """:func:`tumbling_agg`'s Column fragments (memoized per argument
+    tuple — guide §1.2/§4 driver-side construction, round 18)."""
+    return (
+        F.window(F.col(ts_col), f"{minutes} minutes").alias("w"),
+        F.col(key_col),
+        (F.count(F.lit(1)).alias("n_events"), F.sum(value_col).alias("sum_value")),
+        F.col("w.start").alias("window_start"),
+    )
 
 
 def tumbling_agg(
@@ -35,16 +49,11 @@ def tumbling_agg(
     value_col: str = "value",
 ) -> DataFrame:
     """Tumbling event-time window aggregate (count + sum per window/key)."""
-    w = F.window(F.col(ts_col), f"{minutes} minutes")
+    w, key, aggs, win_start = _tumbling_frags(ts_col, key_col, minutes, value_col)
     return (
-        df.groupBy(w.alias("w"), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(value_col).alias("sum_value"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            key_col,
-            "n_events",
-            "sum_value",
-        )
+        df.groupBy(w, key)
+        .agg(*aggs)
+        .select(win_start, key_col, "n_events", "sum_value")
     )
 
 
@@ -71,6 +80,34 @@ def sliding_agg(
     )
 
 
+@expr_cache
+def _session_frags(ts_col: str, key_col: str, gap_minutes: int, value_col: str):
+    """:func:`session_agg_batch`'s Column fragments (memoized per
+    argument tuple — guide §1.2/§4 driver-side construction, round 18)."""
+    order = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col("event_id").asc()
+    )
+    gap = F.lit(gap_minutes * 60)
+    prev_ts = F.lag(F.col(ts_col)).over(order)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = F.sum("__new").over(
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    aggs = (
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("sum_value"),
+    )
+    return new_session, sess, aggs
+
+
 def session_agg_batch(
     df: DataFrame,
     ts_col: str = "ts",
@@ -84,29 +121,14 @@ def session_agg_batch(
     key exceeds gap_minutes; sessions aggregate count/sum/bounds.
     Matches Spark's ``session_window`` semantics for batch data.
     """
-    order = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
-    gap = F.lit(gap_minutes * 60)
-    prev_ts = F.lag(F.col(ts_col)).over(order)
-    new_session = F.when(
-        prev_ts.isNull()
-        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    marked = df.withColumn("__new", new_session)
-    sess = F.sum("__new").over(
-        Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    new_session, sess, aggs = _session_frags(
+        ts_col, key_col, gap_minutes, value_col
     )
-    with_id = marked.withColumn("__sess", sess)
     return (
-        with_id.groupBy(key_col, "__sess")
-        .agg(
-            F.min(ts_col).alias("session_start"),
-            F.max(ts_col).alias("session_end"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(value_col).alias("sum_value"),
-        )
+        df.withColumn("__new", new_session)
+        .withColumn("__sess", sess)
+        .groupBy(key_col, "__sess")
+        .agg(*aggs)
         .select(key_col, "session_start", "session_end", "n_events", "sum_value")
     )
 
