@@ -57,6 +57,30 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # --- broadcast: let small dims skip the shuffle ------------------
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- runtime Bloom-filter semi-join pre-reduce (guide §3.2) ------
+        # When a join falls out of the broadcast regime at scale (the
+        # CQC COUNT-view towers at 100 TB), Spark can inject a Bloom
+        # filter built on the selectively-filtered side to prune the
+        # big side BEFORE its shuffle (SPARK-32268; on by default).
+        # The default creation-side cap is 10 MB of ESTIMATED size, and
+        # without CBO column stats a Filter does not shrink its child's
+        # estimate at all (measured: a selective src < K filter over a
+        # 96 MB cached graph still reports 96 MB), so the injection
+        # skips exactly the selectively-filtered mid-size sides it is
+        # for. 256 MB is cheap to allow: unlike a broadcast join the
+        # broadcast object is the FILTER BITS (maxNumBits caps it at
+        # 8 MB), and the injection still requires a selective predicate
+        # on the creation side — the threshold only gates the pre-filter
+        # scan estimate. Inert at sf0.1 where every such join broadcasts
+        # (plan fingerprints unchanged); engages only in the
+        # shuffled-join regime. Verified to fire on the engine's CQC
+        # chain plans under a forced-shuffle probe at 10x scale
+        # (scripts/exp_runtime_bloom.py, pinned by
+        # tests/test_plan_shapes.py::test_runtime_bloom_filter_fires).
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            str(256 * 1024 * 1024),
+        )
         # --- Arrow for pandas-UDF operators (dedup/similarity/multimodal)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
